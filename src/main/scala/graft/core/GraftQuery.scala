@@ -1,0 +1,38 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable operator demonstration: a Spark DataFrame build plus an
+  * equivalent ANSI-SQL oracle the driver runs in DuckDB over the same
+  * parquet tables. `bench = true` marks headline queries timed by
+  * [[graft.Bench]] at sf0.1.
+  *
+  * Determinism contract (so the driver's value-hash compare passes):
+  *   - money/quantity sums go through DECIMAL(18,2) (exact, order-free),
+  *     cast to DOUBLE only at the end;
+  *   - per-row scalar double math is fine (IEEE ops are deterministic;
+  *     only multi-row float aggregation is order-sensitive);
+  *   - no raw TIMESTAMP output columns — DATE, epoch millis BIGINT, or
+  *     formatted STRING instead (parquet UTC-annotation vs DuckDB naive
+  *     timestamps would otherwise diverge in the comparator);
+  *   - every query ends in a total ORDER BY; ties broken by a unique key;
+  *   - arg-min/max via row_number() windows (portable tie-breaks), not
+  *     min_by/arg_min on structs.
+  */
+final case class GraftQuery(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false)
+
+object Registry {
+  /** All registered demonstrations, later assembled by [[graft.SparkEntry]]. */
+  def allQueries: Seq[GraftQuery] =
+    graft.queries.Relational.defs ++
+      graft.queries.Analytics.defs ++
+      graft.queries.WritePath.defs ++
+      graft.queries.TextQueries.defs ++
+      graft.queries.DedupQueries.defs ++
+      graft.queries.VectorQueries.defs ++
+      graft.queries.StreamingQueries.defs
+}

@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hashing used by the dedup family.
+  *
+  * Everything is built on md5 so the DuckDB oracle can reproduce the exact
+  * same integers (`xxhash64`/`hash` are engine-specific). 15 hex digits =
+  * 60 bits, always non-negative in a signed 64-bit long.
+  */
+object HashFunctions {
+
+  /** First 60 bits of md5(s) as a BIGINT.
+    * DuckDB equivalent: CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT).
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant for minhash permutation family i. */
+  def md5LongSeeded(seed: Column, c: Column): Column =
+    md5Long(concat(seed.cast("string"), lit(":"), c))
+}

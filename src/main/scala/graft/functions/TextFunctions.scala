@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline plane:
+  * tokenization, fingerprinting, quality scoring, language-ID heuristic.
+  *
+  * All are pure Column expressions (whole-stage-codegen friendly, no UDFs)
+  * and deliberately use only regex features shared by Java regex and RE2 so
+  * the DuckDB oracle computes identical values.
+  */
+object TextFunctions {
+
+  /** Word tokens: maximal [a-zA-Z0-9]+ runs. Portable across engines
+    * (plain `split(' ')` differs between engines on trailing empties).
+    */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-zA-Z0-9]+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Canonical form for exact-dup detection: lowercase, collapse
+    * whitespace, trim. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Document fingerprint = md5 of the normalized text (content hash for
+    * exact dedup; the rolling-hash use case reduces to this at doc scope). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Counts for quality scoring. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.!?,;]", ""))
+  def alphaCount(text: Column): Column =
+    length(regexp_replace(text, "[^a-zA-Z]", ""))
+  def stopwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("\\b(the|a|and|of|to|in|is|it)\\b"), lit(0)))
+
+  /** Composite quality score in [0,1]-ish: favors alphabetic content and a
+    * natural stopword rate, penalizes punctuation soup. Per-row scalar
+    * double math only (deterministic across engines). */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val alphaRatio = alphaCount(text).cast("double") / nChars.cast("double")
+    val stopRatio = stopwordCount(text).cast("double") / (tokenCount(text).cast("double") + lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / nChars.cast("double")
+    alphaRatio * lit(0.5) + stopRatio * lit(0.5) - punctRatio * lit(0.25)
+  }
+
+  /** N-gram-marker language-ID heuristic: count per-language marker words,
+    * predict the argmax with a fixed precedence order. (A real pipeline
+    * would use fastText; the heuristic keeps the operator SQL-expressible
+    * and dependency-free.) */
+  private val markers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|is|was)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "fr" -> "\\b(le|la|les|et|est)\\b",
+    "es" -> "\\b(el|los|las|y|es)\\b",
+    "zh" -> "\\b(de|shi|le|zai|you)\\b")
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    markers.map { case (lang, pat) =>
+      lang -> size(regexp_extract_all(lower(text), lit(pat), lit(0)))
+    }
+
+  /** Predicted language: argmax of marker counts, ties resolved by the
+    * fixed precedence en > de > fr > es > zh; all-zero → "und". */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight gives the FIRST matching lang in `markers` order precedence:
+    // en's `when` wraps outermost.
+  }
+}

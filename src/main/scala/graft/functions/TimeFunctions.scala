@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Time semantics of the engine (SURVEY §1.4).
+  *
+  * The reference stores UTC epoch ints and converts user-facing wall-clock
+  * ranges in the exchange timezone to UTC for querying
+  * (reference: src/stockops/data/database/reader.py:31-52) and sniffs
+  * epoch units by magnitude (reference: src/stockops/data/utils.py:102-121).
+  * Here these are pure Column expressions, codegen-friendly, usable in both
+  * batch and streaming plans.
+  */
+object TimeFunctions {
+
+  /** T5 — normalize an epoch of unknown unit (s / ms / µs) to seconds by
+    * magnitude sniffing: |v| ≥ 1e14 → µs, |v| ≥ 1e11 → ms, else s.
+    * Integer division keeps the result exact.
+    * (reference: src/stockops/data/utils.py:102-121)
+    */
+  def normalizeEpochToSeconds(v: Column): Column =
+    when(abs(v) >= lit(100000000000000L), floor(v / lit(1000000L)).cast("long"))
+      .when(abs(v) >= lit(100000000000L), floor(v / lit(1000L)).cast("long"))
+      .otherwise(v.cast("long"))
+
+  /** R7 — exchange-local wall-clock string "yyyy-MM-dd HH:mm[:ss]" →
+    * UTC timestamp. (reference: src/stockops/data/database/reader.py:31-37)
+    */
+  def wallClockToUtc(wall: Column, exchangeTz: String): Column =
+    to_utc_timestamp(wall.cast("timestamp"), exchangeTz)
+
+  /** Inverse: UTC instant → exchange-local naive wall clock (for
+    * session-of-day logic and local-calendar partition routing, T7;
+    * reference: src/stockops/data/utils.py:62-76).
+    */
+  def utcToWallClock(ts: Column, exchangeTz: String): Column =
+    from_utc_timestamp(ts, exchangeTz)
+
+  /** Minutes past local midnight — the reference's session-window slices
+    * (09:30–16:00) filter on this
+    * (reference: local_workflows/reader_local/local_reader_manual.py:252-258).
+    */
+  def minuteOfDay(localTs: Column): Column =
+    hour(localTs) * lit(60) + minute(localTs)
+
+  /** T7 — local-calendar partition columns (year, month, day) derived from
+    * a UTC event time, for `partitionBy` on write.
+    * (reference: src/stockops/data/utils.py:62-76)
+    */
+  def localCalendarParts(ts: Column, exchangeTz: String): (Column, Column, Column) = {
+    val local = utcToWallClock(ts, exchangeTz)
+    (year(local), month(local), dayofmonth(local))
+  }
+}

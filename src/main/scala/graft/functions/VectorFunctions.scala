@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` embedding columns, as pure
+  * Column expressions (codegen'd higher-order functions — no UDF, no
+  * driver-side loop; scales linearly with partitions).
+  */
+object VectorFunctions {
+
+  /** Dot product in double precision: left-to-right fold, deterministic. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; mirrors DuckDB's list_cosine_similarity shape
+    * (dot / (sqrt(dot_aa) * sqrt(dot_bb))). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Random-hyperplane LSH bucket id (SimHash over embedding dims):
+    * `planes` deterministic pseudo-random weights derived from md5 so any
+    * engine can reproduce the bucketing. Returns an INT bucket in
+    * [0, 2^nPlanes). Used as the blocking key for approximate
+    * nearest-neighbor search at scale: candidates are confined to one
+    * bucket, turning an O(n²) cross join into a bucket-local join.
+    */
+  def lshBucket(vec: Column, nPlanes: Int, dims: Int): Column = {
+    // weight(p, d) in [-1000, 1000]: md5-derived, engine-portable
+    def weight(p: Int, d: Int): Column =
+      (HashFunctions.md5Long(lit(s"plane:$p:$d")) % 2001 - lit(1000)).cast("double")
+    val bits = (0 until nPlanes).map { p =>
+      val proj = (0 until dims)
+        .map(d => element_at(vec, d + 1).cast("double") * weight(p, d))
+        .reduce(_ + _)
+      when(proj > 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.core.{GraftQuery, Tables}
+import graft.functions.TimeFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Downstream analytics surface (SURVEY §2.5 Q1–Q5): session-window
+  * slicing, session min/max, as-of nearest-timestamp lookup, ticks→OHLC
+  * resample, positional access. The reference does all of this in pandas
+  * after collecting to the driver
+  * (reference: local_workflows/reader_local/local_reader_manual.py:235-270);
+  * here each stays a distributed plan — grouping keys partition the work,
+  * so the same code runs on 1000 executors.
+  */
+object Analytics {
+  import Portable._
+
+  private val NY = "America/New_York"
+
+  def defs: Seq[GraftQuery] = Seq(
+
+    // ── Q1: session-window slice: 09:30–16:00 exchange-local ──────────
+    // (reference: local_reader_manual.py:252-258)
+    GraftQuery(
+      "q1_session_slice",
+      (s, dir) => {
+        import s.implicits._
+        val local = TimeFunctions.utcToWallClock($"ts", NY)
+        val mod = TimeFunctions.minuteOfDay(local)
+        Tables.events(s, dir)
+          .withColumn("session_day", date_format(local, "yyyy-MM-dd"))
+          .where(mod >= 570 && mod <= 960)
+          .groupBy($"session_day")
+          .agg(count(lit(1)).as("n_ticks"), min(tsMillis($"ts")).as("first_ms"), max(tsMillis($"ts")).as("last_ms"))
+          .orderBy($"session_day")
+      },
+      Some("""
+        WITH localized AS (
+          SELECT *, (timezone('UTC', ts) AT TIME ZONE 'America/New_York') AS lts FROM events)
+        SELECT strftime(CAST(lts AS DATE), '%Y-%m-%d') AS session_day, COUNT(*) AS n_ticks,
+          MIN(epoch_ms(ts)) AS first_ms, MAX(epoch_ms(ts)) AS last_ms
+        FROM localized
+        WHERE (EXTRACT(hour FROM lts) * 60 + EXTRACT(minute FROM lts)) BETWEEN 570 AND 960
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ── Q2: session high/low aggregate ─────────────────────────────────
+    // (reference: local_reader_manual.py:263-264)
+    GraftQuery(
+      "q2_session_minmax",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"))
+          .agg(max($"value").as("session_high"), min($"value").as("session_low"),
+            count(lit(1)).as("n"))
+          .orderBy($"day")
+      },
+      Some("""
+        SELECT strftime(ts, '%Y-%m-%d') AS day, MAX(value) AS session_high,
+          MIN(value) AS session_low, COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ── Q3: as-of / nearest-timestamp lookup ───────────────────────────
+    // nearest tick to local noon per day; row_number gives a total,
+    // portable tie-break. (reference: local_reader_manual.py:261-262 —
+    // pandas (ts - target).abs().argmin())
+    GraftQuery(
+      "q3_asof_nearest",
+      (s, dir) => {
+        import s.implicits._
+        val day = date_trunc("DAY", $"ts")
+        val diff = abs(tsMillis($"ts") - tsMillis(day) - lit(12L * 3600 * 1000))
+        val w = Window.partitionBy($"day").orderBy($"diff", $"event_id")
+        Tables.events(s, dir)
+          .select($"event_id", $"value", $"ts", day.as("day"), diff.as("diff"))
+          .withColumn("rn", row_number().over(w))
+          .where($"rn" === 1)
+          .select(date_format($"day", "yyyy-MM-dd").as("day"), $"event_id", $"value".as("asof_value"))
+          .orderBy($"day")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, value, ts, date_trunc('day', ts) AS day,
+            ABS(epoch_ms(ts) - epoch_ms(CAST(date_trunc('day', ts) AS TIMESTAMP)) - 43200000) AS diff
+          FROM events),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY day ORDER BY diff, event_id) AS rn FROM e)
+        SELECT strftime(day, '%Y-%m-%d') AS day, event_id, value AS asof_value
+        FROM r WHERE rn = 1 ORDER BY day""")),
+
+    // ── Q4: ticks → OHLC resample ──────────────────────────────────────
+    // (reference: local_reader_manual.py:235-270; SURVEY Q4)
+    GraftQuery(
+      "q4_ohlc_resample",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"day").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, dir)
+          .select(date_format($"ts", "yyyy-MM-dd").as("day"), $"ts", $"event_id", $"value")
+          .select(
+            $"day",
+            first($"value").over(w).as("open"),
+            max($"value").over(w).as("high"),
+            min($"value").over(w).as("low"),
+            last($"value").over(w).as("close"),
+            count(lit(1)).over(w).as("n_ticks"))
+          .distinct()
+          .orderBy($"day")
+      },
+      Some("""
+        SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+          first_value(value) OVER w AS open,
+          MAX(value) OVER w AS high,
+          MIN(value) OVER w AS low,
+          last_value(value) OVER w AS close,
+          COUNT(*) OVER w AS n_ticks
+        FROM events
+        WINDOW w AS (PARTITION BY strftime(ts, '%Y-%m-%d') ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY day"""),
+      bench = true),
+
+    // ── Q5: positional row access (per-key top-n) ──────────────────────
+    // (reference: local_reader_manual.py:236 — iloc[n]; distributed form:
+    // row_number within key, never a driver-side collect)
+    GraftQuery(
+      "q5_positional_access",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables.events(s, dir).filter($"user_id" < 30)
+          .withColumn("rn", row_number().over(w))
+          .where($"rn" <= 3)
+          .select($"user_id", $"rn", $"event_id", $"value")
+          .orderBy($"user_id", $"rn")
+      },
+      Some("""
+        SELECT user_id, rn, event_id, value FROM (
+          SELECT user_id, event_id, value,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events WHERE user_id < 30)
+        WHERE rn <= 3 ORDER BY user_id, rn"""))
+  )
+}

@@ -1,0 +1,208 @@
+package graft.queries
+
+import graft.core.{GraftQuery, Tables}
+import graft.functions.HashFunctions._
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Deduplication family for the training-data pipeline plane: exact
+  * (content-hash groupBy), MinHash+LSH banding, SimHash, and n-gram
+  * Jaccard. All hashing is md5-based so the DuckDB oracle reproduces the
+  * integers exactly (see [[graft.functions.HashFunctions]]).
+  *
+  * Scale notes (100 TB design point): every stage is a groupBy/join on a
+  * derived key — shingle explosion is map-side, minhash signatures reduce
+  * per (doc, seed), band buckets join only within equal band signatures.
+  * Nothing is quadratic in corpus size; the only pairwise work happens
+  * inside LSH buckets.
+  */
+object DedupQueries {
+
+  /** Corpus with synthesized near-duplicates: every 5th doc re-appears
+    * (id + 1000000) with a few extra tokens appended — no natural dups
+    * exist in the testdata. */
+  private def corpusWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val copies = docs.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        concat($"text", lit(" extra appended tail tokens here")).as("text"))
+    docs.select($"doc_id", $"text").unionAll(copies)
+  }
+
+  private val corpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text || ' extra appended tail tokens here' AS text
+      |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  /** Word 5-gram shingles of the alnum-token stream. */
+  private def shingles(tokens: Column): Column =
+    when(size(tokens) < 5, array(concat_ws(" ", tokens)))
+      .otherwise(transform(
+        sequence(lit(1), size(tokens) - 4),
+        i => concat_ws(" ", slice(tokens, i, lit(5)))))
+
+  def defs: Seq[GraftQuery] = Seq(
+
+    // ── exact dedup: fingerprint groupBy over a doubled corpus ─────────
+    GraftQuery(
+      "d1_dedup_exact_docs",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val doubled = docs.select($"doc_id", $"source", $"text")
+          .unionAll(docs.filter($"doc_id" % 4 === 0)
+            .select(($"doc_id" + 1000000L).as("doc_id"), $"source", $"text"))
+        doubled
+          .withColumn("fp", fingerprint($"text"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_total"),
+            countDistinct($"fp").as("n_unique"),
+            (count(lit(1)) - countDistinct($"fp")).as("n_dropped"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH doubled AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id % 4 = 0),
+        fp AS (
+          SELECT source, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM doubled)
+        SELECT source, COUNT(*) AS n_total, COUNT(DISTINCT fp) AS n_unique,
+          COUNT(*) - COUNT(DISTINCT fp) AS n_dropped
+        FROM fp GROUP BY source ORDER BY source""")),
+
+    // ── MinHash + LSH banding: near-dup candidate pairs ────────────────
+    // 16 md5-seeded min-hashes, 4 bands × 4 rows; pairs collide on any
+    // band signature. End-to-end reproducible in the DuckDB oracle.
+    GraftQuery(
+      "d2_minhash_lsh_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val corpus = corpusWithNearDups(s, dir)
+          .withColumn("toks", tokens(normalized($"text")))
+          .withColumn("sh", explode(array_distinct(shingles($"toks"))))
+        val seeds = corpus.select($"doc_id", $"sh")
+          .crossJoin(s.range(16).select($"id".cast("int").as("seed")))
+        val sigs = seeds
+          .withColumn("h", md5LongSeeded($"seed", $"sh"))
+          .groupBy($"doc_id", $"seed").agg(min($"h").as("sig"))
+        val bands = sigs
+          .withColumn("band", floor($"seed" / 4).cast("int"))
+          .groupBy($"doc_id", $"band")
+          .agg(md5(array_join(transform(
+            array_sort(collect_list(struct($"seed", $"sig"))),
+            x => x.getField("sig").cast("string")), ",")).as("band_sig"))
+        val a = bands.select($"doc_id".as("a"), $"band", $"band_sig")
+        val b = bands.select($"doc_id".as("b"), $"band", $"band_sig")
+        a.join(b, Seq("band", "band_sig"))
+          .where($"a" < $"b")
+          .select($"a", $"b").distinct()
+          .orderBy($"a", $"b")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text || ' extra appended tail tokens here' AS text
+          FROM documents WHERE doc_id % 5 = 0),
+        toks AS (
+          SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM corpus),
+        sh AS (
+          SELECT DISTINCT doc_id, CASE WHEN len(t) < 5 THEN array_to_string(t, ' ')
+            ELSE array_to_string(t[i:i+4], ' ') END AS sh
+          FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i FROM toks)),
+        seeded AS (
+          SELECT doc_id, sh, seed FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed)),
+        sigs AS (
+          SELECT doc_id, seed,
+            MIN(CAST(concat('0x', substr(md5(concat(CAST(seed AS VARCHAR), ':', sh)), 1, 15)) AS BIGINT)) AS sig
+          FROM seeded GROUP BY doc_id, seed),
+        bands AS (
+          SELECT doc_id, CAST(FLOOR(seed / 4) AS INT) AS band,
+            md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY seed)) AS band_sig
+          FROM sigs GROUP BY doc_id, CAST(FLOOR(seed / 4) AS INT))
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+        WHERE a.doc_id < b.doc_id
+        ORDER BY a, b""")),
+
+    // ── SimHash: 32-bit signature over the distinct-token set ──────────
+    GraftQuery(
+      "d3_simhash",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", explode(array_distinct(tokens(lower($"text")))).as("tok"))
+          .withColumn("h", md5Long($"tok"))
+        val bits = toks
+          .crossJoin(s.range(32).select($"id".cast("int").as("b")))
+          .withColumn("bit", expr("shiftright(h, b) & 1"))
+          .groupBy($"doc_id", $"b")
+          .agg(sum($"bit" * 2 - 1).as("w"))
+        bits
+          .groupBy($"doc_id")
+          .agg(sum(when($"w" > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(lit(0L))).as("simhash"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9]+')) AS tok
+          FROM documents),
+        hashed AS (
+          SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+        bits AS (
+          SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS w
+          FROM hashed, (SELECT unnest(generate_series(0, 31)) AS b)
+          GROUP BY doc_id, b)
+        SELECT doc_id,
+          SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+        FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── n-gram Jaccard similarity: original vs near-dup copy ──────────
+    GraftQuery(
+      "d4_ngram_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).filter($"doc_id" % 5 === 0)
+          .withColumn("ta", tokens(normalized($"text")))
+          .withColumn("tb", tokens(normalized(concat($"text", lit(" extra appended tail tokens here")))))
+          .withColumn("sa", array_distinct(shingles($"ta")))
+          .withColumn("sb", array_distinct(shingles($"tb")))
+        docs.select(
+          $"doc_id",
+          size($"sa").as("n_a"),
+          size($"sb").as("n_b"),
+          size(array_intersect($"sa", $"sb")).as("n_inter"),
+          (size(array_intersect($"sa", $"sb")).cast("double") /
+            size(array_union($"sa", $"sb")).cast("double")).as("jaccard"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT doc_id,
+            regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS ta,
+            regexp_extract_all(trim(regexp_replace(lower(text || ' extra appended tail tokens here'), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS tb
+          FROM documents WHERE doc_id % 5 = 0),
+        sha AS (
+          SELECT doc_id, list_distinct(list(CASE WHEN len(ta) < 5 THEN array_to_string(ta, ' ')
+            ELSE array_to_string(ta[i:i+4], ' ') END)) AS sa
+          FROM (SELECT doc_id, ta, unnest(generate_series(1, greatest(len(ta) - 4, 1))) AS i FROM pairs)
+          GROUP BY doc_id),
+        shb AS (
+          SELECT doc_id, list_distinct(list(CASE WHEN len(tb) < 5 THEN array_to_string(tb, ' ')
+            ELSE array_to_string(tb[i:i+4], ' ') END)) AS sb
+          FROM (SELECT doc_id, tb, unnest(generate_series(1, greatest(len(tb) - 4, 1))) AS i FROM pairs)
+          GROUP BY doc_id)
+        SELECT a.doc_id AS doc_id, len(sa) AS n_a, len(sb) AS n_b,
+          len(list_intersect(sa, sb)) AS n_inter,
+          CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) AS jaccard
+        FROM sha a JOIN shb b ON a.doc_id = b.doc_id
+        ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,27 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Shared helpers that keep Spark results bit-identical to the DuckDB
+  * oracle (see GraftQuery scaladoc for the full determinism contract).
+  */
+private[queries] object Portable {
+  /** Money/quantity column as exact DECIMAL(12,2): sums become
+    * order-insensitive integers under the hood. */
+  def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Small ratio column (discount/tax, < 10) as DECIMAL(3,2). */
+  def rat2(c: Column): Column = c.cast(DecimalType(3, 2))
+
+  /** Exact decimal sum surfaced as DOUBLE (deterministic final cast). */
+  def sumd(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+
+  /** avg = exact decimal sum / count, one double division (deterministic). */
+  def avgd(c: Column): Column = sum(dec2(c)).cast(DoubleType) / count(lit(1))
+
+  /** Epoch milliseconds BIGINT — the portable way to output an instant.
+    * DuckDB: epoch_ms(ts). */
+  def tsMillis(c: Column): Column = unix_millis(c)
+}

@@ -1,0 +1,313 @@
+package graft.queries
+
+import graft.core.{GraftQuery, Tables}
+import graft.functions.TimeFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Read-path relational operators (SURVEY §2.4 R1–R7) and the headline
+  * aggregate/join queries used for BENCH. Every query is expressed as a
+  * declarative DataFrame plan so Catalyst applies partition pruning,
+  * parquet predicate pushdown, and column pruning without custom code —
+  * the reference implements each of these by hand
+  * (reference: src/stockops/data/database/sql_db.py:702-814,
+  * src/stockops/data/utils.py:79-99).
+  */
+object Relational {
+  import Portable._
+
+  def defs: Seq[GraftQuery] = Seq(
+
+    // ── headline aggregates / joins (bench) ────────────────────────────
+    GraftQuery(
+      "h1_pricing_summary",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir).filter($"l_shipdate" <= lit("2000-12-01").cast("timestamp"))
+        val one = lit(1).cast("decimal(3,2)")
+        li.groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sumd($"l_quantity").as("sum_qty"),
+            sumd($"l_extendedprice").as("sum_base_price"),
+            sum(dec2($"l_extendedprice") * (one - rat2($"l_discount"))).cast(DoubleType).as("sum_disc_price"),
+            sum(dec2($"l_extendedprice") * (one - rat2($"l_discount")) * (one + rat2($"l_tax"))).cast(DoubleType).as("sum_charge"),
+            avgd($"l_quantity").as("avg_qty"),
+            avgd($"l_extendedprice").as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      bench = true),
+
+    GraftQuery(
+      "h2_star_join_broadcast",
+      (s, dir) => {
+        import s.implicits._
+        // dims are tiny → broadcast both; fact side never shuffles for the join
+        Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"n_name")
+          .agg(count(lit(1)).as("n_customers"), sumd($"c_acctbal").as("total_acctbal"))
+          .orderBy($"r_name", $"n_name")
+      },
+      Some("""
+        SELECT r_name, n_name, COUNT(*) AS n_customers,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name"""),
+      bench = true),
+
+    GraftQuery(
+      "h3_top_revenue_orders",
+      (s, dir) => {
+        import s.implicits._
+        val one = lit(1).cast("decimal(3,2)")
+        val cut = lit("1998-01-01").cast("timestamp")
+        Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+          .join(Tables.orders(s, dir).filter($"o_orderdate" < cut), $"c_custkey" === $"o_custkey")
+          .join(Tables.lineitem(s, dir).filter($"l_shipdate" > cut), $"o_orderkey" === $"l_orderkey")
+          .groupBy($"l_orderkey", $"o_orderdate")
+          .agg(sum(dec2($"l_extendedprice") * (one - rat2($"l_discount"))).cast(DoubleType).as("revenue"))
+          .select($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"), $"revenue")
+          .orderBy($"revenue".desc, $"l_orderkey")
+          .limit(10)
+      },
+      Some("""
+        SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10"""),
+      bench = true),
+
+    GraftQuery(
+      "h4_order_priority_exists",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.orders(s, dir)
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1996-07-01").cast("timestamp"))
+        val li = Tables.lineitem(s, dir)
+        o.join(li, o("o_orderkey") === li("l_orderkey") && li("l_shipdate") > o("o_orderdate"), "left_semi")
+          .groupBy($"o_orderpriority").agg(count(lit(1)).as("order_count"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""),
+      bench = true),
+
+    // ── R1: partition pruning / calendar routing ───────────────────────
+    // (reference: src/stockops/data/utils.py:79-99 — filename calendar walk;
+    // here the shipdate range prunes parquet row groups via min/max stats)
+    GraftQuery(
+      "r1_partition_prune_scan",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+          .groupBy(date_format(trunc($"l_shipdate", "month"), "yyyy-MM-dd").as("ship_month"))
+          .agg(count(lit(1)).as("n"), sumd($"l_quantity").as("qty"))
+          .orderBy($"ship_month")
+      },
+      Some("""
+        SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m-%d') AS ship_month,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ── R2: time-range predicate pushed to the scan ────────────────────
+    // (reference: src/stockops/data/database/sql_db.py:779-788)
+    GraftQuery(
+      "r2_time_range_scan",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .filter($"ts" >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+            $"ts" < lit("2024-01-12 00:00:00").cast("timestamp"))
+          .select($"event_id", tsMillis($"ts").as("ts_ms"), $"user_id", $"event_type", $"value")
+          .orderBy($"ts_ms", $"event_id")
+      },
+      Some("""
+        SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        ORDER BY ts_ms, event_id""")),
+
+    // ── R3: interval/domain equality predicate (T4 isin domain check) ──
+    // (reference: src/stockops/data/database/sql_db.py:770-788)
+    GraftQuery(
+      "r3_interval_filter",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .filter($"event_type".isin("purchase", "signup") &&
+            $"ts" >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+            $"ts" < lit("2024-01-08 00:00:00").cast("timestamp"))
+          .select($"event_id", $"event_type", tsMillis($"ts").as("ts_ms"))
+          .orderBy($"event_id")
+      },
+      Some("""
+        SELECT event_id, event_type, epoch_ms(ts) AS ts_ms
+        FROM events
+        WHERE event_type IN ('purchase','signup')
+          AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+        ORDER BY event_id""")),
+
+    // ── R4: existence probe (LIMIT-1 semantics via aggregate) ──────────
+    // (reference: src/stockops/data/database/sql_db.py:768-777)
+    GraftQuery(
+      "r4_existence_probe",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .filter($"ts" >= lit("2024-01-15 00:00:00").cast("timestamp") &&
+            $"ts" < lit("2024-01-16 00:00:00").cast("timestamp"))
+          .select($"event_type").distinct()
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT DISTINCT event_type
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-16 00:00:00'
+        ORDER BY event_type""")),
+
+    // ── R5: multi-file / multi-range UNION ALL concat ──────────────────
+    // (reference: src/stockops/data/database/sql_db.py:734-735)
+    GraftQuery(
+      "r5_union_all_ranges",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val a = ev.filter($"ts" >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+          $"ts" < lit("2024-01-07 00:00:00").cast("timestamp"))
+        val b = ev.filter($"ts" >= lit("2024-01-20 00:00:00").cast("timestamp") &&
+          $"ts" < lit("2024-01-22 00:00:00").cast("timestamp"))
+        a.unionAll(b).groupBy($"event_type").agg(count(lit(1)).as("n")).orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n FROM (
+          SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-07 00:00:00'
+          UNION ALL
+          SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' AND ts < TIMESTAMP '2024-01-22 00:00:00')
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ── R6: global event-time sort (range-partitioned in Spark) ────────
+    // (reference: src/stockops/data/database/sql_db.py:746)
+    GraftQuery(
+      "r6_global_time_sort",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir).filter($"user_id" < 20)
+          .select($"event_id", tsMillis($"ts").as("ts_ms"), $"user_id")
+          .orderBy($"ts_ms", $"event_id")
+          .limit(500)
+      },
+      Some("""
+        SELECT event_id, epoch_ms(ts) AS ts_ms, user_id
+        FROM events WHERE user_id < 20
+        ORDER BY ts_ms, event_id LIMIT 500""")),
+
+    // ── R7: exchange-local wall clock → UTC range conversion ───────────
+    // (reference: src/stockops/data/database/reader.py:31-52)
+    GraftQuery(
+      "r7_wallclock_range",
+      (s, dir) => {
+        import s.implicits._
+        val lo = TimeFunctions.wallClockToUtc(lit("2024-01-05 09:30:00"), "America/New_York")
+        val hi = TimeFunctions.wallClockToUtc(lit("2024-01-12 16:00:00"), "America/New_York")
+        Tables.events(s, dir).filter($"ts" >= lo && $"ts" <= hi)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), min(tsMillis($"ts")).as("first_ms"), max(tsMillis($"ts")).as("last_ms"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n, MIN(epoch_ms(ts)) AS first_ms, MAX(epoch_ms(ts)) AS last_ms
+        FROM events
+        WHERE ts >= ((TIMESTAMP '2024-01-05 09:30:00' AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC')
+          AND ts <= ((TIMESTAMP '2024-01-12 16:00:00' AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC')
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ── T2: projection + rename + JSON field extraction ────────────────
+    // (reference: src/stockops/data/transform.py:41-45,57-61 — field
+    // whitelist/rename; props JSON stands in for the provider payload)
+    GraftQuery(
+      "t2_project_rename_json",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir).filter($"event_id" < 500)
+          .select(
+            $"event_id".as("id"),
+            get_json_object($"props", "$.k").cast("int").as("k"),
+            $"value".as("price"),
+            lit("1m").as("interval"))
+          .orderBy($"id")
+      },
+      Some("""
+        SELECT event_id AS id,
+          CAST(json_extract_string(props, '$.k') AS INT) AS k,
+          value AS price,
+          '1m' AS interval
+        FROM events WHERE event_id < 500 ORDER BY id""")),
+
+    // ── T5: epoch unit normalization by magnitude sniffing ─────────────
+    // (reference: src/stockops/data/utils.py:102-121)
+    GraftQuery(
+      "t5_unit_normalization",
+      (s, dir) => {
+        import s.implicits._
+        val ms = tsMillis(col("ts"))
+        val raw = when($"event_id" % 3 === 0, floor(ms / 1000).cast("long"))
+          .when($"event_id" % 3 === 1, ms)
+          .otherwise(ms * 1000)
+        Tables.events(s, dir).filter($"event_id" < 2000)
+          .select($"event_id", raw.as("raw_epoch"),
+            TimeFunctions.normalizeEpochToSeconds(raw).as("epoch_s"))
+          .orderBy($"event_id")
+      },
+      Some("""
+        WITH raw AS (
+          SELECT event_id,
+            CASE WHEN event_id % 3 = 0 THEN CAST(FLOOR(epoch_ms(ts) / 1000) AS BIGINT)
+                 WHEN event_id % 3 = 1 THEN epoch_ms(ts)
+                 ELSE epoch_ms(ts) * 1000 END AS raw_epoch
+          FROM events WHERE event_id < 2000)
+        SELECT event_id, raw_epoch,
+          CASE WHEN ABS(raw_epoch) >= 100000000000000 THEN CAST(FLOOR(raw_epoch / 1000000) AS BIGINT)
+               WHEN ABS(raw_epoch) >= 100000000000 THEN CAST(FLOOR(raw_epoch / 1000) AS BIGINT)
+               ELSE CAST(raw_epoch AS BIGINT) END AS epoch_s
+        FROM raw ORDER BY event_id"""))
+  )
+}

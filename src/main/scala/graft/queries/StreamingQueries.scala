@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.core.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Batch-checkable projections of the streaming plane (SURVEY §2.1 S3–S8).
+  * The live Structured Streaming pipeline (readStream → watermark →
+  * windowed agg → foreachBatch versioned upsert) lives in
+  * [[graft.streaming.StreamIngest]] and is exercised by ScalaTest; these
+  * entries verify the *aggregation semantics* of the micro-batch path over
+  * the same events table, where the DuckDB oracle can check them.
+  */
+object StreamingQueries {
+  import Portable._
+
+  def defs: Seq[GraftQuery] = Seq(
+
+    // ── tumbling-window micro-batch aggregation ────────────────────────
+    // Spark window() buckets == DuckDB time_bucket (both epoch-aligned
+    // for minute-granularity intervals).
+    GraftQuery(
+      "s1_tumbling_window_agg",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .filter($"ts" < lit("2024-01-03 00:00:00").cast("timestamp"))
+          .groupBy(window($"ts", "5 minutes"), $"event_type")
+          .agg(count(lit(1)).as("n"), sumd($"value").as("total_value"))
+          .select(tsMillis($"window.start").as("bucket_ms"), $"event_type", $"n", $"total_value")
+          .orderBy($"bucket_ms", $"event_type")
+      },
+      Some("""
+        SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) AS bucket_ms, event_type,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ── sliding-window aggregation (1h window, 15m slide) ──────────────
+    GraftQuery(
+      "s2_sliding_window_agg",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .filter($"ts" < lit("2024-01-02 00:00:00").cast("timestamp"))
+          .groupBy(window($"ts", "1 hour", "15 minutes"))
+          .agg(count(lit(1)).as("n"), sumd($"value").as("total_value"))
+          .select(tsMillis($"window.start").as("win_start_ms"), $"n", $"total_value")
+          .orderBy($"win_start_ms")
+      },
+      Some("""
+        WITH slides AS (SELECT unnest(generate_series(0, 3)) AS k),
+        assigned AS (
+          SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS win_start,
+            value
+          FROM events, slides
+          WHERE ts < TIMESTAMP '2024-01-02 00:00:00')
+        SELECT epoch_ms(win_start) AS win_start_ms, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM assigned
+        GROUP BY 1 ORDER BY 1"""))
+  )
+}

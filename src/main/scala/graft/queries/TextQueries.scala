@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.core.{GraftQuery, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline plane (builder
+  * brief): token counting, quality scoring, language-ID, document
+  * fingerprinting. All pure Column expressions over the `documents` table;
+  * each has a full DuckDB oracle.
+  */
+object TextQueries {
+
+  def defs: Seq[GraftQuery] = Seq(
+
+    // ── token counting (whitespace/alnum tokenizer) ────────────────────
+    GraftQuery(
+      "x1_token_count",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id", $"n_chars", tokenCount($"text").as("n_tokens"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id, n_chars, len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS n_tokens
+        FROM documents ORDER BY doc_id""")),
+
+    // ── quality scoring: length/punct/stopword ratios ──────────────────
+    GraftQuery(
+      "x2_quality_score",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            tokenCount($"text").as("n_tokens"),
+            punctCount($"text").as("n_punct"),
+            stopwordCount($"text").as("n_stopwords"),
+            alphaCount($"text").as("n_alpha"),
+            qualityScore($"text", $"n_chars").as("quality"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+          len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS n_tokens,
+          length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS n_punct,
+          len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b')) AS n_stopwords,
+          length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+          (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.5
+            + (CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE)
+               / (CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS DOUBLE) + 1.0)) * 0.5
+            - (CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.25
+            AS quality
+        FROM documents ORDER BY doc_id""")),
+
+    // ── language-ID: marker-word argmax heuristic ──────────────────────
+    GraftQuery(
+      "x3_lang_id",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id", $"lang", langId($"text").as("predicted"))
+          .withColumn("is_match", ($"predicted" === $"lang").cast("int"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH scored AS (
+          SELECT doc_id, lang,
+            len(regexp_extract_all(lower(text), '\b(the|and|of|is|was)\b')) AS s_en,
+            len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de,
+            len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS s_fr,
+            len(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b')) AS s_es,
+            len(regexp_extract_all(lower(text), '\b(de|shi|le|zai|you)\b')) AS s_zh
+          FROM documents),
+        pred AS (
+          SELECT doc_id, lang,
+            CASE
+              WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) AND greatest(s_en, s_de, s_fr, s_es, s_zh) > 0 THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) AND greatest(s_en, s_de, s_fr, s_es, s_zh) > 0 THEN 'de'
+              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) AND greatest(s_en, s_de, s_fr, s_es, s_zh) > 0 THEN 'fr'
+              WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) AND greatest(s_en, s_de, s_fr, s_es, s_zh) > 0 THEN 'es'
+              WHEN s_zh = greatest(s_en, s_de, s_fr, s_es, s_zh) AND greatest(s_en, s_de, s_fr, s_es, s_zh) > 0 THEN 'zh'
+              ELSE 'und' END AS predicted
+          FROM scored)
+        SELECT doc_id, lang, predicted, CAST(predicted = lang AS INT) AS is_match
+        FROM pred ORDER BY doc_id""")),
+
+    // ── document fingerprinting (content hash of normalized text) ─────
+    GraftQuery(
+      "x4_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id", fingerprint($"text").as("fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents ORDER BY doc_id"""))
+  )
+}

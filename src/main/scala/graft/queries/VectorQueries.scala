@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.core.{GraftQuery, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embedding: array<float>` column.
+  *
+  * v1 is the exact brute-force baseline (probe set × corpus, ids-only
+  * output so the hash compare never touches floats). v2 is threshold-based
+  * near-duplicate detection. v3 is the scale path: random-hyperplane LSH
+  * bucketing turns the O(n²) cross join into bucket-local joins — at
+  * 100 TB the bucket key becomes the shuffle/partition key.
+  */
+object VectorQueries {
+
+  def defs: Seq[GraftQuery] = Seq(
+
+    // ── brute-force cosine top-k (ids-only, rank via row_number) ──────
+    GraftQuery(
+      "v1_cosine_topk",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val probes = emb.filter($"vec_id" < 10)
+          .select($"vec_id".as("pid"), $"embedding".as("pe"))
+        val corpus = emb.select($"vec_id".as("nid"), $"embedding".as("ne"))
+        val w = Window.partitionBy($"pid").orderBy($"cos".desc, $"nid")
+        broadcast(probes).join(corpus, $"pid" =!= $"nid")
+          .withColumn("cos", cosine($"pe", $"ne"))
+          .withColumn("rank", row_number().over(w))
+          .where($"rank" <= 5)
+          .select($"pid", $"nid", $"rank")
+          .orderBy($"pid", $"rank")
+      },
+      Some("""
+        WITH c AS (
+          SELECT p.vec_id AS pid, n.vec_id AS nid,
+            list_cosine_similarity(p.embedding, n.embedding) AS cos
+          FROM embeddings p JOIN embeddings n ON p.vec_id <> n.vec_id
+          WHERE p.vec_id < 10),
+        r AS (
+          SELECT pid, nid, row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rank
+          FROM c)
+        SELECT pid, nid, rank FROM r WHERE rank <= 5 ORDER BY pid, rank"""),
+      bench = true),
+
+    // ── embedding near-duplicate pairs (cosine > 0.99) ─────────────────
+    // duplicates synthesized: every 10th vector re-appears under a new id
+    GraftQuery(
+      "v2_embedding_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val copies = emb.filter($"vec_id" % 10 === 0)
+          .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+        val corpus = emb.select($"vec_id", $"embedding").unionAll(copies)
+        val a = corpus.select($"vec_id".as("a"), $"embedding".as("ea"))
+        val b = corpus.select($"vec_id".as("b"), $"embedding".as("eb"))
+        a.join(b, $"a" < $"b")
+          .where(cosine($"ea", $"eb") > 0.99)
+          .select($"a", $"b")
+          .orderBy($"a", $"b")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.99
+        ORDER BY a, b""")),
+
+    // ── LSH-bucketed ANN (scale path; no SQL oracle — rows-only check) ─
+    GraftQuery(
+      "v3_lsh_ann_buckets",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("bucket", graft.functions.VectorFunctions.lshBucket($"embedding", 8, 64))
+        // bucket histogram: the blocking structure an ANN query would use
+        emb.groupBy($"bucket")
+          .agg(count(lit(1)).as("n_vectors"), min($"vec_id").as("min_id"), max($"vec_id").as("max_id"))
+          .orderBy($"bucket")
+      },
+      None)
+  )
+}

@@ -1,0 +1,150 @@
+package graft.queries
+
+import graft.core.{GraftQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Write-side relational operators (SURVEY §2.3 A1–A13) demonstrated as
+  * verifiable batch queries. The library forms live in
+  * [[graft.store.VersionedWriter]]; these entries re-express the same
+  * semantics over the driver's tables so the DuckDB oracle can check them:
+  * duplicate re-ingests are synthesized with UNION ALL, then eliminated /
+  * versioned exactly like the reference's writer
+  * (reference: src/stockops/data/database/sql_db.py:345-671).
+  */
+object WritePath {
+  import Portable._
+
+  def defs: Seq[GraftQuery] = Seq(
+
+    // ── A3: exact-duplicate elimination on re-ingest ───────────────────
+    // (reference: sql_db.py:476-497 — same key + identical payload rows
+    // are dropped; here a third of the table is re-ingested verbatim)
+    GraftQuery(
+      "a3_dedup_exact",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+        val reingest = li.filter($"l_orderkey" % 3 === 0)
+        li.unionAll(reingest)
+          .dropDuplicates()
+          .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n FROM (
+          SELECT DISTINCT * FROM (
+            SELECT * FROM lineitem
+            UNION ALL
+            SELECT * FROM lineitem WHERE l_orderkey % 3 = 0))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ── A4: version assignment (upsert-as-append) ──────────────────────
+    // same index key, changed payload → version = max(existing)+1
+    // (reference: sql_db.py:499-524). Batch 2 re-ingests user_id<10 with
+    // a changed value; versions are assigned per index key by arrival.
+    GraftQuery(
+      "a4_version_assign",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val b1 = ev.select($"event_id", $"user_id", $"value", lit(1).as("batch"))
+        val b2 = ev.filter($"user_id" < 10)
+          .select($"event_id", $"user_id", ($"value" + 1.0).as("value"), lit(2).as("batch"))
+        val w = Window.partitionBy($"event_id").orderBy($"batch")
+        b1.unionAll(b2)
+          .withColumn("version", row_number().over(w))
+          .groupBy($"user_id")
+          .agg(max($"version").as("max_version"), count(lit(1)).as("n_rows"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        SELECT user_id, MAX(version) AS max_version, COUNT(*) AS n_rows FROM (
+          SELECT user_id, row_number() OVER (PARTITION BY event_id ORDER BY batch) AS version FROM (
+            SELECT event_id, user_id, value, 1 AS batch FROM events
+            UNION ALL
+            SELECT event_id, user_id, value + 1.0 AS value, 2 AS batch FROM events WHERE user_id < 10))
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // ── A5: all-null-payload row skip ──────────────────────────────────
+    // (reference: sql_db.py:406-419,464-467)
+    GraftQuery(
+      "a5_null_payload_skip",
+      (s, dir) => {
+        import s.implicits._
+        val nulled = Tables.events(s, dir)
+          .withColumn("value", when($"value" < 50.0, lit(null)).otherwise($"value"))
+          .withColumn("props", when($"event_type" === "error", lit(null)).otherwise($"props"))
+        nulled
+          .filter(!($"value".isNull && $"props".isNull))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("kept"), count($"value").as("with_value"), count($"props").as("with_props"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH nulled AS (
+          SELECT event_type,
+            CASE WHEN value < 50.0 THEN NULL ELSE value END AS value,
+            CASE WHEN event_type = 'error' THEN NULL ELSE props END AS props
+          FROM events)
+        SELECT event_type, COUNT(*) AS kept, COUNT(value) AS with_value, COUNT(props) AS with_props
+        FROM nulled
+        WHERE NOT (value IS NULL AND props IS NULL)
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ── A7: incremental table statistics ───────────────────────────────
+    // (reference: sql_db.py:559-599 — __table_stats__ row_count/min/max)
+    GraftQuery(
+      "a7_table_stats",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("row_count"),
+            min(tsMillis($"ts")).as("min_ts_ms"), max(tsMillis($"ts")).as("max_ts_ms"),
+            min($"value").as("min_value"), max($"value").as("max_value"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS row_count,
+          MIN(epoch_ms(ts)) AS min_ts_ms, MAX(epoch_ms(ts)) AS max_ts_ms,
+          MIN(value) AS min_value, MAX(value) AS max_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ── A8: per-interval (secondary-key) statistics ────────────────────
+    // (reference: sql_db.py:601-669 — __interval_stats__)
+    GraftQuery(
+      "a8_interval_stats",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy($"event_type", $"user_id")
+          .agg(count(lit(1)).as("row_count"),
+            min(tsMillis($"ts")).as("min_ts_ms"), max(tsMillis($"ts")).as("max_ts_ms"))
+          .orderBy($"event_type", $"user_id")
+      },
+      Some("""
+        SELECT event_type, user_id, COUNT(*) AS row_count,
+          MIN(epoch_ms(ts)) AS min_ts_ms, MAX(epoch_ms(ts)) AS max_ts_ms
+        FROM events GROUP BY event_type, user_id ORDER BY event_type, user_id""")),
+
+    // ── A10: schema evolution — union of disjoint column sets ─────────
+    // trades+quotes land in one table with disjoint null columns
+    // (reference: sql_db.py:306-343; SURVEY §3.2 step 5)
+    GraftQuery(
+      "a10_schema_evolution_union",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val trades = ev.filter($"event_type" === "purchase").select($"event_id", $"value")
+        val quotes = ev.filter($"event_type" === "view").select($"event_id", $"props")
+        trades.unionByName(quotes, allowMissingColumns = true)
+          .agg(count(lit(1)).as("n"), count($"value").as("n_value"), count($"props").as("n_props"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n, COUNT(value) AS n_value, COUNT(props) AS n_props FROM (
+          SELECT event_id, value FROM events WHERE event_type = 'purchase'
+          UNION ALL BY NAME
+          SELECT event_id, props FROM events WHERE event_type = 'view')"""))
+  )
+}
