@@ -1,0 +1,78 @@
+package graft.analytics
+
+import graft.functions.TimeFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Session analytics (SURVEY §2.5 Q1–Q5) as reusable distributed
+  * operators. The reference computes these in pandas on collected data
+  * (reference: local_workflows/reader_local/local_reader_manual.py:235-270);
+  * here they are window/groupBy plans keyed by (ticker, session day) so
+  * they scale out.
+  */
+object SessionAnalytics {
+
+  /** Q1: keep ticks inside the exchange session (default 09:30–16:00). */
+  def sessionSlice(df: DataFrame, tsCol: String, tz: String,
+      startMin: Int = 570, endMin: Int = 960): DataFrame = {
+    val local = TimeFunctions.utcToWallClock(col(tsCol), tz)
+    val mod = TimeFunctions.minuteOfDay(local)
+    df.withColumn("session_day", to_date(local))
+      .filter(mod >= startMin && mod <= endMin)
+  }
+
+  /** Q2+Q3+Q4: per (ticker, session day) OHLC + high/low from raw ticks.
+    * Open/close are the true as-of first/last tick by event time. */
+  def sessionOhlc(df: DataFrame, tsCol: String, priceCol: String, tz: String): DataFrame = {
+    val sliced = sessionSlice(df, tsCol, tz)
+    val w = Window.partitionBy(col("ticker"), col("session_day"))
+      .orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sliced
+      .select(
+        col("ticker"), col("session_day"),
+        first(col(priceCol), ignoreNulls = true).over(w).as("open"),
+        max(col(priceCol)).over(w).as("high"),
+        min(col(priceCol)).over(w).as("low"),
+        last(col(priceCol), ignoreNulls = true).over(w).as("close"),
+        count(col(priceCol)).over(w).as("n_ticks"))
+      .distinct()
+  }
+
+  /** Q3 (general form): row nearest to `target` per group — the pandas
+    * `(ts - target).abs().argmin()` as a distributed plan. */
+  def asOfNearest(df: DataFrame, tsCol: String, target: Column,
+      groupCols: Seq[String]): DataFrame = {
+    val diff = abs(unix_millis(col(tsCol)) - unix_millis(target))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(diff)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** General as-of join: for each left row, the latest right row with
+    * rightTs <= leftTs within the same key (backward as-of, the standard
+    * time-series enrich). Implemented with the union-tag + running-last
+    * trick — one sort-merge per key partition, no range cross join, so it
+    * scales like a window function.
+    */
+  def asOfJoinBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
+    val lTagged = left.withColumn("__t", col(leftTs)).withColumn("__side", lit(1))
+    val rProjected = right.select((keyCols.map(col) :+ col(rightTs).as("__t") :+ lit(0).as("__side")) ++
+      valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val lAligned = lTagged.select((lTagged.columns.filterNot(valueCols.map("__v_" + _).contains).map(col) ++
+      valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c"))): _*)
+    val unioned = lAligned.unionByName(rProjected, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__v_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+    val renamed = valueCols.foldLeft(filled) { (df, c) =>
+      df.withColumnRenamed(s"__v_$c", s"asof_$c")
+    }
+    renamed.filter(col("__side") === 1).drop("__t", "__side")
+  }
+}

@@ -1,0 +1,48 @@
+package graft.jobs
+
+import graft.model._
+import graft.store.StockStore
+import graft.transform.EodhdTransform
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Job-command surface with the reference's two parameter schemas kept
+  * exactly (SURVEY §2.6; reference: datapipe_ui/ui_backend.py:28-40,
+  * validated at eodhd_historical_service.py:172-179 and
+  * eodhd_streaming_service.py:280-288). The provider fetch is injected
+  * (`fetchPage`), so tests run the canned CI payloads and production
+  * plugs an HTTP client — the engine itself never talks to the network.
+  */
+object Commands {
+
+  final case class HistoricalCommand(
+      ticker: String, exchange: String, interval: String,
+      start: String, end: String) {
+    require(ticker.nonEmpty && exchange.nonEmpty)
+    val dataType: StockDataType =
+      if (HistoricalInterday.intervalDomain.get.contains(interval)) HistoricalInterday
+      else if (HistoricalIntraday.intervalDomain.get.contains(interval)) HistoricalIntraday
+      else throw new IllegalArgumentException(s"unknown interval: $interval")
+  }
+
+  final case class StreamCommand(
+      tickers: Seq[String], exchange: String, streamType: String,
+      durationSec: Long) {
+    require(tickers.nonEmpty, "at least one ticker")
+    require(Seq("trades", "quotes").contains(streamType), s"unknown stream_type: $streamType")
+  }
+
+  /** Run a historical ingest: fetch pages (injected), transform, merge
+    * into the store. Returns upsert stats. One fetch per ticker/slice can
+    * fan out — the transform+merge is fully distributed either way. */
+  def runHistorical(spark: SparkSession, root: String, cmd: HistoricalCommand)(
+      fetchPage: HistoricalCommand => Seq[String]): StockStore.UpsertStats = {
+    import spark.implicits._
+    val raw = fetchPage(cmd).toDF("raw").withColumn("ticker", lit(cmd.ticker))
+    val typed = cmd.dataType match {
+      case HistoricalInterday => EodhdTransform.interdayBars(raw, cmd.interval)
+      case _ => EodhdTransform.intradayBars(raw, cmd.interval)
+    }
+    StockStore.upsert(spark, root, cmd.dataType, typed, Exchanges.tz(cmd.exchange))
+  }
+}

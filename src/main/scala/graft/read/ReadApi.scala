@@ -1,0 +1,80 @@
+package graft.read
+
+import graft.functions.TimeFunctions
+import graft.model._
+import graft.store.StockStore
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ReadProcess-equivalent query API (SURVEY §2.4 R1–R9; reference:
+  * src/stockops/data/database/reader.py:24-91).
+  *
+  * Wall-clock range strings are exchange-local ("yyyy-MM-dd HH:mm" or ISO
+  * date for interday), converted to UTC for filtering (R7). Partition
+  * pruning (R1) on ticker + local-calendar dirs and parquet row-group
+  * stats (R2) replace the reference's filename calendar walk; results are
+  * globally time-sorted (R6) with a tz-localized `local_ts` column (R9).
+  */
+object ReadApi {
+
+  final case class ReadRequest(
+      dataType: StockDataType,
+      ticker: String,
+      interval: Option[String] = None,
+      start: String,
+      end: String,
+      exchange: String = "US",
+      latestVersionOnly: Boolean = false)
+
+  def read(spark: SparkSession, root: String, req: ReadRequest): DataFrame = {
+    val dt = req.dataType
+    val tz = Exchanges.tz(req.exchange)
+    val base = StockStore.table(spark, root, dt)
+      .filter(col("ticker") === req.ticker)
+
+    // R7: range conversion by data_type (reference: reader.py:30-52)
+    val ranged = dt match {
+      case HistoricalInterday =>
+        base.filter(col(dt.tsCol) >= to_date(lit(req.start)) &&
+          col(dt.tsCol) <= to_date(lit(req.end)))
+      case _ =>
+        val lo = TimeFunctions.wallClockToUtc(lit(req.start), tz)
+        val hi = TimeFunctions.wallClockToUtc(lit(req.end), tz)
+        base.filter(col(dt.tsCol) >= lo && col(dt.tsCol) <= hi)
+    }
+
+    // R3: interval predicate when the mode carries one
+    val filtered = req.interval match {
+      case Some(i) if dt.extraIndexCols.contains("interval") =>
+        ranged.filter(col("interval") === i)
+      case _ => ranged
+    }
+
+    // optional: collapse version history to the latest row per key
+    val resolved =
+      if (req.latestVersionOnly) {
+        val w = Window.partitionBy(dt.indexCols.map(col): _*)
+          .orderBy(col("version").desc)
+        filtered.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      } else filtered
+
+    // R8: empty-result guard with diagnostic (reference: reader.py:61-68)
+    if (resolved.isEmpty)
+      throw new IllegalStateException(
+        s"no rows for ${dt.name}/${req.ticker} interval=${req.interval} " +
+          s"in [${req.start}, ${req.end}] ($tz) under $root")
+
+    // R6 global time sort + R9 tz-localized column. Interday dates are
+    // already exchange-local calendar days: localize (attach midnight),
+    // don't convert (reference: reader.py:79-84 tz_localize vs tz_convert).
+    val localTs = dt match {
+      case HistoricalInterday => col(dt.tsCol).cast("timestamp")
+      case _ => TimeFunctions.utcToWallClock(col(dt.tsCol), tz)
+    }
+    resolved
+      .withColumn("local_ts", localTs)
+      .orderBy(col(dt.tsCol), col("version"))
+  }
+}

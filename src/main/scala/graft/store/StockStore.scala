@@ -1,0 +1,160 @@
+package graft.store
+
+import graft.functions.TimeFunctions
+import graft.model._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+
+/** Partitioned columnar store with the reference writer's semantics
+  * (SURVEY §2.3 A1–A13), re-expressed as one idempotent batch merge:
+  *
+  *  - A3 exact-duplicate elimination: identical (index, payload) rows —
+  *    within the batch and against the store — are silently dropped
+  *    (reference: src/stockops/data/database/sql_db.py:476-497);
+  *  - A4 version assignment: same index key, different payload → append
+  *    with version = max(existing)+n (reference: sql_db.py:499-524);
+  *  - A5 all-null-payload skip (reference: sql_db.py:406-419,464-467);
+  *  - A6 index-column presence check (reference: sql_db.py:471-474);
+  *  - A12/A13 idempotence: replaying a batch writes nothing new, so
+  *    at-least-once delivery upstream becomes effectively-once — this is
+  *    what makes it a valid Structured Streaming `foreachBatch` sink.
+  *
+  * Layout: `root/<data_type>/ticker=…/y=…/m=…[/d=…]` — partition values
+  * are the event time on the exchange-local calendar
+  * (reference: src/stockops/data/utils.py:47-76). At 100 TB the layout
+  * gives partition pruning on (ticker, calendar range); row-group stats
+  * prune within a month/day; the merge join keys are the natural shuffle
+  * keys and the left-semi probe keeps the existing-side scan proportional
+  * to the batch's key range, not the store size.
+  */
+object StockStore {
+
+  final case class UpsertStats(input: Long, written: Long, exactDups: Long,
+      nullSkipped: Long, versionConflicts: Long)
+
+  private def tablePath(root: String, dt: StockDataType) = s"$root/${dt.name}"
+
+  private def nullSafeEq(left: DataFrame, right: DataFrame, cols: Seq[String]): Column =
+    cols.map(c => left(c) <=> right(c)).reduce(_ && _)
+
+  /** Read the stored table, or an empty frame with `schema` if absent. */
+  def readOrEmpty(spark: SparkSession, root: String, dt: StockDataType,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new java.io.File(tablePath(root, dt))
+    if (p.exists()) spark.read.parquet(p.toString)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Deduplicating, versioning batch merge (the reference's
+    * `insert_many`, reference: sql_db.py:345-671). Returns write stats
+    * (the reference acks each message; we report counts). */
+  def upsert(spark: SparkSession, root: String, dt: StockDataType,
+      batch: DataFrame, exchangeTz: String = "America/New_York",
+      strictIndex: Boolean = true): UpsertStats = {
+    val idxCols = dt.indexCols
+    val payloadCols = dt.payloadCols.filter(batch.columns.contains)
+    require(payloadCols.nonEmpty, s"batch has no payload columns for ${dt.name}")
+
+    val input = batch.count()
+
+    // A6: required index columns present
+    val idxOk = idxCols.map(col(_).isNotNull).reduce(_ && _)
+    if (strictIndex && !batch.filter(!idxOk).isEmpty)
+      throw new IllegalArgumentException(s"batch contains rows with null index columns $idxCols")
+
+    // A5: skip rows whose entire payload is null
+    val anyPayload = payloadCols.map(col(_).isNotNull).reduce(_ || _)
+    val nonNull = batch.filter(idxOk && anyPayload)
+
+    // A3 (in-batch): identical (index, payload) rows collapse to one
+    val deduped = nonNull.dropDuplicates(idxCols ++ payloadCols).cache()
+
+    // Existing rows for just the touched index keys (left-semi keeps the
+    // probe proportional to the batch; partition pruning on ticker
+    // applies before the join at scale).
+    val existingAll = readOrEmpty(spark, root, dt,
+      deduped.withColumn("version", lit(1)).schema)
+    val existing = existingAll
+      .join(deduped.select(idxCols.map(col): _*).distinct(), idxCols, "left_semi")
+      .select((idxCols ++ payloadCols :+ "version").map(col): _*)
+      .cache()
+
+    // A3 (vs store): drop rows whose payload already exists for the key.
+    // Null-safe equality: disjoint-null trade/quote payloads compare
+    // correctly (reference: sql_db.py:485-492).
+    val fresh = deduped.join(existing,
+      nullSafeEq(deduped, existing, idxCols ++ payloadCols), "left_anti")
+
+    // A4: version = max(existing)+rank within key. Within-batch conflict
+    // order uses a deterministic payload-hash sort (the reference uses
+    // arrival order; a distributed batch has no arrival order, so we make
+    // replay-stable ordering explicit).
+    val maxv = existing.groupBy(idxCols.map(col): _*)
+      .agg(max(col("version")).as("__maxv"))
+    val w = Window.partitionBy(idxCols.map(col): _*)
+      .orderBy(xxhash64(payloadCols.map(col): _*))
+    val versioned = fresh
+      .join(maxv, idxCols, "left")
+      .withColumn("version",
+        (coalesce(col("__maxv"), lit(0L)) + row_number().over(w)).cast("int"))
+      .drop("__maxv")
+
+    // T7: exchange-local calendar partition columns from event time
+    val eventTs = dt match {
+      case HistoricalInterday => col(dt.tsCol).cast("timestamp")
+      case _ => col(dt.tsCol)
+    }
+    val (y, m, d) = TimeFunctions.localCalendarParts(eventTs, exchangeTz)
+    val partCols = dt match {
+      case HistoricalInterday => Seq("ticker", "y")
+      case HistoricalIntraday => Seq("ticker", "y", "m")
+      case Streaming => Seq("ticker", "y", "m", "d")
+    }
+    val out = versioned.withColumn("y", y).withColumn("m", m).withColumn("d", d)
+      .select((idxCols ++ payloadCols ++ Seq("version") ++ partCols.drop(1)).distinct.map(col): _*)
+
+    val written = out.count()
+    out
+      .repartition(partCols.map(col): _*) // one file per touched partition
+      .write.mode(SaveMode.Append)
+      .partitionBy(partCols: _*)
+      .parquet(tablePath(root, dt))
+
+    val dedupedN = deduped.count()
+    val conflicts = written - versioned.filter(col("version") === 1).count()
+    deduped.unpersist(); existing.unpersist()
+    UpsertStats(input, written, dedupedN - written, input - nonNull.count(), conflicts)
+  }
+
+  /** Read the stored table (post-merge). */
+  def table(spark: SparkSession, root: String, dt: StockDataType): DataFrame =
+    spark.read.parquet(tablePath(root, dt))
+
+  /** A7: per-ticker stats view (reference __table_stats__,
+    * sql_db.py:559-599). Parquet footers already carry min/max; this
+    * materializes the discovery-API shape. */
+  def tableStats(spark: SparkSession, root: String, dt: StockDataType): DataFrame =
+    table(spark, root, dt).groupBy(col("ticker"))
+      .agg(count(lit(1)).as("row_count"),
+        min(col(dt.tsCol)).as("min_ts"), max(col(dt.tsCol)).as("max_ts"))
+
+  /** A8: per-(ticker, interval) stats view (reference __interval_stats__,
+    * sql_db.py:601-669). */
+  def intervalStats(spark: SparkSession, root: String, dt: StockDataType): DataFrame = {
+    require(dt.extraIndexCols.contains("interval"), s"${dt.name} has no interval column")
+    table(spark, root, dt).groupBy(col("ticker"), col("interval"))
+      .agg(count(lit(1)).as("row_count"),
+        min(col(dt.tsCol)).as("min_ts"), max(col(dt.tsCol)).as("max_ts"))
+  }
+
+  /** A9: provider/exchange metadata (reference __meta__ seeding,
+    * sql_db.py:212-229 + eodhd_config.py:20-30). */
+  def metaTable(spark: SparkSession, exchange: String): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("exchange", exchange),
+      ("timezone", Exchanges.tz(exchange)),
+      ("provider", "eodhd")).toDF("key", "value")
+  }
+}

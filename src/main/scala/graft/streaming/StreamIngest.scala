@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.model._
+import graft.store.StockStore
+import graft.transform.EodhdTransform
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Streaming ingest plane (SURVEY §2.1 S3–S8, §3.2).
+  *
+  * The reference's chain — WebSocket → transform → Redis Stream buffer →
+  * single-writer dedup/version insert (reference:
+  * src/stockops/data/streaming/eodhd_streaming_service.py:268-300,
+  * src/stockops/data/database/writer.py:259-353) — collapses to one
+  * Structured Streaming pipeline: the checkpoint + WAL replaces the Redis
+  * consumer-group ack/reclaim machinery (S6–S8), and `foreachBatch` into
+  * [[StockStore.upsert]] provides the effectively-once sink: replayed
+  * micro-batches hit the A3 exact-dup elimination and write nothing new,
+  * so at-least-once redelivery is idempotent (A13).
+  *
+  * Any streaming DataFrame with (ticker, raw-json) rows works as the
+  * source: socket/file/rate in tests; a WebSocket bridge (frames appended
+  * to files, exactly the WAL role the reference gives Redis — SURVEY §7.4
+  * risk 2) or a DataSource V2 MicroBatchStream in production.
+  */
+object StreamIngest {
+
+  /** Transform per stream type (reference command field `stream_type`). */
+  def transformFrames(frames: DataFrame, streamType: String): DataFrame =
+    streamType match {
+      case "trades" => EodhdTransform.tradeTicks(frames)
+      case "quotes" => EodhdTransform.quoteTicks(frames)
+      case other => throw new IllegalArgumentException(s"unknown stream_type: $other")
+    }
+
+  /** Start the ingest query: raw frames → transform → versioned store.
+    * `frames` must be a streaming DataFrame with a `raw` STRING column.
+    */
+  def start(spark: SparkSession, frames: DataFrame, streamType: String,
+      root: String, checkpoint: String, exchange: String = "US",
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    val ticks = transformFrames(frames, streamType)
+    ticks.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          StockStore.upsert(batch.sparkSession, root, Streaming, batch,
+            Exchanges.tz(exchange))
+          ()
+        }
+      }
+      .start()
+  }
+
+  /** Watermarked tumbling-window OHLC over a live tick stream — the
+    * streaming face of SessionAnalytics.sessionOhlc. Late data beyond the
+    * watermark is dropped by the state store; the reference instead
+    * accepts all late rows into their event-time partition (SURVEY §2.5
+    * note) — batch upsert covers that path, this covers live dashboards. */
+  def windowedOhlc(ticks: DataFrame, windowLen: String = "1 minute",
+      watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ticks
+      .withWatermark("timestamp", watermark)
+      .groupBy(col("ticker"), window(col("timestamp"), windowLen))
+      .agg(
+        min_by(col("price"), col("timestamp")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("timestamp")).as("close"),
+        sum(col("volume")).as("volume"))
+  }
+}

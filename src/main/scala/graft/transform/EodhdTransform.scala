@@ -1,0 +1,88 @@
+package graft.transform
+
+import graft.model._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-record ETL (SURVEY §2.2 T1–T9) as declarative column pipelines.
+  *
+  * Input contract: a DataFrame with a `ticker` column and a `raw` STRING
+  * column holding one provider JSON payload per row (works identically for
+  * batch REST pages exploded to rows and for streaming WS frames).
+  * `from_json` in PERMISSIVE mode gives T9 (malformed tolerance) for free:
+  * unparseable rows null out and are dropped by the T1 required-field
+  * filter — the reference logs-and-skips the same way
+  * (reference: src/stockops/data/streaming/eodhd_streaming_service.py:136-147,
+  * src/stockops/data/transform.py:29-97).
+  */
+object EodhdTransform {
+
+  /** T1+T2+T3+T5+T6: intraday bars. Raw epoch seconds → TimestampType;
+    * appends the `interval` literal (T6) and a `version` placeholder
+    * (assigned for real by the store, SURVEY A4). */
+  def intradayBars(raw: DataFrame, interval: String): DataFrame = {
+    require(HistoricalIntraday.intervalDomain.get.contains(interval),
+      s"interval '$interval' not in ${HistoricalIntraday.intervalDomain.get}") // T4
+    raw
+      .withColumn("j", from_json(col("raw"), StockSchemas.eodhdIntradayRaw))
+      .select(
+        col("ticker"),
+        timestamp_seconds(col("j.timestamp")).as("timestamp"), // T3: epoch-s validation via cast
+        col("j.open").as("open"), col("j.high").as("high"),
+        col("j.low").as("low"), col("j.close").as("close"),
+        col("j.volume").as("volume"),
+        lit(interval).as("interval")) // T6
+      .filter(col("timestamp").isNotNull && col("ticker").isNotNull) // T1
+  }
+
+  /** T1+T2+T3+T6: interday (EOD) bars; ISO date string → DateType. */
+  def interdayBars(raw: DataFrame, interval: String): DataFrame = {
+    require(HistoricalInterday.intervalDomain.get.contains(interval),
+      s"interval '$interval' not in ${HistoricalInterday.intervalDomain.get}") // T4
+    raw
+      .withColumn("j", from_json(col("raw"), StockSchemas.eodhdEodRaw))
+      .select(
+        col("ticker"),
+        to_date(col("j.date")).as("date"), // T3: ISO-date validation via cast
+        col("j.open").as("open"), col("j.high").as("high"),
+        col("j.low").as("low"), col("j.close").as("close"),
+        col("j.adjusted_close").as("adjusted_close"),
+        col("j.volume").as("volume"),
+        lit(interval).as("interval"))
+      .filter(col("date").isNotNull && col("ticker").isNotNull)
+  }
+
+  /** T8+T1+T2: trade ticks from WS frames. The ticker comes from the
+    * frame's `s` field; control/auth frames (status_code set or `s`
+    * missing) are dropped (reference: eodhd_streaming_service.py:177-191).
+    * Trades and quotes align to the shared `streaming` schema with the
+    * other side's columns null (SURVEY §3.2 step 5). */
+  def tradeTicks(raw: DataFrame): DataFrame =
+    raw
+      .withColumn("j", from_json(col("raw"), StockSchemas.eodhdTradeRaw))
+      .filter(col("j.status_code").isNull && col("j.s").isNotNull && col("j.t").isNotNull) // T8, T1
+      .select(
+        col("j.s").as("ticker"),
+        timestamp_millis(col("j.t")).as("timestamp"),
+        col("j.p").as("price"),
+        col("j.v").as("volume"),
+        lit(null).cast("double").as("ask_price"),
+        lit(null).cast("double").as("bid_price"),
+        lit(null).cast("long").as("ask_size"),
+        lit(null).cast("long").as("bid_size"))
+
+  /** T8+T1+T2: quote ticks; disjoint payload columns vs trades. */
+  def quoteTicks(raw: DataFrame): DataFrame =
+    raw
+      .withColumn("j", from_json(col("raw"), StockSchemas.eodhdQuoteRaw))
+      .filter(col("j.status_code").isNull && col("j.s").isNotNull && col("j.t").isNotNull)
+      .select(
+        col("j.s").as("ticker"),
+        timestamp_millis(col("j.t")).as("timestamp"),
+        lit(null).cast("double").as("price"),
+        lit(null).cast("long").as("volume"),
+        col("j.ap").as("ask_price"),
+        col("j.bp").as("bid_price"),
+        col("j.as").as("ask_size"),
+        col("j.bs").as("bid_size"))
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.analytics.SessionAnalytics
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Q1–Q4 session analytics + the general as-of join
+  * (reference: local_workflows/reader_local/local_reader_manual.py:248-270). */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 2025-08-18 (Mon) NY session: 09:30 EDT = 13:30 UTC, 16:00 EDT = 20:00 UTC
+  private val ticks = Seq(
+    ("SPY", "2025-08-18 13:00:00", 1.0), // pre-market → sliced out
+    ("SPY", "2025-08-18 13:30:00", 100.0), // open
+    ("SPY", "2025-08-18 15:00:00", 105.0), // high
+    ("SPY", "2025-08-18 18:00:00", 95.0), // low
+    ("SPY", "2025-08-18 20:00:00", 102.0), // close
+    ("SPY", "2025-08-18 21:00:00", 999.0)) // after-hours → sliced out
+    .toDF("ticker", "t", "price")
+    .withColumn("timestamp", to_timestamp($"t")).drop("t")
+
+  test("session slice keeps only 09:30–16:00 exchange-local ticks (Q1)") {
+    val s = SessionAnalytics.sessionSlice(ticks, "timestamp", "America/New_York")
+    assert(s.count() == 4)
+    assert(s.agg(min("price"), max("price")).head() == org.apache.spark.sql.Row(95.0, 105.0))
+  }
+
+  test("session OHLC: open/close as-of, high/low aggregates (Q2–Q4)") {
+    val ohlc = SessionAnalytics.sessionOhlc(ticks, "timestamp", "price", "America/New_York").head()
+    assert(ohlc.getAs[Double]("open") == 100.0)
+    assert(ohlc.getAs[Double]("high") == 105.0)
+    assert(ohlc.getAs[Double]("low") == 95.0)
+    assert(ohlc.getAs[Double]("close") == 102.0)
+    assert(ohlc.getAs[Long]("n_ticks") == 4L)
+  }
+
+  test("asOfNearest picks the row closest to the target (Q3)") {
+    val r = SessionAnalytics.asOfNearest(ticks, "timestamp",
+      to_timestamp(lit("2025-08-18 14:40:00")), Seq("ticker")).head()
+    assert(r.getAs[Double]("price") == 105.0) // 15:00 is nearest to 14:40
+  }
+
+  test("backward as-of join enriches each trade with the latest quote") {
+    val trades = Seq(("SPY", "2025-08-18 13:31:00", 100.0), ("SPY", "2025-08-18 13:35:00", 101.0))
+      .toDF("ticker", "t", "price").withColumn("trade_ts", to_timestamp($"t")).drop("t")
+    val quotes = Seq(
+      ("SPY", "2025-08-18 13:30:30", 99.9), ("SPY", "2025-08-18 13:33:00", 100.8),
+      ("SPY", "2025-08-18 13:36:00", 101.5)) // after both trades → never used
+      .toDF("ticker", "t", "bid").withColumn("quote_ts", to_timestamp($"t")).drop("t")
+    val joined = SessionAnalytics.asOfJoinBackward(
+      trades, quotes, Seq("ticker"), "trade_ts", "quote_ts", Seq("bid"))
+      .orderBy("trade_ts").collect()
+    assert(joined.map(_.getAs[Double]("asof_bid")).toSeq == Seq(99.9, 100.8))
+  }
+}

@@ -1,0 +1,156 @@
+package graft
+
+import graft.model._
+import graft.read.ReadApi
+import graft.read.ReadApi.ReadRequest
+import graft.store.StockStore
+import graft.transform.EodhdTransform
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** The reference's golden writer-path E2E, regenerated (FIXTURES.md A3;
+  * reference: local_workflows/local_write.py:26-233 +
+  * local_read_ci.py:12-108). Properties exercised:
+  * shuffled order-independence, all four data types, two-month intraday
+  * span, exact dup dropped, changed-payload → version 2, all-null skipped,
+  * second ticker, same-timestamp trade+quote with disjoint nulls, and
+  * micro-batch replay idempotence (A13).
+  */
+class GoldenCorpusSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def interdayJson(date: String, open: Double, vol: Long): String =
+    s"""{"date": "$date", "open": $open, "high": ${open + 2}, "low": ${open - 2}, "close": ${open + 1}, "adjusted_close": ${open + 0.5}, "volume": $vol}"""
+
+  private def intradayJson(epochS: Long, open: Double): String =
+    s"""{"timestamp": $epochS, "gmtoffset": 0, "datetime": "x", "open": $open, "high": ${open + 1}, "low": ${open - 1}, "close": $open, "volume": 1000}"""
+
+  private def tradeJson(tkr: String, ms: Long, p: Double): String =
+    s"""{"s": "$tkr", "p": $p, "v": 5, "t": $ms}"""
+
+  private def quoteJson(tkr: String, ms: Long, ap: Double): String =
+    s"""{"s": "$tkr", "ap": $ap, "as": 5, "bp": ${ap - 0.1}, "bs": 6, "t": $ms}"""
+
+  private def rawDf(rows: Seq[String], ticker: String): DataFrame =
+    rows.toDF("raw").withColumn("ticker", lit(ticker))
+
+  test("golden corpus round-trip: dedup, versioning, null-skip, union") {
+    val root = SparkTestSession.tempDir("golden")
+    val rnd = new Random(42)
+
+    // interday: 3 SPY dates (+1 exact dup) + 2 VOO dates
+    val spyInterday = Seq(
+      interdayJson("2024-10-23", 530.0, 100),
+      interdayJson("2024-10-24", 531.0, 200),
+      interdayJson("2024-10-25", 534.65, 300),
+      interdayJson("2024-10-25", 534.65, 300)) // exact duplicate
+    val vooInterday = Seq(
+      interdayJson("2024-10-24", 501.0, 400),
+      interdayJson("2024-10-25", 502.0, 500))
+
+    // intraday 1h: spans 2025-07-31 and 2025-08-01 local days (two monthly
+    // partitions) + one all-null-payload row
+    val julyTs = 1753970400L // 2025-07-31 14:00 UTC
+    val augTs = 1754056800L  // 2025-08-01 14:00 UTC
+    val spyIntraday = Seq(intradayJson(julyTs, 620.0), intradayJson(augTs, 621.0)) :+
+      s"""{"timestamp": ${augTs + 3600}, "gmtoffset": 0, "datetime": "x", "open": null, "high": null, "low": null, "close": null, "volume": null}"""
+
+    // streaming: trade + quote at the SAME timestamp (disjoint nulls)
+    val tickMs = 1755450000000L // 2025-08-17 ~17:00 UTC
+    val trades = Seq(tradeJson("SPY", tickMs, 657.53), tradeJson("SPY", tickMs + 1500, 657.60))
+    val quotes = Seq(quoteJson("SPY", tickMs, 657.61))
+
+    // batch 1: everything, shuffled (order independence)
+    val interday1 = EodhdTransform.interdayBars(
+      rawDf(rnd.shuffle(spyInterday), "SPY"), "d")
+      .unionByName(EodhdTransform.interdayBars(rawDf(vooInterday, "VOO"), "d"))
+    val s1 = StockStore.upsert(spark, root, HistoricalInterday, interday1)
+    assert(s1.written == 5, s"exact dup must collapse: $s1") // 3 SPY + 2 VOO
+
+    val intraday1 = EodhdTransform.intradayBars(rawDf(rnd.shuffle(spyIntraday), "SPY"), "1h")
+    val s2 = StockStore.upsert(spark, root, HistoricalIntraday, intraday1)
+    assert(s2.written == 2, s"all-null row must be skipped: $s2")
+
+    val stream1 = EodhdTransform.tradeTicks(rawDf(trades, "x"))
+      .unionByName(EodhdTransform.quoteTicks(rawDf(quotes, "x")))
+    val s3 = StockStore.upsert(spark, root, Streaming, stream1)
+    assert(s3.written == 3)
+
+    // batch 2: changed-payload re-ingest of 2024-10-25 → version 2 (A4)
+    val update = EodhdTransform.interdayBars(
+      rawDf(Seq(interdayJson("2024-10-25", 535.00, 300)), "SPY"), "d")
+    val s4 = StockStore.upsert(spark, root, HistoricalInterday, update)
+    assert(s4.written == 1)
+
+    // ── read-side assertions (reference: local_read_ci.py:28-49) ──────
+    val spyRead = ReadApi.read(spark, root, ReadRequest(
+      HistoricalInterday, "SPY", Some("d"), "2024-01-01", "2025-01-01"))
+    assert(spyRead.count() == 4) // 3 dates + 1 versioned row
+    val v2 = spyRead.filter(col("version") === 2).collect()
+    assert(v2.length == 1 && v2.head.getAs[Double]("open") == 535.00)
+
+    val latest = ReadApi.read(spark, root, ReadRequest(
+      HistoricalInterday, "SPY", Some("d"), "2024-01-01", "2025-01-01",
+      latestVersionOnly = true))
+    assert(latest.count() == 3)
+    assert(latest.filter(col("date") === "2024-10-25").head.getAs[Double]("open") == 535.00)
+
+    val vooRead = ReadApi.read(spark, root, ReadRequest(
+      HistoricalInterday, "VOO", Some("d"), "2024-01-01", "2025-01-01"))
+    assert(vooRead.count() == 2)
+
+    // intraday wall-clock range read (A4 fixture range) + two monthly parts
+    val intradayRead = ReadApi.read(spark, root, ReadRequest(
+      HistoricalIntraday, "SPY", Some("1h"), "2025-07-01 09:30", "2025-08-01 16:00"))
+    assert(intradayRead.count() == 2)
+    assert(intradayRead.select("m").distinct().count() == 2)
+
+    // streaming read: trade+quote at same ts, disjoint null columns
+    val streamRead = ReadApi.read(spark, root, ReadRequest(
+      Streaming, "SPY", None, "2025-08-17 00:00", "2025-08-19 23:59"))
+    assert(streamRead.count() == 3)
+    val sameTs = streamRead.filter(unix_millis(col("timestamp")) === tickMs).collect()
+    assert(sameTs.length == 2)
+    val (trade, quote) = (sameTs.find(_.getAs[Any]("price") != null).get,
+      sameTs.find(_.getAs[Any]("ask_price") != null).get)
+    assert(trade.getAs[Any]("ask_price") == null && quote.getAs[Any]("price") == null)
+
+    // ── A13: replaying batch 1 writes nothing (idempotence) ───────────
+    val replay = StockStore.upsert(spark, root, HistoricalInterday, interday1)
+    assert(replay.written == 0, s"replay must be idempotent: $replay")
+    val replayStream = StockStore.upsert(spark, root, Streaming, stream1)
+    assert(replayStream.written == 0)
+
+    // stats views (A7/A8)
+    val ts = StockStore.tableStats(spark, root, HistoricalInterday).collect()
+    assert(ts.map(r => r.getAs[String]("ticker") -> r.getAs[Long]("row_count")).toMap ==
+      Map("SPY" -> 4L, "VOO" -> 2L))
+    val is = StockStore.intervalStats(spark, root, HistoricalIntraday).collect()
+    assert(is.head.getAs[String]("interval") == "1h" && is.head.getAs[Long]("row_count") == 2L)
+
+    // R8: empty read raises with diagnostic
+    intercept[IllegalStateException] {
+      ReadApi.read(spark, root, ReadRequest(
+        HistoricalInterday, "QQQ", Some("d"), "2024-01-01", "2025-01-01"))
+    }
+  }
+
+  test("DST-edge local-calendar partition routing (SURVEY §7.4 risk 3)") {
+    val root = SparkTestSession.tempDir("dst")
+    // 2025-03-09 06:59 UTC = 01:59 EST (pre-spring-forward) → local day 03-09
+    // 2025-11-02 06:30 UTC = 01:30 EST (post-fall-back)   → local day 11-02
+    val bars = Seq(
+      intradayJson(1741503540L, 1.0), // 2025-03-09 06:59:00 UTC
+      intradayJson(1762065000L, 2.0)) // 2025-11-02 06:30:00 UTC
+    StockStore.upsert(spark, root, HistoricalIntraday,
+      EodhdTransform.intradayBars(rawDf(bars, "SPY"), "1h"))
+    val stored = StockStore.table(spark, root, HistoricalIntraday)
+      .select("m", "open").collect().map(r => r.getAs[Double]("open") -> r.getAs[Int]("m")).toMap
+    assert(stored(1.0) == 3, "spring-forward edge routes to March local day")
+    assert(stored(2.0) == 11, "fall-back edge routes to November local day")
+  }
+}

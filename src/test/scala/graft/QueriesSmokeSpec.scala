@@ -1,0 +1,27 @@
+package graft
+
+import graft.core.Registry
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registry query runs at sf0.001 and returns rows; value-level
+  * equivalence vs DuckDB is checked by the driver's oracle gate (and
+  * locally by scripts/local_verify.py). */
+class QueriesSmokeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  Registry.allQueries.foreach { q =>
+    test(s"${q.name} runs and returns rows") {
+      assert(q.build(spark, dir).count() > 0)
+    }
+  }
+
+  test("oracle SQL exists for every SQL-expressible query") {
+    val withOracle = Registry.allQueries.count(_.oracle.isDefined)
+    assert(withOracle >= 33, s"expected near-full oracle coverage, got $withOracle")
+  }
+
+  test("entry point returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.model.Streaming
+import graft.store.StockStore
+import graft.streaming.StreamIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming ingest E2E (SURVEY §3.2): memory-source frames →
+  * transform → foreachBatch versioned upsert; replay is idempotent (A13).
+  * The memory source stands in for the WebSocket bridge — same contract:
+  * a streaming DataFrame of raw JSON frames. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("stream ingest: control frames dropped, ticks stored, replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = SparkTestSession.tempDir("stream")
+    val ckpt = SparkTestSession.tempDir("ckpt")
+
+    val source = MemoryStream[String]
+    val frames = source.toDF().select($"value".as("raw"))
+
+    val q = StreamIngest.start(spark, frames, "trades", root, ckpt,
+      trigger = Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      source.addData(
+        """{"status_code": 200, "message": "Authorized"}""",
+        """{"s": "SPY", "p": 657.53, "v": 5, "t": 1757623532850}""",
+        """{"s": "SPY", "p": 657.60, "v": 3, "t": 1757623533850}""",
+        """garbage frame""")
+      q.processAllAvailable()
+      assert(StockStore.table(spark, root, Streaming).count() == 2)
+
+      // duplicate delivery (the reference's XAUTOCLAIM redelivery path)
+      source.addData("""{"s": "SPY", "p": 657.53, "v": 5, "t": 1757623532850}""")
+      q.processAllAvailable()
+      assert(StockStore.table(spark, root, Streaming).count() == 2, "redelivered tick must dedup")
+
+      // changed payload at same ts → version 2, not overwrite
+      source.addData("""{"s": "SPY", "p": 657.99, "v": 5, "t": 1757623532850}""")
+      q.processAllAvailable()
+      val rows = StockStore.table(spark, root, Streaming)
+      assert(rows.count() == 3)
+      assert(rows.agg(max("version")).head().getInt(0) == 2)
+    } finally q.stop()
+  }
+
+  test("windowed OHLC over a tick stream (watermarked)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val ticks = graft.transform.EodhdTransform.tradeTicks(
+      source.toDF().select($"value".as("raw")))
+    val agg = StreamIngest.windowedOhlc(ticks, "1 minute", "5 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("ohlc_out").start()
+    try {
+      val base = 1757623500000L // aligned-ish epoch ms
+      source.addData(
+        s"""{"s": "SPY", "p": 100.0, "v": 1, "t": ${base + 1000}}""",
+        s"""{"s": "SPY", "p": 105.0, "v": 2, "t": ${base + 20000}}""",
+        s"""{"s": "SPY", "p": 95.0,  "v": 1, "t": ${base + 40000}}""",
+        s"""{"s": "SPY", "p": 102.0, "v": 1, "t": ${base + 55000}}""")
+      q.processAllAvailable()
+      val out = spark.sql("SELECT * FROM ohlc_out").collect()
+      assert(out.length == 1)
+      val r = out.head
+      assert(r.getAs[Double]("open") == 100.0 && r.getAs[Double]("close") == 102.0)
+      assert(r.getAs[Double]("high") == 105.0 && r.getAs[Double]("low") == 95.0)
+      assert(r.getAs[Long]("volume") == 5L)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.transform.EodhdTransform
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** T1–T9 against the reference's canned CI payloads (FIXTURES.md A1;
+  * reference: eodhd_historical_service.py:85-109,
+  * eodhd_streaming_service.py:193-204). */
+class TransformSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("intraday bar payload transforms to typed row") {
+    val raw = Seq(
+      """{"timestamp": 1751463000, "gmtoffset": 0, "datetime": "2025-07-02 13:30:00", "open": 617.23999, "high": 618.71997, "low": 616.609985, "close": 618.599975, "volume": 11824245}""")
+      .toDF("raw").withColumn("ticker", lit("SPY"))
+    val out = EodhdTransform.intradayBars(raw, "1h").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[java.sql.Timestamp]("timestamp").toInstant.getEpochSecond == 1751463000L)
+    assert(r.getAs[Double]("open") == 617.23999)
+    assert(r.getAs[Long]("volume") == 11824245L)
+    assert(r.getAs[String]("interval") == "1h")
+  }
+
+  test("interday bar payload transforms; invalid interval rejected (T4)") {
+    val raw = Seq(
+      """{"date": "2024-10-25", "open": 534.65, "high": 537.2601, "low": 531.414, "close": 532.26, "adjusted_close": 527.1013, "volume": 4327190}""")
+      .toDF("raw").withColumn("ticker", lit("SPY"))
+    val out = EodhdTransform.interdayBars(raw, "d").collect()
+    assert(out.head.getAs[java.sql.Date]("date").toString == "2024-10-25")
+    assert(out.head.getAs[Double]("adjusted_close") == 527.1013)
+    intercept[IllegalArgumentException] { EodhdTransform.interdayBars(raw, "1h") }
+  }
+
+  test("trade ticks: control frames and malformed JSON dropped (T8, T9)") {
+    val raw = Seq(
+      """{"s": "SPY", "p": 657.5311, "v": 5, "e": 14, "dp": false, "t": 1757623532850}""",
+      """{"status_code": 200, "message": "Authorized"}""", // control frame
+      """not json at all""", // malformed
+      """{"p": 1.0, "v": 1, "t": 1757623532850}""") // no symbol
+      .toDF("raw").withColumn("ticker", lit("ignored"))
+    val out = EodhdTransform.tradeTicks(raw).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("ticker") == "SPY")
+    assert(out.head.getAs[Double]("price") == 657.5311)
+    assert(out.head.getAs[Any]("ask_price") == null) // disjoint quote cols null
+  }
+
+  test("quote ticks carry disjoint payload columns") {
+    val raw = Seq(
+      """{"s": "SPY", "ap": 657.6079, "as": 5, "bp": 657.5421, "bs": 6, "t": 1757623905553}""")
+      .toDF("raw").withColumn("ticker", lit("ignored"))
+    val out = EodhdTransform.quoteTicks(raw).collect()
+    assert(out.head.getAs[Double]("ask_price") == 657.6079)
+    assert(out.head.getAs[Long]("bid_size") == 6L)
+    assert(out.head.getAs[Any]("price") == null)
+    assert(out.head.getAs[java.sql.Timestamp]("timestamp").getTime == 1757623905553L)
+  }
+}
