@@ -34,5 +34,6 @@ object Registry {
       graft.queries.TextQueries.defs ++
       graft.queries.DedupQueries.defs ++
       graft.queries.VectorQueries.defs ++
+      graft.queries.MultimodalQueries.defs ++
       graft.queries.StreamingQueries.defs
 }

@@ -1,0 +1,104 @@
+package graft.multimodal
+
+import graft.functions.HashFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+
+/** Multimodal columns for the training-data pipeline plane: image/audio/
+  * video as opaque `binary` payloads with typed metadata.
+  *
+  * Container constraint: no image/audio codecs are installed, so the
+  * byte→pixels decode is STUBBED with a deterministic fake — but every
+  * piece of Spark-side plumbing a real decoder needs is real and tested:
+  * the (bytes, kind, meta) schema, partition-batched decode via
+  * `mapPartitions` (the seam where a JNI/subprocess codec amortizes its
+  * startup per batch, the Scala analogue of `mapInPandas` batches),
+  * deterministic frame sampling by byte offset, and feature vectors that
+  * flow straight into the [[graft.similarity]] / dedup operators.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),
+    StructField("bytes", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("byte_len", IntegerType),
+      StructField("format", StringType),
+      StructField("frame_size", IntegerType))))))
+
+  /** Wrap any (id, payload) source as a media table. Here the documents
+    * table stands in for a blob store: text bytes become the opaque
+    * payload, `kind` cycles deterministically. A production pipeline
+    * reads the same schema from parquet/iceberg with real blobs. */
+  def asMediaTable(docs: DataFrame, frameSize: Int = 64): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("bytes"),
+      struct(
+        length(col("text").cast("binary")).as("byte_len"),
+        lit("synthetic/v1").as("format"),
+        lit(frameSize).as("frame_size")).as("meta"))
+
+  /** Video-style frame sampling: every k-th fixed-size byte window,
+    * purely by offset — the shuffle-free explode a real frame extractor
+    * would follow (sampling happens before decode, so only sampled
+    * frames ever get decoded). */
+  def sampleFrames(media: DataFrame, everyK: Int = 4): DataFrame = {
+    val nFrames = floor((col("meta.byte_len") - 1) / col("meta.frame_size")).cast("int") + 1
+    media
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(everyK))))
+      .select(
+        col("media_id"), col("kind"), col("frame_idx"),
+        substring(col("bytes"),
+          (col("frame_idx") * col("meta.frame_size") + 1).cast("int"),
+          col("meta.frame_size").cast("int")).as("frame_bytes"))
+      .withColumn("frame_len", length(col("frame_bytes")))
+  }
+
+  final case class DecodedMedia(media_id: Long, kind: String,
+      feature: Array[Float], decoder: String)
+
+  /** Partition-batched decode. `decodeBatch` is the pluggable codec seam:
+    * it receives up to `batchSize` rows at once (amortizing model/codec
+    * startup exactly like a pandas-UDF batch). The default implementation
+    * is the STUB — a deterministic md5-driven fake feature vector; swap
+    * in a real codec (JNI, ONNX runtime, subprocess) without touching the
+    * plumbing. */
+  def decodeFeatures(media: DataFrame, dims: Int = 16, batchSize: Int = 64)(
+      decodeBatch: Seq[(Long, String, Array[Byte])] => Seq[DecodedMedia] =
+        stubDecodeBatch(dims)): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.select("media_id", "kind", "bytes")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
+  }
+
+  /** STUB decoder: deterministic fake features from the payload hash.
+    * A real implementation decodes pixels/samples here. */
+  def stubDecodeBatch(dims: Int)(batch: Seq[(Long, String, Array[Byte])]): Seq[DecodedMedia] =
+    batch.map { case (id, kind, bytes) =>
+      val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      val feats = Array.tabulate(dims) { i =>
+        // bytes cycled through md5 digest → [-1, 1)
+        (((md((i * 3) % md.length) & 0xff) << 8 | (md((i * 7) % md.length) & 0xff))
+          .toFloat / 32768f) - 1f
+      }
+      DecodedMedia(id, kind, feats, "stub/md5-v1")
+    }
+
+  /** Exact + near-duplicate detection over media: exact via content hash
+    * (scales as a groupBy), near via feature cosine on the decoded
+    * vectors (plug into LSH bucketing at scale). */
+  def exactDupGroups(media: DataFrame): DataFrame =
+    media
+      .withColumn("content_hash", md5(col("bytes")))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("keeper_id"),
+        collect_list(col("media_id")).as("member_ids"))
+      .filter(col("n_copies") > 1)
+}

@@ -163,6 +163,56 @@ object DedupQueries {
           SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
         FROM bits GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ── SimHash near-dup pairs via Hamming distance ────────────────────
+    // signatures over the near-dup corpus; pairs with ≤8 differing bits
+    // of 32. bit_count(xor) is portable (Spark bit_count / DuckDB
+    // bit_count+xor). At scale the O(n²) self-join is replaced by
+    // banding on 16-bit signature halves — same trick as d2's LSH.
+    GraftQuery(
+      "d5_simhash_hamming_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val toks = corpusWithNearDups(s, dir)
+          .select($"doc_id", explode(array_distinct(tokens(lower($"text")))).as("tok"))
+          .withColumn("h", md5Long($"tok"))
+        val bits = toks
+          .crossJoin(s.range(32).select($"id".cast("int").as("b")))
+          .withColumn("bit", expr("shiftright(h, b) & 1"))
+          .groupBy($"doc_id", $"b")
+          .agg(sum($"bit" * 2 - 1).as("w"))
+        val sigs = bits.groupBy($"doc_id")
+          .agg(sum(when($"w" > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(lit(0L))).as("sig"))
+        val a = sigs.select($"doc_id".as("a"), $"sig".as("sig_a"))
+        val b = sigs.select($"doc_id".as("b"), $"sig".as("sig_b"))
+        a.join(b, $"a" < $"b")
+          .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+          .where($"hamming" <= 8)
+          .select($"a", $"b", $"hamming")
+          .orderBy($"a", $"b")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text || ' extra appended tail tokens here' AS text
+          FROM documents WHERE doc_id % 5 = 0),
+        toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9]+')) AS tok
+          FROM corpus),
+        hashed AS (
+          SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+        bits AS (
+          SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS w
+          FROM hashed, (SELECT unnest(generate_series(0, 31)) AS b)
+          GROUP BY doc_id, b),
+        sigs AS (
+          SELECT doc_id, SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
+          FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS a, b.doc_id AS b, CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 8
+        ORDER BY a, b""")),
+
     // ── n-gram Jaccard similarity: original vs near-dup copy ──────────
     GraftQuery(
       "d4_ngram_jaccard",

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.core.{GraftQuery, Tables}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary-column plumbing (builder brief): opaque BINARY
+  * payloads + typed metadata, offset-based frame sampling, and the
+  * partition-batched decode stub. The DuckDB oracle checks the byte-level
+  * plumbing on the string side (documents text is pure ASCII, so byte
+  * arithmetic == char arithmetic); the decode stub itself is checked by
+  * ScalaTest (its features are JVM-md5-derived, not SQL-expressible).
+  */
+object MultimodalQueries {
+
+  def defs: Seq[GraftQuery] = Seq(
+
+    // ── binary columns + typed metadata + content hash ─────────────────
+    GraftQuery(
+      "m1_binary_metadata",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.asMediaTable(Tables.documents(s, dir))
+          .select($"media_id", $"kind", $"meta.byte_len".as("byte_len"),
+            $"meta.format".as("format"), md5($"bytes").as("content_hash"))
+          .orderBy($"media_id")
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+          (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+          length(text) AS byte_len,
+          'synthetic/v1' AS format,
+          md5(text) AS content_hash
+        FROM documents ORDER BY media_id""")),
+
+    // ── frame sampling by byte offset (video path, pre-decode) ────────
+    GraftQuery(
+      "m2_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.sampleFrames(
+          Multimodal.asMediaTable(Tables.documents(s, dir)), everyK = 4)
+          .select($"media_id", $"kind", $"frame_idx", $"frame_len",
+            $"frame_bytes".cast("string").as("frame_str"))
+          .orderBy($"media_id", $"frame_idx")
+      },
+      Some("""
+        WITH media AS (
+          SELECT doc_id AS media_id,
+            (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+            text, length(text) AS byte_len, 64 AS frame_size
+          FROM documents),
+        frames AS (
+          SELECT media_id, kind, text, frame_size,
+            unnest(generate_series(0, greatest(CAST(FLOOR((byte_len - 1) / frame_size) AS INT), 0), 4)) AS frame_idx
+          FROM media)
+        SELECT media_id, kind, frame_idx,
+          length(substring(text, frame_idx * frame_size + 1, frame_size)) AS frame_len,
+          substring(text, frame_idx * frame_size + 1, frame_size) AS frame_str
+        FROM frames ORDER BY media_id, frame_idx""")),
+
+    // ── partition-batched decode stub → feature stats (rows-only) ─────
+    GraftQuery(
+      "m3_decode_features",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.decodeFeatures(
+          Multimodal.asMediaTable(Tables.documents(s, dir)), dims = 16)()
+          .toDF()
+          .groupBy($"kind", $"decoder")
+          .agg(count(lit(1)).as("n_media"), avg(element_at($"feature", 1)).as("mean_f0"))
+          .orderBy($"kind")
+      },
+      None)
+  )
+}

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.{GraftQuery, Tables}
 import graft.functions.VectorFunctions._
+import graft.functions.expressions.VectorExpressions.cosineNative
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,7 +29,7 @@ object VectorQueries {
         val corpus = emb.select($"vec_id".as("nid"), $"embedding".as("ne"))
         val w = Window.partitionBy($"pid").orderBy($"cos".desc, $"nid")
         broadcast(probes).join(corpus, $"pid" =!= $"nid")
-          .withColumn("cos", cosine($"pe", $"ne"))
+          .withColumn("cos", cosineNative($"pe", $"ne"))
           .withColumn("rank", row_number().over(w))
           .where($"rank" <= 5)
           .select($"pid", $"nid", $"rank")
@@ -59,7 +60,7 @@ object VectorQueries {
         val a = corpus.select($"vec_id".as("a"), $"embedding".as("ea"))
         val b = corpus.select($"vec_id".as("b"), $"embedding".as("eb"))
         a.join(b, $"a" < $"b")
-          .where(cosine($"ea", $"eb") > 0.99)
+          .where(cosineNative($"ea", $"eb") > 0.99)
           .select($"a", $"b")
           .orderBy($"a", $"b")
       },

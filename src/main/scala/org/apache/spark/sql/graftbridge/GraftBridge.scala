@@ -1,0 +1,22 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.AbstractDataType
+
+/** Access shim for `private[sql]` Spark internals needed to expose custom
+  * Catalyst expressions as user-facing Columns (the standard pattern for
+  * Spark extension libraries — a bridge object inside the sql package
+  * namespace). Only pure adapters live here; all graft logic stays in the
+  * `graft.*` packages.
+  */
+object GraftBridge {
+  /** Wrap a Catalyst expression as a Column (Spark 4 classic API). */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Extract the Catalyst expression backing a Column. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  type AbstractType = AbstractDataType
+}
