@@ -1,0 +1,228 @@
+package graft.sources.ws
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 micro-batch source for WebSocket-style feeds
+  * (SURVEY §2.1 S3–S5; the one component Spark lacks, §7.3).
+  *
+  * A WebSocket is not replayable, but Structured Streaming offsets must
+  * be: a driver-side pump thread drains the feed into an append-only WAL
+  * (segmented line files), and offsets are frame ordinals into that WAL —
+  * exactly the durability role the Redis Stream plays in the reference
+  * (reference: src/stockops/data/database/write_buffer.py:34-98). Any
+  * micro-batch [start, end) re-reads the same WAL lines, so recovery
+  * after failure replays identical batches and the downstream versioned
+  * store stays effectively-once (A13). `commit(offset)` deletes segments
+  * wholly below the committed offset — the XTRIM retention analogue
+  * (reference: writer.py:293-297).
+  *
+  * The feed itself is pluggable ([[FrameFeed]]): tests script frames,
+  * production wraps a real WS client with the reference's
+  * reconnect/backoff policy inside `poll` (S5). One feed = one
+  * connection, matching the reference's one-socket-per-job model;
+  * multi-ticker fan-out is a union of sources.
+  *
+  * Usage:
+  * {{{
+  *   WsFeeds.register("myfeed", () => new MyWsFeed(...))
+  *   spark.readStream.format("graft.sources.ws.WsSourceProvider")
+  *     .option("walDir", "/data/ws-wal").option("feed", "myfeed").load()
+  * }}}
+  */
+trait FrameFeed extends AutoCloseable {
+  def connect(): Unit
+  /** Return whatever frames arrived since the last poll (possibly empty).
+    * Reconnect/backoff is the implementation's concern. */
+  def poll(): Seq[String]
+}
+
+/** Driver-side feed registry (the source is instantiated by class name,
+  * so feeds are wired up by name before the query starts). */
+object WsFeeds {
+  private val feeds = new java.util.concurrent.ConcurrentHashMap[String, () => FrameFeed]()
+  def register(name: String, factory: () => FrameFeed): Unit = feeds.put(name, factory)
+  def create(name: String): FrameFeed = {
+    val f = feeds.get(name)
+    require(f != null, s"no FrameFeed registered under '$name' — call WsFeeds.register first")
+    f()
+  }
+}
+
+/** Segmented append-only WAL of raw frames. Segment k holds frames
+  * [k*segmentSize, (k+1)*segmentSize). Frames are single lines (the
+  * provider protocol is line-safe JSON; embedded newlines are escaped by
+  * the feed). */
+private[ws] final class FrameWal(dir: Path, segmentSize: Int) {
+  Files.createDirectories(dir)
+
+  private def segPath(k: Long): Path = dir.resolve(f"$k%012d.seg")
+
+  private def segmentIds(): Seq[Long] =
+    Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".seg"))
+      .map(p => p.getFileName.toString.stripSuffix(".seg").toLong)
+      .toSeq.sorted
+
+  /** Total frames ever appended (recovered from segment files on
+    * restart). */
+  def frameCount(): Long = {
+    val ids = segmentIds()
+    if (ids.isEmpty) 0L
+    else ids.last * segmentSize + countLines(segPath(ids.last))
+  }
+
+  private def countLines(p: Path): Long =
+    Files.newBufferedReader(p, StandardCharsets.UTF_8).lines().count()
+
+  /** Append frames starting at global ordinal `at`. */
+  def append(at: Long, frames: Seq[String]): Unit = {
+    var i = 0L
+    frames.foreach { f =>
+      val ordinal = at + i
+      val seg = segPath(ordinal / segmentSize)
+      Files.write(seg, (f.replace("\n", " ") + "\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      i += 1
+    }
+  }
+
+  /** Read frames [from, until) with their ordinals. */
+  def read(from: Long, until: Long): Iterator[(Long, String)] = {
+    val firstSeg = from / segmentSize
+    val lastSeg = (until - 1) / segmentSize
+    (firstSeg to lastSeg).iterator.filter(k => Files.exists(segPath(k))).flatMap { k =>
+      val base = k * segmentSize
+      Files.readAllLines(segPath(k), StandardCharsets.UTF_8).asScala
+        .iterator.zipWithIndex
+        .map { case (line, idx) => (base + idx, line) }
+        .filter { case (ord, _) => ord >= from && ord < until }
+    }
+  }
+
+  /** Retention: drop segments entirely below `offset` (XTRIM analogue). */
+  def truncateBelow(offset: Long): Unit =
+    segmentIds().filter(k => (k + 1) * segmentSize <= offset)
+      .foreach(k => Files.deleteIfExists(segPath(k)))
+}
+
+private[ws] case class WsOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+class WsSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = WsSourceProvider.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new WsTable(new CaseInsensitiveStringMap(properties))
+}
+
+object WsSourceProvider {
+  val schema: StructType = StructType(Seq(
+    StructField("frame_id", LongType, nullable = false),
+    StructField("raw", StringType, nullable = false)))
+}
+
+private[ws] class WsTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"graft-ws(${options.get("walDir")})"
+  override def schema(): StructType = WsSourceProvider.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    () => new WsScan(opts)
+}
+
+private[ws] class WsScan(options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = WsSourceProvider.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new WsMicroBatchStream(
+      options.get("walDir"),
+      Option(options.get("feed")),
+      options.getInt("segmentSize", 10000),
+      options.getBoolean("retention", false))
+}
+
+private[ws] class WsMicroBatchStream(walDir: String, feedName: Option[String],
+    segmentSize: Int, retention: Boolean) extends MicroBatchStream {
+
+  private val wal = new FrameWal(Paths.get(walDir), segmentSize)
+
+  // Driver-side pump: feed → WAL. Started lazily so planning-only usage
+  // (and WAL-replay-only restarts with no live feed) never connects.
+  @volatile private var pump: Option[(FrameFeed, Thread)] = None
+  @volatile private var appended: Long = -1L
+  @volatile private var stopped = false
+
+  private def ensurePump(): Unit = synchronized {
+    if (pump.isEmpty && feedName.isDefined && !stopped) {
+      val feed = WsFeeds.create(feedName.get)
+      feed.connect()
+      appended = wal.frameCount()
+      val t = new Thread(() => {
+        while (!stopped) {
+          val frames = feed.poll()
+          if (frames.nonEmpty) synchronized {
+            wal.append(appended, frames)
+            appended += frames.length
+          }
+          if (frames.isEmpty) Thread.sleep(10)
+        }
+      }, s"graft-ws-pump-$walDir")
+      t.setDaemon(true)
+      t.start()
+      pump = Some((feed, t))
+    }
+  }
+
+  override def initialOffset(): Offset = WsOffset(0L)
+  override def deserializeOffset(json: String): Offset = WsOffset(json.toLong)
+
+  override def latestOffset(): Offset = {
+    ensurePump()
+    WsOffset(if (appended >= 0) appended else wal.frameCount())
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[WsOffset].n, end.asInstanceOf[WsOffset].n)
+    if (s >= e) Array.empty
+    else Array(WsInputPartition(walDir, segmentSize, s, e))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[WsInputPartition]
+      new WsPartitionReader(p)
+    }
+
+  override def commit(end: Offset): Unit =
+    if (retention) wal.truncateBelow(end.asInstanceOf[WsOffset].n)
+
+  override def stop(): Unit = {
+    stopped = true
+    pump.foreach { case (feed, t) => t.join(1000); feed.close() }
+    pump = None
+  }
+}
+
+private[ws] case class WsInputPartition(walDir: String, segmentSize: Int,
+    start: Long, end: Long) extends InputPartition
+
+private[ws] class WsPartitionReader(p: WsInputPartition) extends PartitionReader[InternalRow] {
+  private val it = new FrameWal(Paths.get(p.walDir), p.segmentSize).read(p.start, p.end)
+  private var current: (Long, String) = _
+  override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
+  override def get(): InternalRow =
+    InternalRow(current._1, UTF8String.fromString(current._2))
+  override def close(): Unit = ()
+}
