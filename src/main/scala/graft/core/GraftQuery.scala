@@ -29,6 +29,7 @@ object Registry {
   /** All registered demonstrations, later assembled by [[graft.SparkEntry]]. */
   def allQueries: Seq[GraftQuery] =
     graft.queries.Relational.defs ++
+      graft.queries.ExtendedSql.defs ++
       graft.queries.Analytics.defs ++
       graft.queries.WritePath.defs ++
       graft.queries.TextQueries.defs ++

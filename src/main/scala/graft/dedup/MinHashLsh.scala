@@ -1,0 +1,101 @@
+package graft.dedup
+
+import graft.functions.HashFunctions.md5Long
+import graft.functions.TextFunctions.{normalized, tokens}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** MinHash + LSH near-duplicate detection (library form; the oracle-paired
+  * demonstration lives in [[graft.queries.DedupQueries]]).
+  *
+  * Cost model at scale: one md5 per distinct shingle (NOT per
+  * shingle×permutation — permutations are affine maps over the base hash,
+  * the classic `(a·h + b) mod p` family), then a (doc, seed) groupBy and a
+  * band-signature self-join. Everything shuffles on derived keys; nothing
+  * is quadratic in corpus size. Band collisions bound the pairwise work.
+  *
+  * All arithmetic is engine-portable: md5-prefix base hash, 31-bit
+  * modular affine maps (no 64-bit overflow), so a SQL oracle can
+  * reproduce signatures bit-for-bit.
+  */
+object MinHashLsh {
+
+  /** Mersenne prime 2^31-1: `a*h` with h < p and a < 2^31 stays in 62
+    * bits — no overflow in either engine. */
+  val P: Long = 2147483647L
+
+  /** Affine permutation family: seed i → (a_i, b_i), small deterministic
+    * odd multipliers. */
+  def perm(h: Column, seed: Column): Column =
+    ((seed * 2 + 1) * h + seed * 12582917L) % P
+
+  /** Word `n`-gram shingles of the normalized token stream. */
+  def shingles(text: Column, n: Int = 5): Column = {
+    val toks = tokens(normalized(text))
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** MinHash signatures: one row per (id, seed) with the min permuted
+    * hash over the doc's distinct shingles. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, shingleWidth: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), shingleWidth))).as("sh"))
+      .withColumn("h", md5Long($"sh") % P)
+      .crossJoin(spark.range(numHashes).select($"id".cast("int").as("seed")))
+      .groupBy($"id", $"seed")
+      .agg(min(perm($"h", $"seed")).as("sig"))
+  }
+
+  /** Candidate near-dup pairs: ids sharing any LSH band signature.
+    * numHashes = bands × rowsPerBand. */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 4, shingleWidth: Int = 5): DataFrame = {
+    val sigs = signatures(docs, idCol, textCol, bands * rowsPerBand, shingleWidth)
+    val bandSigs = sigs
+      .withColumn("band", floor(col("seed") / rowsPerBand).cast("int"))
+      .groupBy(col("id"), col("band"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("seed"), col("sig")))),
+        x => x.getField("sig").cast("string")), ",")).as("band_sig"))
+    val a = bandSigs.select(col("id").as("a"), col("band"), col("band_sig"))
+    val b = bandSigs.select(col("id").as("b"), col("band"), col("band_sig"))
+    a.join(b, Seq("band", "band_sig")).where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Collapse candidate pairs into duplicate clusters and pick one keeper
+    * per cluster (min id), via iterative label propagation — the
+    * DataFrame-only connected-components that large dedup pipelines use.
+    * `maxIter` bounds the join rounds; cluster diameter beyond that is
+    * rare for dup graphs (near-cliques). */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val next = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+        .join(labels.withColumnRenamed("label", "own_label"), "id")
+        .select(col("id"), least(col("own_label"), col("nbr_label")).as("label"))
+      next.cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).isEmpty
+      labels = next
+      converged = changed
+      i += 1
+    }
+    labels.groupBy(col("label").as("cluster"))
+      .agg(collect_list(col("id")).as("members"), min(col("id")).as("keeper"))
+  }
+}

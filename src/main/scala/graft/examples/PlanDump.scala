@@ -1,0 +1,31 @@
+package graft.examples
+
+import graft.core.Registry
+import org.apache.spark.sql.SparkSession
+
+/** Prints the formatted physical plan of each bench query — the review
+  * loop for pushdown/broadcast/codegen (builder brief: iterate on
+  * `.explain("formatted")` until the plan is the one you'd want).
+  *   sbt "runMain graft.examples.PlanDump [sfDir] [name...]"
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = args.drop(1).toSet
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Registry.allQueries
+      .filter(q => if (names.isEmpty) q.bench else names.contains(q.name))
+      .foreach { q =>
+        println(s"\n════════ ${q.name} ════════")
+        q.build(spark, dir).explain("formatted")
+      }
+    spark.stop()
+  }
+}

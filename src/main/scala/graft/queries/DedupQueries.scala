@@ -76,31 +76,15 @@ object DedupQueries {
         FROM fp GROUP BY source ORDER BY source""")),
 
     // ── MinHash + LSH banding: near-dup candidate pairs ────────────────
-    // 16 md5-seeded min-hashes, 4 bands × 4 rows; pairs collide on any
-    // band signature. End-to-end reproducible in the DuckDB oracle.
+    // Library form: [[graft.dedup.MinHashLsh]] — one md5 per distinct
+    // shingle, affine permutations mod 2^31-1 (portable, no per-seed
+    // hashing), 4 bands × 4 rows. Fully reproduced by the DuckDB oracle.
     GraftQuery(
       "d2_minhash_lsh_pairs",
       (s, dir) => {
         import s.implicits._
-        val corpus = corpusWithNearDups(s, dir)
-          .withColumn("toks", tokens(normalized($"text")))
-          .withColumn("sh", explode(array_distinct(shingles($"toks"))))
-        val seeds = corpus.select($"doc_id", $"sh")
-          .crossJoin(s.range(16).select($"id".cast("int").as("seed")))
-        val sigs = seeds
-          .withColumn("h", md5LongSeeded($"seed", $"sh"))
-          .groupBy($"doc_id", $"seed").agg(min($"h").as("sig"))
-        val bands = sigs
-          .withColumn("band", floor($"seed" / 4).cast("int"))
-          .groupBy($"doc_id", $"band")
-          .agg(md5(array_join(transform(
-            array_sort(collect_list(struct($"seed", $"sig"))),
-            x => x.getField("sig").cast("string")), ",")).as("band_sig"))
-        val a = bands.select($"doc_id".as("a"), $"band", $"band_sig")
-        val b = bands.select($"doc_id".as("b"), $"band", $"band_sig")
-        a.join(b, Seq("band", "band_sig"))
-          .where($"a" < $"b")
-          .select($"a", $"b").distinct()
+        graft.dedup.MinHashLsh
+          .candidatePairs(corpusWithNearDups(s, dir), "doc_id", "text")
           .orderBy($"a", $"b")
       },
       Some("""
@@ -116,12 +100,13 @@ object DedupQueries {
           SELECT DISTINCT doc_id, CASE WHEN len(t) < 5 THEN array_to_string(t, ' ')
             ELSE array_to_string(t[i:i+4], ' ') END AS sh
           FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i FROM toks)),
-        seeded AS (
-          SELECT doc_id, sh, seed FROM sh, (SELECT unnest(generate_series(0, 15)) AS seed)),
+        hashed AS (
+          SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % 2147483647 AS h FROM sh),
         sigs AS (
           SELECT doc_id, seed,
-            MIN(CAST(concat('0x', substr(md5(concat(CAST(seed AS VARCHAR), ':', sh)), 1, 15)) AS BIGINT)) AS sig
-          FROM seeded GROUP BY doc_id, seed),
+            MIN(((seed * 2 + 1) * h + seed * 12582917) % 2147483647) AS sig
+          FROM hashed, (SELECT unnest(generate_series(0, 15)) AS seed)
+          GROUP BY doc_id, seed),
         bands AS (
           SELECT doc_id, CAST(FLOOR(seed / 4) AS INT) AS band,
             md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY seed)) AS band_sig
@@ -129,7 +114,8 @@ object DedupQueries {
         SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
         FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
         WHERE a.doc_id < b.doc_id
-        ORDER BY a, b""")),
+        ORDER BY a, b"""),
+      bench = true),
 
     // ── SimHash: 32-bit signature over the distinct-token set ──────────
     GraftQuery(

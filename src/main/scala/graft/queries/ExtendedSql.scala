@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.core.{GraftQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Optional-extension SQL surface (SURVEY §2.5 closing note): grouping
+  * sets, general window functions, set operations, outer joins, and the
+  * salted-aggregation skew pattern. The reference has none of these; a
+  * user switching to this engine gets them from Catalyst, and each is
+  * oracle-verified like the parity operators.
+  */
+object ExtendedSql {
+  import Portable._
+
+  def defs: Seq[GraftQuery] = Seq(
+
+    // ── ROLLUP subtotals (grouping sets family) ────────────────────────
+    GraftQuery(
+      "e1_rollup",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), sumd($"l_quantity").as("qty"))
+          .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+            coalesce($"l_linestatus", lit("ALL")).as("ls"), $"n", $"qty")
+          .orderBy($"rf", $"ls")
+      },
+      Some("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+          COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY rf, ls""")),
+
+    // ── general window functions: lag/lead/rank/running sum ───────────
+    GraftQuery(
+      "e2_window_functions",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+        Tables.events(s, dir).filter($"user_id" < 10)
+          .select($"user_id", $"event_id", $"value",
+            lag($"value", 1).over(w).as("prev_value"),
+            lead($"value", 1).over(w).as("next_value"),
+            row_number().over(w).as("rn"),
+            sum(dec2($"value")).over(wRun).cast(DoubleType).as("running_total"))
+          .orderBy($"user_id", $"rn")
+      },
+      Some("""
+        SELECT user_id, event_id, value,
+          lag(value, 1) OVER w AS prev_value,
+          lead(value, 1) OVER w AS next_value,
+          row_number() OVER w AS rn,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        FROM events WHERE user_id < 10
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, rn""")),
+
+    // ── set operations: INTERSECT / EXCEPT ─────────────────────────────
+    GraftQuery(
+      "e3_set_ops",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val week1 = ev.filter($"ts" < lit("2024-01-08 00:00:00").cast("timestamp"))
+          .select($"user_id").distinct()
+        val week4 = ev.filter($"ts" >= lit("2024-01-22 00:00:00").cast("timestamp"))
+          .select($"user_id").distinct()
+        week1.intersect(week4).withColumn("op", lit("both"))
+          .unionAll(week1.except(week4).withColumn("op", lit("only_week1")))
+          .orderBy($"op", $"user_id")
+      },
+      Some("""
+        WITH w1 AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+             w4 AS (SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-22 00:00:00')
+        SELECT user_id, 'both' AS op FROM (SELECT user_id FROM w1 INTERSECT SELECT user_id FROM w4)
+        UNION ALL
+        SELECT user_id, 'only_week1' AS op FROM (SELECT user_id FROM w1 EXCEPT SELECT user_id FROM w4)
+        ORDER BY op, user_id""")),
+
+    // ── outer join with join-time predicate ────────────────────────────
+    GraftQuery(
+      "e4_outer_join",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+          .filter($"o_orderdate" < lit("1995-04-01").cast("timestamp"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("n_orders"))
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+        GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // ── salted two-stage aggregation (skew pattern) ────────────────────
+    // hot grouping keys are salted into 8 sub-keys for the wide partial
+    // stage, then combined — same result as a direct groupBy (which is
+    // what the oracle runs), but the shuffle fans hot keys across
+    // reducers. The pattern to reach for when one key holds 30% of rows.
+    GraftQuery(
+      "e5_salted_agg",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .withColumn("salt", ($"event_id" % 8).cast("int"))
+          .groupBy($"event_type", $"salt")
+          .agg(count(lit(1)).as("pn"), sum(dec2($"value")).as("psum"))
+          .groupBy($"event_type")
+          .agg(sum($"pn").as("n"), sum($"psum").cast(DoubleType).as("total_value"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY event_type ORDER BY event_type"""))
+  )
+}

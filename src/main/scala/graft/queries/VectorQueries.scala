@@ -24,14 +24,7 @@ object VectorQueries {
       (s, dir) => {
         import s.implicits._
         val emb = Tables.embeddings(s, dir)
-        val probes = emb.filter($"vec_id" < 10)
-          .select($"vec_id".as("pid"), $"embedding".as("pe"))
-        val corpus = emb.select($"vec_id".as("nid"), $"embedding".as("ne"))
-        val w = Window.partitionBy($"pid").orderBy($"cos".desc, $"nid")
-        broadcast(probes).join(corpus, $"pid" =!= $"nid")
-          .withColumn("cos", cosineNative($"pe", $"ne"))
-          .withColumn("rank", row_number().over(w))
-          .where($"rank" <= 5)
+        graft.similarity.TopK.bruteForce(emb, emb.filter($"vec_id" < 10), 5)
           .select($"pid", $"nid", $"rank")
           .orderBy($"pid", $"rank")
       },

@@ -1,0 +1,60 @@
+package graft.similarity
+
+import graft.functions.VectorFunctions.lshBucket
+import graft.functions.expressions.VectorExpressions.cosineNative
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over `array<float>` embedding
+  * columns.
+  *
+  * `bruteForce` is the exact baseline: probes broadcast against the
+  * corpus, codegen'd cosine kernel, per-probe top-k via the
+  * WindowGroupLimit-optimized row_number pattern (Spark pushes the k
+  * bound into the sort). O(|probes|·|corpus|) — right when probes are
+  * few or corpus fits a scan budget.
+  *
+  * `lshTopK` is the scale path: corpus and probes are bucketed by
+  * random-hyperplane signs; candidates are confined to the probe's
+  * bucket (plus optional multi-probe neighbors at Hamming distance 1),
+  * so the join is bucket-local — the shuffle key is the bucket id, and
+  * cost drops to O(|probes|·|corpus|/2^planes) expected. Recall is
+  * tunable via planes/multiProbe (see SimilaritySpec's recall test).
+  */
+object TopK {
+
+  def bruteForce(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val p = probes.select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("cos").desc, col("nid"))
+    broadcast(p).join(c, col("pid") =!= col("nid"))
+      .withColumn("cos", cosineNative(col("pe"), col("ne")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("pid"), col("nid"), col("rank"), col("cos"))
+  }
+
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      planes: Int = 8, dims: Int = 64, multiProbe: Boolean = true): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+      lshBucket(col("embedding"), planes, dims).as("bucket"))
+    val pBase = probes.select(col("vec_id").as("pid"), col("embedding").as("pe"),
+      lshBucket(col("embedding"), planes, dims).as("bucket"))
+    // multi-probe: also search the `planes` buckets at Hamming distance 1
+    // from the probe's bucket (flip one sign bit) — big recall win for
+    // vectors near a hyperplane, at planes× probe-side fan-out (probe side
+    // is the small side, so the join stays bucket-local and cheap).
+    val p =
+      if (!multiProbe) pBase
+      else pBase.withColumn("bucket",
+        explode(array((0 until planes).map(b =>
+          col("bucket").bitwiseXOR(lit(1 << b))) :+ col("bucket"): _*)))
+    val w = Window.partitionBy(col("pid")).orderBy(col("cos").desc, col("nid"))
+    p.join(c, Seq("bucket")).where(col("pid") =!= col("nid"))
+      .withColumn("cos", cosineNative(col("pe"), col("ne")))
+      .select(col("pid"), col("nid"), col("cos")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}
