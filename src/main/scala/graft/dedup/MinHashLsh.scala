@@ -38,32 +38,47 @@ object MinHashLsh {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** MinHash signatures: one row per (id, seed) with the min permuted
-    * hash over the doc's distinct shingles. */
-  def signatures(docs: DataFrame, idCol: String, textCol: String,
+  /** MinHash signature matrix: one row per id with all `numHashes` min
+    * permuted hashes as an `array<long>` (element i = seed i).
+    *
+    * Single shuffle: the 16 mins are computed as 16 aggregates of ONE
+    * `groupBy(id)`, so partial (map-side) aggregation collapses each
+    * partition to one row per doc before anything moves — at 100 TB the
+    * shuffle carries |docs|×numHashes longs, not |shingles|×numHashes
+    * rows (the naive seed-crossJoin shape, 16× the corpus). */
+  def signatureMatrix(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, shingleWidth: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val mins = (0 until numHashes).map(i => min(perm($"h", lit(i))))
     docs
       .select(col(idCol).as("id"),
         explode(array_distinct(shingles(col(textCol), shingleWidth))).as("sh"))
       .withColumn("h", md5Long($"sh") % P)
-      .crossJoin(spark.range(numHashes).select($"id".cast("int").as("seed")))
-      .groupBy($"id", $"seed")
-      .agg(min(perm($"h", $"seed")).as("sig"))
+      .groupBy($"id")
+      .agg(array(mins: _*).as("sigs"))
   }
 
+  /** MinHash signatures in long form: one row per (id, seed). */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, shingleWidth: Int = 5): DataFrame =
+    signatureMatrix(docs, idCol, textCol, numHashes, shingleWidth)
+      .select(col("id"), posexplode(col("sigs")).as(Seq("seed", "sig")))
+
   /** Candidate near-dup pairs: ids sharing any LSH band signature.
-    * numHashes = bands × rowsPerBand. */
+    * numHashes = bands × rowsPerBand. Band signatures are row-local
+    * slices of the signature matrix (no extra shuffle); the only
+    * pairwise work is the band-keyed self-join, whose fan-out is
+    * bounded by actual collisions. */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 4, shingleWidth: Int = 5): DataFrame = {
-    val sigs = signatures(docs, idCol, textCol, bands * rowsPerBand, shingleWidth)
-    val bandSigs = sigs
-      .withColumn("band", floor(col("seed") / rowsPerBand).cast("int"))
-      .groupBy(col("id"), col("band"))
-      .agg(md5(array_join(transform(
-        array_sort(collect_list(struct(col("seed"), col("sig")))),
-        x => x.getField("sig").cast("string")), ",")).as("band_sig"))
+    val sigs = signatureMatrix(docs, idCol, textCol, bands * rowsPerBand, shingleWidth)
+    val bandSigs = sigs.select(col("id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => md5(array_join(transform(
+          slice(col("sigs"), b * rowsPerBand + 1, lit(rowsPerBand)),
+          s => s.cast("string")), ",")))).as(Seq("band", "band_sig")))
     val a = bandSigs.select(col("id").as("a"), col("band"), col("band_sig"))
     val b = bandSigs.select(col("id").as("b"), col("band"), col("band_sig"))
     a.join(b, Seq("band", "band_sig")).where(col("a") < col("b"))
