@@ -29,14 +29,25 @@ object MinHashLsh {
   def perm(h: Column, seed: Column): Column =
     ((seed * 2 + 1) * h + seed * 12582917L) % P
 
-  /** Word `n`-gram shingles of the normalized token stream. */
-  def shingles(text: Column, n: Int = 5): Column = {
-    val toks = tokens(normalized(text))
+  /** Word `n`-gram shingles over an already-materialized token array.
+    *
+    * Callers should tokenize into a column FIRST (`tokens(normalized(…))
+    * .as("toks")`) and pass the attribute: higher-order functions are
+    * interpreted (CodegenFallback), so an expression argument would be
+    * re-evaluated once per lambda iteration — ~|tokens| regexp extractions
+    * per row instead of one. An attribute is a row read; the projection
+    * below survives CollapseProject because it is non-cheap and
+    * multiply-referenced. */
+  def shinglesOfTokens(toks: Column, n: Int = 5): Column =
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+
+  /** Word `n`-gram shingles of the normalized token stream (convenience
+    * form; prefer tokenizing into a column and [[shinglesOfTokens]]). */
+  def shingles(text: Column, n: Int = 5): Column =
+    shinglesOfTokens(tokens(normalized(text)), n)
 
   /** MinHash signature matrix: one row per id with all `numHashes` min
     * permuted hashes as an `array<long>` (element i = seed i).
@@ -52,8 +63,15 @@ object MinHashLsh {
     import spark.implicits._
     val mins = (0 until numHashes).map(i => min(perm($"h", lit(i))))
     docs
-      .select(col(idCol).as("id"),
-        explode(array_distinct(shingles(col(textCol), shingleWidth))).as("sh"))
+      // Repartition by id BEFORE the explode: the shingle/md5 stage is the
+      // CPU-heavy part and must parallelize even when the input is a few
+      // large (or one small) parquet files; hash(id) partitioning is then
+      // reused by the groupBy below, so its exchange is elided — net one
+      // shuffle, carrying raw docs rather than exploded shingles.
+      .repartition(col(idCol))
+      .select(col(idCol).as("id"), tokens(normalized(col(textCol))).as("toks"))
+      .select($"id",
+        explode(array_distinct(shinglesOfTokens($"toks", shingleWidth))).as("sh"))
       .withColumn("h", md5Long($"sh") % P)
       .groupBy($"id")
       .agg(array(mins: _*).as("sigs"))
@@ -66,10 +84,16 @@ object MinHashLsh {
       .select(col("id"), posexplode(col("sigs")).as(Seq("seed", "sig")))
 
   /** Candidate near-dup pairs: ids sharing any LSH band signature.
-    * numHashes = bands × rowsPerBand. Band signatures are row-local
-    * slices of the signature matrix (no extra shuffle); the only
-    * pairwise work is the band-keyed self-join, whose fan-out is
-    * bounded by actual collisions. */
+    * numHashes = bands × rowsPerBand.
+    *
+    * Band signatures are row-local slices of the signature matrix (no
+    * extra shuffle). Buckets are formed by ONE `groupBy(band, band_sig)`
+    * and pairs expanded inside each bucket — not a band-keyed self-join,
+    * which would execute the whole minhash pipeline twice (one exchange
+    * per join side) and shuffle it twice. Bucket sizes are bounded by
+    * actual collisions (that is LSH's contract), so the in-bucket pair
+    * fan-out is the same work the join would do, minus a full upstream
+    * recompute + shuffle. */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 4, shingleWidth: Int = 5): DataFrame = {
     val sigs = signatureMatrix(docs, idCol, textCol, bands * rowsPerBand, shingleWidth)
@@ -79,10 +103,16 @@ object MinHashLsh {
         b => md5(array_join(transform(
           slice(col("sigs"), b * rowsPerBand + 1, lit(rowsPerBand)),
           s => s.cast("string")), ",")))).as(Seq("band", "band_sig")))
-    val a = bandSigs.select(col("id").as("a"), col("band"), col("band_sig"))
-    val b = bandSigs.select(col("id").as("b"), col("band"), col("band_sig"))
-    a.join(b, Seq("band", "band_sig")).where(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    bandSigs
+      .groupBy(col("band"), col("band_sig"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      // all (i < j) index pairs within the bucket, exploded to rows
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
   }
 
   /** Collapse candidate pairs into duplicate clusters and pick one keeper
