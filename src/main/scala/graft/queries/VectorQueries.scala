@@ -67,6 +67,48 @@ object VectorQueries {
         WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.99
         ORDER BY a, b""")),
 
+    // ── IVF-style ANN: coarse-quantize, search only the probe's cell ──
+    // Deterministic coarse centroids (vec_id < 8) stand in for an
+    // offline k-means; the candidate join is an equi-join on `cluster`,
+    // never all-pairs — the IVF scale path next to v3's LSH bucketing.
+    GraftQuery(
+      "v4_ivf_ann",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val cent = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+        val assigned = graft.similarity.Ivf.assign(emb, cent)
+        graft.similarity.Ivf.topKWithinCell(assigned, $"vec_id" < 10, 3)
+          .orderBy($"pid", $"rank")
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+        scored AS (
+          SELECT e.vec_id, c.cid, list_cosine_similarity(e.embedding, c.cemb) AS cos
+          FROM embeddings e CROSS JOIN cent c),
+        asg AS (
+          SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+            FROM scored)
+          WHERE rn = 1),
+        pc AS (
+          SELECT a.vec_id AS pid, a.cluster, e.embedding AS pe
+          FROM asg a JOIN embeddings e USING (vec_id) WHERE a.vec_id < 10),
+        cc AS (
+          SELECT a.vec_id AS nid, a.cluster, e.embedding AS ne
+          FROM asg a JOIN embeddings e USING (vec_id)),
+        cand AS (
+          SELECT pid, nid, p.cluster AS cluster, list_cosine_similarity(pe, ne) AS cos
+          FROM pc p JOIN cc c ON p.cluster = c.cluster AND pid <> nid),
+        r AS (
+          SELECT pid, nid, cluster,
+            row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rank
+          FROM cand)
+        SELECT pid, nid, rank, cluster FROM r WHERE rank <= 3 ORDER BY pid, rank""")),
+
     // ── LSH-bucketed ANN (scale path; no SQL oracle — rows-only check) ─
     GraftQuery(
       "v3_lsh_ann_buckets",

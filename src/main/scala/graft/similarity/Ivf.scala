@@ -1,0 +1,58 @@
+package graft.similarity
+
+import graft.functions.expressions.VectorExpressions.cosineNative
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-style (inverted-file) approximate-nearest-neighbor search: a small
+  * set of coarse centroids partitions the corpus into cells; a query
+  * searches only its own cell(s), turning the brute-force cross join into
+  * an equi-join on `cluster` — the cell id is the shuffle/partition key,
+  * which is the whole scale story (cost O(|probes|·|corpus|/nCells)
+  * expected, and the corpus side can be written out partitioned by
+  * `cluster` so repeated query batches prune to matching partitions).
+  *
+  * Centroid choice is orthogonal (k-means offline, or any fixed sample);
+  * everything here takes the centroid DataFrame as input, stays
+  * deterministic, and ties break by the smaller centroid id so results
+  * are reproducible across engines.
+  */
+object Ivf {
+
+  /** Assign every vector to its nearest centroid by cosine.
+    * `centroids`: (cid INT/LONG, cemb ARRAY<FLOAT>) — small, broadcast.
+    * Returns (vec_id, embedding, cluster); one wide-side shuffle
+    * (the groupBy), centroid fan-out is map-side. */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = vectors
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids.select(col("cid"), col("cemb"))))
+      .withColumn("cos", cosineNative(col("embedding"), col("cemb")))
+    // max_by over (cos, -cid): highest similarity, ties to the smaller cid
+    scored
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cluster"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+  }
+
+  /** Per-probe top-k within the probe's own cell (nprobe = 1).
+    * `assigned` is the output of [[assign]] for the full corpus; probes
+    * are the subset with `probePred` true. The candidate join is an
+    * equi-join on `cluster` — bucket-local, never all-pairs. */
+  def topKWithinCell(assigned: DataFrame, probePred: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    val p = assigned.where(probePred)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("cluster"))
+    val c = assigned
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), col("cluster"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("cos").desc, col("nid"))
+    broadcast(p).join(c, Seq("cluster")).where(col("pid") =!= col("nid"))
+      .withColumn("cos", cosineNative(col("pe"), col("ne")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("pid"), col("nid"), col("rank"), col("cluster"))
+  }
+}
