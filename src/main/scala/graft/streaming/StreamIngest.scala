@@ -3,8 +3,17 @@ package graft.streaming
 import graft.model._
 import graft.store.StockStore
 import graft.transform.EodhdTransform
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Typed rows for the stateful trade path. */
+case class TradeTick(ticker: String, timestamp: java.sql.Timestamp,
+    price: Double, volume: Long)
+case class VersionedTick(ticker: String, timestamp: java.sql.Timestamp,
+    price: Double, volume: Long, version: Int)
+/** Per-(ticker, event-ts) dedup/version state: payload hashes seen so far
+  * and the highest version handed out. */
+case class VersionState(seen: Seq[Long], maxVersion: Int)
 
 /** Streaming ingest plane (SURVEY §2.1 S3–S8, §3.2).
   *
@@ -52,6 +61,55 @@ object StreamIngest {
         }
       }
       .start()
+  }
+
+  /** In-stream exact-dedup + version assignment — the reference writer's
+    * A3/A4 semantics (reference: src/stockops/data/database/sql_db.py:
+    * 476-524) as CUSTOM STATE, not a sink-side merge: key = (ticker,
+    * event-ts), state = payload hashes seen + max version. A redelivered
+    * identical tick emits nothing; a changed payload at the same key emits
+    * `version = max + 1`.
+    *
+    * Scale/state story: state lives in the state store partitioned by key
+    * hash (scales with executors), and is evicted by EVENT-TIME timeout —
+    * once the watermark passes a key's timestamp + `keep`, the key's state
+    * is dropped, so state size is bounded by the in-flight event-time
+    * window, not history. Data later than that is the batch path's job
+    * ([[StockStore.upsert]] accepts arbitrarily late rows, the reference's
+    * late-data policy — SURVEY §2.5 note).
+    */
+  def statefulVersionedTrades(ticks: DataFrame, keep: String = "10 minutes")
+      : Dataset[VersionedTick] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val keepMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(keep))
+    val slackMs = keepMs.days * 86400000L + keepMs.microseconds / 1000L
+    ticks
+      .withWatermark("timestamp", keep)
+      .select($"ticker", $"timestamp", $"price", $"volume").as[TradeTick]
+      .groupByKey(t => (t.ticker, t.timestamp.getTime))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (String, Long), rows: Iterator[TradeTick],
+            state: org.apache.spark.sql.streaming.GroupState[VersionState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = state.getOption.getOrElse(VersionState(Seq.empty, 0))
+            var seen = st.seen
+            var v = st.maxVersion
+            val out = rows.flatMap { t =>
+              val h = (t.price, t.volume).hashCode().toLong
+              if (seen.contains(h)) None
+              else {
+                v += 1; seen = seen :+ h
+                Some(VersionedTick(t.ticker, t.timestamp, t.price, t.volume, v))
+              }
+            }.toList
+            state.update(VersionState(seen, v))
+            state.setTimeoutTimestamp(key._2 + slackMs)
+            out.iterator
+          }
+        })
   }
 
   /** Watermarked tumbling-window OHLC over a live tick stream — the

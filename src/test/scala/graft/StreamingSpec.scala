@@ -49,6 +49,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful versioned dedup (flatMapGroupsWithState): dups dropped, conflicts versioned") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val ticks = graft.transform.EodhdTransform.tradeTicks(
+      source.toDF().select($"value".as("raw")))
+    val out = StreamIngest.statefulVersionedTrades(ticks)
+    val q = out.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("versioned_out").start()
+    try {
+      val t = 1757623532850L
+      source.addData(
+        s"""{"s": "SPY", "p": 657.53, "v": 5, "t": $t}""",
+        s"""{"s": "SPY", "p": 657.53, "v": 5, "t": $t}""", // exact dup in-batch
+        s"""{"s": "VOO", "p": 512.10, "v": 2, "t": $t}""")
+      q.processAllAvailable()
+      // redelivery across batches (reference XAUTOCLAIM path) → still dup
+      source.addData(s"""{"s": "SPY", "p": 657.53, "v": 5, "t": $t}""")
+      q.processAllAvailable()
+      // changed payload at same (ticker, ts) → version 2
+      source.addData(s"""{"s": "SPY", "p": 657.99, "v": 5, "t": $t}""")
+      q.processAllAvailable()
+
+      val rows = spark.sql("SELECT ticker, price, version FROM versioned_out").collect()
+      assert(rows.length == 3, s"got ${rows.mkString(";")}")
+      val spy = rows.filter(_.getString(0) == "SPY").sortBy(_.getInt(2))
+      assert(spy.map(r => (r.getDouble(1), r.getInt(2))).toSeq ==
+        Seq((657.53, 1), (657.99, 2)))
+      assert(rows.count(_.getString(0) == "VOO") == 1)
+    } finally q.stop()
+  }
+
   test("windowed OHLC over a tick stream (watermarked)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
