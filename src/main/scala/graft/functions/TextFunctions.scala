@@ -51,7 +51,7 @@ object TextFunctions {
     * predict the argmax with a fixed precedence order. (A real pipeline
     * would use fastText; the heuristic keeps the operator SQL-expressible
     * and dependency-free.) */
-  private val markers: Seq[(String, String)] = Seq(
+  private[graft] val markers: Seq[(String, String)] = Seq(
     "en" -> "\\b(the|and|of|is|was)\\b",
     "de" -> "\\b(der|die|das|und|ist)\\b",
     "fr" -> "\\b(le|la|les|et|est)\\b",

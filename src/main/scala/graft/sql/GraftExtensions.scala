@@ -1,0 +1,100 @@
+package graft.sql
+
+import graft.functions.TextFunctions
+import graft.functions.expressions.CosineSimilarityExpr
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** SQL-surface registration for graft's function library, so `spark.sql`
+  * users get the same operators as the Column API:
+  *
+  *   - session builder: `.withExtensions(new GraftExtensions)` or
+  *     `spark.sql.extensions=graft.sql.GraftExtensions` (cluster-wide via
+  *     conf — the idiomatic Spark extension-library entry point);
+  *   - existing session: `GraftFunctions.registerAll(spark)`.
+  *
+  * `cosine_similarity` binds the native codegen'd expression directly;
+  * the text functions are SQL templates parsed to standard unresolved
+  * trees (the analyzer resolves them like any built-in), generated from
+  * the SAME pattern constants as the Column API — SqlExtensionsSpec
+  * asserts value-equivalence between the two surfaces so they cannot
+  * drift. No UDFs anywhere: every function stays codegen-friendly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  /** Builder from a SQL template: `__argN` placeholders are replaced by
+    * the call's argument expressions; everything else parses to ordinary
+    * unresolved functions the analyzer resolves. */
+  private def sqlFn(template: String): Seq[Expression] => Expression = es => {
+    CatalystSqlParser.parseExpression(template).transformUp {
+      case a: UnresolvedAttribute if a.name.startsWith("__arg") =>
+        es(a.name.stripPrefix("__arg").toInt)
+    }
+  }
+
+  /** Escape a Java-regex string into a Spark SQL string literal body. */
+  private def lit(re: String): String = re.replace("\\", "\\\\")
+
+  private val tokensSql = "regexp_extract_all(__arg0, '[a-zA-Z0-9]+', 0)"
+
+  private def langIdSql: String = {
+    val scores = TextFunctions.markers.map { case (_, p) =>
+      s"size(regexp_extract_all(lower(__arg0), '${lit(p)}', 0))"
+    }
+    val best = s"greatest(${scores.mkString(", ")})"
+    TextFunctions.markers.map(_._1).zip(scores).foldRight("'und'") {
+      case ((lang, s), acc) => s"CASE WHEN $s = $best AND $best > 0 THEN '$lang' ELSE $acc END"
+    }
+  }
+
+  private def qualityScoreSql: String = {
+    val alpha = s"CAST(length(regexp_replace(__arg0, '[^a-zA-Z]', '')) AS DOUBLE)"
+    val punct = s"CAST(length(regexp_replace(__arg0, '[^.!?,;]', '')) AS DOUBLE)"
+    val stop = s"CAST(size(regexp_extract_all(lower(__arg0), '${lit("\\b(the|a|and|of|to|in|is|it)\\b")}', 0)) AS DOUBLE)"
+    val toks = s"CAST(size($tokensSql) AS DOUBLE)"
+    val n = "CAST(__arg1 AS DOUBLE)"
+    s"($alpha / $n) * 0.5 + ($stop / ($toks + 1.0)) * 0.5 - ($punct / $n) * 0.25"
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  /** (identifier, info, builder) triples in injectFunction's shape. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "cosine_similarity(a, b) - cosine similarity of two float arrays (fused codegen kernel)"),
+      es => CosineSimilarityExpr(es(0), es(1))),
+    (FunctionIdentifier("graft_tokens"),
+      info("graft_tokens", "graft_tokens(text) - alphanumeric word tokens"),
+      sqlFn(tokensSql)),
+    (FunctionIdentifier("graft_token_count"),
+      info("graft_token_count", "graft_token_count(text) - number of word tokens"),
+      sqlFn(s"size($tokensSql)")),
+    (FunctionIdentifier("graft_normalize"),
+      info("graft_normalize", "graft_normalize(text) - lowercase, collapse whitespace, trim"),
+      sqlFn(s"trim(regexp_replace(lower(__arg0), '${lit("\\s+")}', ' '))")),
+    (FunctionIdentifier("graft_fingerprint"),
+      info("graft_fingerprint", "graft_fingerprint(text) - md5 content fingerprint of normalized text"),
+      sqlFn(s"md5(trim(regexp_replace(lower(__arg0), '${lit("\\s+")}', ' ')))")),
+    (FunctionIdentifier("graft_lang_id"),
+      info("graft_lang_id", "graft_lang_id(text) - marker-word language-ID heuristic"),
+      sqlFn(langIdSql)),
+    (FunctionIdentifier("graft_quality_score"),
+      info("graft_quality_score", "graft_quality_score(text, n_chars) - composite text quality score"),
+      sqlFn(qualityScoreSql)))
+
+  /** Register every graft function into an already-running session. */
+  def registerAll(spark: SparkSession): Unit =
+    all.foreach { case (ident, inf, builder) =>
+      GraftBridge.registerFunction(spark, ident, inf, builder)
+    }
+}

@@ -18,5 +18,14 @@ object GraftBridge {
   /** Extract the Catalyst expression backing a Column. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Register a function builder into a live session's registry (the
+    * post-creation analog of `SparkSessionExtensions.injectFunction`). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(ident, info, builder)
+
   type AbstractType = AbstractDataType
 }

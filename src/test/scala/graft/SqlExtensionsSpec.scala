@@ -1,0 +1,68 @@
+package graft
+
+import graft.sql.GraftFunctions
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface registration: graft functions callable from `spark.sql`,
+  * planning to the same Catalyst expressions as the Column API. */
+class SqlExtensionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("registered SQL functions evaluate like the Column API") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+
+    val r = spark.sql(
+      """SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                         array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        |  graft_token_count('one two three') AS n,
+        |  graft_lang_id('the cat and the dog is here') AS lang,
+        |  graft_fingerprint('  Hello   WORLD ') AS fp
+        |""".stripMargin).head()
+    assert(math.abs(r.getAs[Double]("c") - 1.0) < 1e-12)
+    assert(r.getAs[Int]("n") == 3)
+    assert(r.getAs[String]("lang") == "en")
+
+    // fingerprint must equal the Column-API fingerprint of the normalized text
+    val viaColumn = Seq("  Hello   WORLD ").toDF("t")
+      .select(graft.functions.TextFunctions.fingerprint($"t")).head().getString(0)
+    assert(r.getAs[String]("fp") == viaColumn)
+  }
+
+  test("SQL templates are value-equivalent to the Column API (no drift)") {
+    GraftFunctions.registerAll(spark)
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.functions.{length, lit}
+    import spark.implicits._
+    val samples = Seq(
+      "the quick brown fox and the lazy dog is here",
+      "der hund und die katze ist da",
+      "le chat et le chien est la",
+      "!!! ??? ,,, ;;;",
+      "  MiXeD   Case\twhitespace  text of it ",
+      "").toDF("t").withColumn("n", length($"t") + lit(1))
+
+    samples.createOrReplaceTempView("samples_sql_ext")
+    val viaSql = spark.sql(
+      """SELECT graft_token_count(t) AS tc, graft_lang_id(t) AS lang,
+        |  graft_fingerprint(t) AS fp, graft_quality_score(t, n) AS q
+        |FROM samples_sql_ext""".stripMargin).collect()
+    val viaCol = samples.select(
+      tokenCount($"t").as("tc"), langId($"t").as("lang"),
+      fingerprint($"t").as("fp"), qualityScore($"t", $"n").as("q")).collect()
+    viaSql.zip(viaCol).foreach { case (a, b) =>
+      assert(a.getInt(0) == b.getInt(0))
+      assert(a.getString(1) == b.getString(1))
+      assert(a.getString(2) == b.getString(2))
+      assert(math.abs(a.getDouble(3) - b.getDouble(3)) < 1e-12)
+    }
+  }
+
+  test("extensions class wires the same function list") {
+    // The injectFunction path needs a fresh session; here we assert the
+    // registration list itself is well-formed (names unique, builders run).
+    val names = GraftFunctions.all.map(_._1.funcName)
+    assert(names.distinct.size == names.size)
+    assert(names.contains("cosine_similarity"))
+  }
+}
