@@ -1,5 +1,6 @@
 package graft.functions
 
+import graft.functions.HashFunctions.md5Long
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -46,6 +47,38 @@ object TextFunctions {
     val punctRatio = punctCount(text).cast("double") / nChars.cast("double")
     alphaRatio * lit(0.5) + stopRatio * lit(0.5) - punctRatio * lit(0.25)
   }
+
+  /** BPE-ish subword tokens: letter runs, single digits, single
+    * punctuation marks — the shape GPT-style pre-tokenizers produce,
+    * without lookarounds so RE2 engines (DuckDB) match Java exactly. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  /** Whitespace token count (maximal non-space runs). */
+  def wsTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^\\s]+"), lit(0)))
+
+  /** Rolling char `k`-gram hashes of (already normalized) text — step 1
+    * of winnowing. MUST be materialized into a column before
+    * [[winnowFromGrams]]: higher-order lambdas re-evaluate expression
+    * arguments per element, so passing this expression directly into the
+    * window step would redo the full gram hashing once per window. */
+  def charGramHashes(normText: Column, k: Int = 8): Column =
+    transform(
+      sequence(lit(1), greatest(length(normText) - (k - 1), lit(1))),
+      i => md5Long(normText.substr(i, lit(k))))
+
+  /** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, the MOSS
+    * scheme): the distinct minima of every `w`-window of the rolling
+    * gram hashes. Robust to insertions/reordering in a way a whole-doc
+    * hash is not; at scale each doc's fingerprints become join keys for
+    * overlap detection (explode → groupBy fingerprint). */
+  def winnowFromGrams(grams: Column, w: Int = 4): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
+      j => array_min(slice(grams, j, lit(w)))))
 
   /** N-gram-marker language-ID heuristic: count per-language marker words,
     * predict the argmax with a fixed precedence order. (A real pipeline

@@ -96,6 +96,61 @@ object TextQueries {
       },
       Some("""
         SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents ORDER BY doc_id""")),
+
+    // ── winnowing fingerprints (rolling char-8-gram hashes, window 4) ──
+    // The MOSS scheme: per-doc distinct minima of each 4-window of the
+    // rolling gram hashes. Gram hashes are materialized into a column
+    // before the window step (HOF lambdas re-evaluate expression args
+    // per element — see TextFunctions.charGramHashes).
+    GraftQuery(
+      "x5_winnow_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .withColumn("nt", normalized($"text"))
+          .withColumn("grams", charGramHashes($"nt", 8))
+          .withColumn("fps", winnowFromGrams($"grams", 4))
+          .select($"doc_id",
+            size($"fps").as("n_fp"),
+            array_min($"fps").as("min_fp"),
+            array_max($"fps").as("max_fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH norm AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, i,
+            CAST(concat('0x', substr(md5(substr(t, CAST(i AS INT), 8)), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 7, 1))) AS i
+                FROM norm)),
+        wins AS (
+          SELECT g.doc_id, w.j, MIN(g.h) AS fp
+          FROM (SELECT doc_id, unnest(generate_series(1, greatest(mx - 3, 1))) AS j
+                FROM (SELECT doc_id, MAX(i) AS mx FROM grams GROUP BY doc_id)) w
+          JOIN grams g ON g.doc_id = w.doc_id AND g.i BETWEEN w.j AND w.j + 3
+          GROUP BY g.doc_id, w.j)
+        SELECT doc_id, COUNT(DISTINCT fp) AS n_fp,
+          MIN(fp) AS min_fp, MAX(fp) AS max_fp
+        FROM wins GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── token counting: whitespace + BPE-ish subword regex ────────────
+    GraftQuery(
+      "x6_bpe_token_count",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            wsTokenCount($"text").as("n_ws"),
+            bpeTokenCount($"text").as("n_bpe"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+          len(regexp_extract_all(text, '[^\s]+')) AS n_ws,
+          len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe
         FROM documents ORDER BY doc_id"""))
   )
 }
