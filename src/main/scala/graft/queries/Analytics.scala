@@ -95,30 +95,32 @@ object Analytics {
       "q4_ohlc_resample",
       (s, dir) => {
         import s.implicits._
-        val w = Window.partitionBy($"day").orderBy($"ts", $"event_id")
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        // ONE aggregation, no per-day sort: open/close are the values at
+        // the lexicographic min/max of (ts, event_id, value) — a struct
+        // min/max with full map-side partial aggregation. The
+        // window-function form would shuffle every tick, sort each day
+        // partition, then dedup; this shuffles only per-day partials.
+        val tev = struct($"ts", $"event_id", $"value")
         Tables.events(s, dir)
           .select(date_format($"ts", "yyyy-MM-dd").as("day"), $"ts", $"event_id", $"value")
-          .select(
-            $"day",
-            first($"value").over(w).as("open"),
-            max($"value").over(w).as("high"),
-            min($"value").over(w).as("low"),
-            last($"value").over(w).as("close"),
-            count(lit(1)).over(w).as("n_ticks"))
-          .distinct()
+          .groupBy($"day")
+          .agg(
+            min(tev).getField("value").as("open"),
+            max($"value").as("high"),
+            min($"value").as("low"),
+            max(tev).getField("value").as("close"),
+            count(lit(1)).as("n_ticks"))
           .orderBy($"day")
       },
       Some("""
-        SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
-          first_value(value) OVER w AS open,
-          MAX(value) OVER w AS high,
-          MIN(value) OVER w AS low,
-          last_value(value) OVER w AS close,
-          COUNT(*) OVER w AS n_ticks
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+          (min(struct_pack(a := ts, b := event_id, c := value))).c AS open,
+          MAX(value) AS high,
+          MIN(value) AS low,
+          (max(struct_pack(a := ts, b := event_id, c := value))).c AS close,
+          COUNT(*) AS n_ticks
         FROM events
-        WINDOW w AS (PARTITION BY strftime(ts, '%Y-%m-%d') ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        GROUP BY strftime(ts, '%Y-%m-%d')
         ORDER BY day"""),
       bench = true),
 
