@@ -115,12 +115,15 @@ object MinHashLsh {
       .distinct()
   }
 
-  /** Collapse candidate pairs into duplicate clusters and pick one keeper
-    * per cluster (min id), via iterative label propagation — the
-    * DataFrame-only connected-components that large dedup pipelines use.
-    * `maxIter` bounds the join rounds; cluster diameter beyond that is
-    * rare for dup graphs (near-cliques). */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 5): DataFrame = {
+  /** Per-member component labels for the candidate-pair graph: (id,
+    * label) where label converges to the component's min id — iterative
+    * label propagation, the DataFrame-only connected-components that
+    * large dedup pipelines use (each round is one shuffle join; state
+    * stays distributed, nothing ever collects to the driver). `maxIter`
+    * bounds the rounds; dup graphs are near-cliques, so diameters beyond
+    * a handful of hops are rare, and the loop exits early on
+    * convergence. */
+  def memberLabels(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
       .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
     var labels = edges.select(col("a").as("id")).distinct()
@@ -128,19 +131,26 @@ object MinHashLsh {
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
+      val prev = labels
       val next = edges.join(labels, edges("b") === labels("id"))
         .groupBy(edges("a").as("id"))
         .agg(min(col("label")).as("nbr_label"))
         .join(labels.withColumnRenamed("label", "own_label"), "id")
         .select(col("id"), least(col("own_label"), col("nbr_label")).as("label"))
       next.cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).isEmpty
+      converged = next.join(prev.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      prev.unpersist()
       labels = next
-      converged = changed
       i += 1
     }
-    labels.groupBy(col("label").as("cluster"))
-      .agg(collect_list(col("id")).as("members"), min(col("id")).as("keeper"))
+    labels
   }
+
+  /** Collapse candidate pairs into duplicate clusters and pick one keeper
+    * per cluster (min id). */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame =
+    memberLabels(pairs, maxIter)
+      .groupBy(col("label").as("cluster"))
+      .agg(sort_array(collect_list(col("id"))).as("members"), min(col("id")).as("keeper"))
 }

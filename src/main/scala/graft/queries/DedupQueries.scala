@@ -38,6 +38,37 @@ object DedupQueries {
       |SELECT doc_id + 1000000 AS doc_id, text || ' extra appended tail tokens here' AS text
       |FROM documents WHERE doc_id % 5 = 0""".stripMargin
 
+  /** Shared oracle CTE chain producing the d2 LSH candidate pairs
+    * (also the base graph for d6's connected components). */
+  private val pairsCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' extra appended tail tokens here' AS text
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |toks AS (
+      |  SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+      |  FROM corpus),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, CASE WHEN len(t) < 5 THEN array_to_string(t, ' ')
+      |    ELSE array_to_string(t[i:i+4], ' ') END AS sh
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i FROM toks)),
+      |hashed AS (
+      |  SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % 2147483647 AS h FROM sh),
+      |sigs AS (
+      |  SELECT doc_id, seed,
+      |    MIN(((seed * 2 + 1) * h + seed * 12582917) % 2147483647) AS sig
+      |  FROM hashed, (SELECT unnest(generate_series(0, 15)) AS seed)
+      |  GROUP BY doc_id, seed),
+      |bands AS (
+      |  SELECT doc_id, CAST(FLOOR(seed / 4) AS INT) AS band,
+      |    md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY seed)) AS band_sig
+      |  FROM sigs GROUP BY doc_id, CAST(FLOOR(seed / 4) AS INT)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      |  WHERE a.doc_id < b.doc_id)""".stripMargin
+
   /** Word 5-gram shingles of the alnum-token stream. */
   private def shingles(tokens: Column): Column =
     when(size(tokens) < 5, array(concat_ws(" ", tokens)))
@@ -87,35 +118,30 @@ object DedupQueries {
           .candidatePairs(corpusWithNearDups(s, dir), "doc_id", "text")
           .orderBy($"a", $"b")
       },
-      Some("""
-        WITH corpus AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT doc_id + 1000000 AS doc_id, text || ' extra appended tail tokens here' AS text
-          FROM documents WHERE doc_id % 5 = 0),
-        toks AS (
-          SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
-          FROM corpus),
-        sh AS (
-          SELECT DISTINCT doc_id, CASE WHEN len(t) < 5 THEN array_to_string(t, ' ')
-            ELSE array_to_string(t[i:i+4], ' ') END AS sh
-          FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i FROM toks)),
-        hashed AS (
-          SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % 2147483647 AS h FROM sh),
-        sigs AS (
-          SELECT doc_id, seed,
-            MIN(((seed * 2 + 1) * h + seed * 12582917) % 2147483647) AS sig
-          FROM hashed, (SELECT unnest(generate_series(0, 15)) AS seed)
-          GROUP BY doc_id, seed),
-        bands AS (
-          SELECT doc_id, CAST(FLOOR(seed / 4) AS INT) AS band,
-            md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY seed)) AS band_sig
-          FROM sigs GROUP BY doc_id, CAST(FLOOR(seed / 4) AS INT))
-        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
-        WHERE a.doc_id < b.doc_id
-        ORDER BY a, b"""),
+      Some(s"WITH $pairsCte\nSELECT a, b FROM pairs ORDER BY a, b"),
       bench = true),
+
+    // ── duplicate clusters: connected components over the LSH pairs ────
+    // Spark side: iterative label propagation (MinHashLsh.memberLabels);
+    // oracle side: exact transitive closure via recursive CTE. Labels
+    // converge to the component min id = the cluster keeper.
+    GraftQuery(
+      "d6_dup_clusters",
+      (s, dir) => {
+        import s.implicits._
+        graft.dedup.MinHashLsh
+          .memberLabels(graft.dedup.MinHashLsh
+            .candidatePairs(corpusWithNearDups(s, dir), "doc_id", "text"))
+          .select($"id", $"label".as("keeper"))
+          .orderBy($"id")
+      },
+      Some(s"""WITH RECURSIVE $pairsCte,
+        edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+        reach(id, r) AS (
+          SELECT a AS id, a AS r FROM edges
+          UNION
+          SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id)
+        SELECT id, MIN(r) AS keeper FROM reach GROUP BY id ORDER BY id""")),
 
     // ── SimHash: 32-bit signature over the distinct-token set ──────────
     GraftQuery(
