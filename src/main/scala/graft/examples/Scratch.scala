@@ -1,7 +1,9 @@
 package graft.examples
 
-import graft.core.Registry
+import graft.core.Tables
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Throwaway profiling harness (not part of the library surface). */
 object Scratch {
@@ -11,16 +13,50 @@ object Scratch {
       .appName("scratch").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- Registry.allQueries.filter(_.bench)) {
-      println(s"########## ${q.name}")
-      println(q.build(spark, dir).queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode))
+    import spark.implicits._
+
+    def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+    def rat2(c: org.apache.spark.sql.Column) = c.cast("decimal(3,2)")
+    val one = lit(1).cast("decimal(3,2)")
+    def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+    def base = Tables.lineitem(spark, dir).filter($"l_shipdate" <= lit("2000-12-01").cast("timestamp"))
+
+    def decimalV = base.groupBy($"l_returnflag", $"l_linestatus").agg(
+      sum(dec2($"l_quantity")).cast(DoubleType).as("sum_qty"),
+      sum(dec2($"l_extendedprice")).cast(DoubleType).as("sum_base_price"),
+      sum(dec2($"l_extendedprice") * (one - rat2($"l_discount"))).cast(DoubleType).as("sum_disc_price"),
+      sum(dec2($"l_extendedprice") * (one - rat2($"l_discount")) * (one + rat2($"l_tax"))).cast(DoubleType).as("sum_charge"),
+      count(lit(1)).as("n")).orderBy($"l_returnflag", $"l_linestatus")
+
+    // scaled-long arithmetic: cents and basis-point ints, exact + associative
+    def longV = base.groupBy($"l_returnflag", $"l_linestatus").agg(
+      (sum(cents($"l_quantity")) / 100.0).as("sum_qty"),
+      (sum(cents($"l_extendedprice")) / 100.0).as("sum_base_price"),
+      (sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))) / 10000.0).as("sum_disc_price"),
+      (sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")) * (lit(100L) + cents($"l_tax"))) / 1000000.0).as("sum_charge"),
+      count(lit(1)).as("n")).orderBy($"l_returnflag", $"l_linestatus")
+
+    def run(label: String, f: => org.apache.spark.sql.DataFrame): Unit = {
+      f.write.format("noop").mode("overwrite").save() // warm
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scratch] $label min=${ts.min}%.2f  runs=${ts.map(t => f"$t%.2f").mkString(",")}")
     }
+    run("decimal", decimalV)
+    run("scaled-long", longV)
+    // value equivalence
+    val a = decimalV.collect().map(_.toSeq).toSeq
+    val b = longV.collect().map(_.toSeq).toSeq
+    println(s"[scratch] values-equal=${a == b}")
+    if (a != b) { println(a.head); println(b.head) }
     spark.stop()
   }
 }

@@ -24,4 +24,19 @@ private[queries] object Portable {
   /** Epoch milliseconds BIGINT — the portable way to output an instant.
     * DuckDB: epoch_ms(ts). */
   def tsMillis(c: Column): Column = unix_millis(c)
+
+  /** 2-decimal money/ratio column as exact integer hundredths. Integer
+    * sums are associative (shuffle-order-proof) like decimal sums but
+    * aggregate ~2× faster (plain long adds in codegen vs Decimal
+    * boxing); the inputs are 2-decimal values, so round() hits an exact
+    * integer in both engines. DuckDB: CAST(round(c * 100) AS BIGINT). */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Exact hundredths-sum surfaced as DOUBLE.
+    * DuckDB: SUM(CAST(round(c*100) AS BIGINT)) / 100.0. */
+  def sumCents(c: Column): Column = sum(cents(c)) / 100.0
+
+  /** avg = hundredths-sum / 100.0 / count, double ops in fixed order.
+    * DuckDB: SUM(CAST(round(c*100) AS BIGINT)) / 100.0 / COUNT(*). */
+  def avgCents(c: Column): Column = sum(cents(c)) / 100.0 / count(lit(1))
 }

@@ -25,25 +25,31 @@ object Relational {
         import s.implicits._
         val li = Tables.lineitem(s, dir).filter($"l_shipdate" <= lit("2000-12-01").cast("timestamp"))
         val one = lit(1).cast("decimal(3,2)")
+        // Plain sums/avgs run as scaled-long integer aggregation (exact,
+        // associative, ~2× faster than decimal; cents magnitudes keep
+        // quintillions of headroom). The two PRODUCT sums stay decimal:
+        // their per-row scaled-integer magnitude is 1e9–1e11, which a
+        // long sum would overflow around SF100 — exactness beats the
+        // last bit of local speed at the 100 TB design point.
         li.groupBy($"l_returnflag", $"l_linestatus")
           .agg(
-            sumd($"l_quantity").as("sum_qty"),
-            sumd($"l_extendedprice").as("sum_base_price"),
+            sumCents($"l_quantity").as("sum_qty"),
+            sumCents($"l_extendedprice").as("sum_base_price"),
             sum(dec2($"l_extendedprice") * (one - rat2($"l_discount"))).cast(DoubleType).as("sum_disc_price"),
             sum(dec2($"l_extendedprice") * (one - rat2($"l_discount")) * (one + rat2($"l_tax"))).cast(DoubleType).as("sum_charge"),
-            avgd($"l_quantity").as("avg_qty"),
-            avgd($"l_extendedprice").as("avg_price"),
+            avgCents($"l_quantity").as("avg_qty"),
+            avgCents($"l_extendedprice").as("avg_price"),
             count(lit(1)).as("count_order"))
           .orderBy($"l_returnflag", $"l_linestatus")
       },
       Some("""
         SELECT l_returnflag, l_linestatus,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+          SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+          SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+          SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_qty,
+          SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_price,
           COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -60,12 +66,12 @@ object Relational {
           .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
           .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
           .groupBy($"r_name", $"n_name")
-          .agg(count(lit(1)).as("n_customers"), sumd($"c_acctbal").as("total_acctbal"))
+          .agg(count(lit(1)).as("n_customers"), sumCents($"c_acctbal").as("total_acctbal"))
           .orderBy($"r_name", $"n_name")
       },
       Some("""
         SELECT r_name, n_name, COUNT(*) AS n_customers,
-          CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+          SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_acctbal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -83,14 +89,17 @@ object Relational {
           .join(Tables.orders(s, dir).filter($"o_orderdate" < cut), $"c_custkey" === $"o_custkey")
           .join(Tables.lineitem(s, dir).filter($"l_shipdate" > cut), $"o_orderkey" === $"l_orderkey")
           .groupBy($"l_orderkey", $"o_orderdate")
-          .agg(sum(dec2($"l_extendedprice") * (one - rat2($"l_discount"))).cast(DoubleType).as("revenue"))
+          // scaled-long product sum: groups are single orders (a handful
+          // of lineitems), so the 1e9-unit products cannot overflow a
+          // long within any group at any SF
+          .agg((sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))) / 10000.0).as("revenue"))
           .select($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"), $"revenue")
           .orderBy($"revenue".desc, $"l_orderkey")
           .limit(10)
       },
       Some("""
         SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+          SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
