@@ -1,0 +1,99 @@
+package graft
+
+import graft.model.Streaming
+import graft.store.StockStore
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Property tests (SURVEY §5 test plan): dedup/versioning idempotence and
+  * order-invariance under replay, epoch-unit normalization, and minhash
+  * shuffle-invariance. Spark-backed cases, so the success count is kept
+  * small — each case runs real jobs. */
+object GraftProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = SparkTestSession.spark
+
+  // ── generators ─────────────────────────────────────────────────────
+  private val baseMs = 1757623500000L
+  private case class Tick(ticker: String, tsMs: Long, price: Double, volume: Long)
+  private val tickGen: Gen[Tick] = for {
+    tk <- Gen.oneOf("SPY", "VOO")
+    ts <- Gen.oneOf(0L, 1000L, 2000L).map(baseMs + _)
+    p <- Gen.oneOf(100.0, 101.5, 99.25)
+    v <- Gen.choose(1L, 3L)
+  } yield Tick(tk, ts, p, v)
+  private val batchGen: Gen[List[Tick]] = Gen.nonEmptyListOf(tickGen).map(_.take(8))
+
+  private def toDf(ts: List[Tick]) = {
+    import spark.implicits._
+    ts.map(t => (t.ticker, new java.sql.Timestamp(t.tsMs), t.price, t.volume))
+      .toDF("ticker", "timestamp", "price", "volume")
+  }
+
+  private def storedSet(root: String): Set[(String, Long, Double, Long, Int)] =
+    StockStore.table(spark, root, Streaming)
+      .select(col("ticker"), unix_millis(col("timestamp")), col("price"),
+        col("volume"), col("version"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getInt(4)))
+      .toSet
+
+  // ── A3/A13: replaying the same batch writes nothing new ────────────
+  property("upsert replay is idempotent") = Prop.forAll(batchGen) { batch =>
+    val root = SparkTestSession.tempDir("prop-idem")
+    StockStore.upsert(spark, root, Streaming, toDf(batch))
+    val once = storedSet(root)
+    StockStore.upsert(spark, root, Streaming, toDf(batch))
+    storedSet(root) == once
+  }
+
+  // ── A3/A4: stored payloads = distinct payloads; versions dense ─────
+  property("dedup keeps distinct payloads, versions are dense per key") =
+    Prop.forAll(batchGen) { batch =>
+      val root = SparkTestSession.tempDir("prop-ver")
+      StockStore.upsert(spark, root, Streaming, toDf(batch))
+      val stored = storedSet(root)
+      val distinctPayloads = batch.map(t => (t.ticker, t.tsMs, t.price, t.volume)).toSet
+      val payloadsOk = stored.map { case (tk, ts, p, v, _) => (tk, ts, p, v) } == distinctPayloads
+      val versionsOk = stored.groupBy { case (tk, ts, _, _, _) => (tk, ts) }
+        .forall { case (_, rows) =>
+          rows.map(_._5).toList.sorted == (1 to rows.size).toList
+        }
+      payloadsOk && versionsOk
+    }
+
+  // ── input order must not change what is stored (reference shuffles
+  //    its golden fixture deliberately — local_write.py:27-55) ────────
+  property("upsert is input-order invariant") = Prop.forAll(batchGen) { batch =>
+    val r1 = SparkTestSession.tempDir("prop-ord1")
+    val r2 = SparkTestSession.tempDir("prop-ord2")
+    StockStore.upsert(spark, r1, Streaming, toDf(batch))
+    StockStore.upsert(spark, r2, Streaming, toDf(batch.reverse))
+    storedSet(r1).map { case (tk, ts, p, v, _) => (tk, ts, p, v) } ==
+      storedSet(r2).map { case (tk, ts, p, v, _) => (tk, ts, p, v) }
+  }
+
+  // ── T5: magnitude-sniffed unit normalization is exact ──────────────
+  property("epoch unit normalization: s/ms/us all map to the same seconds") =
+    Prop.forAll(Gen.choose(1L, 4102444800L)) { sec => // up to year 2100
+      import spark.implicits._
+      val df = Seq(sec, sec * 1000L, sec * 1000000L).toDF("v")
+        .select(graft.functions.TimeFunctions.normalizeEpochToSeconds(col("v")).as("s"))
+      df.collect().forall(_.getLong(0) == sec)
+    }
+
+  // ── minhash signatures are deterministic and row-order invariant ───
+  property("minhash signature matrix is shuffle-invariant") =
+    Prop.forAll(Gen.listOfN(4, Gen.alphaLowerStr.suchThat(_.nonEmpty))) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, s"$t some shared tail tokens") }
+      def sigs(ds: List[(Long, String)]) =
+        graft.dedup.MinHashLsh
+          .signatureMatrix(ds.toDF("doc_id", "text"), "doc_id", "text", numHashes = 8)
+          .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
+      sigs(docs) == sigs(docs.reverse)
+    }
+}
