@@ -1,0 +1,42 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Salted equi-join for skewed keys — the manual fallback when AQE's
+  * skew-join split (which this engine enables by default) is not enough,
+  * e.g. a single hot ticker carrying a double-digit share of all ticks.
+  *
+  * Mechanics: the skewed (large) side gets a random salt in [0, salts);
+  * the other side is replicated once per salt value, and the join key
+  * becomes (key, salt) — the hot key's rows now spread over `salts`
+  * shuffle partitions instead of one straggler task. Replication
+  * multiplies the small side by `salts`, so pick the smaller input as
+  * `replicated` and keep `salts` near the cluster's per-key imbalance
+  * factor (8–64 in practice).
+  *
+  * Correctness: every (skewed-row, replicated-row) key match meets at
+  * exactly one salt value — the one the skewed row drew — so the result
+  * multiset equals the plain join's.
+  */
+object SkewJoin {
+
+  def saltedInner(skewed: DataFrame, replicated: DataFrame, key: String,
+      salts: Int = 16): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val spark = skewed.sparkSession
+    val saltCol = "__graft_salt"
+    val s = skewed.withColumn(saltCol, (rand(seed = 42) * salts).cast("int"))
+    val r = replicated.crossJoin(
+      spark.range(salts).select(col("id").cast("int").as(saltCol)))
+    s.join(r, Seq(key, saltCol)).drop(saltCol)
+  }
+
+  /** Top-N key histogram — the diagnostic that decides whether salting
+    * (or a broadcast) is warranted for `key`. */
+  def keySkew(df: DataFrame, key: Column, topN: Int = 10): DataFrame =
+    df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(topN)
+}

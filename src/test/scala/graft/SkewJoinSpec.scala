@@ -1,0 +1,34 @@
+package graft
+
+import graft.core.SkewJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Salted join equivalence: the salted plan must return the exact
+  * multiset of the plain join, with the hot key spread across salts. */
+class SkewJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("salted inner join equals plain inner join (multiset)") {
+    import spark.implicits._
+    // heavily skewed left: 10k rows for one key, a handful for others
+    val skewed = ((1 to 10000).map(i => ("HOT", i)) ++
+      (1 to 7).map(i => ("COLD", i))).toDF("k", "v")
+    val dim = Seq(("HOT", "a"), ("COLD", "b"), ("MISSING", "c")).toDF("k", "attr")
+
+    val plain = skewed.join(dim, Seq("k"))
+    val salted = SkewJoin.saltedInner(skewed, dim, "k", salts = 8)
+
+    assert(salted.count() == plain.count())
+    val a = plain.groupBy("k", "v", "attr").count()
+    val b = salted.groupBy("k", "v", "attr").count()
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("keySkew surfaces the hot key first") {
+    import spark.implicits._
+    val df = ((1 to 100).map(_ => "HOT") ++ Seq("X", "Y")).toDF("k")
+    val top = SkewJoin.keySkew(df, col("k")).collect()
+    assert(top.head.getString(0) == "HOT" && top.head.getLong(1) == 100L)
+  }
+}
