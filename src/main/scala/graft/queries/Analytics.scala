@@ -143,6 +143,37 @@ object Analytics {
           SELECT user_id, event_id, value,
             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
           FROM events WHERE user_id < 30)
-        WHERE rn <= 3 ORDER BY user_id, rn"""))
+        WHERE rn <= 3 ORDER BY user_id, rn""")),
+
+    // ── Q3 general form: backward as-of JOIN between two tables ────────
+    // Spark side: union-tag + running-last (one sort per key partition,
+    // no range cross join — SessionAnalytics.asOfJoinBackward); oracle:
+    // DuckDB's native ASOF LEFT JOIN. Right side pre-deduped to unique
+    // (key, ts) so tie behavior is engine-independent.
+    GraftQuery(
+      "q6_asof_join_backward",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter($"event_type" === "click")
+          .select($"event_id", $"user_id", $"ts")
+        val views = ev.filter($"event_type" === "view")
+          .groupBy($"user_id", $"ts").agg(max($"value").as("view_value"))
+        graft.analytics.SessionAnalytics
+          .asOfJoinBackward(clicks, views, Seq("user_id"), "ts", "ts", Seq("view_value"))
+          .select($"event_id", $"user_id", tsMillis($"ts").as("ts_ms"), $"asof_view_value")
+          .orderBy($"event_id")
+      },
+      Some("""
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        views AS (
+          SELECT user_id, ts, MAX(value) AS view_value
+          FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms,
+          v.view_value AS asof_view_value
+        FROM clicks c ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+        ORDER BY event_id"""))
   )
 }

@@ -60,6 +60,45 @@ object StreamingQueries {
         SELECT epoch_ms(win_start) AS win_start_ms, COUNT(*) AS n,
           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         FROM assigned
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ── session-window aggregation (30-minute inactivity gap) ──────────
+    // Spark's session_window merges events within the gap per key; the
+    // oracle rebuilds the same islands with lag + running sum. Session
+    // end is last event + gap in both.
+    GraftQuery(
+      "s3_session_window_agg",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .filter($"user_id" < 20)
+          .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+          .agg(count(lit(1)).as("n"), sumd($"value").as("total_value"))
+          .select($"user_id",
+            tsMillis($"sw.start").as("session_start_ms"),
+            tsMillis($"sw.end").as("session_end_ms"),
+            $"n", $"total_value")
+          .orderBy($"user_id", $"session_start_ms")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, ts, value FROM events WHERE user_id < 20),
+        flags AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                 THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sess AS (
+          SELECT user_id, ts, value,
+            SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flags)
+        SELECT user_id, epoch_ms(MIN(ts)) AS session_start_ms,
+          epoch_ms(MAX(ts) + INTERVAL '30 minutes') AS session_end_ms,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, session_start_ms"""))
   )
 }
