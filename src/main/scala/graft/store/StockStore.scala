@@ -131,6 +131,33 @@ object StockStore {
   def table(spark: SparkSession, root: String, dt: StockDataType): DataFrame =
     spark.read.parquet(tablePath(root, dt))
 
+  /** Compact the small files that per-micro-batch appends accumulate
+    * (SURVEY §7.4 risk 5): rewrite the table so each partition directory
+    * holds one file again, preserving every row/version. The reference
+    * sidesteps this because SQLite updates B-trees in place; a columnar
+    * store pays it as a periodic maintenance job instead — run on a
+    * schedule or when files-per-partition crosses a threshold. The
+    * rewrite goes to a temp dir then swaps via rename; a table format
+    * with transactional commit (e.g. Delta) makes the swap atomic on a
+    * real deployment.
+    * @return number of rows in the compacted table */
+  def compact(spark: SparkSession, root: String, dt: StockDataType): Long = {
+    import org.apache.hadoop.fs.Path
+    val pathStr = tablePath(root, dt)
+    val df = spark.read.parquet(pathStr)
+    val partCols = Seq("ticker", "y", "m", "d").filter(df.columns.contains)
+    val tmp = pathStr + "__compacting"
+    df.repartition(partCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*)
+      .parquet(tmp)
+    val rows = spark.read.parquet(tmp).count()
+    val fs = new Path(pathStr).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(pathStr), true)
+    fs.rename(new Path(tmp), new Path(pathStr))
+    rows
+  }
+
   /** A7: per-ticker stats view (reference __table_stats__,
     * sql_db.py:559-599). Parquet footers already carry min/max; this
     * materializes the discovery-API shape. */

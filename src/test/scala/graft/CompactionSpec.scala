@@ -1,0 +1,42 @@
+package graft
+
+import graft.model.Streaming
+import graft.store.StockStore
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Small-files compaction (SURVEY §7.4 risk 5): repeated micro-batch
+  * appends accumulate one file per batch per partition; compact() folds
+  * them back to one file per partition without losing a row/version. */
+class CompactionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def tickDf(priceBase: Double) = {
+    import spark.implicits._
+    (0 until 4).map(i =>
+      ("SPY", new java.sql.Timestamp(1757623532850L + i * 1000), priceBase + i, 5L))
+      .toDF("ticker", "timestamp", "price", "volume")
+  }
+
+  private def dataFiles(root: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(root))
+  }
+
+  test("compact folds per-batch files into one per partition, rows intact") {
+    val root = SparkTestSession.tempDir("compact")
+    // three micro-batches into the same (ticker, day) partition
+    StockStore.upsert(spark, root, Streaming, tickDf(100.0))
+    StockStore.upsert(spark, root, Streaming, tickDf(200.0))
+    StockStore.upsert(spark, root, Streaming, tickDf(300.0))
+
+    val before = StockStore.table(spark, root, Streaming).collect().toSet
+    assert(dataFiles(root).size >= 3, "appends should have produced multiple files")
+
+    val rows = StockStore.compact(spark, root, Streaming)
+    assert(rows == before.size)
+    assert(dataFiles(root).size == 1, "one partition touched -> one file")
+    assert(StockStore.table(spark, root, Streaming).collect().toSet == before)
+  }
+}
