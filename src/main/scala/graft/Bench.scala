@@ -35,16 +35,19 @@ object Bench {
     // JIT/codegen warm-up on the small SF (not the measured one)
     runOnce("/root/testdata/sf0.001")
 
-    // two measured passes, keep the per-query minimum (steady state — the
-    // first pass still pays one-time file listing/codegen for this SF)
+    // three measured passes, keep the per-query minimum (steady state —
+    // the first pass still pays one-time file listing/codegen for this
+    // SF, and the host shows multi-x noise swings between passes)
     def timed(): Seq[(String, Double)] = benchQueries.map { q =>
       val t0 = System.nanoTime()
       try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val (p1, p2) = (timed(), timed())
-    val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    val passes = Seq(timed(), timed(), timed())
+    val results = benchQueries.map(_.name).zipWithIndex.map { case (n, i) =>
+      n -> passes.map(_(i)._2).min
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

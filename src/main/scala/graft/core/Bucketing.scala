@@ -1,0 +1,32 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed tables for shuffle-free co-located joins.
+  *
+  * Writing both sides of a recurring join bucketed (and sorted) by the
+  * join key pre-pays the shuffle ONCE at write time: every later
+  * sort-merge join on that key reads matching buckets directly — no
+  * exchange on either side, which at 100 TB is the difference between a
+  * full-network shuffle per query and none (BucketedJoinSpec asserts the
+  * exchange-free plan). The store's analog is its (ticker, calendar)
+  * directory partitioning; bucketing covers high-cardinality equi-join
+  * keys (order ids, user ids) where directory-per-key would explode.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted managed parquet table. Both sides
+    * of a co-located join must use the same key and bucket count. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int = 32): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Equi-join two same-bucketing tables on their bucket key. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}

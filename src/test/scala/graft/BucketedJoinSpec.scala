@@ -1,0 +1,44 @@
+package graft
+
+import graft.core.Bucketing
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketed co-located join: same key + bucket count on both sides must
+  * produce a sort-merge join with NO shuffle exchange — the write-once,
+  * join-many scale pattern. */
+class BucketedJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def collectPlans(p: SparkPlan): Seq[SparkPlan] =
+    p +: (p.children ++ p.subqueries).flatMap(collectPlans)
+
+  test("join of two same-bucketed tables plans without exchanges") {
+    import spark.implicits._
+    val orders = (1L to 1000L).map(i => (i, s"o$i")).toDF("k", "o_attr")
+    val items = (1L to 3000L).map(i => (i % 1000 + 1, s"i$i")).toDF("k", "i_attr")
+
+    Bucketing.writeBucketed(orders, "bj_orders", "k", buckets = 8)
+    Bucketing.writeBucketed(items, "bj_items", "k", buckets = 8)
+    try {
+      // pin the strategy so the assertion is about bucketing, not size:
+      // no broadcast, no AQE re-plan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+      val joined = Bucketing.bucketedJoin(spark, "bj_orders", "bj_items", "k")
+      assert(joined.count() == 3000)
+
+      val exchanges = collectPlans(joined.queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.isEmpty,
+        s"bucketed join must not shuffle, found: ${exchanges.mkString(", ")}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS bj_orders")
+      spark.sql("DROP TABLE IF EXISTS bj_items")
+    }
+  }
+}
