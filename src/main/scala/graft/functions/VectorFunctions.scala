@@ -30,16 +30,21 @@ object VectorFunctions {
     * nearest-neighbor search at scale: candidates are confined to one
     * bucket, turning an O(n²) cross join into a bucket-local join.
     */
-  def lshBucket(vec: Column, nPlanes: Int, dims: Int): Column = {
-    // weight(p, d) in [-1000, 1000]: md5-derived, engine-portable
-    def weight(p: Int, d: Int): Column =
-      (HashFunctions.md5Long(lit(s"plane:$p:$d")) % 2001 - lit(1000)).cast("double")
-    val bits = (0 until nPlanes).map { p =>
-      val proj = (0 until dims)
-        .map(d => element_at(vec, d + 1).cast("double") * weight(p, d))
-        .reduce(_ + _)
-      when(proj > 0, lit(1 << p)).otherwise(lit(0))
-    }
-    bits.reduce(_ + _)
-  }
+  def lshBucket(vec: Column, nPlanes: Int, dims: Int): Column =
+    element_at(lshBuckets(vec, 1, nPlanes, dims), 1)
+
+  /** Bucket ids for `tables` independent hash tables (element t+1 = the
+    * bucket in table t; each table draws its own plane set, global plane
+    * index t·nPlanes + p) — the OR-amplified index key for
+    * [[graft.similarity.TopK.lshTopK]]. Implemented as a native
+    * fused-loop expression: the composable per-plane Column form
+    * constant-folds into tables×planes×dims inlined terms, which blows
+    * generated methods past janino's limits and falls back to
+    * interpreted eval (see
+    * [[graft.functions.expressions.SrpBucketsExpr]]). */
+  def lshBuckets(vec: Column, tables: Int, nPlanes: Int, dims: Int): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      graft.functions.expressions.SrpBucketsExpr(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(vec),
+        tables, nPlanes, dims))
 }

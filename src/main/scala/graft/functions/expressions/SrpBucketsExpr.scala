@@ -1,0 +1,112 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types._
+
+/** Signed-random-projection LSH bucket ids for `tables` independent hash
+  * tables of `planes` sign-bits each, as ONE fused loop over the
+  * embedding — returns `array<int>` of length `tables` (element t = the
+  * bucket in table t).
+  *
+  * Why a native expression: the composable form (a per-(table, plane,
+  * dim) expression tree) constant-folds to tables×planes×dims literal
+  * multiply-add terms — thousands of inlined operations that blow the
+  * generated method past janino's limits and fall back to interpreted
+  * eval. Here the weight matrix is ONE reference object and the codegen
+  * is a three-level loop, so the kernel stays inside whole-stage codegen
+  * at any (tables, planes, dims).
+  *
+  * Weights reproduce the engine-portable md5 formula
+  * (`md5Long("plane:<p>:<d>") % 2001 - 1000`, global plane index
+  * t·planes+p), so buckets are stable across runs and engines.
+  */
+case class SrpBucketsExpr(child: Expression, tables: Int, planes: Int, dims: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  /** weights((t*planes + p) * dims + d), derived once driver-side. */
+  @transient lazy val weights: Array[Double] = SrpBucketsExpr.weights(tables * planes, dims)
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = math.min(dims, vec.numElements())
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var p = 0
+      while (p < planes) {
+        val base = (t * planes + p) * dims
+        var proj = 0.0
+        var d = 0
+        while (d < n) { proj += vec.getFloat(d) * weights(base + d); d += 1 }
+        if (proj > 0) bucket |= 1 << p
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, vec => {
+      val w = ctx.addReferenceObj("srpWeights", weights, "double[]")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val n = ctx.freshName("n")
+      val proj = ctx.freshName("proj")
+      val bucket = ctx.freshName("bucket")
+      s"""
+        int $n = Math.min($dims, $vec.numElements());
+        int[] $out = new int[$tables];
+        for (int $t = 0; $t < $tables; $t++) {
+          int $bucket = 0;
+          for (int $p = 0; $p < $planes; $p++) {
+            int base = ($t * $planes + $p) * $dims;
+            double $proj = 0.0;
+            for (int $d = 0; $d < $n; $d++) {
+              $proj += $vec.getFloat($d) * $w[base + $d];
+            }
+            if ($proj > 0) $bucket |= 1 << $p;
+          }
+          $out[$t] = $bucket;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SrpBucketsExpr {
+  /** md5-derived weight matrix: weight(plane, dim) in [-1000, 1000],
+    * identical to the SQL form
+    * `CAST(conv(substring(md5('plane:<p>:<d>'), 1, 15), 16, 10) AS BIGINT)
+    *  % 2001 - 1000`. */
+  private[graft] def weights(nPlanes: Int, dims: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Double](nPlanes * dims)
+    var p = 0
+    while (p < nPlanes) {
+      var d = 0
+      while (d < dims) {
+        md.reset()
+        val hex = md.digest(s"plane:$p:$d".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(15)
+        out(p * dims + d) = (java.lang.Long.parseLong(hex, 16) % 2001L - 1000L).toDouble
+        d += 1
+      }
+      p += 1
+    }
+    out
+  }
+}

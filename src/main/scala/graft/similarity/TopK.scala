@@ -1,6 +1,6 @@
 package graft.similarity
 
-import graft.functions.VectorFunctions.lshBucket
+import graft.functions.VectorFunctions.{lshBucket, lshBuckets}
 import graft.functions.expressions.VectorExpressions.cosineNative
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -36,22 +36,31 @@ object TopK {
   }
 
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-      planes: Int = 8, dims: Int = 64, multiProbe: Boolean = true): DataFrame = {
-    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-      lshBucket(col("embedding"), planes, dims).as("bucket"))
-    val pBase = probes.select(col("vec_id").as("pid"), col("embedding").as("pe"),
-      lshBucket(col("embedding"), planes, dims).as("bucket"))
-    // multi-probe: also search the `planes` buckets at Hamming distance 1
-    // from the probe's bucket (flip one sign bit) — big recall win for
-    // vectors near a hyperplane, at planes× probe-side fan-out (probe side
-    // is the small side, so the join stays bucket-local and cheap).
+      planes: Int = 4, tables: Int = 8, dims: Int = 64,
+      multiProbe: Boolean = true): DataFrame = {
+    // OR-amplification: `tables` independent hash tables of `planes`
+    // sign-bits each. A true neighbor at angle θ collides in one table
+    // with prob (1-θ/π)^planes; across L tables the miss probability
+    // decays to (1-p)^L — the knob recall is tuned with. The index side
+    // is tables× the corpus (the classic E2LSH space/recall trade);
+    // the join key is (table, bucket), so candidates stay bucket-local.
+    def withBuckets(df: DataFrame, idAs: String, embAs: String) =
+      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+        posexplode(lshBuckets(col("embedding"), tables, planes, dims))
+          .as(Seq("table", "bucket")))
+    val c = withBuckets(corpus, "nid", "ne")
+    val pBase = withBuckets(probes, "pid", "pe")
+    // multi-probe: additionally search the `planes` buckets at Hamming
+    // distance 1 within each table (flip one sign bit) — recall win for
+    // vectors near a hyperplane, at planes× probe-side fan-out (the
+    // small side).
     val p =
       if (!multiProbe) pBase
       else pBase.withColumn("bucket",
         explode(array((0 until planes).map(b =>
           col("bucket").bitwiseXOR(lit(1 << b))) :+ col("bucket"): _*)))
     val w = Window.partitionBy(col("pid")).orderBy(col("cos").desc, col("nid"))
-    p.join(c, Seq("bucket")).where(col("pid") =!= col("nid"))
+    p.join(c, Seq("table", "bucket")).where(col("pid") =!= col("nid"))
       .withColumn("cos", cosineNative(col("pe"), col("ne")))
       .select(col("pid"), col("nid"), col("cos")).distinct()
       .withColumn("rank", row_number().over(w))

@@ -1,0 +1,54 @@
+package graft
+
+import graft.core.Tables
+import graft.similarity.{Ivf, TopK}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN quality checks on the sf0.001 embeddings: the approximate paths
+  * (LSH buckets, IVF cells) must recover most of the exact brute-force
+  * neighbors, and always return only valid, deduplicated candidates. */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def truthPairs(k: Int): Set[(Long, Long)] = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    TopK.bruteForce(emb, emb.filter($"vec_id" < 20), k)
+      .select($"pid", $"nid").as[(Long, Long)].collect().toSet
+  }
+
+  test("multi-probe LSH top-k recall beats 0.6 on exact neighbors") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val truth = truthPairs(5)
+    val lsh = TopK.lshTopK(emb, emb.filter($"vec_id" < 20), 5,
+        planes = 8, dims = 64, multiProbe = true)
+      .select($"pid", $"nid").as[(Long, Long)].collect().toSet
+    val recall = (truth intersect lsh).size.toDouble / truth.size
+    assert(recall > 0.6, f"LSH recall $recall%.2f too low (|truth|=${truth.size})")
+  }
+
+  test("IVF cell search returns self-consistent, deduplicated candidates") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cent = emb.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding".as("cemb"))
+    val assigned = Ivf.assign(emb, cent)
+    // every vector gets exactly one cell
+    assert(assigned.count() == emb.count())
+    assert(assigned.groupBy($"vec_id").count().filter($"count" > 1).isEmpty)
+
+    val res = Ivf.topKWithinCell(assigned, $"vec_id" < 20, 3)
+    val rows = res.select($"pid", $"nid", $"rank", $"cluster").collect()
+    // no self-matches, ranks dense from 1, no duplicate neighbors per probe
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.size).toSeq)
+      assert(rs.map(_.getLong(1)).distinct.length == rs.length)
+    }
+    // candidates come from the probe's own cell
+    val cellOf = assigned.select($"vec_id", $"cluster").as[(Long, Long)].collect().toMap
+    assert(rows.forall(r => cellOf(r.getLong(1)) == r.getLong(3)))
+  }
+}
