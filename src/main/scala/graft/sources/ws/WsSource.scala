@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -150,11 +150,17 @@ private[ws] class WsScan(options: CaseInsensitiveStringMap) extends Scan {
       options.get("walDir"),
       Option(options.get("feed")),
       options.getInt("segmentSize", 10000),
-      options.getBoolean("retention", false))
+      options.getBoolean("retention", false),
+      options.getInt("maxFramesPerBatch", 0))
 }
 
+/** `maxFramesPerBatch` > 0 caps each micro-batch's frame count (the
+  * reference's writer batch bound, BUFFER_BATCH=500 — reference:
+  * src/stockops/data/database/writer.py:31), via the standard DSv2
+  * admission-control hook; 0 = unbounded. */
 private[ws] class WsMicroBatchStream(walDir: String, feedName: Option[String],
-    segmentSize: Int, retention: Boolean) extends MicroBatchStream {
+    segmentSize: Int, retention: Boolean, maxFramesPerBatch: Int = 0)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val wal = new FrameWal(Paths.get(walDir), segmentSize)
 
@@ -188,9 +194,24 @@ private[ws] class WsMicroBatchStream(walDir: String, feedName: Option[String],
   override def initialOffset(): Offset = WsOffset(0L)
   override def deserializeOffset(json: String): Offset = WsOffset(json.toLong)
 
-  override def latestOffset(): Offset = {
+  private def available(): Long = {
     ensurePump()
-    WsOffset(if (appended >= 0) appended else wal.frameCount())
+    if (appended >= 0) appended else wal.frameCount()
+  }
+
+  override def latestOffset(): Offset = WsOffset(available())
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFramesPerBatch > 0) ReadLimit.maxRows(maxFramesPerBatch)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val avail = available()
+    limit match {
+      case r: ReadMaxRows =>
+        WsOffset(math.min(avail, start.asInstanceOf[WsOffset].n + r.maxRows()))
+      case _ => WsOffset(avail)
+    }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

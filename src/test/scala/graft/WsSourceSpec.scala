@@ -82,4 +82,29 @@ class WsSourceSpec extends AnyFunSuite {
       assert(frames(root) == 3, "restart resumes from committed offset, no dups/loss")
     } finally quietStop(q2)
   }
+
+  test("maxFramesPerBatch caps each micro-batch via admission control") {
+    import spark.implicits._
+    val wal = SparkTestSession.tempDir("wswal2")
+    val queue = new ConcurrentLinkedQueue[String]()
+    WsFeeds.register("test-capped", () => new ScriptedFeed(queue))
+    (1 to 7).foreach(i => queue.add(s"""{"s": "SPY", "p": $i.0, "v": 1, "t": ${1757623532850L + i}}"""))
+
+    val df = spark.readStream
+      .format("graft.sources.ws.WsSourceProvider")
+      .option("walDir", wal).option("feed", "test-capped")
+      .option("maxFramesPerBatch", 2)
+      .load()
+    val q = df.writeStream.format("memory").queryName("ws_capped")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.sql("SELECT count(*) FROM ws_capped").head().getLong(0) < 7
+          && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(spark.sql("SELECT count(*) FROM ws_capped").head().getLong(0) == 7)
+      val batchSizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batchSizes.nonEmpty && batchSizes.forall(_ <= 2),
+        s"every micro-batch must respect the cap, got ${batchSizes.mkString(",")}")
+    } finally (try q.stop() catch { case _: Throwable => () })
+  }
 }
