@@ -115,6 +115,24 @@ object StockStore {
       .select((idxCols ++ payloadCols ++ Seq("version") ++ partCols.drop(1)).distinct.map(col): _*)
 
     val written = out.count()
+
+    // A7/A8 incremental stats: one pre-aggregated row per touched
+    // (ticker[, interval]) appended per batch — the reference's O(1)
+    // running min/max/count maintenance (sql_db.py:34-40,559-669).
+    // Readers merge the log (sum/min/max re-aggregate losslessly) and
+    // never scan the data, however large the table grows. MUST run
+    // before the data append: that append invalidates the cached
+    // `existing` plan (recacheByPath), after which re-executing `out`
+    // would anti-join the batch against its own output.
+    if (written > 0) {
+      val statsKeys = Seq("ticker") ++ dt.extraIndexCols.filter(_ == "interval")
+      out.groupBy(statsKeys.map(col): _*)
+        .agg(count(lit(1)).as("row_count"),
+          min(col(dt.tsCol)).as("min_ts"), max(col(dt.tsCol)).as("max_ts"))
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(statsLogPath(root, dt))
+    }
+
     out
       .repartition(partCols.map(col): _*) // one file per touched partition
       .write.mode(SaveMode.Append)
@@ -173,6 +191,22 @@ object StockStore {
     table(spark, root, dt).groupBy(col("ticker"), col("interval"))
       .agg(count(lit(1)).as("row_count"),
         min(col(dt.tsCol)).as("min_ts"), max(col(dt.tsCol)).as("max_ts"))
+  }
+
+  private def statsLogPath(root: String, dt: StockDataType) = s"$root/${dt.name}__stats"
+
+  /** A7/A8 without touching the data: merge the per-batch stats log that
+    * [[upsert]] appends. Equals the full-scan view (StatsSpec) at a cost
+    * proportional to the number of batches, not rows — the discovery
+    * query stays cheap at any table size. Note: rows are counted as
+    * WRITTEN (post-dedup, including versioned conflicts), same as the
+    * scan views. */
+  def incrementalStats(spark: SparkSession, root: String, dt: StockDataType): DataFrame = {
+    val keys = Seq("ticker") ++ dt.extraIndexCols.filter(_ == "interval")
+    spark.read.parquet(statsLogPath(root, dt))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("row_count")).as("row_count"),
+        min(col("min_ts")).as("min_ts"), max(col("max_ts")).as("max_ts"))
   }
 
   /** A9: provider/exchange metadata (reference __meta__ seeding,

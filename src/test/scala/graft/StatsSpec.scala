@@ -1,0 +1,36 @@
+package graft
+
+import graft.model.Streaming
+import graft.store.StockStore
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A7/A8 incremental stats: the per-batch stats log merged at read time
+  * must equal the full-scan stats view after any sequence of upserts
+  * (including dedup'd replays, which write no stats row). */
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ticks(base: Double, t0: Long, n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i =>
+      (if (i % 2 == 0) "SPY" else "VOO",
+        new java.sql.Timestamp(t0 + i * 1000), base + i, 2L))
+      .toDF("ticker", "timestamp", "price", "volume")
+  }
+
+  test("incremental stats log equals full-scan stats view") {
+    val root = SparkTestSession.tempDir("stats")
+    val t0 = 1757623532000L
+    StockStore.upsert(spark, root, Streaming, ticks(100.0, t0, 6))
+    StockStore.upsert(spark, root, Streaming, ticks(200.0, t0 + 60000, 4))
+    StockStore.upsert(spark, root, Streaming, ticks(100.0, t0, 6)) // full replay: dedup, no stats row
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("ticker").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3))).toSeq
+
+    val scan = canon(StockStore.tableStats(spark, root, Streaming))
+    val incr = canon(StockStore.incrementalStats(spark, root, Streaming))
+    assert(incr == scan, s"incremental=$incr scan=$scan")
+  }
+}
