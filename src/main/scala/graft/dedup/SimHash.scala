@@ -1,0 +1,51 @@
+package graft.dedup
+
+import graft.functions.HashFunctions.md5Long
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate signatures (Charikar): 32-bit signs of the
+  * per-bit weight sums over the distinct-token hash set.
+  *
+  * Shuffle shape: the 32 bit-counters are 32 aggregates of ONE
+  * `groupBy(id)` over the exploded tokens — map-side partial aggregation
+  * collapses each partition to one row per doc, and the shuffle carries
+  * |docs|×32 longs. (The naive form crossJoins tokens × 32 bit indices —
+  * a 32× row blow-up before the shuffle — the same anti-pattern
+  * [[MinHashLsh.signatureMatrix]] avoids for its permutations.)
+  */
+object SimHash {
+
+  /** (id, simhash BIGINT) — bit b set iff more distinct tokens have h's
+    * bit b set than clear. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ones = (0 until 32).map(b =>
+      sum(expr(s"shiftright(h, $b) & 1")).as(s"c$b"))
+    val sig = (0 until 32).map(b =>
+      when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(tokens(lower(col(textCol))))).as("tok"))
+      .withColumn("h", md5Long($"tok"))
+      .groupBy($"id")
+      .agg(count(lit(1)).as("n"), ones: _*)
+      .select($"id", sig.as("simhash"))
+  }
+
+  /** Near-dup pairs by Hamming distance over the signatures. The direct
+    * form is the O(n²) self-join below — right for probe sets or small
+    * corpora; at corpus scale, band the signature halves into buckets
+    * first (the d2 LSH trick) so only colliding halves compare. */
+  def hammingPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val a = sigs.select(col("id").as("a"), col("simhash").as("sig_a"))
+    val b = sigs.select(col("id").as("b"), col("simhash").as("sig_b"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+}

@@ -148,17 +148,9 @@ object DedupQueries {
       "d3_simhash",
       (s, dir) => {
         import s.implicits._
-        val toks = Tables.documents(s, dir)
-          .select($"doc_id", explode(array_distinct(tokens(lower($"text")))).as("tok"))
-          .withColumn("h", md5Long($"tok"))
-        val bits = toks
-          .crossJoin(s.range(32).select($"id".cast("int").as("b")))
-          .withColumn("bit", expr("shiftright(h, b) & 1"))
-          .groupBy($"doc_id", $"b")
-          .agg(sum($"bit" * 2 - 1).as("w"))
-        bits
-          .groupBy($"doc_id")
-          .agg(sum(when($"w" > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(lit(0L))).as("simhash"))
+        graft.dedup.SimHash
+          .signatures(Tables.documents(s, dir), "doc_id", "text")
+          .select($"id".as("doc_id"), $"simhash")
           .orderBy($"doc_id")
       },
       Some("""
@@ -184,22 +176,11 @@ object DedupQueries {
       "d5_simhash_hamming_pairs",
       (s, dir) => {
         import s.implicits._
-        val toks = corpusWithNearDups(s, dir)
-          .select($"doc_id", explode(array_distinct(tokens(lower($"text")))).as("tok"))
-          .withColumn("h", md5Long($"tok"))
-        val bits = toks
-          .crossJoin(s.range(32).select($"id".cast("int").as("b")))
-          .withColumn("bit", expr("shiftright(h, b) & 1"))
-          .groupBy($"doc_id", $"b")
-          .agg(sum($"bit" * 2 - 1).as("w"))
-        val sigs = bits.groupBy($"doc_id")
-          .agg(sum(when($"w" > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(lit(0L))).as("sig"))
-        val a = sigs.select($"doc_id".as("a"), $"sig".as("sig_a"))
-        val b = sigs.select($"doc_id".as("b"), $"sig".as("sig_b"))
-        a.join(b, $"a" < $"b")
-          .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
-          .where($"hamming" <= 8)
-          .select($"a", $"b", $"hamming")
+        graft.dedup.SimHash
+          .hammingPairs(
+            graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text"),
+            maxHamming = 8)
+          .withColumn("hamming", $"hamming".cast("int"))
           .orderBy($"a", $"b")
       },
       Some("""
