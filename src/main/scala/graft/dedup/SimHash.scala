@@ -38,12 +38,38 @@ object SimHash {
 
   /** Near-dup pairs by Hamming distance over the signatures. The direct
     * form is the O(n²) self-join below — right for probe sets or small
-    * corpora; at corpus scale, band the signature halves into buckets
-    * first (the d2 LSH trick) so only colliding halves compare. */
+    * corpora; [[bandedHammingPairs]] is the corpus-scale path. */
   def hammingPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val a = sigs.select(col("id").as("a"), col("simhash").as("sig_a"))
     val b = sigs.select(col("id").as("b"), col("simhash").as("sig_b"))
     a.join(b, col("a") < col("b"))
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** Hamming pairs at corpus scale (the Manku/Jain/Sarma web-dedup
+    * scheme): split each signature into `bands` bit-slices, bucket on
+    * (band index, slice value), compare only within buckets, then verify
+    * the full distance. By pigeonhole, any pair with hamming <
+    * `bands` agrees on at least one slice — so for `maxHamming` <
+    * `bands` this returns EXACTLY the pairs of [[hammingPairs]]
+    * (SimHashSpec asserts it), while the join stays bucket-local: the
+    * shuffle key is the slice, never the cross product. */
+  def bandedHammingPairs(sigs: DataFrame, maxHamming: Int, bands: Int = 4,
+      bits: Int = 32): DataFrame = {
+    require(maxHamming < bands,
+      s"banding is exact only for maxHamming < bands (got $maxHamming >= $bands)")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sliced = sigs.select(col("id"), col("simhash"),
+      posexplode(array((0 until bands).map(i =>
+        expr(s"shiftright(simhash, ${i * width}) & $mask")): _*))
+        .as(Seq("band", "slice")))
+    val a = sliced.select(col("band"), col("slice"), col("id").as("a"), col("simhash").as("sig_a"))
+    val b = sliced.select(col("band"), col("slice"), col("id").as("b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("band", "slice")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sig_a"), col("sig_b")).distinct()
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .where(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))

@@ -1,0 +1,37 @@
+package graft
+
+import graft.core.Tables
+import graft.dedup.SimHash
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Banded simhash pair search must equal the exact O(n²) form whenever
+  * maxHamming < bands (the pigeonhole exactness condition). */
+class SimHashSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("banded hamming pairs == exact pairs for maxHamming < bands") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.select($"doc_id", $"text").unionAll(
+      docs.filter($"doc_id" % 5 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          org.apache.spark.sql.functions.concat($"text",
+            org.apache.spark.sql.functions.lit(" tail")).as("text")))
+    val sigs = SimHash.signatures(corpus, "doc_id", "text").cache()
+    try {
+      val exact = SimHash.hammingPairs(sigs, 3)
+        .as[(Long, Long, Int)].collect().toSet
+      val banded = SimHash.bandedHammingPairs(sigs, 3, bands = 4)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(exact.nonEmpty, "near-dup corpus must yield some close pairs")
+      assert(banded == exact)
+    } finally sigs.unpersist()
+  }
+
+  test("banding refuses thresholds it cannot serve exactly") {
+    import spark.implicits._
+    val sigs = Seq((1L, 7L), (2L, 8L)).toDF("id", "simhash")
+    assertThrows[IllegalArgumentException](
+      SimHash.bandedHammingPairs(sigs, 8, bands = 4))
+  }
+}
