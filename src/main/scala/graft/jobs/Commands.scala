@@ -45,4 +45,31 @@ object Commands {
     }
     StockStore.upsert(spark, root, cmd.dataType, typed, Exchanges.tz(cmd.exchange))
   }
+
+  /** Run a bounded streaming ingest (the reference's `start_stream` with
+    * its duration gate — eodhd_streaming_service.py:149-153): WS-source
+    * frames → transform → versioned store, stopped after `durationSec`.
+    * Multi-ticker fan-out is native here (ticker comes from each frame's
+    * `s` field); the reference asserts single-ticker
+    * (eodhd_streaming_service.py:72-74). Returns the stored row count.
+    */
+  def runStream(spark: SparkSession, root: String, checkpoint: String,
+      walDir: String, feed: String, cmd: StreamCommand): Long = {
+    import spark.implicits._
+    val frames = spark.readStream
+      .format("graft.sources.ws.WsSourceProvider")
+      .option("walDir", walDir)
+      .option("feed", feed)
+      .load()
+      .select($"raw")
+    val q = graft.streaming.StreamIngest.start(
+      spark, frames, cmd.streamType, root, checkpoint, cmd.exchange,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+    try {
+      q.awaitTermination(cmd.durationSec * 1000)
+      q.processAllAvailable() // drain what the WAL holds before the gate closes
+    } finally q.stop()
+    if (!new java.io.File(s"$root/${Streaming.name}").exists()) 0L
+    else StockStore.table(spark, root, Streaming).count()
+  }
 }

@@ -83,6 +83,19 @@ class WsSourceSpec extends AnyFunSuite {
     } finally quietStop(q2)
   }
 
+  test("runStream command: bounded duration, frames land versioned") {
+    val wal = SparkTestSession.tempDir("wswal3")
+    val ckpt = SparkTestSession.tempDir("wsckpt3")
+    val root = SparkTestSession.tempDir("wsroot3")
+    val queue = new ConcurrentLinkedQueue[String]()
+    WsFeeds.register("test-cmd", () => new ScriptedFeed(queue))
+    queue.add("""{"s": "SPY", "p": 657.53, "v": 5, "t": 1757623532850}""")
+    queue.add("""{"s": "VOO", "p": 512.10, "v": 2, "t": 1757623532850}""") // multi-ticker fan-out
+    val stored = graft.jobs.Commands.runStream(spark, root, ckpt, wal, "test-cmd",
+      graft.jobs.Commands.StreamCommand(Seq("SPY", "VOO"), "US", "trades", durationSec = 3))
+    assert(stored == 2, s"both tickers' frames stored, got $stored")
+  }
+
   test("maxFramesPerBatch caps each micro-batch via admission control") {
     import spark.implicits._
     val wal = SparkTestSession.tempDir("wswal2")
