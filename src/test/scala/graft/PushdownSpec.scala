@@ -1,0 +1,43 @@
+package graft
+
+import graft.model.Streaming
+import graft.read.ReadApi
+import graft.store.StockStore
+import org.apache.spark.sql.execution.SimpleMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** R1/R2 as plan assertions: the read API's ticker filter must become a
+  * PARTITION filter (directory pruning — the reference's calendar walk)
+  * and the time-range filter must reach the parquet scan as a pushed
+  * filter (row-group stats skipping); projections must prune the read
+  * schema. Automated so a regression in the read plan fails CI, not a
+  * human reading explain output. */
+class PushdownSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("read path: partition pruning + predicate pushdown + column pruning") {
+    import spark.implicits._
+    val root = SparkTestSession.tempDir("pushdown")
+    val ticks = (0 until 48).map(i =>
+      (if (i % 2 == 0) "SPY" else "VOO",
+        new java.sql.Timestamp(1757623532850L + i * 3600_000L), 100.0 + i, 1L))
+      .toDF("ticker", "timestamp", "price", "volume")
+    StockStore.upsert(spark, root, Streaming, ticks)
+
+    val df = ReadApi.read(spark, root, ReadApi.ReadRequest(
+      dataType = Streaming, ticker = "SPY",
+      start = "2025-09-11 00:00", end = "2025-09-12 23:59"))
+    val plan = df.queryExecution.explainString(SimpleMode)
+
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("\\s+", " ").matches("(?s).*PartitionFilters: \\[[^\\]]*ticker[^\\]]*\\].*"),
+      s"ticker must prune partitions, plan:\n$plan")
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThanOrEqual(timestamp"),
+      s"time range must push to the scan, plan:\n$plan")
+
+    val projected = df.select($"timestamp", $"price").queryExecution.explainString(SimpleMode)
+    val readSchema = projected.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("volume"),
+      s"projection must prune unreferenced columns, got: $readSchema")
+  }
+}
