@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Write-side relational operators (SURVEY §2.3 A1–A13) demonstrated as
   * verifiable batch queries. The library forms live in
-  * [[graft.store.VersionedWriter]]; these entries re-express the same
+  * [[graft.store.StockStore]] (`upsert`); these entries re-express the same
   * semantics over the driver's tables so the DuckDB oracle can check them:
   * duplicate re-ingests are synthesized with UNION ALL, then eliminated /
   * versioned exactly like the reference's writer

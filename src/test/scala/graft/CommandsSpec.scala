@@ -1,0 +1,50 @@
+package graft
+
+import graft.jobs.Commands
+import graft.jobs.Commands.HistoricalCommand
+import graft.model.{HistoricalInterday, HistoricalIntraday}
+import graft.read.ReadApi
+import graft.read.ReadApi.ReadRequest
+import org.scalatest.funsuite.AnyFunSuite
+
+/** §2.6/§3.1 command path in CI: canned provider pages (the reference's
+  * TEST_CI substitution — eodhd_historical_service.py:84-109) through
+  * runHistorical into the store, read back through ReadApi. */
+class CommandsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("historical interday command: fetch -> transform -> store -> read") {
+    val root = SparkTestSession.tempDir("cmd-eod")
+    val page = Seq(
+      """{"date": "2024-10-24", "open": 533.1, "high": 536.0, "low": 531.0, "close": 534.0, "adjusted_close": 529.0, "volume": 4100000}""",
+      """{"date": "2024-10-25", "open": 534.65, "high": 537.26, "low": 531.41, "close": 532.26, "adjusted_close": 527.10, "volume": 4327190}""")
+    val stats = Commands.runHistorical(spark, root,
+      HistoricalCommand("SPY", "US", "d", "2024-10-24", "2024-10-25"))(_ => page)
+    assert(stats.written == 2 && stats.exactDups == 0)
+
+    // replay the same command (the reference's re-ingest path) → all dup
+    val replay = Commands.runHistorical(spark, root,
+      HistoricalCommand("SPY", "US", "d", "2024-10-24", "2024-10-25"))(_ => page)
+    assert(replay.written == 0 && replay.exactDups == 2)
+
+    val df = ReadApi.read(spark, root, ReadRequest(
+      HistoricalInterday, "SPY", Some("d"), "2024-01-01", "2025-01-01"))
+    assert(df.count() == 2)
+    assert(df.columns.contains("local_ts"))
+  }
+
+  test("historical intraday command routes by interval domain") {
+    val root = SparkTestSession.tempDir("cmd-intra")
+    val page = Seq(
+      """{"timestamp": 1757623500, "gmtoffset": 0, "datetime": "2025-09-11 20:45:00", "open": 657.0, "high": 658.0, "low": 656.5, "close": 657.5, "volume": 120000}""")
+    val cmd = HistoricalCommand("SPY", "US", "1h", "2025-09-11 00:00", "2025-09-12 00:00")
+    assert(cmd.dataType == HistoricalIntraday)
+    val stats = Commands.runHistorical(spark, root, cmd)(_ => page)
+    assert(stats.written == 1)
+  }
+
+  test("unknown interval is rejected (reference command validation)") {
+    assertThrows[IllegalArgumentException](
+      HistoricalCommand("SPY", "US", "17m", "2024-01-01", "2024-01-02"))
+  }
+}
