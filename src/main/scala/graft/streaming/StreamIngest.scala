@@ -77,6 +77,11 @@ object StreamIngest {
     * window, not history. Data later than that is the batch path's job
     * ([[StockStore.upsert]] accepts arbitrarily late rows, the reference's
     * late-data policy — SURVEY §2.5 note).
+    *
+    * State stores payload HASHES, not payloads — constant per-key state
+    * at the cost of a theoretical hash-collision false-dedup; the batch
+    * upsert compares full payloads, so the durable path has no such
+    * window.
     */
   def statefulVersionedTrades(ticks: DataFrame, keep: String = "10 minutes")
       : Dataset[VersionedTick] = {
@@ -84,6 +89,7 @@ object StreamIngest {
     import spark.implicits._
     val keepMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(keep))
+    require(keepMs.months == 0, s"calendar-month keep windows are ambiguous: $keep")
     val slackMs = keepMs.days * 86400000L + keepMs.microseconds / 1000L
     ticks
       .withWatermark("timestamp", keep)
