@@ -59,7 +59,12 @@ object MultimodalQueries {
           substring(text, frame_idx * frame_size + 1, frame_size) AS frame_str
         FROM frames ORDER BY media_id, frame_idx""")),
 
-    // ── partition-batched decode stub → feature stats (rows-only) ─────
+    // ── partition-batched decode stub → feature stats ─────────────────
+    // The stub's feature 0 is ((md5[0]<<8 | md5[0]) / 32768f) - 1 — all
+    // power-of-two scaling, so the float roundtrips exactly back to its
+    // integer units and the aggregate is an exact BIGINT sum the oracle
+    // reproduces from md5 hex. This checks the whole mapPartitions
+    // decode pipeline (batching, schema, feature derivation) end-to-end.
     GraftQuery(
       "m3_decode_features",
       (s, dir) => {
@@ -68,9 +73,18 @@ object MultimodalQueries {
           Multimodal.asMediaTable(Tables.documents(s, dir)), dims = 16)()
           .toDF()
           .groupBy($"kind", $"decoder")
-          .agg(count(lit(1)).as("n_media"), avg(element_at($"feature", 1)).as("mean_f0"))
+          .agg(count(lit(1)).as("n_media"),
+            sum(((element_at($"feature", 1).cast("double") + 1.0) * 32768.0)
+              .cast("long")).as("sum_f0_units"))
           .orderBy($"kind")
       },
-      None)
+      Some("""
+        WITH feats AS (
+          SELECT (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+            CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS b0
+          FROM documents)
+        SELECT kind, 'stub/md5-v1' AS decoder, COUNT(*) AS n_media,
+          SUM(b0 * 256 + b0) AS sum_f0_units
+        FROM feats GROUP BY kind ORDER BY kind"""))
   )
 }
