@@ -151,6 +151,117 @@ object TextQueries {
         SELECT doc_id,
           len(regexp_extract_all(text, '[^\s]+')) AS n_ws,
           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ── end-to-end training-data cleaning funnel ──────────────────────
+    // The composition the whole text/dedup plane exists for: quality
+    // filter → language filter → exact dedup (fingerprint) → near-dedup
+    // (MinHash-LSH pairs → connected components, drop non-keepers).
+    // Input synthesizes both dup kinds: verbatim copies (doc_id%4,
+    // +1e6) die at the exact stage, tail-modified copies (doc_id%5,
+    // +2e6) at the near stage. Output = per-stage survivor counts.
+    GraftQuery(
+      "x7_training_data_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir).select($"doc_id", $"text")
+        val corpus = base
+          .unionAll(base.filter($"doc_id" % 4 === 0)
+            .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+          .unionAll(base.filter($"doc_id" % 5 === 0)
+            .select(($"doc_id" + 2000000L).as("doc_id"),
+              concat($"text", lit(" extra appended tail tokens here")).as("text")))
+        val q = corpus.filter(qualityScore($"text", length($"text")) > 0.43)
+        val l = q.filter(langId($"text") === "en")
+        val e = l
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(fingerprint($"text")).orderBy($"doc_id")))
+          .filter($"rn" === 1).drop("rn")
+        val nonKeepers = graft.dedup.MinHashLsh
+          .memberLabels(graft.dedup.MinHashLsh.candidatePairs(e, "doc_id", "text"))
+          .filter($"label" =!= $"id")
+          .select($"id")
+        val f = e.join(nonKeepers, e("doc_id") === nonKeepers("id"), "left_anti")
+        Seq("00_raw" -> corpus, "10_quality" -> q, "20_lang" -> l,
+          "30_exact_dedup" -> e, "40_near_dedup" -> f)
+          .map { case (name, df) =>
+            df.groupBy().agg(count(lit(1)).as("n_docs"))
+              .select(lit(name).as("stage"), $"n_docs")
+          }
+          .reduce(_ unionAll _)
+          .orderBy($"stage")
+      },
+      Some("""
+        WITH RECURSIVE corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 4 = 0
+          UNION ALL
+          SELECT doc_id + 2000000, text || ' extra appended tail tokens here'
+          FROM documents WHERE doc_id % 5 = 0),
+        q AS (
+          SELECT * FROM corpus WHERE
+            (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.5
+            + (CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE)
+               / (CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS DOUBLE) + 1.0)) * 0.5
+            - (CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 0.25
+            > 0.43),
+        scored AS (
+          SELECT doc_id, text,
+            len(regexp_extract_all(lower(text), '\b(the|and|of|is|was)\b')) AS s_en,
+            len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de,
+            len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS s_fr,
+            len(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b')) AS s_es,
+            len(regexp_extract_all(lower(text), '\b(de|shi|le|zai|you)\b')) AS s_zh
+          FROM q),
+        l AS (
+          SELECT doc_id, text FROM scored
+          WHERE s_en = greatest(s_en, s_de, s_fr, s_es, s_zh)
+            AND greatest(s_en, s_de, s_fr, s_es, s_zh) > 0),
+        e AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text, row_number() OVER (
+              PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+              ORDER BY doc_id) AS rn
+            FROM l)
+          WHERE rn = 1),
+        toks AS (
+          SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM e),
+        sh AS (
+          SELECT DISTINCT doc_id, CASE WHEN len(t) < 5 THEN array_to_string(t, ' ')
+            ELSE array_to_string(t[i:i+4], ' ') END AS sh
+          FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i FROM toks)),
+        hashed AS (
+          SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % 2147483647 AS h FROM sh),
+        sigs AS (
+          SELECT doc_id, seed,
+            MIN(((seed * 2 + 1) * h + seed * 12582917) % 2147483647) AS sig
+          FROM hashed, (SELECT unnest(generate_series(0, 15)) AS seed)
+          GROUP BY doc_id, seed),
+        bands AS (
+          SELECT doc_id, CAST(FLOOR(seed / 4) AS INT) AS band,
+            md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY seed)) AS band_sig
+          FROM sigs GROUP BY doc_id, CAST(FLOOR(seed / 4) AS INT)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+          WHERE a.doc_id < b.doc_id),
+        edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+        reach(id, r) AS (
+          SELECT a AS id, a AS r FROM edges
+          UNION
+          SELECT e2.a AS id, reach.r FROM edges e2 JOIN reach ON e2.b = reach.id),
+        nonkeepers AS (
+          SELECT id FROM (SELECT id, MIN(r) AS keeper FROM reach GROUP BY id)
+          WHERE keeper <> id),
+        f AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT id FROM nonkeepers))
+        SELECT '00_raw' AS stage, COUNT(*) AS n_docs FROM corpus
+        UNION ALL SELECT '10_quality', COUNT(*) FROM q
+        UNION ALL SELECT '20_lang', COUNT(*) FROM l
+        UNION ALL SELECT '30_exact_dedup', COUNT(*) FROM e
+        UNION ALL SELECT '40_near_dedup', COUNT(*) FROM f
+        ORDER BY stage"""))
   )
 }
