@@ -124,8 +124,15 @@ object MinHashLsh {
     * a handful of hops are rare, and the loop exits early on
     * convergence. */
   def memberLabels(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // Cache the symmetrized edge list: every propagation round joins
+    // against it twice (next-labels + convergence probe), and without the
+    // cache each round would re-execute the whole upstream pair pipeline
+    // (shingle → minhash → band join). Edge lists are the SMALL side —
+    // |candidate pairs| rows — so this is the cheap, right thing at any
+    // scale.
     val edges = pairs.select(col("a"), col("b"))
       .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+      .cache()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
     var i = 0

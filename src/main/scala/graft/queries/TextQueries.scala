@@ -171,26 +171,36 @@ object TextQueries {
           .unionAll(base.filter($"doc_id" % 5 === 0)
             .select(($"doc_id" + 2000000L).as("doc_id"),
               concat($"text", lit(" extra appended tail tokens here")).as("text")))
-        val q = corpus.filter(qualityScore($"text", length($"text")) > 0.43)
-        val l = q.filter(langId($"text") === "en")
-        val e = l
+        // Single-scan funnel flags: every stage predicate is a column, so
+        // the first four counts come from ONE pass over the corpus (one
+        // aggregate of booleans), not one re-execution of the filter
+        // chain per stage. The exact-dedup rank orders survivors first
+        // within each fingerprint group, so rn=1 picks the min-id
+        // SURVIVING copy — same row the sequential filter→dedup picks.
+        val flagged = corpus
+          .withColumn("q_ok", qualityScore($"text", length($"text")) > 0.43)
+          .withColumn("l_ok", $"q_ok" && langId($"text") === "en")
+        val ranked = flagged
           .withColumn("rn", row_number().over(
             org.apache.spark.sql.expressions.Window
-              .partitionBy(fingerprint($"text")).orderBy($"doc_id")))
-          .filter($"rn" === 1).drop("rn")
+              .partitionBy(fingerprint($"text")).orderBy($"l_ok".desc, $"doc_id")))
+          .withColumn("e_ok", $"l_ok" && $"rn" === 1)
+        val e = ranked.filter($"e_ok").select($"doc_id", $"text")
         val nonKeepers = graft.dedup.MinHashLsh
           .memberLabels(graft.dedup.MinHashLsh.candidatePairs(e, "doc_id", "text"))
           .filter($"label" =!= $"id")
           .select($"id")
-        val f = e.join(nonKeepers, e("doc_id") === nonKeepers("id"), "left_anti")
-        Seq("00_raw" -> corpus, "10_quality" -> q, "20_lang" -> l,
-          "30_exact_dedup" -> e, "40_near_dedup" -> f)
-          .map { case (name, df) =>
-            df.groupBy().agg(count(lit(1)).as("n_docs"))
-              .select(lit(name).as("stage"), $"n_docs")
-          }
-          .reduce(_ unionAll _)
-          .orderBy($"stage")
+        val flagCounts = ranked.groupBy().agg(
+          count(lit(1)).as("c0"),
+          sum(when($"q_ok", 1L).otherwise(0L)).as("c1"),
+          sum(when($"l_ok", 1L).otherwise(0L)).as("c2"),
+          sum(when($"e_ok", 1L).otherwise(0L)).as("c3"))
+          .selectExpr("stack(4, '00_raw', c0, '10_quality', c1, " +
+            "'20_lang', c2, '30_exact_dedup', c3) AS (stage, n_docs)")
+        val nearCount = e.join(nonKeepers, e("doc_id") === nonKeepers("id"), "left_anti")
+          .groupBy().agg(count(lit(1)).as("n_docs"))
+          .select(lit("40_near_dedup").as("stage"), $"n_docs")
+        flagCounts.unionAll(nearCount).orderBy($"stage")
       },
       Some("""
         WITH RECURSIVE corpus AS (
@@ -262,6 +272,7 @@ object TextQueries {
         UNION ALL SELECT '20_lang', COUNT(*) FROM l
         UNION ALL SELECT '30_exact_dedup', COUNT(*) FROM e
         UNION ALL SELECT '40_near_dedup', COUNT(*) FROM f
-        ORDER BY stage"""))
+        ORDER BY stage"""),
+      bench = true)
   )
 }
