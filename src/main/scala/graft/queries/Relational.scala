@@ -25,17 +25,18 @@ object Relational {
         import s.implicits._
         val li = Tables.lineitem(s, dir).filter($"l_shipdate" <= lit("2000-12-01").cast("timestamp"))
         val one = lit(1).cast("decimal(3,2)")
-        // Plain sums/avgs run as scaled-long integer aggregation (exact,
-        // associative, ~2× faster than decimal; cents magnitudes keep
-        // quintillions of headroom). The two PRODUCT sums stay decimal:
-        // their per-row scaled-integer magnitude is 1e9–1e11, which a
-        // long sum would overflow around SF100 — exactness beats the
-        // last bit of local speed at the 100 TB design point.
+        // Sums/avgs run as scaled-long integer aggregation where overflow
+        // headroom is provable (exact, associative, ~2× faster than
+        // decimal): cents sums and the 1e-4-unit disc_price products
+        // (≤1e9/row → safe past SF1000). sum_charge's 1e-6-unit products
+        // reach 1e11/row — a long sum overflows around SF100, so that one
+        // stays DECIMAL: exactness beats the last bit of local speed at
+        // the 100 TB design point.
         li.groupBy($"l_returnflag", $"l_linestatus")
           .agg(
             sumCents($"l_quantity").as("sum_qty"),
             sumCents($"l_extendedprice").as("sum_base_price"),
-            sum(dec2($"l_extendedprice") * (one - rat2($"l_discount"))).cast(DoubleType).as("sum_disc_price"),
+            (sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))) / 10000.0).as("sum_disc_price"),
             sum(dec2($"l_extendedprice") * (one - rat2($"l_discount")) * (one + rat2($"l_tax"))).cast(DoubleType).as("sum_charge"),
             avgCents($"l_quantity").as("avg_qty"),
             avgCents($"l_extendedprice").as("avg_price"),
@@ -46,7 +47,7 @@ object Relational {
         SELECT l_returnflag, l_linestatus,
           SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+          SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_disc_price,
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
           SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_qty,
           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_price,
