@@ -110,16 +110,21 @@ object VectorQueries {
         SELECT pid, nid, rank, cluster FROM r WHERE rank <= 3 ORDER BY pid, rank""")),
 
     // ── LSH-bucketed ANN (scale path; no SQL oracle — rows-only check) ─
+    // The OR-amplified index TopK.lshTopK searches: `tables` independent
+    // sign-projection hash tables (SrpBucketsExpr fused kernel); the
+    // histogram is the blocking structure, (table, bucket) the shuffle /
+    // storage-partition key.
     GraftQuery(
       "v3_lsh_ann_buckets",
       (s, dir) => {
         import s.implicits._
-        val emb = Tables.embeddings(s, dir)
-          .withColumn("bucket", graft.functions.VectorFunctions.lshBucket($"embedding", 8, 64))
-        // bucket histogram: the blocking structure an ANN query would use
-        emb.groupBy($"bucket")
+        Tables.embeddings(s, dir)
+          .select($"vec_id",
+            posexplode(graft.functions.VectorFunctions.lshBuckets($"embedding", 8, 4, 64))
+              .as(Seq("table", "bucket")))
+          .groupBy($"table", $"bucket")
           .agg(count(lit(1)).as("n_vectors"), min($"vec_id").as("min_id"), max($"vec_id").as("max_id"))
-          .orderBy($"bucket")
+          .orderBy($"table", $"bucket")
       },
       None)
   )
