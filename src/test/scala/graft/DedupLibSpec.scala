@@ -1,0 +1,51 @@
+package graft
+
+import graft.dedup.MinHashLsh
+import graft.functions.TextFunctions._
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct unit coverage for dedup/text library functions whose query
+  * demonstrations exercise only part of the surface. */
+class DedupLibSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("dupClusters collapses pairs into keeper-labeled clusters") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {7,9}; singleton 5 never appears
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val clusters = MinHashLsh.dupClusters(pairs).orderBy($"keeper")
+      .as[(Long, Seq[Long], Long)].collect().toList
+    assert(clusters == List((1L, Seq(1L, 2L, 3L), 1L), (7L, Seq(7L, 9L), 7L)))
+  }
+
+  test("exactDupGroups finds verbatim media copies by content hash") {
+    import spark.implicits._
+    val media = Multimodal.asMediaTable(Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "different")).toDF("doc_id", "text"))
+    val groups = Multimodal.exactDupGroups(media).collect()
+    assert(groups.length == 1)
+    val g = groups.head
+    assert(g.getAs[Long]("n_copies") == 2 && g.getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("winnowing handles empty and shorter-than-k texts") {
+    import spark.implicits._
+    val out = Seq("", "abc", "a decent length document body here").toDF("t")
+      .withColumn("grams", charGramHashes(normalized($"t"), 8))
+      .withColumn("fps", winnowFromGrams($"grams", 4))
+      .select(size($"grams"), size($"fps"))
+      .as[(Int, Int)].collect().toList
+    // short texts degrade to a single gram -> a single fingerprint
+    assert(out(0) == (1, 1) && out(1) == (1, 1))
+    assert(out(2)._1 > 1 && out(2)._2 >= 1 && out(2)._2 <= out(2)._1)
+  }
+
+  test("BPE-ish tokens split letter runs, single digits, punct") {
+    import spark.implicits._
+    val toks = Seq("ab12, c!").toDF("t")
+      .select(bpeTokens($"t")).as[Seq[String]].head()
+    assert(toks == Seq("ab", "1", "2", ",", "c", "!"))
+  }
+}
