@@ -33,4 +33,24 @@ class StatsSpec extends AnyFunSuite {
     val incr = canon(StockStore.incrementalStats(spark, root, Streaming))
     assert(incr == scan, s"incremental=$incr scan=$scan")
   }
+
+  test("incremental stats carry the interval key for intraday data") {
+    import graft.model.HistoricalIntraday
+    import spark.implicits._
+    val root = SparkTestSession.tempDir("stats-intra")
+    def bars(interval: String, t0: Long) = (0 until 3).map(i =>
+      ("SPY", new java.sql.Timestamp(t0 + i * 3600000L), 100.0 + i, 101.0 + i,
+        99.0 + i, 100.5 + i, 1000L, interval))
+      .toDF("ticker", "timestamp", "open", "high", "low", "close", "volume", "interval")
+    StockStore.upsert(spark, root, HistoricalIntraday, bars("1h", 1757623200000L))
+    StockStore.upsert(spark, root, HistoricalIntraday, bars("5m", 1757623200000L))
+
+    val incr = StockStore.incrementalStats(spark, root, HistoricalIntraday)
+      .orderBy("ticker", "interval").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toList
+    val scan = StockStore.intervalStats(spark, root, HistoricalIntraday)
+      .orderBy("ticker", "interval").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toList
+    assert(incr == scan && incr.map(_._2).sorted == List("1h", "5m"))
+  }
 }
