@@ -1,0 +1,17 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.GraftBridge
+
+/** Custom aggregate functions (native DeclarativeAggregates — codegen'd,
+  * no UDAF/ObjectHashAggregate fallback). */
+object AggFunctions {
+
+  /** Exact sum of non-negative scaled-integer longs with 128-bit range
+    * as DECIMAL(38,0) — see
+    * [[graft.functions.expressions.SumScaled128]]. */
+  def sumScaled128(units: Column): Column =
+    GraftBridge.column(
+      graft.functions.expressions.SumScaled128(GraftBridge.expression(units))
+        .toAggregateExpression())
+}

@@ -1,0 +1,60 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types._
+
+/** Exact sum of NON-NEGATIVE scaled-integer (long) values with 128-bit
+  * range, as a DeclarativeAggregate over TWO long buffer slots — all
+  * update/merge arithmetic stays in whole-stage codegen as plain long
+  * ops, unlike a Decimal sum whose wide accumulator drops to BigDecimal.
+  *
+  * Invariant: `lo` ∈ [0, 1e18); value = hi·1e18 + lo. Per-row inputs are
+  * bounded by the caller (scaled money products ≤ ~1e11), so `lo + v`
+  * can never overflow a long before the carry split. Result is
+  * DECIMAL(38,0) (exact up to ~9.2e36 — thousands of times the 100 TB
+  * design point's worst case).
+  *
+  * Used for aggregates whose per-row scaled magnitude would overflow a
+  * single long sum at large SF (e.g. TPC-H q1's charge products at
+  * SF100+); see Portable.cents for the single-long fast path.
+  */
+case class SumScaled128(child: Expression)
+    extends DeclarativeAggregate with UnaryLike[Expression] with ExpectsInputTypes {
+
+  private val Limit = 1000000000000000000L // 1e18
+
+  override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(LongType)
+  override def dataType: DataType = DecimalType(38, 0)
+  override def nullable: Boolean = false
+  override def prettyName: String = "sum_scaled128"
+
+  private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
+  private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(hi, lo)
+  override lazy val initialValues: Seq[Expression] = Seq(Literal(0L), Literal(0L))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val v = If(IsNull(child), Literal(0L), child)
+    val s = Add(lo, v)
+    Seq(Add(hi, IntegralDivide(s, Literal(Limit))), Remainder(s, Literal(Limit)))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val s = Add(lo.left, lo.right)
+    Seq(Add(Add(hi.left, hi.right), IntegralDivide(s, Literal(Limit))),
+      Remainder(s, Literal(Limit)))
+  }
+
+  // hi·1e18 + lo, assembled in DECIMAL(38,0); inputs are non-negative so
+  // no sign interplay between the two slots.
+  override lazy val evaluateExpression: Expression =
+    Add(
+      Multiply(Cast(hi, DecimalType(38, 0)), Cast(Literal(Limit), DecimalType(38, 0))),
+      Cast(lo, DecimalType(38, 0)))
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -39,4 +39,12 @@ private[queries] object Portable {
   /** avg = hundredths-sum / 100.0 / count, double ops in fixed order.
     * DuckDB: SUM(CAST(round(c*100) AS BIGINT)) / 100.0 / COUNT(*). */
   def avgCents(c: Column): Column = sum(cents(c)) / 100.0 / count(lit(1))
+
+  /** Exact 128-bit sum of non-negative scaled-long units, surfaced as
+    * DOUBLE after dividing out `scale` — the overflow-proof fast path
+    * for product sums whose per-row magnitude breaks a single long at
+    * large SF (see [[graft.functions.expressions.SumScaled128]]).
+    * DuckDB: SUM(units) / scale (HUGEINT sum, also exact). */
+  def sumScaledUnits(units: Column, scale: Double): Column =
+    graft.functions.AggFunctions.sumScaled128(units).cast(DoubleType) / scale
 }

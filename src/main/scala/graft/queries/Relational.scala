@@ -25,19 +25,21 @@ object Relational {
         import s.implicits._
         val li = Tables.lineitem(s, dir).filter($"l_shipdate" <= lit("2000-12-01").cast("timestamp"))
         val one = lit(1).cast("decimal(3,2)")
-        // Sums/avgs run as scaled-long integer aggregation where overflow
-        // headroom is provable (exact, associative, ~2× faster than
-        // decimal): cents sums and the 1e-4-unit disc_price products
+        // Sums/avgs run as scaled-long integer aggregation where a single
+        // long provably cannot overflow (exact, associative, ~2× faster
+        // than decimal): cents sums and the 1e-4-unit disc_price products
         // (≤1e9/row → safe past SF1000). sum_charge's 1e-6-unit products
-        // reach 1e11/row — a long sum overflows around SF100, so that one
-        // stays DECIMAL: exactness beats the last bit of local speed at
-        // the 100 TB design point.
+        // reach 1e11/row — a single long sum would overflow around SF100,
+        // so it runs on the 128-bit two-long declarative aggregate
+        // (SumScaled128): still pure long codegen, exact to ~9e36.
         li.groupBy($"l_returnflag", $"l_linestatus")
           .agg(
             sumCents($"l_quantity").as("sum_qty"),
             sumCents($"l_extendedprice").as("sum_base_price"),
             (sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))) / 10000.0).as("sum_disc_price"),
-            sum(dec2($"l_extendedprice") * (one - rat2($"l_discount")) * (one + rat2($"l_tax"))).cast(DoubleType).as("sum_charge"),
+            sumScaledUnits(
+              cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")) * (lit(100L) + cents($"l_tax")),
+              1000000.0).as("sum_charge"),
             avgCents($"l_quantity").as("avg_qty"),
             avgCents($"l_extendedprice").as("avg_price"),
             count(lit(1)).as("count_order"))
@@ -48,7 +50,7 @@ object Relational {
           SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
           SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_disc_price,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+          SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT))) / 1000000.0 AS sum_charge,
           SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_qty,
           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / COUNT(*) AS avg_price,
           COUNT(*) AS count_order

@@ -85,6 +85,17 @@ object GraftProperties extends Properties("graft") {
       df.collect().forall(_.getLong(0) == sec)
     }
 
+  // ── 128-bit scaled sum: exact past Long.MaxValue (carry path) ──────
+  property("SumScaled128 equals BigInt sum beyond long range") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, 500000000000000000L))) { vs0 =>
+      import spark.implicits._
+      val vs = vs0.take(40)
+      val got = vs.toDF("v")
+        .agg(graft.functions.AggFunctions.sumScaled128(org.apache.spark.sql.functions.col("v")))
+        .head().getDecimal(0).toBigInteger
+      got == vs.map(BigInt(_)).sum.bigInteger
+    }
+
   // ── minhash signatures are deterministic and row-order invariant ───
   property("minhash signature matrix is shuffle-invariant") =
     Prop.forAll(Gen.listOfN(4, Gen.alphaLowerStr.suchThat(_.nonEmpty))) { texts =>
