@@ -5,7 +5,7 @@ import graft.model._
 import graft.store.StockStore
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** ReadProcess-equivalent query API (SURVEY §2.4 R1–R9; reference:
   * src/stockops/data/database/reader.py:24-91).
@@ -17,6 +17,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * globally time-sorted (R6) with a tz-localized `local_ts` column (R9).
   */
 object ReadApi {
+
+  /** Typed rows for the Dataset[T] read surface (case-class Encoders
+    * where the schema is small and fixed — SURVEY §1.2). Trades and
+    * quotes share the streaming table with disjoint payload columns, so
+    * the typed views filter to their own payload. */
+  final case class TradeRow(ticker: String, timestamp: java.sql.Timestamp,
+      price: Double, volume: Long, version: Int)
+  final case class QuoteRow(ticker: String, timestamp: java.sql.Timestamp,
+      ask_price: Double, bid_price: Double, ask_size: Long, bid_size: Long,
+      version: Int)
+  final case class IntradayBarRow(ticker: String, timestamp: java.sql.Timestamp,
+      open: Double, high: Double, low: Double, close: Double, volume: Long,
+      interval: String, version: Int)
 
   final case class ReadRequest(
       dataType: StockDataType,
@@ -76,5 +89,36 @@ object ReadApi {
     resolved
       .withColumn("local_ts", localTs)
       .orderBy(col(dt.tsCol), col("version"))
+  }
+
+  /** Typed trade reads: streaming rows with a trade payload. */
+  def readTrades(spark: SparkSession, root: String, req: ReadRequest)
+      : Dataset[TradeRow] = {
+    import spark.implicits._
+    read(spark, root, req.copy(dataType = Streaming))
+      .filter(col("price").isNotNull)
+      .select($"ticker", $"timestamp", $"price", $"volume", $"version")
+      .as[TradeRow]
+  }
+
+  /** Typed quote reads: streaming rows with a quote payload. */
+  def readQuotes(spark: SparkSession, root: String, req: ReadRequest)
+      : Dataset[QuoteRow] = {
+    import spark.implicits._
+    read(spark, root, req.copy(dataType = Streaming))
+      .filter(col("ask_price").isNotNull || col("bid_price").isNotNull)
+      .select($"ticker", $"timestamp", $"ask_price", $"bid_price",
+        $"ask_size", $"bid_size", $"version")
+      .as[QuoteRow]
+  }
+
+  /** Typed intraday bar reads. */
+  def readIntradayBars(spark: SparkSession, root: String, req: ReadRequest)
+      : Dataset[IntradayBarRow] = {
+    import spark.implicits._
+    read(spark, root, req.copy(dataType = HistoricalIntraday))
+      .select($"ticker", $"timestamp", $"open", $"high", $"low", $"close",
+        $"volume", $"interval", $"version")
+      .as[IntradayBarRow]
   }
 }

@@ -1,0 +1,39 @@
+package graft
+
+import graft.model.Streaming
+import graft.read.ReadApi
+import graft.read.ReadApi.{ReadRequest, TradeRow}
+import graft.store.StockStore
+import graft.transform.EodhdTransform
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Typed Dataset[T] read surface: trades and quotes come back as case
+  * classes, with the disjoint-payload split applied. */
+class ReadTypedSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("readTrades/readQuotes split the shared streaming table by payload") {
+    import spark.implicits._
+    val root = SparkTestSession.tempDir("typed")
+    val t = 1757623532850L // 2025-09-11 ~16:45 ET
+    val trades = EodhdTransform.tradeTicks(Seq(
+      s"""{"s": "SPY", "p": 657.53, "v": 5, "t": $t}""",
+      s"""{"s": "SPY", "p": 657.60, "v": 3, "t": ${t + 1000}}""").toDF("raw"))
+    val quotes = EodhdTransform.quoteTicks(Seq(
+      s"""{"s": "SPY", "ap": 657.61, "bp": 657.59, "as": 9, "bs": 4, "t": $t}""").toDF("raw"))
+    StockStore.upsert(spark, root, Streaming,
+      trades.unionByName(quotes, allowMissingColumns = true))
+
+    val req = ReadRequest(Streaming, "SPY",
+      start = "2025-09-11 00:00", end = "2025-09-12 00:00")
+    val ts: Seq[TradeRow] = ReadApi.readTrades(spark, root, req).collect().toSeq
+    assert(ts.map(_.price) == Seq(657.53, 657.60))
+    // typed transformations compose with full type safety
+    val notional = ReadApi.readTrades(spark, root, req)
+      .map(r => r.price * r.volume).collect().sum
+    assert(math.abs(notional - (657.53 * 5 + 657.60 * 3)) < 1e-9)
+
+    val qs = ReadApi.readQuotes(spark, root, req).collect().toSeq
+    assert(qs.length == 1 && qs.head.ask_price == 657.61 && qs.head.bid_size == 4L)
+  }
+}
