@@ -37,16 +37,24 @@ object Bench {
 
     // three measured passes, keep the per-query minimum (steady state —
     // the first pass still pays one-time file listing/codegen for this
-    // SF, and the host shows multi-x noise swings between passes)
-    def timed(): Seq[(String, Double)] = benchQueries.map { q =>
+    // SF, and the host shows multi-x noise swings between passes). A
+    // throwing query records None, not its (near-zero) elapsed time — a
+    // broken query must fail the bench, never shrink the reported total.
+    def timed(): Seq[(String, Option[Double])] = benchQueries.map { q =>
       val t0 = System.nanoTime()
-      try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      try {
+        q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+        q.name -> Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name}: ${e.getMessage}")
+        q.name -> None
+      }
     }
     val passes = Seq(timed(), timed(), timed())
     val results = benchQueries.map(_.name).zipWithIndex.map { case (n, i) =>
-      n -> passes.map(_(i)._2).min
+      val ok = passes.flatMap(_(i)._2)
+      if (ok.isEmpty) { System.err.println(s"[bench] $n failed all passes"); sys.exit(1) }
+      n -> ok.min
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

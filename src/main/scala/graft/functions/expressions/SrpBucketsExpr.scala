@@ -65,16 +65,17 @@ case class SrpBucketsExpr(child: Expression, tables: Int, planes: Int, dims: Int
       val n = ctx.freshName("n")
       val proj = ctx.freshName("proj")
       val bucket = ctx.freshName("bucket")
+      val base = ctx.freshName("base")
       s"""
         int $n = Math.min($dims, $vec.numElements());
         int[] $out = new int[$tables];
         for (int $t = 0; $t < $tables; $t++) {
           int $bucket = 0;
           for (int $p = 0; $p < $planes; $p++) {
-            int base = ($t * $planes + $p) * $dims;
+            int $base = ($t * $planes + $p) * $dims;
             double $proj = 0.0;
             for (int $d = 0; $d < $n; $d++) {
-              $proj += $vec.getFloat($d) * $w[base + $d];
+              $proj += $vec.getFloat($d) * $w[$base + $d];
             }
             if ($proj > 0) $bucket |= 1 << $p;
           }

@@ -69,7 +69,10 @@ object Commands {
       q.awaitTermination(cmd.durationSec * 1000)
       q.processAllAvailable() // drain what the WAL holds before the gate closes
     } finally q.stop()
-    if (!new java.io.File(s"$root/${Streaming.name}").exists()) 0L
+    // Hadoop FS probe (not java.io.File) so HDFS/S3 roots work too.
+    val p = new org.apache.hadoop.fs.Path(s"$root/${Streaming.name}")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
     else StockStore.table(spark, root, Streaming).count()
   }
 }

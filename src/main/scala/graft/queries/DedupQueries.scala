@@ -164,7 +164,7 @@ object DedupQueries {
           FROM hashed, (SELECT unnest(generate_series(0, 31)) AS b)
           GROUP BY doc_id, b)
         SELECT doc_id,
-          SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+          CAST(SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id ORDER BY doc_id""")),
 
     // ── SimHash near-dup pairs via Hamming distance ────────────────────

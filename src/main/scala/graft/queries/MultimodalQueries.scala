@@ -84,7 +84,7 @@ object MultimodalQueries {
             CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS b0
           FROM documents)
         SELECT kind, 'stub/md5-v1' AS decoder, COUNT(*) AS n_media,
-          SUM(b0 * 256 + b0) AS sum_f0_units
+          CAST(SUM(b0 * 256 + b0) AS BIGINT) AS sum_f0_units
         FROM feats GROUP BY kind ORDER BY kind"""))
   )
 }

@@ -109,11 +109,14 @@ object VectorQueries {
           FROM cand)
         SELECT pid, nid, rank, cluster FROM r WHERE rank <= 3 ORDER BY pid, rank""")),
 
-    // ── LSH-bucketed ANN (scale path; no SQL oracle — rows-only check) ─
+    // ── LSH-bucketed ANN (scale path) ──────────────────────────────────
     // The OR-amplified index TopK.lshTopK searches: `tables` independent
     // sign-projection hash tables (SrpBucketsExpr fused kernel); the
     // histogram is the blocking structure, (table, bucket) the shuffle /
-    // storage-partition key.
+    // storage-partition key. The oracle reproduces the md5-derived plane
+    // weights (SrpBucketsExpr.weights formula) and keeps the dot-product
+    // accumulation in dim order (`SUM(... ORDER BY d)`) so the doubles
+    // round identically to the fused-loop eval.
     GraftQuery(
       "v3_lsh_ann_buckets",
       (s, dir) => {
@@ -126,6 +129,26 @@ object VectorQueries {
           .agg(count(lit(1)).as("n_vectors"), min($"vec_id").as("min_id"), max($"vec_id").as("max_id"))
           .orderBy($"table", $"bucket")
       },
-      None)
+      Some("""
+        WITH w AS (
+          SELECT g, d,
+            CAST(CAST(concat('0x', substr(md5('plane:' || g || ':' || d), 1, 15)) AS BIGINT) % 2001 - 1000 AS DOUBLE) AS w
+          FROM (SELECT unnest(generate_series(0, 31)) AS g),
+               (SELECT unnest(generate_series(0, 63)) AS d)),
+        e AS (
+          SELECT vec_id, unnest(generate_series(1, len(embedding))) - 1 AS d,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings),
+        proj AS (
+          SELECT vec_id, g, SUM(v * w.w ORDER BY e.d) AS proj
+          FROM e JOIN w ON e.d = w.d
+          GROUP BY vec_id, g),
+        buckets AS (
+          SELECT vec_id, CAST(FLOOR(g / 4) AS INT) AS tbl,
+            CAST(SUM(CASE WHEN proj > 0 THEN (1 << (g % 4)) ELSE 0 END) AS INT) AS bucket
+          FROM proj GROUP BY vec_id, tbl)
+        SELECT tbl AS "table", bucket, COUNT(*) AS n_vectors,
+          MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+        FROM buckets GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -111,9 +111,14 @@ private[ws] final class FrameWal(dir: Path, segmentSize: Int) {
     }
   }
 
-  /** Retention: drop segments entirely below `offset` (XTRIM analogue). */
+  /** Retention: drop segments entirely below `offset` (XTRIM analogue).
+    * The newest segment is always kept — [[frameCount]] recovers the next
+    * ordinal from it, so deleting it (possible when the committed offset
+    * lands exactly on a segment boundary) would reset ordinals to 0 after
+    * a restart: new frames would silently reuse already-committed
+    * ordinals and the stream would stall below its checkpoint offset. */
   def truncateBelow(offset: Long): Unit =
-    segmentIds().filter(k => (k + 1) * segmentSize <= offset)
+    segmentIds().dropRight(1).filter(k => (k + 1) * segmentSize <= offset)
       .foreach(k => Files.deleteIfExists(segPath(k)))
 }
 

@@ -38,11 +38,15 @@ object StockStore {
   private def nullSafeEq(left: DataFrame, right: DataFrame, cols: Seq[String]): Column =
     cols.map(c => left(c) <=> right(c)).reduce(_ && _)
 
-  /** Read the stored table, or an empty frame with `schema` if absent. */
+  /** Read the stored table, or an empty frame with `schema` if absent.
+    * Existence probe goes through Hadoop FileSystem so the store works on
+    * HDFS/S3 paths too — a java.io.File probe would silently report
+    * "absent" there and make [[upsert]] treat a populated table as empty. */
   def readOrEmpty(spark: SparkSession, root: String, dt: StockDataType,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val p = new java.io.File(tablePath(root, dt))
-    if (p.exists()) spark.read.parquet(p.toString)
+    val p = new org.apache.hadoop.fs.Path(tablePath(root, dt))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(tablePath(root, dt))
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
@@ -116,6 +120,14 @@ object StockStore {
 
     val written = out.count()
 
+    // ALL stats counts must run before the data append below: the append
+    // invalidates the cached `existing` plan (recacheByPath), after which
+    // re-executing `versioned`/`fresh` anti-joins the batch against its
+    // own just-written output (fresh = empty, version-1 count = 0).
+    val dedupedN = deduped.count()
+    val nullSkipped = input - nonNull.count()
+    val conflicts = written - versioned.filter(col("version") === 1).count()
+
     // A7/A8 incremental stats: one pre-aggregated row per touched
     // (ticker[, interval]) appended per batch — the reference's O(1)
     // running min/max/count maintenance (sql_db.py:34-40,559-669).
@@ -139,10 +151,8 @@ object StockStore {
       .partitionBy(partCols: _*)
       .parquet(tablePath(root, dt))
 
-    val dedupedN = deduped.count()
-    val conflicts = written - versioned.filter(col("version") === 1).count()
     deduped.unpersist(); existing.unpersist()
-    UpsertStats(input, written, dedupedN - written, input - nonNull.count(), conflicts)
+    UpsertStats(input, written, dedupedN - written, nullSkipped, conflicts)
   }
 
   /** Read the stored table (post-merge). */

@@ -139,6 +139,21 @@ class GoldenCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert stats: versionConflicts counted before the data append (ADVICE r1)") {
+    val root = SparkTestSession.tempDir("stats-conflicts")
+    val b1 = EodhdTransform.interdayBars(
+      rawDf(Seq(interdayJson("2024-01-02", 100.0, 10)), "SPY"), "d")
+    StockStore.upsert(spark, root, HistoricalInterday, b1)
+    // one conflicting key (→ version 2) + one fresh key (→ version 1):
+    // the buggy post-append recount reported conflicts == written (2)
+    val b2 = EodhdTransform.interdayBars(rawDf(Seq(
+      interdayJson("2024-01-02", 101.0, 10),
+      interdayJson("2024-01-03", 102.0, 10)), "SPY"), "d")
+    val s = StockStore.upsert(spark, root, HistoricalInterday, b2)
+    assert(s.written == 2 && s.versionConflicts == 1, s"stats: $s")
+    assert(s.exactDups == 0 && s.nullSkipped == 0, s"stats: $s")
+  }
+
   test("DST-edge local-calendar partition routing (SURVEY §7.4 risk 3)") {
     val root = SparkTestSession.tempDir("dst")
     // 2025-03-09 06:59 UTC = 01:59 EST (pre-spring-forward) → local day 03-09

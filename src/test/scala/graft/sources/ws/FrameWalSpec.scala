@@ -1,0 +1,39 @@
+package graft.sources.ws
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** WAL retention invariants (ADVICE r1): the committed offset landing
+  * exactly on a segment boundary must not delete the whole WAL — ordinals
+  * recovered by frameCount() have to stay monotone across restarts or new
+  * frames would silently reuse already-committed ordinals. */
+class FrameWalSpec extends AnyFunSuite {
+
+  test("truncateBelow keeps the newest segment at an exact-boundary commit") {
+    val dir = Files.createTempDirectory("framewal")
+    val wal = new FrameWal(dir, segmentSize = 4)
+    wal.append(0L, (0 until 8).map(i => s"f$i")) // exactly two full segments
+    assert(wal.frameCount() == 8)
+
+    wal.truncateBelow(8L) // committed offset == total frames (boundary case)
+    assert(wal.frameCount() == 8,
+      "newest segment must survive so ordinals stay monotone after restart")
+
+    // a restarted pump resumes at frameCount(), never back at 0
+    wal.append(wal.frameCount(), Seq("f8"))
+    assert(wal.read(8, 9).toSeq == Seq((8L, "f8")))
+    // the older, fully-committed segment is gone (retention did happen)
+    assert(wal.read(0, 4).isEmpty)
+  }
+
+  test("truncateBelow drops only segments wholly below the offset") {
+    val dir = Files.createTempDirectory("framewal2")
+    val wal = new FrameWal(dir, segmentSize = 4)
+    wal.append(0L, (0 until 10).map(i => s"f$i")) // segs 0,1 full; seg 2 partial
+    wal.truncateBelow(6L) // mid-segment offset: only segment 0 qualifies
+    assert(wal.read(0, 4).isEmpty)
+    assert(wal.read(4, 10).map(_._1).toSeq == (4L until 10L))
+    assert(wal.frameCount() == 10)
+  }
+}
