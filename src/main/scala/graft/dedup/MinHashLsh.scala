@@ -67,9 +67,14 @@ object MinHashLsh {
       // CPU-heavy part and must parallelize even when the input is a few
       // large (or one small) parquet files; hash(id) partitioning is then
       // reused by the groupBy below, so its exchange is elided — net one
-      // shuffle, carrying raw docs rather than exploded shingles.
-      .repartition(col(idCol))
-      .select(col(idCol).as("id"), tokens(normalized(col(textCol))).as("toks"))
+      // shuffle, carrying raw docs rather than exploded shingles. The
+      // partition count is pinned explicitly (AQE would otherwise coalesce
+      // this exchange by SIZE, and the whole point here is CPU width, not
+      // bytes — a few MB of docs can carry seconds of shingle/md5 work).
+      .repartition(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+        col(idCol))
+      // lowerTokens == tokens(normalized(text)) as one fused byte scan
+      .select(col(idCol).as("id"), graft.functions.TextFunctions.lowerTokens(col(textCol)).as("toks"))
       .select($"id",
         explode(array_distinct(shinglesOfTokens($"toks", shingleWidth))).as("sh"))
       .withColumn("h", md5Long($"sh") % P)
@@ -95,6 +100,15 @@ object MinHashLsh {
     * fan-out is the same work the join would do, minus a full upstream
     * recompute + shuffle. */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 4, shingleWidth: Int = 5): DataFrame =
+    rawCandidatePairs(docs, idCol, textCol, bands, rowsPerBand, shingleWidth)
+      .distinct()
+
+  /** [[candidatePairs]] without the final distinct: a pair colliding in k
+    * bands appears k times. Consumers that are idempotent under pair
+    * multiplicity ([[memberLabels]] — min-propagation is) should use this
+    * form and skip a whole shuffle. */
+  def rawCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 4, shingleWidth: Int = 5): DataFrame = {
     val sigs = signatureMatrix(docs, idCol, textCol, bands * rowsPerBand, shingleWidth)
     val bandSigs = sigs.select(col("id"),
@@ -112,7 +126,6 @@ object MinHashLsh {
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           y => struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
   }
 
   /** Per-member component labels for the candidate-pair graph: (id,
@@ -125,33 +138,90 @@ object MinHashLsh {
     * convergence. */
   def memberLabels(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     // Cache the symmetrized edge list: every propagation round joins
-    // against it twice (next-labels + convergence probe), and without the
-    // cache each round would re-execute the whole upstream pair pipeline
-    // (shingle → minhash → band join). Edge lists are the SMALL side —
-    // |candidate pairs| rows — so this is the cheap, right thing at any
-    // scale.
+    // against it, and without the cache each round would re-execute the
+    // whole upstream pair pipeline (shingle → minhash → band join). Edge
+    // lists are the SMALL side — |candidate pairs| rows — so this is the
+    // cheap, right thing at any scale.
+    // Pre-partitioned on the join key: each round's edges⋈labels then
+    // needs no exchange on the edge side (labels arrive hash-partitioned
+    // on id from their groupBy), so a round costs ONE exchange.
     val edges = pairs.select(col("a"), col("b"))
       .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b"))
       .cache()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
-    var i = 0
+    // Initial labels as a MULTISET straight off the edges (id = label =
+    // a): no distinct exchange — the groupBy-min in every round dedupes.
+    val labels0 = edges.select(col("a").as("id"), col("a").as("label"))
+
+    // One propagation round. The union branch deliberately references the
+    // INITIAL labels (own id), not the previous round: r(id) = min(id,
+    // min_nbr prev(nbr)) equals min(prev(id), min_nbr prev(nbr)) because
+    // any improvement prev(id) < id arrived through some neighbor n with
+    // prev(n) <= prev(id), which the neighbor-min term already covers.
+    // This keeps each round a SINGLE reference to the previous round's
+    // frame, so several rounds chain into one linear lazy plan with no
+    // recomputation blow-up.
+    def step(prev: DataFrame): DataFrame =
+      edges.join(prev, edges("b") === prev("id"))
+        .select(edges("a").as("id"), col("label"))
+        .unionAll(labels0)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"))
+
+    // Round 1 needs no join at all: with labels = ids, the neighbor-label
+    // map IS the edge list.
+    def step1: DataFrame =
+      edges.select(col("a").as("id"), col("b").as("label"))
+        .unionAll(labels0)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"))
+
+    // Convergence via the label-sum invariant: labels are per-id
+    // non-increasing, so the total strictly decreases until the fixpoint —
+    // equal consecutive sums ⇔ no label moved. Rounds run in BATCHES of
+    // up to `batch` lazy steps with one CollectMetrics per step, so a
+    // whole batch (including per-round convergence info) materializes in
+    // ONE job — dup graphs are near-cliques that converge in 2-3 rounds,
+    // i.e. typically a single job, where a per-round action would pay
+    // job+stage scheduling per round. DECIMAL sums: ids are unbounded
+    // longs, a long sum could overflow on billion-node graphs.
+    // Two rounds per job: near-clique dup graphs converge by round 2, so
+    // the common case is exactly one job (sums equal within the batch);
+    // wider batches only deepen the lazy plan past the fixpoint.
+    val batch = 2
+    var labels: DataFrame = null
+    var lastSum: Option[java.math.BigDecimal] = None
+    var round = 0
     var converged = false
-    while (i < maxIter && !converged) {
+    while (round < maxIter && !converged) {
+      val k = math.min(batch, maxIter - round)
+      val obs = (0 until k).map(j => org.apache.spark.sql.Observation(s"graft_lp_${round + j}"))
       val prev = labels
-      val next = edges.join(labels, edges("b") === labels("id"))
-        .groupBy(edges("a").as("id"))
-        .agg(min(col("label")).as("nbr_label"))
-        .join(labels.withColumnRenamed("label", "own_label"), "id")
-        .select(col("id"), least(col("own_label"), col("nbr_label")).as("label"))
-      next.cache()
-      converged = next.join(prev.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
-      prev.unpersist()
-      labels = next
-      i += 1
+      var cur = prev
+      obs.foreach { o =>
+        val stepped = if (cur == null) step1 else step(cur)
+        cur = stepped.observe(o, sum(col("label").cast("decimal(38,0)")).as("s"))
+      }
+      cur.cache()
+      cur.count() // one job materializes the whole batch
+      val sums = obs.map(o => Option(o.get("s").asInstanceOf[java.math.BigDecimal]))
+      if (sums.exists(_.isEmpty)) converged = true // empty graph: sum over no rows
+      else {
+        val all = lastSum.toSeq ++ sums.flatten
+        converged = all.sliding(2).exists(p => p.size == 2 && p(0).compareTo(p(1)) == 0)
+        lastSum = sums.last
+      }
+      if (prev != null) prev.unpersist()
+      labels = cur
+      round += k
     }
-    labels
+    // The returned labels frame is cached and already materialized; the
+    // working sets are no longer needed. Callers that care about cache
+    // hygiene (e.g. a benchmarked funnel) should unpersist the result
+    // after consuming it.
+    edges.unpersist(false)
+    if (labels == null) labels0.select(col("id"), col("label")).distinct() // maxIter == 0
+    else labels
   }
 
   /** Collapse candidate pairs into duplicate clusters and pick one keeper

@@ -29,7 +29,8 @@ object SimHash {
       .reduce(_ + _)
     docs
       .select(col(idCol).as("id"),
-        explode(array_distinct(tokens(lower(col(textCol))))).as("tok"))
+        // fused kernel == tokens(lower(text)) on ASCII input
+        explode(array_distinct(graft.functions.TextFunctions.lowerTokens(col(textCol)))).as("tok"))
       .withColumn("h", md5Long($"tok"))
       .groupBy($"id")
       .agg(count(lit(1)).as("n"), ones: _*)

@@ -13,9 +13,14 @@ object HashFunctions {
 
   /** First 60 bits of md5(s) as a BIGINT.
     * DuckDB equivalent: CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT).
-    */
+    * Runs as a fused native expression (no hex-string round trip) — see
+    * [[graft.functions.expressions.Md5PrefixLongExpr]]; the composable
+    * `conv(substring(md5(c), 1, 15), 16, 10)` form computes the same
+    * value. */
   def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      graft.functions.expressions.Md5PrefixLongExpr(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(c)))
 
   /** Seeded variant for minhash permutation family i. */
   def md5LongSeeded(seed: Column, c: Column): Column =

@@ -21,10 +21,29 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Lowercased word tokens — `tokens(normalized(text))` as ONE fused
+    * byte-scan kernel (see [[graft.functions.expressions.GraftText]]);
+    * the hot path of the shingle/minhash/simhash family. */
+  def lowerTokens(text: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      graft.functions.expressions.LowerAlnumTokensExpr(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(text)))
+
   /** Canonical form for exact-dup detection: lowercase, collapse
-    * whitespace, trim. */
+    * whitespace, trim — fused single pass, ==
+    * `trim(regexp_replace(lower(text), "\\s+", " "))` on ASCII input. */
   def normalized(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      graft.functions.expressions.NormalizeAsciiExpr(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(text)))
+
+  /** One-pass profile struct over the text (alpha/punct/token/stopword/
+    * language-marker counts); shared by [[qualityScore]] and [[langId]]
+    * via codegen subexpression elimination. */
+  private def profile(text: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      graft.functions.expressions.TextProfileExpr(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(text)))
 
   /** Document fingerprint = md5 of the normalized text (content hash for
     * exact dedup; the rolling-hash use case reduces to this at doc scope). */
@@ -40,11 +59,14 @@ object TextFunctions {
 
   /** Composite quality score in [0,1]-ish: favors alphabetic content and a
     * natural stopword rate, penalizes punctuation soup. Per-row scalar
-    * double math only (deterministic across engines). */
+    * double math only (deterministic across engines). Counts come from
+    * the fused one-pass profile (identical values to the regex forms
+    * above on ASCII input). */
   def qualityScore(text: Column, nChars: Column): Column = {
-    val alphaRatio = alphaCount(text).cast("double") / nChars.cast("double")
-    val stopRatio = stopwordCount(text).cast("double") / (tokenCount(text).cast("double") + lit(1.0))
-    val punctRatio = punctCount(text).cast("double") / nChars.cast("double")
+    val p = profile(text)
+    val alphaRatio = p.getField("alpha").cast("double") / nChars.cast("double")
+    val stopRatio = p.getField("stop").cast("double") / (p.getField("ntok").cast("double") + lit(1.0))
+    val punctRatio = p.getField("punct").cast("double") / nChars.cast("double")
     alphaRatio * lit(0.5) + stopRatio * lit(0.5) - punctRatio * lit(0.25)
   }
 
@@ -91,10 +113,10 @@ object TextFunctions {
     "es" -> "\\b(el|los|las|y|es)\\b",
     "zh" -> "\\b(de|shi|le|zai|you)\\b")
 
-  def langScores(text: Column): Seq[(String, Column)] =
-    markers.map { case (lang, pat) =>
-      lang -> size(regexp_extract_all(lower(text), lit(pat), lit(0)))
-    }
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val p = profile(text)
+    markers.map { case (lang, _) => lang -> p.getField(lang) }
+  }
 
   /** Predicted language: argmax of marker counts, ties resolved by the
     * fixed precedence en > de > fr > es > zh; all-zero → "und". */

@@ -1,0 +1,63 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.security.MessageDigest
+
+/** First 60 bits of md5(input) as a non-negative BIGINT — the engine's
+  * portable base hash (see [[graft.functions.HashFunctions.md5Long]]).
+  *
+  * Semantically identical to
+  * `conv(substring(md5(s), 1, 15), 16, 10) CAST AS LONG` (the first 15
+  * hex digits are the first 60 bits of the big-endian digest), but
+  * computed straight from the digest bytes: the composable form
+  * allocates a 32-char hex string, substrings it, and re-parses it
+  * through NumberConverter for EVERY hashed value. The dedup family
+  * hashes one value per distinct shingle/gram — at 100 TB that is the
+  * single hottest scalar kernel in the plane, so it gets a fused
+  * expression that stays in whole-stage codegen with zero string
+  * round-trips. DuckDB oracle equivalent is unchanged:
+  * `CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)`.
+  */
+case class Md5PrefixLongExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHash.md5Prefix60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.GraftHash.md5Prefix60($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object GraftHash {
+  // MessageDigest is stateful; one per executor thread, reset per call.
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** First 60 bits of md5(s), big-endian: bytes 0..7 as a long, shifted
+    * right 4 — exactly the value of the first 15 hex digits. Always in
+    * [0, 2^60). */
+  def md5Prefix60(s: UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val b = md.digest(s.getBytes)
+    val hi =
+      (b(0) & 0xffL) << 56 | (b(1) & 0xffL) << 48 |
+      (b(2) & 0xffL) << 40 | (b(3) & 0xffL) << 32 |
+      (b(4) & 0xffL) << 24 | (b(5) & 0xffL) << 16 |
+      (b(6) & 0xffL) << 8 | (b(7) & 0xffL)
+    hi >>> 4
+  }
+}

@@ -1,0 +1,199 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused byte-scan kernels for the text-analysis plane.
+  *
+  * The composable forms (`lower` → `regexp_replace` → `trim`,
+  * `regexp_extract_all` per marker set, …) walk every document through
+  * 2–8 independent Java-regex passes; these expressions compute the same
+  * values in ONE pass over the UTF-8 bytes and stay inside whole-stage
+  * codegen. They are the hot scalar kernels of the cleaning funnel — at
+  * 100 TB each regex pass eliminated is a full corpus scan's worth of CPU.
+  *
+  * Semantics contract (documented, spec-asserted): byte-level ASCII.
+  * `[a-zA-Z0-9]+` tokens, `\s` = Java's ASCII class [ \t\n\x0B\f\r],
+  * lowercasing folds A-Z only. On ASCII text (the data-plane contract for
+  * these operators; the synthetic corpus and typical web-scale English
+  * cleaning inputs) this is byte-for-byte identical to the regex forms —
+  * multi-byte UTF-8 code units have the high bit set, so they can never
+  * collide with ASCII class membership, and non-ASCII chars simply act as
+  * token separators exactly as the ASCII-only regex classes treat them.
+  * The one divergence from `lower()` is exotic Unicode case folding
+  * (e.g. Kelvin sign → k), which the regex forms would tokenize and these
+  * kernels treat as a separator.
+  */
+object GraftText {
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  private def isAlnum(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9')
+
+  private def lowerByte(b: Byte): Byte =
+    if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+
+  /** lower + collapse \s+ runs to one space + trim, one pass.
+    * == trim(regexp_replace(lower(s), "\\s+", " ")) on ASCII input. */
+  def normalizeAscii(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    val out = new Array[Byte](n)
+    var i = 0
+    var o = 0
+    var pendingSpace = false
+    while (i < n) {
+      val b = s.getByte(i)
+      if (isWs(b)) pendingSpace = o > 0 // leading ws drops; interior defers
+      else {
+        if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
+        out(o) = lowerByte(b); o += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, o) // trailing pendingSpace never flushed
+  }
+
+  /** Lowercased maximal ASCII-alnum runs, one pass.
+    * == regexp_extract_all(lower(s), '[a-zA-Z0-9]+') on ASCII input. */
+  def lowerAlnumTokens(s: UTF8String): GenericArrayData = {
+    val n = s.numBytes()
+    val toks = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < n) {
+      while (i < n && !isAlnum(s.getByte(i))) i += 1
+      val start = i
+      while (i < n && isAlnum(s.getByte(i))) i += 1
+      if (i > start) {
+        val t = new Array[Byte](i - start)
+        var j = start
+        while (j < i) { t(j - start) = lowerByte(s.getByte(j)); j += 1 }
+        toks.add(UTF8String.fromBytes(t))
+      }
+    }
+    new GenericArrayData(toks.toArray)
+  }
+
+  // marker-word masks; all marker/stopword tokens are 1-3 ASCII chars, so
+  // a token packs into one int: (len<<24)|b0<<16|b1<<8|b2 (lowercased)
+  private final val EN = 1; private final val DE = 2; private final val FR = 4
+  private final val ES = 8; private final val ZH = 16; private final val STOP = 32
+
+  private def pack(w: String): Int = {
+    require(w.length <= 3)
+    var v = w.length << 24
+    var i = 0
+    while (i < w.length) { v |= (w.charAt(i) & 0xff) << (16 - 8 * i); i += 1 }
+    v
+  }
+
+  /** word → language/stopword mask (graft.functions.TextFunctions.markers
+    * + the stopword list, merged). */
+  private val masks: java.util.HashMap[Integer, Integer] = {
+    val m = new java.util.HashMap[Integer, Integer]()
+    def add(mask: Int, ws: String*): Unit =
+      ws.foreach { w => m.merge(pack(w), mask, (a, b) => a | b) }
+    add(EN, "the", "and", "of", "is", "was")
+    add(DE, "der", "die", "das", "und", "ist")
+    add(FR, "le", "la", "les", "et", "est")
+    add(ES, "el", "los", "las", "y", "es")
+    add(ZH, "de", "shi", "le", "zai", "you")
+    add(STOP, "the", "a", "and", "of", "to", "in", "is", "it")
+    m
+  }
+
+  /** One-pass profile: counts of [a-zA-Z] bytes, [.!?,;] bytes, alnum
+    * tokens, stopword tokens, and the five language-marker sets. Matches
+    * the regex forms in [[graft.functions.TextFunctions]] on ASCII input
+    * (token membership == \b-delimited match because both split at
+    * non-word chars; the corpus contract excludes '_'). */
+  def profile(s: UTF8String): InternalRow = {
+    val n = s.numBytes()
+    var alpha = 0; var punct = 0; var ntok = 0; var stop = 0
+    var en = 0; var de = 0; var fr = 0; var es = 0; var zh = 0
+    var i = 0
+    var tokLen = 0
+    var packed = 0
+    var fits = true // token length <= 3 so far
+    def endToken(): Unit = if (tokLen > 0) {
+      ntok += 1
+      if (fits) {
+        val mask = masks.get(packed | tokLen << 24)
+        if (mask != null) {
+          val v = mask.intValue()
+          if ((v & EN) != 0) en += 1
+          if ((v & DE) != 0) de += 1
+          if ((v & FR) != 0) fr += 1
+          if ((v & ES) != 0) es += 1
+          if ((v & ZH) != 0) zh += 1
+          if ((v & STOP) != 0) stop += 1
+        }
+      }
+      tokLen = 0; packed = 0; fits = true
+    }
+    while (i < n) {
+      val b = s.getByte(i)
+      if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) alpha += 1
+      else if (b == '.' || b == '!' || b == '?' || b == ',' || b == ';') punct += 1
+      if (isAlnum(b)) {
+        if (tokLen < 3) packed |= (lowerByte(b) & 0xff) << (16 - 8 * tokLen)
+        else fits = false
+        tokLen += 1
+      } else endToken()
+      i += 1
+    }
+    endToken()
+    new GenericInternalRow(Array[Any](alpha, punct, ntok, stop, en, de, fr, es, zh))
+  }
+
+  val profileSchema: StructType = StructType(
+    Seq("alpha", "punct", "ntok", "stop", "en", "de", "fr", "es", "zh")
+      .map(StructField(_, IntegerType, nullable = false)))
+}
+
+/** `trim(regexp_replace(lower(s), "\\s+", " "))` as one fused pass. */
+case class NormalizeAsciiExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    GraftText.normalizeAscii(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expressions.GraftText.normalizeAscii($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `regexp_extract_all(lower(s), '[a-zA-Z0-9]+')` as one fused pass. */
+case class LowerAlnumTokensExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    GraftText.lowerAlnumTokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expressions.GraftText.lowerAlnumTokens($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** One-pass text profile struct (see [[GraftText.profile]]); subexpression
+  * elimination shares a single evaluation across the quality-score and
+  * language-ID consumers in the same projection. */
+case class TextProfileExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = GraftText.profileSchema
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    GraftText.profile(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expressions.GraftText.profile($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -25,11 +25,18 @@ object DedupQueries {
     * exist in the testdata. */
   private def corpusWithNearDups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Single-scan synthesis (multiplicity explode), not a union of two
+    // scans — at 100 TB the second scan would double the read.
     val docs = Tables.documents(s, dir)
-    val copies = docs.filter($"doc_id" % 5 === 0)
-      .select(($"doc_id" + 1000000L).as("doc_id"),
-        concat($"text", lit(" extra appended tail tokens here")).as("text"))
-    docs.select($"doc_id", $"text").unionAll(copies)
+    val variants = filter(
+      array(
+        struct(lit(0L).as("off"), lit(false).as("tail")),
+        struct(lit(1000000L).as("off"), lit(true).as("tail"))),
+      v => (v("off") === 0L) || ($"doc_id" % 5 === 0))
+    docs.select($"doc_id", $"text", explode(variants).as("v"))
+      .select(($"doc_id" + $"v.off").as("doc_id"),
+        when($"v.tail", concat($"text", lit(" extra appended tail tokens here")))
+          .otherwise($"text").as("text"))
   }
 
   private val corpusSql =

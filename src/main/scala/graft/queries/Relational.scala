@@ -121,7 +121,14 @@ object Relational {
         val o = Tables.orders(s, dir)
           .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
             $"o_orderdate" < lit("1996-07-01").cast("timestamp"))
+        // Derived standalone pushdown: the semi-join condition
+        // l_shipdate > o_orderdate with o_orderdate >= 1996-01-01 implies
+        // l_shipdate > 1996-01-01 — a filter Catalyst can't infer from the
+        // non-equi join condition but that reaches the parquet scan and
+        // prunes row groups at any SF (the non-equi part still applies
+        // per-pair inside the join).
         val li = Tables.lineitem(s, dir)
+          .filter($"l_shipdate" > lit("1996-01-01").cast("timestamp"))
         o.join(li, o("o_orderkey") === li("l_orderkey") && li("l_shipdate") > o("o_orderdate"), "left_semi")
           .groupBy($"o_orderpriority").agg(count(lit(1)).as("order_count"))
           .orderBy($"o_orderpriority")

@@ -164,13 +164,23 @@ object TextQueries {
       "x7_training_data_pipeline",
       (s, dir) => {
         import s.implicits._
+        // Single-scan corpus synthesis: one multiplicity explode instead
+        // of three unioned scans — at 100 TB re-scanning the table per
+        // dup flavor would triple the read.
         val base = Tables.documents(s, dir).select($"doc_id", $"text")
+        val variants = filter(
+          array(
+            struct(lit(0L).as("off"), lit(false).as("tail")),
+            struct(lit(1000000L).as("off"), lit(false).as("tail")),
+            struct(lit(2000000L).as("off"), lit(true).as("tail"))),
+          v => (v("off") === 0L) ||
+            (v("off") === 1000000L && $"doc_id" % 4 === 0) ||
+            (v("off") === 2000000L && $"doc_id" % 5 === 0))
         val corpus = base
-          .unionAll(base.filter($"doc_id" % 4 === 0)
-            .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
-          .unionAll(base.filter($"doc_id" % 5 === 0)
-            .select(($"doc_id" + 2000000L).as("doc_id"),
-              concat($"text", lit(" extra appended tail tokens here")).as("text")))
+          .select($"doc_id", $"text", explode(variants).as("v"))
+          .select(($"doc_id" + $"v.off").as("doc_id"),
+            when($"v.tail", concat($"text", lit(" extra appended tail tokens here")))
+              .otherwise($"text").as("text"))
         // Single-scan funnel flags: every stage predicate is a column, so
         // the first four counts come from ONE pass over the corpus (one
         // aggregate of booleans), not one re-execution of the filter
@@ -180,27 +190,47 @@ object TextQueries {
         val flagged = corpus
           .withColumn("q_ok", qualityScore($"text", length($"text")) > 0.43)
           .withColumn("l_ok", $"q_ok" && langId($"text") === "en")
+        // The funnel has THREE consumers of the flag/rank pipeline (stage
+        // counts, the near-dedup pair graph, and the survivor anti-join);
+        // without materialization each consumer re-executes the scalar +
+        // window pipeline from the scan. Persist once, compute, release —
+        // the same persist a production funnel would put between its
+        // cleaning and dedup phases. The result is 5 rows, so it is
+        // collected eagerly and returned as a local relation (which also
+        // guarantees the cache cannot leak across repeated runs).
         val ranked = flagged
           .withColumn("rn", row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(fingerprint($"text")).orderBy($"l_ok".desc, $"doc_id")))
           .withColumn("e_ok", $"l_ok" && $"rn" === 1)
+          .cache()
         val e = ranked.filter($"e_ok").select($"doc_id", $"text")
-        val nonKeepers = graft.dedup.MinHashLsh
-          .memberLabels(graft.dedup.MinHashLsh.candidatePairs(e, "doc_id", "text"))
-          .filter($"label" =!= $"id")
-          .select($"id")
-        val flagCounts = ranked.groupBy().agg(
+        val labels = graft.dedup.MinHashLsh
+          .memberLabels(graft.dedup.MinHashLsh.rawCandidatePairs(e, "doc_id", "text"))
+        val nonKeepers = labels.filter($"label" =!= $"id").select($"id")
+        // Both count sides reduce to ONE row each, so they cross-join
+        // into a single stack projection — one job for all five stage
+        // counts instead of a union of two aggregate subtrees.
+        val flagRow = ranked.groupBy().agg(
           count(lit(1)).as("c0"),
           sum(when($"q_ok", 1L).otherwise(0L)).as("c1"),
           sum(when($"l_ok", 1L).otherwise(0L)).as("c2"),
           sum(when($"e_ok", 1L).otherwise(0L)).as("c3"))
-          .selectExpr("stack(4, '00_raw', c0, '10_quality', c1, " +
-            "'20_lang', c2, '30_exact_dedup', c3) AS (stage, n_docs)")
-        val nearCount = e.join(nonKeepers, e("doc_id") === nonKeepers("id"), "left_anti")
-          .groupBy().agg(count(lit(1)).as("n_docs"))
-          .select(lit("40_near_dedup").as("stage"), $"n_docs")
-        flagCounts.unionAll(nearCount).orderBy($"stage")
+        val nearRow = e.join(nonKeepers, e("doc_id") === nonKeepers("id"), "left_anti")
+          .groupBy().agg(count(lit(1)).as("c4"))
+        val result = flagRow.crossJoin(nearRow)
+          .selectExpr("stack(5, '00_raw', c0, '10_quality', c1, '20_lang', c2, " +
+            "'30_exact_dedup', c3, '40_near_dedup', c4) AS (stage, n_docs)")
+          .orderBy($"stage")
+          .collect()
+        ranked.unpersist(false)
+        labels.unpersist(false)
+        s.createDataFrame(java.util.Arrays.asList(result: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("stage",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("n_docs",
+              org.apache.spark.sql.types.LongType, nullable = true))))
       },
       Some("""
         WITH RECURSIVE corpus AS (
