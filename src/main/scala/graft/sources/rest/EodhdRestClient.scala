@@ -1,0 +1,136 @@
+package graft.sources.rest
+
+import graft.jobs.Commands.HistoricalCommand
+import graft.model.{Exchanges, HistoricalInterday}
+
+import java.io.IOException
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+import java.time.format.DateTimeFormatter
+import java.time.{LocalDate, LocalDateTime, ZoneId}
+
+/** Real EODHD historical REST client (SURVEY §2.1 S1/S2) — the
+  * production implementation of the `fetchPage` seam that
+  * [[graft.jobs.Commands.runHistorical]] takes injected.
+  *
+  * Behavior parity with the reference
+  * (src/stockops/data/historical/eodhd_historical_service.py:110-210):
+  *  - intraday vs interday URL split by interval set (`/api/intraday/`
+  *    with epoch-second range vs `/api/eod/` with ISO-date range,
+  *    `:186-203`);
+  *  - wall-clock start/end parsed in the exchange timezone for intraday
+  *    (`:188-189`), ISO dates validated for interday (`:197-198`);
+  *  - 30 s timeout and raise-for-status (`:113-114`);
+  *  - retry on transient failure. The reference's extra attempt forces
+  *    IPv6 resolution for IPv6-only hosts (`:118-142`);
+  *    HttpURLConnection already iterates every resolved address family
+  *    on connect failure, so the same single-retry policy covers it —
+  *    plus the UI client's retry-on-429/5xx (api_client.py:24-27).
+  *
+  * The page is returned as one raw JSON string per row (the provider
+  * returns a JSON array of flat objects), matching the transform
+  * contract: parsing/validation stays in [[graft.transform.EodhdTransform]]
+  * (PERMISSIVE from_json + required-field drop), so a malformed element
+  * is dropped by T1/T9 rather than failing the fetch.
+  */
+final class EodhdRestClient(
+    apiToken: String,
+    baseUrl: String = "https://eodhd.com/api",
+    timeoutMs: Int = 30000,
+    maxRetries: Int = 3,
+    retryBackoffMs: Long = 250) {
+
+  private val wallFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm")
+
+  /** Provider URL for the command — intraday epoch-s range in exchange
+    * wall time, interday ISO-date range (reference :186-203). */
+  def url(cmd: HistoricalCommand): String = {
+    val tickerExch = s"${cmd.ticker}.${cmd.exchange}"
+    if (cmd.dataType == HistoricalInterday) {
+      val from = LocalDate.parse(cmd.start) // ISO validation, throws like validate_isodatestr
+      val to = LocalDate.parse(cmd.end)
+      s"$baseUrl/eod/$tickerExch?api_token=$apiToken&period=${cmd.interval}&from=$from&to=$to&fmt=json"
+    } else {
+      val tz = ZoneId.of(Exchanges.tz(cmd.exchange))
+      def epochS(s: String): Long =
+        LocalDateTime.parse(s, wallFmt).atZone(tz).toEpochSecond
+      s"$baseUrl/intraday/$tickerExch?api_token=$apiToken" +
+        s"&interval=${cmd.interval}&from=${epochS(cmd.start)}&to=${epochS(cmd.end)}&fmt=json"
+    }
+  }
+
+  /** Fetch one page and split the JSON array into per-row strings; a
+    * single top-level object becomes a one-element page (reference
+    * :146-156 handles both shapes). */
+  def fetchPage(cmd: HistoricalCommand): Seq[String] =
+    EodhdRestClient.splitTopLevelJson(get(url(cmd)))
+
+  /** GET with timeout + status check + bounded retries. Retries fire on
+    * connect/read failures and retryable statuses (429/5xx); 4xx other
+    * than 429 is a hard error (bad request/token — retrying can't help). */
+  private[rest] def get(urlStr: String): String = {
+    var attempt = 0
+    var lastErr: Exception = null
+    while (attempt < maxRetries) {
+      try {
+        val conn = URI.create(urlStr).toURL.openConnection().asInstanceOf[HttpURLConnection]
+        try {
+          conn.setConnectTimeout(timeoutMs)
+          conn.setReadTimeout(timeoutMs)
+          conn.setRequestProperty("Accept", "application/json")
+          val code = conn.getResponseCode
+          if (code == 200) {
+            return new String(conn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+          } else if (code == 429 || code >= 500) {
+            lastErr = new IOException(s"HTTP $code from $urlStr")
+          } else {
+            throw new IOException(s"HTTP $code from $urlStr (not retryable)")
+          }
+        } finally conn.disconnect()
+      } catch {
+        case e: IOException if !e.getMessage.contains("not retryable") => lastErr = e
+      }
+      attempt += 1
+      if (attempt < maxRetries) Thread.sleep(retryBackoffMs * attempt)
+    }
+    throw new IOException(s"fetch failed after $maxRetries attempts: $lastErr", lastErr)
+  }
+}
+
+object EodhdRestClient {
+
+  /** Split a top-level JSON array into its element strings (depth- and
+    * string-aware, no parsing of the elements themselves — the Spark-side
+    * from_json does that, distributed). A top-level object (the
+    * provider's single-row shape) returns as a single element; anything
+    * else is a protocol error. */
+  def splitTopLevelJson(body: String): Seq[String] = {
+    val s = body.trim
+    if (s.isEmpty) return Seq.empty
+    if (s.startsWith("{")) return Seq(s)
+    require(s.startsWith("[") && s.endsWith("]"), s"expected JSON array, got: ${s.take(40)}")
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var inStr = false
+    var esc = false
+    var start = -1
+    var i = 1
+    while (i < s.length - 1 || (i == s.length - 1 && depth > 0)) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' | '[' => if (depth == 0) start = i; depth += 1
+        case '}' | ']' =>
+          depth -= 1
+          if (depth == 0 && start >= 0) { out += s.substring(start, i + 1); start = -1 }
+        case _ => ()
+      }
+      i += 1
+    }
+    out.result()
+  }
+}

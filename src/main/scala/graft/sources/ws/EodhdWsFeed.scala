@@ -1,0 +1,148 @@
+package graft.sources.ws
+
+import java.net.URI
+import java.net.http.{HttpClient, WebSocket}
+import java.nio.ByteBuffer
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicBoolean
+
+/** Real WebSocket [[FrameFeed]] (SURVEY §2.1 S3–S5) over the JDK
+  * `java.net.http.WebSocket` client — the production network edge for
+  * [[WsSourceProvider]]; tests keep using scripted feeds.
+  *
+  * Behavior parity with the reference
+  * (src/stockops/data/streaming/eodhd_streaming_service.py):
+  *  - URL split per stream type: `wss://host/ws/{exchange}` for trades,
+  *    `wss://host/ws/{exchange}-quote` for quotes (`:290-293`);
+  *  - subscribe message `{"action":"subscribe","symbols":"A,B"}` sent on
+  *    every (re)connect (`:126-128`);
+  *  - reconnect with jittered exponential backoff: delay =
+  *    min(backoff + uniform(0, 0.3·backoff), 60 s), backoff doubling to
+  *    a 60 s cap, reset to 1 s on successful connect (`:78-80,160-175`);
+  *  - keepalive ping every 45 s (`:96-105`);
+  *  - auth banners / control frames pass through raw: the Spark-side
+  *    transform filters them (T8/T9), mirroring the reference's
+  *    log-and-skip (`:177-187`) — nothing is parsed here.
+  *
+  * Reconnection is poll-driven (the WAL pump calls [[poll]] in a tight
+  * loop): a failed connect schedules the next attempt instead of
+  *  sleeping, so the pump thread never blocks. The duration gate lives in
+  * [[graft.jobs.Commands.runStream]], as in the reference (`:206-211`).
+  */
+final class EodhdWsFeed(
+    url: String,
+    symbols: Seq[String],
+    initialBackoffSec: Double = 1.0,
+    maxBackoffSec: Double = 60.0,
+    jitterFrac: Double = 0.3,
+    pingIntervalMs: Long = 45000,
+    rng: java.util.Random = new java.util.Random())
+    extends FrameFeed {
+
+  private val queue = new ConcurrentLinkedQueue[String]()
+  private val closed = new AtomicBoolean(false)
+  @volatile private var ws: WebSocket = _
+  @volatile private var connectedFlag = false
+  // mutated only under this.synchronized
+  private var backoffSec = initialBackoffSec
+  private var nextAttemptAtMs = 0L
+  private var lastPingMs = 0L
+  private val client = HttpClient.newHttpClient()
+
+  /** accumulated partial text frames; touched only by the listener thread */
+  private val partial = new StringBuilder
+
+  private[graft] def isConnected: Boolean = connectedFlag
+  private[graft] def currentBackoffSec: Double = synchronized(backoffSec)
+
+  private val listener = new WebSocket.Listener {
+    override def onText(w: WebSocket, data: CharSequence, last: Boolean): java.util.concurrent.CompletionStage[_] = {
+      partial.append(data)
+      if (last) { queue.add(partial.toString); partial.setLength(0) }
+      w.request(1)
+      null
+    }
+    override def onClose(w: WebSocket, statusCode: Int, reason: String): java.util.concurrent.CompletionStage[_] = {
+      markDisconnected(); null
+    }
+    override def onError(w: WebSocket, error: Throwable): Unit = markDisconnected()
+  }
+
+  private def markDisconnected(): Unit = synchronized {
+    if (connectedFlag) {
+      connectedFlag = false
+      scheduleRetry()
+    }
+  }
+
+  private def scheduleRetry(): Unit = synchronized {
+    val delay = EodhdWsFeed.delaySec(backoffSec, maxBackoffSec, jitterFrac, rng.nextDouble())
+    nextAttemptAtMs = System.currentTimeMillis() + (delay * 1000).toLong
+    backoffSec = math.min(backoffSec * 2.0, maxBackoffSec)
+  }
+
+  private def tryConnect(): Unit = synchronized {
+    if (closed.get() || connectedFlag) return
+    try {
+      val w = client.newWebSocketBuilder()
+        .buildAsync(URI.create(url), listener)
+        .join()
+      ws = w
+      connectedFlag = true
+      backoffSec = initialBackoffSec // successful connect resets backoff
+      lastPingMs = System.currentTimeMillis()
+      w.sendText(s"""{"action": "subscribe", "symbols": "${symbols.mkString(",")}"}""", true)
+    } catch {
+      case _: Throwable => scheduleRetry()
+    }
+  }
+
+  /** First connection attempt; failures schedule a retry rather than
+    * throw — the reference retries until its duration gate closes. */
+  override def connect(): Unit = tryConnect()
+
+  override def poll(): Seq[String] = {
+    if (!connectedFlag && !closed.get() &&
+        System.currentTimeMillis() >= synchronized(nextAttemptAtMs)) {
+      tryConnect()
+    }
+    if (connectedFlag) {
+      val now = System.currentTimeMillis()
+      if (now - lastPingMs >= pingIntervalMs) {
+        lastPingMs = now
+        try ws.sendPing(ByteBuffer.allocate(0)) catch { case _: Throwable => markDisconnected() }
+      }
+    }
+    var out = List.empty[String]
+    var f = queue.poll()
+    while (f != null) { out = f :: out; f = queue.poll() }
+    out.reverse
+  }
+
+  override def close(): Unit = {
+    closed.set(true)
+    val w = ws
+    if (w != null) {
+      try w.sendClose(WebSocket.NORMAL_CLOSURE, "done").join()
+      catch { case _: Throwable => try w.abort() catch { case _: Throwable => () } }
+    }
+  }
+}
+
+object EodhdWsFeed {
+  /** delay = min(backoff + uniform(0, jitter·backoff), cap) — the
+    * reference's maybe_retry schedule (eodhd_streaming_service.py:167-168);
+    * `u` is the uniform sample in [0, 1). */
+  private[graft] def delaySec(backoffSec: Double, maxBackoffSec: Double,
+      jitterFrac: Double, u: Double): Double =
+    math.min(backoffSec + u * jitterFrac * backoffSec, maxBackoffSec)
+
+  /** Provider URLs (reference :290-293). */
+  def tradesUrl(exchange: String, apiToken: String,
+      host: String = "wss://ws.eodhistoricaldata.com"): String =
+    s"$host/ws/${exchange.toLowerCase}?api_token=$apiToken"
+
+  def quotesUrl(exchange: String, apiToken: String,
+      host: String = "wss://ws.eodhistoricaldata.com"): String =
+    s"$host/ws/${exchange.toLowerCase}-quote?api_token=$apiToken"
+}

@@ -1,0 +1,145 @@
+package graft
+
+import java.io.{InputStream, OutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.Base64
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+import scala.collection.mutable
+
+/** Minimal in-process WebSocket server (RFC 6455 subset: handshake,
+  * unfragmented text frames < 126 bytes of header-extended length is not
+  * needed, ping/pong, close) — the network stub WsFeedSpec drives the
+  * real client against, including abrupt disconnects. */
+final class MiniWsServer {
+  private val server = new ServerSocket(0, 50, InetAddress.getLoopbackAddress)
+  val received = new ConcurrentLinkedQueue[String]()
+  private val connCount = new AtomicInteger(0)
+  @volatile private var current: Socket = _
+  @volatile private var stopped = false
+  private val latches = mutable.Map[Int, CountDownLatch]()
+
+  def port: Int = server.getLocalPort
+  def connections: Int = connCount.get
+
+  /** Latch released when connection #n (1-based) completes its handshake. */
+  def connectionLatch(n: Int): CountDownLatch = synchronized {
+    latches.getOrElseUpdate(n, new CountDownLatch(1))
+  }
+
+  private val acceptor = new Thread(() => {
+    while (!stopped) {
+      try {
+        val sock = server.accept()
+        handshake(sock)
+        current = sock
+        val n = connCount.incrementAndGet()
+        synchronized { latches.getOrElseUpdate(n, new CountDownLatch(1)) }.countDown()
+        val reader = new Thread(() => readLoop(sock), s"miniws-read-$n")
+        reader.setDaemon(true)
+        reader.start()
+      } catch { case _: Throwable => () }
+    }
+  }, "miniws-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def handshake(sock: Socket): Unit = {
+    val in = sock.getInputStream
+    val headers = new StringBuilder
+    var prev = 0
+    var done = false
+    while (!done) {
+      val b = in.read()
+      if (b < 0) done = true
+      else {
+        headers.append(b.toChar)
+        if (b == '\n' && prev == '\n') done = true
+        if (b != '\r') prev = b
+      }
+    }
+    val key = headers.toString.linesIterator
+      .find(_.toLowerCase.startsWith("sec-websocket-key:"))
+      .map(_.split(":", 2)(1).trim)
+      .getOrElse(throw new IllegalStateException("no ws key"))
+    val accept = Base64.getEncoder.encodeToString(
+      MessageDigest.getInstance("SHA-1")
+        .digest((key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").getBytes(StandardCharsets.UTF_8)))
+    val resp = "HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n" +
+      s"Connection: Upgrade\r\nSec-WebSocket-Accept: $accept\r\n\r\n"
+    sock.getOutputStream.write(resp.getBytes(StandardCharsets.UTF_8))
+    sock.getOutputStream.flush()
+  }
+
+  private def readFully(in: InputStream, n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      if (r < 0) throw new java.io.EOFException
+      off += r
+    }
+    buf
+  }
+
+  private def readLoop(sock: Socket): Unit = {
+    try {
+      val in = sock.getInputStream
+      while (!sock.isClosed) {
+        val b0 = in.read(); if (b0 < 0) return
+        val b1 = in.read(); if (b1 < 0) return
+        val opcode = b0 & 0x0f
+        val masked = (b1 & 0x80) != 0
+        var len = (b1 & 0x7f).toLong
+        if (len == 126) {
+          val ext = readFully(in, 2)
+          len = ((ext(0) & 0xffL) << 8) | (ext(1) & 0xffL)
+        } else if (len == 127) {
+          val ext = readFully(in, 8)
+          len = ext.foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+        }
+        val mask = if (masked) readFully(in, 4) else Array.empty[Byte]
+        val payload = readFully(in, len.toInt)
+        if (masked) payload.indices.foreach(i => payload(i) = (payload(i) ^ mask(i % 4)).toByte)
+        opcode match {
+          case 1 => received.add(new String(payload, StandardCharsets.UTF_8))
+          case 8 => try { sendRaw(sock, 0x88, Array.empty) } finally sock.close(); return
+          case 9 => sendRaw(sock, 0x8a, payload) // ping → pong
+          case _ => ()
+        }
+      }
+    } catch { case _: Throwable => () }
+  }
+
+  private def sendRaw(sock: Socket, b0: Int, payload: Array[Byte]): Unit = synchronized {
+    val out: OutputStream = sock.getOutputStream
+    out.write(b0)
+    if (payload.length < 126) out.write(payload.length)
+    else { out.write(126); out.write(payload.length >> 8); out.write(payload.length & 0xff) }
+    out.write(payload)
+    out.flush()
+  }
+
+  /** Send a text frame to the newest connection. */
+  def sendText(msg: String): Unit =
+    sendRaw(current, 0x81, msg.getBytes(StandardCharsets.UTF_8))
+
+  /** Abruptly close the newest connection (no close frame) — forces the
+    * client through its reconnect path. */
+  def dropConnection(): Unit = {
+    val c = current
+    if (c != null) c.close()
+  }
+
+  def awaitConnection(n: Int, timeoutMs: Long = 15000): Boolean =
+    connectionLatch(n).await(timeoutMs, TimeUnit.MILLISECONDS)
+
+  def stop(): Unit = {
+    stopped = true
+    try server.close() catch { case _: Throwable => () }
+    val c = current
+    if (c != null) { try c.close() catch { case _: Throwable => () } }
+  }
+}

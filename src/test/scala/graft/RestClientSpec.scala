@@ -1,0 +1,129 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.jobs.Commands
+import graft.jobs.Commands.HistoricalCommand
+import graft.model.HistoricalIntraday
+import graft.sources.rest.EodhdRestClient
+import graft.store.StockStore
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Integration-shaped S1/S2 coverage: the REAL REST client against a
+  * local HTTP stub server — URL construction (intraday epoch range vs
+  * interday ISO range), retry on 5xx, hard-fail on 4xx, malformed-row
+  * tolerance through the transform, and the full fetch→transform→store
+  * path (reference: eodhd_historical_service.py:110-210). */
+class RestClientSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def withServer(handler: HttpExchange => Unit)(f: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = handler(ex)
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/api")
+    finally server.stop(0)
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private val intradayPage =
+    """[{"timestamp": 1751463000, "gmtoffset": 0, "datetime": "2025-07-02 13:30:00",
+      |  "open": 617.23999, "high": 618.71997, "low": 616.609985, "close": 618.599975, "volume": 11824245},
+      | {"timestamp": 1751466600, "gmtoffset": 0, "datetime": "2025-07-02 14:30:00",
+      |  "open": 618.60, "high": 619.00, "low": 618.00, "close": 618.90, "volume": 500}]""".stripMargin
+
+  test("url construction: intraday epoch-s range in exchange tz; interday ISO dates") {
+    val c = new EodhdRestClient("TOKEN", baseUrl = "https://x/api")
+    val intra = c.url(HistoricalCommand("SPY", "US", "1h", "2025-07-01 09:30", "2025-08-01 16:00"))
+    // 2025-07-01 09:30 America/New_York = 13:30 UTC = 1751376600
+    assert(intra == "https://x/api/intraday/SPY.US?api_token=TOKEN&interval=1h&from=1751376600&to=1754078400&fmt=json")
+    val inter = c.url(HistoricalCommand("SPY", "US", "d", "2024-10-01", "2024-10-31"))
+    assert(inter == "https://x/api/eod/SPY.US?api_token=TOKEN&period=d&from=2024-10-01&to=2024-10-31&fmt=json")
+    intercept[Exception] { c.url(HistoricalCommand("SPY", "US", "d", "10/01/2024", "2024-10-31")) }
+  }
+
+  test("fetch → transform → store end-to-end against the stub server") {
+    val root = SparkTestSession.tempDir("rest-e2e")
+    val seenPath = new java.util.concurrent.atomic.AtomicReference[String]()
+    withServer { ex =>
+      seenPath.set(ex.getRequestURI.toString)
+      respond(ex, 200, intradayPage)
+    } { base =>
+      val client = new EodhdRestClient("T", baseUrl = base)
+      val cmd = HistoricalCommand("SPY", "US", "1h", "2025-07-01 09:30", "2025-08-01 16:00")
+      val stats = Commands.runHistorical(spark, root, cmd)(client.fetchPage)
+      assert(stats.written == 2, s"$stats")
+      assert(seenPath.get.startsWith("/api/intraday/SPY.US"))
+      assert(seenPath.get.contains("interval=1h") && seenPath.get.contains("from=1751376600"))
+      assert(StockStore.table(spark, root, HistoricalIntraday).count() == 2)
+    }
+  }
+
+  test("retries transient 5xx then succeeds; counts attempts") {
+    val n = new AtomicInteger(0)
+    withServer { ex =>
+      if (n.incrementAndGet() < 3) respond(ex, 503, "busy")
+      else respond(ex, 200, """[{"x": 1}]""")
+    } { base =>
+      val client = new EodhdRestClient("T", baseUrl = base, maxRetries = 3, retryBackoffMs = 10)
+      val rows = client.fetchPage(HistoricalCommand("SPY", "US", "d", "2024-10-01", "2024-10-31"))
+      assert(rows == Seq("""{"x": 1}"""))
+      assert(n.get == 3, s"expected 2 retries then success, saw ${n.get} requests")
+    }
+  }
+
+  test("gives up after maxRetries on persistent 5xx; hard-fails on 404") {
+    val n = new AtomicInteger(0)
+    withServer { ex => n.incrementAndGet(); respond(ex, 500, "boom") } { base =>
+      val client = new EodhdRestClient("T", baseUrl = base, maxRetries = 2, retryBackoffMs = 10)
+      intercept[java.io.IOException] {
+        client.fetchPage(HistoricalCommand("SPY", "US", "d", "2024-10-01", "2024-10-31"))
+      }
+      assert(n.get == 2)
+    }
+    val m = new AtomicInteger(0)
+    withServer { ex => m.incrementAndGet(); respond(ex, 404, "no") } { base =>
+      val client = new EodhdRestClient("T", baseUrl = base, maxRetries = 3, retryBackoffMs = 10)
+      intercept[java.io.IOException] {
+        client.fetchPage(HistoricalCommand("SPY", "US", "d", "2024-10-01", "2024-10-31"))
+      }
+      assert(m.get == 1, "4xx must not be retried")
+    }
+  }
+
+  test("malformed array element is dropped by the transform, not the fetch") {
+    val root = SparkTestSession.tempDir("rest-malformed")
+    val page =
+      """[{"timestamp": 1751463000, "gmtoffset": 0, "datetime": "x",
+        |  "open": 1.0, "high": 2.0, "low": 0.5, "close": 1.5, "volume": 10},
+        | {"timestamp": "not-a-number-and-missing-fields"},
+        | {"garbage": true}]""".stripMargin
+    withServer(ex => respond(ex, 200, page)) { base =>
+      val client = new EodhdRestClient("T", baseUrl = base)
+      val cmd = HistoricalCommand("SPY", "US", "1h", "2025-07-01 09:30", "2025-08-01 16:00")
+      assert(client.fetchPage(cmd).size == 3, "fetch must deliver all 3 raw rows")
+      // T1/T9: the transform (not the fetch) drops the 2 invalid rows
+      val stats = Commands.runHistorical(spark, root, cmd)(client.fetchPage)
+      assert(stats.written == 1, s"$stats")
+    }
+  }
+
+  test("splitTopLevelJson: nested braces/strings, single object, empty") {
+    import EodhdRestClient.splitTopLevelJson
+    assert(splitTopLevelJson("""[]""") == Seq.empty)
+    assert(splitTopLevelJson("""{"a": 1}""") == Seq("""{"a": 1}"""))
+    assert(splitTopLevelJson("""[{"a": "b{]}", "c": {"d": [1,2]}}, {"e": "\"x\""}]""") ==
+      Seq("""{"a": "b{]}", "c": {"d": [1,2]}}""", """{"e": "\"x\""}"""))
+  }
+}

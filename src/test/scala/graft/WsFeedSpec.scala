@@ -1,0 +1,118 @@
+package graft
+
+import graft.model.Streaming
+import graft.sources.ws.{EodhdWsFeed, WsFeeds}
+import graft.store.StockStore
+import graft.streaming.StreamIngest
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S3–S5 with the REAL WebSocket client against an in-process WS server:
+  * subscribe protocol, frame flow, forced disconnect → jittered-backoff
+  * reconnect → re-subscribe with no loss of delivered frames, and the
+  * full feed → WAL → versioned-store path. */
+class WsFeedSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def eventually(timeoutMs: Long = 15000)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    cond
+  }
+
+  test("connect + subscribe, frames flow, reconnect after forced disconnect") {
+    val server = new MiniWsServer
+    val feed = new EodhdWsFeed(s"ws://127.0.0.1:${server.port}/ws/us?api_token=T",
+      Seq("SPY", "VOO"), initialBackoffSec = 0.05, maxBackoffSec = 0.2)
+    try {
+      feed.connect()
+      assert(server.awaitConnection(1), "client must complete the WS handshake")
+      assert(eventually()(server.received.size == 1), "subscribe must arrive")
+      assert(server.received.poll() == """{"action": "subscribe", "symbols": "SPY,VOO"}""")
+
+      server.sendText("""{"s": "SPY", "p": 1.0, "v": 1, "t": 1}""")
+      val got = new scala.collection.mutable.ArrayBuffer[String]()
+      assert(eventually() { got ++= feed.poll(); got.nonEmpty })
+      assert(got.head.contains(""""p": 1.0"""))
+
+      // forced disconnect → reconnect (poll-driven) → re-subscribe
+      server.dropConnection()
+      assert(eventually() { feed.poll(); server.connections >= 2 },
+        "feed must reconnect after an abrupt close")
+      assert(eventually()(server.received.size == 1), "re-subscribe must arrive")
+      assert(server.received.poll().contains("subscribe"))
+
+      server.sendText("""{"s": "SPY", "p": 2.0, "v": 1, "t": 2}""")
+      got.clear()
+      assert(eventually() { got ++= feed.poll(); got.nonEmpty },
+        "frames after reconnect must flow")
+      assert(got.head.contains(""""p": 2.0"""))
+    } finally { feed.close(); server.stop() }
+  }
+
+  test("backoff: doubles to cap while server is down, resets after success") {
+    // no server listening on this port
+    val dead = new java.net.ServerSocket(0); val deadPort = dead.getLocalPort; dead.close()
+    val feed = new EodhdWsFeed(s"ws://127.0.0.1:$deadPort/ws/us", Seq("SPY"),
+      initialBackoffSec = 0.01, maxBackoffSec = 0.08)
+    try {
+      feed.connect() // fails, schedules retry: backoff 0.01 → 0.02
+      assert(feed.currentBackoffSec == 0.02)
+      assert(eventually(5000) { feed.poll(); feed.currentBackoffSec >= 0.08 },
+        "backoff must double to the cap across failed retries")
+      assert(!feed.isConnected)
+    } finally feed.close()
+
+    // jittered delay formula: within [backoff, backoff*(1+jitter)], capped
+    assert(EodhdWsFeed.delaySec(1.0, 60.0, 0.3, 0.0) == 1.0)
+    assert(EodhdWsFeed.delaySec(1.0, 60.0, 0.3, 0.999) <= 1.3)
+    assert(EodhdWsFeed.delaySec(59.0, 60.0, 0.3, 0.999) == 60.0)
+  }
+
+  test("feed → WAL → store E2E survives a mid-stream disconnect with no loss") {
+    val server = new MiniWsServer
+    val wal = SparkTestSession.tempDir("wsfeed-wal")
+    val ckpt = SparkTestSession.tempDir("wsfeed-ckpt")
+    val root = SparkTestSession.tempDir("wsfeed-root")
+    WsFeeds.register("eodhd-real", () =>
+      new EodhdWsFeed(s"ws://127.0.0.1:${server.port}/ws/us?api_token=T", Seq("SPY"),
+        initialBackoffSec = 0.05, maxBackoffSec = 0.2))
+    import spark.implicits._
+    val frames = spark.readStream
+      .format("graft.sources.ws.WsSourceProvider")
+      .option("walDir", wal).option("feed", "eodhd-real")
+      .load()
+      .select($"raw")
+    val q = StreamIngest.start(spark, frames, "trades", root, ckpt,
+      trigger = Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      assert(server.awaitConnection(1))
+      server.sendText("""{"s": "SPY", "p": 657.53, "v": 5, "t": 1757623532850}""")
+      assert(eventually() {
+        q.processAllAvailable()
+        storedCount(root) == 1
+      }, "pre-disconnect tick must land")
+
+      server.dropConnection()
+      assert(eventually()(server.connections >= 2), "pump feed must reconnect")
+      server.sendText("""{"s": "SPY", "p": 657.60, "v": 3, "t": 1757623533850}""")
+      assert(eventually() {
+        q.processAllAvailable()
+        storedCount(root) == 2
+      }, "post-reconnect tick must land exactly once")
+    } finally {
+      try q.stop() catch { case _: Throwable => () }
+      server.stop()
+    }
+  }
+
+  private def storedCount(root: String): Long = {
+    if (!new java.io.File(s"$root/${Streaming.name}").exists()) 0L
+    else StockStore.table(spark, root, Streaming).count()
+  }
+
+  test("provider URL split per stream type") {
+    assert(EodhdWsFeed.tradesUrl("US", "T") == "wss://ws.eodhistoricaldata.com/ws/us?api_token=T")
+    assert(EodhdWsFeed.quotesUrl("US", "T") == "wss://ws.eodhistoricaldata.com/ws/us-quote?api_token=T")
+  }
+}
