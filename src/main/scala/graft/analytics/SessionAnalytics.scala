@@ -23,22 +23,24 @@ object SessionAnalytics {
   }
 
   /** Q2+Q3+Q4: per (ticker, session day) OHLC + high/low from raw ticks.
-    * Open/close are the true as-of first/last tick by event time. */
-  def sessionOhlc(df: DataFrame, tsCol: String, priceCol: String, tz: String): DataFrame = {
-    val sliced = sessionSlice(df, tsCol, tz)
-    val w = Window.partitionBy(col("ticker"), col("session_day"))
-      .orderBy(col(tsCol))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    sliced
-      .select(
-        col("ticker"), col("session_day"),
-        first(col(priceCol), ignoreNulls = true).over(w).as("open"),
-        max(col(priceCol)).over(w).as("high"),
-        min(col(priceCol)).over(w).as("low"),
-        last(col(priceCol), ignoreNulls = true).over(w).as("close"),
-        count(col(priceCol)).over(w).as("n_ticks"))
-      .distinct()
-  }
+    * Open/close are the true as-of first/last tick by event time,
+    * computed as lexicographic struct-min/max inside ONE aggregation —
+    * the shuffle carries per-(ticker, day) partials, not ticks (the
+    * window-over-all-ticks + distinct form sorts and shuffles every
+    * tick; same rewrite as the q4 bench query). Null-price rows (e.g.
+    * quotes unioned into a trades frame) contribute to no aggregate and
+    * are filtered up front; same-timestamp ties break by price, which
+    * also makes the result deterministic where the window form was not. */
+  def sessionOhlc(df: DataFrame, tsCol: String, priceCol: String, tz: String): DataFrame =
+    sessionSlice(df, tsCol, tz)
+      .filter(col(priceCol).isNotNull)
+      .groupBy(col("ticker"), col("session_day"))
+      .agg(
+        min(struct(col(tsCol), col(priceCol))).getField(priceCol).as("open"),
+        max(col(priceCol)).as("high"),
+        min(col(priceCol)).as("low"),
+        max(struct(col(tsCol), col(priceCol))).getField(priceCol).as("close"),
+        count(col(priceCol)).as("n_ticks"))
 
   /** Q3 (general form): row nearest to `target` per group — the pandas
     * `(ts - target).abs().argmin()` as a distributed plan. */

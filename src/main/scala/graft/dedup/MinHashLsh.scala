@@ -99,19 +99,35 @@ object MinHashLsh {
     * actual collisions (that is LSH's contract), so the in-bucket pair
     * fan-out is the same work the join would do, minus a full upstream
     * recompute + shuffle. */
+  /** Default bucket-size cap: buckets beyond this many distinct members
+    * are dropped (with bounded memory — see
+    * [[graft.functions.expressions.CappedLongCollectSet]]). In web-scale
+    * corpora a degenerate bucket means mass-duplicated boilerplate whose
+    * O(|bucket|²) pair fan-out would dominate the job while contributing
+    * near-zero signal; production dedup pipelines cap or salt these. */
+  val DefaultMaxBucket: Int = 10000
+
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, rowsPerBand: Int = 4, shingleWidth: Int = 5): DataFrame =
-    rawCandidatePairs(docs, idCol, textCol, bands, rowsPerBand, shingleWidth)
+      bands: Int = 4, rowsPerBand: Int = 4, shingleWidth: Int = 5,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    rawCandidatePairs(docs, idCol, textCol, bands, rowsPerBand, shingleWidth, maxBucket)
       .distinct()
 
   /** [[candidatePairs]] without the final distinct: a pair colliding in k
     * bands appears k times. Consumers that are idempotent under pair
     * multiplicity ([[memberLabels]] — min-propagation is) should use this
-    * form and skip a whole shuffle. */
+    * form and skip a whole shuffle.
+    *
+    * Buckets with more than `maxBucket` distinct members are DROPPED
+    * (their pairs are not emitted); the aggregation buffer itself stops
+    * growing at the cap, so one degenerate bucket can neither OOM a task
+    * nor explode the pair fan-out. Ids must be integral (all dedup-plane
+    * tables use long ids; hash string ids through md5Long first). */
   def rawCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, rowsPerBand: Int = 4, shingleWidth: Int = 5): DataFrame = {
+      bands: Int = 4, rowsPerBand: Int = 4, shingleWidth: Int = 5,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sigs = signatureMatrix(docs, idCol, textCol, bands * rowsPerBand, shingleWidth)
-    val bandSigs = sigs.select(col("id"),
+    val bandSigs = sigs.select(col("id").cast("long").as("id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => md5(array_join(transform(
@@ -119,13 +135,32 @@ object MinHashLsh {
           s => s.cast("string")), ",")))).as(Seq("band", "band_sig")))
     bandSigs
       .groupBy(col("band"), col("band_sig"))
-      .agg(sort_array(collect_set(col("id"))).as("ids"))
-      .where(size(col("ids")) > 1)
+      .agg(graft.functions.AggFunctions.collectSetCapped(col("id"), maxBucket).as("ids"))
+      .where(col("ids").isNotNull && size(col("ids")) > 1)
       // all (i < j) index pairs within the bucket, exploded to rows
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           y => struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+  }
+
+  /** Drop diagnostic: the (band, band_sig, n_members) of buckets the cap
+    * would drop — run it when tuning `maxBucket` or auditing what a
+    * capped run excluded (count comes from a plain aggregate, so this is
+    * safe at any bucket size). */
+  def oversizedBuckets(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 4, shingleWidth: Int = 5,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val sigs = signatureMatrix(docs, idCol, textCol, bands * rowsPerBand, shingleWidth)
+    sigs.select(col("id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => md5(array_join(transform(
+          slice(col("sigs"), b * rowsPerBand + 1, lit(rowsPerBand)),
+          s => s.cast("string")), ",")))).as(Seq("band", "band_sig")))
+      .groupBy(col("band"), col("band_sig"))
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxBucket)
   }
 
   /** Per-member component labels for the candidate-pair graph: (id,

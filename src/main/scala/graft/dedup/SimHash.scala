@@ -57,8 +57,15 @@ object SimHash {
     * `bands` this returns EXACTLY the pairs of [[hammingPairs]]
     * (SimHashSpec asserts it), while the join stays bucket-local: the
     * shuffle key is the slice, never the cross product. */
+  /** `maxBucket` bounds the per-(band, slice) bucket size: oversized
+    * buckets (mass-identical signatures — boilerplate) are excluded from
+    * BOTH join sides via a broadcast anti-join on the tiny oversized-key
+    * list, so one hot slice value cannot explode the O(|bucket|²) join
+    * fan-out. Pairs whose only agreeing slice is oversized are dropped —
+    * the exactness guarantee then holds for the retained buckets only.
+    * Callers should cache `sigs` (it is consumed three times). */
   def bandedHammingPairs(sigs: DataFrame, maxHamming: Int, bands: Int = 4,
-      bits: Int = 32): DataFrame = {
+      bits: Int = 32, maxBucket: Int = MinHashLsh.DefaultMaxBucket): DataFrame = {
     require(maxHamming < bands,
       s"banding is exact only for maxHamming < bands (got $maxHamming >= $bands)")
     val width = bits / bands
@@ -67,8 +74,12 @@ object SimHash {
       posexplode(array((0 until bands).map(i =>
         expr(s"shiftright(simhash, ${i * width}) & $mask")): _*))
         .as(Seq("band", "slice")))
-    val a = sliced.select(col("band"), col("slice"), col("id").as("a"), col("simhash").as("sig_a"))
-    val b = sliced.select(col("band"), col("slice"), col("id").as("b"), col("simhash").as("sig_b"))
+    val oversized = sliced.groupBy(col("band"), col("slice"))
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
+      .select(col("band"), col("slice"))
+    val pruned = sliced.join(broadcast(oversized), Seq("band", "slice"), "left_anti")
+    val a = pruned.select(col("band"), col("slice"), col("id").as("a"), col("simhash").as("sig_a"))
+    val b = pruned.select(col("band"), col("slice"), col("id").as("b"), col("simhash").as("sig_b"))
     a.join(b, Seq("band", "slice")).where(col("a") < col("b"))
       .select(col("a"), col("b"), col("sig_a"), col("sig_b")).distinct()
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))

@@ -14,4 +14,12 @@ object AggFunctions {
     GraftBridge.column(
       graft.functions.expressions.SumScaled128(GraftBridge.expression(units))
         .toAggregateExpression())
+
+  /** Sorted distinct LONG collect, NULL for groups beyond `cap` distinct
+    * values — bounded-memory bucket formation for the dedup plane; see
+    * [[graft.functions.expressions.CappedLongCollectSet]]. */
+  def collectSetCapped(c: Column, cap: Int): Column =
+    GraftBridge.column(
+      graft.functions.expressions.CappedLongCollectSet(GraftBridge.expression(c), cap)
+        .toAggregateExpression())
 }

@@ -1,0 +1,100 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types._
+
+import java.nio.ByteBuffer
+
+/** Size-capped distinct-collect for LONG keys: evaluates to the sorted
+  * distinct values, or NULL when the group exceeds `cap` distinct
+  * elements.
+  *
+  * This is the memory-safety valve for LSH bucket formation
+  * ([[graft.dedup.MinHashLsh.rawCandidatePairs]]): a degenerate bucket
+  * (mass-duplicated boilerplate — the common case in web corpora) would
+  * otherwise accumulate EVERY member id in one `collect_set` buffer and
+  * explode O(|bucket|²) pairs from a single task. Here the buffer stops
+  * growing at cap+1 elements — once overflowed, the contents are dropped
+  * and only the overflow flag propagates through update/merge, so task
+  * memory is bounded by `cap` longs per group regardless of skew. The
+  * caller filters NULL groups (and can count them as a drop diagnostic).
+  */
+case class CappedLongCollectSet(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[CappedLongCollectSet.Buffer] with UnaryLike[Expression] {
+
+  require(cap > 0, "cap must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): CappedLongCollectSet.Buffer =
+    new CappedLongCollectSet.Buffer(new java.util.HashSet[java.lang.Long](), false)
+
+  override def update(buf: CappedLongCollectSet.Buffer, input: org.apache.spark.sql.catalyst.InternalRow): CappedLongCollectSet.Buffer = {
+    val v = child.eval(input)
+    if (v != null && !buf.overflowed) {
+      buf.set.add(v.asInstanceOf[Long])
+      if (buf.set.size > cap) { buf.overflowed = true; buf.set.clear() }
+    }
+    buf
+  }
+
+  override def merge(buf: CappedLongCollectSet.Buffer, other: CappedLongCollectSet.Buffer): CappedLongCollectSet.Buffer = {
+    if (buf.overflowed || other.overflowed) {
+      buf.overflowed = true; buf.set.clear()
+    } else {
+      buf.set.addAll(other.set)
+      if (buf.set.size > cap) { buf.overflowed = true; buf.set.clear() }
+    }
+    buf
+  }
+
+  override def eval(buf: CappedLongCollectSet.Buffer): Any =
+    if (buf.overflowed) null
+    else {
+      val arr = new Array[Long](buf.set.size)
+      val it = buf.set.iterator()
+      var i = 0
+      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      java.util.Arrays.sort(arr)
+      new GenericArrayData(arr)
+    }
+
+  override def serialize(buf: CappedLongCollectSet.Buffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(1 + 4 + 8 * buf.set.size)
+    bb.put(if (buf.overflowed) 1.toByte else 0.toByte)
+    bb.putInt(buf.set.size)
+    val it = buf.set.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): CappedLongCollectSet.Buffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val overflowed = bb.get() == 1
+    val n = bb.getInt
+    val set = new java.util.HashSet[java.lang.Long](math.max(16, n * 2))
+    var i = 0
+    while (i < n) { set.add(bb.getLong); i += 1 }
+    new CappedLongCollectSet.Buffer(set, overflowed)
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): CappedLongCollectSet =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): CappedLongCollectSet =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): CappedLongCollectSet =
+    copy(child = c)
+}
+
+object CappedLongCollectSet {
+  final class Buffer(val set: java.util.HashSet[java.lang.Long], var overflowed: Boolean)
+}

@@ -1,0 +1,140 @@
+package graft.jobs
+
+import graft.jobs.Commands.{HistoricalCommand, StreamCommand}
+import graft.store.StockStore
+import graft.streaming.StreamIngest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+/** Minimal job registry — the control-plane floor (SURVEY §2.6).
+  *
+  * The reference orchestrates ingestion through Prefect deployment CRUD +
+  * a flow-run state machine polled by the UI (reference:
+  * datapipe_ui/api_backend.py:48-163, ui_backend.py:62-87; states at
+  * frontend.py:54). Here the same surface is a thin in-process registry:
+  * the two command schemas are kept exactly ([[Commands]]), historical
+  * jobs run on a worker thread, streaming jobs are Structured Streaming
+  * queries tracked through `StreamingQueryManager`, and both expose the
+  * reference's PENDING/RUNNING/COMPLETED/FAILED/CANCELLED lifecycle.
+  * Scheduling (the reference's RRULE builder) stays external by design —
+  * any cron/workflow engine submits commands here.
+  */
+object JobRegistry {
+  sealed trait Status
+  case object Pending extends Status
+  case object Running extends Status
+  case object Completed extends Status
+  case object Failed extends Status
+  case object Cancelled extends Status
+
+  final case class JobInfo(
+      id: String,
+      kind: String, // "historical" | "stream"
+      description: String,
+      status: Status,
+      error: Option[String],
+      result: Option[StockStore.UpsertStats])
+}
+
+final class JobRegistry(spark: SparkSession) {
+  import JobRegistry._
+
+  private final class Record(
+      val id: String, val kind: String, val description: String) {
+    @volatile var status: Status = Pending
+    @volatile var error: Option[String] = None
+    @volatile var result: Option[StockStore.UpsertStats] = None
+    @volatile var thread: Option[Thread] = None
+    @volatile var query: Option[StreamingQuery] = None
+    @volatile var cancelled = false
+  }
+
+  private val jobs = new ConcurrentHashMap[String, Record]()
+
+  /** Submit a historical ingest; returns the job id immediately. */
+  def submitHistorical(root: String, cmd: HistoricalCommand)(
+      fetchPage: HistoricalCommand => Seq[String]): String = {
+    val rec = new Record(UUID.randomUUID().toString, "historical",
+      s"${cmd.ticker}.${cmd.exchange} ${cmd.interval} ${cmd.start}..${cmd.end}")
+    jobs.put(rec.id, rec)
+    val t = new Thread(() => {
+      rec.status = Running
+      try {
+        val stats = Commands.runHistorical(spark, root, cmd)(fetchPage)
+        rec.result = Some(stats)
+        rec.status = if (rec.cancelled) Cancelled else Completed
+      } catch {
+        case _: InterruptedException => rec.status = Cancelled
+        case e: Throwable =>
+          rec.error = Some(e.toString)
+          rec.status = if (rec.cancelled) Cancelled else Failed
+      }
+    }, s"graft-job-${rec.id}")
+    rec.thread = Some(t)
+    t.start()
+    rec.id
+  }
+
+  /** Submit a streaming ingest; the query runs until [[stop]] (or a
+    * bounded duration enforced by the caller). Returns the job id. */
+  def submitStream(root: String, checkpoint: String, walDir: String,
+      feed: String, cmd: StreamCommand,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): String = {
+    val rec = new Record(UUID.randomUUID().toString, "stream",
+      s"${cmd.tickers.mkString(",")}.${cmd.exchange} ${cmd.streamType}")
+    jobs.put(rec.id, rec)
+    try {
+      import spark.implicits._
+      val frames = spark.readStream
+        .format("graft.sources.ws.WsSourceProvider")
+        .option("walDir", walDir)
+        .option("feed", feed)
+        .load()
+        .select($"raw")
+      val q = StreamIngest.start(spark, frames, cmd.streamType, root, checkpoint,
+        cmd.exchange, trigger)
+      rec.query = Some(q)
+      rec.status = Running
+    } catch {
+      case e: Throwable => rec.error = Some(e.toString); rec.status = Failed
+    }
+    rec.id
+  }
+
+  /** Reference flow-run state poll (ui_backend.py:62-87). */
+  def status(id: String): JobInfo = {
+    val rec = jobs.get(id)
+    require(rec != null, s"unknown job: $id")
+    // streaming jobs derive their live state from the query handle
+    rec.query.foreach { q =>
+      if (rec.status == Running && !q.isActive) {
+        rec.status =
+          if (rec.cancelled) Cancelled
+          else if (q.exception.isDefined) { rec.error = q.exception.map(_.toString); Failed }
+          else Completed
+      }
+    }
+    JobInfo(rec.id, rec.kind, rec.description, rec.status, rec.error, rec.result)
+  }
+
+  def list(): Seq[JobInfo] = jobs.keySet().asScala.toSeq.sorted.map(status)
+
+  /** Cancel a run (reference: pause/delete deployment + cancel flow run).
+    * Streams stop their query; historical jobs are interrupted. */
+  def stop(id: String): Boolean = {
+    val rec = jobs.get(id)
+    require(rec != null, s"unknown job: $id")
+    val active = rec.status == Running || rec.status == Pending
+    if (active) {
+      rec.cancelled = true
+      rec.query.foreach(q => try q.stop() catch { case _: Throwable => () })
+      rec.thread.foreach(_.interrupt())
+      if (rec.query.isEmpty) rec.status = Cancelled
+    }
+    active
+  }
+}

@@ -145,6 +145,38 @@ object WritePath {
         SELECT COUNT(*) AS n, COUNT(value) AS n_value, COUNT(props) AS n_props FROM (
           SELECT event_id, value FROM events WHERE event_type = 'purchase'
           UNION ALL BY NAME
-          SELECT event_id, props FROM events WHERE event_type = 'view')"""))
+          SELECT event_id, props FROM events WHERE event_type = 'view')""")),
+
+    // ── A10/A11: dynamic evolution — late-arriving NEW column ─────────
+    // batch 2 carries a column batch 1 never had; the merged table
+    // null-backfills it for batch-1 rows (reference ALTER TABLE ADD
+    // COLUMN, sql_db.py:306-343 — the store-side mechanics live in
+    // StockStore.upsert/mergeSchema and are E2E-tested in
+    // GoldenCorpusSpec; this entry oracle-checks the read-back shape).
+    GraftQuery(
+      "a11_schema_evolution_dynamic",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val b1 = ev.filter($"event_id" % 2 === 0).select($"event_id", $"user_id", $"value")
+        val b2 = ev.filter($"event_id" % 2 === 1)
+          .select($"event_id", $"user_id", $"value",
+            concat(lit("src:"), $"event_type").as("source_tag"))
+        b1.unionByName(b2, allowMissingColumns = true)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n"),
+            count($"source_tag").as("n_tagged"),
+            (count(lit(1)) - count($"source_tag")).as("n_backfilled"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        SELECT user_id, COUNT(*) AS n, COUNT(source_tag) AS n_tagged,
+          COUNT(*) - COUNT(source_tag) AS n_backfilled
+        FROM (
+          SELECT event_id, user_id, value FROM events WHERE event_id % 2 = 0
+          UNION ALL BY NAME
+          SELECT event_id, user_id, value, 'src:' || event_type AS source_tag
+          FROM events WHERE event_id % 2 = 1)
+        GROUP BY user_id ORDER BY user_id"""))
   )
 }

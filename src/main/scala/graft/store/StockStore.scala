@@ -41,12 +41,14 @@ object StockStore {
   /** Read the stored table, or an empty frame with `schema` if absent.
     * Existence probe goes through Hadoop FileSystem so the store works on
     * HDFS/S3 paths too — a java.io.File probe would silently report
-    * "absent" there and make [[upsert]] treat a populated table as empty. */
+    * "absent" there and make [[upsert]] treat a populated table as empty.
+    * `mergeSchema` unifies files written before/after a dynamic column
+    * arrived (A10) — older rows read back with the new column null. */
   def readOrEmpty(spark: SparkSession, root: String, dt: StockDataType,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(tablePath(root, dt))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(tablePath(root, dt))
+    if (fs.exists(p)) spark.read.option("mergeSchema", "true").parquet(tablePath(root, dt))
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
@@ -57,7 +59,17 @@ object StockStore {
       batch: DataFrame, exchangeTz: String = "America/New_York",
       strictIndex: Boolean = true): UpsertStats = {
     val idxCols = dt.indexCols
-    val payloadCols = dt.payloadCols.filter(batch.columns.contains)
+    // A10 dynamic schema evolution: batch columns beyond the declared
+    // payload schema are accepted as NEW payload columns (the reference's
+    // ALTER TABLE ADD COLUMN, sql_db.py:306-343). They take part in
+    // payload equality (A3) and versioning (A4) like any other payload
+    // column, land in the new files, and older rows read back with the
+    // column null (mergeSchema in [[readOrEmpty]]/[[table]]) — the
+    // columnar analog of the reference's null-backfilled ALTER TABLE.
+    val declared = dt.payloadCols.filter(batch.columns.contains)
+    val reserved = (dt.indexCols ++ dt.payloadCols ++ Seq("version", "y", "m", "d")).toSet
+    val dynamic = batch.columns.filterNot(reserved.contains).toSeq
+    val payloadCols = declared ++ dynamic
     require(payloadCols.nonEmpty, s"batch has no payload columns for ${dt.name}")
 
     val input = batch.count()
@@ -77,8 +89,17 @@ object StockStore {
     // Existing rows for just the touched index keys (left-semi keeps the
     // probe proportional to the batch; partition pruning on ticker
     // applies before the join at scale).
-    val existingAll = readOrEmpty(spark, root, dt,
+    val existingRaw = readOrEmpty(spark, root, dt,
       deduped.withColumn("version", lit(1)).schema)
+    // align to this batch's payload set: a column the store has never
+    // seen reads as null on the existing side (null-backfill), and a
+    // stored dynamic column absent from this batch is simply not compared
+    // — the reference compares payload equality over the batch row's keys
+    // only (sql_db.py:485-492).
+    val existingAll = payloadCols.foldLeft(existingRaw) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(batch.schema(c).dataType))
+    }
     val existing = existingAll
       .join(deduped.select(idxCols.map(col): _*).distinct(), idxCols, "left_semi")
       .select((idxCols ++ payloadCols :+ "version").map(col): _*)
@@ -155,9 +176,11 @@ object StockStore {
     UpsertStats(input, written, dedupedN - written, nullSkipped, conflicts)
   }
 
-  /** Read the stored table (post-merge). */
+  /** Read the stored table (post-merge). `mergeSchema` unifies files from
+    * before/after any dynamically-added column (A10): old rows carry null
+    * in the new column. */
   def table(spark: SparkSession, root: String, dt: StockDataType): DataFrame =
-    spark.read.parquet(tablePath(root, dt))
+    spark.read.option("mergeSchema", "true").parquet(tablePath(root, dt))
 
   /** Compact the small files that per-micro-batch appends accumulate
     * (SURVEY §7.4 risk 5): rewrite the table so each partition directory

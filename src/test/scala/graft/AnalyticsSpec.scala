@@ -34,6 +34,12 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ohlc.getAs[Double]("low") == 95.0)
     assert(ohlc.getAs[Double]("close") == 102.0)
     assert(ohlc.getAs[Long]("n_ticks") == 4L)
+    // scale shape: one aggregate, no window/sort exchange of raw ticks
+    val plan = SessionAnalytics.sessionOhlc(ticks, "timestamp", "price", "America/New_York")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"sessionOhlc must not window over ticks:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"expected map-side partial aggregation (shuffle carries per-day partials):\n$plan")
   }
 
   test("asOfNearest picks the row closest to the target (Q3)") {

@@ -47,4 +47,72 @@ class CommandsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       HistoricalCommand("SPY", "US", "17m", "2024-01-01", "2024-01-02"))
   }
+
+  test("job registry: submit/status/list lifecycle for historical jobs") {
+    import graft.jobs.{JobRegistry => JR}
+    val registry = new graft.jobs.JobRegistry(spark)
+    val root = SparkTestSession.tempDir("jr-hist")
+    val page = Seq(
+      """{"date": "2024-10-24", "open": 533.1, "high": 536.0, "low": 531.0, "close": 534.0, "adjusted_close": 529.0, "volume": 4100000}""")
+
+    val ok = registry.submitHistorical(root,
+      HistoricalCommand("SPY", "US", "d", "2024-10-24", "2024-10-25"))(_ => page)
+    val bad = registry.submitHistorical(root,
+      HistoricalCommand("SPY", "US", "d", "2024-10-24", "2024-10-25"))(_ =>
+      throw new RuntimeException("provider down"))
+
+    def await(id: String): JR.JobInfo = {
+      val deadline = System.currentTimeMillis() + 30000
+      var info = registry.status(id)
+      while (Set[JR.Status](JR.Pending, JR.Running).contains(info.status)
+          && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); info = registry.status(id)
+      }
+      info
+    }
+    val okInfo = await(ok)
+    assert(okInfo.status == JR.Completed && okInfo.result.exists(_.written == 1), s"$okInfo")
+    val badInfo = await(bad)
+    assert(badInfo.status == JR.Failed && badInfo.error.exists(_.contains("provider down")), s"$badInfo")
+    assert(registry.list().map(_.id).toSet == Set(ok, bad))
+  }
+
+  test("job registry: streaming job runs until stopped (reference cancel)") {
+    import graft.jobs.{JobRegistry => JR}
+    import graft.sources.ws.WsFeeds
+    import java.util.concurrent.ConcurrentLinkedQueue
+    val registry = new graft.jobs.JobRegistry(spark)
+    val root = SparkTestSession.tempDir("jr-stream")
+    val wal = SparkTestSession.tempDir("jr-wal")
+    val ckpt = SparkTestSession.tempDir("jr-ckpt")
+    val queue = new ConcurrentLinkedQueue[String]()
+    queue.add("""{"s": "SPY", "p": 657.53, "v": 5, "t": 1757623532850}""")
+    WsFeeds.register("jr-feed", () => new graft.sources.ws.FrameFeed {
+      override def connect(): Unit = ()
+      override def poll(): Seq[String] = {
+        var out = List.empty[String]
+        var f = queue.poll()
+        while (f != null) { out = f :: out; f = queue.poll() }
+        out.reverse
+      }
+      override def close(): Unit = ()
+    })
+    val id = registry.submitStream(root, ckpt, wal, "jr-feed",
+      Commands.StreamCommand(Seq("SPY"), "US", "trades", durationSec = 0),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    assert(registry.status(id).status == JR.Running)
+    val deadline = System.currentTimeMillis() + 30000
+    def stored(): Long =
+      if (!new java.io.File(s"$root/streaming").exists()) 0L
+      else try graft.store.StockStore.table(spark, root, graft.model.Streaming).count()
+      catch { // dir can exist mid-write (only _temporary) before first commit
+        case _: org.apache.spark.sql.AnalysisException => 0L
+      }
+    while (stored() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    assert(stored() == 1, "stream job must ingest while RUNNING")
+    assert(registry.stop(id), "stop must report an active job was cancelled")
+    val info = registry.status(id)
+    assert(info.status == JR.Cancelled, s"$info")
+    assert(!registry.stop(id), "second stop is a no-op")
+  }
 }

@@ -20,6 +20,50 @@ class DedupLibSpec extends AnyFunSuite {
     assert(clusters == List((1L, Seq(1L, 2L, 3L), 1L), (7L, Seq(7L, 9L), 7L)))
   }
 
+  test("bucket cap: a 10k-copy boilerplate doc cannot explode candidate pairs") {
+    import spark.implicits._
+    // 10,000 verbatim copies of one doc (one degenerate LSH bucket per
+    // band) plus a normal near-dup pair. Uncapped, the clone bucket
+    // would emit ~50M pairs from one task; capped, its buckets drop with
+    // bounded agg memory while the ordinary pair is still found.
+    val boiler = "the same boilerplate navigation text appears on every single page of the site"
+    val real = "a genuinely unique document body with enough tokens to shingle properly today"
+    val docs = spark.range(0, 10000).select($"id".as("doc_id"), lit(boiler).as("text"))
+      .unionAll(Seq(
+        (20001L, real),
+        (20002L, real + " with a tiny appended tail")).toDF("doc_id", "text"))
+    val pairs = MinHashLsh.candidatePairs(docs, "doc_id", "text", maxBucket = 100)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((20001L, 20002L)), "ordinary near-dup pair must survive the cap")
+    assert(!pairs.exists { case (a, b) => a < 10000 && b < 10000 },
+      "clone-bucket pairs must be dropped, not partially emitted")
+    // drop diagnostic names exactly the degenerate buckets
+    val over = MinHashLsh.oversizedBuckets(docs, "doc_id", "text", maxBucket = 100)
+      .select($"n_members").as[Long].collect()
+    assert(over.length == 4 && over.forall(_ == 10000L), s"got ${over.toList}")
+    // a generous cap keeps full semantics (regression vs the uncapped form)
+    val small = docs.filter($"doc_id" >= 9990)
+    val capped = MinHashLsh.candidatePairs(small, "doc_id", "text", maxBucket = 10000)
+      .as[(Long, Long)].collect().toSet
+    assert(capped.contains((20001L, 20002L)) && capped.exists { case (a, b) => a < 10000 && b < 10000 })
+  }
+
+  test("bandedHammingPairs cap drops oversized slice buckets only") {
+    import spark.implicits._
+    import graft.dedup.SimHash
+    // 300 identical signatures (every slice bucket oversized for them) +
+    // one close pair that only shares ordinary buckets
+    val clones = spark.range(0, 300).select($"id", lit(0x0F0F0F0FL).as("simhash"))
+    val pairSigs = Seq((1000L, 0x12345678L), (1001L, 0x12345679L)).toDF("id", "simhash")
+    val sigs = clones.unionAll(pairSigs).cache()
+    try {
+      val pairs = SimHash.bandedHammingPairs(sigs, maxHamming = 3, maxBucket = 100)
+        .select($"a", $"b").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1000L, 1001L)),
+        s"clone pairs dropped, close pair retained; got $pairs")
+    } finally sigs.unpersist()
+  }
+
   test("exactDupGroups finds verbatim media copies by content hash") {
     import spark.implicits._
     val media = Multimodal.asMediaTable(Seq(

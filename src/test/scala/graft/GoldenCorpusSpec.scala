@@ -154,6 +154,40 @@ class GoldenCorpusSpec extends AnyFunSuite {
     assert(s.exactDups == 0 && s.nullSkipped == 0, s"stats: $s")
   }
 
+  test("A10 dynamic evolution: new payload column null-backfills, dedups, versions") {
+    val root = SparkTestSession.tempDir("evolve")
+    val b1 = EodhdTransform.interdayBars(
+      rawDf(Seq(interdayJson("2024-01-02", 100.0, 10)), "SPY"), "d")
+    StockStore.upsert(spark, root, HistoricalInterday, b1)
+
+    // batch 2 carries a column the store has never seen
+    val b2 = EodhdTransform.interdayBars(
+      rawDf(Seq(interdayJson("2024-01-03", 101.0, 11)), "SPY"), "d")
+      .withColumn("vwap", lit(101.5))
+    assert(StockStore.upsert(spark, root, HistoricalInterday, b2).written == 1)
+
+    val t = StockStore.table(spark, root, HistoricalInterday)
+    assert(t.columns.contains("vwap"), "dynamic column must appear in the unified schema")
+    val byDate = t.select(col("date").cast("string"), col("vwap"))
+      .collect().map(r => r.getString(0) -> r.getAs[Any]("vwap")).toMap
+    assert(byDate("2024-01-02") == null, "pre-evolution rows null-backfill")
+    assert(byDate("2024-01-03") == 101.5)
+
+    // replay is idempotent: payload equality includes the dynamic column
+    assert(StockStore.upsert(spark, root, HistoricalInterday, b2).written == 0)
+
+    // same key, changed dynamic value → version 2 (A4 over evolved schema)
+    val b3 = EodhdTransform.interdayBars(
+      rawDf(Seq(interdayJson("2024-01-03", 101.0, 11)), "SPY"), "d")
+      .withColumn("vwap", lit(999.9))
+    val s3 = StockStore.upsert(spark, root, HistoricalInterday, b3)
+    assert(s3.written == 1 && s3.versionConflicts == 1, s"$s3")
+    val versions = StockStore.table(spark, root, HistoricalInterday)
+      .filter(col("date").cast("string") === "2024-01-03")
+      .select("version").collect().map(_.getInt(0)).sorted
+    assert(versions.toSeq == Seq(1, 2))
+  }
+
   test("DST-edge local-calendar partition routing (SURVEY §7.4 risk 3)") {
     val root = SparkTestSession.tempDir("dst")
     // 2025-03-09 06:59 UTC = 01:59 EST (pre-spring-forward) → local day 03-09
