@@ -46,7 +46,7 @@ object Bench {
     runOnce("/root/testdata/sf0.001")
     runOnce(sfDir)
 
-    // three measured passes, keep the per-query minimum (steady state —
+    // four measured passes, keep the per-query minimum (steady state —
     // the first pass still pays one-time file listing/codegen for this
     // SF, and the host shows multi-x noise swings between passes). A
     // throwing query records None, not its (near-zero) elapsed time — a
@@ -61,7 +61,7 @@ object Bench {
         q.name -> None
       }
     }
-    val passes = Seq(timed(), timed(), timed())
+    val passes = Seq(timed(), timed(), timed(), timed())
     val results = benchQueries.map(_.name).zipWithIndex.map { case (n, i) =>
       val ok = passes.flatMap(_(i)._2)
       if (ok.isEmpty) { System.err.println(s"[bench] $n failed all passes"); sys.exit(1) }

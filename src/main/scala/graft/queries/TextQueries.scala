@@ -207,30 +207,26 @@ object TextQueries {
         val e = ranked.filter($"e_ok").select($"doc_id", $"text")
         val labels = graft.dedup.MinHashLsh
           .memberLabels(graft.dedup.MinHashLsh.rawCandidatePairs(e, "doc_id", "text"))
-        val nonKeepers = labels.filter($"label" =!= $"id").select($"id")
-        // Both count sides reduce to ONE row each, so they cross-join
-        // into a single stack projection — one job for all five stage
-        // counts instead of a union of two aggregate subtrees.
-        val flagRow = ranked.groupBy().agg(
+        // labels only contains ids that appeared in a candidate pair over
+        // `e`, so nonKeepers ⊆ exact-survivors and the near-dedup count is
+        // simply c3 − |nonKeepers| — no anti-join pass over the corpus.
+        // The non-keeper count is a one-partition count on the cached,
+        // already-materialized labels frame.
+        val nkCount = labels.filter($"label" =!= $"id").count()
+        val flags = ranked.groupBy().agg(
           count(lit(1)).as("c0"),
           sum(when($"q_ok", 1L).otherwise(0L)).as("c1"),
           sum(when($"l_ok", 1L).otherwise(0L)).as("c2"),
           sum(when($"e_ok", 1L).otherwise(0L)).as("c3"))
-        val nearRow = e.join(nonKeepers, e("doc_id") === nonKeepers("id"), "left_anti")
-          .groupBy().agg(count(lit(1)).as("c4"))
-        val result = flagRow.crossJoin(nearRow)
-          .selectExpr("stack(5, '00_raw', c0, '10_quality', c1, '20_lang', c2, " +
-            "'30_exact_dedup', c3, '40_near_dedup', c4) AS (stage, n_docs)")
-          .orderBy($"stage")
-          .collect()
+          .head()
         ranked.unpersist(false)
         labels.unpersist(false)
-        s.createDataFrame(java.util.Arrays.asList(result: _*),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("stage",
-              org.apache.spark.sql.types.StringType, nullable = false),
-            org.apache.spark.sql.types.StructField("n_docs",
-              org.apache.spark.sql.types.LongType, nullable = true))))
+        val counts = Seq(
+          "00_raw" -> flags.getLong(0), "10_quality" -> flags.getLong(1),
+          "20_lang" -> flags.getLong(2), "30_exact_dedup" -> flags.getLong(3),
+          "40_near_dedup" -> (flags.getLong(3) - nkCount))
+        import s.implicits._
+        counts.toDF("stage", "n_docs").orderBy($"stage")
       },
       Some("""
         WITH RECURSIVE corpus AS (
