@@ -48,8 +48,13 @@ object StockStore {
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(tablePath(root, dt))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.option("mergeSchema", "true").parquet(tablePath(root, dt))
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (!fs.exists(p)) empty
+    else committedData(fs, p) match {
+      case Some(Nil) => empty // commit log exists but nothing committed yet
+      case _ => table(spark, root, dt)
+    }
   }
 
   /** Deduplicating, versioning batch merge (the reference's
@@ -149,63 +154,120 @@ object StockStore {
     val nullSkipped = input - nonNull.count()
     val conflicts = written - versioned.filter(col("version") === 1).count()
 
-    // A7/A8 incremental stats: one pre-aggregated row per touched
-    // (ticker[, interval]) appended per batch — the reference's O(1)
-    // running min/max/count maintenance (sql_db.py:34-40,559-669).
-    // Readers merge the log (sum/min/max re-aggregate losslessly) and
-    // never scan the data, however large the table grows. MUST run
-    // before the data append: that append invalidates the cached
-    // `existing` plan (recacheByPath), after which re-executing `out`
-    // would anti-join the batch against its own output.
+    // A12 transactional batch commit (reference: sql_db.py:455,553-557 —
+    // BEGIN IMMEDIATE around the whole batch): data files and the batch's
+    // A7/A8 stats-log row (the reference's O(1) running min/max/count
+    // maintenance, sql_db.py:34-40,559-669) are STAGED, moved into place,
+    // and made visible by one atomic manifest rename ([[TableLog]]). A
+    // crash anywhere before that rename leaves only unreferenced files —
+    // readers see the pre-batch state, and stats can never drift from
+    // data. Readers merge the stats log (sum/min/max re-aggregate
+    // losslessly) and never scan the data, however large the table grows.
     if (written > 0) {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tp = new org.apache.hadoop.fs.Path(tablePath(root, dt))
+      val sp = new org.apache.hadoop.fs.Path(statsLogPath(root, dt))
+      val stageId = java.util.UUID.randomUUID().toString
+      val stageData = new org.apache.hadoop.fs.Path(root, s"stage-$stageId-data")
+      val stageStats = new org.apache.hadoop.fs.Path(root, s"stage-$stageId-stats")
+
       val statsKeys = Seq("ticker") ++ dt.extraIndexCols.filter(_ == "interval")
       out.groupBy(statsKeys.map(col): _*)
         .agg(count(lit(1)).as("row_count"),
           min(col(dt.tsCol)).as("min_ts"), max(col(dt.tsCol)).as("max_ts"))
         .coalesce(1)
-        .write.mode(SaveMode.Append).parquet(statsLogPath(root, dt))
-    }
+        .write.parquet(stageStats.toString)
+      out
+        .repartition(partCols.map(col): _*) // one file per touched partition
+        .write
+        .partitionBy(partCols: _*)
+        .parquet(stageData.toString)
 
-    out
-      .repartition(partCols.map(col): _*) // one file per touched partition
-      .write.mode(SaveMode.Append)
-      .partitionBy(partCols: _*)
-      .parquet(tablePath(root, dt))
+      // first commit on a pre-manifest table folds its legacy files in,
+      // so migration from the plain-append layout is seamless
+      val (legacyData, legacyStats) =
+        if (TableLog.exists(fs, tp)) (Seq.empty[String], Seq.empty[String])
+        else (TableLog.legacyFiles(fs, tp), TableLog.legacyFiles(fs, sp))
+      val dataRel = TableLog.promote(fs, stageData, tp)
+      val statsRel = TableLog.promote(fs, stageStats, sp)
+      TableLog.publish(fs, tp, legacyData ++ dataRel, legacyStats ++ statsRel)
+      fs.delete(stageData, true)
+      fs.delete(stageStats, true)
+    }
 
     deduped.unpersist(); existing.unpersist()
     UpsertStats(input, written, dedupedN - written, nullSkipped, conflicts)
   }
 
-  /** Read the stored table (post-merge). `mergeSchema` unifies files from
-    * before/after any dynamically-added column (A10): old rows carry null
-    * in the new column. */
-  def table(spark: SparkSession, root: String, dt: StockDataType): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(tablePath(root, dt))
+  /** Read the stored table (post-merge). Manifest-aware: only files a
+    * committed manifest references are visible (a crashed half-written
+    * batch is not); tables without a commit log (legacy layout) read the
+    * directory. `mergeSchema` unifies files from before/after any
+    * dynamically-added column (A10): old rows carry null in the new
+    * column. `basePath` keeps partition-column inference — and therefore
+    * Catalyst partition pruning — identical to a plain directory read. */
+  def table(spark: SparkSession, root: String, dt: StockDataType): DataFrame = {
+    val tp = new org.apache.hadoop.fs.Path(tablePath(root, dt))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedData(fs, tp) match {
+      case Some(files) if files.nonEmpty =>
+        spark.read.option("mergeSchema", "true").option("basePath", tp.toString)
+          .parquet(files: _*)
+      case _ =>
+        spark.read.option("mergeSchema", "true").parquet(tablePath(root, dt))
+    }
+  }
+
+  /** Committed data file list (absolute), or None if the table predates
+    * the commit log. */
+  private def committedData(fs: org.apache.hadoop.fs.FileSystem,
+      tp: org.apache.hadoop.fs.Path): Option[Seq[String]] =
+    if (!TableLog.exists(fs, tp)) None
+    else Some(TableLog.effective(fs, tp)._1
+      .map(r => new org.apache.hadoop.fs.Path(tp, r).toString))
 
   /** Compact the small files that per-micro-batch appends accumulate
     * (SURVEY §7.4 risk 5): rewrite the table so each partition directory
-    * holds one file again, preserving every row/version. The reference
-    * sidesteps this because SQLite updates B-trees in place; a columnar
-    * store pays it as a periodic maintenance job instead — run on a
-    * schedule or when files-per-partition crosses a threshold. The
-    * rewrite goes to a temp dir then swaps via rename; a table format
-    * with transactional commit (e.g. Delta) makes the swap atomic on a
-    * real deployment.
+    * holds one file again, preserving every row/version, plus ONE
+    * consolidated stats-log file. The swap is a `reset` commit in the
+    * [[TableLog]] manifest — readers atomically flip from the old file
+    * set to the new one (no delete-then-rename window), and old files and
+    * superseded manifests are vacuumed afterwards. The reference
+    * sidesteps compaction because SQLite updates B-trees in place; a
+    * columnar store pays it as a periodic maintenance job instead.
     * @return number of rows in the compacted table */
   def compact(spark: SparkSession, root: String, dt: StockDataType): Long = {
     import org.apache.hadoop.fs.Path
-    val pathStr = tablePath(root, dt)
-    val df = spark.read.parquet(pathStr)
+    val df = table(spark, root, dt)
     val partCols = Seq("ticker", "y", "m", "d").filter(df.columns.contains)
-    val tmp = pathStr + "__compacting"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tp = new Path(tablePath(root, dt))
+    val sp = new Path(statsLogPath(root, dt))
+    val stageId = java.util.UUID.randomUUID().toString
+    val stageData = new Path(root, s"stage-$stageId-data")
+    val stageStats = new Path(root, s"stage-$stageId-stats")
+
     df.repartition(partCols.map(col): _*)
-      .write.mode(SaveMode.Overwrite)
+      .write
       .partitionBy(partCols: _*)
-      .parquet(tmp)
-    val rows = spark.read.parquet(tmp).count()
-    val fs = new Path(pathStr).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(pathStr), true)
-    fs.rename(new Path(tmp), new Path(pathStr))
+      .parquet(stageData.toString)
+    val rows = spark.read.parquet(stageData.toString).count()
+    // consolidated stats log: one row per key over the full table, same
+    // written-rows semantics the per-batch log accumulates
+    val statsKeys = Seq("ticker") ++ dt.extraIndexCols.filter(_ == "interval")
+    df.groupBy(statsKeys.map(col): _*)
+      .agg(count(lit(1)).as("row_count"),
+        min(col(dt.tsCol)).as("min_ts"), max(col(dt.tsCol)).as("max_ts"))
+      .coalesce(1)
+      .write.parquet(stageStats.toString)
+
+    val dataRel = TableLog.promote(fs, stageData, tp)
+    val statsRel = TableLog.promote(fs, stageStats, sp)
+    TableLog.publish(fs, tp, dataRel, statsRel, reset = true)
+    fs.delete(stageData, true)
+    fs.delete(stageStats, true)
+    TableLog.vacuum(fs, tp, sp)
     rows
   }
 
@@ -236,8 +298,16 @@ object StockStore {
     * scan views. */
   def incrementalStats(spark: SparkSession, root: String, dt: StockDataType): DataFrame = {
     val keys = Seq("ticker") ++ dt.extraIndexCols.filter(_ == "interval")
-    spark.read.parquet(statsLogPath(root, dt))
-      .groupBy(keys.map(col): _*)
+    val tp = new org.apache.hadoop.fs.Path(tablePath(root, dt))
+    val sp = new org.apache.hadoop.fs.Path(statsLogPath(root, dt))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log =
+      if (TableLog.exists(fs, tp)) {
+        val files = TableLog.effective(fs, tp)._2
+          .map(r => new org.apache.hadoop.fs.Path(sp, r).toString)
+        spark.read.parquet(files: _*)
+      } else spark.read.parquet(statsLogPath(root, dt))
+    log.groupBy(keys.map(col): _*)
       .agg(sum(col("row_count")).as("row_count"),
         min(col("min_ts")).as("min_ts"), max(col("max_ts")).as("max_ts"))
   }

@@ -1,0 +1,176 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import java.nio.charset.StandardCharsets
+
+/** Manifest-based atomic commit log for a parquet table tree — the
+  * transactional piece the reference gets from SQLite's `BEGIN IMMEDIATE`
+  * (reference: src/stockops/data/database/sql_db.py:455,553-557) and a
+  * columnar store normally gets from a table format.
+  *
+  * Protocol (single writer, like the reference's `writer-1`):
+  *   1. the writer stages new parquet files, then moves them into their
+  *      final partition directories (unique names — never overwrites);
+  *   2. visibility is granted by ONE atomic rename of a manifest file
+  *      into `_commits/NNNNNNNNNN.commit`; the manifest lists every data
+  *      and stats file the commit adds. A crash before the rename leaves
+  *      orphan files no manifest references — invisible to readers and
+  *      reclaimed by [[vacuum]].
+  * Because a commit lists data files AND the batch's stats-log files, the
+  * two become visible together — closing the window where a crash
+  * between the stats append and the data append skews incremental stats.
+  *
+  * A `reset` commit (compaction) replaces the whole referenced set: the
+  * effective file set is the union of commits after the last reset.
+  * Readers derive partition columns from the final directory layout
+  * (`basePath`), so Catalyst partition pruning works exactly as on a
+  * plain directory table. Manifest renames are atomic on HDFS/local
+  * filesystems; object stores without atomic rename need a small commit
+  * service in front (same caveat every manifest-log table format carries).
+  *
+  * Format: line-oriented (one `kind<TAB>root-relative-path` per line) —
+  * partition path segments are URL-encoded by Spark, so paths are
+  * tab/newline-free by construction.
+  */
+object TableLog {
+
+  final case class Commit(id: Long, reset: Boolean,
+      dataFiles: Seq[String], statsFiles: Seq[String])
+
+  private def commitsDir(tablePath: Path) = new Path(tablePath, "_commits")
+
+  def exists(fs: FileSystem, tablePath: Path): Boolean =
+    fs.exists(commitsDir(tablePath))
+
+  private def parse(fs: FileSystem, p: Path): Commit = {
+    val body = new String(readAll(fs, p), StandardCharsets.UTF_8)
+    val lines = body.linesIterator.toSeq
+    require(lines.headOption.contains("graft-commit-v1"), s"bad manifest $p")
+    val kv = lines.drop(1).filter(_.nonEmpty).map { l =>
+      val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1))
+    }
+    Commit(
+      id = p.getName.stripSuffix(".commit").toLong,
+      reset = kv.exists { case (k, v) => k == "reset" && v == "true" },
+      dataFiles = kv.collect { case ("data", v) => v },
+      statsFiles = kv.collect { case ("stats", v) => v })
+  }
+
+  private def readAll(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** All commits in order, or empty if the table has no log. */
+  def commits(fs: FileSystem, tablePath: Path): Seq[Commit] = {
+    val dir = commitsDir(tablePath)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".commit"))
+      .sortBy(_.getName)
+      .map(parse(fs, _)).toSeq
+  }
+
+  /** Effective committed file sets (root-relative): union of commits
+    * after the last reset. */
+  def effective(fs: FileSystem, tablePath: Path): (Seq[String], Seq[String]) = {
+    val all = commits(fs, tablePath)
+    val lastReset = all.lastIndexWhere(_.reset)
+    val live = if (lastReset < 0) all else all.drop(lastReset)
+    (live.flatMap(_.dataFiles), live.flatMap(_.statsFiles))
+  }
+
+  /** Atomically publish a commit; returns its id. Single-writer: ids are
+    * max+1 and the rename fails rather than overwrites on a collision. */
+  def publish(fs: FileSystem, tablePath: Path, dataFiles: Seq[String],
+      statsFiles: Seq[String], reset: Boolean = false): Long = {
+    val dir = commitsDir(tablePath)
+    fs.mkdirs(dir)
+    val id = commits(fs, tablePath).lastOption.map(_.id + 1).getOrElse(0L)
+    val body = new StringBuilder("graft-commit-v1\n")
+    if (reset) body.append("reset\ttrue\n")
+    dataFiles.foreach(f => body.append("data\t").append(f).append('\n'))
+    statsFiles.foreach(f => body.append("stats\t").append(f).append('\n'))
+    val tmp = new Path(dir, f".tmp-$id%020d-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(body.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val target = new Path(dir, f"$id%020d.commit")
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"commit rename failed (concurrent writer?): $target")
+    }
+    id
+  }
+
+  /** Move every file under `stagingDir` into `targetDir`, preserving the
+    * relative (partition) layout; returns the target-root-relative paths.
+    * File names are Spark task outputs (job-UUID unique), so moves never
+    * overwrite. */
+  def promote(fs: FileSystem, stagingDir: Path, targetDir: Path): Seq[String] = {
+    val staged = listFilesRecursively(fs, stagingDir)
+      .filter(p => p.getName.endsWith(".parquet"))
+    staged.map { p =>
+      val rel = relativize(stagingDir, p)
+      val dest = new Path(targetDir, rel)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(p, dest))
+        throw new java.io.IOException(s"promote failed: $p -> $dest")
+      rel
+    }
+  }
+
+  /** Parquet files already present under `dir` (root-relative) — folded
+    * into the first commit when migrating a plain-append table. */
+  def legacyFiles(fs: FileSystem, dir: Path): Seq[String] =
+    listFilesRecursively(fs, dir)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(relativize(dir, _))
+
+  def listFilesRecursively(fs: FileSystem, dir: Path): Seq[Path] = {
+    if (!fs.exists(dir)) return Seq.empty
+    val it = fs.listFiles(dir, true)
+    val out = Seq.newBuilder[Path]
+    while (it.hasNext) out += it.next().getPath
+    out.result()
+  }
+
+  private def relativize(base: Path, p: Path): String = {
+    val b = base.toUri.getPath.stripSuffix("/")
+    val f = p.toUri.getPath
+    require(f.startsWith(b + "/"), s"$p not under $base")
+    f.substring(b.length + 1)
+  }
+
+  /** Delete files under the table/stats trees that no live commit
+    * references, plus manifests older than the last reset and leftover
+    * staging dirs. Safe under the single-writer assumption (anything
+    * unreferenced is either pre-reset garbage or a crashed commit). */
+  def vacuum(fs: FileSystem, tablePath: Path, statsPath: Path): Long = {
+    val (data, stats) = effective(fs, tablePath)
+    val live: Set[String] =
+      (data.map(r => new Path(tablePath, r).toUri.getPath) ++
+        stats.map(r => new Path(statsPath, r).toUri.getPath)).toSet
+    var removed = 0L
+    def sweep(root: Path): Unit =
+      listFilesRecursively(fs, root)
+        .filter(p => p.getName.endsWith(".parquet"))
+        .filterNot(p => live.contains(p.toUri.getPath))
+        .foreach { p => if (fs.delete(p, false)) removed += 1 }
+    sweep(tablePath)
+    sweep(statsPath)
+    // drop manifests superseded by the last reset
+    val all = commits(fs, tablePath)
+    val lastReset = all.lastIndexWhere(_.reset)
+    if (lastReset > 0) all.take(lastReset).foreach { c =>
+      fs.delete(new Path(commitsDir(tablePath), f"${c.id}%020d.commit"), false)
+    }
+    removed
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import graft.model.{HistoricalInterday, Streaming}
+import graft.store.{StockStore, TableLog}
+import graft.transform.EodhdTransform
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A12 atomic-commit protocol ([[TableLog]]): visibility is granted only
+  * by the manifest rename, so half-written batches (crash simulations)
+  * are invisible, stats can never drift from data, compaction swaps
+  * atomically, and legacy plain-append tables fold into the log. */
+class TableLogSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def tickDf(priceBase: Double) = {
+    import spark.implicits._
+    (0 until 3).map(i =>
+      ("SPY", new java.sql.Timestamp(1757623532850L + i * 1000), priceBase + i, 5L))
+      .toDF("ticker", "timestamp", "price", "volume")
+  }
+
+  private def fs(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("uncommitted files are invisible; vacuum reclaims them") {
+    val root = SparkTestSession.tempDir("tlog-orphan")
+    StockStore.upsert(spark, root, Streaming, tickDf(100.0))
+    val before = StockStore.table(spark, root, Streaming).collect().toSet
+
+    // crash simulation: a data file promoted into a partition dir but
+    // never referenced by a manifest (copy an existing committed file)
+    val f = fs(root)
+    val tp = new Path(s"$root/streaming")
+    val committed = TableLog.listFilesRecursively(f, tp)
+      .filter(_.getName.endsWith(".parquet")).head
+    val orphan = new Path(committed.getParent, s"part-orphan-${java.util.UUID.randomUUID()}.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(f, committed, f, orphan, false,
+      spark.sparkContext.hadoopConfiguration)
+
+    assert(StockStore.table(spark, root, Streaming).collect().toSet == before,
+      "readers must not see files no manifest references")
+    val removed = TableLog.vacuum(f, tp, new Path(s"$root/streaming__stats"))
+    assert(removed == 1 && !f.exists(orphan), "vacuum reclaims the orphan")
+    assert(StockStore.table(spark, root, Streaming).collect().toSet == before)
+  }
+
+  test("stats and data commit together; orphan stats files are invisible") {
+    val root = SparkTestSession.tempDir("tlog-stats")
+    StockStore.upsert(spark, root, Streaming, tickDf(100.0))
+    StockStore.upsert(spark, root, Streaming, tickDf(200.0))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("ticker") -> r.getAs[Long]("row_count")).toMap
+    val scan = asMap(StockStore.tableStats(spark, root, Streaming))
+    assert(asMap(StockStore.incrementalStats(spark, root, Streaming)) == scan)
+
+    // crash simulation: a stats row written but never committed
+    val f = fs(root)
+    val sp = new Path(s"$root/streaming__stats")
+    val statsFile = TableLog.listFilesRecursively(f, sp)
+      .filter(_.getName.endsWith(".parquet")).head
+    val orphan = new Path(sp, s"part-orphan-${java.util.UUID.randomUUID()}.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(f, statsFile, f, orphan, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(asMap(StockStore.incrementalStats(spark, root, Streaming)) == scan,
+      "an uncommitted stats file must not skew incremental stats")
+  }
+
+  test("compact swaps via a reset commit and prunes superseded manifests") {
+    val root = SparkTestSession.tempDir("tlog-compact")
+    StockStore.upsert(spark, root, Streaming, tickDf(100.0))
+    StockStore.upsert(spark, root, Streaming, tickDf(200.0))
+    val before = StockStore.table(spark, root, Streaming).collect().toSet
+    val f = fs(root)
+    val tp = new Path(s"$root/streaming")
+    assert(TableLog.commits(f, tp).size == 2)
+
+    val rows = StockStore.compact(spark, root, Streaming)
+    assert(rows == before.size)
+    assert(StockStore.table(spark, root, Streaming).collect().toSet == before)
+    val commits = TableLog.commits(f, tp)
+    assert(commits.size == 1 && commits.head.reset, s"$commits")
+    // stats survive consolidation
+    val inc = StockStore.incrementalStats(spark, root, Streaming).collect()
+    assert(inc.head.getAs[Long]("row_count") == before.size)
+  }
+
+  test("legacy plain-append tables fold into the first commit") {
+    val root = SparkTestSession.tempDir("tlog-legacy")
+    // simulate a table written before the commit log existed
+    import spark.implicits._
+    val legacy = Seq(("SPY", java.sql.Date.valueOf("2024-01-02"), 100.0, 101.0, 99.0, 100.5, 100.2, 10L, "d", 1, 2024))
+      .toDF("ticker", "date", "open", "high", "low", "close", "adjusted_close", "volume", "interval", "version", "y")
+    legacy.write.partitionBy("ticker", "y").parquet(s"$root/historical_interday")
+
+    val b = EodhdTransform.interdayBars(
+      Seq("""{"date": "2024-01-03", "open": 101.0, "high": 102.0, "low": 100.0, "close": 101.5, "adjusted_close": 101.2, "volume": 11}""")
+        .toDF("raw").withColumn("ticker", lit("SPY")), "d")
+    StockStore.upsert(spark, root, HistoricalInterday, b)
+
+    val dates = StockStore.table(spark, root, HistoricalInterday)
+      .select(col("date").cast("string")).as[String].collect().toSet
+    assert(dates == Set("2024-01-02", "2024-01-03"),
+      "first commit must fold pre-manifest files in")
+  }
+}
