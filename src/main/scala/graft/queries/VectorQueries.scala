@@ -41,7 +41,13 @@ object VectorQueries {
       bench = true),
 
     // ── embedding near-duplicate pairs (cosine > 0.99) ─────────────────
-    // duplicates synthesized: every 10th vector re-appears under a new id
+    // duplicates synthesized: every 10th vector re-appears under a new id.
+    // SCALE SHAPE, not the all-pairs theta-join: candidates are confined
+    // to vectors sharing an SRP bucket (8 tables × 4 planes — the same
+    // md5-derived planes v3 histograms), so the join is an equi-join on
+    // (table, bucket) and the cosine check runs per bucket collision.
+    // At 0.99 cosine the duplicate pair agrees on essentially every
+    // table, and the oracle computes the SAME bucketed semantics.
     GraftQuery(
       "v2_embedding_neardup",
       (s, dir) => {
@@ -50,21 +56,44 @@ object VectorQueries {
         val copies = emb.filter($"vec_id" % 10 === 0)
           .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
         val corpus = emb.select($"vec_id", $"embedding").unionAll(copies)
-        val a = corpus.select($"vec_id".as("a"), $"embedding".as("ea"))
-        val b = corpus.select($"vec_id".as("b"), $"embedding".as("eb"))
-        a.join(b, $"a" < $"b")
+        val bucketed = corpus.select($"vec_id", $"embedding",
+          posexplode(graft.functions.VectorFunctions.lshBuckets($"embedding", 8, 4, 64))
+            .as(Seq("table", "bucket")))
+        val a = bucketed.select($"table", $"bucket", $"vec_id".as("a"), $"embedding".as("ea"))
+        val b = bucketed.select($"table", $"bucket", $"vec_id".as("b"), $"embedding".as("eb"))
+        a.join(b, Seq("table", "bucket")).where($"a" < $"b")
           .where(cosineNative($"ea", $"eb") > 0.99)
-          .select($"a", $"b")
+          .select($"a", $"b").distinct()
           .orderBy($"a", $"b")
       },
       Some("""
         WITH corpus AS (
           SELECT vec_id, embedding FROM embeddings
           UNION ALL
-          SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
-        SELECT a.vec_id AS a, b.vec_id AS b
-        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.99
+          SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+        w AS (
+          SELECT g, d,
+            CAST(CAST(concat('0x', substr(md5('plane:' || g || ':' || d), 1, 15)) AS BIGINT) % 2001 - 1000 AS DOUBLE) AS w
+          FROM (SELECT unnest(generate_series(0, 31)) AS g),
+               (SELECT unnest(generate_series(0, 63)) AS d)),
+        e AS (
+          SELECT vec_id, unnest(generate_series(1, len(embedding))) - 1 AS d,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM corpus),
+        proj AS (
+          SELECT vec_id, g, SUM(v * w.w ORDER BY e.d) AS proj
+          FROM e JOIN w ON e.d = w.d
+          GROUP BY vec_id, g),
+        buckets AS (
+          SELECT vec_id, CAST(FLOOR(g / 4) AS INT) AS tbl,
+            CAST(SUM(CASE WHEN proj > 0 THEN (1 << (g % 4)) ELSE 0 END) AS INT) AS bucket
+          FROM proj GROUP BY vec_id, tbl)
+        SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        FROM buckets bx JOIN buckets by ON bx.tbl = by.tbl AND bx.bucket = by.bucket
+        JOIN corpus x ON x.vec_id = bx.vec_id
+        JOIN corpus y ON y.vec_id = by.vec_id
+        WHERE x.vec_id < y.vec_id
+          AND list_cosine_similarity(x.embedding, y.embedding) > 0.99
         ORDER BY a, b""")),
 
     // ── IVF-style ANN: coarse-quantize, search only the probe's cell ──
