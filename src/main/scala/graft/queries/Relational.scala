@@ -86,11 +86,18 @@ object Relational {
       "h3_top_revenue_orders",
       (s, dir) => {
         import s.implicits._
-        val one = lit(1).cast("decimal(3,2)")
         val cut = lit("1998-01-01").cast("timestamp")
-        Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
-          .join(Tables.orders(s, dir).filter($"o_orderdate" < cut), $"c_custkey" === $"o_custkey")
-          .join(Tables.lineitem(s, dir).filter($"l_shipdate" > cut), $"o_orderkey" === $"l_orderkey")
+        // Join order: fact first, dims joined INTO it — both dim sides
+        // (filtered orders, BUILDING customers) sit under the
+        // auto-broadcast threshold by their own size estimates, so the
+        // fact table never shuffles for a join (the dim-first order wraps
+        // the fact join under an inflated join-output estimate and plans
+        // a sort-merge join instead). No hints: at SFs where the dims
+        // outgrow the threshold, Catalyst/AQE falls back to shuffle joins
+        // on its own.
+        Tables.lineitem(s, dir).filter($"l_shipdate" > cut)
+          .join(Tables.orders(s, dir).filter($"o_orderdate" < cut), $"l_orderkey" === $"o_orderkey")
+          .join(Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING"), $"o_custkey" === $"c_custkey")
           .groupBy($"l_orderkey", $"o_orderdate")
           // scaled-long product sum: groups are single orders (a handful
           // of lineitems), so the 1e9-unit products cannot overflow a
