@@ -91,6 +91,34 @@ object Multimodal {
       DecodedMedia(id, kind, feats, "stub/md5-v1")
     }
 
+  final case class ResizedMedia(media_id: Long, kind: String,
+      bytes: Array[Byte], orig_len: Int)
+
+  /** Partition-batched resize — same pluggable seam as [[decodeFeatures]]
+    * (a real implementation rescales pixels/resamples audio in the batch
+    * callback; the stub is deterministic nearest-neighbor byte sampling,
+    * so the full plumbing is oracle-checkable byte-for-byte). Index map:
+    * out(i) = bytes(floor(i·n/target)), the classic nearest-neighbor
+    * downsample grid. */
+  def resizeMedia(media: DataFrame, targetLen: Int, batchSize: Int = 64)(
+      resizeBatch: Seq[(Long, String, Array[Byte])] => Seq[ResizedMedia] =
+        stubResizeBatch(targetLen)): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.select("media_id", "kind", "bytes")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(resizeBatch))
+  }
+
+  /** STUB resizer: nearest-neighbor stride sampling to `target` bytes. */
+  def stubResizeBatch(target: Int)(batch: Seq[(Long, String, Array[Byte])]): Seq[ResizedMedia] =
+    batch.map { case (id, kind, bytes) =>
+      val n = bytes.length
+      val out =
+        if (n == 0) Array.empty[Byte]
+        else Array.tabulate(target)(i => bytes((i.toLong * n / target).toInt))
+      ResizedMedia(id, kind, out, n)
+    }
+
   /** Exact + near-duplicate detection over media: exact via content hash
     * (scales as a groupBy), near via feature cosine on the decoded
     * vectors (plug into LSH bucketing at scale). */

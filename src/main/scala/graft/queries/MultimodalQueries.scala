@@ -85,6 +85,32 @@ object MultimodalQueries {
           FROM documents)
         SELECT kind, 'stub/md5-v1' AS decoder, COUNT(*) AS n_media,
           CAST(SUM(b0 * 256 + b0) AS BIGINT) AS sum_f0_units
-        FROM feats GROUP BY kind ORDER BY kind"""))
+        FROM feats GROUP BY kind ORDER BY kind""")),
+
+    // ── batched resize (nearest-neighbor byte sampling) ───────────────
+    // Same mapPartitions seam as the decode stub; on the ASCII corpus the
+    // byte-level resample is reproducible in SQL character-for-character,
+    // so the oracle checks the WHOLE resize path (batching, index map,
+    // output payload) via content hash.
+    GraftQuery(
+      "m4_resize",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.resizeMedia(
+          Multimodal.asMediaTable(Tables.documents(s, dir)), targetLen = 32)()
+          .toDF()
+          .select($"media_id", $"kind", $"orig_len",
+            length($"bytes").as("resized_len"), md5($"bytes").as("content_hash"))
+          .orderBy($"media_id")
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+          (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+          length(text) AS orig_len,
+          length(array_to_string(list_transform(generate_series(0, 31),
+            i -> substring(text, CAST((i * length(text)) // 32 AS INT) + 1, 1)), '')) AS resized_len,
+          md5(array_to_string(list_transform(generate_series(0, 31),
+            i -> substring(text, CAST((i * length(text)) // 32 AS INT) + 1, 1)), '')) AS content_hash
+        FROM documents ORDER BY media_id"""))
   )
 }
