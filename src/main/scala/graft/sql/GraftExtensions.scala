@@ -1,7 +1,7 @@
 package graft.sql
 
 import graft.functions.TextFunctions
-import graft.functions.expressions.CosineSimilarityExpr
+import graft.functions.expressions.{CosineSimilarityExpr, LowerAlnumTokensExpr, Md5PrefixLongExpr, NormalizeAsciiExpr, SrpBucketsExpr}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -90,7 +90,24 @@ object GraftFunctions {
       sqlFn(langIdSql)),
     (FunctionIdentifier("graft_quality_score"),
       info("graft_quality_score", "graft_quality_score(text, n_chars) - composite text quality score"),
-      sqlFn(qualityScoreSql)))
+      sqlFn(qualityScoreSql)),
+    (FunctionIdentifier("graft_md5_long"),
+      info("graft_md5_long", "graft_md5_long(s) - first 60 bits of md5(s) as BIGINT (fused kernel; == conv(substring(md5(s),1,15),16,10))"),
+      es => Md5PrefixLongExpr(es.head)),
+    (FunctionIdentifier("graft_lower_tokens"),
+      info("graft_lower_tokens", "graft_lower_tokens(text) - lowercased alnum word tokens (fused one-pass kernel)"),
+      es => LowerAlnumTokensExpr(es.head)),
+    (FunctionIdentifier("graft_normalize_fast"),
+      info("graft_normalize_fast", "graft_normalize_fast(text) - lowercase/collapse/trim as one fused pass (== graft_normalize)"),
+      es => NormalizeAsciiExpr(es.head)),
+    (FunctionIdentifier("graft_srp_buckets"),
+      info("graft_srp_buckets", "graft_srp_buckets(vec, tables, planes, dims) - signed-random-projection LSH bucket ids (fused kernel)"),
+      es => SrpBucketsExpr(es(0), litInt(es(1)), litInt(es(2)), litInt(es(3)))))
+
+  private def litInt(e: Expression): Int = {
+    require(e.foldable, s"argument must be a literal: $e")
+    e.eval().asInstanceOf[Number].intValue()
+  }
 
   /** Register every graft function into an already-running session. */
   def registerAll(spark: SparkSession): Unit =

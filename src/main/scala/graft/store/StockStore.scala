@@ -59,10 +59,17 @@ object StockStore {
 
   /** Deduplicating, versioning batch merge (the reference's
     * `insert_many`, reference: sql_db.py:345-671). Returns write stats
-    * (the reference acks each message; we report counts). */
+    * (the reference acks each message; we report counts).
+    *
+    * `collectCounts = false` is the high-trigger-rate mode for streaming
+    * sinks: the five diagnostic count actions (input/dups/null-skips/
+    * conflicts and the strict-index probe) are skipped, and `written`
+    * rides the staging write itself via CollectMetrics — the merge runs
+    * exactly two jobs per micro-batch (stats row + data). The merge
+    * SEMANTICS are identical; unavailable diagnostics report -1. */
   def upsert(spark: SparkSession, root: String, dt: StockDataType,
       batch: DataFrame, exchangeTz: String = "America/New_York",
-      strictIndex: Boolean = true): UpsertStats = {
+      strictIndex: Boolean = true, collectCounts: Boolean = true): UpsertStats = {
     val idxCols = dt.indexCols
     // A10 dynamic schema evolution: batch columns beyond the declared
     // payload schema are accepted as NEW payload columns (the reference's
@@ -77,11 +84,12 @@ object StockStore {
     val payloadCols = declared ++ dynamic
     require(payloadCols.nonEmpty, s"batch has no payload columns for ${dt.name}")
 
-    val input = batch.count()
+    val input = if (collectCounts) batch.count() else -1L
 
-    // A6: required index columns present
+    // A6: required index columns present (the probe is an extra action;
+    // in cheap mode null-index rows are silently filtered instead)
     val idxOk = idxCols.map(col(_).isNotNull).reduce(_ && _)
-    if (strictIndex && !batch.filter(!idxOk).isEmpty)
+    if (strictIndex && collectCounts && !batch.filter(!idxOk).isEmpty)
       throw new IllegalArgumentException(s"batch contains rows with null index columns $idxCols")
 
     // A5: skip rows whose entire payload is null
@@ -144,15 +152,16 @@ object StockStore {
     val out = versioned.withColumn("y", y).withColumn("m", m).withColumn("d", d)
       .select((idxCols ++ payloadCols ++ Seq("version") ++ partCols.drop(1)).distinct.map(col): _*)
 
-    val written = out.count()
-
     // ALL stats counts must run before the data append below: the append
     // invalidates the cached `existing` plan (recacheByPath), after which
     // re-executing `versioned`/`fresh` anti-joins the batch against its
     // own just-written output (fresh = empty, version-1 count = 0).
-    val dedupedN = deduped.count()
-    val nullSkipped = input - nonNull.count()
-    val conflicts = written - versioned.filter(col("version") === 1).count()
+    val written = if (collectCounts) out.count() else -1L
+    val dedupedN = if (collectCounts) deduped.count() else -1L
+    val nullSkipped = if (collectCounts) input - nonNull.count() else -1L
+    val conflicts =
+      if (collectCounts) written - versioned.filter(col("version") === 1).count()
+      else -1L
 
     // A12 transactional batch commit (reference: sql_db.py:455,553-557 —
     // BEGIN IMMEDIATE around the whole batch): data files and the batch's
@@ -163,7 +172,8 @@ object StockStore {
     // readers see the pre-batch state, and stats can never drift from
     // data. Readers merge the stats log (sum/min/max re-aggregate
     // losslessly) and never scan the data, however large the table grows.
-    if (written > 0) {
+    var writtenFinal = written
+    if (!collectCounts || written > 0) {
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val tp = new org.apache.hadoop.fs.Path(tablePath(root, dt))
@@ -173,31 +183,44 @@ object StockStore {
       val stageStats = new org.apache.hadoop.fs.Path(root, s"stage-$stageId-stats")
 
       val statsKeys = Seq("ticker") ++ dt.extraIndexCols.filter(_ == "interval")
-      out.groupBy(statsKeys.map(col): _*)
+      val statsDf = out.groupBy(statsKeys.map(col): _*)
         .agg(count(lit(1)).as("row_count"),
           min(col(dt.tsCol)).as("min_ts"), max(col(dt.tsCol)).as("max_ts"))
-        .coalesce(1)
-        .write.parquet(stageStats.toString)
-      out
-        .repartition(partCols.map(col): _*) // one file per touched partition
-        .write
-        .partitionBy(partCols: _*)
-        .parquet(stageData.toString)
-
-      // first commit on a pre-manifest table folds its legacy files in,
-      // so migration from the plain-append layout is seamless
-      val (legacyData, legacyStats) =
-        if (TableLog.exists(fs, tp)) (Seq.empty[String], Seq.empty[String])
-        else (TableLog.legacyFiles(fs, tp), TableLog.legacyFiles(fs, sp))
-      val dataRel = TableLog.promote(fs, stageData, tp)
-      val statsRel = TableLog.promote(fs, stageStats, sp)
-      TableLog.publish(fs, tp, legacyData ++ dataRel, legacyStats ++ statsRel)
+      if (collectCounts) {
+        statsDf.coalesce(1).write.parquet(stageStats.toString)
+      } else {
+        // cheap mode: the per-ticker stats rows are tiny — collect them
+        // (the mode's single extra action) and derive `written` from
+        // their sum; the local relation then writes without a job
+        val statsRows = statsDf.collect()
+        writtenFinal = statsRows.map(_.getAs[Long]("row_count")).sum
+        if (writtenFinal > 0) {
+          spark.createDataFrame(java.util.Arrays.asList(statsRows: _*), statsDf.schema)
+            .coalesce(1).write.parquet(stageStats.toString)
+        }
+      }
+      if (writtenFinal != 0) {
+        out
+          .repartition(partCols.map(col): _*) // one file per touched partition
+          .write
+          .partitionBy(partCols: _*)
+          .parquet(stageData.toString)
+        // first commit on a pre-manifest table folds its legacy files in,
+        // so migration from the plain-append layout is seamless
+        val (legacyData, legacyStats) =
+          if (TableLog.exists(fs, tp)) (Seq.empty[String], Seq.empty[String])
+          else (TableLog.legacyFiles(fs, tp), TableLog.legacyFiles(fs, sp))
+        val dataRel = TableLog.promote(fs, stageData, tp)
+        val statsRel = TableLog.promote(fs, stageStats, sp)
+        TableLog.publish(fs, tp, legacyData ++ dataRel, legacyStats ++ statsRel)
+      }
       fs.delete(stageData, true)
       fs.delete(stageStats, true)
     }
 
     deduped.unpersist(); existing.unpersist()
-    UpsertStats(input, written, dedupedN - written, nullSkipped, conflicts)
+    UpsertStats(input, writtenFinal,
+      if (collectCounts) dedupedN - written else -1L, nullSkipped, conflicts)
   }
 
   /** Read the stored table (post-merge). Manifest-aware: only files a

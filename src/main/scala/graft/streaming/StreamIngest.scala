@@ -55,8 +55,11 @@ object StreamIngest {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          // collectCounts=false: per-micro-batch diagnostics would cost
+          // five extra driver actions per trigger; the sink needs only
+          // the merge itself (written count rides the write job)
           StockStore.upsert(batch.sparkSession, root, Streaming, batch,
-            Exchanges.tz(exchange))
+            Exchanges.tz(exchange), collectCounts = false)
           ()
         }
       }

@@ -31,27 +31,22 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("two SrpBucketsExpr in one projection compile under codegen (no name clash)") {
-    import spark.implicits._
     import graft.functions.VectorFunctions.lshBuckets
     // coalesce makes the child non-nullable, so nullSafeExec inlines both
     // snippets unscoped into one generated method — the shape that clashed
     // on the literal `base` local (ADVICE r1). fallback=false turns a
-    // janino failure into a hard error instead of interpreted eval.
-    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
-    spark.conf.set("spark.sql.codegen.fallback", "false")
-    try {
-      val df = Seq(Seq(1f, -2f, 3f, 4f), Seq(-1f, 2f, -3f, 0.5f)).toDF("e")
-      val in = coalesce($"e", array(lit(0f)))
-      val rows = df.select(
-        lshBuckets(in, 2, 3, 4).as("b1"),
-        lshBuckets(in, 2, 3, 4).as("b2")).collect()
-      assert(rows.nonEmpty && rows.forall(r => r.getSeq[Int](0) == r.getSeq[Int](1)))
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
-        case None => spark.conf.unset("spark.sql.codegen.fallback")
-      }
-    }
+    // janino failure into a hard error instead of interpreted eval; it is
+    // set on a CLONED session (own SQLConf) so concurrently running
+    // suites on the shared session are unaffected.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    import s2.implicits._
+    val df = Seq(Seq(1f, -2f, 3f, 4f), Seq(-1f, 2f, -3f, 0.5f)).toDF("e")
+    val in = coalesce($"e", array(lit(0f)))
+    val rows = df.select(
+      lshBuckets(in, 2, 3, 4).as("b1"),
+      lshBuckets(in, 2, 3, 4).as("b2")).collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getSeq[Int](0) == r.getSeq[Int](1)))
   }
 
   test("IVF cell search returns self-consistent, deduplicated candidates") {

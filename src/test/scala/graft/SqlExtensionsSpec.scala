@@ -29,6 +29,21 @@ class SqlExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[String]("fp") == viaColumn)
   }
 
+  test("fused-kernel SQL functions match their composable SQL equivalents") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT graft_md5_long('abc') AS h,
+        |  CAST(conv(substring(md5('abc'), 1, 15), 16, 10) AS BIGINT) AS h_ref,
+        |  graft_lower_tokens('One TWO-three 4x') AS toks,
+        |  graft_normalize_fast('  A   b ') AS norm,
+        |  graft_srp_buckets(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 2, 3, 2) AS buckets
+        |""".stripMargin).head()
+    assert(r.getAs[Long]("h") == r.getAs[Long]("h_ref"))
+    assert(r.getSeq[String](2) == Seq("one", "two", "three", "4x"))
+    assert(r.getAs[String]("norm") == "a b")
+    assert(r.getSeq[Int](4).length == 2)
+  }
+
   test("SQL templates are value-equivalent to the Column API (no drift)") {
     GraftFunctions.registerAll(spark)
     import graft.functions.TextFunctions._

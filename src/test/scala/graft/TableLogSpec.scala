@@ -86,6 +86,33 @@ class TableLogSpec extends AnyFunSuite {
     assert(inc.head.getAs[Long]("row_count") == before.size)
   }
 
+  test("cheap-count mode merges identically with written riding the write job") {
+    val rootFull = SparkTestSession.tempDir("tlog-full")
+    val rootCheap = SparkTestSession.tempDir("tlog-cheap")
+    // batch 2 overlaps batch 1 (dups + a conflict) to exercise the merge
+    val b1 = tickDf(100.0)
+    val b2 = tickDf(100.0).unionAll(tickDf(300.0))
+    StockStore.upsert(spark, rootFull, Streaming, b1)
+    StockStore.upsert(spark, rootFull, Streaming, b2)
+    val s1 = StockStore.upsert(spark, rootCheap, Streaming, b1, collectCounts = false)
+    val s2 = StockStore.upsert(spark, rootCheap, Streaming, b2, collectCounts = false)
+    assert(s1.written == 3 && s2.written == 3, s"$s1 / $s2")
+    assert(s1.input == -1 && s1.exactDups == -1 && s1.versionConflicts == -1, s"$s1")
+    def rows(r: String) = StockStore.table(spark, r, Streaming)
+      .select("ticker", "timestamp", "price", "volume", "version").collect().toSet
+    assert(rows(rootCheap) == rows(rootFull), "merge semantics identical in both modes")
+    def inc(r: String) = StockStore.incrementalStats(spark, r, Streaming)
+      .collect().map(x => x.getAs[String]("ticker") -> x.getAs[Long]("row_count")).toMap
+    assert(inc(rootCheap) == inc(rootFull), "stats log identical in both modes")
+    // replaying in cheap mode commits nothing (written == 0 → no manifest)
+    val f = fs(rootCheap)
+    val nCommits = TableLog.commits(f, new Path(s"$rootCheap/streaming")).size
+    val s3 = StockStore.upsert(spark, rootCheap, Streaming, b2, collectCounts = false)
+    assert(s3.written == 0, s"$s3")
+    assert(TableLog.commits(f, new Path(s"$rootCheap/streaming")).size == nCommits,
+      "empty merge must not publish a commit")
+  }
+
   test("legacy plain-append tables fold into the first commit") {
     val root = SparkTestSession.tempDir("tlog-legacy")
     // simulate a table written before the commit log existed
