@@ -230,13 +230,32 @@ object StockStore {
     * dynamically-added column (A10): old rows carry null in the new
     * column. `basePath` keeps partition-column inference — and therefore
     * Catalyst partition pruning — identical to a plain directory read. */
+  // Unified-schema memo per (table, last commit id): mergeSchema reads
+  // every file's footer on every call — O(files) per read, per
+  // micro-batch on the streaming path. The union schema only changes
+  // when a commit lands (evolution), so one mergeSchema inference per
+  // commit id is cached and later reads pass the schema explicitly (the
+  // parquet reader null-fills columns a file lacks, which is exactly the
+  // append-only evolution semantics).
+  private val tableSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, org.apache.spark.sql.types.StructType)]()
+
   def table(spark: SparkSession, root: String, dt: StockDataType): DataFrame = {
     val tp = new org.apache.hadoop.fs.Path(tablePath(root, dt))
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     committedData(fs, tp) match {
       case Some(files) if files.nonEmpty =>
-        spark.read.option("mergeSchema", "true").option("basePath", tp.toString)
-          .parquet(files: _*)
+        val lastId = TableLog.commits(fs, tp).last.id
+        val key = tp.toString
+        val cached = tableSchemaCache.get(key)
+        if (cached != null && cached._1 == lastId)
+          spark.read.schema(cached._2).option("basePath", tp.toString).parquet(files: _*)
+        else {
+          val df = spark.read.option("mergeSchema", "true")
+            .option("basePath", tp.toString).parquet(files: _*)
+          tableSchemaCache.put(key, (lastId, df.schema))
+          df
+        }
       case _ =>
         spark.read.option("mergeSchema", "true").parquet(tablePath(root, dt))
     }
