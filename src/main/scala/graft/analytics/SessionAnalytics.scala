@@ -28,19 +28,22 @@ object SessionAnalytics {
     * the shuffle carries per-(ticker, day) partials, not ticks (the
     * window-over-all-ticks + distinct form sorts and shuffles every
     * tick; same rewrite as the q4 bench query). Null-price rows (e.g.
-    * quotes unioned into a trades frame) contribute to no aggregate and
-    * are filtered up front; same-timestamp ties break by price, which
-    * also makes the result deterministic where the window form was not. */
-  def sessionOhlc(df: DataFrame, tsCol: String, priceCol: String, tz: String): DataFrame =
+    * quotes unioned into a trades frame) are excluded from every
+    * aggregate via null-propagating structs — a group whose prices are
+    * ALL null still emits its row with null OHLC and n_ticks = 0, like
+    * the window form did. Same-timestamp ties break by price, which also
+    * makes the result deterministic where the window form was not. */
+  def sessionOhlc(df: DataFrame, tsCol: String, priceCol: String, tz: String): DataFrame = {
+    val pricedTick = when(col(priceCol).isNotNull, struct(col(tsCol), col(priceCol)))
     sessionSlice(df, tsCol, tz)
-      .filter(col(priceCol).isNotNull)
       .groupBy(col("ticker"), col("session_day"))
       .agg(
-        min(struct(col(tsCol), col(priceCol))).getField(priceCol).as("open"),
+        min(pricedTick).getField(priceCol).as("open"),
         max(col(priceCol)).as("high"),
         min(col(priceCol)).as("low"),
-        max(struct(col(tsCol), col(priceCol))).getField(priceCol).as("close"),
+        max(pricedTick).getField(priceCol).as("close"),
         count(col(priceCol)).as("n_ticks"))
+  }
 
   /** Q3 (general form): row nearest to `target` per group — the pandas
     * `(ts - target).abs().argmin()` as a distributed plan. */

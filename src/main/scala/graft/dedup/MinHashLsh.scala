@@ -126,6 +126,11 @@ object MinHashLsh {
   def rawCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 4, shingleWidth: Int = 5,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // fail fast: a lossy cast would silently null every id and return
+    // zero pairs for, e.g., string ids (hash those through md5Long first)
+    val idType = docs.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"candidatePairs needs an integral id column; $idCol is $idType")
     val sigs = signatureMatrix(docs, idCol, textCol, bands * rowsPerBand, shingleWidth)
     val bandSigs = sigs.select(col("id").cast("long").as("id"),
       posexplode(transform(

@@ -31,7 +31,11 @@ object TextFunctions {
 
   /** Canonical form for exact-dup detection: lowercase, collapse
     * whitespace, trim — fused single pass, ==
-    * `trim(regexp_replace(lower(text), "\\s+", " "))` on ASCII input. */
+    * `trim(regexp_replace(lower(text), "\\s+", " "))` on ASCII input.
+    * Contract: case folding is ASCII-only (A-Z); non-ASCII letters pass
+    * through unchanged, so accented case variants ("CAFÉ" vs "café") do
+    * NOT normalize to the same form — the documented data-plane contract
+    * is ASCII text (see [[graft.functions.expressions.GraftText]]). */
   def normalized(text: Column): Column =
     org.apache.spark.sql.graftbridge.GraftBridge.column(
       graft.functions.expressions.NormalizeAsciiExpr(

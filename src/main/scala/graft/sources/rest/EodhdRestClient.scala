@@ -67,7 +67,9 @@ final class EodhdRestClient(
 
   /** GET with timeout + status check + bounded retries. Retries fire on
     * connect/read failures and retryable statuses (429/5xx); 4xx other
-    * than 429 is a hard error (bad request/token — retrying can't help). */
+    * than 429 is a hard error (bad request/token — retrying can't help),
+    * signalled by a marker exception type rather than message matching
+    * (IOExceptions may carry null messages). */
   private[rest] def get(urlStr: String): String = {
     var attempt = 0
     var lastErr: Exception = null
@@ -84,11 +86,12 @@ final class EodhdRestClient(
           } else if (code == 429 || code >= 500) {
             lastErr = new IOException(s"HTTP $code from $urlStr")
           } else {
-            throw new IOException(s"HTTP $code from $urlStr (not retryable)")
+            throw new EodhdRestClient.NonRetryableException(s"HTTP $code from $urlStr")
           }
         } finally conn.disconnect()
       } catch {
-        case e: IOException if !e.getMessage.contains("not retryable") => lastErr = e
+        case e: EodhdRestClient.NonRetryableException => throw e
+        case e: IOException => lastErr = e
       }
       attempt += 1
       if (attempt < maxRetries) Thread.sleep(retryBackoffMs * attempt)
@@ -98,6 +101,9 @@ final class EodhdRestClient(
 }
 
 object EodhdRestClient {
+
+  /** Hard failure (non-429 4xx): retrying cannot help. */
+  final class NonRetryableException(msg: String) extends IOException(msg)
 
   /** Split a top-level JSON array into its element strings (depth- and
     * string-aware, no parsing of the elements themselves — the Spark-side

@@ -84,6 +84,9 @@ final class EodhdWsFeed(
   private def tryConnect(): Unit = synchronized {
     if (closed.get() || connectedFlag) return
     try {
+      // a connection dropped mid-fragmented-message must not leak its
+      // partial text into the next connection's first frame
+      partial.setLength(0)
       val w = client.newWebSocketBuilder()
         .buildAsync(URI.create(url), listener)
         .join()

@@ -51,8 +51,8 @@ object StockStore {
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     if (!fs.exists(p)) empty
-    else committedData(fs, p) match {
-      case Some(Nil) => empty // commit log exists but nothing committed yet
+    else committedState(fs, p) match {
+      case Some((_, Nil)) => empty // commit log exists but nothing committed yet
       case _ => table(spark, root, dt)
     }
   }
@@ -200,19 +200,24 @@ object StockStore {
         }
       }
       if (writtenFinal != 0) {
+        // Migration/genesis commit BEFORE promoting this batch: a
+        // pre-manifest table snapshots its legacy files into their own
+        // commit; a fresh table publishes an empty genesis commit. Either
+        // way the log exists from here on, so a crash between promote and
+        // publish leaves this batch's files UNREFERENCED (invisible,
+        // vacuumable) — a later run can never sweep a torn batch in as
+        // "legacy" data.
+        if (!TableLog.exists(fs, tp))
+          TableLog.publish(fs, tp,
+            TableLog.legacyFiles(fs, tp), TableLog.legacyFiles(fs, sp))
         out
           .repartition(partCols.map(col): _*) // one file per touched partition
           .write
           .partitionBy(partCols: _*)
           .parquet(stageData.toString)
-        // first commit on a pre-manifest table folds its legacy files in,
-        // so migration from the plain-append layout is seamless
-        val (legacyData, legacyStats) =
-          if (TableLog.exists(fs, tp)) (Seq.empty[String], Seq.empty[String])
-          else (TableLog.legacyFiles(fs, tp), TableLog.legacyFiles(fs, sp))
         val dataRel = TableLog.promote(fs, stageData, tp)
         val statsRel = TableLog.promote(fs, stageStats, sp)
-        TableLog.publish(fs, tp, legacyData ++ dataRel, legacyStats ++ statsRel)
+        TableLog.publish(fs, tp, dataRel, statsRel)
       }
       fs.delete(stageData, true)
       fs.delete(stageStats, true)
@@ -243,9 +248,8 @@ object StockStore {
   def table(spark: SparkSession, root: String, dt: StockDataType): DataFrame = {
     val tp = new org.apache.hadoop.fs.Path(tablePath(root, dt))
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    committedData(fs, tp) match {
-      case Some(files) if files.nonEmpty =>
-        val lastId = TableLog.commits(fs, tp).last.id
+    committedState(fs, tp) match {
+      case Some((lastId, files)) if files.nonEmpty =>
         val key = tp.toString
         val cached = tableSchemaCache.get(key)
         if (cached != null && cached._1 == lastId)
@@ -261,13 +265,17 @@ object StockStore {
     }
   }
 
-  /** Committed data file list (absolute), or None if the table predates
-    * the commit log. */
-  private def committedData(fs: org.apache.hadoop.fs.FileSystem,
-      tp: org.apache.hadoop.fs.Path): Option[Seq[String]] =
-    if (!TableLog.exists(fs, tp)) None
-    else Some(TableLog.effective(fs, tp)._1
-      .map(r => new org.apache.hadoop.fs.Path(tp, r).toString))
+  /** One snapshot of the commit log: (last commit id, absolute committed
+    * data files), or None if the table predates the log. Reading id and
+    * file set from the SAME listing keeps the schema memo consistent when
+    * a commit lands concurrently with a read. */
+  private def committedState(fs: org.apache.hadoop.fs.FileSystem,
+      tp: org.apache.hadoop.fs.Path): Option[(Long, Seq[String])] = {
+    val cs = TableLog.commits(fs, tp)
+    if (cs.isEmpty) None
+    else Some((cs.last.id, TableLog.effectiveFrom(cs)._1
+      .map(r => new org.apache.hadoop.fs.Path(tp, r).toString)))
+  }
 
   /** Compact the small files that per-micro-batch appends accumulate
     * (SURVEY §7.4 risk 5): rewrite the table so each partition directory
@@ -309,7 +317,7 @@ object StockStore {
     TableLog.publish(fs, tp, dataRel, statsRel, reset = true)
     fs.delete(stageData, true)
     fs.delete(stageStats, true)
-    TableLog.vacuum(fs, tp, sp)
+    TableLog.vacuum(fs, tp, sp, stageRoot = Some(new Path(root)))
     rows
   }
 

@@ -40,8 +40,14 @@ object TableLog {
 
   private def commitsDir(tablePath: Path) = new Path(tablePath, "_commits")
 
-  def exists(fs: FileSystem, tablePath: Path): Boolean =
-    fs.exists(commitsDir(tablePath))
+  /** True iff at least one PUBLISHED commit exists. Checking for the
+    * directory alone is wrong: a crash after mkdirs but before the first
+    * manifest rename would otherwise flip a populated legacy table into
+    * "manifest mode with nothing committed" and hide its data. */
+  def exists(fs: FileSystem, tablePath: Path): Boolean = {
+    val dir = commitsDir(tablePath)
+    fs.exists(dir) && fs.listStatus(dir).exists(_.getPath.getName.endsWith(".commit"))
+  }
 
   private def parse(fs: FileSystem, p: Path): Commit = {
     val body = new String(readAll(fs, p), StandardCharsets.UTF_8)
@@ -78,22 +84,32 @@ object TableLog {
       .map(parse(fs, _)).toSeq
   }
 
-  /** Effective committed file sets (root-relative): union of commits
-    * after the last reset. */
-  def effective(fs: FileSystem, tablePath: Path): (Seq[String], Seq[String]) = {
-    val all = commits(fs, tablePath)
+  /** Effective committed file sets from an already-read commit list:
+    * union of commits after the last reset (data paths relative to the
+    * table dir, stats paths relative to the stats dir). */
+  def effectiveFrom(all: Seq[Commit]): (Seq[String], Seq[String]) = {
     val lastReset = all.lastIndexWhere(_.reset)
     val live = if (lastReset < 0) all else all.drop(lastReset)
     (live.flatMap(_.dataFiles), live.flatMap(_.statsFiles))
   }
 
+  /** Effective committed file sets (see [[effectiveFrom]]). */
+  def effective(fs: FileSystem, tablePath: Path): (Seq[String], Seq[String]) =
+    effectiveFrom(commits(fs, tablePath))
+
   /** Atomically publish a commit; returns its id. Single-writer: ids are
-    * max+1 and the rename fails rather than overwrites on a collision. */
+    * max+1 (derived from manifest FILE NAMES, no content reads) and the
+    * rename fails rather than overwrites on a collision. */
   def publish(fs: FileSystem, tablePath: Path, dataFiles: Seq[String],
       statsFiles: Seq[String], reset: Boolean = false): Long = {
     val dir = commitsDir(tablePath)
     fs.mkdirs(dir)
-    val id = commits(fs, tablePath).lastOption.map(_.id + 1).getOrElse(0L)
+    val id =
+      if (!fs.exists(dir)) 0L
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.endsWith(".commit"))
+        .map(_.stripSuffix(".commit").toLong)
+        .sorted.lastOption.map(_ + 1).getOrElse(0L)
     val body = new StringBuilder("graft-commit-v1\n")
     if (reset) body.append("reset\ttrue\n")
     dataFiles.foreach(f => body.append("data\t").append(f).append('\n'))
@@ -149,10 +165,13 @@ object TableLog {
   }
 
   /** Delete files under the table/stats trees that no live commit
-    * references, plus manifests older than the last reset and leftover
-    * staging dirs. Safe under the single-writer assumption (anything
-    * unreferenced is either pre-reset garbage or a crashed commit). */
-  def vacuum(fs: FileSystem, tablePath: Path, statsPath: Path): Long = {
+    * references, plus manifests older than the last reset and (when
+    * `stageRoot` is given) leftover `stage-*` dirs from crashed batches.
+    * Safe under the single-writer assumption (anything unreferenced is
+    * either pre-reset garbage or a crashed commit, and no batch is
+    * in-flight while the writer vacuums). */
+  def vacuum(fs: FileSystem, tablePath: Path, statsPath: Path,
+      stageRoot: Option[Path] = None): Long = {
     val (data, stats) = effective(fs, tablePath)
     val live: Set[String] =
       (data.map(r => new Path(tablePath, r).toUri.getPath) ++
@@ -165,6 +184,12 @@ object TableLog {
         .foreach { p => if (fs.delete(p, false)) removed += 1 }
     sweep(tablePath)
     sweep(statsPath)
+    // crashed-batch staging dirs (they live beside the table dir)
+    stageRoot.foreach { r =>
+      if (fs.exists(r)) fs.listStatus(r).map(_.getPath)
+        .filter(_.getName.startsWith("stage-"))
+        .foreach { p => if (fs.delete(p, true)) removed += 1 }
+    }
     // drop manifests superseded by the last reset
     val all = commits(fs, tablePath)
     val lastReset = all.lastIndexWhere(_.reset)

@@ -40,6 +40,16 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"sessionOhlc must not window over ticks:\n$plan")
     assert(plan.contains("partial_min"),
       s"expected map-side partial aggregation (shuffle carries per-day partials):\n$plan")
+
+    // a session whose prices are ALL null (e.g. quotes-only day) still
+    // emits its row with null OHLC and n_ticks = 0
+    import spark.implicits._
+    val quotesOnly = Seq(("SPY", java.sql.Timestamp.valueOf("2025-08-18 15:00:00"),
+      null.asInstanceOf[java.lang.Double]))
+      .toDF("ticker", "timestamp", "price")
+    val r = SessionAnalytics.sessionOhlc(quotesOnly, "timestamp", "price", "UTC").head()
+    assert(r.getAs[Any]("open") == null && r.getAs[Any]("close") == null)
+    assert(r.getAs[Long]("n_ticks") == 0L)
   }
 
   test("asOfNearest picks the row closest to the target (Q3)") {

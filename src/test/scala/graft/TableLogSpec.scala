@@ -74,10 +74,17 @@ class TableLogSpec extends AnyFunSuite {
     val before = StockStore.table(spark, root, Streaming).collect().toSet
     val f = fs(root)
     val tp = new Path(s"$root/streaming")
-    assert(TableLog.commits(f, tp).size == 2)
+    // genesis commit + one per batch
+    assert(TableLog.commits(f, tp).size == 3)
+
+    // leftover staging dir from a simulated crashed batch
+    val crashedStage = new Path(s"$root/stage-deadbeef-data")
+    f.mkdirs(crashedStage)
+    f.create(new Path(crashedStage, "part-x.parquet"), true).close()
 
     val rows = StockStore.compact(spark, root, Streaming)
     assert(rows == before.size)
+    assert(!f.exists(crashedStage), "compact's vacuum must sweep crashed staging dirs")
     assert(StockStore.table(spark, root, Streaming).collect().toSet == before)
     val commits = TableLog.commits(f, tp)
     assert(commits.size == 1 && commits.head.reset, s"$commits")
