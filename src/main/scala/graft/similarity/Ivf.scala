@@ -38,6 +38,77 @@ object Ivf {
       .select(col("vec_id"), col("embedding"), col("cluster"))
   }
 
+  /** Distributed Lloyd k-means over the embeddings — the offline
+    * centroid-training step a production IVF index runs before [[assign]].
+    *
+    * Shape per round: broadcast the k centroids, one groupBy(cluster)
+    * computing the per-dimension mean via `array<double>` partial sums
+    * (map-side combine collapses each partition to ≤k rows before the
+    * shuffle — the shuffle carries k·dims doubles, never vectors), all in
+    * ONE job per round with the mean distortion riding the same action as
+    * an `observe` metric for convergence (relative improvement below
+    * `tol` stops early — same batched-metrics pattern as the dedup
+    * label propagation). Initial centroids are the deterministic md5-hash
+    * order sample, so runs are reproducible. Empty cells keep their
+    * previous centroid.
+    *
+    * @return (cid INT, cemb ARRAY<FLOAT>) ready for [[assign]] */
+  def kmeans(vectors: DataFrame, k: Int, maxIter: Int = 5, tol: Double = 1e-4): DataFrame = {
+    require(k > 0, "k must be positive")
+
+    // deterministic seed sample: the k smallest md5-of-id values — a
+    // cheap, reproducible stand-in for k-means++ (order-free, any engine)
+    var centroids = vectors
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(graft.functions.HashFunctions.md5Long(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int").as("cid"),
+        col("embedding").as("cemb"))
+      .cache()
+    centroids.count()
+
+    var last = Double.MaxValue
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_kmeans_${java.util.UUID.randomUUID()}_$i")
+      val assigned = vectors
+        .select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(centroids))
+        .withColumn("cos", cosineNative(col("embedding"), col("cemb")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cid"), col("cos")), struct(col("cos"), -col("cid"))).as("best"),
+          first(col("embedding")).as("embedding"))
+        .select(col("best.cid").as("cluster"), col("best.cos").as("cos"), col("embedding"))
+        .observe(obs, avg(lit(1.0) - col("cos")).as("distortion"))
+      // per-dimension means: dim-exploded partial avg (map-side combine
+      // collapses each partition to ≤ k·dims partials before the shuffle),
+      // then dims gather back into one array per centroid
+      val means = assigned
+        .select(col("cluster"),
+          posexplode(transform(col("embedding"), v => v.cast("double"))).as(Seq("dim", "v")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m").cast("float")).as("cemb"))
+        .select(col("cluster").as("cid"), col("cemb"))
+      val prev = centroids
+      // empty cells keep their previous centroid
+      centroids = prev.as("p").join(means.as("m"), prev("cid") === means("cid"), "left")
+        .select(prev("cid"), coalesce(means("cemb"), prev("cemb")).as("cemb"))
+        .cache()
+      centroids.count() // one job per round; distortion rides it via observe
+      val d = obs.get("distortion").asInstanceOf[Double]
+      converged = last != Double.MaxValue && (last - d) <= tol * math.abs(last)
+      last = d
+      prev.unpersist()
+      i += 1
+    }
+    centroids
+  }
+
   /** Per-probe top-k within the probe's own cell (nprobe = 1).
     * `assigned` is the output of [[assign]] for the full corpus; probes
     * are the subset with `probePred` true. The candidate join is an

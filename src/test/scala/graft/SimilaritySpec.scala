@@ -49,6 +49,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(r => r.getSeq[Int](0) == r.getSeq[Int](1)))
   }
 
+  test("kmeans: k centroids, deterministic, improves over the seed sample") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.expressions.VectorExpressions.cosineNative
+    val emb = Tables.embeddings(spark, dir)
+
+    def meanBestCos(cent: org.apache.spark.sql.DataFrame): Double =
+      emb.select($"vec_id", $"embedding")
+        .crossJoin(broadcast(cent))
+        .withColumn("cos", cosineNative($"embedding", $"cemb"))
+        .groupBy($"vec_id").agg(max($"cos").as("best"))
+        .agg(avg($"best")).head().getDouble(0)
+
+    val seeds = Ivf.kmeans(emb, 8, maxIter = 0) // loop skipped → the seed sample
+    val trained = Ivf.kmeans(emb, 8, maxIter = 4)
+    assert(trained.count() == 8)
+    assert(trained.select("cid").distinct().count() == 8)
+
+    val (s0, s1) = (meanBestCos(seeds), meanBestCos(trained))
+    assert(s1 >= s0 - 1e-9, f"training must not worsen assignment quality: seed=$s0%.4f trained=$s1%.4f")
+
+    // deterministic: same input → identical centroid vectors
+    val again = Ivf.kmeans(emb, 8, maxIter = 4)
+    val a = trained.orderBy($"cid").collect().map(_.getSeq[Float](1))
+    val b = again.orderBy($"cid").collect().map(_.getSeq[Float](1))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+
+    // trained centroids drop straight into the IVF search path
+    val assigned = Ivf.assign(emb, trained)
+    assert(assigned.count() == emb.count())
+    trained.unpersist(); again.unpersist(); seeds.unpersist()
+  }
+
   test("IVF cell search returns self-consistent, deduplicated candidates") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
