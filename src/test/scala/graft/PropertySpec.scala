@@ -77,8 +77,14 @@ object GraftProperties extends Properties("graft") {
   }
 
   // ── T5: magnitude-sniffed unit normalization is exact ──────────────
+  // Valid domain: the heuristic distinguishes units by magnitude
+  // (>=1e14 -> µs, >=1e11 -> ms), so the ms form must clear its
+  // threshold: sec >= 1e8 (~1973-03) — the reference's own operating
+  // domain (data/utils.py:102-121). Below that, 1000 ms is genuinely
+  // indistinguishable from 1000 s; generating from 1 made this property
+  // fail probabilistically (~once per several full runs).
   property("epoch unit normalization: s/ms/us all map to the same seconds") =
-    Prop.forAll(Gen.choose(1L, 4102444800L)) { sec => // up to year 2100
+    Prop.forAll(Gen.choose(100000000L, 4102444800L)) { sec => // ~1973..2100
       import spark.implicits._
       val df = Seq(sec, sec * 1000L, sec * 1000000L).toDF("v")
         .select(graft.functions.TimeFunctions.normalizeEpochToSeconds(col("v")).as("s"))
