@@ -40,4 +40,16 @@ class PushdownSpec extends AnyFunSuite {
     assert(!readSchema.contains("volume"),
       s"projection must prune unreferenced columns, got: $readSchema")
   }
+
+  test("h4: derived standalone bound reaches the lineitem scan as a pushed filter") {
+    // the semi-join condition l_shipdate > o_orderdate is not pushable,
+    // but the derived bound l_shipdate > '1996-01-01' (min possible
+    // o_orderdate) is — it must appear in PushedFilters so row groups
+    // prune at any SF
+    val q = graft.core.Registry.allQueries.find(_.name == "h4_order_priority_exists").get
+    val plan = q.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(SimpleMode)
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(l_shipdate"),
+      s"derived l_shipdate bound must push to the lineitem scan, plan:\n$plan")
+  }
 }
