@@ -76,6 +76,14 @@ object DedupQueries {
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
       |  WHERE a.doc_id < b.doc_id)""".stripMargin
 
+  /** The 32 SimHash bit-counters as explicit aggregates of ONE GROUP BY —
+    * the same shape the Spark side runs (no 32× series cross join; the
+    * oracle then scales with the corpus, not 32× it). */
+  private val simhashAggSql: String =
+    (0 until 32).map(b =>
+      s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) > 0 THEN CAST(1 AS BIGINT) << $b ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+
   /** Word 5-gram shingles of the alnum-token stream. */
   private def shingles(tokens: Column): Column =
     when(size(tokens) < 5, array(concat_ws(" ", tokens)))
@@ -160,19 +168,14 @@ object DedupQueries {
           .select($"id".as("doc_id"), $"simhash")
           .orderBy($"doc_id")
       },
-      Some("""
+      Some(s"""
         WITH toks AS (
           SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9]+')) AS tok
           FROM documents),
         hashed AS (
-          SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
-        bits AS (
-          SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS w
-          FROM hashed, (SELECT unnest(generate_series(0, 31)) AS b)
-          GROUP BY doc_id, b)
-        SELECT doc_id,
-          CAST(SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-        FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+          SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks)
+        SELECT doc_id, CAST($simhashAggSql AS BIGINT) AS simhash
+        FROM hashed GROUP BY doc_id ORDER BY doc_id""")),
 
     // ── SimHash near-dup pairs via Hamming distance ────────────────────
     // signatures over the near-dup corpus; pairs with ≤8 differing bits
@@ -190,7 +193,7 @@ object DedupQueries {
           .withColumn("hamming", $"hamming".cast("int"))
           .orderBy($"a", $"b")
       },
-      Some("""
+      Some(s"""
         WITH corpus AS (
           SELECT doc_id, text FROM documents
           UNION ALL
@@ -201,13 +204,9 @@ object DedupQueries {
           FROM corpus),
         hashed AS (
           SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
-        bits AS (
-          SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS w
-          FROM hashed, (SELECT unnest(generate_series(0, 31)) AS b)
-          GROUP BY doc_id, b),
         sigs AS (
-          SELECT doc_id, SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
-          FROM bits GROUP BY doc_id)
+          SELECT doc_id, CAST($simhashAggSql AS BIGINT) AS sig
+          FROM hashed GROUP BY doc_id)
         SELECT a.doc_id AS a, b.doc_id AS b, CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sig, b.sig)) <= 8
