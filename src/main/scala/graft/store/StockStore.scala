@@ -35,6 +35,21 @@ object StockStore {
 
   private def tablePath(root: String, dt: StockDataType) = s"$root/${dt.name}"
 
+  // Same-JVM single-writer guard per (root, dataType): the merge is a
+  // read-merge-write — A3 dedup and A4 versioning decide against a read
+  // of `existing` taken before the write — so two concurrent upserts to
+  // one table would each miss the other's rows (duplicate payloads,
+  // colliding versions) even with the atomic manifest commit underneath.
+  // The reference serializes through its single `writer-1` worker
+  // (reference: src/stockops/data/database/writer.py); here a process
+  // mutex per table serializes JobRegistry threads, streaming
+  // micro-batches, and compaction against each other. Cross-process
+  // writers remain out of contract (single-writer protocol, TableLog doc).
+  private val writerLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def writerLock(root: String, dt: StockDataType): Object =
+    writerLocks.computeIfAbsent(tablePath(root, dt), _ => new Object)
+
   private def nullSafeEq(left: DataFrame, right: DataFrame, cols: Seq[String]): Column =
     cols.map(c => left(c) <=> right(c)).reduce(_ && _)
 
@@ -63,13 +78,26 @@ object StockStore {
     *
     * `collectCounts = false` is the high-trigger-rate mode for streaming
     * sinks: the five diagnostic count actions (input/dups/null-skips/
-    * conflicts and the strict-index probe) are skipped, and `written`
-    * rides the staging write itself via CollectMetrics — the merge runs
-    * exactly two jobs per micro-batch (stats row + data). The merge
-    * SEMANTICS are identical; unavailable diagnostics report -1. */
+    * conflicts and the strict-index probe) are replaced by CollectMetrics
+    * observations riding the merge plan, all materialized by the stats
+    * job — the merge runs exactly two jobs per micro-batch (stats row +
+    * data) and still returns full stats on the common path (diagnostics
+    * degrade to -1 only when AQE's empty-relation propagation prunes the
+    * metrics, e.g. a replayed batch that merges to nothing). Merge
+    * semantics are identical, including the A6 strict-index FAILURE: the
+    * check is compiled into the filter as an assert_true guard, so a
+    * violating batch fails its first job, before anything is staged or
+    * committed. */
   def upsert(spark: SparkSession, root: String, dt: StockDataType,
       batch: DataFrame, exchangeTz: String = "America/New_York",
-      strictIndex: Boolean = true, collectCounts: Boolean = true): UpsertStats = {
+      strictIndex: Boolean = true, collectCounts: Boolean = true): UpsertStats =
+    writerLock(root, dt).synchronized {
+      upsertLocked(spark, root, dt, batch, exchangeTz, strictIndex, collectCounts)
+    }
+
+  private def upsertLocked(spark: SparkSession, root: String, dt: StockDataType,
+      batch: DataFrame, exchangeTz: String,
+      strictIndex: Boolean, collectCounts: Boolean): UpsertStats = {
     val idxCols = dt.indexCols
     // A10 dynamic schema evolution: batch columns beyond the declared
     // payload schema are accepted as NEW payload columns (the reference's
@@ -86,18 +114,49 @@ object StockStore {
 
     val input = if (collectCounts) batch.count() else -1L
 
-    // A6: required index columns present (the probe is an extra action;
-    // in cheap mode null-index rows are silently filtered instead)
     val idxOk = idxCols.map(col(_).isNotNull).reduce(_ && _)
+    val anyPayload = payloadCols.map(col(_).isNotNull).reduce(_ || _)
+
+    // Cheap mode (collectCounts=false): diagnostic counts ride the merge
+    // plan as CollectMetrics observations and materialize with the
+    // stats-row job — no extra actions. Best-effort: AQE's runtime
+    // empty-relation propagation can prune the CollectMetrics nodes from
+    // the final plan (e.g. a replayed batch whose merge output is empty),
+    // in which case the observation completes with an empty map and the
+    // affected diagnostics report -1.
+    import org.apache.spark.sql.Observation
+    val batchObs = if (collectCounts) None else Some(Observation())
+    val dedupObs = if (collectCounts) None else Some(Observation())
+    val verObs = if (collectCounts) None else Some(Observation())
+    val observedBatch = batchObs.map(o => batch.observe(o,
+      count(lit(1)).as("input"),
+      count(when(!idxOk, lit(1))).as("null_idx"),
+      count(when(idxOk && !anyPayload, lit(1))).as("null_payload")))
+      .getOrElse(batch)
+
+    // A6: required index columns present. Full mode probes with its own
+    // action; cheap mode compiles the check INTO the A5 filter via
+    // assert_true, so a violating row fails the first merge job (before
+    // anything is staged or committed) with zero extra actions — and
+    // unlike an observation it cannot be optimized away: a plan that
+    // never evaluates the guard is a plan with no rows, hence no
+    // violations.
     if (strictIndex && collectCounts && !batch.filter(!idxOk).isEmpty)
       throw new IllegalArgumentException(s"batch contains rows with null index columns $idxCols")
+    val keepCond =
+      if (strictIndex && !collectCounts)
+        coalesce(
+          assert_true(idxOk, lit(s"batch contains rows with null index columns $idxCols")),
+          lit(true)) && anyPayload
+      else idxOk && anyPayload
 
     // A5: skip rows whose entire payload is null
-    val anyPayload = payloadCols.map(col(_).isNotNull).reduce(_ || _)
-    val nonNull = batch.filter(idxOk && anyPayload)
+    val nonNull = observedBatch.filter(keepCond)
 
     // A3 (in-batch): identical (index, payload) rows collapse to one
-    val deduped = nonNull.dropDuplicates(idxCols ++ payloadCols).cache()
+    val dedupedRaw = nonNull.dropDuplicates(idxCols ++ payloadCols)
+    val deduped = dedupObs.map(o => dedupedRaw.observe(o, count(lit(1)).as("n")))
+      .getOrElse(dedupedRaw).cache()
 
     // Existing rows for just the touched index keys (left-semi keeps the
     // probe proportional to the batch; partition pruning on ticker
@@ -132,11 +191,14 @@ object StockStore {
       .agg(max(col("version")).as("__maxv"))
     val w = Window.partitionBy(idxCols.map(col): _*)
       .orderBy(xxhash64(payloadCols.map(col): _*))
-    val versioned = fresh
+    val versionedRaw = fresh
       .join(maxv, idxCols, "left")
       .withColumn("version",
         (coalesce(col("__maxv"), lit(0L)) + row_number().over(w)).cast("int"))
       .drop("__maxv")
+    val versioned = verObs.map(o => versionedRaw.observe(o,
+      count(when(col("version") === 1, lit(1))).as("v1")))
+      .getOrElse(versionedRaw)
 
     // T7: exchange-local calendar partition columns from event time
     val eventTs = dt match {
@@ -173,6 +235,7 @@ object StockStore {
     // data. Readers merge the stats log (sum/min/max re-aggregate
     // losslessly) and never scan the data, however large the table grows.
     var writtenFinal = written
+    var cheapStats: Option[UpsertStats] = None
     if (!collectCounts || written > 0) {
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -191,9 +254,26 @@ object StockStore {
       } else {
         // cheap mode: the per-ticker stats rows are tiny — collect them
         // (the mode's single extra action) and derive `written` from
-        // their sum; the local relation then writes without a job
-        val statsRows = statsDf.collect()
+        // their sum; the local relation then writes without a job. The
+        // same action fires the observations (and the assert_true A6
+        // guard — a violating batch fails HERE, before anything is staged
+        // or committed).
+        val statsRows =
+          try statsDf.collect()
+          catch { case e: Throwable =>
+            deduped.unpersist(); existing.unpersist(); throw e }
         writtenFinal = statsRows.map(_.getAs[Long]("row_count")).sum
+        def metric(o: Option[Observation], key: String): Long =
+          o.flatMap(_.get.get(key)).map(_.asInstanceOf[Long]).getOrElse(-1L)
+        val inputN = metric(batchObs, "input")
+        val nullIdx = metric(batchObs, "null_idx")
+        val nullPay = metric(batchObs, "null_payload")
+        val dedupN = metric(dedupObs, "n")
+        val v1 = metric(verObs, "v1")
+        cheapStats = Some(UpsertStats(inputN, writtenFinal,
+          if (dedupN >= 0) dedupN - writtenFinal else -1L,
+          if (nullIdx >= 0 && nullPay >= 0) nullIdx + nullPay else -1L,
+          if (v1 >= 0) writtenFinal - v1 else -1L))
         if (writtenFinal > 0) {
           spark.createDataFrame(java.util.Arrays.asList(statsRows: _*), statsDf.schema)
             .coalesce(1).write.parquet(stageStats.toString)
@@ -224,8 +304,8 @@ object StockStore {
     }
 
     deduped.unpersist(); existing.unpersist()
-    UpsertStats(input, writtenFinal,
-      if (collectCounts) dedupedN - written else -1L, nullSkipped, conflicts)
+    cheapStats.getOrElse(UpsertStats(input, writtenFinal,
+      if (collectCounts) dedupedN - written else -1L, nullSkipped, conflicts))
   }
 
   /** Read the stored table (post-merge). Manifest-aware: only files a
@@ -287,7 +367,10 @@ object StockStore {
     * sidesteps compaction because SQLite updates B-trees in place; a
     * columnar store pays it as a periodic maintenance job instead.
     * @return number of rows in the compacted table */
-  def compact(spark: SparkSession, root: String, dt: StockDataType): Long = {
+  def compact(spark: SparkSession, root: String, dt: StockDataType): Long =
+    writerLock(root, dt).synchronized { compactLocked(spark, root, dt) }
+
+  private def compactLocked(spark: SparkSession, root: String, dt: StockDataType): Long = {
     import org.apache.hadoop.fs.Path
     val df = table(spark, root, dt)
     val partCols = Seq("ticker", "y", "m", "d").filter(df.columns.contains)

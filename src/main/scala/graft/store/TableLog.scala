@@ -29,9 +29,19 @@ import java.nio.charset.StandardCharsets
   * filesystems; object stores without atomic rename need a small commit
   * service in front (same caveat every manifest-log table format carries).
   *
-  * Format: line-oriented (one `kind<TAB>root-relative-path` per line) —
-  * partition path segments are URL-encoded by Spark, so paths are
-  * tab/newline-free by construction.
+  * Format: line-oriented (one `kind<TAB>root-relative-path` per line),
+  * closed by a bare `end` line — partition path segments are URL-encoded
+  * by Spark, so paths are tab/newline-free by construction. The sentinel
+  * makes a manifest self-validating: it is written DIRECTLY at its final
+  * path with `create(overwrite = false)`, so a concurrent writer racing
+  * the same id FAILS (and retries with the next id) instead of silently
+  * replacing a committed manifest — the POSIX/object-store `rename`
+  * overwrite hazard. A reader (or a crash) that catches a manifest
+  * mid-write sees no `end` line and skips it as uncommitted; the next
+  * writer's max+1 id derivation still counts the torn file's NAME, so
+  * the id is never reused, and [[vacuum]] reclaims the torn manifest.
+  * Same-JVM writers are additionally serialized per table by a process
+  * lock (the reference's single `writer-1`, sql_db.py:455).
   */
 object TableLog {
 
@@ -40,27 +50,30 @@ object TableLog {
 
   private def commitsDir(tablePath: Path) = new Path(tablePath, "_commits")
 
-  /** True iff at least one PUBLISHED commit exists. Checking for the
-    * directory alone is wrong: a crash after mkdirs but before the first
-    * manifest rename would otherwise flip a populated legacy table into
-    * "manifest mode with nothing committed" and hide its data. */
-  def exists(fs: FileSystem, tablePath: Path): Boolean = {
-    val dir = commitsDir(tablePath)
-    fs.exists(dir) && fs.listStatus(dir).exists(_.getPath.getName.endsWith(".commit"))
-  }
+  /** True iff at least one VALID published commit exists. Checking for
+    * the directory (or for any `*.commit` name) alone is wrong: a crash
+    * after mkdirs — or mid-manifest-write, leaving a torn file — would
+    * otherwise flip a populated legacy table into "manifest mode with
+    * nothing committed" and hide its data. */
+  def exists(fs: FileSystem, tablePath: Path): Boolean =
+    commits(fs, tablePath).nonEmpty
 
-  private def parse(fs: FileSystem, p: Path): Commit = {
+  /** None for a torn manifest (no `end` sentinel / bad header): either a
+    * writer crashed mid-create or we are reading concurrently with one —
+    * in both cases the commit has not happened. */
+  private def parse(fs: FileSystem, p: Path): Option[Commit] = {
     val body = new String(readAll(fs, p), StandardCharsets.UTF_8)
     val lines = body.linesIterator.toSeq
-    require(lines.headOption.contains("graft-commit-v1"), s"bad manifest $p")
-    val kv = lines.drop(1).filter(_.nonEmpty).map { l =>
+    if (!lines.headOption.contains("graft-commit-v1") ||
+        !lines.lastOption.contains("end")) return None
+    val kv = lines.drop(1).dropRight(1).filter(_.contains('\t')).map { l =>
       val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1))
     }
-    Commit(
+    Some(Commit(
       id = p.getName.stripSuffix(".commit").toLong,
       reset = kv.exists { case (k, v) => k == "reset" && v == "true" },
       dataFiles = kv.collect { case ("data", v) => v },
-      statsFiles = kv.collect { case ("stats", v) => v })
+      statsFiles = kv.collect { case ("stats", v) => v }))
   }
 
   private def readAll(fs: FileSystem, p: Path): Array[Byte] = {
@@ -74,14 +87,15 @@ object TableLog {
     } finally in.close()
   }
 
-  /** All commits in order, or empty if the table has no log. */
+  /** All VALID commits in order (torn manifests skipped), or empty if
+    * the table has no log. */
   def commits(fs: FileSystem, tablePath: Path): Seq[Commit] = {
     val dir = commitsDir(tablePath)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).map(_.getPath)
       .filter(_.getName.endsWith(".commit"))
       .sortBy(_.getName)
-      .map(parse(fs, _)).toSeq
+      .flatMap(parse(fs, _)).toSeq
   }
 
   /** Effective committed file sets from an already-read commit list:
@@ -97,32 +111,56 @@ object TableLog {
   def effective(fs: FileSystem, tablePath: Path): (Seq[String], Seq[String]) =
     effectiveFrom(commits(fs, tablePath))
 
-  /** Atomically publish a commit; returns its id. Single-writer: ids are
-    * max+1 (derived from manifest FILE NAMES, no content reads) and the
-    * rename fails rather than overwrites on a collision. */
+  /** Same-JVM commit serialization, keyed by qualified table path. The
+    * cross-JVM guard is the exclusive create below. */
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Atomically publish a commit; returns its id. Ids are max+1 (derived
+    * from manifest FILE NAMES — torn files included, so an id is never
+    * reused) and the manifest is created EXCLUSIVELY at its final path:
+    * a concurrent writer racing the same id gets a create failure and
+    * retries with the next id, never a silent overwrite (POSIX rename(2)
+    * and most object stores replace an existing destination). The `end`
+    * sentinel written last makes the commit point the close(): a reader
+    * or crash that catches the file earlier sees a torn, skipped
+    * manifest. Note the residual window on RawLocalFileSystem, whose
+    * create(overwrite=false) is exists-then-open rather than O_EXCL —
+    * same-process writers (the [[graft.jobs.JobRegistry]] case) are fully
+    * serialized by the JVM lock; HDFS create is atomic. */
   def publish(fs: FileSystem, tablePath: Path, dataFiles: Seq[String],
       statsFiles: Seq[String], reset: Boolean = false): Long = {
-    val dir = commitsDir(tablePath)
-    fs.mkdirs(dir)
-    val id =
-      if (!fs.exists(dir)) 0L
-      else fs.listStatus(dir).map(_.getPath.getName)
-        .filter(_.endsWith(".commit"))
-        .map(_.stripSuffix(".commit").toLong)
-        .sorted.lastOption.map(_ + 1).getOrElse(0L)
-    val body = new StringBuilder("graft-commit-v1\n")
-    if (reset) body.append("reset\ttrue\n")
-    dataFiles.foreach(f => body.append("data\t").append(f).append('\n'))
-    statsFiles.foreach(f => body.append("stats\t").append(f).append('\n'))
-    val tmp = new Path(dir, f".tmp-$id%020d-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, false)
-    try out.write(body.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val target = new Path(dir, f"$id%020d.commit")
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(s"commit rename failed (concurrent writer?): $target")
+    val lockKey = fs.makeQualified(tablePath).toString
+    val lock = publishLocks.computeIfAbsent(lockKey, _ => new Object)
+    lock.synchronized {
+      val dir = commitsDir(tablePath)
+      fs.mkdirs(dir)
+      val body = new StringBuilder("graft-commit-v1\n")
+      if (reset) body.append("reset\ttrue\n")
+      dataFiles.foreach(f => body.append("data\t").append(f).append('\n'))
+      statsFiles.foreach(f => body.append("stats\t").append(f).append('\n'))
+      body.append("end\n")
+      val bytes = body.toString.getBytes(StandardCharsets.UTF_8)
+      var attempt = 0
+      var committed = -1L
+      while (committed < 0) {
+        val id = fs.listStatus(dir).map(_.getPath.getName)
+          .filter(_.endsWith(".commit"))
+          .map(_.stripSuffix(".commit").toLong)
+          .sorted.lastOption.map(_ + 1).getOrElse(0L)
+        val target = new Path(dir, f"$id%020d.commit")
+        try {
+          val out = fs.create(target, false)
+          try out.write(bytes) finally out.close()
+          committed = id
+        } catch {
+          // lost the id to a concurrent writer (other JVM): take the next
+          case _: java.io.IOException if attempt < 50 && fs.exists(target) =>
+            attempt += 1
+        }
+      }
+      committed
     }
-    id
   }
 
   /** Move every file under `stagingDir` into `targetDir`, preserving the
@@ -190,12 +228,19 @@ object TableLog {
         .filter(_.getName.startsWith("stage-"))
         .foreach { p => if (fs.delete(p, true)) removed += 1 }
     }
-    // drop manifests superseded by the last reset
+    // drop manifests superseded by the last reset, plus torn manifests
+    // from crashed publishes (no writer is in flight while we vacuum, so
+    // a sentinel-less file can only be a crash leftover)
     val all = commits(fs, tablePath)
     val lastReset = all.lastIndexWhere(_.reset)
     if (lastReset > 0) all.take(lastReset).foreach { c =>
       fs.delete(new Path(commitsDir(tablePath), f"${c.id}%020d.commit"), false)
     }
+    val validNames = all.map(c => f"${c.id}%020d.commit").toSet
+    val cd = commitsDir(tablePath)
+    if (fs.exists(cd)) fs.listStatus(cd).map(_.getPath)
+      .filter(p => p.getName.endsWith(".commit") && !validNames.contains(p.getName))
+      .foreach { p => if (fs.delete(p, false)) removed += 1 }
     removed
   }
 }

@@ -99,12 +99,14 @@ class TableLogSpec extends AnyFunSuite {
     // batch 2 overlaps batch 1 (dups + a conflict) to exercise the merge
     val b1 = tickDf(100.0)
     val b2 = tickDf(100.0).unionAll(tickDf(300.0))
-    StockStore.upsert(spark, rootFull, Streaming, b1)
-    StockStore.upsert(spark, rootFull, Streaming, b2)
+    val f1 = StockStore.upsert(spark, rootFull, Streaming, b1)
+    val f2 = StockStore.upsert(spark, rootFull, Streaming, b2)
     val s1 = StockStore.upsert(spark, rootCheap, Streaming, b1, collectCounts = false)
     val s2 = StockStore.upsert(spark, rootCheap, Streaming, b2, collectCounts = false)
     assert(s1.written == 3 && s2.written == 3, s"$s1 / $s2")
-    assert(s1.input == -1 && s1.exactDups == -1 && s1.versionConflicts == -1, s"$s1")
+    // observation-riding diagnostics equal the full-mode action counts
+    assert(s1 == f1, s"cheap stats must equal full stats: $s1 vs $f1")
+    assert(s2 == f2, s"cheap stats must equal full stats: $s2 vs $f2")
     def rows(r: String) = StockStore.table(spark, r, Streaming)
       .select("ticker", "timestamp", "price", "volume", "version").collect().toSet
     assert(rows(rootCheap) == rows(rootFull), "merge semantics identical in both modes")
@@ -118,6 +120,86 @@ class TableLogSpec extends AnyFunSuite {
     assert(s3.written == 0, s"$s3")
     assert(TableLog.commits(f, new Path(s"$rootCheap/streaming")).size == nCommits,
       "empty merge must not publish a commit")
+  }
+
+  test("cheap-count mode still fails a batch with null index columns (A6)") {
+    val root = SparkTestSession.tempDir("tlog-cheap-strict")
+    import spark.implicits._
+    val bad = tickDf(100.0).unionAll(
+      Seq((null.asInstanceOf[String], new java.sql.Timestamp(1757623532850L), 1.0, 1L))
+        .toDF("ticker", "timestamp", "price", "volume"))
+    val e = intercept[Exception] {
+      StockStore.upsert(spark, root, Streaming, bad, collectCounts = false)
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${msgs(t.getCause)}"
+    assert(msgs(e).contains("null index columns"), msgs(e))
+    // the failed batch must not have committed anything
+    assert(TableLog.commits(fs(root), new Path(s"$root/streaming")).isEmpty)
+  }
+
+  test("publish is exclusive: concurrent publishers never overwrite a commit") {
+    val root = SparkTestSession.tempDir("tlog-race")
+    val tp = new Path(s"$root/t")
+    val f = fs(root)
+    val n = 16
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      (0 until n).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = TableLog.publish(f, tp, Seq(s"file-$i.parquet"), Nil)
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    val commits = TableLog.commits(f, tp)
+    assert(commits.size == n, s"expected $n commits, got ${commits.size}")
+    assert(commits.map(_.id).distinct.size == n)
+    assert(commits.flatMap(_.dataFiles).toSet ==
+      (0 until n).map(i => s"file-$i.parquet").toSet,
+      "every published manifest must survive — none silently overwritten")
+  }
+
+  test("a torn manifest is invisible, never reuses its id, and vacuum reclaims it") {
+    val root = SparkTestSession.tempDir("tlog-torn")
+    val tp = new Path(s"$root/t")
+    val f = fs(root)
+    val id0 = TableLog.publish(f, tp, Seq("a.parquet"), Nil)
+    // crash simulation: manifest created but the writer died before the
+    // end sentinel was written
+    val torn = new Path(new Path(tp, "_commits"), f"${id0 + 1}%020d.commit")
+    val out = f.create(torn, false)
+    out.write("graft-commit-v1\ndata\tb.parquet\n".getBytes("UTF-8")); out.close()
+    assert(TableLog.commits(f, tp).map(_.id) == Seq(id0), "torn manifest must be skipped")
+    assert(TableLog.effective(f, tp)._1 == Seq("a.parquet"))
+    // the torn file's NAME still occupies its id — the next publish goes past it
+    val id2 = TableLog.publish(f, tp, Seq("c.parquet"), Nil)
+    assert(id2 == id0 + 2, "a torn id must never be reused")
+    TableLog.vacuum(f, tp, new Path(s"$root/t__stats"))
+    assert(!f.exists(torn), "vacuum reclaims torn manifests")
+    assert(TableLog.commits(f, tp).map(_.id) == Seq(id0, id2))
+  }
+
+  test("concurrent upserts to one table serialize: no dup payloads, consistent versions") {
+    val root = SparkTestSession.tempDir("tlog-concurrent-upsert")
+    val b1 = tickDf(100.0)
+    val b2 = tickDf(100.0).unionAll(tickDf(300.0)) // overlaps b1 exactly on keys
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      Seq(b1, b2).map { b =>
+        pool.submit(new Runnable {
+          def run(): Unit = { StockStore.upsert(spark, root, Streaming, b); () }
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    val rows = StockStore.table(spark, root, Streaming)
+      .select("ticker", "timestamp", "price", "volume", "version").collect()
+    val payloads = rows.map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2), r.getLong(3)))
+    assert(payloads.length == payloads.distinct.length,
+      "concurrent upserts must not write duplicate (index, payload) rows")
+    assert(rows.length == 6, s"expected 3 keys x 2 versions, got ${rows.length}")
+    rows.groupBy(r => (r.getString(0), r.getTimestamp(1))).foreach { case (k, rs) =>
+      assert(rs.map(_.getInt(4)).sorted.toSeq == (1 to rs.length), s"versions broken for $k")
+    }
   }
 
   test("legacy plain-append tables fold into the first commit") {
