@@ -19,17 +19,30 @@ object Tables {
 
   // Schema memo per file path: repeated loads (bench passes, multi-scan
   // queries) skip the footer-read schema inference; at scale this is the
-  // explicit-schema discipline every production reader applies.
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  // explicit-schema discipline every production reader applies. The memo
+  // is validated against the path's (mtime, length) — one cheap
+  // getFileStatus instead of a footer read — so rewriting a path with a
+  // different schema in the same JVM is picked up instead of silently
+  // reading stale columns.
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, org.apache.spark.sql.types.StructType)]()
+
+  /** Drop every memoized schema (for writers/tests that rewrite paths and
+    * want cold inference regardless of mtime granularity). */
+  def invalidate(): Unit = schemaCache.clear()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val stamp = (st.getModificationTime, st.getLen)
     val cached = schemaCache.get(path)
-    if (cached != null) spark.read.schema(cached).parquet(path)
+    if (cached != null && (cached._1, cached._2) == stamp)
+      spark.read.schema(cached._3).parquet(path)
     else {
       val df = spark.read.parquet(path)
-      schemaCache.put(path, df.schema)
+      schemaCache.put(path, (stamp._1, stamp._2, df.schema))
       df
     }
   }

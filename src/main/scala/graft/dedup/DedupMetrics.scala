@@ -1,0 +1,27 @@
+package graft.dedup
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.LongAccumulator
+
+/** Runtime drop signal for the dedup plane's bucket caps.
+  *
+  * [[MinHashLsh.rawCandidatePairs]] and [[SimHash.bandedHammingPairs]]
+  * bound degenerate LSH buckets for memory safety — which silently
+  * changes results on heavily duplicated corpora. This accumulator makes
+  * the cap audible: every dropped bucket increments it, so a run that
+  * excluded anything shows a non-zero `graft.lsh.droppedBuckets` in the
+  * Spark UI (named accumulators render per stage) and callers can diff
+  * [[droppedBuckets]]`.value` around an action. Task retries can
+  * double-count — this is a diagnostic, not an exact metric; the exact
+  * audit path is [[MinHashLsh.oversizedBuckets]].
+  */
+object DedupMetrics {
+
+  private val accs =
+    new java.util.concurrent.ConcurrentHashMap[String, LongAccumulator]()
+
+  /** The per-session dropped-bucket counter (created on first use). */
+  def droppedBuckets(spark: SparkSession): LongAccumulator =
+    accs.computeIfAbsent(spark.sparkContext.applicationId, _ =>
+      spark.sparkContext.longAccumulator("graft.lsh.droppedBuckets"))
+}

@@ -121,8 +121,12 @@ object MinHashLsh {
     * Buckets with more than `maxBucket` distinct members are DROPPED
     * (their pairs are not emitted); the aggregation buffer itself stops
     * growing at the cap, so one degenerate bucket can neither OOM a task
-    * nor explode the pair fan-out. Ids must be integral (all dedup-plane
-    * tables use long ids; hash string ids through md5Long first). */
+    * nor explode the pair fan-out. A capped run is never silent: each
+    * dropped bucket bumps the session's `graft.lsh.droppedBuckets`
+    * accumulator ([[DedupMetrics.droppedBuckets]] — visible in the Spark
+    * UI; diff `.value` around an action). Ids must be integral (all
+    * dedup-plane tables use long ids; hash string ids through md5Long
+    * first). */
   def rawCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 4, shingleWidth: Int = 5,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
@@ -140,7 +144,8 @@ object MinHashLsh {
           s => s.cast("string")), ",")))).as(Seq("band", "band_sig")))
     bandSigs
       .groupBy(col("band"), col("band_sig"))
-      .agg(graft.functions.AggFunctions.collectSetCapped(col("id"), maxBucket).as("ids"))
+      .agg(graft.functions.AggFunctions.collectSetCapped(col("id"), maxBucket,
+        Some(DedupMetrics.droppedBuckets(docs.sparkSession))).as("ids"))
       .where(col("ids").isNotNull && size(col("ids")) > 1)
       // all (i < j) index pairs within the bucket, exploded to rows
       .select(explode(flatten(transform(col("ids"), (x, i) =>

@@ -62,8 +62,12 @@ object SimHash {
     * BOTH join sides via a broadcast anti-join on the tiny oversized-key
     * list, so one hot slice value cannot explode the O(|bucket|²) join
     * fan-out. Pairs whose only agreeing slice is oversized are dropped —
-    * the exactness guarantee then holds for the retained buckets only.
-    * Callers should cache `sigs` (it is consumed three times). */
+    * the exactness guarantee then holds for the retained buckets only —
+    * and each excluded bucket bumps the session's
+    * `graft.lsh.droppedBuckets` accumulator
+    * ([[graft.dedup.DedupMetrics.droppedBuckets]]), so a capped run is
+    * never silent. Callers should cache `sigs` (it is consumed three
+    * times). */
   def bandedHammingPairs(sigs: DataFrame, maxHamming: Int, bands: Int = 4,
       bits: Int = 32, maxBucket: Int = MinHashLsh.DefaultMaxBucket): DataFrame = {
     require(maxHamming < bands,
@@ -74,9 +78,12 @@ object SimHash {
       posexplode(array((0 until bands).map(i =>
         expr(s"shiftright(simhash, ${i * width}) & $mask")): _*))
         .as(Seq("band", "slice")))
+    // the counting tap rides the (tiny, broadcast) oversized side: every
+    // excluded bucket evaluates it once during the broadcast build
     val oversized = sliced.groupBy(col("band"), col("slice"))
       .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
-      .select(col("band"), col("slice"))
+      .select(graft.functions.AggFunctions.countingTap(col("band"),
+        DedupMetrics.droppedBuckets(sigs.sparkSession)).as("band"), col("slice"))
     val pruned = sliced.join(broadcast(oversized), Seq("band", "slice"), "left_anti")
     val a = pruned.select(col("band"), col("slice"), col("id").as("a"), col("simhash").as("sig_a"))
     val b = pruned.select(col("band"), col("slice"), col("id").as("b"), col("simhash").as("sig_b"))

@@ -17,9 +17,18 @@ object AggFunctions {
 
   /** Sorted distinct LONG collect, NULL for groups beyond `cap` distinct
     * values — bounded-memory bucket formation for the dedup plane; see
-    * [[graft.functions.expressions.CappedLongCollectSet]]. */
-  def collectSetCapped(c: Column, cap: Int): Column =
+    * [[graft.functions.expressions.CappedLongCollectSet]]. `dropCounter`
+    * makes overflowed (dropped) groups audible. */
+  def collectSetCapped(c: Column, cap: Int,
+      dropCounter: Option[org.apache.spark.util.LongAccumulator] = None): Column =
     GraftBridge.column(
-      graft.functions.expressions.CappedLongCollectSet(GraftBridge.expression(c), cap)
+      graft.functions.expressions.CappedLongCollectSet(
+        GraftBridge.expression(c), cap, dropCounter)
         .toAggregateExpression())
+
+  /** Identity tap that counts evaluated rows into `acc` — see
+    * [[graft.functions.expressions.AccumulateRowCount]]. */
+  def countingTap(c: Column, acc: org.apache.spark.util.LongAccumulator): Column =
+    GraftBridge.column(
+      graft.functions.expressions.AccumulateRowCount(GraftBridge.expression(c), acc))
 }

@@ -1,0 +1,33 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.DataType
+import org.apache.spark.util.LongAccumulator
+
+/** Identity on `child` that bumps `acc` once per evaluated row — a
+  * drop-signal tap for plans that exclude rows by anti-join rather than
+  * by a capped aggregate (e.g. [[graft.dedup.SimHash.bandedHammingPairs]]
+  * taps its tiny oversized-bucket side, so every excluded bucket counts
+  * in `graft.lsh.droppedBuckets`). Marked non-deterministic so the
+  * optimizer neither merges nor eliminates duplicate occurrences;
+  * CodegenFallback is fine because it only ever wraps small diagnostic
+  * frames (a broadcast side of a handful of rows).
+  */
+case class AccumulateRowCount(child: Expression, acc: LongAccumulator)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override lazy val deterministic: Boolean = false
+  override def prettyName: String = "accumulate_row_count"
+
+  override def eval(input: InternalRow): Any = {
+    acc.add(1L)
+    child.eval(input)
+  }
+
+  override protected def withNewChildInternal(c: Expression): AccumulateRowCount =
+    copy(child = c)
+}

@@ -21,11 +21,14 @@ import java.nio.ByteBuffer
   * growing at cap+1 elements — once overflowed, the contents are dropped
   * and only the overflow flag propagates through update/merge, so task
   * memory is bounded by `cap` longs per group regardless of skew. The
-  * caller filters NULL groups (and can count them as a drop diagnostic).
+  * caller filters NULL groups; `dropCounter` (when given) is incremented
+  * once per overflowed group at final evaluation, so a capped run is
+  * never silent ([[graft.dedup.DedupMetrics]]).
   */
 case class CappedLongCollectSet(
     child: Expression,
     cap: Int,
+    dropCounter: Option[org.apache.spark.util.LongAccumulator] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[CappedLongCollectSet.Buffer] with UnaryLike[Expression] {
@@ -58,7 +61,7 @@ case class CappedLongCollectSet(
   }
 
   override def eval(buf: CappedLongCollectSet.Buffer): Any =
-    if (buf.overflowed) null
+    if (buf.overflowed) { dropCounter.foreach(_.add(1L)); null }
     else {
       val arr = new Array[Long](buf.set.size)
       val it = buf.set.iterator()

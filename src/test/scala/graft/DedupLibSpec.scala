@@ -32,11 +32,15 @@ class DedupLibSpec extends AnyFunSuite {
       .unionAll(Seq(
         (20001L, real),
         (20002L, real + " with a tiny appended tail")).toDF("doc_id", "text"))
+    val dropAcc = graft.dedup.DedupMetrics.droppedBuckets(spark)
+    val dropsBefore = dropAcc.value
     val pairs = MinHashLsh.candidatePairs(docs, "doc_id", "text", maxBucket = 100)
       .as[(Long, Long)].collect().toSet
     assert(pairs.contains((20001L, 20002L)), "ordinary near-dup pair must survive the cap")
     assert(!pairs.exists { case (a, b) => a < 10000 && b < 10000 },
       "clone-bucket pairs must be dropped, not partially emitted")
+    assert(dropAcc.value - dropsBefore >= 4,
+      "the cap must bump graft.lsh.droppedBuckets — capped runs are never silent")
     // drop diagnostic names exactly the degenerate buckets
     val over = MinHashLsh.oversizedBuckets(docs, "doc_id", "text", maxBucket = 100)
       .select($"n_members").as[Long].collect()
@@ -57,10 +61,14 @@ class DedupLibSpec extends AnyFunSuite {
     val pairSigs = Seq((1000L, 0x12345678L), (1001L, 0x12345679L)).toDF("id", "simhash")
     val sigs = clones.unionAll(pairSigs).cache()
     try {
+      val dropAcc = graft.dedup.DedupMetrics.droppedBuckets(spark)
+      val dropsBefore = dropAcc.value
       val pairs = SimHash.bandedHammingPairs(sigs, maxHamming = 3, maxBucket = 100)
         .select($"a", $"b").as[(Long, Long)].collect().toSet
       assert(pairs == Set((1000L, 1001L)),
         s"clone pairs dropped, close pair retained; got $pairs")
+      assert(dropAcc.value - dropsBefore >= 4,
+        "excluded slice buckets must bump graft.lsh.droppedBuckets")
     } finally sigs.unpersist()
   }
 

@@ -1,0 +1,20 @@
+package graft
+
+import graft.core.Tables
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The schema memo must not outlive the file it describes. */
+class TablesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("schema memo invalidates when the path is rewritten with a new schema") {
+    import spark.implicits._
+    val dir = SparkTestSession.tempDir("tables-memo")
+    Seq((1, "x")).toDF("a", "b").write.parquet(s"$dir/t.parquet")
+    assert(Tables.load(spark, dir, "t").columns.toSeq == Seq("a", "b"))
+    // rewrite the same path with a different schema
+    Seq((2, "y", 3.0)).toDF("a", "b", "c").write.mode("overwrite").parquet(s"$dir/t.parquet")
+    assert(Tables.load(spark, dir, "t").columns.toSeq == Seq("a", "b", "c"),
+      "a rewritten path must re-infer, not serve the stale memoized schema")
+  }
+}
