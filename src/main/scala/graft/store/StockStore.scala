@@ -50,6 +50,16 @@ object StockStore {
   private def writerLock(root: String, dt: StockDataType): Object =
     writerLocks.computeIfAbsent(tablePath(root, dt), _ => new Object)
 
+  /** Staging dirs are table-scoped so one table's vacuum can never sweep
+    * a sibling table's in-flight stage under the same root. */
+  private def stagePrefix(dt: StockDataType) = s"stage-${dt.name}-"
+
+  /** Squash cadence for [[upsert]]'s manifest log ([[TableLog
+    * .maybeCheckpoint]]): once the live manifest count reaches this, the
+    * log folds to one reset commit. 64 bounds read-side listing while
+    * keeping the squash (an O(files) vacuum) amortized across batches. */
+  val AutoSquashEvery: Int = 64
+
   private def nullSafeEq(left: DataFrame, right: DataFrame, cols: Seq[String]): Column =
     cols.map(c => left(c) <=> right(c)).reduce(_ && _)
 
@@ -242,8 +252,8 @@ object StockStore {
       val tp = new org.apache.hadoop.fs.Path(tablePath(root, dt))
       val sp = new org.apache.hadoop.fs.Path(statsLogPath(root, dt))
       val stageId = java.util.UUID.randomUUID().toString
-      val stageData = new org.apache.hadoop.fs.Path(root, s"stage-$stageId-data")
-      val stageStats = new org.apache.hadoop.fs.Path(root, s"stage-$stageId-stats")
+      val stageData = new org.apache.hadoop.fs.Path(root, s"${stagePrefix(dt)}$stageId-data")
+      val stageStats = new org.apache.hadoop.fs.Path(root, s"${stagePrefix(dt)}$stageId-stats")
 
       val statsKeys = Seq("ticker") ++ dt.extraIndexCols.filter(_ == "interval")
       val statsDf = out.groupBy(statsKeys.map(col): _*)
@@ -298,6 +308,13 @@ object StockStore {
         val dataRel = TableLog.promote(fs, stageData, tp)
         val statsRel = TableLog.promote(fs, stageStats, sp)
         TableLog.publish(fs, tp, dataRel, statsRel)
+        // Manifest squash: a streaming sink lands one manifest per
+        // micro-batch and every read pays an O(commits) listing. Each
+        // AutoSquashEvery commits, fold the live set into one reset
+        // manifest (no data rewrite) and prune the superseded manifests —
+        // commit listing stays O(1) however long the stream runs.
+        if (TableLog.maybeCheckpoint(fs, tp, AutoSquashEvery))
+          TableLog.vacuum(fs, tp, sp)
       }
       fs.delete(stageData, true)
       fs.delete(stageStats, true)
@@ -378,8 +395,8 @@ object StockStore {
     val tp = new Path(tablePath(root, dt))
     val sp = new Path(statsLogPath(root, dt))
     val stageId = java.util.UUID.randomUUID().toString
-    val stageData = new Path(root, s"stage-$stageId-data")
-    val stageStats = new Path(root, s"stage-$stageId-stats")
+    val stageData = new Path(root, s"${stagePrefix(dt)}$stageId-data")
+    val stageStats = new Path(root, s"${stagePrefix(dt)}$stageId-stats")
 
     df.repartition(partCols.map(col): _*)
       .write
@@ -400,7 +417,8 @@ object StockStore {
     TableLog.publish(fs, tp, dataRel, statsRel, reset = true)
     fs.delete(stageData, true)
     fs.delete(stageStats, true)
-    TableLog.vacuum(fs, tp, sp, stageRoot = Some(new Path(root)))
+    TableLog.vacuum(fs, tp, sp, stageRoot = Some(new Path(root)),
+      stagePrefix = stagePrefix(dt))
     rows
   }
 

@@ -115,6 +115,8 @@ object TableLog {
     * cross-JVM guard is the exclusive create below. */
   private val publishLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(fs: FileSystem, tablePath: Path): Object =
+    publishLocks.computeIfAbsent(fs.makeQualified(tablePath).toString, _ => new Object)
 
   /** Atomically publish a commit; returns its id. Ids are max+1 (derived
     * from manifest FILE NAMES — torn files included, so an id is never
@@ -130,8 +132,7 @@ object TableLog {
     * serialized by the JVM lock; HDFS create is atomic. */
   def publish(fs: FileSystem, tablePath: Path, dataFiles: Seq[String],
       statsFiles: Seq[String], reset: Boolean = false): Long = {
-    val lockKey = fs.makeQualified(tablePath).toString
-    val lock = publishLocks.computeIfAbsent(lockKey, _ => new Object)
+    val lock = lockFor(fs, tablePath)
     lock.synchronized {
       val dir = commitsDir(tablePath)
       fs.mkdirs(dir)
@@ -162,6 +163,36 @@ object TableLog {
       committed
     }
   }
+
+  /** Squash the live manifest set into ONE `reset` commit referencing
+    * exactly the same files — no data moves or rewrites. A streaming
+    * sink lands one manifest per micro-batch, so commit listing (paid by
+    * every read) grows O(commits); a checkpoint folds it back to O(1)
+    * once [[vacuum]] prunes the superseded manifests. Returns the squash
+    * commit id, or -1 when the log has fewer than two live manifests
+    * (nothing to squash). */
+  def checkpoint(fs: FileSystem, tablePath: Path): Long =
+    lockFor(fs, tablePath).synchronized {
+      val all = commits(fs, tablePath)
+      val lastReset = all.lastIndexWhere(_.reset)
+      val liveManifests = if (lastReset < 0) all.length else all.length - lastReset
+      if (liveManifests < 2) -1L
+      else {
+        val (data, stats) = effectiveFrom(all)
+        publish(fs, tablePath, data, stats, reset = true)
+      }
+    }
+
+  /** [[checkpoint]] only when `every` or more manifests are live — the
+    * amortized form an upsert loop calls after each publish. Returns
+    * true when a squash commit was published. */
+  def maybeCheckpoint(fs: FileSystem, tablePath: Path, every: Int): Boolean =
+    lockFor(fs, tablePath).synchronized {
+      val all = commits(fs, tablePath)
+      val lastReset = all.lastIndexWhere(_.reset)
+      val liveManifests = if (lastReset < 0) all.length else all.length - lastReset
+      liveManifests >= every && checkpoint(fs, tablePath) >= 0
+    }
 
   /** Move every file under `stagingDir` into `targetDir`, preserving the
     * relative (partition) layout; returns the target-root-relative paths.
@@ -204,12 +235,16 @@ object TableLog {
 
   /** Delete files under the table/stats trees that no live commit
     * references, plus manifests older than the last reset and (when
-    * `stageRoot` is given) leftover `stage-*` dirs from crashed batches.
-    * Safe under the single-writer assumption (anything unreferenced is
-    * either pre-reset garbage or a crashed commit, and no batch is
-    * in-flight while the writer vacuums). */
+    * `stageRoot` is given) leftover `stagePrefix*` dirs from crashed
+    * batches. Safe under the single-writer assumption (anything
+    * unreferenced is either pre-reset garbage or a crashed commit, and
+    * no batch is in-flight FOR THIS TABLE while the writer vacuums).
+    * Stage dirs of sibling tables under the same root may legitimately
+    * be in flight — pass the table-scoped `stagePrefix` the writer
+    * stamps ([[StockStore]] uses `stage-<dataType>-`) so the sweep never
+    * deletes another table's live staging. */
   def vacuum(fs: FileSystem, tablePath: Path, statsPath: Path,
-      stageRoot: Option[Path] = None): Long = {
+      stageRoot: Option[Path] = None, stagePrefix: String = "stage-"): Long = {
     val (data, stats) = effective(fs, tablePath)
     val live: Set[String] =
       (data.map(r => new Path(tablePath, r).toUri.getPath) ++
@@ -225,7 +260,7 @@ object TableLog {
     // crashed-batch staging dirs (they live beside the table dir)
     stageRoot.foreach { r =>
       if (fs.exists(r)) fs.listStatus(r).map(_.getPath)
-        .filter(_.getName.startsWith("stage-"))
+        .filter(_.getName.startsWith(stagePrefix))
         .foreach { p => if (fs.delete(p, true)) removed += 1 }
     }
     // drop manifests superseded by the last reset, plus torn manifests

@@ -77,14 +77,20 @@ class TableLogSpec extends AnyFunSuite {
     // genesis commit + one per batch
     assert(TableLog.commits(f, tp).size == 3)
 
-    // leftover staging dir from a simulated crashed batch
-    val crashedStage = new Path(s"$root/stage-deadbeef-data")
-    f.mkdirs(crashedStage)
-    f.create(new Path(crashedStage, "part-x.parquet"), true).close()
+    // leftover staging dir from a simulated crashed batch, plus a
+    // sibling table's stage dir that must survive the sweep
+    val crashedStage = new Path(s"$root/stage-streaming-deadbeef-data")
+    val siblingStage = new Path(s"$root/stage-historical_intraday-live-data")
+    Seq(crashedStage, siblingStage).foreach { d =>
+      f.mkdirs(d); f.create(new Path(d, "part-x.parquet"), true).close()
+    }
 
     val rows = StockStore.compact(spark, root, Streaming)
     assert(rows == before.size)
     assert(!f.exists(crashedStage), "compact's vacuum must sweep crashed staging dirs")
+    assert(f.exists(siblingStage),
+      "vacuum must never sweep a sibling table's in-flight stage dir")
+    f.delete(siblingStage, true)
     assert(StockStore.table(spark, root, Streaming).collect().toSet == before)
     val commits = TableLog.commits(f, tp)
     assert(commits.size == 1 && commits.head.reset, s"$commits")
@@ -200,6 +206,45 @@ class TableLogSpec extends AnyFunSuite {
     rows.groupBy(r => (r.getString(0), r.getTimestamp(1))).foreach { case (k, rs) =>
       assert(rs.map(_.getInt(4)).sorted.toSeq == (1 to rs.length), s"versions broken for $k")
     }
+  }
+
+  test("manifest checkpoint squashes the log without touching data") {
+    val root = SparkTestSession.tempDir("tlog-squash")
+    (0 until 4).foreach(i => StockStore.upsert(spark, root, Streaming, tickDf(100.0 + 10 * i)))
+    val f = fs(root)
+    val tp = new Path(s"$root/streaming")
+    val sp = new Path(s"$root/streaming__stats")
+    val before = StockStore.table(spark, root, Streaming).collect().toSet
+    val filesBefore = TableLog.effective(f, tp)._1.toSet
+    assert(TableLog.commits(f, tp).size == 5) // genesis + 4 batches
+
+    assert(TableLog.checkpoint(f, tp) >= 0)
+    val squashed = TableLog.commits(f, tp)
+    assert(squashed.last.reset, "squash must be a reset commit")
+    assert(TableLog.effectiveFrom(squashed)._1.toSet == filesBefore,
+      "a squash references exactly the same data files — nothing moves")
+    TableLog.vacuum(f, tp, sp)
+    assert(TableLog.commits(f, tp).size == 1, "vacuum prunes superseded manifests")
+    assert(StockStore.table(spark, root, Streaming).collect().toSet == before)
+    // stats log survives the squash
+    val inc = StockStore.incrementalStats(spark, root, Streaming).collect()
+    assert(inc.head.getAs[Long]("row_count") == before.size)
+    // idempotent: nothing further to squash
+    assert(TableLog.checkpoint(f, tp) == -1L)
+  }
+
+  test("maybeCheckpoint fires at the cadence and keeps listing bounded") {
+    val root = SparkTestSession.tempDir("tlog-cadence")
+    val f = fs(root)
+    val tp = new Path(s"$root/t")
+    (0 until 3).foreach(i => TableLog.publish(f, tp, Seq(s"f$i.parquet"), Nil))
+    assert(!TableLog.maybeCheckpoint(f, tp, every = 4), "below cadence: no squash")
+    TableLog.publish(f, tp, Seq("f3.parquet"), Nil)
+    assert(TableLog.maybeCheckpoint(f, tp, every = 4))
+    assert(TableLog.effective(f, tp)._1.toSet ==
+      (0 until 4).map(i => s"f$i.parquet").toSet)
+    TableLog.vacuum(f, tp, new Path(s"$root/t__stats"))
+    assert(TableLog.commits(f, tp).size == 1)
   }
 
   test("legacy plain-append tables fold into the first commit") {
