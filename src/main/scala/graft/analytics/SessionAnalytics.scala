@@ -80,4 +80,64 @@ object SessionAnalytics {
     }
     renamed.filter(col("__side") === 1).drop("__t", "__side")
   }
+
+  /** Q6 plotting prep, step 1 (reference: local_reader_manual.py:104-116
+    * — pandas `xy()`: per-series numeric coercion + NaN drop): long-form
+    * (x, series, y) rows, one per valid point per series. Numeric
+    * coercion is a try_cast (non-numeric strings become null even under
+    * ANSI mode — the pandas `errors='coerce'`); a row dropped for one
+    * series' null survives for the others, exactly like the per-series
+    * `dropna`. One scan explodes all series — no per-column passes. */
+  def plotSeries(df: DataFrame, tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val points = explode(array(valueCols.map(c =>
+      struct(lit(c).as("series"), col(c).try_cast("double").as("y"))): _*))
+    df.select(col(tsCol).as("x"), points.as("p"))
+      .select(col("x"), col("p.series").as("series"), col("p.y").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+  }
+
+  /** Q6 plotting prep, step 2 — the piece a 100 TB engine needs that the
+    * reference's collect-to-pandas path sidesteps: M4 pixel-bucket
+    * downsampling. A plot has `buckets` horizontal pixels; per (series,
+    * bucket) the first/min/max/last of y lose nothing visually, so the
+    * driver receives O(series × buckets) rows however large the input.
+    * One aggregation with full map-side partials (first/last via the
+    * same lexicographic struct-min/max as the q4 OHLC rewrite; `tieCol`
+    * makes same-millisecond ties deterministic). The x-domain comes from
+    * a tiny column-pruned min/max pre-scan broadcast to the bucketing —
+    * pass `bounds` explicitly (e.g. the requested plot range) to skip
+    * that scan. Bucket math is integer-exact: `(x-mn)*buckets div
+    * (mx-mn+1)` lands every point in [0, buckets-1], reproducible in any
+    * engine. */
+  def downsampleM4(df: DataFrame, tsCol: String, valueCol: String,
+      buckets: Int, tieCol: String, keyCols: Seq[String] = Nil,
+      bounds: Option[(Long, Long)] = None): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val pre = df.select((keyCols.map(col) ++ Seq(
+        unix_millis(col(tsCol)).as("__xms"),
+        col(tieCol).as("__tie"),
+        col(valueCol).cast("double").as("__y"))): _*)
+      .where(col("__xms").isNotNull && col("__y").isNotNull)
+    val bounded = bounds match {
+      case Some((mn, mx)) =>
+        pre.withColumn("__mn", lit(mn)).withColumn("__mx", lit(mx))
+          .where(col("__xms").between(mn, mx))
+      case None =>
+        pre.crossJoin(broadcast(
+          pre.agg(min(col("__xms")).as("__mn"), max(col("__xms")).as("__mx"))))
+    }
+    val tick = struct(col("__xms"), col("__tie"), col("__y"))
+    bounded
+      .withColumn("bucket",
+        expr(s"(__xms - __mn) * $buckets div (__mx - __mn + 1)"))
+      .groupBy((keyCols.map(col) :+ col("bucket")): _*)
+      .agg(
+        min(col("__xms")).as("first_ms"),
+        max(col("__xms")).as("last_ms"),
+        min(tick).getField("__y").as("y_first"),
+        min(col("__y")).as("y_min"),
+        max(col("__y")).as("y_max"),
+        max(tick).getField("__y").as("y_last"),
+        count(lit(1)).as("n"))
+  }
 }

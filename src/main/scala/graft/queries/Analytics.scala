@@ -174,6 +174,40 @@ object Analytics {
           v.view_value AS asof_view_value
         FROM clicks c ASOF LEFT JOIN views v
           ON c.user_id = v.user_id AND c.ts >= v.ts
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ── Q6 (reference table): plotting prep ────────────────────────────
+    // (reference: local_reader_manual.py:97-232 — per-series numeric
+    // coercion + NaN drop, then matplotlib). The engine-side piece at
+    // 100 TB is M4 pixel-bucket downsampling: per (series, pixel bucket)
+    // the first/min/max/last of y render identically to the full data,
+    // so the driver/plotter receives O(series × buckets) rows, never
+    // ticks. One aggregation, map-side partials, integer-exact buckets.
+    GraftQuery(
+      "q7_plot_prep",
+      (s, dir) => {
+        import s.implicits._
+        val ticks = Tables.events(s, dir)
+          .select($"event_type".as("series"), $"ts", $"event_id", $"value")
+        graft.analytics.SessionAnalytics
+          .downsampleM4(ticks, "ts", "value", 32, tieCol = "event_id",
+            keyCols = Seq("series"))
+          .orderBy($"series", $"bucket")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type AS series, epoch_ms(ts) AS xms, event_id,
+            CAST(value AS DOUBLE) AS y
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        b AS (SELECT MIN(xms) AS mn, MAX(xms) AS mx FROM e),
+        k AS (SELECT series, xms, event_id, y,
+          (xms - mn) * 32 // (mx - mn + 1) AS bucket FROM e, b)
+        SELECT series, bucket,
+          MIN(xms) AS first_ms, MAX(xms) AS last_ms,
+          (min(struct_pack(a := xms, b := event_id, c := y))).c AS y_first,
+          MIN(y) AS y_min, MAX(y) AS y_max,
+          (max(struct_pack(a := xms, b := event_id, c := y))).c AS y_last,
+          COUNT(*) AS n
+        FROM k GROUP BY series, bucket ORDER BY series, bucket"""))
   )
 }

@@ -70,4 +70,41 @@ class AnalyticsSpec extends AnyFunSuite {
       .orderBy("trade_ts").collect()
     assert(joined.map(_.getAs[Double]("asof_bid")).toSeq == Seq(99.9, 100.8))
   }
+
+  test("plotSeries coerces per series and drops nulls per series (Q6 step 1)") {
+    import spark.implicits._
+    // price is numeric-with-null; bid is STRINGS incl. garbage — the
+    // reference's pd.to_numeric(errors='coerce') + per-series dropna
+    val df = Seq(
+      ("2025-08-18 13:30:00", Some(100.0), "99.5"),
+      ("2025-08-18 13:31:00", None, "99.7"),
+      ("2025-08-18 13:32:00", Some(101.0), "n/a"))
+      .toDF("t", "price", "bid").withColumn("ts", to_timestamp($"t"))
+    val pts = SessionAnalytics.plotSeries(df, "ts", Seq("price", "bid"))
+      .select($"series", $"y").as[(String, Double)].collect().toSet
+    // a row dropped for one series survives for the other
+    assert(pts == Set(("price", 100.0), ("price", 101.0), ("bid", 99.5), ("bid", 99.7)))
+  }
+
+  test("downsampleM4 keeps first/min/max/last per pixel bucket (Q6 step 2)") {
+    import spark.implicits._
+    // 2 buckets over [0ms, 20ms): ticks at 0..9 -> bucket 0, 10..19 -> 1
+    val df = (0 until 20).map(i =>
+      (new java.sql.Timestamp(i), i.toLong, (if (i % 7 == 3) 50.0 else i.toDouble)))
+      .toDF("ts", "event_id", "value")
+    val out = SessionAnalytics.downsampleM4(df, "ts", "value", 2, tieCol = "event_id")
+      .orderBy($"bucket").collect()
+    assert(out.length == 2)
+    val b0 = out(0)
+    assert(b0.getAs[Long]("bucket") == 0 && b0.getAs[Long]("n") == 10)
+    assert(b0.getAs[Double]("y_first") == 0.0 && b0.getAs[Double]("y_last") == 9.0)
+    assert(b0.getAs[Double]("y_min") == 0.0 && b0.getAs[Double]("y_max") == 50.0)
+    val b1 = out(1)
+    assert(b1.getAs[Double]("y_first") == 50.0) // i=10 hits the 50.0 spike
+    assert(b1.getAs[Double]("y_last") == 19.0 && b1.getAs[Long]("n") == 10)
+    // explicit bounds clip the domain and skip the pre-scan
+    val clipped = SessionAnalytics.downsampleM4(df, "ts", "value", 2,
+      tieCol = "event_id", bounds = Some((0L, 9L))).orderBy($"bucket").collect()
+    assert(clipped.map(_.getAs[Long]("n")).sum == 10, "out-of-range ticks are clipped")
+  }
 }
