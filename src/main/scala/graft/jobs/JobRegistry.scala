@@ -83,18 +83,22 @@ final class JobRegistry(spark: SparkSession) {
     * bounded duration enforced by the caller). Returns the job id. */
   def submitStream(root: String, checkpoint: String, walDir: String,
       feed: String, cmd: StreamCommand,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): String =
+    submitStreamFanOut(root, checkpoint, Seq((feed, walDir)), cmd, trigger)
+
+  /** Multi-connection variant: one registered feed + WAL dir per
+    * connection, unioned into ONE query/checkpoint
+    * ([[graft.sources.ws.WsFanOut]]) — each connection's offsets commit
+    * independently, so a reconnecting socket never stalls the others. */
+  def submitStreamFanOut(root: String, checkpoint: String,
+      feedWals: Seq[(String, String)], cmd: StreamCommand,
       trigger: Trigger = Trigger.ProcessingTime("1 second")): String = {
     val rec = new Record(UUID.randomUUID().toString, "stream",
-      s"${cmd.tickers.mkString(",")}.${cmd.exchange} ${cmd.streamType}")
+      s"${cmd.tickers.mkString(",")}.${cmd.exchange} ${cmd.streamType} " +
+        s"(${feedWals.size} conn)")
     jobs.put(rec.id, rec)
     try {
-      import spark.implicits._
-      val frames = spark.readStream
-        .format("graft.sources.ws.WsSourceProvider")
-        .option("walDir", walDir)
-        .option("feed", feed)
-        .load()
-        .select($"raw")
+      val frames = graft.sources.ws.WsFanOut.framesUnion(spark, feedWals)
       val q = StreamIngest.start(spark, frames, cmd.streamType, root, checkpoint,
         cmd.exchange, trigger)
       rec.query = Some(q)

@@ -1,0 +1,65 @@
+package graft.sources.ws
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-connection WebSocket fan-out (SURVEY §2.1 S3–S5 scale path).
+  *
+  * The reference runs ONE socket per job and caps the symbols a
+  * connection subscribes to (reference:
+  * src/stockops/data/streaming/eodhd_streaming_service.py:126-128 —
+  * one subscribe message per service process). At scale a single
+  * connection is both a throughput bottleneck and a blast radius; the
+  * Spark-native form is N connections = N [[WsSourceProvider]] sources
+  * UNIONED into one streaming plan. Structured Streaming tracks each
+  * source's offset independently inside the one checkpoint, so a
+  * restart resumes every connection from its own committed frame
+  * ordinal — the WAL/offset machinery composes with no extra code, and
+  * one connection reconnecting (S5 backoff inside its feed) never
+  * stalls or duplicates the others.
+  */
+object WsFanOut {
+
+  /** Round-robin symbol groups: `connections` near-equal subscribe sets
+    * (never more groups than symbols; no symbols → no connections). */
+  def symbolGroups(symbols: Seq[String], connections: Int): Seq[Seq[String]] = {
+    require(connections > 0, "connections must be positive")
+    if (symbols.isEmpty) Seq.empty
+    else {
+      val n = math.min(connections, symbols.size)
+      symbols.zipWithIndex.groupBy(_._2 % n).toSeq.sortBy(_._1)
+        .map { case (_, g) => g.map(_._1) }
+    }
+  }
+
+  /** Register one [[EodhdWsFeed]] per symbol group under
+    * `<baseName>-<i>` with its own WAL dir `<walBase>/conn-<i>`;
+    * returns the (feedName, walDir) pairs for [[framesUnion]]. */
+  def registerFeeds(baseName: String, url: String, groups: Seq[Seq[String]],
+      walBase: String): Seq[(String, String)] =
+    groups.zipWithIndex.map { case (g, i) =>
+      val name = s"$baseName-$i"
+      WsFeeds.register(name, () => new EodhdWsFeed(url, g))
+      (name, s"$walBase/conn-$i")
+    }
+
+  /** One DSv2 WS source per (feedName, walDir), unioned to a single
+    * `raw`-column streaming frame. Frame ordinals are per-WAL, so the
+    * union carries only `raw` — exactly what the transform consumes;
+    * downstream dedup/versioning is ordinal-free by design (A3/A4 key on
+    * content, not arrival). */
+  def framesUnion(spark: SparkSession, feedWals: Seq[(String, String)],
+      maxFramesPerBatch: Int = 0): DataFrame = {
+    require(feedWals.nonEmpty, "at least one (feed, walDir) required")
+    feedWals.map { case (feed, wal) =>
+      val r = spark.readStream
+        .format("graft.sources.ws.WsSourceProvider")
+        .option("walDir", wal)
+        .option("feed", feed)
+      val withCap =
+        if (maxFramesPerBatch > 0) r.option("maxFramesPerBatch", maxFramesPerBatch)
+        else r
+      withCap.load().select(col("raw"))
+    }.reduce(_.unionByName(_))
+  }
+}

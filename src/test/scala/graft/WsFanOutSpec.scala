@@ -1,0 +1,95 @@
+package graft
+
+import graft.model.Streaming
+import graft.sources.ws.{FrameFeed, WsFanOut, WsFeeds}
+import graft.store.StockStore
+import graft.streaming.StreamIngest
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+/** Multi-connection WS fan-out: N feeds with N WALs union into one
+  * query/checkpoint; every connection's frames land, offsets commit per
+  * source, and a restart resumes all connections without loss or dups. */
+class WsFanOutSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private class ScriptedFeed(q: ConcurrentLinkedQueue[String]) extends FrameFeed {
+    override def connect(): Unit = ()
+    override def poll(): Seq[String] = {
+      var out = List.empty[String]
+      var f = q.poll()
+      while (f != null) { out = f :: out; f = q.poll() }
+      out.reverse
+    }
+    override def close(): Unit = ()
+  }
+
+  test("symbolGroups round-robins into near-equal subscribe sets") {
+    assert(WsFanOut.symbolGroups(Seq("A", "B", "C", "D", "E"), 2) ==
+      Seq(Seq("A", "C", "E"), Seq("B", "D")))
+    assert(WsFanOut.symbolGroups(Seq("A"), 4) == Seq(Seq("A")),
+      "never more connections than symbols")
+    assert(WsFanOut.symbolGroups(Nil, 3) == Seq.empty, "no symbols, no connections")
+  }
+
+  test("two connections union into one store; restart resumes both") {
+    val walBase = SparkTestSession.tempDir("fanout-wal")
+    val ckpt = SparkTestSession.tempDir("fanout-ckpt")
+    val root = SparkTestSession.tempDir("fanout-root")
+    val q0 = new ConcurrentLinkedQueue[String]()
+    val q1 = new ConcurrentLinkedQueue[String]()
+    WsFeeds.register("fan-0", () => new ScriptedFeed(q0))
+    WsFeeds.register("fan-1", () => new ScriptedFeed(q1))
+    val feedWals = Seq(("fan-0", s"$walBase/conn-0"), ("fan-1", s"$walBase/conn-1"))
+
+    def stored(): Set[(String, Double)] =
+      if (!new java.io.File(s"$root/streaming").exists()) Set.empty
+      else StockStore.table(spark, root, Streaming)
+        .select("ticker", "price").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+    def quietStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+      try q.stop() catch { case _: Throwable => () }
+    def awaitStored(want: Set[(String, Double)], q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (stored() != want && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+    }
+
+    // phase 1: one tick per connection (different tickers per group)
+    q0.add("""{"s": "SPY", "p": 657.53, "v": 5, "t": 1757623532850}""")
+    q1.add("""{"s": "VOO", "p": 512.10, "v": 2, "t": 1757623532850}""")
+    val frames = WsFanOut.framesUnion(spark, feedWals)
+    val run1 = StreamIngest.start(spark, frames, "trades", root, ckpt,
+      trigger = Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      val want1 = Set(("SPY", 657.53), ("VOO", 512.10))
+      awaitStored(want1, run1)
+      assert(stored() == want1, s"both connections' ticks must land; got ${stored()}")
+    } finally quietStop(run1)
+
+    // phase 2: restart the union from the same checkpoint; each source
+    // resumes from ITS committed ordinal — only the new ticks land
+    q0.add("""{"s": "SPY", "p": 658.00, "v": 1, "t": 1757623533850}""")
+    q1.add("""{"s": "VOO", "p": 512.55, "v": 1, "t": 1757623533850}""")
+    val run2 = StreamIngest.start(spark,
+      WsFanOut.framesUnion(spark, feedWals), "trades", root, ckpt,
+      trigger = Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      val want2 = Set(("SPY", 657.53), ("VOO", 512.10), ("SPY", 658.0), ("VOO", 512.55))
+      awaitStored(want2, run2)
+      assert(stored() == want2, s"restart must resume both sources; got ${stored()}")
+    } finally quietStop(run2)
+  }
+
+  test("registerFeeds wires one feed+WAL per group") {
+    val pairs = WsFanOut.registerFeeds("eodhd-test-reg", "wss://example.invalid/ws",
+      Seq(Seq("A", "C"), Seq("B")), "/tmp/walbase")
+    assert(pairs == Seq(("eodhd-test-reg-0", "/tmp/walbase/conn-0"),
+      ("eodhd-test-reg-1", "/tmp/walbase/conn-1")))
+    // factories registered (creation succeeds; no connection attempted)
+    pairs.foreach { case (name, _) => WsFeeds.create(name).close() }
+  }
+}
