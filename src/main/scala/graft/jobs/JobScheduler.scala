@@ -1,0 +1,113 @@
+package graft.jobs
+
+import java.time.{Instant, LocalDateTime, ZoneId, ZonedDateTime}
+import java.util.UUID
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue, ScheduledFuture, ScheduledThreadPoolExecutor, TimeUnit}
+import scala.jdk.CollectionConverters._
+
+/** Recurring-submission floor over [[JobRegistry]] — the reference's
+  * deployment-schedule surface (reference: datapipe_ui/api_backend.py:
+  * 60-162 create/pause/resume deployment schedules; frontend.py:130-409
+  * builds the RRULE). A schedule owns an [[Rrule]] + tz-localized
+  * DTSTART (naive DTSTART is localized to the schedule timezone, as in
+  * ui_backend.py:114-119), fires `submit` at each occurrence, and keeps
+  * the submitted job ids so `status` exposes the run history the
+  * reference polls. No backfill: a schedule created (or resumed) after
+  * occurrences have passed resumes at the next future one — Prefect's
+  * behavior for late deployments.
+  *
+  * One daemon timer thread computes occurrences; submissions themselves
+  * run on the registry's own worker threads / streaming queries, so a
+  * slow job never skews the schedule clock.
+  */
+final class JobScheduler(clock: () => Instant = () => Instant.now())
+    extends AutoCloseable {
+  import JobScheduler._
+
+  private val exec = new ScheduledThreadPoolExecutor(1, (r: Runnable) => {
+    val t = new Thread(r, "graft-scheduler"); t.setDaemon(true); t
+  })
+  exec.setRemoveOnCancelPolicy(true)
+
+  private final class Sched(
+      val id: String, val name: String, val rrule: Rrule,
+      val dtstart: ZonedDateTime, val submit: () => String) {
+    @volatile var active = true
+    @volatile var deleted = false
+    @volatile var nextAt: Option[Instant] = None
+    @volatile var pending: Option[ScheduledFuture[_]] = None
+    val runs = new ConcurrentLinkedQueue[String]()
+  }
+
+  private val scheds = new ConcurrentHashMap[String, Sched]()
+
+  final case class ScheduleInfo(id: String, name: String, active: Boolean,
+      rrule: String, nextAt: Option[Instant], runCount: Int, runs: Seq[String])
+
+  /** Create + activate a schedule; returns its id. `submit` is invoked at
+    * each occurrence (typically a [[JobRegistry]] submit closure). */
+  def create(name: String, rrule: Rrule, timezone: String,
+      dtstartLocal: LocalDateTime)(submit: () => String): String = {
+    val s = new Sched(UUID.randomUUID().toString, name, rrule,
+      dtstartLocal.atZone(ZoneId.of(timezone)), submit)
+    scheds.put(s.id, s)
+    scheduleNext(s)
+    s.id
+  }
+
+  private def scheduleNext(s: Sched): Unit = synchronized {
+    if (s.deleted || !s.active) return
+    s.rrule.nextAfter(clock(), s.dtstart) match {
+      case None => s.nextAt = None // UNTIL passed: schedule is exhausted
+      case Some(t) =>
+        s.nextAt = Some(t.toInstant)
+        val delayMs = math.max(0L, t.toInstant.toEpochMilli - clock().toEpochMilli)
+        s.pending = Some(exec.schedule(new Runnable {
+          def run(): Unit = fire(s)
+        }, delayMs, TimeUnit.MILLISECONDS))
+    }
+  }
+
+  private def fire(s: Sched): Unit = {
+    if (!s.deleted && s.active) {
+      try s.runs.add(s.submit())
+      catch { case _: Throwable => () } // a failed submit never kills the timer
+      scheduleNext(s)
+    }
+  }
+
+  /** Reference pause_deployment_schedule: occurrences stop, state kept. */
+  def pause(id: String): Unit = withSched(id) { s =>
+    s.active = false
+    s.pending.foreach(_.cancel(false)); s.pending = None; s.nextAt = None
+  }
+
+  /** Reference resume_deployment_schedule: next FUTURE occurrence (missed
+    * ones are not backfilled). */
+  def resume(id: String): Unit = withSched(id) { s =>
+    if (!s.active) { s.active = true; scheduleNext(s) }
+  }
+
+  def delete(id: String): Unit = withSched(id) { s =>
+    s.deleted = true
+    s.pending.foreach(_.cancel(false)); s.pending = None
+    scheds.remove(id)
+  }
+
+  def status(id: String): ScheduleInfo = withSched(id) { s =>
+    ScheduleInfo(s.id, s.name, s.active, s.rrule.render(s.dtstart),
+      s.nextAt, s.runs.size(), s.runs.asScala.toSeq)
+  }
+
+  def list(): Seq[ScheduleInfo] = scheds.keySet().asScala.toSeq.sorted.map(status)
+
+  private def withSched[A](id: String)(f: Sched => A): A = {
+    val s = scheds.get(id)
+    require(s != null, s"unknown schedule: $id")
+    f(s)
+  }
+
+  override def close(): Unit = { exec.shutdownNow(); () }
+}
+
+object JobScheduler

@@ -1,0 +1,173 @@
+package graft.jobs
+
+import java.time._
+import java.time.temporal.{ChronoUnit, TemporalAdjusters}
+
+/** RFC 5545 recurrence subset — the schedules the reference's UI builds
+  * (reference: datapipe_ui/ui_backend.py:89-175 `build_schedule`:
+  * FREQ + INTERVAL + BYDAY + BYHOUR/BYMINUTE/BYSECOND + UNTIL over a
+  * tz-localized DTSTART; its Prefect backend then expands occurrences).
+  * Here the expansion is native java.time in the schedule's zone, so
+  * DAILY/WEEKLY fire at the same WALL-CLOCK time across DST transitions
+  * (exactly what an exchange-calendar schedule needs), while
+  * SECONDLY/MINUTELY/HOURLY step by exact durations.
+  *
+  * Unsupported reference fields (BYMONTH/BYMONTHDAY/BYSETPOS,
+  * MONTHLY/YEARLY) are rejected at parse so a schedule is never silently
+  * misinterpreted.
+  */
+final case class Rrule(
+    freq: String,
+    interval: Int = 1,
+    byDay: Seq[String] = Nil,
+    byHour: Option[Int] = None,
+    byMinute: Option[Int] = None,
+    bySecond: Option[Int] = None,
+    untilUtc: Option[Instant] = None) {
+
+  require(Rrule.ValidFreq.contains(freq), s"Invalid FREQ: $freq")
+  require(interval > 0, "INTERVAL must be a positive integer")
+  require(byDay.forall(Rrule.DayMap.contains), s"Invalid BYDAY tokens: $byDay")
+  require(byDay.isEmpty || freq == "WEEKLY", "BYDAY is supported for FREQ=WEEKLY")
+  byHour.foreach(h => require(h >= 0 && h <= 23, s"BYHOUR out of range: $h"))
+  byMinute.foreach(m => require(m >= 0 && m <= 59, s"BYMINUTE out of range: $m"))
+  bySecond.foreach(s => require(s >= 0 && s <= 59, s"BYSECOND out of range: $s"))
+
+  /** The reference's rrule string shape (ui_backend.py:126-167): BY*
+    * time fields emitted per-FREQ so HOURLY/MINUTELY are not
+    * over-restricted; UNTIL rendered UTC `...Z`. */
+  def render(dtstart: ZonedDateTime): String = {
+    val h = byHour.getOrElse(dtstart.getHour)
+    val m = byMinute.getOrElse(dtstart.getMinute)
+    val s = bySecond.getOrElse(dtstart.getSecond)
+    val parts = Seq.newBuilder[String]
+    parts += s"FREQ=$freq" += s"INTERVAL=$interval"
+    if (byDay.nonEmpty) parts += s"BYDAY=${byDay.mkString(",")}"
+    freq match {
+      case "DAILY" | "WEEKLY" => parts += s"BYHOUR=$h" += s"BYMINUTE=$m" += s"BYSECOND=$s"
+      case "HOURLY" => parts += s"BYMINUTE=$m" += s"BYSECOND=$s"
+      case "MINUTELY" => parts += s"BYSECOND=$s"
+      case _ => ()
+    }
+    untilUtc.foreach { u =>
+      val f = format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
+        .withZone(ZoneOffset.UTC)
+      parts += s"UNTIL=${f.format(u)}"
+    }
+    parts.result().mkString(";")
+  }
+
+  /** All occurrences at or after `dtstart` (ascending, infinite unless
+    * UNTIL); wall-clock semantics in dtstart's zone for DAILY/WEEKLY. */
+  def occurrencesFrom(dtstart: ZonedDateTime): Iterator[ZonedDateTime] = {
+    val raw = freq match {
+      case "SECONDLY" =>
+        Iterator.iterate(dtstart)(_.plusSeconds(interval))
+      case "MINUTELY" =>
+        val anchor = dtstart.truncatedTo(ChronoUnit.MINUTES)
+          .plusSeconds(bySecond.getOrElse(dtstart.getSecond).toLong)
+        Iterator.iterate(anchor)(_.plusMinutes(interval))
+      case "HOURLY" =>
+        val anchor = dtstart.truncatedTo(ChronoUnit.HOURS)
+          .plusMinutes(byMinute.getOrElse(dtstart.getMinute).toLong)
+          .plusSeconds(bySecond.getOrElse(dtstart.getSecond).toLong)
+        Iterator.iterate(anchor)(_.plusHours(interval))
+      case "DAILY" =>
+        Iterator.iterate(dtstart.toLocalDate)(_.plusDays(interval))
+          .map(atTimeOf(dtstart))
+      case "WEEKLY" =>
+        val days: Set[DayOfWeek] =
+          if (byDay.isEmpty) Set(dtstart.getDayOfWeek)
+          else byDay.map(Rrule.DayMap).toSet
+        val week0 = dtstart.toLocalDate
+          .`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+        Iterator.iterate(dtstart.toLocalDate)(_.plusDays(1))
+          .filter { d =>
+            days.contains(d.getDayOfWeek) &&
+              ChronoUnit.WEEKS.between(week0,
+                d.`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))) % interval == 0
+          }
+          .map(atTimeOf(dtstart))
+    }
+    raw.dropWhile(_.isBefore(dtstart))
+      .takeWhile(t => untilUtc.forall(u => !t.toInstant.isAfter(u)))
+  }
+
+  private def atTimeOf(dtstart: ZonedDateTime)(d: LocalDate): ZonedDateTime =
+    d.atTime(
+      byHour.getOrElse(dtstart.getHour),
+      byMinute.getOrElse(dtstart.getMinute),
+      bySecond.getOrElse(dtstart.getSecond))
+      .atZone(dtstart.getZone) // DST-gap times resolve forward (java.time)
+
+  /** First occurrence strictly after `afterUtc` (and ≥ dtstart), or None
+    * when UNTIL has passed. Fast-forwards past years of elapsed schedule
+    * without stepping through them. */
+  def nextAfter(afterUtc: Instant, dtstart: ZonedDateTime): Option[ZonedDateTime] = {
+    val jumped = fastForward(afterUtc, dtstart)
+    occurrencesFrom(jumped)
+      .dropWhile(t => !t.toInstant.isAfter(afterUtc))
+      .nextOption()
+  }
+
+  /** A shifted DTSTART ≤ the real answer but near `afterUtc`, still
+    * phase-aligned with the original schedule. */
+  private def fastForward(afterUtc: Instant, dtstart: ZonedDateTime): ZonedDateTime = {
+    if (!afterUtc.isAfter(dtstart.toInstant)) return dtstart
+    val elapsedSec = Duration.between(dtstart.toInstant, afterUtc).getSeconds
+    freq match {
+      case "SECONDLY" | "MINUTELY" | "HOURLY" =>
+        val unitSec = freq match {
+          case "SECONDLY" => 1L; case "MINUTELY" => 60L; case _ => 3600L
+        }
+        val periods = math.max(0L, elapsedSec / (unitSec * interval) - 2)
+        dtstart.plusSeconds(periods * unitSec * interval)
+      case "DAILY" =>
+        val days = math.max(0L, (elapsedSec / 86400L / interval - 2)) * interval
+        dtstart.plusDays(days)
+      case "WEEKLY" =>
+        val weeks = math.max(0L, (elapsedSec / 604800L / interval - 2)) * interval
+        dtstart.plusWeeks(weeks)
+    }
+  }
+}
+
+object Rrule {
+  /** Reference set (ui_backend.py:107) minus MONTHLY/YEARLY (rejected,
+    * not misread), plus SECONDLY (RFC-valid; used for fast tests). */
+  val ValidFreq: Set[String] = Set("SECONDLY", "MINUTELY", "HOURLY", "DAILY", "WEEKLY")
+
+  val DayMap: Map[String, DayOfWeek] = Map(
+    "MO" -> DayOfWeek.MONDAY, "TU" -> DayOfWeek.TUESDAY, "WE" -> DayOfWeek.WEDNESDAY,
+    "TH" -> DayOfWeek.THURSDAY, "FR" -> DayOfWeek.FRIDAY, "SA" -> DayOfWeek.SATURDAY,
+    "SU" -> DayOfWeek.SUNDAY)
+
+  /** Parse the `RRULE:`-line content (`FREQ=...;INTERVAL=...;...`) — the
+    * inverse of [[Rrule.render]], tolerant of the full reference string
+    * with `DTSTART`/`RRULE:` prefixes. */
+  def parse(s: String): Rrule = {
+    val rrLine = s.linesIterator.map(_.trim).filter(_.nonEmpty)
+      .find(l => l.startsWith("RRULE:") || !l.startsWith("DTSTART"))
+      .getOrElse(throw new IllegalArgumentException(s"no RRULE in: $s"))
+    val body = rrLine.stripPrefix("RRULE:")
+    val kv = body.split(";").iterator.filter(_.contains("="))
+      .map { p => val i = p.indexOf('='); p.substring(0, i).toUpperCase -> p.substring(i + 1) }
+      .toMap
+    val unsupported = kv.keySet -- Set("FREQ", "INTERVAL", "BYDAY", "BYHOUR", "BYMINUTE", "BYSECOND", "UNTIL")
+    require(unsupported.isEmpty, s"unsupported RRULE fields: ${unsupported.mkString(",")}")
+    Rrule(
+      freq = kv.getOrElse("FREQ", throw new IllegalArgumentException("FREQ required")),
+      interval = kv.get("INTERVAL").map(_.toInt).getOrElse(1),
+      byDay = kv.get("BYDAY").map(_.split(",").toSeq.map(_.trim.toUpperCase)).getOrElse(Nil),
+      byHour = kv.get("BYHOUR").map(_.toInt),
+      byMinute = kv.get("BYMINUTE").map(_.toInt),
+      bySecond = kv.get("BYSECOND").map(_.toInt),
+      untilUtc = kv.get("UNTIL").map(parseUntil))
+  }
+
+  private def parseUntil(u: String): Instant = {
+    // iCal basic format 20260312T140000Z
+    val f = format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmssX")
+    Instant.from(f.parse(u))
+  }
+}

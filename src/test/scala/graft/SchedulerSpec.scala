@@ -1,0 +1,105 @@
+package graft
+
+import graft.jobs.{JobScheduler, Rrule}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.time._
+import java.util.concurrent.atomic.AtomicInteger
+
+/** RRULE occurrence engine + scheduler lifecycle (reference deployment
+  * schedules: build_schedule RRULE semantics, pause/resume, no backfill). */
+class SchedulerSpec extends AnyFunSuite {
+
+  private def zdt(s: String, zone: String = "America/New_York") =
+    LocalDateTime.parse(s).atZone(ZoneId.of(zone))
+
+  test("MINUTELY/HOURLY step exact durations with BY* anchoring") {
+    val start = zdt("2026-08-10T09:17:30")
+    val minutely = Rrule("MINUTELY", interval = 15)
+    assert(minutely.occurrencesFrom(start).take(3).toSeq ==
+      Seq(zdt("2026-08-10T09:17:30"), zdt("2026-08-10T09:32:30"), zdt("2026-08-10T09:47:30")))
+    val hourly = Rrule("HOURLY", interval = 2, byMinute = Some(0), bySecond = Some(0))
+    // anchor 09:00 < dtstart -> first occurrence is the next step >= dtstart
+    assert(hourly.occurrencesFrom(start).take(2).toSeq ==
+      Seq(zdt("2026-08-10T11:00:00"), zdt("2026-08-10T13:00:00")))
+  }
+
+  test("DAILY keeps wall-clock time across a DST transition") {
+    // US spring-forward 2026-03-08: 09:30 New York is UTC-5 before, UTC-4 after
+    val r = Rrule("DAILY", byHour = Some(9), byMinute = Some(30), bySecond = Some(0))
+    val occ = r.occurrencesFrom(zdt("2026-03-07T00:00:00")).take(3).toSeq
+    assert(occ.map(_.toLocalTime.toString).forall(_ == "09:30"),
+      "same wall-clock time every day")
+    assert(occ.map(_.toInstant.toString) == Seq(
+      "2026-03-07T14:30:00Z", "2026-03-08T13:30:00Z", "2026-03-09T13:30:00Z"))
+  }
+
+  test("WEEKLY BYDAY with interval-2 week parity") {
+    // 2026-08-11 is a Tuesday; MO,FR of that week then skip a week
+    val r = Rrule("WEEKLY", interval = 2, byDay = Seq("MO", "FR"),
+      byHour = Some(15), byMinute = Some(0), bySecond = Some(0))
+    val occ = r.occurrencesFrom(zdt("2026-08-11T00:00:00")).take(3).toSeq
+    assert(occ.map(_.toLocalDate.toString) ==
+      Seq("2026-08-14", "2026-08-24", "2026-08-28"),
+      s"Friday of week 0, then Mon/Fri of week 2; got $occ")
+  }
+
+  test("UNTIL bounds the stream; nextAfter fast-forwards years") {
+    val start = zdt("2020-01-06T09:30:00")
+    val r = Rrule("MINUTELY", interval = 1,
+      untilUtc = Some(zdt("2020-01-06T09:32:00").toInstant))
+    assert(r.occurrencesFrom(start).size == 3) // 09:30, 09:31, 09:32
+    val daily = Rrule("DAILY", byHour = Some(9), byMinute = Some(30), bySecond = Some(0))
+    val t0 = System.nanoTime()
+    val next = daily.nextAfter(zdt("2026-08-12T10:00:00").toInstant, start)
+    assert(next.contains(zdt("2026-08-13T09:30:00")))
+    assert((System.nanoTime() - t0) < 1e9, "6 elapsed years must not be stepped day-by-day")
+    // minutely across years
+    val m = Rrule("MINUTELY", interval = 7)
+    val nm = m.nextAfter(zdt("2026-08-12T10:00:00").toInstant, start).get
+    assert(!nm.toInstant.isBefore(zdt("2026-08-12T10:00:00").toInstant))
+    assert(Duration.between(start, nm).toSeconds % (7 * 60) == 0, "phase preserved")
+  }
+
+  test("render/parse round-trips the reference string shape") {
+    val start = zdt("2026-08-10T09:30:00")
+    val r = Rrule("WEEKLY", interval = 1, byDay = Seq("MO", "WE", "FR"),
+      byHour = Some(15), byMinute = Some(0), bySecond = Some(0),
+      untilUtc = Some(Instant.parse("2026-12-31T21:00:00Z")))
+    val s = r.render(start)
+    assert(s == "FREQ=WEEKLY;INTERVAL=1;BYDAY=MO,WE,FR;BYHOUR=15;BYMINUTE=0;BYSECOND=0;UNTIL=20261231T210000Z")
+    assert(Rrule.parse(s) == r)
+    assert(Rrule.parse("DTSTART;TZID=America/New_York:20260810T093000\nRRULE:" + s) == r)
+    intercept[IllegalArgumentException](Rrule.parse("FREQ=MONTHLY;BYMONTHDAY=1"))
+    intercept[IllegalArgumentException](Rrule.parse("FREQ=DAILY;BYSETPOS=1"))
+  }
+
+  test("scheduler fires, pauses without backfill, resumes, deletes") {
+    val sched = new JobScheduler()
+    try {
+      val n = new AtomicInteger(0)
+      val id = sched.create("every-second", Rrule("SECONDLY"), "UTC",
+        LocalDateTime.now(ZoneOffset.UTC).minusSeconds(5)) { () =>
+        s"job-${n.incrementAndGet()}"
+      }
+      val deadline = System.currentTimeMillis() + 15000
+      while (n.get() < 2 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(n.get() >= 2, "schedule must fire repeatedly")
+      assert(sched.status(id).runs.contains("job-1"), "run history kept")
+
+      sched.pause(id)
+      val atPause = n.get()
+      Thread.sleep(2500)
+      assert(n.get() == atPause, "paused schedule must not fire")
+      assert(sched.status(id).nextAt.isEmpty)
+
+      sched.resume(id)
+      val d2 = System.currentTimeMillis() + 15000
+      while (n.get() <= atPause && System.currentTimeMillis() < d2) Thread.sleep(50)
+      assert(n.get() > atPause, "resume picks the next future occurrence")
+
+      sched.delete(id)
+      intercept[IllegalArgumentException](sched.status(id))
+    } finally sched.close()
+  }
+}
