@@ -1,0 +1,91 @@
+package graft
+
+import graft.jobs.Rrule
+import org.scalacheck.{Gen, Prop, Properties}
+
+import java.time._
+
+/** Pure-JVM properties for the RRULE occurrence engine (no Spark jobs, so
+  * these run at full ScalaCheck depth): monotonicity, BY*-field
+  * conformance, interval stepping, render/parse round-trip, and
+  * fast-forward phase alignment. */
+object RruleProperties extends Properties("rrule") {
+
+  private val zones = Seq("UTC", "America/New_York", "Europe/Berlin", "Asia/Tokyo")
+
+  private val dtstartGen: Gen[ZonedDateTime] = for {
+    epoch <- Gen.choose(1577836800L, 1893456000L) // 2020..2030
+    zone <- Gen.oneOf(zones)
+  } yield Instant.ofEpochSecond(epoch).atZone(ZoneId.of(zone))
+
+  /** Field gating mirrors the reference builder (and render): time BY*
+    * fields only where that FREQ emits them. */
+  private val rruleGen: Gen[Rrule] = for {
+    freq <- Gen.oneOf("SECONDLY", "MINUTELY", "HOURLY", "DAILY", "WEEKLY")
+    interval <- Gen.choose(1, 30)
+    byDay <-
+      if (freq == "WEEKLY")
+        Gen.someOf("MO", "TU", "WE", "TH", "FR", "SA", "SU").map(_.toSeq)
+      else Gen.const(Seq.empty[String])
+    bh <- Gen.option(Gen.choose(0, 23))
+    bm <- Gen.option(Gen.choose(0, 59))
+    bs <- Gen.option(Gen.choose(0, 59))
+  } yield Rrule(freq, interval, byDay,
+    byHour = if (freq == "DAILY" || freq == "WEEKLY") bh else None,
+    byMinute = if (freq != "SECONDLY" && freq != "MINUTELY") bm else None,
+    bySecond = if (freq != "SECONDLY") bs else None)
+
+  property("occurrences are strictly increasing and start at/after DTSTART") =
+    Prop.forAll(rruleGen, dtstartGen) { (r, start) =>
+      val occ = r.occurrencesFrom(start).take(60).toSeq
+      occ.nonEmpty &&
+        !occ.head.isBefore(start) &&
+        occ.sliding(2).forall(p => p.size < 2 || p(0).isBefore(p(1)))
+    }
+
+  property("occurrences honor BY* fields and interval stepping") =
+    Prop.forAll(rruleGen, dtstartGen) { (r, start) =>
+      val occ = r.occurrencesFrom(start).take(40).toSeq
+      val secOk = r.bySecond.forall(s => occ.forall(_.getSecond == s))
+      val minOk = r.byMinute.forall(m => occ.forall(_.getMinute == m))
+      // DST-gap days can shift the hour forward by (whole-hour) offsets;
+      // every generated zone uses 1h transitions
+      val hourOk = r.byHour.forall(h => occ.forall(t =>
+        t.getHour == h || t.getHour == (h + 1) % 24))
+      val stepOk = r.freq match {
+        case "DAILY" =>
+          occ.sliding(2).forall(p => p.size < 2 ||
+            java.time.temporal.ChronoUnit.DAYS.between(
+              p(0).toLocalDate, p(1).toLocalDate) == r.interval)
+        case "WEEKLY" =>
+          val days = if (r.byDay.isEmpty) Set(start.getDayOfWeek)
+            else r.byDay.map(Rrule.DayMap).toSet
+          occ.forall(t => days.contains(t.getDayOfWeek))
+        case "SECONDLY" =>
+          occ.sliding(2).forall(p => p.size < 2 ||
+            Duration.between(p(0), p(1)).getSeconds == r.interval.toLong)
+        case _ => true
+      }
+      secOk && minOk && hourOk && stepOk
+    }
+
+  property("render/parse round-trips") =
+    Prop.forAll(rruleGen, dtstartGen, Gen.option(Gen.choose(1L, 365L))) {
+      (r0, start, untilDays) =>
+        val r = r0.copy(untilUtc = untilDays.map(d =>
+          start.plusDays(d).toInstant.truncatedTo(temporal.ChronoUnit.SECONDS)))
+        val parsed = Rrule.parse(r.render(start))
+        // render fills BY* defaults from DTSTART, so compare via a second render
+        parsed.render(start) == r.render(start) &&
+          parsed.freq == r.freq && parsed.interval == r.interval &&
+          parsed.byDay == r.byDay && parsed.untilUtc == r.untilUtc
+    }
+
+  property("nextAfter equals brute-force scan (fast-forward keeps phase)") =
+    Prop.forAll(rruleGen, dtstartGen, Gen.choose(0, 150)) { (r, start, k) =>
+      val occ = r.occurrencesFrom(start).take(160).toSeq
+      val after = occ(k).toInstant
+      val expected = occ.find(_.toInstant.isAfter(after))
+      r.nextAfter(after, start) == expected
+    }
+}
