@@ -74,6 +74,45 @@ class SchedulerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Rrule.parse("FREQ=DAILY;BYSETPOS=1"))
   }
 
+  test("a schedule drives real JobRegistry historical submissions (deployment parity)") {
+    // reference: a deployment = command parameters + an attached RRULE
+    // schedule; each occurrence creates a flow run. Here: each firing
+    // submits a HistoricalCommand through the registry; replays are
+    // idempotent in the store (A3), so a repeating schedule is safe.
+    val spark = SparkTestSession.spark
+    val root = SparkTestSession.tempDir("sched-hist")
+    val registry = new graft.jobs.JobRegistry(spark)
+    val page = Seq(
+      """{"date": "2024-10-24", "open": 533.1, "high": 536.0, "low": 531.0, "close": 534.0, "adjusted_close": 529.0, "volume": 4100000}""")
+    val sched = new JobScheduler()
+    try {
+      val id = sched.create("daily-eod", Rrule("SECONDLY"), "America/New_York",
+        LocalDateTime.now(ZoneId.of("America/New_York")).minusSeconds(2)) { () =>
+        registry.submitHistorical(root,
+          graft.jobs.Commands.HistoricalCommand("SPY", "US", "d", "2024-10-24", "2024-10-25"))(_ => page)
+      }
+      val deadline = System.currentTimeMillis() + 20000
+      while (sched.status(id).runCount < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val info = sched.status(id)
+      assert(info.runCount >= 2, "schedule must have submitted repeatedly")
+      // every submitted run reaches a terminal COMPLETED state; the
+      // replayed runs wrote nothing (idempotent re-ingest)
+      val d2 = System.currentTimeMillis() + 20000
+      def jobs() = info.runs.map(registry.status)
+      while (jobs().exists(_.status != graft.jobs.JobRegistry.Completed)
+          && System.currentTimeMillis() < d2) Thread.sleep(100)
+      assert(jobs().forall(_.status == graft.jobs.JobRegistry.Completed),
+        s"all scheduled runs complete; got ${jobs().map(_.status)}")
+      // runs race through the per-table writer lock in submission-thread
+      // order, so don't assume WHICH run won — exactly one ingests, the
+      // rest are idempotent replays
+      val written = jobs().flatMap(_.result).map(_.written)
+      assert(written.sum == 1 && written.count(_ == 1L) == 1,
+        s"exactly one run ingests, replays write nothing; got $written")
+    } finally sched.close()
+  }
+
   test("scheduler fires, pauses without backfill, resumes, deletes") {
     val sched = new JobScheduler()
     try {
