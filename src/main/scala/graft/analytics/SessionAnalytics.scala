@@ -81,6 +81,25 @@ object SessionAnalytics {
     renamed.filter(col("__side") === 1).drop("__t", "__side")
   }
 
+  /** Time-weighted average price per key (TWAP, last-value
+    * interpolation): each tick's price holds until the next tick, so its
+    * weight is that interval; the key's final tick carries no weight. A
+    * sibling of the Q4 resample for irregular tick spacing — a plain
+    * average over-weights bursts. One window pass (lead over (ts, tie))
+    * partitioned by the keys + one aggregation; the shuffle carries key
+    * partitions, so it scales like any per-key window. */
+  def twap(df: DataFrame, tsCol: String, priceCol: String, tieCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    df.withColumn("__dt",
+        (unix_millis(lead(col(tsCol), 1).over(w)) - unix_millis(col(tsCol))).cast("double"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        (sum(col(priceCol) * col("__dt")) / sum(col("__dt"))).as("twap"),
+        count(lit(1)).as("n_ticks"))
+  }
+
   /** Q6 plotting prep, step 1 (reference: local_reader_manual.py:104-116
     * — pandas `xy()`: per-series numeric coercion + NaN drop): long-form
     * (x, series, y) rows, one per valid point per series. Numeric

@@ -208,6 +208,43 @@ object Analytics {
           MIN(y) AS y_min, MAX(y) AS y_max,
           (max(struct_pack(a := xms, b := event_id, c := y))).c AS y_last,
           COUNT(*) AS n
-        FROM k GROUP BY series, bucket ORDER BY series, bucket"""))
+        FROM k GROUP BY series, bucket ORDER BY series, bucket""")),
+
+    // ── TWAP: time-weighted average per day ───────────────────────────
+    // (SessionAnalytics.twap semantics; Q4's sibling for irregular tick
+    // spacing — a plain AVG over-weights bursts). Portable arithmetic:
+    // prices as exact integer hundredths, weights as exact ms longs, the
+    // weighted sum through the 128-bit SumScaled128 aggregate (cents×ms
+    // products overflow a single long at large SF), one double division
+    // at the end — bit-identical across engines, shuffle-order-proof.
+    GraftQuery(
+      "q8_twap",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"day").orderBy($"tms", $"event_id")
+        Tables.events(s, dir)
+          .select(date_format($"ts", "yyyy-MM-dd").as("day"),
+            tsMillis($"ts").as("tms"), $"event_id", cents($"value").as("cents"))
+          .withColumn("dt", lead($"tms", 1).over(w) - $"tms")
+          .groupBy($"day")
+          .agg(
+            (graft.functions.AggFunctions.sumScaled128($"cents" * $"dt")
+              .cast("double") / sum($"dt").cast("double") / 100.0).as("twap"),
+            count(lit(1)).as("n_ticks"))
+          .orderBy($"day")
+      },
+      Some("""
+        WITH e AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, epoch_ms(ts) AS tms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        d AS (
+          SELECT day, cents,
+            lead(tms) OVER (PARTITION BY day ORDER BY tms, event_id) - tms AS dt
+          FROM e)
+        SELECT day,
+          CAST(SUM(cents * dt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE) / 100.0 AS twap,
+          COUNT(*) AS n_ticks
+        FROM d GROUP BY day ORDER BY day"""))
   )
 }

@@ -71,6 +71,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(joined.map(_.getAs[Double]("asof_bid")).toSeq == Seq(99.9, 100.8))
   }
 
+  test("twap weights each tick by its holding time, not tick count") {
+    import spark.implicits._
+    // price 100 held for 9s, then a 1s burst at 200: plain avg = 150,
+    // TWAP = (100*9000 + 200*1000) / 10000 = 110
+    val df = Seq(
+      ("SPY", new java.sql.Timestamp(0L), 1L, 100.0),
+      ("SPY", new java.sql.Timestamp(9000L), 2L, 200.0),
+      ("SPY", new java.sql.Timestamp(10000L), 3L, 300.0)) // final tick: no weight
+      .toDF("ticker", "ts", "event_id", "price")
+    val r = SessionAnalytics.twap(df, "ts", "price", "event_id", Seq("ticker")).head()
+    assert(r.getAs[Double]("twap") == 110.0 && r.getAs[Long]("n_ticks") == 3)
+    // a single tick has no holding interval -> null TWAP
+    val one = SessionAnalytics.twap(
+      Seq(("SPY", new java.sql.Timestamp(0L), 1L, 100.0)).toDF("ticker", "ts", "event_id", "price"),
+      "ts", "price", "event_id", Seq("ticker")).head()
+    assert(one.getAs[Any]("twap") == null)
+  }
+
   test("plotSeries coerces per series and drops nulls per series (Q6 step 1)") {
     import spark.implicits._
     // price is numeric-with-null; bid is STRINGS incl. garbage — the
