@@ -187,6 +187,11 @@ object StockStore {
       .select((idxCols ++ payloadCols :+ "version").map(col): _*)
       .cache()
 
+    // Both working caches release on EVERY exit path (A6 failures, IO
+    // errors mid-stage/publish) — a failed micro-batch must not leak
+    // executor storage for the life of the session.
+    try {
+
     // A3 (vs store): drop rows whose payload already exists for the key.
     // Null-safe equality: disjoint-null trade/quote payloads compare
     // correctly (reference: sql_db.py:485-492).
@@ -268,10 +273,7 @@ object StockStore {
         // same action fires the observations (and the assert_true A6
         // guard — a violating batch fails HERE, before anything is staged
         // or committed).
-        val statsRows =
-          try statsDf.collect()
-          catch { case e: Throwable =>
-            deduped.unpersist(); existing.unpersist(); throw e }
+        val statsRows = statsDf.collect()
         writtenFinal = statsRows.map(_.getAs[Long]("row_count")).sum
         def metric(o: Option[Observation], key: String): Long =
           o.flatMap(_.get.get(key)).map(_.asInstanceOf[Long]).getOrElse(-1L)
@@ -320,9 +322,9 @@ object StockStore {
       fs.delete(stageStats, true)
     }
 
-    deduped.unpersist(); existing.unpersist()
     cheapStats.getOrElse(UpsertStats(input, writtenFinal,
       if (collectCounts) dedupedN - written else -1L, nullSkipped, conflicts))
+    } finally { deduped.unpersist(); existing.unpersist() }
   }
 
   /** Read the stored table (post-merge). Manifest-aware: only files a
