@@ -41,6 +41,38 @@ class PushdownSpec extends AnyFunSuite {
       s"projection must prune unreferenced columns, got: $readSchema")
   }
 
+  test("q7 plot prep: bounds join is broadcast, ts/value/event_id read schema only") {
+    // the x-domain pre-scan must reach the M4 bucketing as a BROADCAST
+    // (a 1-row bounds frame shuffle-joined against 100 TB of ticks would
+    // be absurd), and the events scan must read only the 4 needed columns
+    val q = graft.core.Registry.allQueries.find(_.name == "q7_plot_prep").get
+    val plan = q.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(SimpleMode)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"bounds must broadcast, plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no non-broadcast cartesian, plan:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("user_id"),
+      s"unused columns must prune from the scan, got: $readSchema")
+  }
+
+  test("q8 twap: one window exchange on day, pruned scan") {
+    // the lead window and the groupBy share the day-hash partitioning, so
+    // the plan needs exactly ONE exchange before the final sort (AQE may
+    // add coalesces but not a second hash repartition on day)
+    val q = graft.core.Registry.allQueries.find(_.name == "q8_twap").get
+    val plan = q.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(SimpleMode)
+    val hashExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"window + groupBy must reuse one day-hash exchange, got $hashExchanges:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("event_type"),
+      s"unused columns must prune from the scan, got: $readSchema")
+  }
+
   test("h4: derived standalone bound reaches the lineitem scan as a pushed filter") {
     // the semi-join condition l_shipdate > o_orderdate is not pushable,
     // but the derived bound l_shipdate > '1996-01-01' (min possible
