@@ -364,6 +364,41 @@ object StockStore {
     }
   }
 
+  /** Time-travel read: the table AS OF `commitId` — byte-identical to
+    * what a reader saw after that commit published, however many batches
+    * landed since. The manifest log makes this free: a snapshot is just
+    * the commit prefix ≤ commitId (back to its preceding reset). The
+    * natural use at scale is a REPRODUCIBLE training snapshot: pin the
+    * commit id a run trained on and re-read it later, while ingestion
+    * keeps appending. Snapshots survive until the next reset commit's
+    * vacuum reclaims pre-reset files ([[TableLog.effectiveAt]]).
+    * @throws IllegalArgumentException for unknown ids or pre-manifest
+    *         (legacy) tables */
+  def tableAt(spark: SparkSession, root: String, dt: StockDataType,
+      commitId: Long): DataFrame = {
+    val tp = new org.apache.hadoop.fs.Path(tablePath(root, dt))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = TableLog.commits(fs, tp)
+    require(all.nonEmpty, s"${dt.name} has no commit log (legacy table) — no history to travel")
+    require(all.exists(_.id == commitId),
+      s"unknown commit $commitId for ${dt.name}; have ${all.map(_.id).mkString(",")}")
+    val files = TableLog.effectiveAt(all, commitId)._1
+      .map(r => new org.apache.hadoop.fs.Path(tp, r).toString)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        table(spark, root, dt).schema)
+    else spark.read.option("mergeSchema", "true")
+      .option("basePath", tp.toString).parquet(files: _*)
+  }
+
+  /** Commit ids currently in the log for `dt` (ascending) — the pinnable
+    * snapshot handles for [[tableAt]]. */
+  def commitIds(spark: SparkSession, root: String, dt: StockDataType): Seq[Long] = {
+    val tp = new org.apache.hadoop.fs.Path(tablePath(root, dt))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TableLog.commits(fs, tp).map(_.id)
+  }
+
   /** One snapshot of the commit log: (last commit id, absolute committed
     * data files), or None if the table predates the log. Reading id and
     * file set from the SAME listing keeps the schema memo consistent when

@@ -111,6 +111,14 @@ object TableLog {
   def effective(fs: FileSystem, tablePath: Path): (Seq[String], Seq[String]) =
     effectiveFrom(commits(fs, tablePath))
 
+  /** Effective file sets AS OF `commitId` (inclusive) — the table exactly
+    * as a reader saw it after that commit published. History extends back
+    * to the last reset at or before `commitId`; a reset (compaction or
+    * squash) plus its vacuum reclaims older files, so snapshots older
+    * than the latest reset are only readable until that vacuum runs. */
+  def effectiveAt(all: Seq[Commit], commitId: Long): (Seq[String], Seq[String]) =
+    effectiveFrom(all.filter(_.id <= commitId))
+
   /** Same-JVM commit serialization, keyed by qualified table path. The
     * cross-JVM guard is the exclusive create below. */
   private val publishLocks =

@@ -247,6 +247,38 @@ class TableLogSpec extends AnyFunSuite {
     assert(TableLog.commits(f, tp).size == 1)
   }
 
+  test("time travel: tableAt reproduces each commit's snapshot exactly") {
+    val root = SparkTestSession.tempDir("tlog-travel")
+    StockStore.upsert(spark, root, Streaming, tickDf(100.0))
+    StockStore.upsert(spark, root, Streaming, tickDf(200.0))
+    StockStore.upsert(spark, root, Streaming, tickDf(300.0))
+    val ids = StockStore.commitIds(spark, root, Streaming)
+    assert(ids.size == 4) // genesis + 3 batches
+
+    def prices(df: org.apache.spark.sql.DataFrame): Set[Double] =
+      df.select("price").collect().map(_.getDouble(0)).toSet
+    val all = Set(100.0, 101.0, 102.0, 200.0, 201.0, 202.0, 300.0, 301.0, 302.0)
+
+    assert(prices(StockStore.tableAt(spark, root, Streaming, ids(0))).isEmpty,
+      "genesis snapshot of a fresh table is empty")
+    assert(prices(StockStore.tableAt(spark, root, Streaming, ids(1))) ==
+      Set(100.0, 101.0, 102.0), "snapshot after batch 1")
+    assert(prices(StockStore.tableAt(spark, root, Streaming, ids(2))) ==
+      Set(100.0, 101.0, 102.0, 200.0, 201.0, 202.0), "snapshot after batch 2")
+    assert(prices(StockStore.tableAt(spark, root, Streaming, ids(3))) == all)
+    assert(prices(StockStore.table(spark, root, Streaming)) == all,
+      "current read unaffected")
+    intercept[IllegalArgumentException](
+      StockStore.tableAt(spark, root, Streaming, 999L))
+
+    // a reset (compaction) + vacuum collapses history: only the reset
+    // snapshot remains pinnable
+    StockStore.compact(spark, root, Streaming)
+    val after = StockStore.commitIds(spark, root, Streaming)
+    assert(after.size == 1)
+    assert(prices(StockStore.tableAt(spark, root, Streaming, after.head)) == all)
+  }
+
   test("legacy plain-append tables fold into the first commit") {
     val root = SparkTestSession.tempDir("tlog-legacy")
     // simulate a table written before the commit log existed
