@@ -38,13 +38,20 @@ object ReadApi {
       start: String,
       end: String,
       exchange: String = "US",
-      latestVersionOnly: Boolean = false)
+      latestVersionOnly: Boolean = false,
+      /** Pin the read to a committed snapshot ([[StockStore.tableAt]]) —
+        * reproducible reads while ingestion keeps appending. None =
+        * current table. */
+      asOfCommit: Option[Long] = None)
 
   def read(spark: SparkSession, root: String, req: ReadRequest): DataFrame = {
     val dt = req.dataType
     val tz = Exchanges.tz(req.exchange)
-    val base = StockStore.table(spark, root, dt)
-      .filter(col("ticker") === req.ticker)
+    val snapshot = req.asOfCommit match {
+      case Some(id) => StockStore.tableAt(spark, root, dt, id)
+      case None => StockStore.table(spark, root, dt)
+    }
+    val base = snapshot.filter(col("ticker") === req.ticker)
 
     // R7: range conversion by data_type (reference: reader.py:30-52)
     val ranged = dt match {

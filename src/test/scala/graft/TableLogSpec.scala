@@ -271,6 +271,13 @@ class TableLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       StockStore.tableAt(spark, root, Streaming, 999L))
 
+    // the read API pins the same snapshot (range/sort/localize unchanged)
+    val viaApi = graft.read.ReadApi.read(spark, root, graft.read.ReadApi.ReadRequest(
+      Streaming, "SPY", start = "2025-09-10 00:00", end = "2025-09-13 23:59",
+      asOfCommit = Some(ids(1))))
+    assert(prices(viaApi) == Set(100.0, 101.0, 102.0),
+      "ReadApi asOfCommit reads the pinned snapshot")
+
     // a reset (compaction) + vacuum collapses history: only the reset
     // snapshot remains pinnable
     StockStore.compact(spark, root, Streaming)
