@@ -51,6 +51,10 @@ object WsFanOut {
   def framesUnion(spark: SparkSession, feedWals: Seq[(String, String)],
       maxFramesPerBatch: Int = 0): DataFrame = {
     require(feedWals.nonEmpty, "at least one (feed, walDir) required")
+    // two pumps appending to one WAL would interleave ordinals and
+    // corrupt both sources' offsets — fail construction, not ingestion
+    require(feedWals.map(_._2).distinct.size == feedWals.size,
+      s"each connection needs its own WAL dir, got ${feedWals.map(_._2)}")
     feedWals.map { case (feed, wal) =>
       val r = spark.readStream
         .format("graft.sources.ws.WsSourceProvider")
