@@ -12,22 +12,24 @@ import java.nio.charset.StandardCharsets
   * Protocol (single writer, like the reference's `writer-1`):
   *   1. the writer stages new parquet files, then moves them into their
   *      final partition directories (unique names — never overwrites);
-  *   2. visibility is granted by ONE atomic rename of a manifest file
-  *      into `_commits/NNNNNNNNNN.commit`; the manifest lists every data
-  *      and stats file the commit adds. A crash before the rename leaves
-  *      orphan files no manifest references — invisible to readers and
-  *      reclaimed by [[vacuum]].
+  *   2. visibility is granted by ONE exclusively-created, self-validating
+  *      manifest file at `_commits/NNNNNNNNNN.commit`; the manifest lists
+  *      every data and stats file the commit adds and closes with an
+  *      `end` sentinel. A crash before the sentinel lands leaves a torn
+  *      manifest readers skip, and orphan files no manifest references —
+  *      invisible to readers and reclaimed by [[vacuum]].
   * Because a commit lists data files AND the batch's stats-log files, the
   * two become visible together — closing the window where a crash
   * between the stats append and the data append skews incremental stats.
   *
-  * A `reset` commit (compaction) replaces the whole referenced set: the
-  * effective file set is the union of commits after the last reset.
-  * Readers derive partition columns from the final directory layout
-  * (`basePath`), so Catalyst partition pruning works exactly as on a
-  * plain directory table. Manifest renames are atomic on HDFS/local
-  * filesystems; object stores without atomic rename need a small commit
-  * service in front (same caveat every manifest-log table format carries).
+  * A `reset` commit (compaction or a [[checkpoint]] squash) replaces the
+  * whole referenced set: the effective file set is the union of commits
+  * after the last reset. Readers derive partition columns from the final
+  * directory layout (`basePath`), so Catalyst partition pruning works
+  * exactly as on a plain directory table. Exclusive create is atomic on
+  * HDFS; object stores without a conditional put need a small commit
+  * service in front (same caveat every manifest-log table format
+  * carries).
   *
   * Format: line-oriented (one `kind<TAB>root-relative-path` per line),
   * closed by a bare `end` line — partition path segments are URL-encoded
