@@ -178,6 +178,67 @@ object VectorQueries {
           FROM proj GROUP BY vec_id, tbl)
         SELECT tbl AS "table", bucket, COUNT(*) AS n_vectors,
           MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
-        FROM buckets GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM buckets GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ── Product quantization: encode + ADC scan ────────────────────────
+    // The memory side of IVF-PQ ([[graft.similarity.Pq]]): every vector
+    // compresses to 4 codebook codes; query-to-corpus distance is 4
+    // table lookups (ADC), not a 64-dim scan. Encode is per-row
+    // arithmetic against a literal codebook — NO shuffle; the whole
+    // corpus encodes in one map pass at any scale. Integer-exact end to
+    // end (quantized ten-thousandths, md5-derived codebooks, long
+    // sub-distance sums, ties to the smaller code), so the oracle
+    // reproduces codes AND distances bit-for-bit.
+    GraftQuery(
+      "v5_pq_adc",
+      (s, dir) => {
+        import s.implicits._
+        val q = Tables.embeddings(s, dir)
+          .select($"vec_id", graft.similarity.Pq.quantize($"embedding").as("q"))
+        val coded = q.select($"vec_id", $"q",
+          graft.similarity.Pq.encodeCodes($"q").as("codes"))
+        val probe = coded.filter($"vec_id" === 0).select($"q".as("pq"))
+        coded.crossJoin(broadcast(probe))
+          .select($"vec_id",
+            concat_ws("-", transform($"codes", c => c.cast("string"))).as("pq_code"),
+            graft.similarity.Pq.adc($"pq", $"codes").as("adc"))
+          .orderBy($"vec_id")
+      },
+      Some("""
+        WITH cent AS (
+          SELECT m, k, d,
+            CAST(concat('0x', substr(md5('pq|' || m || '|' || k || '|' || d), 1, 15)) AS BIGINT) % 10001 - 5000 AS c
+          FROM (SELECT unnest(generate_series(0, 3)) AS m),
+               (SELECT unnest(generate_series(0, 7)) AS k),
+               (SELECT unnest(generate_series(0, 15)) AS d)),
+        e AS (
+          SELECT vec_id, unnest(generate_series(1, 64)) - 1 AS gi,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q
+          FROM embeddings),
+        sub AS (SELECT vec_id, gi // 16 AS m, gi % 16 AS d, q FROM e),
+        dist AS (
+          SELECT s.vec_id, s.m, c.k, SUM((s.q - c.c) * (s.q - c.c)) AS dist
+          FROM sub s JOIN cent c ON s.m = c.m AND s.d = c.d
+          GROUP BY 1, 2, 3),
+        code AS (
+          SELECT vec_id, m, k AS code FROM (
+            SELECT vec_id, m, k,
+              row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+            FROM dist)
+          WHERE rn = 1),
+        codes AS (
+          SELECT vec_id, string_agg(CAST(code AS VARCHAR), '-' ORDER BY m) AS pq_code
+          FROM code GROUP BY vec_id),
+        lut AS (
+          SELECT s.m, c.k, SUM((s.q - c.c) * (s.q - c.c)) AS pd
+          FROM sub s JOIN cent c ON s.m = c.m AND s.d = c.d
+          WHERE s.vec_id = 0
+          GROUP BY 1, 2),
+        adc AS (
+          SELECT co.vec_id, SUM(l.pd) AS adc
+          FROM code co JOIN lut l ON co.m = l.m AND co.code = l.k
+          GROUP BY 1)
+        SELECT c.vec_id, c.pq_code, a.adc
+        FROM codes c JOIN adc a USING (vec_id) ORDER BY vec_id"""))
   )
 }

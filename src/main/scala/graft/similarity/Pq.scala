@@ -1,0 +1,95 @@
+package graft.similarity
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for the embedding plane — the memory side
+  * of billion-scale ANN (IVF-PQ): each vector is split into `M`
+  * subvectors and every subvector replaced by the id of its nearest
+  * codebook centroid, so a 64-float embedding compresses to M small
+  * codes, and query-to-corpus distances are M table lookups (ADC —
+  * asymmetric distance computation) instead of a 64-dim scan.
+  * Complements [[Ivf]] (which prunes the SEARCH space; PQ shrinks the
+  * STORED vectors — production systems stack them).
+  *
+  * Everything here is integer-exact so results are engine-portable and
+  * shuffle-order-proof (the same discipline as the dedup plane's md5
+  * arithmetic):
+  *  - coordinates quantize to integer ten-thousandths
+  *    (`round(x·10000)` — exact in both engines; a binary float can
+  *    never scale to an exact .5 tie under a 10^4 factor);
+  *  - codebooks are md5-derived integers in [-5000, 5000] (formula
+  *    reproducible in SQL, like the minhash oracle:
+  *    `CAST(concat('0x', substr(md5('pq|m|k|d'),1,15)) AS BIGINT)
+  *    % 10001 - 5000`) — the fixed-codebook form that keeps the encode
+  *    SQL-checkable; data-trained codebooks come from [[Ivf.kmeans]]'s
+  *    Lloyd loop applied per subspace (offline path);
+  *  - sub-distances and ADC totals are plain long sums; argmin ties
+  *    break toward the smaller centroid id.
+  *
+  * Scale shape: [[encodeCodes]] is per-row arithmetic against a literal
+  * codebook — NO shuffle, embarrassingly parallel, the corpus encode is
+  * one map pass. The higher-order-function form here is interpreted
+  * (CodegenFallback); the production hot path would fuse it into a
+  * native expression exactly like
+  * [[graft.functions.expressions.SrpBucketsExpr]] fuses the SRP loop.
+  */
+object Pq {
+
+  /** Coordinate quantization scale (integer ten-thousandths). */
+  val Scale = 10000
+
+  /** md5-derived codebook: `centroids(m)(k)(d)` ∈ [-5000, 5000].
+    * MUST stay in lockstep with the SQL formula above — PqSpec pins the
+    * two against each other through Spark's own md5. */
+  def centroids(m: Int, k: Int, sub: Int): Seq[Seq[Seq[Long]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    Seq.tabulate(m, k, sub)((mi, ki, di) => h(s"pq|$mi|$ki|$di") % 10001 - 5000)
+  }
+
+  /** `array<long>` of quantized coordinates. */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * Scale).cast("long"))
+
+  private def sq(c: Column): Column = c * c
+
+  /** Squared distance between quantized subvector `m` of `q` and
+    * codebook centroid `(m, k)`; `cent` is the literal codebook column.
+    * Pure long arithmetic. */
+  private def subDist(q: Column, cent: Column, sub: Int, m: Column, k: Column): Column =
+    aggregate(sequence(lit(0), lit(sub - 1)), lit(0L),
+      (acc, d) => acc + sq(
+        element_at(q, m * sub + d + 1) -
+          element_at(element_at(element_at(cent, m + 1), k + 1), d + 1)))
+
+  /** PQ codes for a quantized embedding: `array<int>` of length `mCount`,
+    * element m = argmin over k of the sub-distance (ties → smaller k). */
+  def encodeCodes(q: Column, mCount: Int = 4, k: Int = 8, sub: Int = 16): Column = {
+    val cent = typedlit(centroids(mCount, k, sub))
+    transform(sequence(lit(0), lit(mCount - 1)), m =>
+      aggregate(
+        sequence(lit(0), lit(k - 1)),
+        struct(lit(Long.MaxValue).as("bd"), lit(-1).as("bk")),
+        (acc, ki) => {
+          val d = subDist(q, cent, sub, m, ki)
+          when(d < acc.getField("bd"), struct(d.as("bd"), ki.as("bk")))
+            .otherwise(acc)
+        }).getField("bk"))
+  }
+
+  /** ADC: approximate squared distance from a quantized probe to an
+    * encoded vector = Σ_m lut(probe, m, code_m). Per-row lookups against
+    * the literal codebook — at scale the per-probe LUT (M×K longs) is
+    * what production systems precompute once per query; the algebra here
+    * is identical. */
+  def adc(probeQ: Column, codes: Column, mCount: Int = 4, k: Int = 8,
+      sub: Int = 16): Column = {
+    val cent = typedlit(centroids(mCount, k, sub))
+    aggregate(sequence(lit(0), lit(mCount - 1)), lit(0L),
+      (acc, m) => acc + subDist(probeQ, cent, sub, m, element_at(codes, m + 1)))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.HashFunctions.md5Long
+import graft.similarity.Pq
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization: codebook lockstep with the SQL formula, encode
+  * argmin correctness vs a plain-Scala recompute, and exact ADC algebra. */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val M = 4; private val K = 8; private val S = 16
+  private val cent = Pq.centroids(M, K, S)
+
+  test("driver-side codebook equals the md5 SQL formula (oracle lockstep)") {
+    import spark.implicits._
+    val keys = for { m <- 0 until M; k <- 0 until K; d <- 0 until S }
+      yield (m, k, d)
+    val viaSpark = keys.toDF("m", "k", "d")
+      .select($"m", $"k", $"d",
+        (md5Long(concat_ws("|", lit("pq"), $"m", $"k", $"d")) % 10001 - 5000).as("c"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3))).toMap
+    keys.foreach { case key @ (m, k, d) =>
+      assert(cent(m)(k)(d) == viaSpark(key), s"codebook mismatch at $key")
+    }
+  }
+
+  test("encodeCodes picks the argmin centroid with ties to the smaller k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.tabulate(20)(i =>
+      (i.toLong, Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+      .select($"vec_id", Pq.quantize($"embedding").as("q"))
+      .select($"vec_id", $"q", Pq.encodeCodes($"q").as("codes"))
+    val got = df.collect().map(r =>
+      r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Int](2))).toMap
+
+    def brute(q: Seq[Long]): Seq[Int] = (0 until M).map { m =>
+      val dists = (0 until K).map { k =>
+        (0 until S).map { d =>
+          val diff = q(m * S + d) - cent(m)(k)(d); diff * diff
+        }.sum
+      }
+      dists.zipWithIndex.minBy { case (dist, k) => (dist, k) }._2
+    }
+    vecs.foreach { case (id, emb) =>
+      val (q, codes) = got(id)
+      assert(q == emb.map(x => math.round(x.toDouble * Pq.Scale)),
+        s"quantization mismatch for $id")
+      assert(codes == brute(q), s"codes mismatch for $id")
+      assert(codes.forall(c => c >= 0 && c < K))
+    }
+  }
+
+  test("adc equals the exact LUT sum") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.tabulate(5)(i =>
+      (i.toLong, Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val coded = vecs.toDF("vec_id", "embedding")
+      .select($"vec_id", Pq.quantize($"embedding").as("q"))
+      .select($"vec_id", $"q", Pq.encodeCodes($"q").as("codes"))
+    val probe = coded.filter($"vec_id" === 0).select($"q".as("pq"))
+    val got = coded.crossJoin(broadcast(probe))
+      .select($"vec_id", $"q".as("q"), $"codes", Pq.adc($"pq", $"codes").as("adc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](2), r.getLong(3)))
+
+    val probeQ = vecs.head._2.map(x => math.round(x.toDouble * Pq.Scale))
+    def lut(m: Int, k: Int): Long = (0 until S).map { d =>
+      val diff = probeQ(m * S + d) - cent(m)(k)(d); diff * diff
+    }.sum
+    got.foreach { case (id, codes, adc) =>
+      val expected = (0 until M).map(m => lut(m, codes(m))).sum
+      assert(adc == expected, s"adc mismatch for $id")
+    }
+  }
+}
