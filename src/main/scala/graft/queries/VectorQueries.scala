@@ -235,7 +235,7 @@ object VectorQueries {
           WHERE s.vec_id = 0
           GROUP BY 1, 2),
         adc AS (
-          SELECT co.vec_id, SUM(l.pd) AS adc
+          SELECT co.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adc
           FROM code co JOIN lut l ON co.m = l.m AND co.code = l.k
           GROUP BY 1)
         SELECT c.vec_id, c.pq_code, a.adc
