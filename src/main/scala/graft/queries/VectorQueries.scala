@@ -239,6 +239,74 @@ object VectorQueries {
           FROM code co JOIN lut l ON co.m = l.m AND co.code = l.k
           GROUP BY 1)
         SELECT c.vec_id, c.pq_code, a.adc
-        FROM codes c JOIN adc a USING (vec_id) ORDER BY vec_id"""))
+        FROM codes c JOIN adc a USING (vec_id) ORDER BY vec_id""")),
+
+    // ── IVF-PQ: coarse cells prune the search, PQ codes rank it ────────
+    // The composed production stack ([[graft.similarity.Pq.ivfAdcTopK]]):
+    // candidates = equi-join on the probe's IVF cell (v4's pruning), rank
+    // = integer-exact ADC over PQ codes (v5's compression) — the corpus
+    // side of the join ships 4 byte-codes per vector, not 64 floats.
+    // The oracle reuses v4's assignment CTE verbatim and notes that the
+    // per-(vec_id, m, k) `dist` relation doubles as every probe's LUT.
+    GraftQuery(
+      "v6_ivfpq_ann",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val cent = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+        val assigned = graft.similarity.Ivf.assign(emb, cent)
+        graft.similarity.Pq.ivfAdcTopK(assigned, $"vec_id" < 10, 3)
+          .orderBy($"pid", $"rank")
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+        scored AS (
+          SELECT e.vec_id, c.cid, list_cosine_similarity(e.embedding, c.cemb) AS cos
+          FROM embeddings e CROSS JOIN cent c),
+        asg AS (
+          SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+            FROM scored)
+          WHERE rn = 1),
+        pqcent AS (
+          SELECT m, k, d,
+            CAST(concat('0x', substr(md5('pq|' || m || '|' || k || '|' || d), 1, 15)) AS BIGINT) % 10001 - 5000 AS c
+          FROM (SELECT unnest(generate_series(0, 3)) AS m),
+               (SELECT unnest(generate_series(0, 7)) AS k),
+               (SELECT unnest(generate_series(0, 15)) AS d)),
+        e AS (
+          SELECT vec_id, unnest(generate_series(1, 64)) - 1 AS gi,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q
+          FROM embeddings),
+        sub AS (SELECT vec_id, gi // 16 AS m, gi % 16 AS d, q FROM e),
+        dist AS (
+          SELECT s.vec_id, s.m, c.k, SUM((s.q - c.c) * (s.q - c.c)) AS dist
+          FROM sub s JOIN pqcent c ON s.m = c.m AND s.d = c.d
+          GROUP BY 1, 2, 3),
+        code AS (
+          SELECT vec_id, m, k AS code FROM (
+            SELECT vec_id, m, k,
+              row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+            FROM dist)
+          WHERE rn = 1),
+        cand AS (
+          SELECT p.vec_id AS pid, n.vec_id AS nid, p.cluster
+          FROM asg p JOIN asg n ON p.cluster = n.cluster AND p.vec_id <> n.vec_id
+          WHERE p.vec_id < 10),
+        adc AS (
+          SELECT c.pid, c.nid, c.cluster, CAST(SUM(d.dist) AS BIGINT) AS adc
+          FROM cand c
+          JOIN code co ON co.vec_id = c.nid
+          JOIN dist d ON d.vec_id = c.pid AND d.m = co.m AND d.k = co.code
+          GROUP BY 1, 2, 3),
+        r AS (
+          SELECT pid, nid, cluster, adc,
+            row_number() OVER (PARTITION BY pid ORDER BY adc, nid) AS rank
+          FROM adc)
+        SELECT pid, nid, rank, adc, cluster FROM r WHERE rank <= 3
+        ORDER BY pid, rank"""))
   )
 }

@@ -92,4 +92,43 @@ object Pq {
     aggregate(sequence(lit(0), lit(mCount - 1)), lit(0L),
       (acc, m) => acc + subDist(probeQ, cent, sub, m, element_at(codes, m + 1)))
   }
+
+  /** The full IVF-PQ search: candidates come from the probe's coarse cell
+    * ([[Ivf.assign]] output — equi-join on `cluster`, never all-pairs)
+    * and are ranked by the integer-exact [[adc]] distance over their PQ
+    * codes instead of a full-dimension scan. This is the memory/compute
+    * stack production billion-scale ANN runs: IVF prunes the SEARCH
+    * space, PQ shrinks what each candidate comparison reads (M code
+    * lookups vs `dims` floats — here the corpus side of the join carries
+    * a 4-byte code array, not the 64-float embedding).
+    *
+    * This fixed-codebook variant quantizes raw vectors (not cell
+    * residuals), keeping every distance SQL-reproducible; a residual
+    * IVF-PQ swaps `quantize(embedding)` for `quantize(embedding −
+    * centroid(cluster))` with per-cell codebooks from [[Ivf.kmeans]].
+    *
+    * @param assigned [[Ivf.assign]] output: (vec_id, embedding, cluster)
+    * @param probePred which rows of `assigned` are the query vectors
+    * @return (pid, nid, rank, adc, cluster) — ADC ascending, ties to the
+    *         smaller nid; all integer columns, engine-portable */
+  def ivfAdcTopK(assigned: org.apache.spark.sql.DataFrame,
+      probePred: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coded = assigned.select(col("vec_id"), col("cluster"),
+      quantize(col("embedding")).as("q"))
+      .select(col("vec_id"), col("cluster"), col("q"),
+        encodeCodes(col("q")).as("codes"))
+    val probes = assigned.where(probePred)
+      .select(col("vec_id").as("pid"), col("cluster"),
+        quantize(col("embedding")).as("pq"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("adc"), col("nid"))
+    broadcast(probes)
+      .join(coded.select(col("vec_id").as("nid"), col("cluster"), col("codes")),
+        Seq("cluster"))
+      .where(col("pid") =!= col("nid"))
+      .withColumn("adc", adc(col("pq"), col("codes")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("pid"), col("nid"), col("rank"), col("adc"), col("cluster"))
+  }
 }

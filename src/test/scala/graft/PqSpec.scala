@@ -78,4 +78,50 @@ class PqSpec extends AnyFunSuite {
       assert(adc == expected, s"adc mismatch for $id")
     }
   }
+
+  test("ivfAdcTopK = cell-local candidates ranked by exact ADC, ties to smaller nid") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vecs = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val centDf = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+    val assigned = graft.similarity.Ivf.assign(emb, centDf)
+
+    val got = Pq.ivfAdcTopK(assigned, $"vec_id" < 5, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getLong(3)))
+      .toMap
+
+    // driver-side recompute: cluster map + codes + ADC algebra
+    val clusters = assigned.select($"vec_id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qs = vecs.map { case (id, e) =>
+      id -> e.map(x => math.round(x.toDouble * Pq.Scale))
+    }.toMap
+    def codesOf(q: Seq[Long]): Seq[Int] = (0 until M).map { m =>
+      (0 until K).map { k =>
+        k -> (0 until S).map { d =>
+          val diff = q(m * S + d) - cent(m)(k)(d); diff * diff
+        }.sum
+      }.minBy { case (k, dist) => (dist, k) }._1
+    }
+    def adcOf(pq: Seq[Long], codes: Seq[Int]): Long = (0 until M).map { m =>
+      (0 until S).map { d =>
+        val diff = pq(m * S + d) - cent(m)(codes(m))(d); diff * diff
+      }.sum
+    }.sum
+    (0L until 5L).foreach { pid =>
+      val expected = vecs
+        .filter { case (nid, _) => nid != pid && clusters(nid) == clusters(pid) }
+        .map { case (nid, _) => (nid, adcOf(qs(pid), codesOf(qs(nid)))) }
+        .sortBy { case (nid, adc) => (adc, nid) }
+        .take(3)
+      expected.zipWithIndex.foreach { case ((nid, adc), i) =>
+        assert(got((pid, i + 1)) == ((nid, adc)),
+          s"rank ${i + 1} mismatch for probe $pid")
+      }
+    }
+  }
 }
