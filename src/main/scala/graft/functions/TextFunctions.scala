@@ -106,6 +106,50 @@ object TextFunctions {
       sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
       j => array_min(slice(grams, j, lit(w)))))
 
+  /** PII patterns (emails, NANP-style phone numbers, IPv4 literals).
+    * Deliberately lookaround-free so Java regex (Spark) and RE2 (DuckDB)
+    * match identically; `\b` is the shared ASCII word boundary. */
+  private[graft] val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private[graft] val PhonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  private[graft] val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
+  def ipv4Count(text: Column): Column =
+    size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0)))
+
+  /** PII scrubbing for training corpora: replace emails, then phones,
+    * then IPv4 literals with typed placeholders (the Dolma/CCNet-style
+    * redaction pass). Order matters only in that emails are consumed
+    * before the bare-number patterns run; the three patterns cannot
+    * overlap after that. Pure per-row regexp_replace chain — one map
+    * pass, no shuffle, codegen-friendly. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
+
+  /** Overlapping token-window chunks — the standard LLM training-data
+    * chunking op (context-window packing with overlap so no boundary
+    * content is lost). Chunk j covers tokens [j·stride+1, j·stride+n];
+    * the last chunk starts at the smallest j·stride reaching the tail
+    * (`ceil((ntok−n)/stride)`), an empty token list yields one empty
+    * chunk. Purely per-row (narrow explode downstream) — NO shuffle; at
+    * 100 TB chunking inherits the input partitioning and the only cost
+    * is the ~n/stride× output amplification every chunker pays.
+    *
+    * `toks` MUST be a materialized column, not the tokenizer expression
+    * (the HOF re-evaluation pitfall — see [[charGramHashes]]). */
+  def tokenChunks(toks: Column, n: Int, stride: Int): Column = {
+    require(n > 0 && stride > 0 && stride <= n, "need 0 < stride <= n")
+    val lastIdx = ceil(greatest(size(toks) - lit(n), lit(0)).cast("double") / lit(stride.toDouble)).cast("int")
+    transform(sequence(lit(0), lastIdx), j => slice(toks, j * stride + 1, lit(n)))
+  }
+
   /** N-gram-marker language-ID heuristic: count per-language marker words,
     * predict the argmax with a fixed precedence order. (A real pipeline
     * would use fastText; the heuristic keeps the operator SQL-expressible

@@ -153,6 +153,222 @@ object TextQueries {
           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe
         FROM documents ORDER BY doc_id""")),
 
+    // ── token-window chunking with overlap (context packing) ──────────
+    // Every doc splits into 32-token chunks with stride 24 (8-token
+    // overlap); output is one row per chunk with its token count and
+    // content hash. Per-row transform + narrow explode — no shuffle; at
+    // 100 TB chunking inherits the scan partitioning.
+    GraftQuery(
+      "x8_chunk_documents",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .withColumn("toks", tokens($"text"))
+          .select($"doc_id",
+            posexplode(tokenChunks($"toks", 32, 24)).as(Seq("chunk_idx", "chunk")))
+          .select($"doc_id", $"chunk_idx",
+            size($"chunk").as("n_tokens"),
+            md5(array_join($"chunk", " ")).as("chunk_hash"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, regexp_extract_all(text, '[a-zA-Z0-9]+') AS toks
+          FROM documents),
+        j AS (
+          SELECT doc_id, toks,
+            unnest(generate_series(0,
+              CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS INT))) AS chunk_idx
+          FROM t)
+        SELECT doc_id, chunk_idx,
+          len(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS n_tokens,
+          md5(array_to_string(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')) AS chunk_hash
+        FROM j ORDER BY doc_id, chunk_idx""")),
+
+    // ── PII redaction with per-doc counts ──────────────────────────────
+    // Every 7th doc gets a synthetic contact line (email + phone + IPv4)
+    // so the redaction demonstrably fires; counts come from the original
+    // text, the fingerprint from the scrubbed text. One per-row regex
+    // pass — no shuffle; patterns are Java/RE2-portable.
+    GraftQuery(
+      "x9_pii_redact",
+      (s, dir) => {
+        import s.implicits._
+        val corpus = Tables.documents(s, dir)
+          .select($"doc_id",
+            when($"doc_id" % 7 === 0, concat(
+              $"text", lit(" reach user"), $"doc_id".cast("string"),
+              lit("@example.com or 555-867-5309 at 192.168."),
+              ($"doc_id" % 256).cast("string"), lit(".42")))
+              .otherwise($"text").as("text"))
+        corpus
+          .withColumn("red", redactPii($"text"))
+          .select($"doc_id",
+            emailCount($"text").as("n_emails"),
+            phoneCount($"text").as("n_phones"),
+            ipv4Count($"text").as("n_ips"),
+            length($"red").as("redacted_len"),
+            md5($"red").as("redacted_fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0
+              THEN text || ' reach user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or 555-867-5309 at 192.168.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.42'
+              ELSE text END AS text
+          FROM documents),
+        red AS (
+          SELECT doc_id, text,
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+              '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+              '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS r
+          FROM corpus)
+        SELECT doc_id,
+          len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+          len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS n_phones,
+          len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+          length(r) AS redacted_len,
+          md5(r) AS redacted_fp
+        FROM red ORDER BY doc_id""")),
+
+    // ── benchmark decontamination via 8-gram overlap ───────────────────
+    // Test-set decontamination: flag training docs whose token 8-grams
+    // overlap an eval set (here: every 50th doc stands in for the
+    // benchmark; every benchmark doc also "leaks" back as a
+    // prefix-quoting doc under +3e6). Scale shape: the benchmark gram
+    // set is small by construction → broadcast; the corpus side is one
+    // tokenize+explode and ONE groupBy(doc_id) — the same cost as any
+    // per-doc aggregate. Flag threshold is integer arithmetic
+    // (n_hit·5 ≥ n_grams ⇔ ≥20% overlap), no float compare.
+    GraftQuery(
+      "x10_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+        val leaked = docs.filter($"doc_id" % 50 === 0)
+          .select(($"doc_id" + 3000000L).as("doc_id"),
+            concat(lit("novel preface words then "), substring($"text", 1, 250)).as("text"))
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("toks", lowerTokens($"text"))
+          .select($"doc_id", explode(array_distinct(
+            graft.dedup.MinHashLsh.shinglesOfTokens($"toks", 8))).as("g"))
+          .select($"doc_id", graft.functions.HashFunctions.md5Long($"g").as("gh"))
+        val benchGrams = grams(docs.filter($"doc_id" % 50 === 0))
+          .select($"gh").distinct().withColumn("hit", lit(1))
+        grams(docs.unionAll(leaked))
+          .join(broadcast(benchGrams), Seq("gh"), "left")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce($"hit".cast("long"), lit(0L))).as("n_hit"))
+          .select($"doc_id", $"n_grams", $"n_hit",
+            ($"n_hit".cast("double") / $"n_grams".cast("double")).as("overlap_frac"),
+            ($"n_hit" * 5 >= $"n_grams").cast("int").as("contaminated"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 3000000, 'novel preface words then ' || substr(text, 1, 250)
+          FROM documents WHERE doc_id % 50 = 0),
+        toks AS (
+          SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM corpus),
+        grams AS (
+          SELECT DISTINCT doc_id,
+            CAST(concat('0x', substr(md5(
+              CASE WHEN len(t) < 8 THEN array_to_string(t, ' ')
+                   ELSE array_to_string(t[i:i+7], ' ') END), 1, 15)) AS BIGINT) AS gh
+          FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+                FROM toks)),
+        bench AS (
+          SELECT DISTINCT gh FROM grams WHERE doc_id % 50 = 0 AND doc_id < 3000000),
+        agg AS (
+          SELECT g.doc_id, COUNT(*) AS n_grams,
+            CAST(SUM(CASE WHEN b.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+          FROM grams g LEFT JOIN bench b ON g.gh = b.gh
+          GROUP BY 1)
+        SELECT doc_id, n_grams, n_hit,
+          CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS overlap_frac,
+          CAST(n_hit * 5 >= n_grams AS INT) AS contaminated
+        FROM agg ORDER BY doc_id""")),
+
+    // ── repetition quality stats (Gopher-style filters) ────────────────
+    // Per-doc top-bigram fraction and duplicate-trigram fraction — the
+    // repetition signals LLM corpus filters gate on. Every 13th doc gets
+    // a repeated spam phrase so the flag demonstrably fires. Scale
+    // shapes: the trigram side is per-row array math (NO shuffle); the
+    // bigram mode needs the (doc, bigram) count → one explode + one
+    // groupBy keyed by doc — map-side combine collapses it before the
+    // shuffle. Flags use integer arithmetic (·10 ≥ / ·5 ≥), no float
+    // thresholds.
+    GraftQuery(
+      "x11_repetition_stats",
+      (s, dir) => {
+        import s.implicits._
+        val corpus = Tables.documents(s, dir)
+          .select($"doc_id",
+            when($"doc_id" % 13 === 0, concat($"text", repeat(lit(" buy now"), 12)))
+              .otherwise($"text").as("text"))
+          .withColumn("toks", lowerTokens($"text"))
+        val bigrams = corpus
+          .select($"doc_id", explode(
+            graft.dedup.MinHashLsh.shinglesOfTokens($"toks", 2)).as("bg"))
+          .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("n"))
+          .groupBy($"doc_id")
+          .agg(sum($"n").as("n_bigrams"), max($"n").as("top_bigram_n"))
+        val trigrams = corpus
+          .withColumn("tris", graft.dedup.MinHashLsh.shinglesOfTokens($"toks", 3))
+          .select($"doc_id",
+            size($"tris").cast("long").as("n_trigrams"),
+            (size($"tris") - size(array_distinct($"tris"))).cast("long").as("n_dup_trigrams"))
+        bigrams.join(trigrams, Seq("doc_id"))
+          .select($"doc_id", $"n_bigrams", $"top_bigram_n", $"n_trigrams", $"n_dup_trigrams",
+            ($"top_bigram_n".cast("double") / $"n_bigrams".cast("double")).as("top_bigram_frac"),
+            ($"n_dup_trigrams".cast("double") / $"n_trigrams".cast("double")).as("dup_trigram_frac"),
+            ($"top_bigram_n" * 10 >= $"n_bigrams" || $"n_dup_trigrams" * 5 >= $"n_trigrams")
+              .cast("int").as("repetitive"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 13 = 0 THEN text || repeat(' buy now', 12) ELSE text END AS text
+          FROM documents),
+        toks AS (
+          SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM corpus),
+        bg AS (
+          SELECT doc_id,
+            CASE WHEN len(t) < 2 THEN array_to_string(t, ' ')
+                 ELSE array_to_string(t[i:i+1], ' ') END AS bg
+          FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i
+                FROM toks)),
+        bgc AS (SELECT doc_id, bg, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+        bga AS (
+          SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+            CAST(MAX(n) AS BIGINT) AS top_bigram_n
+          FROM bgc GROUP BY 1),
+        tr AS (
+          SELECT doc_id,
+            CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+                 ELSE array_to_string(t[i:i+2], ' ') END AS tr
+          FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+                FROM toks)),
+        tra AS (
+          SELECT doc_id, COUNT(*) AS n_trigrams,
+            COUNT(*) - COUNT(DISTINCT tr) AS n_dup_trigrams
+          FROM tr GROUP BY 1)
+        SELECT doc_id, n_bigrams, top_bigram_n, n_trigrams, n_dup_trigrams,
+          CAST(top_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac,
+          CAST(n_dup_trigrams AS DOUBLE) / CAST(n_trigrams AS DOUBLE) AS dup_trigram_frac,
+          CAST(top_bigram_n * 10 >= n_bigrams OR n_dup_trigrams * 5 >= n_trigrams AS INT) AS repetitive
+        FROM bga JOIN tra USING (doc_id) ORDER BY doc_id""")),
+
     // ── end-to-end training-data cleaning funnel ──────────────────────
     // The composition the whole text/dedup plane exists for: quality
     // filter → language filter → exact dedup (fingerprint) → near-dedup

@@ -94,6 +94,48 @@ class DedupLibSpec extends AnyFunSuite {
     assert(out(2)._1 > 1 && out(2)._2 >= 1 && out(2)._2 <= out(2)._1)
   }
 
+  test("tokenChunks: full coverage, overlap, and degenerate inputs") {
+    import spark.implicits._
+    def chunksOf(words: Int, n: Int, stride: Int): List[Seq[String]] = {
+      val text = (1 to words).map(i => s"w$i").mkString(" ")
+      Seq(text).toDF("t")
+        .withColumn("toks", tokens($"t"))
+        .select(tokenChunks($"toks", n, stride))
+        .as[Seq[Seq[String]]].head().toList
+    }
+    // empty input -> exactly one empty chunk
+    assert(chunksOf(0, 32, 24) == List(Seq.empty))
+    // shorter than one window -> one chunk holding everything
+    assert(chunksOf(5, 32, 24) == List((1 to 5).map(i => s"w$i")))
+    // exact multiple: 56 tokens, n=32, stride=24 -> chunks at 1 and 25, both full
+    val exact = chunksOf(56, 32, 24)
+    assert(exact.length == 2 && exact.forall(_.length == 32))
+    assert(exact(1).head == "w25" && exact(1).last == "w56")
+    // overlap: consecutive chunks share n-stride tokens and jointly cover all
+    val c = chunksOf(60, 32, 24)
+    assert(c.length == 3)
+    assert(c(0).takeRight(8) == c(1).take(8))
+    assert(c.flatten.toSet == (1 to 60).map(i => s"w$i").toSet)
+    // stride == n: disjoint chunks, still total coverage
+    val dj = chunksOf(64, 32, 32)
+    assert(dj.length == 2 && dj.flatten == (1 to 64).map(i => s"w$i"))
+    intercept[IllegalArgumentException](tokenChunks(lit(Array("a")), 8, 9))
+  }
+
+  test("redactPii scrubs emails, phones, IPv4 and counts match") {
+    import spark.implicits._
+    val text = "mail bob.smith+x@corp.example.co or 555-867-5309 / 555-000-1111, host 10.0.255.3, not 1234-567-8901 or a@b"
+    val row = Seq(text).toDF("t")
+      .select(redactPii($"t").as("r"),
+        emailCount($"t").as("e"), phoneCount($"t").as("p"), ipv4Count($"t").as("i"))
+      .as[(String, Int, Int, Int)].head()
+    assert(row._1 == "mail <EMAIL> or <PHONE> / <PHONE>, host <IP>, not 1234-567-8901 or a@b")
+    assert((row._2, row._3, row._4) == (1, 2, 1))
+    // idempotent: re-running the scrub changes nothing
+    val again = Seq(row._1).toDF("t").select(redactPii($"t")).as[String].head()
+    assert(again == row._1)
+  }
+
   test("BPE-ish tokens split letter runs, single digits, punct") {
     import spark.implicits._
     val toks = Seq("ab12, c!").toDF("t")
