@@ -99,6 +99,75 @@ object StreamingQueries {
           COUNT(*) AS n,
           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         FROM sess GROUP BY user_id, sid
-        ORDER BY user_id, session_start_ms"""))
+        ORDER BY user_id, session_start_ms""")),
+
+    // ── stream-stream interval join (click→purchase attribution) ───────
+    // Batch projection of StreamIngest.intervalJoinStreams: each click
+    // joined to the FIRST purchase by the same user within 30 minutes.
+    // Scale shape: equi-join on user_id (both sides shuffle on the key,
+    // the time range rides as a residual predicate — the same state-store
+    // lookup the streaming form does), then one per-click row_number for
+    // the portable "first match" tie-break.
+    GraftQuery(
+      "s4_stream_interval_join",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+        val clicks = e.filter($"event_type" === "click")
+          .select($"event_id".as("click_id"), $"user_id", $"ts".as("cts"))
+        val purchases = e.filter($"event_type" === "purchase")
+          .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("pts"), $"value")
+        clicks.join(purchases, Seq("user_id"))
+          .filter($"pts" >= $"cts" && $"pts" <= $"cts" + expr("interval 30 minutes"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"click_id").orderBy($"pts", $"purchase_id")))
+          .filter($"rn" === 1)
+          .select($"click_id", $"user_id", $"purchase_id",
+            (unix_millis($"pts") - unix_millis($"cts")).as("ms_to_purchase"),
+            cents($"value").as("purchase_cents"))
+          .orderBy($"click_id")
+      },
+      Some("""
+        WITH c AS (
+          SELECT event_id AS click_id, user_id, ts AS cts
+          FROM events WHERE event_type = 'click'),
+        p AS (
+          SELECT event_id AS purchase_id, user_id, ts AS pts, value
+          FROM events WHERE event_type = 'purchase'),
+        j AS (
+          SELECT c.click_id, c.user_id, p.purchase_id,
+            epoch_ms(p.pts) - epoch_ms(c.cts) AS ms_to_purchase, p.value,
+            row_number() OVER (PARTITION BY c.click_id
+                               ORDER BY p.pts, p.purchase_id) AS rn
+          FROM c JOIN p ON c.user_id = p.user_id
+            AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL '30 minutes')
+        SELECT click_id, user_id, purchase_id, ms_to_purchase,
+          CAST(round(value * 100) AS BIGINT) AS purchase_cents
+        FROM j WHERE rn = 1 ORDER BY click_id""")),
+
+    // ── watermark-bounded dedup (first arrival survives) ───────────────
+    // Batch projection of StreamIngest.dedupWithinWatermark: dedup key =
+    // (user_id, event_type, minute bucket); the surviving row is the
+    // first arrival, rendered portably as min(event_id). One groupBy on
+    // the dedup key — the same key-partitioned state the streaming form
+    // keeps, with map-side partial aggregation before the shuffle.
+    GraftQuery(
+      "s5_dedup_within_watermark",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy($"user_id", $"event_type",
+            tsMillis(date_trunc("minute", $"ts")).as("bucket_ms"))
+          .agg(min($"event_id").as("survivor_id"), count(lit(1)).as("n_arrivals"))
+          .orderBy($"user_id", $"event_type", $"bucket_ms")
+      },
+      Some("""
+        SELECT user_id, event_type,
+          epoch_ms(date_trunc('minute', ts)) AS bucket_ms,
+          MIN(event_id) AS survivor_id, COUNT(*) AS n_arrivals
+        FROM events
+        GROUP BY 1, 2, 3
+        ORDER BY user_id, event_type, bucket_ms"""))
   )
 }

@@ -121,6 +121,33 @@ object StreamIngest {
         })
   }
 
+  /** Stream-stream event-time interval join: both sides watermarked, the
+    * join condition must bound the event-time skew (a key equality plus a
+    * time range) or Spark rejects the plan as unbounded-state. State per
+    * side is bounded by watermark + range: once the watermark passes a
+    * row's latest possible match window the state store evicts it, so at
+    * cluster scale state grows with in-flight event time, not history.
+    * Inner/leftOuter/rightOuter are the Spark-supported types for
+    * watermarked interval joins. */
+  def intervalJoinStreams(left: DataFrame, leftTsCol: String,
+      right: DataFrame, rightTsCol: String, watermark: String,
+      condition: org.apache.spark.sql.Column, joinType: String = "inner")
+      : DataFrame =
+    left.withWatermark(leftTsCol, watermark)
+      .join(right.withWatermark(rightTsCol, watermark), condition, joinType)
+
+  /** Streaming dedup with bounded state: first arrival per `keys` within
+    * the watermark survives, later duplicates are dropped, and key state
+    * is evicted once the watermark passes — the streaming face of the A3
+    * exact-dup rule for feeds whose duplicates arrive close together
+    * (redelivery, double-publish). Exactly-once history-wide dedup stays
+    * the sink's job ([[StockStore.upsert]] anti-join); this bounds what
+    * reaches it. */
+  def dedupWithinWatermark(rows: DataFrame, tsCol: String,
+      watermark: String, keys: Seq[String]): DataFrame =
+    rows.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Watermarked tumbling-window OHLC over a live tick stream — the
     * streaming face of SessionAnalytics.sessionOhlc. Late data beyond the
     * watermark is dropped by the state store; the reference instead

@@ -81,6 +81,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchase matches click within horizon, state-bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val left = clicks.toDF().toDF("click_id", "user_id", "cts")
+    val right = purchases.toDF().toDF("purchase_id", "p_user_id", "pts")
+    val joined = StreamIngest.intervalJoinStreams(
+      left, "cts", right, "pts", "10 minutes",
+      col("user_id") === col("p_user_id") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("interval 30 minutes"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("sj_out").start()
+    try {
+      def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+      clicks.addData((1L, 7L, ts(0)), (2L, 8L, ts(0)))
+      purchases.addData((100L, 7L, ts(5)))   // within 30 min of click 1
+      purchases.addData((101L, 7L, ts(45)))  // outside horizon
+      purchases.addData((102L, 9L, ts(5)))   // no matching click user
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT click_id, purchase_id FROM sj_out").collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 100L)))
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark: cross-batch duplicate keys dropped, first survives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val rows = source.toDF().toDF("user_id", "event_type", "ts")
+    val out = StreamIngest.dedupWithinWatermark(rows, "ts", "10 minutes",
+      Seq("user_id", "event_type"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dd_out").start()
+    try {
+      def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+      source.addData((1L, "click", ts(0)), (1L, "click", ts(1)), (2L, "view", ts(0)))
+      q.processAllAvailable()
+      // same key redelivered in a LATER micro-batch, still inside watermark
+      source.addData((1L, "click", ts(2)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, event_type, ts FROM dd_out").collect()
+      assert(got.length == 2, s"got ${got.mkString(";")}")
+      // first arrival survived (ts(0), not the later duplicates)
+      val k1 = got.filter(_.getLong(0) == 1L).head
+      assert(k1.getTimestamp(2) == ts(0))
+    } finally q.stop()
+  }
+
   test("windowed OHLC over a tick stream (watermarked)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
