@@ -369,6 +369,49 @@ object TextQueries {
           CAST(top_bigram_n * 10 >= n_bigrams OR n_dup_trigrams * 5 >= n_trigrams AS INT) AS repetitive
         FROM bga JOIN tra USING (doc_id) ORDER BY doc_id""")),
 
+    // ── corpus mixing: deterministic stratified up/down-sampling ───────
+    // The data-mixing op every training run starts with: per-language
+    // target weights (permille; >1000 = upsampling, i.e. fractional
+    // epochs). copies = ⌊w⌋ + 1{u < frac(w)} with u an md5-derived
+    // uniform on the doc id — deterministic, replayable, and exactly
+    // reproducible in SQL (no engine RNG). Scale shape: broadcast the
+    // tiny weights dim, per-row hash, narrow explode for the copy rows —
+    // NO shuffle; at 100 TB the sample inherits the scan partitioning
+    // and a re-run selects the identical sample (the property that makes
+    // dataset versions auditable).
+    GraftQuery(
+      "x12_corpus_mix_sample",
+      (s, dir) => {
+        import s.implicits._
+        val weights = Seq(("en", 1400), ("de", 800), ("es", 500), ("fr", 1000), ("zh", 250))
+          .toDF("lang", "permille")
+        Tables.documents(s, dir)
+          .join(broadcast(weights), Seq("lang"))
+          .withColumn("u", graft.functions.HashFunctions.md5Long(
+            concat(lit("mix:"), $"doc_id".cast("string"))) % 1000)
+          .withColumn("n_copies",
+            ($"permille" / 1000).cast("int") +
+              when($"u" < $"permille" % 1000, 1).otherwise(0))
+          .filter($"n_copies" > 0)
+          .select($"doc_id", $"lang", $"permille",
+            explode(sequence(lit(1), $"n_copies")).as("copy_idx"))
+          .orderBy($"doc_id", $"copy_idx")
+      },
+      Some("""
+        WITH w(lang, permille) AS (
+          VALUES ('en', 1400), ('de', 800), ('es', 500), ('fr', 1000), ('zh', 250)),
+        d AS (
+          SELECT doc_id, d.lang, permille,
+            permille // 1000 +
+              CASE WHEN CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000
+                        < permille % 1000
+                   THEN 1 ELSE 0 END AS n_copies
+          FROM documents d JOIN w ON d.lang = w.lang)
+        SELECT doc_id, lang, permille,
+          unnest(generate_series(1, n_copies)) AS copy_idx
+        FROM d WHERE n_copies > 0
+        ORDER BY doc_id, copy_idx""")),
+
     // ── end-to-end training-data cleaning funnel ──────────────────────
     // The composition the whole text/dedup plane exists for: quality
     // filter → language filter → exact dedup (fingerprint) → near-dedup

@@ -307,6 +307,50 @@ object VectorQueries {
             row_number() OVER (PARTITION BY pid ORDER BY adc, nid) AS rank
           FROM adc)
         SELECT pid, nid, rank, adc, cluster FROM r WHERE rank <= 3
-        ORDER BY pid, rank"""))
+        ORDER BY pid, rank""")),
+
+    // ── SQ8 scalar quantization (encode + reconstruction error) ────────
+    // Per-vector min/max 256-level codes (FAISS SQ8): 4× smaller than
+    // float32 with no codebook. Pure map pass — no shuffle; codes are
+    // fingerprinted (md5 of the joined code string) and the
+    // reconstruction error is an exact integer micro-unit sum, so the
+    // whole row is engine-portable despite the float inputs.
+    GraftQuery(
+      "v7_scalar_quant",
+      (s, dir) => {
+        import s.implicits._
+        import graft.similarity.ScalarQuant
+        Tables.embeddings(s, dir)
+          .withColumn("mn", ScalarQuant.vmin($"embedding"))
+          .withColumn("mx", ScalarQuant.vmax($"embedding"))
+          .select($"vec_id", $"label", $"mn", $"mx",
+            md5(array_join(ScalarQuant.codes($"embedding", $"mn", $"mx"), ","))
+              .as("code_fp"),
+            ScalarQuant.reconstructionErrMicro($"embedding", $"mn", $"mx")
+              .as("err_micro"))
+          .orderBy($"vec_id")
+      },
+      Some("""
+        WITH base AS (
+          SELECT vec_id, label, embedding,
+            CAST(list_min(embedding) AS DOUBLE) AS mn,
+            CAST(list_max(embedding) AS DOUBLE) AS mx
+          FROM embeddings),
+        enc AS (
+          SELECT vec_id, label, mn, mx,
+            CASE WHEN mx > mn
+              THEN list_transform(embedding, x ->
+                CAST(floor((CAST(x AS DOUBLE) - mn) * 255 / (mx - mn)) AS BIGINT))
+              ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS codes,
+            CASE WHEN mx > mn
+              THEN list_sum(list_transform(embedding, x ->
+                CAST(floor(abs(CAST(x AS DOUBLE) -
+                  (mn + floor((CAST(x AS DOUBLE) - mn) * 255 / (mx - mn)) * (mx - mn) / 255)) * 1e6) AS BIGINT)))
+              ELSE 0 END AS err_micro
+          FROM base)
+        SELECT vec_id, label, mn, mx,
+          md5(array_to_string(codes, ',')) AS code_fp,
+          CAST(err_micro AS BIGINT) AS err_micro
+        FROM enc ORDER BY vec_id"""))
   )
 }

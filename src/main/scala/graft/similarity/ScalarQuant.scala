@@ -1,0 +1,52 @@
+package graft.similarity
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Per-vector min/max scalar quantization (SQ8) for the embedding plane:
+  * each float coordinate compresses to a 256-level code against the
+  * vector's own [min, max] range — 4× smaller than float32 storage with
+  * the two range floats amortized over the whole vector. This is the
+  * storage format FAISS calls `SQ8` and vector stores use as the cheap
+  * middle ground between raw floats and PQ ([[Pq]] — which beats SQ8 on
+  * compression but needs codebooks).
+  *
+  * Scale shape: encode is pure per-row arithmetic — NO shuffle, the
+  * corpus encode is one map pass that inherits the scan partitioning.
+  *
+  * Engine portability: codes come from `floor` over double arithmetic in
+  * a fixed evaluation order (IEEE ops on identical doubles are
+  * deterministic in both engines; only multi-row float AGGREGATION is
+  * order-sensitive, and the only aggregate here — the reconstruction
+  * error — is an integer sum of per-element `floor(|x−x̂|·1e6)` micro
+  * units, associative and shuffle-order-proof).
+  */
+object ScalarQuant {
+
+  /** Quantization levels − 1 (codes are 0..255). */
+  val Levels = 255
+
+  def vmin(emb: Column): Column = array_min(emb).cast("double")
+  def vmax(emb: Column): Column = array_max(emb).cast("double")
+
+  /** `array<long>` of 256-level codes: ⌊(x − mn)·255 / (mx − mn)⌋.
+    * A degenerate flat vector (mx == mn) encodes to all zeros. */
+  def codes(emb: Column, mn: Column, mx: Column): Column =
+    transform(emb, x =>
+      when(mx > mn, floor((x.cast("double") - mn) * Levels / (mx - mn)))
+        .otherwise(lit(0L)))
+
+  /** Dequantized coordinate for code `c`: mn + c·(mx − mn) / 255. */
+  def dequant(c: Column, mn: Column, mx: Column): Column =
+    mn + c.cast("double") * (mx - mn) / Levels
+
+  /** Exact integer reconstruction error: Σ_i ⌊|x_i − x̂_i|·1e6⌋ (micro
+    * units). Integer long sum — deterministic under any execution order;
+    * each per-element term is a fixed-order double chain. */
+  def reconstructionErrMicro(emb: Column, mn: Column, mx: Column): Column =
+    aggregate(sequence(lit(1), size(emb)), lit(0L), (acc, i) => {
+      val x = element_at(emb, i).cast("double")
+      val c = when(mx > mn, floor((x - mn) * Levels / (mx - mn))).otherwise(lit(0L))
+      acc + floor(abs(x - dequant(c, mn, mx)) * 1e6)
+    })
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.similarity.ScalarQuant
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQ8 scalar quantization: code range, reconstruction bound, and the
+  * degenerate flat-vector path. */
+class ScalarQuantSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def encode(vecs: Seq[(Long, Seq[Float])]) = {
+    import spark.implicits._
+    vecs.toDF("vec_id", "embedding")
+      .withColumn("mn", ScalarQuant.vmin($"embedding"))
+      .withColumn("mx", ScalarQuant.vmax($"embedding"))
+      .select($"vec_id", $"mn", $"mx",
+        ScalarQuant.codes($"embedding", $"mn", $"mx").as("codes"),
+        ScalarQuant.reconstructionErrMicro($"embedding", $"mn", $"mx").as("err"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getSeq[Long](3), r.getLong(4))).toMap
+  }
+
+  test("codes stay in 0..255 and reconstruction error is step-bounded") {
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.tabulate(25)(i =>
+      (i.toLong, Seq.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val got = encode(vecs)
+    vecs.foreach { case (id, emb) =>
+      val (mn, mx, codes, err) = got(id)
+      assert(codes.length == 64 && codes.forall(c => c >= 0 && c <= 255))
+      // per-element |x − x̂| < one quantization step ⇒ total micro error
+      // under 64 steps (floor quantization never overshoots the step)
+      val step = (mx - mn) / ScalarQuant.Levels
+      assert(err >= 0 && err <= math.ceil(64 * step * 1e6).toLong)
+      // extremes map to the boundary codes
+      assert(codes(emb.indexOf(emb.min)) == 0L)
+      assert(codes(emb.indexOf(emb.max)) >= 254L)
+    }
+  }
+
+  test("flat vector encodes to all zeros with zero error") {
+    val got = encode(Seq((1L, Seq.fill(8)(0.25f))))
+    val (_, _, codes, err) = got(1L)
+    assert(codes == Seq.fill(8)(0L) && err == 0L)
+  }
+
+  test("dequant round-trips codes to within the original range") {
+    import spark.implicits._
+    val vecs = Seq((1L, Seq(-1.0f, -0.5f, 0.0f, 0.5f, 1.0f)))
+    val row = vecs.toDF("vec_id", "embedding")
+      .withColumn("mn", ScalarQuant.vmin($"embedding"))
+      .withColumn("mx", ScalarQuant.vmax($"embedding"))
+      .select(transform(
+        ScalarQuant.codes($"embedding", $"mn", $"mx"),
+        c => ScalarQuant.dequant(c, $"mn", $"mx")).as("xhat"))
+      .as[Seq[Double]].head()
+    row.zip(Seq(-1.0, -0.5, 0.0, 0.5, 1.0)).foreach { case (xh, x) =>
+      assert(math.abs(xh - x) <= 2.0 / 255 + 1e-9, s"$xh vs $x")
+      assert(xh >= -1.0 - 1e-9 && xh <= 1.0 + 1e-9)
+    }
+  }
+}
