@@ -351,6 +351,80 @@ object VectorQueries {
         SELECT vec_id, label, mn, mx,
           md5(array_to_string(codes, ',')) AS code_fp,
           CAST(err_micro AS BIGINT) AS err_micro
-        FROM enc ORDER BY vec_id"""))
+        FROM enc ORDER BY vec_id""")),
+
+    // ── TRAINED IVF: oracle-verified Lloyd k-means + assignment ────────
+    // The full training loop, not fixed centroids: 2 integer-exact Lloyd
+    // iterations (Ivf.kmeansExact — quantized coords, floor-mean updates,
+    // md5-order seeds, argmin ties to the smaller cid) then the final
+    // cell assignment with its integer distance. The oracle unrolls the
+    // identical trajectory (seed → assign → floor-mean → assign →
+    // floor-mean → assign) in SQL, so the TRAINING is hash-verified, not
+    // just the lookup. Per round: one broadcast cross of k centroids +
+    // one groupBy(vec_id) argmin + one k·dims-long mean shuffle.
+    GraftQuery(
+      "v8_kmeans_ivf_train",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val cent = graft.similarity.Ivf.kmeansExact(emb, 8, 2)
+        val q = emb.select($"vec_id",
+          graft.similarity.Pq.quantize($"embedding").as("qe"))
+        graft.similarity.Ivf.assignExact(q, cent)
+          .select($"vec_id", $"cluster", $"dist")
+          .orderBy($"vec_id")
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+          FROM embeddings),
+        ev AS (
+          SELECT vec_id, unnest(generate_series(1, 64)) AS d, unnest(qe) AS x FROM q),
+        seed AS (
+          SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+          FROM (
+            SELECT vec_id FROM q
+            ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
+            LIMIT 8)),
+        c0 AS (SELECT s.cid, v.d, v.x FROM seed s JOIN ev v USING (vec_id)),
+        d1 AS (
+          SELECT v.vec_id, c.cid, SUM((v.x - c.x) * (v.x - c.x)) AS dist
+          FROM ev v JOIN c0 c USING (d) GROUP BY 1, 2),
+        a1 AS (
+          SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d1) WHERE rn = 1),
+        m1 AS (
+          SELECT a.cluster AS cid, v.d,
+            CAST(floor(CAST(SUM(v.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS x
+          FROM a1 a JOIN ev v USING (vec_id) GROUP BY 1, 2),
+        c1 AS (
+          SELECT c0.cid, c0.d, COALESCE(m1.x, c0.x) AS x
+          FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid AND m1.d = c0.d),
+        d2 AS (
+          SELECT v.vec_id, c.cid, SUM((v.x - c.x) * (v.x - c.x)) AS dist
+          FROM ev v JOIN c1 c USING (d) GROUP BY 1, 2),
+        a2 AS (
+          SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d2) WHERE rn = 1),
+        m2 AS (
+          SELECT a.cluster AS cid, v.d,
+            CAST(floor(CAST(SUM(v.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS x
+          FROM a2 a JOIN ev v USING (vec_id) GROUP BY 1, 2),
+        c2 AS (
+          SELECT c1.cid, c1.d, COALESCE(m2.x, c1.x) AS x
+          FROM c1 LEFT JOIN m2 ON m2.cid = c1.cid AND m2.d = c1.d),
+        d3 AS (
+          SELECT v.vec_id, c.cid, CAST(SUM((v.x - c.x) * (v.x - c.x)) AS BIGINT) AS dist
+          FROM ev v JOIN c2 c USING (d) GROUP BY 1, 2)
+        SELECT vec_id, cid AS cluster, dist FROM (
+          SELECT vec_id, cid, dist,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d3) WHERE rn = 1
+        ORDER BY vec_id"""))
   )
 }

@@ -109,6 +109,80 @@ object Ivf {
     centroids
   }
 
+  /** Integer-exact assignment for [[kmeansExact]]: nearest centroid by
+    * squared Euclidean distance over QUANTIZED coordinates (plain long
+    * arithmetic — engine-portable, shuffle-order-proof), ties to the
+    * smaller cid. `q`: (vec_id, qe ARRAY<LONG>); `centroids`:
+    * (cid INT, cemb ARRAY<LONG>), small → broadcast.
+    * Returns (vec_id, qe, cluster, dist). */
+  def assignExact(q: DataFrame, centroids: DataFrame): DataFrame = {
+    def sq(c: org.apache.spark.sql.Column) = c * c
+    val dist = aggregate(sequence(lit(1), size(col("qe"))), lit(0L),
+      (acc, i) => acc + sq(element_at(col("qe"), i) - element_at(col("cemb"), i)))
+    q.select(col("vec_id"), col("qe"))
+      .crossJoin(broadcast(centroids.select(col("cid"), col("cemb"))))
+      .withColumn("dist", dist)
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(struct(col("cid"), col("dist")), struct(col("dist"), col("cid"))).as("best"),
+        first(col("qe")).as("qe"))
+      .select(col("vec_id"), col("qe"),
+        col("best.cid").as("cluster"), col("best.dist").as("dist"))
+  }
+
+  /** Lloyd k-means designed for ORACLE PARITY: every quantity an integer
+    * or a fixed-order double chain, so an SQL engine reproduces the exact
+    * centroids and assignments (unlike [[kmeans]], whose float mean
+    * aggregation is shuffle-order-sensitive — that one optimizes
+    * distortion, this one optimizes verifiability; both share the
+    * one-shuffle-per-round shape).
+    *
+    *  - coordinates quantized to integer ten-thousandths ([[Pq.quantize]]);
+    *  - seeds = the `k` smallest md5-of-id vectors (deterministic,
+    *    order-free), cid by ascending vec_id;
+    *  - assignment = integer squared-distance argmin, ties → smaller cid;
+    *  - update = per-dimension ⌊sum/count⌋ (floor division via one double
+    *    division — exact while |sum| < 2^53, i.e. cells under ~1e12
+    *    members at this quantization scale); empty cells keep their
+    *    previous centroid;
+    *  - a FIXED iteration count (no data-dependent early stop), so the
+    *    unrolled SQL oracle computes the identical trajectory.
+    *
+    * Scale per round: one broadcast cross of k centroids, one
+    * groupBy(vec_id) argmin, one groupBy(cluster, dim) partial-aggregated
+    * mean — the shuffle carries k·dims longs.
+    *
+    * @return (cid INT, cemb ARRAY<LONG>) quantized centroids */
+  def kmeansExact(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, "need k > 0 and iters >= 0")
+    val q = vectors.select(col("vec_id"), Pq.quantize(col("embedding")).as("qe"))
+    var cent = q
+      .orderBy(graft.functions.HashFunctions.md5Long(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int").as("cid"),
+        col("qe").as("cemb"))
+      .cache()
+    cent.count()
+    for (_ <- 0 until iters) {
+      val assigned = assignExact(q, cent)
+      val means = assigned
+        .select(col("cluster"), posexplode(col("qe")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1))).as("m"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("cemb"))
+        .select(col("cluster").as("cid"), col("cemb"))
+      val prev = cent
+      cent = prev.as("p").join(means.as("m"), prev("cid") === means("cid"), "left")
+        .select(prev("cid"), coalesce(means("cemb"), prev("cemb")).as("cemb"))
+        .cache()
+      cent.count()
+      prev.unpersist()
+    }
+    cent
+  }
+
   /** Per-probe top-k within the probe's own cell (nprobe = 1).
     * `assigned` is the output of [[assign]] for the full corpus; probes
     * are the subset with `probePred` true. The candidate join is an

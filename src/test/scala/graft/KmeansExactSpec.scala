@@ -1,0 +1,82 @@
+package graft
+
+import graft.similarity.{Ivf, Pq}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Integer-exact Lloyd k-means: full-trajectory lockstep against a plain
+  * Scala reference (seeds, assignments, floor-mean updates), plus the
+  * empty-cell retention rule. */
+class KmeansExactSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def md5Long(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Plain-Scala mirror of kmeansExact's trajectory. */
+  private def reference(vecs: Seq[(Long, Seq[Float])], k: Int, iters: Int)
+      : (Map[Int, Seq[Long]], Map[Long, (Int, Long)]) = {
+    val q = vecs.map { case (id, e) =>
+      id -> e.map(x => math.round(x.toDouble * 10000))
+    }.toMap
+    val seeds = q.keys.toSeq.sortBy(id => (md5Long(id.toString), id)).take(k).sorted
+    var cent: Map[Int, Seq[Long]] = seeds.zipWithIndex.map { case (id, i) => i -> q(id) }.toMap
+    def assign(): Map[Long, (Int, Long)] = q.map { case (id, v) =>
+      val scored = cent.toSeq.map { case (cid, c) =>
+        (cid, v.zip(c).map { case (a, b) => val d = a - b; d * d }.sum)
+      }
+      id -> scored.minBy { case (cid, d) => (d, cid) }.swap.swap
+    }
+    for (_ <- 0 until iters) {
+      val a = assign()
+      val byCell = a.groupBy(_._2._1)
+      cent = cent.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case Some(members) =>
+            val vs = members.keys.map(q).toSeq
+            cid -> old.indices.map(d =>
+              math.floor(vs.map(_(d)).sum.toDouble / vs.size).toLong)
+          case None => cid -> old
+        }
+      }
+    }
+    (cent, assign())
+  }
+
+  test("kmeansExact matches the Scala reference trajectory end-to-end") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // three loose clusters so assignments actually move between rounds
+    val vecs = Seq.tabulate(30) { i =>
+      val base = (i % 3) match { case 0 => -0.6; case 1 => 0.0; case 2 => 0.6 }
+      (i.toLong, Seq.fill(16)((base + rnd.nextDouble() * 0.4 - 0.2).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cent = Ivf.kmeansExact(df, 3, 2)
+    val gotCent = cent.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq).toMap
+    val q = df.select($"vec_id", Pq.quantize($"embedding").as("qe"))
+    val gotAssign = Ivf.assignExact(q, cent).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3))).toMap
+
+    val (refCent, refAssign) = reference(vecs, 3, 2)
+    assert(gotCent == refCent, "centroid trajectories diverged")
+    assert(gotAssign == refAssign, "final assignments diverged")
+    // sanity: training actually used more than one cell
+    assert(gotAssign.values.map(_._1).toSet.size > 1)
+  }
+
+  test("empty cells keep their previous centroid") {
+    import spark.implicits._
+    // all four points identical: every vector ties to the smaller cid, so
+    // cell 1 is empty from round 1 and must retain its seed centroid
+    val vecs = Seq.tabulate(4)(i => (i.toLong, Seq.fill(8)(0.5f)))
+    val cent = Ivf.kmeansExact(vecs.toDF("vec_id", "embedding"), 2, 2)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(cent.keySet == Set(0, 1))
+    assert(cent(0) == Seq.fill(8)(5000L) && cent(1) == Seq.fill(8)(5000L))
+  }
+}
