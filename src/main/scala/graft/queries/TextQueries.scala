@@ -412,6 +412,93 @@ object TextQueries {
         FROM d WHERE n_copies > 0
         ORDER BY doc_id, copy_idx""")),
 
+    // ── per-domain caps (CommonCrawl-style source quotas) ──────────────
+    // Web corpora cap each domain so boilerplate-heavy hosts can't
+    // dominate the training mix: rank a domain's docs by quality (here:
+    // longest first, portable tie-break on doc_id) and keep the top 15
+    // per source. Scale shape: ONE shuffle on the domain key; the
+    // rank-then-filter compiles to WindowGroupLimit, so each task keeps
+    // a bounded heap per domain instead of sorting the whole corpus —
+    // at 100 TB the cap is enforced without a global sort.
+    GraftQuery(
+      "x13_domain_caps",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")))
+          .filter($"rank" <= 15)
+          .select($"source", $"rank", $"doc_id", $"lang", $"n_chars")
+          .orderBy($"source", $"rank")
+      },
+      Some("""
+        SELECT source, rank, doc_id, lang, n_chars FROM (
+          SELECT source, doc_id, lang, n_chars,
+            row_number() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id) AS rank
+          FROM documents)
+        WHERE rank <= 15
+        ORDER BY source, rank""")),
+
+    // ── TF-IDF top terms per document ──────────────────────────────────
+    // The relevance-weighting op: global document frequencies (small:
+    // one row per distinct token) broadcast back against per-doc term
+    // counts; per-doc top-3 terms by tf weighted against collection
+    // frequency, ties to the alphabetically smaller term. Scale shape:
+    // the df aggregate is one map-side-combined groupBy(token); the tf
+    // side is one groupBy(doc_id, token); the final per-doc rank is
+    // WindowGroupLimit over the doc key.
+    //
+    // Scoring is the integer-exact rational ⌊tf·10⁹/df⌋ (Spärck-Jones
+    // linear idf) rather than tf·ln(N/df): ln() DIVERGES between
+    // engines in the last ulp (Java Math.log vs libm — measured here:
+    // …26 vs …24 in the 16th digit), so a log-scored rank is not
+    // hash-comparable. The floor-division double is exact (quotients
+    // are ≥1/df ≈ 1e-3 from integer boundaries, far above the ~6e-5
+    // ulp at 5e11); swapping `log(...)` back in is a one-line change
+    // where cross-engine parity isn't required.
+    GraftQuery(
+      "x14_tfidf_top_terms",
+      (s, dir) => {
+        import s.implicits._
+        val terms = Tables.documents(s, dir)
+          .select($"doc_id", explode(lowerTokens($"text")).as("term"))
+          .filter(length($"term") >= 3)
+        val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val df = terms.select($"doc_id", $"term").distinct()
+          .groupBy($"term").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(df), Seq("term"))
+          .withColumn("score_nano",
+            floor(($"tf" * lit(1000000000L)).cast("double") / $"df"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"doc_id").orderBy($"score_nano".desc, $"term")))
+          .filter($"rank" <= 3)
+          .select($"doc_id", $"rank", $"term", $"tf", $"df", $"score_nano")
+          .orderBy($"doc_id", $"rank")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+')) AS term
+          FROM documents),
+        terms AS (SELECT doc_id, term FROM toks WHERE length(term) >= 3),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        df AS (
+          SELECT term, COUNT(*) AS df
+          FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+            CAST(floor(CAST(tf.tf * 1000000000 AS DOUBLE) / df.df) AS BIGINT) AS score_nano
+          FROM tf JOIN df USING (term))
+        SELECT doc_id, rank, term, tf, df, score_nano FROM (
+          SELECT doc_id, term, tf, df, score_nano,
+            row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_nano DESC, term) AS rank
+          FROM scored)
+        WHERE rank <= 3
+        ORDER BY doc_id, rank""")),
+
     // ── end-to-end training-data cleaning funnel ──────────────────────
     // The composition the whole text/dedup plane exists for: quality
     // filter → language filter → exact dedup (fingerprint) → near-dedup

@@ -73,6 +73,44 @@ class PushdownSpec extends AnyFunSuite {
       s"unused columns must prune from the scan, got: $readSchema")
   }
 
+  test("x12 corpus mix: no shuffle — broadcast weights, narrow explode") {
+    // the sampler must inherit the scan partitioning: the weights dim
+    // joins as a broadcast and the copy explode is narrow, so the ONLY
+    // exchange in the plan is the final presentation sort
+    val q = graft.core.Registry.allQueries.find(_.name == "x12_corpus_mix_sample").get
+    val plan = q.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(SimpleMode)
+    assert(plan.contains("BroadcastHashJoin"), s"weights must broadcast:\n$plan")
+    assert(!plan.linesIterator.exists(_.contains("Exchange hashpartitioning")),
+      s"sampling must not shuffle (only the output sort may range-exchange):\n$plan")
+  }
+
+  test("x10 decontamination: benchmark gram set joins as a broadcast") {
+    val q = graft.core.Registry.allQueries.find(_.name == "x10_decontaminate").get
+    val plan = q.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(SimpleMode)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench grams must broadcast against the corpus side:\n$plan")
+  }
+
+  test("x13/x14: per-key top-n compiles to WindowGroupLimit (bounded per-task state)") {
+    for (name <- Seq("x13_domain_caps", "x14_tfidf_top_terms")) {
+      val q = graft.core.Registry.allQueries.find(_.name == name).get
+      val plan = q.build(spark, "/root/testdata/sf0.001")
+        .queryExecution.explainString(SimpleMode)
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name rank<=k must push into WindowGroupLimit, plan:\n$plan")
+    }
+  }
+
+  test("s4 interval join: key equi-join with residual time range, no cartesian") {
+    val q = graft.core.Registry.allQueries.find(_.name == "s4_stream_interval_join").get
+    val plan = q.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(SimpleMode)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"attribution join must stay an equi-join on user_id:\n$plan")
+  }
+
   test("h4: derived standalone bound reaches the lineitem scan as a pushed filter") {
     // the semi-join condition l_shipdate > o_orderdate is not pushable,
     // but the derived bound l_shipdate > '1996-01-01' (min possible
