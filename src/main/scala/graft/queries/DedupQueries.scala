@@ -252,6 +252,83 @@ object DedupQueries {
           CAST(len(list_intersect(sa, sb)) AS DOUBLE)
             / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) AS jaccard
         FROM sha a JOIN shb b ON a.doc_id = b.doc_id
+        ORDER BY doc_id""")),
+
+    // ── sub-document segment dedup (paragraph-level removal) ───────────
+    // The Dolma/CCNet stage the doc-level d-ops can't express: duplicated
+    // BOILERPLATE inside otherwise-unique documents. Docs segment into
+    // disjoint 20-token windows (tokenChunks, stride = n); a segment
+    // shared by ≥2 docs is dropped everywhere except its first corpus
+    // occurrence (min doc_id). Every 9th doc gets the same 20-token
+    // legal header so the removal demonstrably fires on exactly one
+    // segment. Scale shape: segment stats are ONE map-side-combined
+    // groupBy(seg_hash); the join back is an equi-join on the hash;
+    // per-doc reassembly is one groupBy(doc_id) — three shuffles total,
+    // all on high-cardinality keys, no window over the corpus.
+    GraftQuery(
+      "d7_segment_dedup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.TextFunctions.{tokens, tokenChunks}
+        val boiler = "terms of service apply to all content on this site " +
+          "please read carefully before any use of this material"
+        val corpus = Tables.documents(s, dir)
+          .select($"doc_id",
+            when($"doc_id" % 9 === 0, concat(lit(boiler + " "), $"text"))
+              .otherwise($"text").as("text"))
+        val segs = corpus
+          .withColumn("toks", tokens($"text"))
+          .select($"doc_id",
+            posexplode(tokenChunks($"toks", 20, 20)).as(Seq("seg_idx", "seg")))
+          .select($"doc_id", $"seg_idx",
+            graft.functions.HashFunctions.md5Long(array_join($"seg", " ")).as("seg_hash"))
+        val stats = segs.groupBy($"seg_hash")
+          .agg(countDistinct($"doc_id").as("n_docs"), min($"doc_id").as("first_doc"))
+        val keep = !($"n_docs" > 1 && $"doc_id" =!= $"first_doc")
+        segs.join(stats, Seq("seg_hash"))
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_segs"),
+            sum(when(keep, 0L).otherwise(1L)).as("n_dropped"),
+            md5(array_join(
+              transform(
+                filter(
+                  array_sort(collect_list(struct($"seg_idx".as("i"),
+                    keep.as("keep"), $"seg_hash".cast("string").as("h")))),
+                  x => x.getField("keep")),
+                x => x.getField("h")),
+              ",")).as("cleaned_fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 9 = 0
+              THEN 'terms of service apply to all content on this site please read carefully before any use of this material ' || text
+              ELSE text END AS text
+          FROM documents),
+        toks AS (
+          SELECT doc_id, regexp_extract_all(text, '[a-zA-Z0-9]+') AS t FROM corpus),
+        segs AS (
+          SELECT doc_id, j AS seg_idx,
+            CAST(concat('0x', substr(md5(array_to_string(t[j*20 + 1 : j*20 + 20], ' ')), 1, 15)) AS BIGINT) AS seg_hash
+          FROM (SELECT doc_id, t,
+                  unnest(generate_series(0,
+                    CAST(ceil(greatest(len(t) - 20, 0) / 20.0) AS INT))) AS j
+                FROM toks)),
+        stats AS (
+          SELECT seg_hash, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+          FROM segs GROUP BY 1),
+        flagged AS (
+          SELECT s.doc_id, s.seg_idx, s.seg_hash,
+            NOT (st.n_docs > 1 AND s.doc_id <> st.first_doc) AS keep
+          FROM segs s JOIN stats st USING (seg_hash))
+        SELECT doc_id, COUNT(*) AS n_segs,
+          CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+          md5(coalesce(string_agg(CASE WHEN keep THEN CAST(seg_hash AS VARCHAR) END, ','
+            ORDER BY seg_idx), '')) AS cleaned_fp
+        FROM flagged
+        GROUP BY doc_id
         ORDER BY doc_id"""))
   )
 }
