@@ -329,6 +329,69 @@ object DedupQueries {
             ORDER BY seg_idx), '')) AS cleaned_fp
         FROM flagged
         GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ── incremental dedup: new batch vs existing corpus ────────────────
+    // Corpus growth without re-deduping the world: an already-deduped
+    // corpus (doc_id < 400) receives a new batch (doc_id ≥ 400, plus
+    // every 6th existing doc re-submitted under a fresh id). Each batch
+    // doc resolves to 'dup_corpus' (fingerprint exists in the corpus —
+    // dup_of = canonical corpus id), 'dup_batch' (first seen earlier in
+    // this batch), or 'new'. Scale shape: the corpus side collapses to
+    // its fingerprint index (one groupBy — in production this is a
+    // PERSISTED index, the A3 store anti-join shape, so the scan cost is
+    // the index not the 100 TB corpus), the batch joins it on the hash,
+    // and in-batch firsts are a WindowGroupLimit-free row_number over
+    // the batch only.
+    GraftQuery(
+      "d8_incremental_dedup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.TextFunctions.fingerprint
+        val docs = Tables.documents(s, dir)
+        val corpus = docs.filter($"doc_id" < 400)
+        val batch = docs.filter($"doc_id" >= 400)
+          .unionAll(corpus.filter($"doc_id" % 6 === 0)
+            .select(($"doc_id" + 4000000L).as("doc_id"), $"text", $"lang", $"source", $"n_chars"))
+        val corpusIdx = corpus
+          .select(fingerprint($"text").as("fp"), $"doc_id")
+          .groupBy($"fp").agg(min($"doc_id").as("corpus_dup"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
+        batch.select($"doc_id", fingerprint($"text").as("fp"))
+          .withColumn("batch_first", min($"doc_id").over(w))
+          .join(corpusIdx, Seq("fp"), "left")
+          .select($"doc_id", $"fp",
+            coalesce($"corpus_dup",
+              when($"batch_first" =!= $"doc_id", $"batch_first")).as("dup_of"),
+            when($"corpus_dup".isNotNull, "dup_corpus")
+              .when($"batch_first" =!= $"doc_id", "dup_batch")
+              .otherwise("new").as("status"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        batch AS (
+          SELECT doc_id, text FROM documents WHERE doc_id >= 400
+          UNION ALL
+          SELECT doc_id + 4000000, text FROM corpus WHERE doc_id % 6 = 0),
+        cidx AS (
+          SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+            MIN(doc_id) AS corpus_dup
+          FROM corpus GROUP BY 1),
+        bfp AS (
+          SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          FROM batch),
+        bff AS (
+          SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS batch_first
+          FROM bfp)
+        SELECT b.doc_id, b.fp,
+          COALESCE(c.corpus_dup,
+            CASE WHEN b.batch_first <> b.doc_id THEN b.batch_first END) AS dup_of,
+          CASE WHEN c.corpus_dup IS NOT NULL THEN 'dup_corpus'
+               WHEN b.batch_first <> b.doc_id THEN 'dup_batch'
+               ELSE 'new' END AS status
+        FROM bff b LEFT JOIN cidx c USING (fp)
+        ORDER BY b.doc_id"""))
   )
 }

@@ -426,5 +426,55 @@ object VectorQueries {
             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
           FROM d3) WHERE rn = 1
         ORDER BY vec_id"""))
+  ,
+
+    // ── multi-probe IVF (nprobe = 2 recall lever) ──────────────────────
+    // v4 with the boundary-miss fixed: each probe searches its 2 nearest
+    // cells. The probe side fans out to probes×nprobe rows (broadcast);
+    // the corpus side is untouched and the candidate join stays an
+    // equi-join on `cluster` — cost is linear in nprobe, never all-pairs.
+    GraftQuery(
+      "v9_ivf_multiprobe",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val cent = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+        val assigned = graft.similarity.Ivf.assign(emb, cent)
+        graft.similarity.Ivf.topKMultiProbe(assigned, cent, $"vec_id" < 10, 3, 2)
+          .orderBy($"pid", $"rank")
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+        scored AS (
+          SELECT e.vec_id, c.cid, list_cosine_similarity(e.embedding, c.cemb) AS cos
+          FROM embeddings e CROSS JOIN cent c),
+        asg AS (
+          SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+            FROM scored)
+          WHERE rn = 1),
+        pcells AS (
+          SELECT vec_id AS pid, cid AS cluster FROM (
+            SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS crank
+            FROM scored WHERE vec_id < 10)
+          WHERE crank <= 2),
+        pc AS (
+          SELECT p.pid, p.cluster, e.embedding AS pe
+          FROM pcells p JOIN embeddings e ON e.vec_id = p.pid),
+        cc AS (
+          SELECT a.vec_id AS nid, a.cluster, e.embedding AS ne
+          FROM asg a JOIN embeddings e USING (vec_id)),
+        cand AS (
+          SELECT pid, nid, c.cluster AS cluster, list_cosine_similarity(pe, ne) AS cos
+          FROM pc p JOIN cc c ON p.cluster = c.cluster AND pid <> nid),
+        r AS (
+          SELECT pid, nid, cluster,
+            row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rank
+          FROM cand)
+        SELECT pid, nid, rank, cluster FROM r WHERE rank <= 3 ORDER BY pid, rank"""))
   )
 }

@@ -109,6 +109,35 @@ object Ivf {
     centroids
   }
 
+  /** Multi-probe top-k (nprobe > 1): each probe searches its `nprobe`
+    * nearest CELLS, not just its own — the standard IVF recall lever
+    * (a probe near a cell boundary otherwise misses neighbors assigned
+    * across it). Cost scales linearly in nprobe and stays an equi-join
+    * on `cluster`: the probe side fans out to nprobe rows (small —
+    * probes × nprobe), the corpus side is untouched; no candidate is
+    * scored twice because every corpus vector lives in exactly one
+    * cell. */
+  def topKMultiProbe(assigned: DataFrame, centroids: DataFrame,
+      probePred: org.apache.spark.sql.Column, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val cellRank = Window.partitionBy(col("pid")).orderBy(col("ccos").desc, col("cid"))
+    val probeCells = assigned.where(probePred)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+      .crossJoin(broadcast(centroids.select(col("cid"), col("cemb"))))
+      .withColumn("ccos", cosineNative(col("pe"), col("cemb")))
+      .withColumn("crank", row_number().over(cellRank))
+      .where(col("crank") <= nprobe)
+      .select(col("pid"), col("pe"), col("cid").as("cluster"))
+    val corpus = assigned
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), col("cluster"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("cos").desc, col("nid"))
+    broadcast(probeCells).join(corpus, Seq("cluster")).where(col("pid") =!= col("nid"))
+      .withColumn("cos", cosineNative(col("pe"), col("ne")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("pid"), col("nid"), col("rank"), col("cluster"))
+  }
+
   /** Integer-exact assignment for [[kmeansExact]]: nearest centroid by
     * squared Euclidean distance over QUANTIZED coordinates (plain long
     * arithmetic — engine-portable, shuffle-order-proof), ties to the

@@ -41,6 +41,17 @@ object GraftFunctions {
     }
   }
 
+  /** Template builder that splices the arguments' SQL TEXT before
+    * parsing — required when `__argN` appears inside a lambda body:
+    * attribute substitution after parsing never reaches lambda scopes
+    * (the parser claims those names for lambda-variable resolution), so
+    * the arguments must be part of the parsed text itself. */
+  private def sqlFnText(template: String): Seq[Expression] => Expression = es => {
+    val spliced = "__arg(\\d+)".r.replaceAllIn(template,
+      m => scala.util.matching.Regex.quoteReplacement(es(m.group(1).toInt).sql))
+    CatalystSqlParser.parseExpression(spliced)
+  }
+
   /** Escape a Java-regex string into a Spark SQL string literal body. */
   private def lit(re: String): String = re.replace("\\", "\\\\")
 
@@ -102,7 +113,22 @@ object GraftFunctions {
       es => NormalizeAsciiExpr(es.head)),
     (FunctionIdentifier("graft_srp_buckets"),
       info("graft_srp_buckets", "graft_srp_buckets(vec, tables, planes, dims) - signed-random-projection LSH bucket ids (fused kernel)"),
-      es => SrpBucketsExpr(es(0), litInt(es(1)), litInt(es(2)), litInt(es(3)))))
+      es => SrpBucketsExpr(es(0), litInt(es(1)), litInt(es(2)), litInt(es(3)))),
+    (FunctionIdentifier("graft_redact_pii"),
+      info("graft_redact_pii", "graft_redact_pii(text) - replace emails, phone numbers, IPv4 literals with typed placeholders"),
+      sqlFn(s"regexp_replace(regexp_replace(regexp_replace(__arg0, " +
+        s"'${lit(TextFunctions.EmailPattern)}', '<EMAIL>'), " +
+        s"'${lit(TextFunctions.PhonePattern)}', '<PHONE>'), " +
+        s"'${lit(TextFunctions.Ipv4Pattern)}', '<IP>')")),
+    (FunctionIdentifier("graft_pii_counts"),
+      info("graft_pii_counts", "graft_pii_counts(text) - struct(n_emails, n_phones, n_ips) found in text"),
+      sqlFn(s"named_struct(" +
+        s"'n_emails', size(regexp_extract_all(__arg0, '${lit(TextFunctions.EmailPattern)}', 0)), " +
+        s"'n_phones', size(regexp_extract_all(__arg0, '${lit(TextFunctions.PhonePattern)}', 0)), " +
+        s"'n_ips', size(regexp_extract_all(__arg0, '${lit(TextFunctions.Ipv4Pattern)}', 0)))")),
+    (FunctionIdentifier("graft_token_chunks"),
+      info("graft_token_chunks", "graft_token_chunks(tokens, n, stride) - overlapping token-window chunks (context packing)"),
+      sqlFnText("transform(sequence(0, CAST(ceil(greatest(size(__arg0) - __arg1, 0) / CAST(__arg2 AS DOUBLE)) AS INT)), j -> slice(__arg0, j * __arg2 + 1, __arg1))")))
 
   private def litInt(e: Expression): Int = {
     require(e.foldable, s"argument must be a literal: $e")

@@ -103,4 +103,24 @@ class SimilaritySpec extends AnyFunSuite {
     val cellOf = assigned.select($"vec_id", $"cluster").as[(Long, Long)].collect().toMap
     assert(rows.forall(r => cellOf(r.getLong(1)) == r.getLong(3)))
   }
+
+  test("multi-probe IVF recall dominates single-probe and stays cell-consistent") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val cent = emb.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"embedding".as("cemb"))
+    val assigned = Ivf.assign(emb, cent)
+    val truth = truthPairs(3)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"pid" < 20).select($"pid", $"nid").as[(Long, Long)].collect().toSet
+    val r1 = pairs(Ivf.topKWithinCell(assigned, $"vec_id" < 20, 3))
+    val r2 = pairs(Ivf.topKMultiProbe(assigned, cent, $"vec_id" < 20, 3, 2))
+    val rec1 = (truth intersect r1).size.toDouble / truth.size
+    val rec2 = (truth intersect r2).size.toDouble / truth.size
+    assert(rec2 >= rec1, f"nprobe=2 recall $rec2%.2f must not trail nprobe=1 $rec1%.2f")
+    // a neighbor surfaced by multi-probe lives in one of the probe's 2 best cells
+    val cellOf = assigned.select($"vec_id", $"cluster").as[(Long, Long)].collect().toMap
+    Ivf.topKMultiProbe(assigned, cent, $"vec_id" < 20, 3, 2)
+      .select($"nid", $"cluster").as[(Long, Long)].collect()
+      .foreach { case (nid, cl) => assert(cellOf(nid) == cl) }
+  }
 }

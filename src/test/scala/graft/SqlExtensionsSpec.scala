@@ -73,6 +73,29 @@ class SqlExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("pii and chunking SQL functions match the Column API") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    val text = "mail a.b@x.co or 555-867-5309 from 10.0.0.1"
+    val r = spark.sql(
+      s"""SELECT graft_redact_pii('$text') AS red,
+         |  graft_pii_counts('$text') AS counts,
+         |  graft_token_chunks(array('a','b','c','d','e'), 3, 2) AS chunks
+         |""".stripMargin).head()
+    val viaColumn = Seq(text).toDF("t")
+      .select(graft.functions.TextFunctions.redactPii($"t")).head().getString(0)
+    assert(r.getAs[String]("red") == viaColumn)
+    val c = r.getStruct(1)
+    assert((c.getInt(0), c.getInt(1), c.getInt(2)) == (1, 1, 1))
+    val chunks = r.getSeq[scala.collection.Seq[String]](2)
+    assert(chunks == Seq(Seq("a", "b", "c"), Seq("c", "d", "e")))
+    // chunking template tracks tokenChunks
+    val viaCol = Seq(Seq("a", "b", "c", "d", "e")).toDF("toks")
+      .select(graft.functions.TextFunctions.tokenChunks($"toks", 3, 2))
+      .as[Seq[Seq[String]]].head()
+    assert(chunks.map(_.toSeq) == viaCol)
+  }
+
   test("extensions class wires the same function list") {
     // The injectFunction path needs a fresh session; here we assert the
     // registration list itself is well-formed (names unique, builders run).
