@@ -118,4 +118,28 @@ object GraftProperties extends Properties("graft") {
           .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSet
       sigs(docs) == sigs(docs.reverse)
     }
+
+  // ── tokenChunks: total coverage, stride-aligned starts, full windows ─
+  private val chunkArgsGen: Gen[(Int, Int, Int)] = for {
+    nTok <- Gen.choose(0, 90)
+    n <- Gen.choose(1, 40)
+    stride <- Gen.choose(1, n)
+  } yield (nTok, n, stride)
+
+  property("tokenChunks covers every token at stride-aligned offsets") =
+    Prop.forAll(chunkArgsGen) { case (nTok, n, stride) =>
+      import spark.implicits._
+      val toks = (1 to nTok).map(i => s"w$i")
+      val chunks = Seq(toks).toDF("toks")
+        .select(graft.functions.TextFunctions.tokenChunks(col("toks"), n, stride))
+        .as[Seq[Seq[String]]].head().map(_.toList).toList
+      val starts = chunks.indices.map(_ * stride)
+      val coverage = chunks.flatten.toSet == toks.toSet || (nTok == 0 && chunks == List(Nil))
+      val aligned = chunks.zip(starts).forall { case (c, s) =>
+        c == toks.slice(s, s + n).toList
+      }
+      // every chunk except possibly the last is full-length when enough tokens exist
+      val full = chunks.dropRight(1).forall(_.length == n)
+      coverage && aligned && full
+    }
 }
