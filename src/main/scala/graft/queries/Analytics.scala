@@ -245,6 +245,41 @@ object Analytics {
         SELECT day,
           CAST(SUM(cents * dt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE) / 100.0 AS twap,
           COUNT(*) AS n_ticks
-        FROM d GROUP BY day ORDER BY day"""))
+        FROM d GROUP BY day ORDER BY day""")),
+
+    // ── Q-family: VWAP (volume-weighted average price) ─────────────────
+    // TWAP's sibling with the event's size (props.k) as the weight. One
+    // map-side-partial groupBy(day) — NO window, cheaper than q8 (no
+    // lead ordering): the weighted sum rides `SumScaled128` so cents×size
+    // products can never overflow a long at any SF, and the final
+    // divide is one double op. Zero-weight days surface as NULL (the
+    // oracle divides the same way).
+    GraftQuery(
+      "q9_vwap",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .select(date_format($"ts", "yyyy-MM-dd").as("day"),
+            cents($"value").as("cents"),
+            get_json_object($"props", "$.k").cast("long").as("w"))
+          .groupBy($"day")
+          .agg(
+            (graft.functions.AggFunctions.sumScaled128($"cents" * $"w")
+              .cast("double") / sum($"w").cast("double") / 100.0).as("vwap"),
+            sum($"w").as("total_size"),
+            count(lit(1)).as("n_ticks"))
+          .orderBy($"day")
+      },
+      Some("""
+        WITH e AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS w
+          FROM events)
+        SELECT day,
+          CAST(SUM(cents * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / 100.0 AS vwap,
+          CAST(SUM(w) AS BIGINT) AS total_size,
+          COUNT(*) AS n_ticks
+        FROM e GROUP BY day ORDER BY day"""))
   )
 }

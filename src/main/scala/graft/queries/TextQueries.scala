@@ -499,6 +499,53 @@ object TextQueries {
         WHERE rank <= 3
         ORDER BY doc_id, rank""")),
 
+    // ── sequence packing (concat-and-chunk into training rows) ─────────
+    // The last step before tokens hit the trainer: docs concatenate into
+    // a stream that is cut into fixed 512-token sequences, so a doc may
+    // straddle a boundary (first_seq ≠ last_seq). A single global
+    // concatenation order would serialize at 100 TB, so the corpus first
+    // shards 8 ways by doc-id hash and packs WITHIN each shard — the
+    // running-offset window partitions by shard (parallel, bounded
+    // state), the deterministic md5 order makes the packing replayable,
+    // and the only loss vs global packing is ≤1 partial sequence per
+    // shard. Everything is integer arithmetic.
+    GraftQuery(
+      "x15_sequence_packing",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"shard").orderBy($"ord", $"doc_id")
+        Tables.documents(s, dir)
+          .select($"doc_id", tokenCount($"text").cast("long").as("n_tokens"))
+          .withColumn("h", graft.functions.HashFunctions.md5Long(
+            concat(lit("pack:"), $"doc_id".cast("string"))))
+          .withColumn("shard", ($"h" % 8).cast("int"))
+          .withColumn("ord", $"h")
+          .withColumn("start_off", coalesce(
+            sum($"n_tokens").over(w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
+          .select($"doc_id", $"shard", $"n_tokens", $"start_off",
+            ($"start_off" / 512).cast("long").as("first_seq"),
+            (greatest($"start_off" + $"n_tokens" - 1, $"start_off") / 512)
+              .cast("long").as("last_seq"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_tokens,
+            CAST(concat('0x', substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM documents),
+        o AS (
+          SELECT doc_id, CAST(h % 8 AS INT) AS shard, n_tokens,
+            COALESCE(SUM(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+          FROM t)
+        SELECT doc_id, shard, n_tokens, start_off,
+          CAST(floor(CAST(start_off AS DOUBLE) / 512) AS BIGINT) AS first_seq,
+          CAST(floor(CAST(greatest(start_off + n_tokens - 1, start_off) AS DOUBLE) / 512) AS BIGINT) AS last_seq
+        FROM o ORDER BY doc_id""")),
+
     // ── end-to-end training-data cleaning funnel ──────────────────────
     // The composition the whole text/dedup plane exists for: quality
     // filter → language filter → exact dedup (fingerprint) → near-dedup
