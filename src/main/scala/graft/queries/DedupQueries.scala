@@ -392,6 +392,105 @@ object DedupQueries {
                WHEN b.batch_first <> b.doc_id THEN 'dup_batch'
                ELSE 'new' END AS status
         FROM bff b LEFT JOIN cidx c USING (fp)
-        ORDER BY b.doc_id"""))
+        ORDER BY b.doc_id""")),
+
+    // ── duplicated-span detection (exact substring dedup) ──────────────
+    // The Lee-et-al-style pass d7's disjoint chunks can't express: a
+    // duplicated run at an ARBITRARY offset inside otherwise-unique
+    // documents. Sliding 15-gram hashes mark every duplicated start
+    // position (a gram seen in ≥2 docs); per doc, overlapping marked
+    // grams merge into maximal spans via gaps-and-islands (break when
+    // the next start no longer overlaps [p, p+14]). A 21-token licence
+    // block prepended to every 7th doc guarantees the pass fires.
+    // Scale shape: gram stats are ONE map-side-combined groupBy(gh);
+    // the mark-back is an equi-join on gh; island-merge windows are
+    // partitioned by doc_id (per-doc rows only, never a corpus sort).
+    GraftQuery(
+      "d9_duplicate_span_dedup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.TextFunctions.lowerTokens
+        val block = "all rights reserved no part of this publication may be " +
+          "reproduced stored in a retrieval system or transmitted in any form"
+        val corpus = Tables.documents(s, dir)
+          .select($"doc_id",
+            when($"doc_id" % 7 === 0, concat(lit(block + " "), $"text"))
+              .otherwise($"text").as("text"))
+          .withColumn("toks", lowerTokens($"text"))
+        // Sliding 15-grams with start positions; docs under 15 tokens
+        // emit none (guarded: Spark's sequence(1, n) descends for n<1).
+        val grams = corpus
+          .select($"doc_id",
+            explode(when(size($"toks") >= 15,
+              transform(sequence(lit(1), size($"toks") - 14),
+                i => struct(i.as("pos"),
+                  graft.functions.HashFunctions.md5Long(
+                    concat_ws(" ", slice($"toks", i, lit(15)))).as("gh"))))
+              .otherwise(array().cast("array<struct<pos:int,gh:bigint>>"))).as("g"))
+          .select($"doc_id", $"g.pos".as("pos"), $"g.gh".as("gh"))
+        val dup = grams.groupBy($"gh")
+          .agg(countDistinct($"doc_id").as("ndocs"))
+          .where($"ndocs" >= 2)
+          .select($"gh")
+        val w = Window.partitionBy($"doc_id").orderBy($"pos")
+        val spans = grams.join(dup, Seq("gh"))
+          .withColumn("brk",
+            when($"pos" - lag($"pos", 1).over(w) <= 14, 0).otherwise(1))
+          .withColumn("island",
+            sum($"brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy($"doc_id", $"island")
+          .agg((max($"pos") + 14 - min($"pos") + 1).as("span_len"))
+        corpus.select($"doc_id")
+          .join(spans.groupBy($"doc_id")
+              .agg(count(lit(1)).as("n_spans"),
+                sum($"span_len").as("dup_tokens"),
+                max($"span_len").cast("long").as("max_span")),
+            Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"n_spans", lit(0L)).as("n_spans"),
+            coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
+            coalesce($"max_span", lit(0L)).as("max_span"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0
+              THEN 'all rights reserved no part of this publication may be reproduced stored in a retrieval system or transmitted in any form ' || text
+              ELSE text END AS text
+          FROM documents),
+        toks AS (
+          SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM corpus),
+        grams AS (
+          SELECT doc_id, i AS pos,
+            CAST(concat('0x', substr(md5(array_to_string(t[i:i+14], ' ')), 1, 15)) AS BIGINT) AS gh
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 14)) AS i
+                FROM toks WHERE len(t) >= 15)),
+        dup AS (
+          SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+        marked AS (
+          SELECT doc_id, pos,
+            CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 14
+              THEN 0 ELSE 1 END AS brk
+          FROM grams JOIN dup USING (gh)),
+        isl AS (
+          SELECT doc_id, pos,
+            SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM marked),
+        spans AS (
+          SELECT doc_id, island, MAX(pos) + 14 - MIN(pos) + 1 AS span_len
+          FROM isl GROUP BY doc_id, island),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_spans, SUM(span_len) AS dup_tokens,
+            MAX(span_len) AS max_span
+          FROM spans GROUP BY doc_id)
+        SELECT c.doc_id,
+          COALESCE(a.n_spans, 0) AS n_spans,
+          CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+          CAST(COALESCE(a.max_span, 0) AS BIGINT) AS max_span
+        FROM corpus c LEFT JOIN agg a USING (doc_id)
+        ORDER BY doc_id"""))
   )
 }

@@ -121,6 +121,85 @@ object ExtendedSql {
       Some("""
         SELECT event_type, COUNT(*) AS n,
           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
-        FROM events GROUP BY event_type ORDER BY event_type"""))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ── exact discrete quantiles (p50/p90/p99 per group) ───────────────
+    // Portable EXACT quantiles: pick the row at index ⌊(n−1)·q⌋+1 of the
+    // per-group value order — engine-identical (selects an actual row
+    // value, no interpolation arithmetic to diverge in the last ulp;
+    // approx_percentile/quantile_cont are engine-specific). Ties in
+    // `value` don't matter: the value at a fixed sorted index is the
+    // same under any tie order. Scale shape: the window partitions by
+    // event_type (per-group sort, no global order), and at 100 TB the
+    // same statistic usually downgrades to approx_percentile — this is
+    // the exact-audit form run per partition-slice.
+    GraftQuery(
+      "e6_exact_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"event_type").orderBy($"value")
+        def at(q: Double): org.apache.spark.sql.Column =
+          (floor(($"cnt" - 1) * lit(q)) + 1).cast("long")
+        Tables.events(s, dir)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"event_type")))
+          .groupBy($"event_type")
+          .agg(max($"cnt").as("n"),
+            max(when($"rn" === at(0.5), $"value")).as("p50"),
+            max(when($"rn" === at(0.9), $"value")).as("p90"),
+            max(when($"rn" === at(0.99), $"value")).as("p99"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH r AS (
+          SELECT event_type, value,
+            CAST(row_number() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS cnt
+          FROM events)
+        SELECT event_type, MAX(cnt) AS n,
+          MAX(CASE WHEN rn = CAST(FLOOR((cnt - 1) * 0.5) AS BIGINT) + 1 THEN value END) AS p50,
+          MAX(CASE WHEN rn = CAST(FLOOR((cnt - 1) * 0.9) AS BIGINT) + 1 THEN value END) AS p90,
+          MAX(CASE WHEN rn = CAST(FLOOR((cnt - 1) * 0.99) AS BIGINT) + 1 THEN value END) AS p99
+        FROM r GROUP BY event_type ORDER BY event_type""")),
+
+    // ── range join via bucketing (no cross/theta join) ─────────────────
+    // "Events within ±5 min of each other per user" is a RANGE join —
+    // naively a per-user theta join. The scale form: bucket time into
+    // 5-min cells, probe the 3 adjacent cells (an EQUI-join on
+    // (user_id, bucket) — Catalyst shuffles on the key, never builds a
+    // cartesian), then apply the exact |Δt| predicate. Bucket width =
+    // range bound ⇒ every true pair is found in EXACTLY one probed cell
+    // (|Δms| ≤ 300000 ⇒ bucket distance ≤ 1), so no distinct is needed.
+    // The oracle runs the plain theta form; results must agree.
+    GraftQuery(
+      "e7_bucketed_range_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select($"event_id", $"user_id", unix_millis($"ts").as("ms"))
+        // long/long is double division in Column algebra; cast back for
+        // the integral bucket id (exact: quotients ~6e6 ≪ 2^53).
+        val cell = ($"ms" / 300000L).cast("long")
+        val probe = ev
+          .withColumn("b0", cell)
+          .withColumn("bucket", explode(sequence($"b0" - 1, $"b0" + 1)))
+        val build = ev
+          .select($"user_id", cell.as("bucket"),
+            $"event_id".as("nbr_id"), $"ms".as("nbr_ms"))
+        probe.join(build, Seq("user_id", "bucket"), "left")
+          .withColumn("hit",
+            $"nbr_id".isNotNull && $"nbr_id" =!= $"event_id" &&
+              abs($"ms" - $"nbr_ms") <= 300000L)
+          .groupBy($"event_id")
+          .agg(sum(when($"hit", 1L).otherwise(0L)).as("n_neighbors"))
+          .orderBy($"event_id")
+      },
+      Some("""
+        SELECT a.event_id,
+          CAST(COUNT(CASE WHEN b.event_id IS NOT NULL THEN 1 END) AS BIGINT) AS n_neighbors
+        FROM events a LEFT JOIN events b
+          ON a.user_id = b.user_id AND a.event_id <> b.event_id
+          AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 300000
+        GROUP BY a.event_id ORDER BY a.event_id"""))
   )
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.{GraftQuery, Tables}
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline plane (builder
@@ -692,6 +693,91 @@ object TextQueries {
         UNION ALL SELECT '30_exact_dedup', COUNT(*) FROM e
         UNION ALL SELECT '40_near_dedup', COUNT(*) FROM f
         ORDER BY stage"""),
-      bench = true)
+      bench = true),
+
+    // ── corpus n-gram language-model counts (top-k per order) ─────────
+    // The classic count-based LM / contamination-analysis table: corpus
+    // bigram and trigram frequencies, top 15 per order. One scan builds
+    // both gram arrays per doc (no second pass), the explode is
+    // map-side, counts are ONE map-side-combined groupBy(n, gram), and
+    // the per-order top-k compiles to WindowGroupLimit (rank pushdown —
+    // no global sort of the gram table; at 100 TB the gram table is the
+    // big output, the top-k never materializes it sorted).
+    GraftQuery(
+      "x16_ngram_lm_counts",
+      (s, dir) => {
+        import s.implicits._
+        def grams(toks: Column, n: Int): Column =
+          when(size(toks) >= n,
+            transform(sequence(lit(1), size(toks) - (n - 1)),
+              i => concat_ws(" ", slice(toks, i, lit(n)))))
+            .otherwise(array().cast("array<string>"))
+        val toks = Tables.documents(s, dir)
+          .select(lowerTokens($"text").as("toks"))
+        val exploded = toks.select(explode(
+          concat(
+            transform(grams($"toks", 2), g => struct(lit(2).as("n"), g.as("gram"))),
+            transform(grams($"toks", 3), g => struct(lit(3).as("n"), g.as("gram"))))).as("g"))
+          .select($"g.n".as("n"), $"g.gram".as("gram"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"n").orderBy($"cnt".desc, $"gram")
+        exploded.groupBy($"n", $"gram")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rank", row_number().over(w))
+          .where($"rank" <= 15)
+          .orderBy($"n", $"rank")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM documents),
+        g AS (
+          SELECT 2 AS n, array_to_string(t[i:i+1], ' ') AS gram
+          FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 2)
+          UNION ALL
+          SELECT 3 AS n, array_to_string(t[i:i+2], ' ') AS gram
+          FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks WHERE len(t) >= 3)),
+        c AS (SELECT n, gram, COUNT(*) AS cnt FROM g GROUP BY n, gram),
+        r AS (SELECT n, gram, cnt,
+                row_number() OVER (PARTITION BY n ORDER BY cnt DESC, gram) AS rank
+              FROM c)
+        SELECT n, gram, cnt, rank FROM r WHERE rank <= 15 ORDER BY n, rank""")),
+
+    // ── deterministic stratified train/val/test split ──────────────────
+    // Every training run needs a replayable split that never moves a doc
+    // between splits as the corpus grows: assignment is a pure function
+    // of doc_id (salted md5 mod 100 → 80/10/10), verified here as
+    // per-(source, split) counts + id bounds + token mass. No shuffle on
+    // the assignment side (per-row hash); the audit is one
+    // map-side-combined groupBy. The same hash gates x12's mixing
+    // sampler — together they are the corpus-assembly pair.
+    GraftQuery(
+      "x17_train_split",
+      (s, dir) => {
+        import s.implicits._
+        val bucket = pmod(graft.functions.HashFunctions.md5Long(
+          concat(lit("split:"), $"doc_id".cast("string"))), lit(100))
+        Tables.documents(s, dir)
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+          .groupBy($"source", $"split")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"doc_id").as("min_id"),
+            max($"doc_id").as("max_id"),
+            sum(tokenCount($"text").cast("long")).as("n_tokens"))
+          .orderBy($"source", $"split")
+      },
+      Some("""
+        WITH b AS (
+          SELECT source, doc_id, text,
+            CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+          FROM documents)
+        SELECT source,
+          CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+          COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+          CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z0-9]+'))) AS BIGINT) AS n_tokens
+        FROM b
+        GROUP BY source, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END
+        ORDER BY source, split"""))
   )
 }

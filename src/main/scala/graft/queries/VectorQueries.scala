@@ -475,6 +475,68 @@ object VectorQueries {
           SELECT pid, nid, cluster,
             row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rank
           FROM cand)
-        SELECT pid, nid, rank, cluster FROM r WHERE rank <= 3 ORDER BY pid, rank"""))
+        SELECT pid, nid, rank, cluster FROM r WHERE rank <= 3 ORDER BY pid, rank""")),
+
+    // ── semantic dedup (SemDeDup: cluster-then-dedup-within-cell) ─────
+    // Embedding-space near-dedup at corpus scale: assign every vector to
+    // its IVF cell, then compare ONLY within the cell — the pairwise work
+    // is bounded per cell, never corpus-quadratic, and `cluster` is the
+    // shuffle/partition key (store the corpus partitioned by it and the
+    // whole pass is shuffle-free). A vector drops iff a lower-id
+    // neighbor in its cell clears cosine ≥ 0.98; synthesized exact
+    // copies (every 10th id, +1e6) land in the same cell by construction
+    // and die there. Fixed centroids (vec_id < 8) keep the oracle
+    // SQL-reproducible; v8 hash-verifies the kmeans TRAINING that would
+    // produce real ones.
+    GraftQuery(
+      "v10_semantic_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.select($"vec_id", $"embedding")
+          .unionAll(emb.filter($"vec_id" % 10 === 0)
+            .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+        val cent = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+        val asg = graft.similarity.Ivf.assign(corpus, cent)
+        val a = asg.select($"cluster", $"vec_id".as("a"), $"embedding".as("ea"))
+        val b = asg.select($"cluster", $"vec_id".as("b"), $"embedding".as("eb"))
+        val dups = a.join(b, Seq("cluster")).where($"a" < $"b")
+          .where(cosineNative($"ea", $"eb") >= 0.98)
+          .groupBy($"b").agg(min($"a").as("dup_of"))
+        asg.join(dups, asg("vec_id") === dups("b"), "left")
+          .select(asg("vec_id"), $"cluster",
+            when($"dup_of".isNotNull, "drop").otherwise("keep").as("status"),
+            $"dup_of")
+          .orderBy($"vec_id")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+        cent AS (
+          SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+        scored AS (
+          SELECT e.vec_id, c.cid, list_cosine_similarity(e.embedding, c.cemb) AS cos
+          FROM corpus e CROSS JOIN cent c),
+        asg AS (
+          SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+            FROM scored)
+          WHERE rn = 1),
+        pairs AS (
+          SELECT x.vec_id AS a, y.vec_id AS b
+          FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+          JOIN corpus cx ON cx.vec_id = x.vec_id
+          JOIN corpus cy ON cy.vec_id = y.vec_id
+          WHERE list_cosine_similarity(cx.embedding, cy.embedding) >= 0.98),
+        dups AS (SELECT b, MIN(a) AS dup_of FROM pairs GROUP BY b)
+        SELECT g.vec_id, g.cluster,
+          CASE WHEN d.dup_of IS NOT NULL THEN 'drop' ELSE 'keep' END AS status,
+          d.dup_of
+        FROM asg g LEFT JOIN dups d ON d.b = g.vec_id
+        ORDER BY g.vec_id"""))
   )
 }

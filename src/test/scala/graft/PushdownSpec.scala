@@ -111,6 +111,42 @@ class PushdownSpec extends AnyFunSuite {
       s"attribution join must stay an equi-join on user_id:\n$plan")
   }
 
+  test("e7 range join: bucketed form stays an equi-join (no cartesian/theta)") {
+    // the ±5-min range predicate must ride an equi-join on
+    // (user_id, bucket) — a theta join would be per-user quadratic
+    val q = graft.core.Registry.allQueries.find(_.name == "e7_bucketed_range_join").get
+    val plan = q.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(SimpleMode)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must bucket into an equi-join, plan:\n$plan")
+  }
+
+  test("x16 ngram counts: top-k per order compiles to WindowGroupLimit") {
+    val q = graft.core.Registry.allQueries.find(_.name == "x16_ngram_lm_counts").get
+    val plan = q.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(SimpleMode)
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=15 must push into WindowGroupLimit (no sorted gram table), plan:\n$plan")
+  }
+
+  test("v10 semantic dedup: centroids broadcast; in-cell compare is an equi-join") {
+    val q = graft.core.Registry.allQueries.find(_.name == "v10_semantic_dedup").get
+    val plan = q.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(SimpleMode)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid assign must broadcast the centroids, plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pairwise compare must stay cell-local (equi-join on cluster), plan:\n$plan")
+  }
+
+  test("d9 span dedup: gram mark-back is an equi-join; islands window per doc") {
+    val q = graft.core.Registry.allQueries.find(_.name == "d9_duplicate_span_dedup").get
+    val plan = q.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(SimpleMode)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"duplicated-gram mark-back must join on gh, plan:\n$plan")
+  }
+
   test("h4: derived standalone bound reaches the lineitem scan as a pushed filter") {
     // the semi-join condition l_shipdate > o_orderdate is not pushable,
     // but the derived bound l_shipdate > '1996-01-01' (min possible
