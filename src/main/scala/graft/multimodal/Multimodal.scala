@@ -119,6 +119,27 @@ object Multimodal {
       ResizedMedia(id, kind, out, n)
     }
 
+  /** Overlapping fixed-size byte windows — the audio/video analog of
+    * [[graft.functions.TextFunctions.tokenChunks]] (speech models window
+    * their waveform exactly like LLMs window tokens; a video pipeline
+    * windows GOP-aligned byte ranges the same way). Window j covers
+    * bytes [j·stride+1, j·stride+n]; the last window starts at the
+    * smallest j·stride reaching the tail; empty payloads emit one empty
+    * window. Purely per-row offset math before any decode — NO shuffle,
+    * and only sampled windows ever reach the codec. */
+  def chunkMedia(media: DataFrame, n: Int, stride: Int): DataFrame = {
+    require(n > 0 && stride > 0 && stride <= n, "need 0 < stride <= n")
+    val lastIdx = ceil(greatest(col("meta.byte_len") - lit(n), lit(0))
+      .cast("double") / lit(stride.toDouble)).cast("int")
+    media
+      .withColumn("chunk_idx", explode(sequence(lit(0), lastIdx)))
+      .select(
+        col("media_id"), col("kind"), col("chunk_idx"),
+        substring(col("bytes"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(n).cast("int")).as("chunk_bytes"))
+      .withColumn("chunk_len", length(col("chunk_bytes")))
+  }
+
   /** Exact + near-duplicate detection over media: exact via content hash
     * (scales as a groupBy), near via feature cosine on the decoded
     * vectors (plug into LSH bucketing at scale). */

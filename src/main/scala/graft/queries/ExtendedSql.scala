@@ -200,6 +200,31 @@ object ExtendedSql {
         FROM events a LEFT JOIN events b
           ON a.user_id = b.user_id AND a.event_id <> b.event_id
           AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 300000
-        GROUP BY a.event_id ORDER BY a.event_id"""))
+        GROUP BY a.event_id ORDER BY a.event_id""")),
+
+    // ── pivot (long → wide reshaping) ──────────────────────────────────
+    // Docs-per-language matrix by source. Values are ENUMERATED
+    // explicitly: a two-pass value-discovery pivot is a driver-side
+    // collect over 100 TB; with declared values the whole reshape is one
+    // map-side-combined groupBy(source) of conditional aggregates.
+    GraftQuery(
+      "e8_pivot",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .groupBy($"source")
+          .pivot("lang", Seq("en", "de", "fr", "es", "zh"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy($"source")
+      },
+      Some("""
+        SELECT source,
+          COUNT(CASE WHEN lang = 'en' THEN 1 END) AS en,
+          COUNT(CASE WHEN lang = 'de' THEN 1 END) AS de,
+          COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+          COUNT(CASE WHEN lang = 'es' THEN 1 END) AS es,
+          COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+        FROM documents GROUP BY source ORDER BY source"""))
   )
 }

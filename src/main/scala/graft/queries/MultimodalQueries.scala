@@ -111,6 +111,38 @@ object MultimodalQueries {
             i -> substring(text, CAST((i * length(text)) // 32 AS INT) + 1, 1)), '')) AS resized_len,
           md5(array_to_string(list_transform(generate_series(0, 31),
             i -> substring(text, CAST((i * length(text)) // 32 AS INT) + 1, 1)), '')) AS content_hash
-        FROM documents ORDER BY media_id"""))
+        FROM documents ORDER BY media_id""")),
+
+    // ── overlapping media windows (audio/video chunking) ──────────────
+    // The waveform-window analog of x8's token chunking: 96-byte windows
+    // at stride 64 (50% lookback), computed purely by offset BEFORE any
+    // decode — per-row explode, no shuffle, and the per-chunk content
+    // hash is what a dedup/caching layer keys on. Audio rows only, so
+    // the kind filter also demonstrates modality routing.
+    GraftQuery(
+      "m5_media_chunks",
+      (s, dir) => {
+        import s.implicits._
+        Multimodal.chunkMedia(
+          Multimodal.asMediaTable(Tables.documents(s, dir))
+            .where($"kind" === "audio"), n = 96, stride = 64)
+          .select($"media_id", $"chunk_idx", $"chunk_len",
+            md5($"chunk_bytes").as("chunk_hash"))
+          .orderBy($"media_id", $"chunk_idx")
+      },
+      Some("""
+        WITH media AS (
+          SELECT doc_id AS media_id, text, length(text) AS byte_len
+          FROM documents
+          WHERE (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] = 'audio'),
+        chunks AS (
+          SELECT media_id, text,
+            unnest(generate_series(0,
+              CAST(ceil(greatest(byte_len - 96, 0) / 64.0) AS INT))) AS chunk_idx
+          FROM media)
+        SELECT media_id, chunk_idx,
+          length(substring(text, chunk_idx * 64 + 1, 96)) AS chunk_len,
+          md5(substring(text, chunk_idx * 64 + 1, 96)) AS chunk_hash
+        FROM chunks ORDER BY media_id, chunk_idx"""))
   )
 }

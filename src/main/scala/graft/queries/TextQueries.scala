@@ -778,6 +778,68 @@ object TextQueries {
           CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z0-9]+'))) AS BIGINT) AS n_tokens
         FROM b
         GROUP BY source, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END
-        ORDER BY source, split"""))
+        ORDER BY source, split""")),
+
+    // ── count-min sketch heavy hitters (integer-exact sketch) ──────────
+    // The streaming-friendly frequency sketch, built integer-exact so the
+    // oracle replays it: depth 4 × width 64 counters, row hashes
+    // md5("d:tok"). Estimate = min over rows of the probed cell —
+    // ≥ the true count by construction, equal when no collision wins
+    // every row. Scale shape: the token groupBy is the same pass an LM
+    // count table already pays; the sketch itself AGGREGATES DISTINCT
+    // TOKENS (not the raw stream) into 256 cells — a broadcastable
+    // fixed-size state that merges across partitions/streams by plain
+    // addition, which is the whole point of CMS at 100 TB.
+    GraftQuery(
+      "x18_cms_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        val counts = Tables.documents(s, dir)
+          .select(explode(lowerTokens($"text")).as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        val cells = counts
+          .withColumn("d", explode(sequence(lit(0), lit(3))))
+          .withColumn("col", pmod(graft.functions.HashFunctions.md5Long(
+            concat($"d".cast("string"), lit(":"), $"tok")), lit(64L)))
+          .groupBy($"d", $"col").agg(sum($"cnt").as("cell"))
+        // global top-10 via TakeOrderedAndProject (distributed partial
+        // top-k per partition), NOT an unpartitioned rank window over
+        // every distinct token; the 10-row result then ranks locally
+        val probes = counts.orderBy($"cnt".desc, $"tok").limit(10)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy($"cnt".desc, $"tok")))
+        val probed = probes
+          .withColumn("d", explode(sequence(lit(0), lit(3))))
+          .withColumn("col", pmod(graft.functions.HashFunctions.md5Long(
+            concat($"d".cast("string"), lit(":"), $"tok")), lit(64L)))
+        probed.join(cells, Seq("d", "col"))
+          .groupBy($"rank", $"tok")
+          .agg(max($"cnt").as("true_n"), min($"cell").as("est_n"))
+          .orderBy($"rank")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT unnest(regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+')) AS tok
+          FROM documents),
+        counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+        dd AS (SELECT unnest(generate_series(0, 3)) AS d),
+        cells AS (
+          SELECT d, CAST(concat('0x', substr(md5(CAST(d AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 64 AS col,
+            CAST(SUM(cnt) AS BIGINT) AS cell
+          FROM counts CROSS JOIN dd GROUP BY 1, 2),
+        probes AS (
+          SELECT tok, cnt, rank FROM (
+            SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+            FROM counts)
+          WHERE rank <= 10),
+        pe AS (
+          SELECT p.tok, p.cnt, p.rank, dd.d,
+            CAST(concat('0x', substr(md5(CAST(dd.d AS VARCHAR) || ':' || p.tok), 1, 15)) AS BIGINT) % 64 AS col
+          FROM probes p CROSS JOIN dd)
+        SELECT pe.rank, pe.tok, MAX(pe.cnt) AS true_n, MIN(c.cell) AS est_n
+        FROM pe JOIN cells c ON c.d = pe.d AND c.col = pe.col
+        GROUP BY pe.rank, pe.tok
+        ORDER BY pe.rank"""))
   )
 }
