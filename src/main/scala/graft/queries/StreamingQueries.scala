@@ -168,6 +168,35 @@ object StreamingQueries {
           MIN(event_id) AS survivor_id, COUNT(*) AS n_arrivals
         FROM events
         GROUP BY 1, 2, 3
-        ORDER BY user_id, event_type, bucket_ms"""))
+        ORDER BY user_id, event_type, bucket_ms""")),
+
+    // ── stream-static enrichment join (dim broadcast into a stream) ────
+    // Batch projection of StreamIngest.enrichWithDim: the event firehose
+    // picks up customer market segment WITHOUT shuffling the stream side
+    // (dim broadcasts; unmatched users keep flowing as 'UNKNOWN' — an
+    // enrichment must never drop traffic). The rollup then groups by the
+    // enriched column. The e2e MemoryStream form is StreamingSpec's
+    // "stream-static enrichment" test.
+    GraftQuery(
+      "s6_stream_static_enrich",
+      (s, dir) => {
+        import s.implicits._
+        val dim = Tables.customer(s, dir)
+          .select($"c_custkey", $"c_mktsegment")
+        graft.streaming.StreamIngest.enrichWithDim(
+            Tables.events(s, dir), dim, $"user_id" === $"c_custkey")
+          .select($"event_type",
+            coalesce($"c_mktsegment", lit("UNKNOWN")).as("segment"),
+            $"value")
+          .groupBy($"segment", $"event_type")
+          .agg(count(lit(1)).as("n"), sumd($"value").as("total_value"))
+          .orderBy($"segment", $"event_type")
+      },
+      Some("""
+        SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment, e.event_type,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2 ORDER BY segment, event_type"""))
   )
 }

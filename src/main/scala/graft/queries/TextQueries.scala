@@ -840,6 +840,112 @@ object TextQueries {
         SELECT pe.rank, pe.tok, MAX(pe.cnt) AS true_n, MIN(c.cell) AS est_n
         FROM pe JOIN cells c ON c.d = pe.d AND c.col = pe.col
         GROUP BY pe.rank, pe.tok
-        ORDER BY pe.rank"""))
+        ORDER BY pe.rank""")),
+
+    // ── Bloom-filter decontamination (sketch-sized eval set) ──────────
+    // x10 broadcasts the EXACT eval gram-hash set; when the eval suite
+    // itself is huge, the broadcast becomes a Bloom filter — here a
+    // 1024-bit filter (16 longs) with 3 probes per gram, the probe
+    // positions three 10-bit slices of the 60-bit md5 (no extra
+    // hashing). No false negatives (every leaked doc still flags);
+    // false positives only inflate n_hit, never drop a gram. The
+    // filter builds with ONE groupBy into bit_or word masks and probes
+    // as THREE row-wise broadcast joins (16-row build side) — the
+    // stream side never shuffles, and the filter state merges across
+    // partitions by plain OR, which is why Bloom beats an exact set at
+    // 100 TB. Flag threshold stays integer (n_hit·5 ≥ n_grams).
+    GraftQuery(
+      "x19_bloom_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+        val leaked = docs.filter($"doc_id" % 50 === 0)
+          .select(($"doc_id" + 3000000L).as("doc_id"),
+            concat(lit("novel preface words then "), substring($"text", 1, 250)).as("text"))
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("toks", lowerTokens($"text"))
+          .select($"doc_id", explode(array_distinct(
+            graft.dedup.MinHashLsh.shinglesOfTokens($"toks", 8))).as("g"))
+          .select($"doc_id", graft.functions.HashFunctions.md5Long($"g").as("gh"))
+        def pos(j: Int): org.apache.spark.sql.Column =
+          shiftright($"gh", 10 * j).bitwiseAND(1023L)
+        val bloom = grams(docs.filter($"doc_id" % 50 === 0))
+          .select($"gh").distinct()
+          .select(explode(array(pos(0), pos(1), pos(2))).as("p"))
+          .select(shiftright($"p", 6).as("word"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 63 AS INT))").as("m"))
+          .groupBy($"word").agg(expr("bit_or(m)").as("w"))
+        var probed = grams(docs.unionAll(leaked))
+        for (j <- 0 to 2) {
+          val bj = bloom.select($"word".as(s"word$j"), $"w".as(s"w$j"))
+          probed = probed
+            .withColumn(s"p$j", pos(j))
+            .withColumn(s"m$j",
+              expr(s"shiftleft(CAST(1 AS BIGINT), CAST(p$j & 63 AS INT))"))
+            .join(broadcast(bj),
+              shiftright(col(s"p$j"), 6) === col(s"word$j"), "left")
+        }
+        val hit = (0 to 2).map(j =>
+          coalesce(col(s"w$j"), lit(0L)).bitwiseAND(col(s"m$j")) === col(s"m$j"))
+          .reduce(_ && _)
+        probed
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(hit, 1L).otherwise(0L)).as("n_hit"))
+          .select($"doc_id", $"n_grams", $"n_hit",
+            ($"n_hit" * 5 >= $"n_grams").cast("int").as("contaminated"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 3000000, 'novel preface words then ' || substr(text, 1, 250)
+          FROM documents WHERE doc_id % 50 = 0),
+        toks AS (
+          SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM corpus),
+        grams AS (
+          SELECT DISTINCT doc_id,
+            CAST(concat('0x', substr(md5(
+              CASE WHEN len(t) < 8 THEN array_to_string(t, ' ')
+                   ELSE array_to_string(t[i:i+7], ' ') END), 1, 15)) AS BIGINT) AS gh
+          FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+                FROM toks)),
+        bench AS (
+          SELECT DISTINCT gh FROM grams WHERE doc_id % 50 = 0 AND doc_id < 3000000),
+        bpos AS (
+          SELECT ((gh >> (10 * j)) & 1023) AS p
+          FROM bench CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j)),
+        bits AS (
+          -- DuckDB's checked << rejects 1<<63; Spark's shiftleft wraps to
+          -- Long.MinValue, so bit 63 is spelled out explicitly
+          SELECT b, CASE WHEN b = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                         ELSE CAST(1 AS BIGINT) << CAST(b AS INT) END AS mask
+          FROM (SELECT unnest(generate_series(0, 63)) AS b)),
+        bloom AS (
+          SELECT p // 64 AS word, bit_or(m.mask) AS w
+          FROM bpos JOIN bits m ON m.b = p % 64 GROUP BY 1),
+        probe AS (
+          SELECT doc_id, gh,
+            ((gh >> 0) & 1023) AS p0, ((gh >> 10) & 1023) AS p1, ((gh >> 20) & 1023) AS p2
+          FROM grams),
+        flags AS (
+          SELECT p.doc_id,
+            CASE WHEN (coalesce(b0.w, 0) & m0.mask) = m0.mask
+                  AND (coalesce(b1.w, 0) & m1.mask) = m1.mask
+                  AND (coalesce(b2.w, 0) & m2.mask) = m2.mask
+            THEN 1 ELSE 0 END AS hit
+          FROM probe p
+          JOIN bits m0 ON m0.b = p.p0 % 64
+          JOIN bits m1 ON m1.b = p.p1 % 64
+          JOIN bits m2 ON m2.b = p.p2 % 64
+          LEFT JOIN bloom b0 ON b0.word = p.p0 // 64
+          LEFT JOIN bloom b1 ON b1.word = p.p1 // 64
+          LEFT JOIN bloom b2 ON b2.word = p.p2 // 64)
+        SELECT doc_id, COUNT(*) AS n_grams,
+          CAST(SUM(hit) AS BIGINT) AS n_hit,
+          CAST(SUM(hit) * 5 >= COUNT(*) AS INT) AS contaminated
+        FROM flags GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -148,6 +148,17 @@ object StreamIngest {
     rows.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-static enrichment: join a live stream against a slowly-
+    * changing dimension snapshot. The static side re-resolves per
+    * micro-batch (Spark re-plans the batch side each trigger, so a
+    * refreshed dim parquet is picked up without restarting the query)
+    * and broadcasts — the stream side never shuffles, which is the
+    * whole point: enrichment must not re-partition a firehose. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      condition: org.apache.spark.sql.Column, joinType: String = "left")
+      : DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), condition, joinType)
+
   /** Watermarked tumbling-window OHLC over a live tick stream — the
     * streaming face of SessionAnalytics.sessionOhlc. Late data beyond the
     * watermark is dropped by the state store; the reference instead

@@ -107,6 +107,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: dim broadcast joins each micro-batch, no drops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val stream = source.toDF().toDF("user_id", "event_type")
+    val dim = Seq((7L, "AUTOMOBILE"), (8L, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+    val out = StreamIngest.enrichWithDim(
+      stream, dim, col("user_id") === col("c_custkey"))
+      .select(col("user_id"), col("event_type"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("en_out").start()
+    try {
+      source.addData((7L, "click"), (9L, "view"))
+      q.processAllAvailable()
+      source.addData((8L, "click"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, segment FROM en_out").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      // matched users enrich; unmatched user 9 still flows as UNKNOWN
+      assert(got == Set((7L, "AUTOMOBILE"), (9L, "UNKNOWN"), (8L, "BUILDING")))
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark: cross-batch duplicate keys dropped, first survives") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
