@@ -1,0 +1,76 @@
+package graft.dedup
+
+import graft.functions.HashFunctions.md5Long
+import graft.functions.TextFunctions.lowerTokens
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-substring (duplicated token span) detection — the Lee et al.
+  * "Deduplicating Training Data Makes Language Models Better" pass:
+  * find runs of ≥ `n` tokens that appear in more than one document, at
+  * ANY offset, and merge overlapping hits into maximal spans per doc.
+  *
+  * Pipeline: sliding `n`-gram hashes with start positions → ONE
+  * map-side-combined groupBy(gh) marks grams seen in ≥2 docs → equi-join
+  * back on gh → per-doc gaps-and-islands merge (window partitioned by
+  * doc id — per-doc rows only, never a corpus-wide sort). Nothing is
+  * quadratic in corpus size; the only O(doc²) danger would be a
+  * pathological gram shared by every doc, which the stats groupBy
+  * collapses to one row before the join.
+  */
+object SpanDedup {
+
+  /** Duplicated-gram start positions per doc: (id, pos, gh) for every
+    * sliding `n`-gram whose hash occurs in ≥ 2 distinct docs. */
+  def duplicatedGramHits(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, "gram order must be >= 2")
+    val grams = corpus
+      .withColumn("toks", lowerTokens(col(textCol)))
+      .select(col(idCol).as("id"),
+        explode(when(size(col("toks")) >= n,
+          transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => struct(i.as("pos"),
+              md5Long(concat_ws(" ", slice(col("toks"), i, lit(n)))).as("gh"))))
+          .otherwise(array().cast("array<struct<pos:int,gh:bigint>>"))).as("g"))
+      .select(col("id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val dup = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("id")).as("ndocs"))
+      .where(col("ndocs") >= 2)
+      .select(col("gh"))
+    grams.join(dup, Seq("gh"))
+  }
+
+  /** Maximal duplicated spans per doc: (id, island, span_start, span_len).
+    * Islands break when the next duplicated gram start no longer overlaps
+    * the previous gram's [p, p+n-1] token range. */
+  def spans(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    duplicatedGramHits(corpus, idCol, textCol, n)
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= n - 1, 0).otherwise(1))
+      .withColumn("island",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1) - min(col("pos")) + 1).as("span_len"))
+  }
+
+  /** Per-doc summary over ALL docs (zero-filled for clean docs):
+    * (id, n_spans, dup_tokens, max_span). */
+  def spanStats(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    corpus.select(col(idCol).as("id"))
+      .join(spans(corpus, idCol, textCol, n)
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("span_len")).as("dup_tokens"),
+            max(col("span_len")).cast("long").as("max_span")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"))
+}

@@ -409,47 +409,14 @@ object DedupQueries {
       "d9_duplicate_span_dedup",
       (s, dir) => {
         import s.implicits._
-        import graft.functions.TextFunctions.lowerTokens
         val block = "all rights reserved no part of this publication may be " +
           "reproduced stored in a retrieval system or transmitted in any form"
         val corpus = Tables.documents(s, dir)
           .select($"doc_id",
             when($"doc_id" % 7 === 0, concat(lit(block + " "), $"text"))
               .otherwise($"text").as("text"))
-          .withColumn("toks", lowerTokens($"text"))
-        // Sliding 15-grams with start positions; docs under 15 tokens
-        // emit none (guarded: Spark's sequence(1, n) descends for n<1).
-        val grams = corpus
-          .select($"doc_id",
-            explode(when(size($"toks") >= 15,
-              transform(sequence(lit(1), size($"toks") - 14),
-                i => struct(i.as("pos"),
-                  graft.functions.HashFunctions.md5Long(
-                    concat_ws(" ", slice($"toks", i, lit(15)))).as("gh"))))
-              .otherwise(array().cast("array<struct<pos:int,gh:bigint>>"))).as("g"))
-          .select($"doc_id", $"g.pos".as("pos"), $"g.gh".as("gh"))
-        val dup = grams.groupBy($"gh")
-          .agg(countDistinct($"doc_id").as("ndocs"))
-          .where($"ndocs" >= 2)
-          .select($"gh")
-        val w = Window.partitionBy($"doc_id").orderBy($"pos")
-        val spans = grams.join(dup, Seq("gh"))
-          .withColumn("brk",
-            when($"pos" - lag($"pos", 1).over(w) <= 14, 0).otherwise(1))
-          .withColumn("island",
-            sum($"brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-          .groupBy($"doc_id", $"island")
-          .agg((max($"pos") + 14 - min($"pos") + 1).as("span_len"))
-        corpus.select($"doc_id")
-          .join(spans.groupBy($"doc_id")
-              .agg(count(lit(1)).as("n_spans"),
-                sum($"span_len").as("dup_tokens"),
-                max($"span_len").cast("long").as("max_span")),
-            Seq("doc_id"), "left")
-          .select($"doc_id",
-            coalesce($"n_spans", lit(0L)).as("n_spans"),
-            coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
-            coalesce($"max_span", lit(0L)).as("max_span"))
+        graft.dedup.SpanDedup.spanStats(corpus, "doc_id", "text", n = 15)
+          .withColumnRenamed("id", "doc_id")
           .orderBy($"doc_id")
       },
       Some("""
