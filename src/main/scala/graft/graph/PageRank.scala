@@ -1,0 +1,68 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Integer-exact PageRank over an undirected pair graph — the link-
+  * analysis half of corpus curation (rank hosts/docs by their position in
+  * the duplication / citation graph; the classic web-corpus quality
+  * prior, next to the [[graft.dedup.MinHashLsh.memberLabels]] component
+  * labels).
+  *
+  * Every quantity is a scaled long with floor division at exactly the
+  * points a float implementation would round, so ANY engine replays the
+  * trajectory bit-for-bit (same design as Ivf.kmeansExact): r₀ = S/N,
+  * r_{t+1}(v) = (15·r₀)/100 + (85·Σ_{u~v} r_t(u)/deg(u))/100, all "/"
+  * floor. Rank mass is conserved up to per-node floor truncation, which
+  * is deterministic and identical across engines.
+  *
+  * Scale shape per round: ONE equi-join (edges pre-partitioned on src ⋈
+  * ranks arriving hash-partitioned on id from the previous groupBy) +
+  * ONE map-side-combined groupBy(dst) — the label-propagation round
+  * shape; nothing driver-side except the node count every PageRank
+  * needs. Edges and degrees cache once (the SMALL frames); the returned
+  * frame is cached and materialized, working sets are released.
+  */
+object PageRank {
+
+  /** (id, deg, rank_units) after `iters` exact rounds; `scale` units =
+    * total initial rank mass. */
+  def rankUnits(pairs: DataFrame, iters: Int = 3,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "need at least one round")
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .cache()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+    val n = deg.count() // the node count every PageRank normalizes by
+    if (n == 0) {
+      edges.unpersist(false); deg.unpersist(false)
+      return pairs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id"), lit(0L).as("deg"), lit(0L).as("rank_units"))
+        .limit(0)
+    }
+    val r0 = scale / n
+    val base = 15L * r0 / 100L
+    var ranks = deg.select(col("src").as("id"), lit(r0).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = edges.join(deg, Seq("src"))
+        .join(ranks, edges("src") === ranks("id"))
+        .select(col("dst"), expr("r div deg").as("c"))
+      // every node has deg >= 1 ⇒ every node receives contributions, but
+      // the left join + coalesce keeps isolated-node generalizations safe
+      ranks = deg.join(contribs.groupBy(col("dst")).agg(sum(col("c")).as("s")),
+          deg("src") === col("dst"), "left")
+        .select(col("src").as("id"),
+          (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
+    }
+    val out = deg.select(col("src").as("id"), col("deg"))
+      .join(ranks, Seq("id"))
+      .select(col("id"), col("deg"), col("r").as("rank_units"))
+      .cache()
+    out.count() // materialize before releasing the working caches
+    edges.unpersist(false)
+    deg.unpersist(false)
+    out
+  }
+}

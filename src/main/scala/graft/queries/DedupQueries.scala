@@ -458,6 +458,69 @@ object DedupQueries {
           CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
           CAST(COALESCE(a.max_span, 0) AS BIGINT) AS max_span
         FROM corpus c LEFT JOIN agg a USING (doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ── PageRank over the duplication graph (link analysis) ────────────
+    // The corpus-curation centrality prior: rank docs by their position
+    // in the near-dup graph (hub boilerplate ranks high — a removal
+    // signal; the same operator ranks a host link graph as a QUALITY
+    // signal). Integer-exact trajectory ([[graft.graph.PageRank]]):
+    // floor division at every rounding point, so the DuckDB oracle
+    // replays all 3 rounds bit-for-bit — TRAINING-loop verification in
+    // the v8 kmeansExact style, not just a final-state smoke check.
+    // Scale shape per round: one pre-partitioned equi-join + one
+    // map-side-combined groupBy — the memberLabels round shape.
+    GraftQuery(
+      "d10_dup_graph_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        graft.graph.PageRank.rankUnits(
+          graft.dedup.MinHashLsh.candidatePairs(
+            corpusWithNearDups(s, dir), "doc_id", "text"),
+          iters = 3)
+          .orderBy($"id")
+      },
+      Some(s"""WITH $pairsCte,
+        edges2 AS (
+          SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges2 GROUP BY src),
+        nn AS (SELECT COUNT(*) AS n FROM deg),
+        -- every node has deg >= 1, so every node both contributes and
+        -- receives: inner joins below match the engine's left+coalesce
+        r1 AS (
+          SELECT d.src AS id,
+            ((15 * (1000000000000 // nn.n)) // 100) + ((85 * s.s) // 100) AS r
+          FROM deg d
+          JOIN (SELECT e.dst,
+                  CAST(SUM((1000000000000 // nn2.n) // d2.deg) AS BIGINT) AS s
+                FROM edges2 e
+                JOIN deg d2 ON e.src = d2.src
+                CROSS JOIN nn nn2
+                GROUP BY e.dst) s ON s.dst = d.src
+          CROSS JOIN nn),
+        r2 AS (
+          SELECT d.src AS id,
+            ((15 * (1000000000000 // nn.n)) // 100) + ((85 * s.s) // 100) AS r
+          FROM deg d
+          JOIN (SELECT e.dst, CAST(SUM(r1.r // d2.deg) AS BIGINT) AS s
+                FROM edges2 e
+                JOIN deg d2 ON e.src = d2.src
+                JOIN r1 ON r1.id = e.src
+                GROUP BY e.dst) s ON s.dst = d.src
+          CROSS JOIN nn),
+        r3 AS (
+          SELECT d.src AS id,
+            ((15 * (1000000000000 // nn.n)) // 100) + ((85 * s.s) // 100) AS r
+          FROM deg d
+          JOIN (SELECT e.dst, CAST(SUM(r2.r // d2.deg) AS BIGINT) AS s
+                FROM edges2 e
+                JOIN deg d2 ON e.src = d2.src
+                JOIN r2 ON r2.id = e.src
+                GROUP BY e.dst) s ON s.dst = d.src
+          CROSS JOIN nn)
+        SELECT d.src AS id, d.deg, r3.r AS rank_units
+        FROM deg d JOIN r3 ON r3.id = d.src
+        ORDER BY id"""))
   )
 }

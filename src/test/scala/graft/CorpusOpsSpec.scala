@@ -100,6 +100,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(under.count() == 0)
   }
 
+  test("PageRank: path graph 1-2-3 matches the hand-computed exact trajectory") {
+    import spark.implicits._
+    // N=3, r0 = 1e12/3 = 333333333333, base = 15*r0/100 = 49999999999;
+    // round 1: ends receive r0/2, middle receives 2*r0 → floors below
+    val got = graft.graph.PageRank.rankUnits(
+      Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), iters = 1)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 191666666665L), (2L, 2L, 616666666665L), (3L, 1L, 191666666665L)))
+  }
+
+  test("PageRank: rank mass never exceeds the initial scale, symmetric nodes tie") {
+    import spark.implicits._
+    // 4-cycle: all nodes symmetric → equal ranks; floors only LOSE mass
+    val ranks = graft.graph.PageRank.rankUnits(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b"), iters = 3)
+      .collect().map(_.getLong(2))
+    assert(ranks.distinct.length == 1)
+    assert(ranks.sum <= 1000000000000L)
+  }
+
   test("chunkMedia: stride coverage, overlap, and empty payload") {
     import spark.implicits._
     val media = Multimodal.asMediaTable(
