@@ -280,6 +280,43 @@ object Analytics {
           CAST(SUM(cents * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / 100.0 AS vwap,
           CAST(SUM(w) AS BIGINT) AS total_size,
           COUNT(*) AS n_ticks
-        FROM e GROUP BY day ORDER BY day"""))
+        FROM e GROUP BY day ORDER BY day""")),
+
+    // ── Q-family: maximum drawdown (peak-to-trough decline) ────────────
+    // The risk statistic every backtest reports: per key, the largest
+    // drop from a running event-time peak. Running max is a ROWS window
+    // (partition-local, ties broken by event_id), drawdown arithmetic is
+    // exact cents, and the per-key reduction is one map-side-combined
+    // groupBy — two shuffles total at any SF, both on user_id.
+    GraftQuery(
+      "q10_max_drawdown",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        Tables.events(s, dir)
+          .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+            cents($"value").as("c"))
+          .withColumn("runmax", max($"c").over(w))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_ticks"),
+            (max($"c") / 100.0).as("peak"),
+            (max($"runmax" - $"c") / 100.0).as("max_drawdown"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ms,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events),
+        r AS (
+          SELECT user_id, c,
+            MAX(c) OVER (PARTITION BY user_id ORDER BY ms, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+          FROM e)
+        SELECT user_id, COUNT(*) AS n_ticks,
+          CAST(MAX(c) AS BIGINT) / 100.0 AS peak,
+          CAST(MAX(runmax - c) AS BIGINT) / 100.0 AS max_drawdown
+        FROM r GROUP BY user_id ORDER BY user_id"""))
   )
 }

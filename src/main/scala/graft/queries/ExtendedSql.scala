@@ -202,6 +202,36 @@ object ExtendedSql {
           AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 300000
         GROUP BY a.event_id ORDER BY a.event_id""")),
 
+    // ── time-RANGE rolling window (trailing 1-hour aggregate) ──────────
+    // The frame most monitoring/feature pipelines need: per-key trailing
+    // 1h sum/count by EVENT TIME (RANGE frame over epoch millis), not
+    // row count — gaps and bursts change the frame size, rows with equal
+    // timestamps are peers in both engines. Cents keep the windowed sum
+    // an exact long; the single window sort is per-user (partition-local,
+    // never a global order).
+    GraftQuery(
+      "e9_rolling_range_window",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ms")
+          .rangeBetween(-3600000L, 0L)
+        Tables.events(s, dir).filter($"user_id" < 10)
+          .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+            cents($"value").as("c"))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("sum_1h", (sum($"c").over(w) / 100.0))
+          .select($"user_id", $"event_id", $"ms", $"n_1h", $"sum_1h")
+          .orderBy($"user_id", $"ms", $"event_id")
+      },
+      Some("""
+        SELECT user_id, event_id, epoch_ms(ts) AS ms,
+          COUNT(*) OVER w AS n_1h,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) / 100.0 AS sum_1h
+        FROM events WHERE user_id < 10
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+          RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, ms, event_id""")),
+
     // ── pivot (long → wide reshaping) ──────────────────────────────────
     // Docs-per-language matrix by source. Values are ENUMERATED
     // explicitly: a two-pass value-discovery pivot is a driver-side
