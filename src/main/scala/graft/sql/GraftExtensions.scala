@@ -128,7 +128,19 @@ object GraftFunctions {
         s"'n_ips', size(regexp_extract_all(__arg0, '${lit(TextFunctions.Ipv4Pattern)}', 0)))")),
     (FunctionIdentifier("graft_token_chunks"),
       info("graft_token_chunks", "graft_token_chunks(tokens, n, stride) - overlapping token-window chunks (context packing)"),
-      sqlFnText("transform(sequence(0, CAST(ceil(greatest(size(__arg0) - __arg1, 0) / CAST(__arg2 AS DOUBLE)) AS INT)), j -> slice(__arg0, j * __arg2 + 1, __arg1))")))
+      sqlFnText("transform(sequence(0, CAST(ceil(greatest(size(__arg0) - __arg1, 0) / CAST(__arg2 AS DOUBLE)) AS INT)), j -> slice(__arg0, j * __arg2 + 1, __arg1))")),
+    (FunctionIdentifier("graft_split_bucket"),
+      info("graft_split_bucket", "graft_split_bucket(id) - deterministic 0..99 split bucket (salted md5 of the id; x17's assignment hash)"),
+      sqlFn("pmod(CAST(conv(substring(md5(concat('split:', CAST(__arg0 AS STRING))), 1, 15), 16, 10) AS BIGINT), CAST(100 AS BIGINT))")),
+    (FunctionIdentifier("graft_split"),
+      info("graft_split", "graft_split(id) - deterministic train/val/test assignment (80/10/10 over graft_split_bucket)"),
+      sqlFn("CASE WHEN pmod(CAST(conv(substring(md5(concat('split:', CAST(__arg0 AS STRING))), 1, 15), 16, 10) AS BIGINT), CAST(100 AS BIGINT)) < 80 THEN 'train' " +
+        "WHEN pmod(CAST(conv(substring(md5(concat('split:', CAST(__arg0 AS STRING))), 1, 15), 16, 10) AS BIGINT), CAST(100 AS BIGINT)) < 90 THEN 'val' ELSE 'test' END")),
+    (FunctionIdentifier("graft_ngrams"),
+      info("graft_ngrams", "graft_ngrams(tokens, n) - sliding space-joined n-grams (empty below n tokens)"),
+      sqlFnText("CASE WHEN size(__arg0) >= __arg1 THEN " +
+        "transform(sequence(1, size(__arg0) - (__arg1 - 1)), i -> array_join(slice(__arg0, i, __arg1), ' ')) " +
+        "ELSE CAST(array() AS ARRAY<STRING>) END")))
 
   private def litInt(e: Expression): Int = {
     require(e.foldable, s"argument must be a literal: $e")

@@ -96,6 +96,30 @@ class SqlExtensionsSpec extends AnyFunSuite {
     assert(chunks.map(_.toSeq) == viaCol)
   }
 
+  test("split and ngram SQL functions match the query-plane formulas") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT graft_split_bucket(42) AS b,
+        |  graft_split(42) AS s,
+        |  graft_ngrams(array('a','b','c','d'), 2) AS g2,
+        |  graft_ngrams(array('a'), 2) AS gshort
+        |""".stripMargin).head()
+    // bucket must equal the x17 assignment hash (md5Long of 'split:42' % 100)
+    val viaCol = Seq(42L).toDF("id")
+      .select(org.apache.spark.sql.functions.pmod(
+        graft.functions.HashFunctions.md5Long(
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("split:"),
+            $"id".cast("string"))),
+        org.apache.spark.sql.functions.lit(100L))).head().getLong(0)
+    assert(r.getAs[Long]("b") == viaCol)
+    val expected = if (viaCol < 80) "train" else if (viaCol < 90) "val" else "test"
+    assert(r.getAs[String]("s") == expected)
+    assert(r.getSeq[String](2) == Seq("a b", "b c", "c d"))
+    assert(r.getSeq[String](3).isEmpty)
+  }
+
   test("extensions class wires the same function list") {
     // The injectFunction path needs a fresh session; here we assert the
     // registration list itself is well-formed (names unique, builders run).
