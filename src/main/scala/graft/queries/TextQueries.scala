@@ -946,6 +946,64 @@ object TextQueries {
         SELECT doc_id, COUNT(*) AS n_grams,
           CAST(SUM(hit) AS BIGINT) AS n_hit,
           CAST(SUM(hit) * 5 >= COUNT(*) AS INT) AS contaminated
-        FROM flags GROUP BY doc_id ORDER BY doc_id"""))
+        FROM flags GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── KMV distinct-count sketch (k minimum hash values) ─────────────
+    // The mergeable cardinality sketch, built integer-exact: per source,
+    // keep the k=64 smallest 60-bit md5 values of the distinct tokens;
+    // the k-th minimum estimates distinct count as (k−1)·2⁶⁰/kth (one
+    // fixed-order double expression; everything upstream is integers).
+    // Union of sketches = min-k of the union — CorpusOpsSpec asserts the
+    // shard-merge identity, which is why KMV (like CMS) works at 100 TB:
+    // per-partition sketches merge without re-reading data. Scale shape:
+    // distinct is one groupBy, per-source min-k compiles to
+    // WindowGroupLimit (bounded per-task state, no per-source sort
+    // materialization), the final agg is map-side combined. The true
+    // count rides along to exhibit the estimate's accuracy.
+    GraftQuery(
+      "x20_kmv_distinct",
+      (s, dir) => {
+        import s.implicits._
+        val hashes = Tables.documents(s, dir)
+          .select($"source", explode(lowerTokens($"text")).as("tok"))
+          .distinct()
+          .select($"source", graft.functions.HashFunctions.md5Long($"tok").as("h"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"h")
+        val kept = hashes
+          .withColumn("rn", row_number().over(w))
+          .where($"rn" <= 64)
+        kept.groupBy($"source")
+          .agg(count(lit(1)).as("k_kept"), max($"h").as("kth_min"))
+          .join(hashes.groupBy($"source")
+            .agg(count(lit(1)).as("true_distinct")), Seq("source"))
+          .select($"source", $"true_distinct", $"k_kept", $"kth_min",
+            (($"k_kept" - 1).cast("double") * lit(1.152921504606846976e18)
+              / $"kth_min".cast("double")).as("est_distinct"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT DISTINCT source,
+            unnest(regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+')) AS tok
+          FROM documents),
+        hashes AS (
+          SELECT source, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+          FROM toks),
+        kept AS (
+          SELECT source, h FROM (
+            SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM hashes)
+          WHERE rn <= 64),
+        sk AS (
+          SELECT source, COUNT(*) AS k_kept, MAX(h) AS kth_min
+          FROM kept GROUP BY source),
+        tr AS (
+          SELECT source, COUNT(*) AS true_distinct FROM hashes GROUP BY source)
+        SELECT sk.source, tr.true_distinct, sk.k_kept, sk.kth_min,
+          CAST(sk.k_kept - 1 AS DOUBLE) * 1.152921504606846976e18
+            / CAST(sk.kth_min AS DOUBLE) AS est_distinct
+        FROM sk JOIN tr ON sk.source = tr.source
+        ORDER BY sk.source"""))
   )
 }

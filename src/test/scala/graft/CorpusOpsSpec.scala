@@ -100,6 +100,45 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(under.count() == 0)
   }
 
+  test("CMS cells merge across shards by plain addition (the 100 TB contract)") {
+    import spark.implicits._
+    def cells(docs: org.apache.spark.sql.DataFrame) = docs
+      .select(explode(graft.functions.TextFunctions.lowerTokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("d", explode(sequence(lit(0), lit(3))))
+      .withColumn("col", pmod(graft.functions.HashFunctions.md5Long(
+        concat($"d".cast("string"), lit(":"), $"tok")), lit(64L)))
+      .groupBy($"d", $"col").agg(sum($"cnt").as("cell"))
+    val docs = graft.core.Tables.documents(spark, dir)
+    val whole = cells(docs)
+    val merged = cells(docs.filter($"doc_id" % 2 === 0))
+      .unionAll(cells(docs.filter($"doc_id" % 2 =!= 0)))
+      .groupBy($"d", $"col").agg(sum($"cell").as("cell"))
+    assert(whole.unionAll(merged).distinct().count() == whole.count(),
+      "sharded-and-added cells must equal whole-corpus cells")
+  }
+
+  test("KMV sketches merge by min-k of the union (distinct-safe)") {
+    import spark.implicits._
+    def hashes(docs: org.apache.spark.sql.DataFrame) = docs
+      .select(explode(graft.functions.TextFunctions.lowerTokens($"text")).as("tok"))
+      .distinct()
+      .select(graft.functions.HashFunctions.md5Long($"tok").as("h"))
+    def minK(h: org.apache.spark.sql.DataFrame, k: Int) = h
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"h")))
+      .where($"rn" <= k).select($"h")
+    val docs = graft.core.Tables.documents(spark, dir)
+    val whole = minK(hashes(docs), 64).collect().map(_.getLong(0)).toSeq
+    // shard sketches keep their own min-64; merging = min-64 of the
+    // union AFTER dedup (the same token can appear in both shards)
+    val merged = minK(
+      minK(hashes(docs.filter($"doc_id" % 2 === 0)), 64)
+        .unionAll(minK(hashes(docs.filter($"doc_id" % 2 =!= 0)), 64))
+        .distinct(), 64).collect().map(_.getLong(0)).toSeq
+    assert(merged == whole)
+  }
+
   test("PageRank: path graph 1-2-3 matches the hand-computed exact trajectory") {
     import spark.implicits._
     // N=3, r0 = 1e12/3 = 333333333333, base = 15*r0/100 = 49999999999;
