@@ -521,6 +521,72 @@ object DedupQueries {
           CROSS JOIN nn)
         SELECT d.src AS id, d.deg, r3.r AS rank_units
         FROM deg d JOIN r3 ON r3.id = d.src
-        ORDER BY id"""))
+        ORDER BY id""")),
+
+    // ── MinHash similarity ESTIMATION vs ground truth ──────────────────
+    // The estimator audit behind d2's banding: for each (original,
+    // tail-modified copy) pair, the fraction of agreeing minhash slots
+    // estimates Jaccard — reported NEXT TO the exact 5-gram Jaccard so
+    // the estimator's quality is a queryable table, not a paper claim.
+    // At 100 TB this is the op you run on a sample to TUNE (bands, rows)
+    // before committing to an LSH threshold. Signature agreement is one
+    // zip_with over the two 16-slot arrays (per-row, no shuffle beyond
+    // the signature groupBys); truth is d4's set arithmetic.
+    GraftQuery(
+      "d11_minhash_estimate",
+      (s, dir) => {
+        import s.implicits._
+        val sigs = graft.dedup.MinHashLsh
+          .signatureMatrix(corpusWithNearDups(s, dir), "doc_id", "text", 16, 5)
+        val a = sigs.filter($"id" % 5 === 0 && $"id" < 1000000L)
+          .select($"id".as("doc_id"), $"sigs".as("siga"))
+        val b = sigs.filter($"id" >= 1000000L)
+          .select(($"id" - 1000000L).as("doc_id"), $"sigs".as("sigb"))
+        val truth = Tables.documents(s, dir).filter($"doc_id" % 5 === 0)
+          .withColumn("ta", tokens(normalized($"text")))
+          .withColumn("tb", tokens(normalized(
+            concat($"text", lit(" extra appended tail tokens here")))))
+          .withColumn("shA", array_distinct(shingles($"ta")))
+          .withColumn("shB", array_distinct(shingles($"tb")))
+          .select($"doc_id",
+            (size(array_intersect($"shA", $"shB")).cast("double") /
+              size(array_union($"shA", $"shB")).cast("double")).as("true_jaccard"))
+        a.join(b, Seq("doc_id")).join(truth, Seq("doc_id"))
+          .select($"doc_id",
+            size(filter(zip_with($"siga", $"sigb", (x, y) => x === y), p => p))
+              .as("n_eq"),
+            $"true_jaccard")
+          .withColumn("est_jaccard", $"n_eq".cast("double") / 16.0)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH $pairsCte,
+        agree AS (
+          SELECT a.doc_id, COUNT(CASE WHEN a.sig = b.sig THEN 1 END) AS n_eq
+          FROM sigs a JOIN sigs b
+            ON b.doc_id = a.doc_id + 1000000 AND a.seed = b.seed
+          WHERE a.doc_id % 5 = 0 AND a.doc_id < 1000000
+          GROUP BY a.doc_id),
+        pt AS (
+          SELECT doc_id,
+            regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS ta,
+            regexp_extract_all(trim(regexp_replace(lower(text || ' extra appended tail tokens here'), '\\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS tb
+          FROM documents WHERE doc_id % 5 = 0),
+        sha AS (
+          SELECT doc_id, list_distinct(list(CASE WHEN len(ta) < 5 THEN array_to_string(ta, ' ')
+            ELSE array_to_string(ta[i:i+4], ' ') END)) AS sa
+          FROM (SELECT doc_id, ta, unnest(generate_series(1, greatest(len(ta) - 4, 1))) AS i FROM pt)
+          GROUP BY doc_id),
+        shb AS (
+          SELECT doc_id, list_distinct(list(CASE WHEN len(tb) < 5 THEN array_to_string(tb, ' ')
+            ELSE array_to_string(tb[i:i+4], ' ') END)) AS sb
+          FROM (SELECT doc_id, tb, unnest(generate_series(1, greatest(len(tb) - 4, 1))) AS i FROM pt)
+          GROUP BY doc_id)
+        SELECT g.doc_id, CAST(g.n_eq AS INT) AS n_eq,
+          CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) AS true_jaccard,
+          CAST(g.n_eq AS DOUBLE) / 16.0 AS est_jaccard
+        FROM agree g JOIN sha ON sha.doc_id = g.doc_id
+        JOIN shb ON shb.doc_id = g.doc_id
+        ORDER BY g.doc_id"""))
   )
 }

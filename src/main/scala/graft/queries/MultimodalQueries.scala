@@ -143,6 +143,56 @@ object MultimodalQueries {
         SELECT media_id, chunk_idx,
           length(substring(text, chunk_idx * 64 + 1, 96)) AS chunk_len,
           md5(substring(text, chunk_idx * 64 + 1, 96)) AS chunk_hash
-        FROM chunks ORDER BY media_id, chunk_idx"""))
+        FROM chunks ORDER BY media_id, chunk_idx""")),
+
+    // ── multimodal training-pair construction (CLIP-style) ────────────
+    // The pairing step a contrastive image-text run needs: image-kind
+    // media joined to its caption doc (here caption doc_id = media_id+1
+    // stands in for an alt-text table), BOTH sides quality-gated (image:
+    // payload ≥ 200 bytes; caption: ≥ 10 tokens, English), and a joint
+    // pair hash for dedup/caching downstream. Scale shape: one equi-join
+    // on the pair key — at 100 TB both sides are parquet tables
+    // partitioned compatibly and the gates push into the scans (no
+    // post-join filtering of a firehose).
+    GraftQuery(
+      "m6_pair_construction",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.TextFunctions.{langId, tokenCount}
+        val media = Multimodal.asMediaTable(Tables.documents(s, dir))
+          .where($"kind" === "image" && $"meta.byte_len" >= 200)
+          .select($"media_id", $"bytes", $"meta.byte_len".as("byte_len"))
+        val captions = Tables.documents(s, dir)
+          .where(tokenCount($"text") >= 10 && langId($"text") === "en")
+          .select($"doc_id", $"text")
+        media.join(captions, media("media_id") + 1 === captions("doc_id"))
+          .select($"media_id", $"doc_id".as("caption_id"), $"byte_len",
+            tokenCount($"text").as("caption_tokens"),
+            md5(concat(md5($"bytes"), lit(":"), md5($"text"))).as("pair_hash"))
+          .orderBy($"media_id")
+      },
+      Some("""
+        WITH media AS (
+          SELECT doc_id AS media_id, text AS payload, length(text) AS byte_len
+          FROM documents
+          WHERE (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] = 'image'
+            AND length(text) >= 200),
+        captions AS (
+          SELECT doc_id, text,
+            len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS caption_tokens
+          FROM documents
+          WHERE len(regexp_extract_all(text, '[a-zA-Z0-9]+')) >= 10
+            AND len(regexp_extract_all(lower(text), '\b(the|and|of|is|was)\b')) =
+                greatest(
+                  len(regexp_extract_all(lower(text), '\b(the|and|of|is|was)\b')),
+                  len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')),
+                  len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')),
+                  len(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b')),
+                  len(regexp_extract_all(lower(text), '\b(de|shi|le|zai|you)\b')))
+            AND len(regexp_extract_all(lower(text), '\b(the|and|of|is|was)\b')) > 0)
+        SELECT m.media_id, c.doc_id AS caption_id, m.byte_len, c.caption_tokens,
+          md5(md5(m.payload) || ':' || md5(c.text)) AS pair_hash
+        FROM media m JOIN captions c ON m.media_id + 1 = c.doc_id
+        ORDER BY m.media_id"""))
   )
 }
