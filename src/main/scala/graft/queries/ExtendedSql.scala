@@ -232,6 +232,99 @@ object ExtendedSql {
           RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
         ORDER BY user_id, ms, event_id""")),
 
+    // ── histogram quantile sketch (mergeable, integer-exact) ───────────
+    // The quantile member of the sketch family (CMS=frequency,
+    // Bloom=membership, KMV=cardinality): a 32-bucket equi-width
+    // histogram in exact cents — fixed-size state that merges across
+    // shards/streams by plain addition — walked cumulatively to estimate
+    // p50/p90 as bucket midpoints, reported NEXT TO the exact discrete
+    // quantiles so the error is a queryable column. Bucket width is
+    // integer ((span)//32 + 1 — no float boundary can disagree between
+    // engines); bounds come from the data here (at 100 TB you'd pin
+    // domain bounds and skip that pass). Shuffles: bounds groupBy,
+    // histogram groupBy, and the per-type cumulative walk — all keyed by
+    // event_type.
+    GraftQuery(
+      "e10_histogram_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select($"event_type", $"event_id", cents($"value").as("c"))
+        val bounds = ev.groupBy($"event_type")
+          .agg(min($"c").as("cmin"), max($"c").as("cmax"),
+            count(lit(1)).as("n"))
+          .withColumn("width", expr("(cmax - cmin) div 32") + 1)
+        val hist = ev.join(broadcast(bounds), Seq("event_type"))
+          .withColumn("bucket", expr("(c - cmin) div width"))
+          .groupBy($"event_type", $"bucket")
+          .agg(count(lit(1)).as("bn"))
+        val w = Window.partitionBy($"event_type").orderBy($"bucket")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val walked = hist
+          .withColumn("cum", sum($"bn").over(w))
+          .join(broadcast(bounds), Seq("event_type"))
+        def estAt(q: Double) = min(when(
+          $"cum" >= ceil(lit(q) * $"n").cast("long"), $"bucket"))
+        val est = walked.groupBy($"event_type")
+          .agg(estAt(0.5).as("b50"), estAt(0.9).as("b90"))
+          .join(broadcast(bounds), Seq("event_type"))
+          .select($"event_type", $"n",
+            (($"cmin" + $"b50" * $"width" + expr("width div 2")) / 100.0).as("est_p50"),
+            (($"cmin" + $"b90" * $"width" + expr("width div 2")) / 100.0).as("est_p90"))
+        // exact discrete quantiles (the e6 method) ride along for audit
+        val we = Window.partitionBy($"event_type").orderBy($"c")
+        val exact = ev
+          .withColumn("rn", row_number().over(we).cast("long"))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"event_type")))
+          .groupBy($"event_type")
+          .agg(
+            (max(when($"rn" === floor(($"cnt" - 1) * 0.5).cast("long") + 1, $"c")) / 100.0).as("true_p50"),
+            (max(when($"rn" === floor(($"cnt" - 1) * 0.9).cast("long") + 1, $"c")) / 100.0).as("true_p90"))
+        est.join(exact, Seq("event_type"))
+          .select($"event_type", $"n", $"est_p50", $"true_p50", $"est_p90", $"true_p90")
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS c
+          FROM events),
+        bounds AS (
+          SELECT event_type, MIN(c) AS cmin, MAX(c) AS cmax, COUNT(*) AS n,
+            ((MAX(c) - MIN(c)) // 32) + 1 AS width
+          FROM e GROUP BY event_type),
+        hist AS (
+          SELECT e.event_type, (e.c - b.cmin) // b.width AS bucket, COUNT(*) AS bn
+          FROM e JOIN bounds b USING (event_type)
+          GROUP BY 1, 2),
+        walked AS (
+          SELECT h.event_type, h.bucket,
+            SUM(h.bn) OVER (PARTITION BY h.event_type ORDER BY h.bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            b.cmin, b.width, b.n
+          FROM hist h JOIN bounds b USING (event_type)),
+        est AS (
+          SELECT event_type,
+            MIN(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT) THEN bucket END) AS b50,
+            MIN(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT) THEN bucket END) AS b90
+          FROM walked GROUP BY event_type),
+        r AS (
+          SELECT event_type, c,
+            CAST(row_number() OVER (PARTITION BY event_type ORDER BY c) AS BIGINT) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS cnt
+          FROM e),
+        exact AS (
+          SELECT event_type,
+            MAX(CASE WHEN rn = CAST(FLOOR((cnt - 1) * 0.5) AS BIGINT) + 1 THEN c END) / 100.0 AS true_p50,
+            MAX(CASE WHEN rn = CAST(FLOOR((cnt - 1) * 0.9) AS BIGINT) + 1 THEN c END) / 100.0 AS true_p90
+          FROM r GROUP BY event_type)
+        SELECT b.event_type, b.n,
+          CAST(b.cmin + est.b50 * b.width + (b.width // 2) AS BIGINT) / 100.0 AS est_p50,
+          x.true_p50,
+          CAST(b.cmin + est.b90 * b.width + (b.width // 2) AS BIGINT) / 100.0 AS est_p90,
+          x.true_p90
+        FROM bounds b JOIN est USING (event_type) JOIN exact x USING (event_type)
+        ORDER BY b.event_type""")),
+
     // ── pivot (long → wide reshaping) ──────────────────────────────────
     // Docs-per-language matrix by source. Values are ENUMERATED
     // explicitly: a two-pass value-discovery pivot is a driver-side

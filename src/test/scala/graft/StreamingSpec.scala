@@ -132,6 +132,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS: per-batch cells merge by addition into the global sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val sketch = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"value").agg(count(lit(1)).as("cnt"))
+      .withColumn("d", explode(sequence(lit(0), lit(3))))
+      .withColumn("col", pmod(graft.functions.HashFunctions.md5Long(
+        concat($"d".cast("string"), lit(":"), $"value")), lit(64L)))
+      .groupBy($"d", $"col").agg(sum($"cnt").as("cell"))
+    val q = source.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        cells(batch).collect().foreach { r =>
+          val k = (r.getInt(0), r.getLong(1))
+          sketch(k) = sketch.getOrElse(k, 0L) + r.getLong(2)
+        }
+      }.start()
+    try {
+      source.addData("a", "b", "a")
+      q.processAllAvailable()
+      source.addData("b", "c")
+      q.processAllAvailable()
+      // the streamed sketch must equal the batch-built sketch of the
+      // union — the mergeability that lets a sketch live on a firehose
+      val whole = cells(Seq("a", "b", "a", "b", "c").toDF("value")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(sketch.toMap == whole)
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark: cross-batch duplicate keys dropped, first survives") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
