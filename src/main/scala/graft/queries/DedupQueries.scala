@@ -587,6 +587,64 @@ object DedupQueries {
           CAST(g.n_eq AS DOUBLE) / 16.0 AS est_jaccard
         FROM agree g JOIN sha ON sha.doc_id = g.doc_id
         JOIN shb ON shb.doc_id = g.doc_id
-        ORDER BY g.doc_id"""))
+        ORDER BY g.doc_id""")),
+
+    // ── fuzzy key join (edit-distance matching via length blocking) ────
+    // Entity resolution for dirty keys: every 3rd doc's source label is
+    // corrupted (char at doc_id % len replaced by 'x') and must resolve
+    // back to its canonical source. The theta form (levenshtein over the
+    // cross product) is quadratic; the scale form blocks candidates so
+    // the join is EQUI: distance ≤ 2 bounds the length difference to ±2,
+    // so each dirty key probes exactly 5 length buckets (explode) and
+    // levenshtein runs only inside them. min-distance winner, ties to
+    // the lexicographically smaller canonical. Levenshtein is exact
+    // integer edit distance in both engines.
+    GraftQuery(
+      "d12_fuzzy_source_join",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val canon = docs.select($"source").distinct()
+          .select($"source".as("canon"), length($"source").as("clen"))
+        val dirty = docs.filter($"doc_id" % 3 === 0)
+          .select($"doc_id",
+            concat(
+              substring($"source", lit(1), ($"doc_id" % length($"source")).cast("int")),
+              lit("x"),
+              substring($"source", ($"doc_id" % length($"source")).cast("int") + 2,
+                length($"source"))).as("dirty"))
+        val probes = dirty
+          .withColumn("clen",
+            explode(sequence(length($"dirty") - 2, length($"dirty") + 2)))
+        probes.join(canon, Seq("clen"))
+          .withColumn("dist", levenshtein($"dirty", $"canon"))
+          .where($"dist" <= 2)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"dist", $"canon")))
+          .where($"rn" === 1)
+          .select($"doc_id", $"dirty", $"canon", $"dist")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH canon AS (
+          SELECT DISTINCT source AS canon, length(source) AS clen FROM documents),
+        dirty AS (
+          SELECT doc_id,
+            substr(source, 1, CAST(doc_id % length(source) AS INT)) || 'x' ||
+            substr(source, CAST(doc_id % length(source) AS INT) + 2, length(source)) AS dirty
+          FROM documents WHERE doc_id % 3 = 0),
+        probes AS (
+          SELECT doc_id, dirty, unnest(generate_series(length(dirty) - 2, length(dirty) + 2)) AS clen
+          FROM dirty),
+        cand AS (
+          SELECT p.doc_id, p.dirty, c.canon, levenshtein(p.dirty, c.canon) AS dist
+          FROM probes p JOIN canon c USING (clen)
+          WHERE levenshtein(p.dirty, c.canon) <= 2),
+        r AS (
+          SELECT doc_id, dirty, canon, dist,
+            row_number() OVER (PARTITION BY doc_id ORDER BY dist, canon) AS rn
+          FROM cand)
+        SELECT doc_id, dirty, canon, dist FROM r WHERE rn = 1
+        ORDER BY doc_id"""))
   )
 }
