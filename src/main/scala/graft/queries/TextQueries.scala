@@ -1004,6 +1004,89 @@ object TextQueries {
           CAST(sk.k_kept - 1 AS DOUBLE) * 1.152921504606846976e18
             / CAST(sk.kth_min AS DOUBLE) AS est_distinct
         FROM sk JOIN tr ON sk.source = tr.source
-        ORDER BY sk.source"""))
+        ORDER BY sk.source""")),
+
+    // ── out-of-vocabulary rate (LM-vocab quality signal) ──────────────
+    // The OOV filter a tokenizer-bound corpus applies: vocabulary = the
+    // corpus top-20 tokens (deterministic tie-break, distributed top-k
+    // via TakeOrderedAndProject), each doc scores the permille of its
+    // token OCCURRENCES outside it. High OOV ⇒ vocabulary mismatch ⇒
+    // wasted sequence length downstream. Scale shape: the vocab is a
+    // broadcast left join against the exploded stream; the per-doc
+    // reduction is one map-side-combined groupBy(doc_id); permille is
+    // integer arithmetic (div by greatest(n,1) — no float thresholds,
+    // no div-by-zero).
+    GraftQuery(
+      "x21_oov_rate",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", explode(lowerTokens($"text")).as("tok"))
+        val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"tok").limit(20)
+          .select($"tok", lit(1).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select($"doc_id", $"n_tokens", $"n_oov",
+            expr("(n_oov * 1000) div greatest(n_tokens, 1)").as("oov_permille"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            unnest(regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+')) AS tok
+          FROM documents),
+        vocab AS (
+          SELECT tok FROM (
+            SELECT tok, COUNT(*) AS cnt, row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rn
+            FROM toks GROUP BY tok)
+          WHERE rn <= 20)
+        SELECT t.doc_id, COUNT(*) AS n_tokens,
+          CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          (CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+            // greatest(COUNT(*), 1) AS oov_permille
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
+    // ── conjunctive keyword search (inverted-index query) ─────────────
+    // The retrieval op over the corpus: docs containing ALL query terms,
+    // ranked by total query-term frequency (ties to smaller doc_id).
+    // Scale shape: the posting-list build (explode → groupBy(doc, tok))
+    // is the inverted index any search over the corpus amortizes; the
+    // conjunctive AND is a count-distinct-terms HAVING, not a self-join
+    // per term; top-20 is TakeOrderedAndProject (no global sort
+    // materialization). Scoring stays integer (occurrence counts).
+    GraftQuery(
+      "x22_keyword_search",
+      (s, dir) => {
+        import s.implicits._
+        val terms = Seq("data", "the", "query")
+        val postings = Tables.documents(s, dir)
+          .select($"doc_id", explode(lowerTokens($"text")).as("tok"))
+          .where($"tok".isin(terms: _*))
+          .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        postings.groupBy($"doc_id")
+          .agg(countDistinct($"tok").as("n_terms"), sum($"tf").as("score"))
+          .where($"n_terms" === terms.length)
+          .select($"doc_id", $"score")
+          .orderBy($"score".desc, $"doc_id").limit(20)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            unnest(regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+')) AS tok
+          FROM documents),
+        postings AS (
+          SELECT doc_id, tok, COUNT(*) AS tf
+          FROM toks WHERE tok IN ('data', 'the', 'query')
+          GROUP BY doc_id, tok),
+        hits AS (
+          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS score
+          FROM postings GROUP BY doc_id
+          HAVING COUNT(DISTINCT tok) = 3)
+        SELECT doc_id, score FROM hits
+        ORDER BY score DESC, doc_id LIMIT 20"""))
   )
 }
