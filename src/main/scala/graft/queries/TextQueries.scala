@@ -1087,6 +1087,89 @@ object TextQueries {
           FROM postings GROUP BY doc_id
           HAVING COUNT(DISTINCT tok) = 3)
         SELECT doc_id, score FROM hits
-        ORDER BY score DESC, doc_id LIMIT 20"""))
+        ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // ── span corruption (T5/BERT-style masking objective prep) ────────
+    // The example-construction op that turns clean text into a denoising
+    // training pair: token i masks iff md5(doc:i) lands under 15% —
+    // deterministic, replayable, position-keyed (NOT value-keyed, so
+    // repeated tokens mask independently). Inputs and targets are
+    // fingerprinted per doc. Entirely per-row lambda algebra over the
+    // token array (transform/filter with index) — NO shuffle, NO
+    // explode; at 100 TB this inherits the scan partitioning like every
+    // chunker.
+    GraftQuery(
+      "x23_span_corruption",
+      (s, dir) => {
+        import s.implicits._
+        def mask(i: Column) = pmod(graft.functions.HashFunctions.md5Long(
+          concat($"doc_id".cast("string"), lit(":"), i.cast("string"))),
+          lit(100L)) < 15
+        Tables.documents(s, dir)
+          .withColumn("toks", lowerTokens($"text"))
+          .withColumn("corrupted",
+            transform($"toks", (t, i) => when(mask(i), lit("<X>")).otherwise(t)))
+          .withColumn("targets", filter($"toks", (t, i) => mask(i)))
+          .select($"doc_id",
+            size($"toks").as("n_tokens"),
+            size($"targets").as("n_masked"),
+            md5(array_join($"corrupted", " ")).as("corrupted_fp"),
+            md5(array_join($"targets", " ")).as("target_fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM documents),
+        m AS (
+          SELECT doc_id, t,
+            list_transform(generate_series(1, len(t)), i ->
+              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 15) AS msk
+          FROM toks)
+        SELECT doc_id,
+          len(t) AS n_tokens,
+          len(list_filter(generate_series(1, len(t)), i -> msk[i])) AS n_masked,
+          md5(array_to_string(list_transform(generate_series(1, len(t)),
+            i -> CASE WHEN msk[i] THEN '<X>' ELSE t[i] END), ' ')) AS corrupted_fp,
+          md5(coalesce(array_to_string(list_transform(
+            list_filter(generate_series(1, len(t)), i -> msk[i]), i -> t[i]), ' '), '')) AS target_fp
+        FROM m ORDER BY doc_id""")),
+
+    // ── deterministic negative sampling (contrastive pairs) ───────────
+    // Contrastive/triplet training needs k negatives per anchor that are
+    // replayable and anchor-independent-uniform: negative j of anchor a
+    // is id (a + 1 + md5("neg:a:j") mod (N−1)) mod N — never the anchor
+    // itself, uniform over the rest, pure per-row arithmetic (the corpus
+    // size N is the one scalar every sampler needs). The join back to
+    // documents validates ids and fetches the negative's source. Scale
+    // shape: k-way explode is narrow; the fetch is one equi-join on id.
+    GraftQuery(
+      "x24_negative_sampling",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val n = docs.count()
+        val anchors = docs.filter($"doc_id" < 50).select($"doc_id")
+          .withColumn("j", explode(sequence(lit(0), lit(3))))
+          .withColumn("neg_id",
+            pmod($"doc_id" + 1 + pmod(graft.functions.HashFunctions.md5Long(
+              concat(lit("neg:"), $"doc_id".cast("string"), lit(":"),
+                $"j".cast("string"))), lit(n - 1)), lit(n)))
+        anchors.join(docs.select($"doc_id".as("neg_id"), $"source".as("neg_source")),
+            Seq("neg_id"))
+          .select($"doc_id", $"j", $"neg_id", $"neg_source")
+          .orderBy($"doc_id", $"j")
+      },
+      Some("""
+        WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        anchors AS (
+          SELECT doc_id, j,
+            (doc_id + 1 + (CAST(concat('0x', substr(md5('neg:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % (nn.n - 1))) % nn.n AS neg_id
+          FROM documents CROSS JOIN nn
+          CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
+          WHERE doc_id < 50)
+        SELECT a.doc_id, a.j, a.neg_id, d.source AS neg_source
+        FROM anchors a JOIN documents d ON d.doc_id = a.neg_id
+        ORDER BY a.doc_id, a.j"""))
   )
 }
