@@ -147,6 +147,32 @@ class PushdownSpec extends AnyFunSuite {
       s"duplicated-gram mark-back must join on gh, plan:\n$plan")
   }
 
+  test("x23 span corruption: pure per-row lambda algebra — no hash exchange") {
+    // masking must inherit the scan partitioning; the only exchange in
+    // the plan is the presentation sort (range exchange)
+    val q = graft.core.Registry.allQueries.find(_.name == "x23_span_corruption").get
+    val plan = q.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(SimpleMode)
+    assert(!plan.linesIterator.exists(_.contains("Exchange hashpartitioning")),
+      s"span corruption must not shuffle, plan:\n$plan")
+  }
+
+  test("x21 OOV rate: vocabulary joins as a broadcast") {
+    val q = graft.core.Registry.allQueries.find(_.name == "x21_oov_rate").get
+    val plan = q.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(SimpleMode)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"top-k vocab must broadcast against the token stream, plan:\n$plan")
+  }
+
+  test("d12 fuzzy join: length blocking keeps it an equi-join") {
+    val q = graft.core.Registry.allQueries.find(_.name == "d12_fuzzy_source_join").get
+    val plan = q.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(SimpleMode)
+    assert(!plan.contains("CartesianProduct"),
+      s"levenshtein candidates must block on length, plan:\n$plan")
+  }
+
   test("h4: derived standalone bound reaches the lineitem scan as a pushed filter") {
     // the semi-join condition l_shipdate > o_orderdate is not pushable,
     // but the derived bound l_shipdate > '1996-01-01' (min possible
