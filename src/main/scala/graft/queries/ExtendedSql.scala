@@ -232,6 +232,88 @@ object ExtendedSql {
           RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
         ORDER BY user_id, ms, event_id""")),
 
+    // ── ordered funnel analysis (sequential pattern matching) ──────────
+    // The MATCH_RECOGNIZE-lite every product-analytics engine ships:
+    // users who clicked, then viewed AFTER the click, then purchased
+    // AFTER that view — strict event-time order, not mere co-occurrence.
+    // Three chained conditional-min windows share ONE user_id hash
+    // exchange (same partitioning — Catalyst reuses it), then one
+    // global roll-up. No self-joins per stage: stage k's timestamp is a
+    // windowed min conditioned on stage k−1's.
+    GraftQuery(
+      "e11_funnel_analysis",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+        val staged = Tables.events(s, dir)
+          .select($"user_id", $"ts", $"event_type")
+          .withColumn("t1", min(when($"event_type" === "click", $"ts")).over(w))
+          .withColumn("t2", min(when($"event_type" === "view" && $"ts" > $"t1", $"ts")).over(w))
+          .withColumn("t3", min(when($"event_type" === "purchase" && $"ts" > $"t2", $"ts")).over(w))
+        staged.groupBy($"user_id")
+          .agg(max($"t1").as("t1"), max($"t2").as("t2"), max($"t3").as("t3"))
+          .agg(count(lit(1)).as("n_users"),
+            count($"t1").as("n_click"),
+            count($"t2").as("n_click_view"),
+            count($"t3").as("n_full_funnel"))
+      },
+      Some("""
+        WITH s1 AS (
+          SELECT user_id, ts, event_type,
+            MIN(CASE WHEN event_type = 'click' THEN ts END)
+              OVER (PARTITION BY user_id) AS t1
+          FROM events),
+        s2 AS (
+          SELECT *, MIN(CASE WHEN event_type = 'view' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+          FROM s1),
+        s3 AS (
+          SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+          FROM s2),
+        u AS (
+          SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+          FROM s3 GROUP BY user_id)
+        SELECT COUNT(*) AS n_users, COUNT(t1) AS n_click,
+          COUNT(t2) AS n_click_view, COUNT(t3) AS n_full_funnel
+        FROM u""")),
+
+    // ── cohort retention (first-seen day × activity offset) ────────────
+    // Users cohorted by first active day; retention = distinct users of
+    // each cohort active again d days later (d = 0..3). Two groupBys
+    // (first-day, distinct activity) + one equi-join on user_id — the
+    // shape survives any SF because nothing is keyed on the (small)
+    // cohort grid until the final roll-up. Days render as strings (the
+    // comparator's no-raw-DATE rule).
+    GraftQuery(
+      "e12_cohort_retention",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select($"user_id", to_date($"ts").as("day"))
+        val cohorts = ev.groupBy($"user_id").agg(min($"day").as("cohort"))
+        val activity = ev.distinct()
+        activity.join(cohorts, Seq("user_id"))
+          .withColumn("day_offset", datediff($"day", $"cohort"))
+          .where($"day_offset" <= 3)
+          .groupBy($"cohort", $"day_offset")
+          .agg(countDistinct($"user_id").as("n_active"))
+          .select(date_format($"cohort", "yyyy-MM-dd").as("cohort_day"),
+            $"day_offset", $"n_active")
+          .orderBy($"cohort_day", $"day_offset")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        cohorts AS (
+          SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY user_id)
+        SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+          CAST(e.day - c.cohort AS INT) AS day_offset,
+          COUNT(DISTINCT e.user_id) AS n_active
+        FROM ev e JOIN cohorts c USING (user_id)
+        WHERE e.day - c.cohort <= 3
+        GROUP BY 1, 2 ORDER BY cohort_day, day_offset""")),
+
     // ── histogram quantile sketch (mergeable, integer-exact) ───────────
     // The quantile member of the sketch family (CMS=frequency,
     // Bloom=membership, KMV=cardinality): a 32-bucket equi-width
