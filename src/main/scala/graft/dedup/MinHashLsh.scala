@@ -275,4 +275,20 @@ object MinHashLsh {
     memberLabels(pairs, maxIter)
       .groupBy(col("label").as("cluster"))
       .agg(sort_array(collect_list(col("id"))).as("members"), min(col("id")).as("keeper"))
+
+  /** Pick the (bands, rowsPerBand) factorization of `numHashes` whose
+    * S-curve threshold — the Jaccard similarity with 50% candidate
+    * probability, (1/b)^(1/r) — lands closest to the target. The knob
+    * d11's estimator table informs: measure real pair similarities on a
+    * sample, then tune the banding before a full LSH pass. Pure
+    * arithmetic, no data access. */
+  def tuneBands(numHashes: Int, threshold: Double): (Int, Int) = {
+    require(numHashes >= 1 && threshold > 0 && threshold < 1,
+      "need numHashes >= 1 and 0 < threshold < 1")
+    val best = (1 to numHashes).filter(numHashes % _ == 0).minBy { b =>
+      val r = numHashes / b
+      math.abs(math.pow(1.0 / b, 1.0 / r) - threshold)
+    }
+    (best, numHashes / best)
+  }
 }

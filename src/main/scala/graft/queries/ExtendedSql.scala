@@ -407,6 +407,39 @@ object ExtendedSql {
         FROM bounds b JOIN est USING (event_type) JOIN exact x USING (event_type)
         ORDER BY b.event_type""")),
 
+    // ── one-pass table profile (data-quality pre-flight) ───────────────
+    // [[graft.core.Profiler]]: every column's row/null/exact-distinct
+    // counts from ONE aggregate over ONE scan, unpivoted to a row per
+    // column. The op any pipeline runs before trusting a new drop.
+    GraftQuery(
+      "e13_table_profile",
+      (s, dir) => {
+        import s.implicits._
+        graft.core.Profiler.profile(Tables.documents(s, dir))
+          .orderBy($"column")
+      },
+      Some("""
+        SELECT 'doc_id' AS "column", COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+          COUNT(DISTINCT doc_id) AS n_distinct FROM documents
+        UNION ALL
+        SELECT 'text', COUNT(*),
+          CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          COUNT(DISTINCT text) FROM documents
+        UNION ALL
+        SELECT 'lang', COUNT(*),
+          CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          COUNT(DISTINCT lang) FROM documents
+        UNION ALL
+        SELECT 'source', COUNT(*),
+          CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          COUNT(DISTINCT source) FROM documents
+        UNION ALL
+        SELECT 'n_chars', COUNT(*),
+          CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          COUNT(DISTINCT n_chars) FROM documents
+        ORDER BY "column"""")),
+
     // ── pivot (long → wide reshaping) ──────────────────────────────────
     // Docs-per-language matrix by source. Values are ENUMERATED
     // explicitly: a two-pass value-discovery pivot is a driver-side

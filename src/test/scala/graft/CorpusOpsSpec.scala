@@ -161,6 +161,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(ranks.sum <= 1000000000000L)
   }
 
+  test("tuneBands picks the factorization with the nearest S-curve threshold") {
+    import graft.dedup.MinHashLsh.tuneBands
+    // midpoints for 16 hashes: (1,16)→1.0 (2,8)→.917 (4,4)→.707 (8,2)→.354 (16,1)→.0625
+    assert(tuneBands(16, 0.7) == ((4, 4)))
+    assert(tuneBands(16, 0.9) == ((2, 8)))
+    assert(tuneBands(16, 0.4) == ((8, 2)))
+    assert(tuneBands(16, 0.05) == ((16, 1)))
+    // the default d2 banding (4x4) is the right choice for ~0.7 targets
+    assert(tuneBands(16, 0.75) == ((4, 4)))
+  }
+
+  test("profiler: one stats row per column, exact counts on a known frame") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")))
+      .toDF("id", "tag")
+    val got = graft.core.Profiler.profile(df).orderBy($"column").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("id", 3L, 0L, 3L), ("tag", 3L, 1L, 1L)))
+  }
+
   test("chunkMedia: stride coverage, overlap, and empty payload") {
     import spark.implicits._
     val media = Multimodal.asMediaTable(

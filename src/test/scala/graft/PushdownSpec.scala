@@ -173,6 +173,16 @@ class PushdownSpec extends AnyFunSuite {
       s"levenshtein candidates must block on length, plan:\n$plan")
   }
 
+  test("e11 funnel: three stage windows + user agg share ONE user_id exchange") {
+    val q = graft.core.Registry.allQueries.find(_.name == "e11_funnel_analysis").get
+    val plan = q.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(SimpleMode)
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 2, // user_id hash + single-row global agg
+      s"funnel must not re-shuffle between stages, got $exchanges exchanges:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Window")) >= 3)
+  }
+
   test("h4: derived standalone bound reaches the lineitem scan as a pushed filter") {
     // the semi-join condition l_shipdate > o_orderdate is not pushable,
     // but the derived bound l_shipdate > '1996-01-01' (min possible
