@@ -1,0 +1,56 @@
+package graft
+
+import graft.corpus.CorpusStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The corpus sink: atomic snapshot publish, split/lang partition
+  * pruning, replace-on-snapshot semantics, and pinned reproducible
+  * reads while newer snapshots land. */
+class CorpusStoreSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def docs() =
+    graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("snapshot round-trips with deterministic splits; filters prune partitions") {
+    val root = java.nio.file.Files.createTempDirectory("corpus1").toString
+    val id = CorpusStore.writeSnapshot(docs(), root)
+    assert(id >= 0)
+    val back = CorpusStore.read(spark, root)
+    assert(back.count() == docs().count())
+    // split is the x17 hash — recomputing it must agree with the stored one
+    val stored = back.select(col("doc_id"), col("split"))
+    val recomputed = CorpusStore.withSplit(docs()).select(col("doc_id"), col("split"))
+    assert(stored.exceptAll(recomputed).count() == 0)
+    // a train+en read must prune to its directories, not scan-and-filter
+    val plan = back.where(col("split") === "train" && col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("split#") || plan.contains("isnotnull(split")),
+      s"split/lang must be partition filters:\n$plan")
+  }
+
+  test("a new snapshot replaces the live corpus; the old commit stays pinnable") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("corpus2").toString
+    val id1 = CorpusStore.writeSnapshot(docs(), root)
+    val n1 = CorpusStore.read(spark, root).count()
+    // grown corpus: one more doc appears in the next snapshot
+    val grown = docs().unionByName(
+      Seq((999999L, "a brand new document for snapshot two", "en", "src0", 37L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .withColumn("n_chars", col("n_chars").cast("int")))
+    val id2 = CorpusStore.writeSnapshot(grown, root)
+    assert(id2 > id1)
+    assert(CorpusStore.read(spark, root).count() == n1 + 1)
+    // the pinned run still sees EXACTLY snapshot 1
+    assert(CorpusStore.snapshotAt(spark, root, id1).count() == n1)
+    // growing the corpus never moved an existing doc across splits
+    val s1 = CorpusStore.snapshotAt(spark, root, id1)
+      .select(col("doc_id"), col("split"))
+    val s2 = CorpusStore.read(spark, root)
+      .where(col("doc_id") =!= 999999L).select(col("doc_id"), col("split"))
+    assert(s1.exceptAll(s2).count() == 0)
+  }
+}
