@@ -18,7 +18,13 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   test("oracle SQL exists for every SQL-expressible query") {
     val withOracle = Registry.allQueries.count(_.oracle.isDefined)
-    assert(withOracle >= 33, s"expected near-full oracle coverage, got $withOracle")
+    assert(withOracle >= 100, s"expected near-full oracle coverage, got $withOracle")
+  }
+
+  test("query names are unique (registry hygiene)") {
+    val names = Registry.allQueries.map(_.name)
+    assert(names.distinct.size == names.size,
+      names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }.mkString(","))
   }
 
   test("entry point returns rows (driver smoke contract)") {
