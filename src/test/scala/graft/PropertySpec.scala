@@ -142,4 +142,79 @@ object GraftProperties extends Properties("graft") {
       val full = chunks.dropRight(1).forall(_.length == n)
       coverage && aligned && full
     }
+
+  // ── duplicated-span islands match a plain-Scala brute reference ────
+  private val corpusGen: Gen[List[List[String]]] = {
+    val vocab = Gen.choose(0, 5).map(i => s"w$i")
+    Gen.listOfN(3, Gen.choose(0, 24).flatMap(k => Gen.listOfN(k, vocab)))
+  }
+
+  private def refSpanStats(docs: Map[Long, Seq[String]], n: Int)
+      : Map[Long, (Long, Long, Long)] = {
+    val grams = docs.toSeq.flatMap { case (id, t) =>
+      if (t.size >= n) (0 until t.size - n + 1).map(i => (id, i + 1, t.slice(i, i + n).mkString(" ")))
+      else Nil
+    }
+    val dup = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val hits = grams.filter(g => dup(g._3)).groupBy(_._1)
+      .map { case (id, g) => id -> g.map(_._2).distinct.sorted }
+    docs.map { case (id, _) =>
+      val pos = hits.getOrElse(id, Nil)
+      if (pos.isEmpty) id -> ((0L, 0L, 0L))
+      else {
+        val islands = pos.tail.foldLeft(List(List(pos.head))) { (acc, p) =>
+          if (p - acc.head.head <= n - 1) (p :: acc.head) :: acc.tail
+          else List(p) :: acc
+        }
+        val lens = islands.map(i => i.max + (n - 1) - i.min + 1L)
+        id -> ((islands.size.toLong, lens.sum, lens.max))
+      }
+    }
+  }
+
+  property("spanDedup islands equal the brute-force reference") =
+    Prop.forAll(corpusGen) { tokLists =>
+      import spark.implicits._
+      val n = 5
+      val docs = tokLists.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+      val got = graft.dedup.SpanDedup
+        .spanStats(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val want = refSpanStats(
+        tokLists.zipWithIndex.map { case (t, i) => i.toLong -> (t: Seq[String]) }.toMap, n)
+      got == want
+    }
+
+  // ── PageRank trajectory equals a plain-Scala integer reference ─────
+  private val graphGen: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(for {
+      a <- Gen.choose(1L, 6L); b <- Gen.choose(1L, 6L) if a != b
+    } yield (math.min(a, b), math.max(a, b))).map(_.distinct.take(8))
+
+  private def refRank(pairs: Seq[(Long, Long)], iters: Int, scale: Long)
+      : Map[Long, (Long, Long)] = {
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    val r0 = scale / deg.size
+    val base = 15L * r0 / 100L
+    var r: Map[Long, Long] = deg.map { case (k, _) => k -> r0 }
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = deg.map { case (k, _) => k -> (base + 85L * contrib.getOrElse(k, 0L) / 100L) }
+    }
+    deg.map { case (k, d) => k -> ((d, r(k))) }
+  }
+
+  property("PageRank rankUnits equals the integer reference on random graphs") =
+    Prop.forAll(graphGen) { pairs =>
+      import spark.implicits._
+      pairs.isEmpty || {
+        val got = graft.graph.PageRank.rankUnits(pairs.toDF("a", "b"), iters = 2)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        got == refRank(pairs, iters = 2, scale = 1000000000000L)
+      }
+    }
 }
