@@ -1,0 +1,73 @@
+package graft.corpus
+
+import graft.dedup.MinHashLsh
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-stage survivor counts of a [[CorpusPipeline.curate]] run. */
+final case class CurationReport(
+    nRaw: Long, nQuality: Long, nLang: Long, nExactDedup: Long, nNearDedup: Long)
+
+/** The user-facing corpus curation call — the x7 funnel as ONE reusable
+  * API that returns the SURVIVING CORPUS (x7's oracle form reports the
+  * counts; this hands back the data, ready for
+  * [[CorpusStore.writeSnapshot]]): quality gate → language gate → exact
+  * dedup (min-id survivor per fingerprint, survivors preferred) →
+  * MinHash-LSH near-dedup (cluster keepers survive).
+  *
+  * Scale shape = x7's: stage predicates are COLUMNS over one scan (the
+  * stage counts come from one aggregate of booleans, not one filter-chain
+  * re-execution per stage); the ranked frame persists once and releases
+  * before return; near-dedup is the capped-bucket LSH + label-propagation
+  * pipeline, never pairwise in corpus size.
+  */
+object CorpusPipeline {
+
+  /** Returns (surviving corpus with the input's columns, stage report). */
+  def curate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      minQuality: Double = 0.43, keepLang: String = "en",
+      nearDedup: Boolean = true): (DataFrame, CurationReport) = {
+    val outCols = docs.columns.toSeq
+    val flagged = docs
+      .withColumn("q_ok", qualityScore(col(textCol), length(col(textCol))) > minQuality)
+      .withColumn("l_ok", col("q_ok") && langId(col(textCol)) === keepLang)
+    val ranked = flagged
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(fingerprint(col(textCol)))
+          .orderBy(col("l_ok").desc, col(idCol))))
+      .withColumn("e_ok", col("l_ok") && col("rn") === 1)
+      .cache()
+    var labels: DataFrame = null
+    try {
+      val exact = ranked.filter(col("e_ok"))
+      val flags = ranked.groupBy().agg(
+        count(lit(1)).as("c0"),
+        sum(when(col("q_ok"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("l_ok"), 1L).otherwise(0L)).as("c2"),
+        sum(when(col("e_ok"), 1L).otherwise(0L)).as("c3"))
+        .head()
+      val (survivors, nNear) =
+        if (!nearDedup) (exact, flags.getLong(3))
+        else {
+          labels = MinHashLsh.memberLabels(
+            MinHashLsh.rawCandidatePairs(exact, idCol, textCol))
+          val nkIds = labels.filter(col("label") =!= col("id"))
+            .select(col("id").as("nk_id"))
+          val kept = exact.join(nkIds, exact(idCol) === col("nk_id"), "left_anti")
+          // non-keepers ⊆ exact survivors (labels only contain ids that
+          // paired within `exact`), so the count is a subtraction
+          (kept, flags.getLong(3) - nkIds.count())
+        }
+      // materialize BEFORE the finally releases the caches the plan reads
+      val out = survivors.select(outCols.map(col): _*).cache()
+      out.count()
+      (out, CurationReport(flags.getLong(0), flags.getLong(1),
+        flags.getLong(2), flags.getLong(3), nNear))
+    } finally {
+      if (labels != null) labels.unpersist(false)
+      ranked.unpersist(false)
+    }
+  }
+}

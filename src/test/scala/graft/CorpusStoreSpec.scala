@@ -31,6 +31,38 @@ class CorpusStoreSpec extends AnyFunSuite {
       s"split/lang must be partition filters:\n$plan")
   }
 
+  test("curate: stage counts monotone, survivors unique and gated, snapshot lands") {
+    import graft.corpus.CorpusPipeline
+    import spark.implicits._
+    // synthesize both dup kinds (the x7 corpus): verbatim copies die at
+    // the exact stage, tail-modified copies at the near stage
+    val base = docs().select(col("doc_id"), col("text"), col("lang"))
+    val corpus = base
+      .unionByName(base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang")))
+      .unionByName(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" extra appended tail tokens here")).as("text"),
+          col("lang")))
+    val (out, rep) = CorpusPipeline.curate(corpus)
+    try {
+      assert(rep.nRaw > rep.nQuality || rep.nQuality == rep.nRaw)
+      assert(rep.nQuality >= rep.nLang && rep.nLang >= rep.nExactDedup
+        && rep.nExactDedup >= rep.nNearDedup)
+      assert(out.count() == rep.nNearDedup)
+      // survivors: no two share a fingerprint, every one passes the gates
+      val fps = out.select(graft.functions.TextFunctions.fingerprint(col("text")))
+      assert(fps.distinct().count() == out.count())
+      assert(out.where(graft.functions.TextFunctions.langId(col("text")) =!= "en").count() == 0)
+      // verbatim +1e6 copies never survive (their original outranks them)
+      assert(out.where(col("doc_id") >= 1000000L && col("doc_id") < 2000000L).count() == 0)
+      // the curated corpus snapshots straight into the store
+      val root = java.nio.file.Files.createTempDirectory("corpus3").toString
+      val id = graft.corpus.CorpusStore.writeSnapshot(out, root)
+      assert(graft.corpus.CorpusStore.snapshotAt(spark, root, id).count() == rep.nNearDedup)
+    } finally out.unpersist(false)
+  }
+
   test("a new snapshot replaces the live corpus; the old commit stays pinnable") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("corpus2").toString
