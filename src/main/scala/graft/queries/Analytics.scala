@@ -317,6 +317,62 @@ object Analytics {
         SELECT user_id, COUNT(*) AS n_ticks,
           CAST(MAX(c) AS BIGINT) / 100.0 AS peak,
           CAST(MAX(runmax - c) AS BIGINT) / 100.0 AS max_drawdown
-        FROM r GROUP BY user_id ORDER BY user_id"""))
+        FROM r GROUP BY user_id ORDER BY user_id""")),
+
+    // ── Q-family: fixed-grid resample + forward fill (asfreq/ffill) ────
+    // The gap-filling every tick consumer needs: a dense 1-minute grid
+    // per key over a 2h window, each cell carrying the LAST observation
+    // at-or-before it (null until the first). Last-in-minute picks by
+    // row_number (portable tie-break), the fill is one
+    // last(ignoreNulls) running window — grid join and both windows all
+    // partition by user_id, so the whole op is one key-shuffle wide.
+    GraftQuery(
+      "q11_gap_fill_ffill",
+      (s, dir) => {
+        import s.implicits._
+        val lo = lit("2024-01-01 00:00:00").cast("timestamp")
+        val hi = lit("2024-01-01 02:00:00").cast("timestamp")
+        val ev = Tables.events(s, dir).filter($"user_id" < 5)
+        val grid = ev.select($"user_id").distinct()
+          .withColumn("minute", explode(expr(
+            "sequence(timestamp'2024-01-01 00:00:00', timestamp'2024-01-01 01:59:00', interval 1 minute)")))
+        val wPick = Window.partitionBy($"user_id", $"minute")
+          .orderBy($"ts".desc, $"event_id".desc)
+        val perMin = ev.filter($"ts" >= lo && $"ts" < hi)
+          .withColumn("minute", date_trunc("minute", $"ts"))
+          .withColumn("rn", row_number().over(wPick))
+          .filter($"rn" === 1)
+          .select($"user_id", $"minute", $"value".as("v"))
+        val wFill = Window.partitionBy($"user_id").orderBy($"minute")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        grid.join(perMin, Seq("user_id", "minute"), "left")
+          .withColumn("filled", last($"v", ignoreNulls = true).over(wFill))
+          .select($"user_id", unix_millis($"minute").as("minute_ms"), $"filled",
+            ($"v".isNull && $"filled".isNotNull).cast("int").as("was_filled"))
+          .orderBy($"user_id", $"minute_ms")
+      },
+      Some("""
+        WITH users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 5),
+        grid AS (
+          SELECT user_id,
+            unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+              TIMESTAMP '2024-01-01 01:59:00', INTERVAL 1 minute)) AS minute
+          FROM users),
+        pm AS (
+          SELECT user_id, minute, value AS v FROM (
+            SELECT user_id, date_trunc('minute', ts) AS minute, value,
+              row_number() OVER (PARTITION BY user_id, date_trunc('minute', ts)
+                ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+            WHERE user_id < 5 AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts < TIMESTAMP '2024-01-01 02:00:00')
+          WHERE rn = 1)
+        SELECT g.user_id, epoch_ms(g.minute) AS minute_ms,
+          last_value(p.v IGNORE NULLS) OVER w AS filled,
+          CAST(p.v IS NULL AND last_value(p.v IGNORE NULLS) OVER w IS NOT NULL AS INT) AS was_filled
+        FROM grid g LEFT JOIN pm p ON g.user_id = p.user_id AND g.minute = p.minute
+        WINDOW w AS (PARTITION BY g.user_id ORDER BY g.minute
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY g.user_id, minute_ms"""))
   )
 }
