@@ -407,6 +407,68 @@ object ExtendedSql {
         FROM bounds b JOIN est USING (event_type) JOIN exact x USING (event_type)
         ORDER BY b.event_type""")),
 
+    // ── robust outlier detection (median absolute deviation) ───────────
+    // The outlier gate that survives skewed data where 3σ does not: per
+    // group, flag values whose deviation from the DISCRETE median
+    // exceeds 3×MAD. Exact cents + e6's discrete-quantile picks keep
+    // every quantity an integer — no float variance accumulation to
+    // diverge between engines. Two per-group window sorts + one
+    // aggregate, all partitioned by event_type.
+    GraftQuery(
+      "e14_mad_outliers",
+      (s, dir) => {
+        import s.implicits._
+        def medianAt(cnt: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          (floor((cnt - 1) * 0.5) + 1).cast("long")
+        val ev = Tables.events(s, dir)
+          .select($"event_type", $"event_id", cents($"value").as("c"))
+        val wc = Window.partitionBy($"event_type").orderBy($"c")
+        val wn = Window.partitionBy($"event_type")
+        val med = ev
+          .withColumn("rn", row_number().over(wc).cast("long"))
+          .withColumn("cnt", count(lit(1)).over(wn))
+          .withColumn("med", max(when($"rn" === medianAt($"cnt"), $"c")).over(wn))
+          .withColumn("dev", abs($"c" - $"med"))
+        val wd = Window.partitionBy($"event_type").orderBy($"dev")
+        med
+          .withColumn("rnd", row_number().over(wd).cast("long"))
+          .withColumn("mad", max(when($"rnd" === medianAt($"cnt"), $"dev")).over(wn))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            (max($"med") / 100.0).as("median"),
+            (max($"mad") / 100.0).as("mad"),
+            sum(when($"dev" > $"mad" * 3, 1L).otherwise(0L)).as("n_outliers"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS c
+          FROM events),
+        m AS (
+          SELECT event_type, c,
+            CAST(row_number() OVER (PARTITION BY event_type ORDER BY c) AS BIGINT) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS cnt
+          FROM e),
+        withmed AS (
+          SELECT event_type, c, cnt,
+            MAX(CASE WHEN rn = CAST(FLOOR((cnt - 1) * 0.5) AS BIGINT) + 1 THEN c END)
+              OVER (PARTITION BY event_type) AS med
+          FROM m),
+        dev AS (
+          SELECT event_type, cnt, med, abs(c - med) AS dev,
+            CAST(row_number() OVER (PARTITION BY event_type ORDER BY abs(c - med)) AS BIGINT) AS rnd
+          FROM withmed),
+        withmad AS (
+          SELECT event_type, med, dev,
+            MAX(CASE WHEN rnd = CAST(FLOOR((cnt - 1) * 0.5) AS BIGINT) + 1 THEN dev END)
+              OVER (PARTITION BY event_type) AS mad
+          FROM dev)
+        SELECT event_type, COUNT(*) AS n,
+          CAST(MAX(med) AS BIGINT) / 100.0 AS median,
+          CAST(MAX(mad) AS BIGINT) / 100.0 AS mad,
+          CAST(SUM(CASE WHEN dev > mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM withmad GROUP BY event_type ORDER BY event_type""")),
+
     // ── one-pass table profile (data-quality pre-flight) ───────────────
     // [[graft.core.Profiler]]: every column's row/null/exact-distinct
     // counts from ONE aggregate over ONE scan, unpivoted to a row per
