@@ -66,6 +66,19 @@ object CorpusStore {
       .parquet(files.map(f => new Path(tp, f).toString): _*)
   }
 
+  /** Doc-level changelog between two pinned snapshots: one row per
+    * (doc_id, change ∈ added|removed). The audit trail for "what moved
+    * between the corpus run N trained on and run N+1" — an anti-join
+    * each way on doc_id, no content comparison (content-stable ids are
+    * the corpus contract; re-texted docs get new ids upstream). */
+  def diff(spark: SparkSession, root: String, fromId: Long, toId: Long): DataFrame = {
+    val from = snapshotAt(spark, root, fromId).select(col("doc_id"))
+    val to = snapshotAt(spark, root, toId).select(col("doc_id"))
+    to.join(from, Seq("doc_id"), "left_anti").withColumn("change", lit("added"))
+      .unionByName(
+        from.join(to, Seq("doc_id"), "left_anti").withColumn("change", lit("removed")))
+  }
+
   /** The corpus exactly as of `commitId` — the reproducible-training pin. */
   def snapshotAt(spark: SparkSession, root: String, commitId: Long): DataFrame = {
     val tp = new Path(tablePath(root))

@@ -84,5 +84,9 @@ class CorpusStoreSpec extends AnyFunSuite {
     val s2 = CorpusStore.read(spark, root)
       .where(col("doc_id") =!= 999999L).select(col("doc_id"), col("split"))
     assert(s1.exceptAll(s2).count() == 0)
+    // the changelog between the pins is exactly the one added doc
+    val d = CorpusStore.diff(spark, root, id1, id2).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(d.toSeq == Seq((999999L, "added")))
   }
 }
