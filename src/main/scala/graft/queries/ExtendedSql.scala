@@ -407,6 +407,51 @@ object ExtendedSql {
         FROM bounds b JOIN est USING (event_type) JOIN exact x USING (event_type)
         ORDER BY b.event_type""")),
 
+    // ── ranking-family window functions (the rest of the surface) ──────
+    // e2 covers lag/lead/row_number/running sums; this closes the family:
+    // rank/dense_rank over VALUE ties (real ties, same in both engines),
+    // ntile/percent_rank/cume_dist over a fully tie-broken order (their
+    // row-position semantics need a total order to be portable), and
+    // first/nth value frames. percent_rank and cume_dist are exact
+    // integer ratios evaluated as one double division each.
+    GraftQuery(
+      "e15_rank_functions",
+      (s, dir) => {
+        import s.implicits._
+        val byValue = Window.partitionBy($"event_type").orderBy(cents($"value"))
+        val total = Window.partitionBy($"event_type")
+          .orderBy(cents($"value"), $"event_id")
+        val frame = total.rowsBetween(Window.unboundedPreceding, 0)
+        Tables.events(s, dir).filter($"user_id" < 3)
+          .select($"event_type", $"event_id", cents($"value").as("c"),
+            rank().over(byValue).as("rnk"),
+            dense_rank().over(byValue).as("drnk"),
+            ntile(4).over(total).as("quartile"),
+            percent_rank().over(total).as("pct_rank"),
+            cume_dist().over(total).as("cume"),
+            first($"event_id").over(frame).as("min_row_id"),
+            nth_value($"event_id", 2).over(frame).as("second_row_id"))
+          .orderBy($"event_type", $"c", $"event_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id < 3)
+        SELECT event_type, event_id, c,
+          rank() OVER v AS rnk,
+          dense_rank() OVER v AS drnk,
+          ntile(4) OVER t AS quartile,
+          percent_rank() OVER t AS pct_rank,
+          cume_dist() OVER t AS cume,
+          first_value(event_id) OVER f AS min_row_id,
+          nth_value(event_id, 2) OVER f AS second_row_id
+        FROM e
+        WINDOW v AS (PARTITION BY event_type ORDER BY c),
+          t AS (PARTITION BY event_type ORDER BY c, event_id),
+          f AS (PARTITION BY event_type ORDER BY c, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY event_type, c, event_id""")),
+
     // ── robust outlier detection (median absolute deviation) ───────────
     // The outlier gate that survives skewed data where 3σ does not: per
     // group, flag values whose deviation from the DISCRETE median
