@@ -373,6 +373,65 @@ object Analytics {
         FROM grid g LEFT JOIN pm p ON g.user_id = p.user_id AND g.minute = p.minute
         WINDOW w AS (PARTITION BY g.user_id ORDER BY g.minute
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        ORDER BY g.user_id, minute_ms"""))
+        ORDER BY g.user_id, minute_ms""")),
+
+    // ── Q-family: pairwise correlation matrix (exact-sum Pearson) ──────
+    // The quant staple: correlations between keys' aligned minute
+    // series. Built portable the only way float statistics can be: the
+    // five sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    // EXACT LONGS over cents (order-free), and Pearson r is one
+    // fixed-order double expression per pair — no float aggregation
+    // anywhere. Alignment = equi-join of per-hour last-tick series on
+    // the hour bucket; pairs a<b keep the matrix triangular. Engine corr()
+    // (Spark and DuckDB both ship one) accumulates floats in shuffle
+    // order — exactly what this formulation avoids.
+    GraftQuery(
+      "q12_correlation_matrix",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir).filter($"user_id" < 5)
+        val wPick = Window.partitionBy($"user_id", $"bucket")
+          .orderBy($"ts".desc, $"event_id".desc)
+        val perHour = ev
+          .withColumn("bucket", date_trunc("hour", $"ts"))
+          .withColumn("rn", row_number().over(wPick))
+          .filter($"rn" === 1)
+          .select($"user_id", $"bucket", cents($"value").as("c"))
+        val a = perHour.select($"user_id".as("ua"), $"bucket", $"c".as("x"))
+        val b = perHour.select($"user_id".as("ub"), $"bucket", $"c".as("y"))
+        val joined = a.join(b, Seq("bucket")).where($"ua" < $"ub")
+        val stats = joined.groupBy($"ua", $"ub")
+          .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"y").as("sxy"),
+            sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+        stats.select($"ua", $"ub", $"n",
+          (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+              sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double")))).as("pearson_r"))
+          .orderBy($"ua", $"ub")
+      },
+      Some("""
+        WITH pm AS (
+          SELECT user_id, bucket, c FROM (
+            SELECT user_id, date_trunc('hour', ts) AS bucket,
+              CAST(round(value * 100) AS BIGINT) AS c,
+              row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE user_id < 5)
+          WHERE rn = 1),
+        j AS (
+          SELECT a.user_id AS ua, b.user_id AS ub, a.c AS x, b.c AS y
+          FROM pm a JOIN pm b ON a.bucket = b.bucket AND a.user_id < b.user_id),
+        s AS (
+          SELECT ua, ub, COUNT(*) AS n,
+            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(x * y) AS BIGINT) AS sxy,
+            CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM j GROUP BY ua, ub)
+        SELECT ua, ub, n,
+          CAST(n * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
+        FROM s ORDER BY ua, ub"""))
   )
 }

@@ -407,6 +407,33 @@ object ExtendedSql {
         FROM bounds b JOIN est USING (event_type) JOIN exact x USING (event_type)
         ORDER BY b.event_type""")),
 
+    // ── unpivot (wide → long, the inverse of e8) ───────────────────────
+    // Stacks the lineitem charge components into (component, amount)
+    // rows — one narrow per-row explode, no shuffle before the final
+    // aggregate. Exact decimal sums per component.
+    GraftQuery(
+      "e16_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .select($"l_orderkey", explode(array(
+            struct(lit("price").as("component"), dec2($"l_extendedprice").as("amount")),
+            struct(lit("discount").as("component"), dec2($"l_discount").as("amount")),
+            struct(lit("tax").as("component"), dec2($"l_tax").as("amount")))).as("u"))
+          .groupBy($"u.component")
+          .agg(count(lit(1)).as("n"), sum($"u.amount").cast(DoubleType).as("total"))
+          .orderBy($"component")
+      },
+      Some("""
+        WITH u AS (
+          SELECT 'price' AS component, CAST(l_extendedprice AS DECIMAL(12,2)) AS amount FROM lineitem
+          UNION ALL
+          SELECT 'discount', CAST(l_discount AS DECIMAL(12,2)) FROM lineitem
+          UNION ALL
+          SELECT 'tax', CAST(l_tax AS DECIMAL(12,2)) FROM lineitem)
+        SELECT component, COUNT(*) AS n, CAST(SUM(amount) AS DOUBLE) AS total
+        FROM u GROUP BY component ORDER BY component""")),
+
     // ── ranking-family window functions (the rest of the surface) ──────
     // e2 covers lag/lead/row_number/running sums; this closes the family:
     // rank/dense_rank over VALUE ties (real ties, same in both engines),
