@@ -407,6 +407,33 @@ object ExtendedSql {
         FROM bounds b JOIN est USING (event_type) JOIN exact x USING (event_type)
         ORDER BY b.event_type""")),
 
+    // ── CUBE + GROUPING() (full grouping-sets family, closing e1) ──────
+    // All four aggregation levels of (source, lang) in one pass, with
+    // the standard GROUPING() bits distinguishing "NULL because
+    // subtotal" from a genuine NULL key — the portable way to render a
+    // cube (coalesce alone can't tell them apart).
+    GraftQuery(
+      "e17_cube_grouping",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .cube($"source", $"lang")
+          .agg(count(lit(1)).as("n"), grouping($"source").as("g_source"),
+            grouping($"lang").as("g_lang"))
+          .select(coalesce($"source", lit("ALL")).as("source"),
+            coalesce($"lang", lit("ALL")).as("lang"),
+            $"n", $"g_source".cast("int").as("g_source"),
+            $"g_lang".cast("int").as("g_lang"))
+          .orderBy($"g_source", $"g_lang", $"source", $"lang")
+      },
+      Some("""
+        SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+          COUNT(*) AS n,
+          CAST(GROUPING(source) AS INT) AS g_source,
+          CAST(GROUPING(lang) AS INT) AS g_lang
+        FROM documents GROUP BY CUBE (source, lang)
+        ORDER BY g_source, g_lang, source, lang""")),
+
     // ── unpivot (wide → long, the inverse of e8) ───────────────────────
     // Stacks the lineitem charge components into (component, amount)
     // rows — one narrow per-row explode, no shuffle before the final

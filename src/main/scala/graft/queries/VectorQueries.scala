@@ -537,6 +537,76 @@ object VectorQueries {
           CASE WHEN d.dup_of IS NOT NULL THEN 'drop' ELSE 'keep' END AS status,
           d.dup_of
         FROM asg g LEFT JOIN dups d ON d.b = g.vec_id
-        ORDER BY g.vec_id"""))
+        ORDER BY g.vec_id""")),
+
+    // ── ANN recall evaluation (approx vs exact ground truth) ──────────
+    // The eval harness every ANN index ships: IVF top-3 (v4's index)
+    // scored against brute-force top-3 (v1's ground truth) — recall@3
+    // per probe as a QUERYABLE table, all integer counts until the one
+    // final division. At 100 TB this runs on a probe SAMPLE and decides
+    // nlist/nprobe before anything expensive; the join is (pid, nid)
+    // equi, never pairwise.
+    GraftQuery(
+      "v11_ann_recall_eval",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val exact = graft.similarity.TopK
+          .bruteForce(emb, emb.filter($"vec_id" < 10), 3)
+          .select($"pid", $"nid")
+        val cent = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+        val approx = graft.similarity.Ivf
+          .topKWithinCell(graft.similarity.Ivf.assign(emb, cent), $"vec_id" < 10, 3)
+          .select($"pid", $"nid")
+        val hits = approx.join(exact, Seq("pid", "nid"))
+          .groupBy($"pid").agg(count(lit(1)).as("n_hits"))
+        exact.select($"pid").distinct()
+          .join(hits, Seq("pid"), "left")
+          .select($"pid", coalesce($"n_hits", lit(0L)).as("n_hits"),
+            (coalesce($"n_hits", lit(0L)) / 3.0).as("recall_at_3"))
+          .orderBy($"pid")
+      },
+      Some("""
+        WITH exact AS (
+          SELECT pid, nid FROM (
+            SELECT p.vec_id AS pid, n.vec_id AS nid,
+              row_number() OVER (PARTITION BY p.vec_id
+                ORDER BY list_cosine_similarity(p.embedding, n.embedding) DESC, n.vec_id) AS rank
+            FROM embeddings p JOIN embeddings n ON p.vec_id <> n.vec_id
+            WHERE p.vec_id < 10)
+          WHERE rank <= 3),
+        cent AS (
+          SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+        scored AS (
+          SELECT e.vec_id, c.cid, list_cosine_similarity(e.embedding, c.cemb) AS cos
+          FROM embeddings e CROSS JOIN cent c),
+        asg AS (
+          SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+            FROM scored)
+          WHERE rn = 1),
+        pc AS (
+          SELECT a.vec_id AS pid, a.cluster, e.embedding AS pe
+          FROM asg a JOIN embeddings e USING (vec_id) WHERE a.vec_id < 10),
+        cc AS (
+          SELECT a.vec_id AS nid, a.cluster, e.embedding AS ne
+          FROM asg a JOIN embeddings e USING (vec_id)),
+        approx AS (
+          SELECT pid, nid FROM (
+            SELECT pid, nid,
+              row_number() OVER (PARTITION BY pid
+                ORDER BY list_cosine_similarity(pe, ne) DESC, nid) AS rank
+            FROM pc p JOIN cc c ON p.cluster = c.cluster AND pid <> nid)
+          WHERE rank <= 3),
+        hits AS (
+          SELECT e.pid, COUNT(*) AS n_hits
+          FROM exact e JOIN approx a ON e.pid = a.pid AND e.nid = a.nid
+          GROUP BY e.pid)
+        SELECT p.pid, COALESCE(h.n_hits, 0) AS n_hits,
+          COALESCE(h.n_hits, 0) / 3.0 AS recall_at_3
+        FROM (SELECT DISTINCT pid FROM exact) p LEFT JOIN hits h USING (pid)
+        ORDER BY pid"""))
   )
 }
