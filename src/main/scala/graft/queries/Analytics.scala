@@ -432,6 +432,65 @@ object Analytics {
           CAST(n * sxy - sx * sy AS DOUBLE)
             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
-        FROM s ORDER BY ua, ub"""))
+        FROM s ORDER BY ua, ub""")),
+
+    // ── Q-family: market beta (OLS slope/intercept vs an index) ────────
+    // q12's sibling: regress each key's hour series against the market
+    // index (= the summed cents of all five keys, hours where all five
+    // tick). Same exact-sum construction — sufficient statistics as
+    // order-free longs, β and α as fixed-order double expressions — so
+    // the regression hash-matches across engines, which a float-
+    // accumulating regr_slope() cannot.
+    GraftQuery(
+      "q13_market_beta",
+      (s, dir) => {
+        import s.implicits._
+        val wPick = Window.partitionBy($"user_id", $"bucket")
+          .orderBy($"ts".desc, $"event_id".desc)
+        val perHour = Tables.events(s, dir).filter($"user_id" < 5)
+          .withColumn("bucket", date_trunc("day", $"ts"))
+          .withColumn("rn", row_number().over(wPick))
+          .filter($"rn" === 1)
+          .select($"user_id", $"bucket", cents($"value").as("c"))
+        val market = perHour.groupBy($"bucket")
+          .agg(sum($"c").as("x"), count(lit(1)).as("nu"))
+          .where($"nu" === 5)
+        perHour.join(market, Seq("bucket"))
+          .select($"user_id", $"x", $"c".as("y"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+            sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+          .withColumn("beta",
+            ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+              ($"n" * $"sxx" - $"sx" * $"sx").cast("double"))
+          .select($"user_id", $"n", $"beta",
+            (($"sy".cast("double") - $"beta" * $"sx".cast("double"))
+              / $"n".cast("double")).as("alpha"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH pm AS (
+          SELECT user_id, bucket, c FROM (
+            SELECT user_id, date_trunc('day', ts) AS bucket,
+              CAST(round(value * 100) AS BIGINT) AS c,
+              row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE user_id < 5)
+          WHERE rn = 1),
+        mkt AS (
+          SELECT bucket, CAST(SUM(c) AS BIGINT) AS x
+          FROM pm GROUP BY bucket HAVING COUNT(*) = 5),
+        s AS (
+          SELECT user_id, COUNT(*) AS n,
+            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(c) AS BIGINT) AS sy,
+            CAST(SUM(x * c) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM pm JOIN mkt USING (bucket) GROUP BY user_id),
+        b AS (
+          SELECT user_id, n, sx, sy,
+            CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS beta
+          FROM s)
+        SELECT user_id, n, beta,
+          (CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS alpha
+        FROM b ORDER BY user_id"""))
   )
 }
