@@ -197,6 +197,35 @@ object StreamingQueries {
           COUNT(*) AS n,
           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-        GROUP BY 1, 2 ORDER BY segment, event_type"""))
+        GROUP BY 1, 2 ORDER BY segment, event_type""")),
+
+    // ── streaming leaderboard (update-mode running counts + rank) ──────
+    // Batch projection of the live top-k: per event_type, the 3 most
+    // active users by running count. The streaming face keeps ONLY the
+    // per-(type, user) count as state (update-mode aggregation — the
+    // rank is re-derived per micro-batch from emitted updates, so state
+    // never holds a sorted structure); StreamingSpec drives it over
+    // MemoryStream batches. Batch shape: one map-side-combined groupBy
+    // + WindowGroupLimit per type.
+    GraftQuery(
+      "s7_streaming_topk",
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"n".desc, $"user_id")
+        Tables.events(s, dir)
+          .groupBy($"event_type", $"user_id")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rank", row_number().over(w))
+          .where($"rank" <= 3)
+          .orderBy($"event_type", $"rank")
+      },
+      Some("""
+        SELECT event_type, user_id, n, rank FROM (
+          SELECT event_type, user_id, COUNT(*) AS n,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY COUNT(*) DESC, user_id) AS rank
+          FROM events GROUP BY event_type, user_id)
+        WHERE rank <= 3 ORDER BY event_type, rank"""))
   )
 }

@@ -132,6 +132,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming leaderboard: update-mode counts, rank re-derived per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(String, Long)]
+    val counts = source.toDF().toDF("event_type", "user_id")
+      .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("n"))
+    // state = counts only; the leaderboard materializes driver-side from
+    // update-mode emissions (same contract as a dashboard sink)
+    val board = scala.collection.mutable.Map.empty[(String, Long), Long]
+    val q = counts.writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          board((r.getString(0), r.getLong(1))) = r.getLong(2))
+      }.start()
+    try {
+      source.addData(("click", 1L), ("click", 1L), ("click", 2L))
+      q.processAllAvailable()
+      source.addData(("click", 2L), ("click", 2L), ("view", 9L))
+      q.processAllAvailable()
+      def top(et: String) = board.toSeq.filter(_._1._1 == et)
+        .sortBy { case ((_, u), n) => (-n, u) }.map { case ((_, u), n) => (u, n) }
+      // user 2 overtook user 1 across batches; view board independent
+      assert(top("click") == Seq((2L, 3L), (1L, 2L)))
+      assert(top("view") == Seq((9L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming CMS: per-batch cells merge by addition into the global sketch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
