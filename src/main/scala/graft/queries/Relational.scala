@@ -334,6 +334,58 @@ object Relational {
           CASE WHEN ABS(raw_epoch) >= 100000000000000 THEN CAST(FLOOR(raw_epoch / 1000000) AS BIGINT)
                WHEN ABS(raw_epoch) >= 100000000000 THEN CAST(FLOOR(raw_epoch / 1000) AS BIGINT)
                ELSE CAST(raw_epoch AS BIGINT) END AS epoch_s
-        FROM raw ORDER BY event_id"""))
+        FROM raw ORDER BY event_id""")),
+
+    // ── NOT IN subquery (null-aware anti join semantics) ───────────────
+    // The subtlest SQL join: NOT IN must return ZERO rows if the
+    // subquery ever yields NULL — Spark compiles it to a null-aware
+    // anti join; a plain anti join would silently give different
+    // answers on nullable keys. Demonstrated as "customers with no
+    // early-1995 orders".
+    GraftQuery(
+      "h5_not_in_subquery",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.customer(s, dir).createOrReplaceTempView("h5_customer")
+        Tables.orders(s, dir).createOrReplaceTempView("h5_orders")
+        s.sql("""
+          SELECT c_custkey, c_mktsegment FROM h5_customer
+          WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM h5_orders
+            WHERE o_orderdate < TIMESTAMP '1995-04-01 00:00:00')
+          ORDER BY c_custkey""")
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM orders
+          WHERE o_orderdate < TIMESTAMP '1995-04-01 00:00:00')
+        ORDER BY c_custkey""")),
+
+    // ── scalar subquery (global aggregate as a predicate input) ────────
+    // Events above 3× the global average value. The aggregate rides as
+    // uncorrelated scalar subqueries → tiny jobs feeding broadcast
+    // literals, never a per-row recompute — and the comparison cross-
+    // multiplies exact cent/count longs (c·n > 3·Σc), because engines
+    // disagree on AVG(DECIMAL)'s result type and a float threshold
+    // could flip boundary rows.
+    GraftQuery(
+      "e18_scalar_subquery",
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir).createOrReplaceTempView("e18_events")
+        s.sql("""
+          SELECT event_id, user_id, value FROM e18_events
+          WHERE CAST(round(value * 100) AS BIGINT)
+              * (SELECT COUNT(*) FROM e18_events) >
+            3 * (SELECT SUM(CAST(round(value * 100) AS BIGINT)) FROM e18_events)
+          ORDER BY event_id""")
+      },
+      Some("""
+        SELECT event_id, user_id, value FROM events
+        WHERE CAST(round(value * 100) AS BIGINT)
+            * (SELECT COUNT(*) FROM events) >
+          3 * (SELECT CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) FROM events)
+        ORDER BY event_id"""))
   )
 }
