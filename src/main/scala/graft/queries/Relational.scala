@@ -121,6 +121,48 @@ object Relational {
         LIMIT 10"""),
       bench = true),
 
+    // ── TPC-H Q5 shape: 6-table join with the local-supplier twist ─────
+    // The deepest plan in the suite: fact chain customer→orders→lineitem
+    // shuffles on its keys; supplier/nation/region broadcast; the
+    // c_nationkey = s_nationkey equality rides the supplier join (the
+    // "local supplier" semantic that makes Q5 more than a star join).
+    // Revenue stays scaled-long (per-order groups can't overflow).
+    GraftQuery(
+      "h6_regional_revenue",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.orders(s, dir)
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        Tables.customer(s, dir)
+          .join(o, $"c_custkey" === $"o_custkey")
+          .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+          .join(broadcast(Tables.supplier(s, dir)),
+            $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(Tables.region(s, dir)),
+            $"n_regionkey" === $"r_regionkey" && $"r_name" === "ASIA")
+          .groupBy($"n_name")
+          .agg((sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))) / 10000.0)
+            .as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy($"revenue".desc, $"n_name")
+      },
+      Some("""
+        SELECT n_name,
+          SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
+          COUNT(*) AS n_items
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""")),
+
     GraftQuery(
       "h4_order_priority_exists",
       (s, dir) => {
