@@ -183,6 +183,14 @@ class PushdownSpec extends AnyFunSuite {
     assert(plan.linesIterator.count(_.contains("Window")) >= 3)
   }
 
+  test("h6 six-table join: equi-joins only, never a cartesian") {
+    val q = graft.core.Registry.allQueries.find(_.name == "h6_regional_revenue").get
+    val plan = q.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(SimpleMode)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"Q5 shape must stay equi-joins end to end, plan:\n$plan")
+  }
+
   test("h4: derived standalone bound reaches the lineitem scan as a pushed filter") {
     // the semi-join condition l_shipdate > o_orderdate is not pushable,
     // but the derived bound l_shipdate > '1996-01-01' (min possible
