@@ -58,6 +58,35 @@ object SpanDedup {
         (max(col("pos")) + (n - 1) - min(col("pos")) + 1).as("span_len"))
   }
 
+  /** Scrub: remove every duplicated span's tokens and return the doc
+    * reconstructed from the survivors — d9's stats turned into the
+    * actual cleaning action (the per-doc face of Lee et al.'s removal).
+    * Span sets per doc are tiny (collect_list of (start, len) structs),
+    * the membership test is per-row lambda algebra over the token
+    * array; one groupBy(id) + one join on id beyond [[spans]]' own
+    * shuffles. Returns (id, n_tokens, n_kept, cleaned) for ALL docs
+    * (clean docs pass through verbatim). */
+  def scrub(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val spansByDoc = spans(corpus, idCol, textCol, n)
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        (col("span_start") + col("span_len") - 1).as("e"))).as("cut"))
+    corpus
+      .select(col(idCol).as("id"), lowerTokens(col(textCol)).as("toks"))
+      .join(spansByDoc, Seq("id"), "left")
+      .select(col("id"), col("toks"),
+        when(col("cut").isNull, col("toks")).otherwise(
+          filter(col("toks"), (_, i) =>
+            // positions are 1-based in spans; transform index is 0-based
+            !exists(col("cut"), c =>
+              i + 1 >= c.getField("s") && i + 1 <= c.getField("e"))))
+          .as("kept"))
+      .select(col("id"), size(col("toks")).as("n_tokens"),
+        size(col("kept")).as("n_kept"),
+        concat_ws(" ", col("kept")).as("cleaned"))
+  }
+
   /** Per-doc summary over ALL docs (zero-filled for clean docs):
     * (id, n_spans, dup_tokens, max_span). */
   def spanStats(corpus: DataFrame, idCol: String, textCol: String,

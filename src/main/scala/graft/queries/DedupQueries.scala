@@ -589,6 +589,72 @@ object DedupQueries {
         JOIN shb ON shb.doc_id = g.doc_id
         ORDER BY g.doc_id""")),
 
+    // ── span scrub: REMOVE the duplicated spans (d9's action form) ─────
+    // d9 reports the islands; this executes the removal and fingerprints
+    // the surviving text, so the cleaned corpus is itself verifiable.
+    // Same synthesized licence block (every 7th doc) — those docs must
+    // come back shorter, everyone else verbatim.
+    GraftQuery(
+      "d13_span_scrub",
+      (s, dir) => {
+        import s.implicits._
+        val block = "all rights reserved no part of this publication may be " +
+          "reproduced stored in a retrieval system or transmitted in any form"
+        val corpus = Tables.documents(s, dir)
+          .select($"doc_id",
+            when($"doc_id" % 7 === 0, concat(lit(block + " "), $"text"))
+              .otherwise($"text").as("text"))
+        graft.dedup.SpanDedup.scrub(corpus, "doc_id", "text", n = 15)
+          .select($"id".as("doc_id"), $"n_tokens", $"n_kept",
+            md5($"cleaned").as("cleaned_fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0
+              THEN 'all rights reserved no part of this publication may be reproduced stored in a retrieval system or transmitted in any form ' || text
+              ELSE text END AS text
+          FROM documents),
+        toks AS (
+          SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM corpus),
+        grams AS (
+          SELECT doc_id, i AS pos,
+            CAST(concat('0x', substr(md5(array_to_string(t[i:i+14], ' ')), 1, 15)) AS BIGINT) AS gh
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 14)) AS i
+                FROM toks WHERE len(t) >= 15)),
+        dup AS (
+          SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+        marked AS (
+          SELECT doc_id, pos,
+            CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 14
+              THEN 0 ELSE 1 END AS brk
+          FROM grams JOIN dup USING (gh)),
+        isl AS (
+          SELECT doc_id, pos,
+            SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM marked),
+        spans AS (
+          SELECT doc_id, MIN(pos) AS s, MAX(pos) + 14 AS e
+          FROM isl GROUP BY doc_id, island),
+        pos AS (
+          SELECT doc_id, unnest(generate_series(1, len(t))) AS i FROM toks),
+        cut AS (
+          SELECT DISTINCT p.doc_id, p.i
+          FROM pos p JOIN spans sp
+            ON sp.doc_id = p.doc_id AND p.i BETWEEN sp.s AND sp.e),
+        keptpos AS (
+          SELECT p.doc_id, p.i FROM pos p
+          ANTI JOIN cut c ON c.doc_id = p.doc_id AND c.i = p.i)
+        SELECT t.doc_id, len(t.t) AS n_tokens,
+          CAST(COUNT(k.i) AS INT) AS n_kept,
+          md5(coalesce(string_agg(t.t[k.i], ' ' ORDER BY k.i), '')) AS cleaned_fp
+        FROM toks t LEFT JOIN keptpos k ON k.doc_id = t.doc_id
+        GROUP BY t.doc_id, len(t.t)
+        ORDER BY t.doc_id""")),
+
     // ── fuzzy key join (edit-distance matching via length blocking) ────
     // Entity resolution for dirty keys: every 3rd doc's source label is
     // corrupted (char at doc_id % len replaced by 'x') and must resolve

@@ -45,6 +45,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.forall(_ == ((2L, 32L, 16L))), got.mkString(";"))
   }
 
+  test("spanDedup.scrub removes exactly the shared run, order preserved") {
+    import spark.implicits._
+    val shared = toks(10 until 30, "a")
+    val corpus = Seq(
+      (1L, toks(0 until 10, "a") + " " + shared + " " + toks(30 until 40, "a")),
+      (2L, toks(0 until 10, "b") + " " + shared + " " + toks(0 until 10, "c")),
+      (3L, toks(0 until 30, "z")))
+      .toDF("doc_id", "text")
+    val got = SpanDedup.scrub(corpus, "doc_id", "text", n = 15)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got(0) == ((1L, 40, 20, toks(0 until 10, "a") + " " + toks(30 until 40, "a"))))
+    assert(got(1) == ((2L, 40, 20, toks(0 until 10, "b") + " " + toks(0 until 10, "c"))))
+    // untouched doc passes through verbatim
+    assert(got(2) == ((3L, 30, 30, toks(0 until 30, "z"))))
+  }
+
   test("spanDedup: clean docs report zero spans; short docs emit no grams") {
     import spark.implicits._
     val corpus = Seq(
