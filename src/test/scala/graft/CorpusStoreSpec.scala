@@ -63,6 +63,32 @@ class CorpusStoreSpec extends AnyFunSuite {
     } finally out.unpersist(false)
   }
 
+  test("full plane: curate -> span scrub -> snapshot -> pinned read round-trip") {
+    import graft.corpus.{CorpusPipeline, CorpusStore}
+    import spark.implicits._
+    val boiler = "all rights reserved no part of this publication may be " +
+      "reproduced stored in a retrieval system or transmitted in any form"
+    val corpus = docs().select(col("doc_id"),
+      when(col("doc_id") % 9 === 0, concat(lit(boiler + " "), col("text")))
+        .otherwise(col("text")).as("text"),
+      col("lang"))
+    val (curated, rep) = CorpusPipeline.curate(corpus)
+    try {
+      // scrub the curated survivors and carry the cleaned text forward
+      val scrubbed = graft.dedup.SpanDedup.scrub(curated, "doc_id", "text", 15)
+        .select(col("id").as("doc_id"), col("cleaned").as("text"))
+        .join(curated.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      assert(scrubbed.count() == rep.nNearDedup)
+      // the licence block is gone from every surviving boilerplated doc
+      val stillBoiler = scrubbed
+        .where(col("doc_id") % 9 === 0 && col("text").contains("all rights reserved"))
+      assert(stillBoiler.count() == 0)
+      val root = java.nio.file.Files.createTempDirectory("corpus4").toString
+      val id = CorpusStore.writeSnapshot(scrubbed, root)
+      assert(CorpusStore.snapshotAt(spark, root, id).count() == rep.nNearDedup)
+    } finally curated.unpersist(false)
+  }
+
   test("a new snapshot replaces the live corpus; the old commit stays pinnable") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("corpus2").toString
