@@ -25,10 +25,44 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class that determines how the driver RENDERS values.
+    The driver hashes rendered cell values after sorting columns, so an
+    int64 2247 vs a float64 2247.0 is a hash MISMATCH even though the
+    numbers are equal — this is the DuckDB-HUGEINT artifact that cost a
+    red row in rounds 1, 3, and 4. The local gate must be at least as
+    strict as the driver here, so kind differences are hard failures."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "ts"
+    return "obj"
+
+
+def pykind(v) -> str:
+    """Render class of a single value inside an object-dtype column
+    (DuckDB HUGEINT can surface as Python ints in an object column)."""
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, (int,)):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    return "obj"
+
+
 def values_equal(a, b) -> bool:
     if pd.isna(a) and pd.isna(b):
         return True
     if isinstance(a, float) or isinstance(b, float):
+        # Driver-strict: an int on one side and a float on the other
+        # render differently (2247 vs 2247.0) → hash mismatch.
+        if pykind(a) != pykind(b):
+            return False
         try:
             fa, fb = float(a), float(b)
         except (TypeError, ValueError):
@@ -63,6 +97,18 @@ def main() -> int:
             continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            n_fail += 1
+            continue
+        kind_bad = None
+        for c in got.columns:
+            kg, ke = dtype_kind(got[c]), dtype_kind(exp[c])
+            if kg != ke:
+                kind_bad = (c, got[c].dtype, exp[c].dtype)
+                break
+        if kind_bad:
+            print(f"FAIL {name}: col {kind_bad[0]} dtype kind mismatch: "
+                  f"spark={kind_bad[1]} duckdb={kind_bad[2]} "
+                  f"(driver renders these differently -> hash red)")
             n_fail += 1
             continue
         bad = None

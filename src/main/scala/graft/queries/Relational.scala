@@ -126,7 +126,13 @@ object Relational {
     // shuffles on its keys; supplier/nation/region broadcast; the
     // c_nationkey = s_nationkey equality rides the supplier join (the
     // "local supplier" semantic that makes Q5 more than a star join).
-    // Revenue stays scaled-long (per-order groups can't overflow).
+    // Revenue rides the 128-bit SumScaled128 aggregate: unlike h3, the
+    // groups here are whole NATIONS over a year of orders, so the
+    // 1e-4-unit products (≤1e9/row) sum to ~3.4e18 per group at the
+    // 100 TB design point — only ~2.7× under Long.Max, and any widening
+    // of the date filter overflows a single long. The house rule
+    // (Portable scaladoc) is that unbounded-group product sums never
+    // ride a single long; 128-bit costs one extra long add per row.
     GraftQuery(
       "h6_regional_revenue",
       (s, dir) => {
@@ -143,7 +149,8 @@ object Relational {
           .join(broadcast(Tables.region(s, dir)),
             $"n_regionkey" === $"r_regionkey" && $"r_name" === "ASIA")
           .groupBy($"n_name")
-          .agg((sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))) / 10000.0)
+          .agg(sumScaledUnits(
+            cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")), 10000.0)
             .as("revenue"), count(lit(1)).as("n_items"))
           .orderBy($"revenue".desc, $"n_name")
       },

@@ -539,8 +539,8 @@ object TextQueries {
           FROM documents),
         o AS (
           SELECT doc_id, CAST(h % 8 AS INT) AS shard, n_tokens,
-            COALESCE(SUM(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+            CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
           FROM t)
         SELECT doc_id, shard, n_tokens, start_off,
           CAST(floor(CAST(start_off AS DOUBLE) / 512) AS BIGINT) AS first_seq,
