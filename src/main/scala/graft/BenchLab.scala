@@ -1,0 +1,60 @@
+package graft
+
+import graft.core.Registry
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only bench experiment harness (the driver runs [[Bench]], not
+  * this): times the headline queries under config variants so plan/conf
+  * changes are measured, not guessed. Knobs via env:
+  *   SPARK_GRAFT_SF_DIR   data dir (default sf0.1)
+  *   SPARK_GRAFT_CPUS     local[N] + shuffle partitions (default 32)
+  *   GRAFT_LAB_AQE        "true"/"false" (default true — Bench's setting)
+  *   GRAFT_LAB_QUERIES    comma-separated subset (default: bench set)
+  *   GRAFT_LAB_PASSES     measured passes (default 4, min kept)
+  */
+object BenchLab {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val aqe = sys.env.getOrElse("GRAFT_LAB_AQE", "true")
+    val passes = sys.env.getOrElse("GRAFT_LAB_PASSES", "4").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val all = Registry.allQueries
+    val wanted = sys.env.get("GRAFT_LAB_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+      .map(names => all.filter(q => names(q.name)))
+      .getOrElse(all.filter(_.bench))
+
+    def runOnce(dir: String): Unit = wanted.foreach { q =>
+      try q.build(spark, dir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[lab-warmup] ${q.name}: ${e.getMessage}") }
+    }
+    runOnce("/root/testdata/sf0.001")
+    runOnce(sfDir)
+
+    val times = (1 to passes).map { _ =>
+      wanted.map { q =>
+        val t0 = System.nanoTime()
+        q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+        q.name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    wanted.map(_.name).zipWithIndex.foreach { case (n, i) =>
+      val samples = times.map(_(i)._2)
+      println(f"[lab] $n%-28s min=${samples.min}%.3f  all=${samples.map(s => f"$s%.3f").mkString(",")}")
+    }
+    println(f"[lab] TOTAL min-sum = ${wanted.map(_.name).zipWithIndex.map { case (_, i) => times.map(_(i)._2).min }.sum}%.3f  (aqe=$aqe cpus=$cpus)")
+    spark.stop()
+  }
+}

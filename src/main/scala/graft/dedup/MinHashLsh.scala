@@ -194,6 +194,14 @@ object MinHashLsh {
       .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
       .repartition(col("b"))
       .cache()
+    // Materialize the cache NOW, before the batch plan references it
+    // twice (step1 projects it, step(...) joins it). A lazy cache first
+    // touched by a job with two scans of the same InMemoryRelation races
+    // both scans through the UPSTREAM pipeline — i.e. the entire
+    // shingle→minhash→band→pair computation runs twice (measured 2× on
+    // the x7 funnel; at corpus scale that is a second full read). One
+    // tiny count job pins the edge list once.
+    edges.count()
     // Initial labels as a MULTISET straight off the edges (id = label =
     // a): no distinct exchange — the groupBy-min in every round dedupes.
     val labels0 = edges.select(col("a").as("id"), col("a").as("label"))
