@@ -4,16 +4,31 @@ import java.time._
 import java.time.temporal.{ChronoUnit, TemporalAdjusters}
 
 /** RFC 5545 recurrence subset — the schedules the reference's UI builds
-  * (reference: datapipe_ui/ui_backend.py:89-175 `build_schedule`:
-  * FREQ + INTERVAL + BYDAY + BYHOUR/BYMINUTE/BYSECOND + UNTIL over a
-  * tz-localized DTSTART; its Prefect backend then expands occurrences).
-  * Here the expansion is native java.time in the schedule's zone, so
-  * DAILY/WEEKLY fire at the same WALL-CLOCK time across DST transitions
-  * (exactly what an exchange-calendar schedule needs), while
-  * SECONDLY/MINUTELY/HOURLY step by exact durations.
+  * (reference: datapipe_ui/ui_backend.py:89-179 `build_schedule`:
+  * FREQ (MINUTELY..YEARLY) + INTERVAL + BYDAY + BYMONTH + BYMONTHDAY +
+  * BYSETPOS + BYHOUR/BYMINUTE/BYSECOND + UNTIL over a tz-localized
+  * DTSTART; its Prefect backend then expands occurrences with standard
+  * RFC/dateutil semantics). Here the expansion is native java.time in
+  * the schedule's zone, so DAILY and slower frequencies fire at the same
+  * WALL-CLOCK time across DST transitions (exactly what an
+  * exchange-calendar schedule needs), while SECONDLY/MINUTELY/HOURLY
+  * step by exact durations.
   *
-  * Unsupported reference fields (BYMONTH/BYMONTHDAY/BYSETPOS,
-  * MONTHLY/YEARLY) are rejected at parse so a schedule is never silently
+  * MONTHLY/YEARLY follow the RFC expansion table:
+  *   - no BY* date parts: DTSTART's day-of-month; months too short for
+  *     it are SKIPPED (Jan 31 monthly → no February occurrence), never
+  *     silently clamped to the 28th.
+  *   - BYMONTHDAY: those days; negative indices count from month end
+  *     (-1 = last day); out-of-range days skip that month.
+  *   - BYDAY (plain MO..SU tokens, as the reference UI emits): every
+  *     matching weekday in the month/year.
+  *   - BYMONTH: limits MONTHLY to those months; expands YEARLY to them.
+  *   - BYSETPOS: selects positions from each period's expanded set
+  *     (per month for MONTHLY, per year for YEARLY); negative from the
+  *     end, so BYDAY=MO,...,FR + BYSETPOS=-1 = "last weekday".
+  *
+  * Unsupported fields (WKST, BYWEEKNO, BYYEARDAY, ordinal BYDAY like
+  * 2MO) are rejected at parse so a schedule is never silently
   * misinterpreted.
   */
 final case class Rrule(
@@ -23,19 +38,39 @@ final case class Rrule(
     byHour: Option[Int] = None,
     byMinute: Option[Int] = None,
     bySecond: Option[Int] = None,
-    untilUtc: Option[Instant] = None) {
+    untilUtc: Option[Instant] = None,
+    byMonth: Seq[Int] = Nil,
+    byMonthDay: Seq[Int] = Nil,
+    bySetPos: Seq[Int] = Nil) {
 
   require(Rrule.ValidFreq.contains(freq), s"Invalid FREQ: $freq")
   require(interval > 0, "INTERVAL must be a positive integer")
   require(byDay.forall(Rrule.DayMap.contains), s"Invalid BYDAY tokens: $byDay")
-  require(byDay.isEmpty || freq == "WEEKLY", "BYDAY is supported for FREQ=WEEKLY")
+  require(byDay.isEmpty || Set("WEEKLY", "MONTHLY", "YEARLY").contains(freq),
+    "BYDAY is supported for FREQ=WEEKLY/MONTHLY/YEARLY")
   byHour.foreach(h => require(h >= 0 && h <= 23, s"BYHOUR out of range: $h"))
   byMinute.foreach(m => require(m >= 0 && m <= 59, s"BYMINUTE out of range: $m"))
   bySecond.foreach(s => require(s >= 0 && s <= 59, s"BYSECOND out of range: $s"))
+  require(byMonth.forall(m => m >= 1 && m <= 12), s"BYMONTH out of range: $byMonth")
+  require(byMonth.isEmpty || Set("MONTHLY", "YEARLY").contains(freq),
+    "BYMONTH is supported for FREQ=MONTHLY/YEARLY")
+  require(byMonthDay.forall(d => d != 0 && d >= -31 && d <= 31),
+    s"BYMONTHDAY out of range: $byMonthDay")
+  require(byMonthDay.isEmpty || Set("MONTHLY", "YEARLY").contains(freq),
+    "BYMONTHDAY is supported for FREQ=MONTHLY/YEARLY")
+  require(bySetPos.forall(p => p != 0 && p >= -366 && p <= 366),
+    s"BYSETPOS out of range: $bySetPos")
+  require(bySetPos.isEmpty ||
+    (Set("MONTHLY", "YEARLY").contains(freq) &&
+      (byDay.nonEmpty || byMonthDay.nonEmpty || byMonth.nonEmpty)),
+    "BYSETPOS needs FREQ=MONTHLY/YEARLY plus an expanding BYDAY/BYMONTHDAY/BYMONTH")
 
-  /** The reference's rrule string shape (ui_backend.py:126-167): BY*
-    * time fields emitted per-FREQ so HOURLY/MINUTELY are not
-    * over-restricted; UNTIL rendered UTC `...Z`. */
+  private lazy val byDaySet: Set[DayOfWeek] = byDay.map(Rrule.DayMap).toSet
+
+  /** The reference's rrule string shape (ui_backend.py:126-157): BYDAY,
+    * then BYMONTH/BYMONTHDAY/BYSETPOS, then BY* time fields emitted
+    * per-FREQ so HOURLY/MINUTELY are not over-restricted; UNTIL rendered
+    * UTC `...Z`. */
   def render(dtstart: ZonedDateTime): String = {
     val h = byHour.getOrElse(dtstart.getHour)
     val m = byMinute.getOrElse(dtstart.getMinute)
@@ -43,8 +78,12 @@ final case class Rrule(
     val parts = Seq.newBuilder[String]
     parts += s"FREQ=$freq" += s"INTERVAL=$interval"
     if (byDay.nonEmpty) parts += s"BYDAY=${byDay.mkString(",")}"
+    if (byMonth.nonEmpty) parts += s"BYMONTH=${byMonth.mkString(",")}"
+    if (byMonthDay.nonEmpty) parts += s"BYMONTHDAY=${byMonthDay.mkString(",")}"
+    if (bySetPos.nonEmpty) parts += s"BYSETPOS=${bySetPos.mkString(",")}"
     freq match {
-      case "DAILY" | "WEEKLY" => parts += s"BYHOUR=$h" += s"BYMINUTE=$m" += s"BYSECOND=$s"
+      case "DAILY" | "WEEKLY" | "MONTHLY" | "YEARLY" =>
+        parts += s"BYHOUR=$h" += s"BYMINUTE=$m" += s"BYSECOND=$s"
       case "HOURLY" => parts += s"BYMINUTE=$m" += s"BYSECOND=$s"
       case "MINUTELY" => parts += s"BYSECOND=$s"
       case _ => ()
@@ -58,39 +97,119 @@ final case class Rrule(
   }
 
   /** All occurrences at or after `dtstart` (ascending, infinite unless
-    * UNTIL); wall-clock semantics in dtstart's zone for DAILY/WEEKLY. */
-  def occurrencesFrom(dtstart: ZonedDateTime): Iterator[ZonedDateTime] = {
-    val raw = freq match {
+    * UNTIL); wall-clock semantics in dtstart's zone for DAILY and
+    * slower. */
+  def occurrencesFrom(dtstart: ZonedDateTime): Iterator[ZonedDateTime] =
+    bounded(dtstart, dtstart).dropWhile(_.isBefore(dtstart))
+
+  private def bounded(template: ZonedDateTime, from: ZonedDateTime): Iterator[ZonedDateTime] =
+    aligned(template, from)
+      .takeWhile(t => untilUtc.forall(u => !t.toInstant.isAfter(u)))
+
+  /** The raw occurrence stream: `template` fixes the phase (period grid,
+    * default day-of-month/time parts), `from` is a fast-forward hint —
+    * generation starts at the interval-aligned period at or just before
+    * it. Separating the two keeps MONTHLY/YEARLY correct under
+    * fast-forward: a shifted ZonedDateTime cannot carry "day 31" through
+    * a short month, but the template can. */
+  private def aligned(template: ZonedDateTime, from: ZonedDateTime): Iterator[ZonedDateTime] = {
+    freq match {
       case "SECONDLY" =>
-        Iterator.iterate(dtstart)(_.plusSeconds(interval))
+        Iterator.iterate(from)(_.plusSeconds(interval))
       case "MINUTELY" =>
-        val anchor = dtstart.truncatedTo(ChronoUnit.MINUTES)
-          .plusSeconds(bySecond.getOrElse(dtstart.getSecond).toLong)
+        val anchor = from.truncatedTo(ChronoUnit.MINUTES)
+          .plusSeconds(bySecond.getOrElse(template.getSecond).toLong)
         Iterator.iterate(anchor)(_.plusMinutes(interval))
       case "HOURLY" =>
-        val anchor = dtstart.truncatedTo(ChronoUnit.HOURS)
-          .plusMinutes(byMinute.getOrElse(dtstart.getMinute).toLong)
-          .plusSeconds(bySecond.getOrElse(dtstart.getSecond).toLong)
+        val anchor = from.truncatedTo(ChronoUnit.HOURS)
+          .plusMinutes(byMinute.getOrElse(template.getMinute).toLong)
+          .plusSeconds(bySecond.getOrElse(template.getSecond).toLong)
         Iterator.iterate(anchor)(_.plusHours(interval))
       case "DAILY" =>
-        Iterator.iterate(dtstart.toLocalDate)(_.plusDays(interval))
-          .map(atTimeOf(dtstart))
+        Iterator.iterate(from.toLocalDate)(_.plusDays(interval))
+          .map(atTimeOf(template))
       case "WEEKLY" =>
         val days: Set[DayOfWeek] =
-          if (byDay.isEmpty) Set(dtstart.getDayOfWeek)
-          else byDay.map(Rrule.DayMap).toSet
-        val week0 = dtstart.toLocalDate
+          if (byDay.isEmpty) Set(template.getDayOfWeek) else byDaySet
+        val week0 = template.toLocalDate
           .`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
-        Iterator.iterate(dtstart.toLocalDate)(_.plusDays(1))
+        Iterator.iterate(from.toLocalDate)(_.plusDays(1))
           .filter { d =>
             days.contains(d.getDayOfWeek) &&
               ChronoUnit.WEEKS.between(week0,
                 d.`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))) % interval == 0
           }
-          .map(atTimeOf(dtstart))
+          .map(atTimeOf(template))
+      case "MONTHLY" =>
+        val m0 = YearMonth.from(template)
+        val k = math.max(0L,
+          ChronoUnit.MONTHS.between(m0, YearMonth.from(from)) / interval - 1)
+        guardedFlatten(
+          Iterator.iterate(m0.plusMonths(k * interval))(_.plusMonths(interval.toLong))
+            .map { ym =>
+              // BYMONTH LIMITS a MONTHLY rule (RFC expansion table)
+              if (byMonth.nonEmpty && !byMonth.contains(ym.getMonthValue)) Nil
+              else applySetPos(candidateDays(ym, template.getDayOfMonth))
+            })
+          .map(atTimeOf(template))
+      case "YEARLY" =>
+        val y0 = template.getYear
+        val k = math.max(0, (from.getYear - y0) / interval - 1)
+        guardedFlatten(
+          Iterator.iterate(y0 + k * interval)(_ + interval).map { y =>
+            // BYMONTH EXPANDS a YEARLY rule; BYMONTHDAY/BYDAY without
+            // BYMONTH expand over all 12 months (RFC expansion table)
+            val months: Seq[Int] =
+              if (byMonth.nonEmpty) byMonth.distinct.sorted
+              else if (byMonthDay.nonEmpty || byDay.nonEmpty) 1 to 12
+              else Seq(template.getMonthValue)
+            applySetPos(months.flatMap(m =>
+              candidateDays(YearMonth.of(y, m), template.getDayOfMonth)))
+          })
+          .map(atTimeOf(template))
     }
-    raw.dropWhile(_.isBefore(dtstart))
-      .takeWhile(t => untilUtc.forall(u => !t.toInstant.isAfter(u)))
+  }
+
+  /** Expanded candidate days of one month, ascending. `defaultDay`
+    * applies only when no BY* date part expands the month (and skips
+    * months too short for it — RFC invalid-date semantics). */
+  private def candidateDays(ym: YearMonth, defaultDay: Int): Seq[LocalDate] = {
+    val len = ym.lengthOfMonth
+    if (byMonthDay.nonEmpty) {
+      val days = byMonthDay.map(d => if (d > 0) d else len + 1 + d)
+        .filter(d => d >= 1 && d <= len).distinct.sorted.map(ym.atDay)
+      if (byDay.nonEmpty) days.filter(d => byDaySet.contains(d.getDayOfWeek)) else days
+    } else if (byDay.nonEmpty) {
+      (1 to len).map(ym.atDay).filter(d => byDaySet.contains(d.getDayOfWeek))
+    } else if (defaultDay <= len) Seq(ym.atDay(defaultDay))
+    else Nil
+  }
+
+  /** BYSETPOS selection over one period's expanded set (1-based;
+    * negative from the end; out-of-range positions drop). */
+  private def applySetPos(days: Seq[LocalDate]): Seq[LocalDate] =
+    if (bySetPos.isEmpty) days
+    else bySetPos.flatMap { p =>
+      val i = if (p > 0) p - 1 else days.size + p
+      if (i >= 0 && i < days.size) Some(days(i)) else None
+    }.distinct.sorted
+
+  /** Flatten per-period day sets, failing loudly instead of spinning
+    * forever on a rule that can never fire (e.g. BYMONTHDAY=31 with
+    * BYMONTH=2). The Gregorian calendar repeats exactly every 400 years
+    * (146097 days = 20871 weeks), so if 4800 consecutive periods
+    * produce nothing, no later period ever will. */
+  private def guardedFlatten(periods: Iterator[Seq[LocalDate]]): Iterator[LocalDate] = {
+    var empties = 0
+    periods.flatMap { days =>
+      if (days.isEmpty) {
+        empties += 1
+        require(empties <= 4800,
+          s"RRULE can never fire: FREQ=$freq BYMONTH=$byMonth BYMONTHDAY=$byMonthDay " +
+            s"BYDAY=$byDay BYSETPOS=$bySetPos produced no occurrence in 400 years")
+      } else empties = 0
+      days
+    }
   }
 
   private def atTimeOf(dtstart: ZonedDateTime)(d: LocalDate): ZonedDateTime =
@@ -105,13 +224,16 @@ final case class Rrule(
     * without stepping through them. */
   def nextAfter(afterUtc: Instant, dtstart: ZonedDateTime): Option[ZonedDateTime] = {
     val jumped = fastForward(afterUtc, dtstart)
-    occurrencesFrom(jumped)
+    bounded(dtstart, jumped)
       .dropWhile(t => !t.toInstant.isAfter(afterUtc))
+      .dropWhile(_.isBefore(dtstart))
       .nextOption()
   }
 
-  /** A shifted DTSTART ≤ the real answer but near `afterUtc`, still
-    * phase-aligned with the original schedule. */
+  /** A shifted scan start ≤ the real answer but near `afterUtc`, still
+    * phase-aligned with the original schedule (MONTHLY/YEARLY re-align
+    * inside [[aligned]] from the template, so the hint only needs to be
+    * close). */
   private def fastForward(afterUtc: Instant, dtstart: ZonedDateTime): ZonedDateTime = {
     if (!afterUtc.isAfter(dtstart.toInstant)) return dtstart
     val elapsedSec = Duration.between(dtstart.toInstant, afterUtc).getSeconds
@@ -128,14 +250,17 @@ final case class Rrule(
       case "WEEKLY" =>
         val weeks = math.max(0L, (elapsedSec / 604800L / interval - 2)) * interval
         dtstart.plusWeeks(weeks)
+      case "MONTHLY" | "YEARLY" =>
+        ZonedDateTime.ofInstant(afterUtc, dtstart.getZone)
     }
   }
 }
 
 object Rrule {
-  /** Reference set (ui_backend.py:107) minus MONTHLY/YEARLY (rejected,
-    * not misread), plus SECONDLY (RFC-valid; used for fast tests). */
-  val ValidFreq: Set[String] = Set("SECONDLY", "MINUTELY", "HOURLY", "DAILY", "WEEKLY")
+  /** Reference set (ui_backend.py:106) plus SECONDLY (RFC-valid; used
+    * for fast tests). */
+  val ValidFreq: Set[String] =
+    Set("SECONDLY", "MINUTELY", "HOURLY", "DAILY", "WEEKLY", "MONTHLY", "YEARLY")
 
   val DayMap: Map[String, DayOfWeek] = Map(
     "MO" -> DayOfWeek.MONDAY, "TU" -> DayOfWeek.TUESDAY, "WE" -> DayOfWeek.WEDNESDAY,
@@ -153,8 +278,11 @@ object Rrule {
     val kv = body.split(";").iterator.filter(_.contains("="))
       .map { p => val i = p.indexOf('='); p.substring(0, i).toUpperCase -> p.substring(i + 1) }
       .toMap
-    val unsupported = kv.keySet -- Set("FREQ", "INTERVAL", "BYDAY", "BYHOUR", "BYMINUTE", "BYSECOND", "UNTIL")
+    val unsupported = kv.keySet -- Set("FREQ", "INTERVAL", "BYDAY", "BYHOUR",
+      "BYMINUTE", "BYSECOND", "UNTIL", "BYMONTH", "BYMONTHDAY", "BYSETPOS")
     require(unsupported.isEmpty, s"unsupported RRULE fields: ${unsupported.mkString(",")}")
+    def ints(key: String): Seq[Int] =
+      kv.get(key).map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Nil)
     Rrule(
       freq = kv.getOrElse("FREQ", throw new IllegalArgumentException("FREQ required")),
       interval = kv.get("INTERVAL").map(_.toInt).getOrElse(1),
@@ -162,7 +290,10 @@ object Rrule {
       byHour = kv.get("BYHOUR").map(_.toInt),
       byMinute = kv.get("BYMINUTE").map(_.toInt),
       bySecond = kv.get("BYSECOND").map(_.toInt),
-      untilUtc = kv.get("UNTIL").map(parseUntil))
+      untilUtc = kv.get("UNTIL").map(parseUntil),
+      byMonth = ints("BYMONTH"),
+      byMonthDay = ints("BYMONTHDAY"),
+      bySetPos = ints("BYSETPOS"))
   }
 
   private def parseUntil(u: String): Instant = {

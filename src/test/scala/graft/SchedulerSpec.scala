@@ -70,8 +70,67 @@ class SchedulerSpec extends AnyFunSuite {
     assert(s == "FREQ=WEEKLY;INTERVAL=1;BYDAY=MO,WE,FR;BYHOUR=15;BYMINUTE=0;BYSECOND=0;UNTIL=20261231T210000Z")
     assert(Rrule.parse(s) == r)
     assert(Rrule.parse("DTSTART;TZID=America/New_York:20260810T093000\nRRULE:" + s) == r)
-    intercept[IllegalArgumentException](Rrule.parse("FREQ=MONTHLY;BYMONTHDAY=1"))
+    val monthly = Rrule.parse("FREQ=MONTHLY;BYMONTHDAY=1,-1;BYSETPOS=1")
+    assert(monthly.byMonthDay == Seq(1, -1) && monthly.bySetPos == Seq(1))
+    assert(Rrule.parse(monthly.render(start)).byMonthDay == Seq(1, -1))
     intercept[IllegalArgumentException](Rrule.parse("FREQ=DAILY;BYSETPOS=1"))
+    intercept[IllegalArgumentException](Rrule.parse("FREQ=MONTHLY;BYWEEKNO=2"))
+    intercept[IllegalArgumentException](Rrule.parse("FREQ=MONTHLY;BYDAY=2MO")) // ordinal BYDAY unsupported
+    intercept[IllegalArgumentException](Rrule.parse("FREQ=WEEKLY;BYMONTHDAY=1"))
+  }
+
+  test("MONTHLY on day 31 skips short months (never clamps to the 28th)") {
+    val r = Rrule("MONTHLY")
+    val occ = r.occurrencesFrom(zdt("2026-01-31T09:30:00")).take(5).toSeq
+    assert(occ.map(_.toLocalDate.toString) ==
+      Seq("2026-01-31", "2026-03-31", "2026-05-31", "2026-07-31", "2026-08-31"),
+      s"Feb/Apr/Jun have no 31st and must be skipped; got $occ")
+    assert(occ.forall(_.toLocalTime.toString == "09:30"), "wall-clock time held")
+  }
+
+  test("MONTHLY BYMONTHDAY=-1 fires on each month's true last day") {
+    val r = Rrule("MONTHLY", byMonthDay = Seq(-1))
+    val occ = r.occurrencesFrom(zdt("2026-01-01T18:00:00")).take(4).toSeq
+    assert(occ.map(_.toLocalDate.toString) ==
+      Seq("2026-01-31", "2026-02-28", "2026-03-31", "2026-04-30"))
+  }
+
+  test("MONTHLY BYDAY weekdays + BYSETPOS=-1 = last business day") {
+    val r = Rrule("MONTHLY", byDay = Seq("MO", "TU", "WE", "TH", "FR"),
+      bySetPos = Seq(-1), byHour = Some(17), byMinute = Some(0), bySecond = Some(0))
+    val occ = r.occurrencesFrom(zdt("2026-05-01T00:00:00")).take(4).toSeq
+    // 2026: May 31 Sun -> Fri May 29; Jun 30 Tue; Jul 31 Fri; Aug 31 Mon
+    assert(occ.map(_.toLocalDate.toString) ==
+      Seq("2026-05-29", "2026-06-30", "2026-07-31", "2026-08-31"))
+  }
+
+  test("YEARLY BYMONTH expands months within the year; interval steps years") {
+    val r = Rrule("YEARLY", interval = 2, byMonth = Seq(1, 7))
+    val occ = r.occurrencesFrom(zdt("2026-03-15T09:30:00")).take(4).toSeq
+    assert(occ.map(_.toLocalDate.toString) ==
+      Seq("2026-07-15", "2028-01-15", "2028-07-15", "2030-01-15"),
+      s"Jan of year 0 precedes DTSTART; got $occ")
+  }
+
+  test("MONTHLY keeps wall-clock time across DST and fast-forwards years") {
+    val r = Rrule("MONTHLY", byMonthDay = Seq(15),
+      byHour = Some(9), byMinute = Some(30), bySecond = Some(0))
+    val start = zdt("2020-01-01T00:00:00")
+    // Feb 15 2026 is UTC-5, Mar 15 2026 (after spring-forward) UTC-4
+    val around = r.occurrencesFrom(zdt("2026-02-01T00:00:00")).take(2).toSeq
+    assert(around.map(_.toInstant.toString) ==
+      Seq("2026-02-15T14:30:00Z", "2026-03-15T13:30:00Z"))
+    val t0 = System.nanoTime()
+    val next = r.nextAfter(zdt("2026-08-12T10:00:00").toInstant, start)
+    assert(next.contains(zdt("2026-08-15T09:30:00")))
+    assert((System.nanoTime() - t0) < 1e9, "6 elapsed years must not be stepped month-by-month")
+  }
+
+  test("a rule that can never fire fails loudly instead of spinning") {
+    val r = Rrule("MONTHLY", byMonth = Seq(2), byMonthDay = Seq(30))
+    val ex = intercept[IllegalArgumentException](
+      r.occurrencesFrom(zdt("2026-01-01T00:00:00")).take(1).toSeq)
+    assert(ex.getMessage.contains("never fire"))
   }
 
   test("a schedule drives real JobRegistry historical submissions (deployment parity)") {
