@@ -1,0 +1,84 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The ONE operation [[TableLog]]'s commit protocol needs from storage:
+  * atomically materialize a fully-written manifest at its final path iff
+  * nothing exists there, reporting whether this caller won. Everything
+  * else in the protocol (id derivation from file names, retry on a lost
+  * race, torn-manifest skip via the `end` sentinel, vacuum) is
+  * storage-agnostic and lives above this seam.
+  *
+  * Implementations:
+  *   - [[ManifestStore.ExclusiveCreate]] — `create(overwrite=false)`;
+  *     atomic on HDFS (and POSIX O_EXCL filesystems). The default.
+  *   - [[ManifestStore.ConditionalPutStub]] — the object-store seam: a
+  *     production deployment backs it with the store's conditional put
+  *     (S3 `PutObject` + `If-None-Match: *`, GCS
+  *     `x-goog-if-generation-match: 0`, Azure `If-None-Match: *`), which
+  *     is exactly this contract served atomically by the store. At the
+  *     100 TB design point the table root IS an object store, so this is
+  *     the piece that lets the commit log drop its "single external
+  *     writer" assumption there.
+  */
+trait ManifestStore {
+  /** True iff `path` did not exist and now atomically holds `bytes` in
+    * full; false iff this caller lost the race (something already
+    * committed at `path` — retry with the next id). Any other failure
+    * throws. A false return MUST leave the existing object untouched. */
+  def putIfAbsent(fs: FileSystem, path: Path, bytes: Array[Byte]): Boolean
+}
+
+object ManifestStore {
+
+  /** HDFS/POSIX semantics: exclusive create directly at the final path.
+    * The manifest body streams into the final file, so a crash mid-write
+    * leaves a torn (sentinel-less) file that readers skip and vacuum
+    * reclaims — see [[TableLog]]. Note the documented residual window on
+    * RawLocalFileSystem, whose create(overwrite=false) is
+    * exists-then-open rather than O_EXCL; same-JVM publishers are fully
+    * serialized by [[TableLog]]'s process lock, HDFS create is atomic. */
+  object ExclusiveCreate extends ManifestStore {
+    def putIfAbsent(fs: FileSystem, path: Path, bytes: Array[Byte]): Boolean =
+      try {
+        val out = fs.create(path, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: java.io.IOException if fs.exists(path) => false
+      }
+  }
+
+  /** Object-store conditional-put semantics, EMULATED over any Hadoop
+    * FileSystem so the protocol above the seam can be raced and tested in
+    * this container (which ships no object-store SDK): the manifest
+    * appears at its final key atomically with its complete content —
+    * never torn, exactly one racer wins. Emulation = stage the bytes to a
+    * hidden sibling, then check-and-rename under a JVM-wide key lock
+    * (standing in for the store's server-side serialization; a real
+    * deployment replaces this class with one SDK call and inherits the
+    * store's atomicity instead). Losers delete their stage file and
+    * report false; a crash mid-put leaves only a `.tmp-put-*` stage file,
+    * which [[TableLog.vacuum]] reclaims. */
+  final class ConditionalPutStub extends ManifestStore {
+    def putIfAbsent(fs: FileSystem, path: Path, bytes: Array[Byte]): Boolean = {
+      val stage = new Path(path.getParent,
+        s".tmp-put-${java.util.UUID.randomUUID().toString}")
+      val out = fs.create(stage, false)
+      try out.write(bytes) finally out.close()
+      val key = fs.makeQualified(path).toString
+      ConditionalPutStub.keyLocks.computeIfAbsent(key, _ => new Object).synchronized {
+        if (fs.exists(path)) { fs.delete(stage, false); false }
+        else if (fs.rename(stage, path)) true
+        else { fs.delete(stage, false); false }
+      }
+    }
+  }
+
+  object ConditionalPutStub {
+    /** JVM-wide per-key serialization — the stub's stand-in for the
+      * object store's server-side conditional-put atomicity. */
+    private val keyLocks =
+      new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  }
+}

@@ -26,10 +26,11 @@ import java.nio.charset.StandardCharsets
   * whole referenced set: the effective file set is the union of commits
   * after the last reset. Readers derive partition columns from the final
   * directory layout (`basePath`), so Catalyst partition pruning works
-  * exactly as on a plain directory table. Exclusive create is atomic on
-  * HDFS; object stores without a conditional put need a small commit
-  * service in front (same caveat every manifest-log table format
-  * carries).
+  * exactly as on a plain directory table. The atomic-publish primitive
+  * is pluggable ([[ManifestStore]]): exclusive create (atomic on HDFS)
+  * by default, a conditional put (S3 `If-None-Match: *` and kin) for
+  * object stores — so multi-writer safety does not rest on an external
+  * scheduler at the object-store design point.
   *
   * Format: line-oriented (one `kind<TAB>root-relative-path` per line),
   * closed by a bare `end` line — partition path segments are URL-encoded
@@ -130,18 +131,22 @@ object TableLog {
 
   /** Atomically publish a commit; returns its id. Ids are max+1 (derived
     * from manifest FILE NAMES — torn files included, so an id is never
-    * reused) and the manifest is created EXCLUSIVELY at its final path:
-    * a concurrent writer racing the same id gets a create failure and
+    * reused) and the manifest lands via `store.putIfAbsent` at its final
+    * path: a concurrent writer racing the same id LOSES the put and
     * retries with the next id, never a silent overwrite (POSIX rename(2)
-    * and most object stores replace an existing destination). The `end`
-    * sentinel written last makes the commit point the close(): a reader
-    * or crash that catches the file earlier sees a torn, skipped
-    * manifest. Note the residual window on RawLocalFileSystem, whose
-    * create(overwrite=false) is exists-then-open rather than O_EXCL —
-    * same-process writers (the [[graft.jobs.JobRegistry]] case) are fully
-    * serialized by the JVM lock; HDFS create is atomic. */
+    * and default object-store puts replace an existing destination —
+    * both seams forbid that). With the default [[ManifestStore
+    * .ExclusiveCreate]] the `end` sentinel written last makes the commit
+    * point the close(): a reader or crash that catches the file earlier
+    * sees a torn, skipped manifest. An object-store deployment passes
+    * the conditional-put implementation instead ([[ManifestStore
+    * .ConditionalPutStub]] and its scaladoc) — there manifests appear
+    * atomically whole, and the sentinel check simply never fires.
+    * Same-process writers (the [[graft.jobs.JobRegistry]] case) are
+    * additionally serialized by the JVM lock. */
   def publish(fs: FileSystem, tablePath: Path, dataFiles: Seq[String],
-      statsFiles: Seq[String], reset: Boolean = false): Long = {
+      statsFiles: Seq[String], reset: Boolean = false,
+      store: ManifestStore = ManifestStore.ExclusiveCreate): Long = {
     val lock = lockFor(fs, tablePath)
     lock.synchronized {
       val dir = commitsDir(tablePath)
@@ -160,14 +165,11 @@ object TableLog {
           .map(_.stripSuffix(".commit").toLong)
           .sorted.lastOption.map(_ + 1).getOrElse(0L)
         val target = new Path(dir, f"$id%020d.commit")
-        try {
-          val out = fs.create(target, false)
-          try out.write(bytes) finally out.close()
-          committed = id
-        } catch {
+        if (store.putIfAbsent(fs, target, bytes)) committed = id
+        else {
           // lost the id to a concurrent writer (other JVM): take the next
-          case _: java.io.IOException if attempt < 50 && fs.exists(target) =>
-            attempt += 1
+          attempt += 1
+          require(attempt <= 50, s"publish lost $attempt id races at $dir")
         }
       }
       committed
@@ -284,7 +286,9 @@ object TableLog {
     val validNames = all.map(c => f"${c.id}%020d.commit").toSet
     val cd = commitsDir(tablePath)
     if (fs.exists(cd)) fs.listStatus(cd).map(_.getPath)
-      .filter(p => p.getName.endsWith(".commit") && !validNames.contains(p.getName))
+      .filter(p => (p.getName.endsWith(".commit") && !validNames.contains(p.getName)) ||
+        // crashed conditional-put stages (ManifestStore.ConditionalPutStub)
+        p.getName.startsWith(".tmp-put-"))
       .foreach { p => if (fs.delete(p, false)) removed += 1 }
     removed
   }

@@ -165,6 +165,91 @@ class TableLogSpec extends AnyFunSuite {
       "every published manifest must survive — none silently overwritten")
   }
 
+  test("manifest-store seam: second put on a key loses and leaves the winner intact") {
+    // contract check for BOTH implementations: the loser reports false
+    // and the committed bytes stay exactly the winner's
+    for ((store, tag) <- Seq(
+        (graft.store.ManifestStore.ExclusiveCreate, "excl"),
+        (new graft.store.ManifestStore.ConditionalPutStub, "condput"))) {
+      val root = SparkTestSession.tempDir(s"tlog-seam-$tag")
+      val f = fs(root)
+      val key = new Path(s"$root/_commits/00000000000000000000.commit")
+      f.mkdirs(key.getParent)
+      assert(store.putIfAbsent(f, key, "winner".getBytes("UTF-8")), s"$tag: first put wins")
+      assert(!store.putIfAbsent(f, key, "loser".getBytes("UTF-8")), s"$tag: second put loses")
+      val in = f.open(key)
+      val buf = new Array[Byte](64)
+      val n = in.read(buf); in.close()
+      assert(new String(buf, 0, n, "UTF-8") == "winner",
+        s"$tag: a lost put must leave the committed object untouched")
+    }
+  }
+
+  test("conditional-put stub: racers on ONE key produce exactly one whole winner") {
+    // the object-store contract the production SDK call provides
+    // server-side: n concurrent puts at the same key -> one true, the
+    // object appears atomically with the winner's complete content, and
+    // no .tmp stage files leak
+    val root = SparkTestSession.tempDir("tlog-seam-race")
+    val f = fs(root)
+    val store = new graft.store.ManifestStore.ConditionalPutStub
+    val key = new Path(s"$root/_commits/00000000000000000007.commit")
+    f.mkdirs(key.getParent)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val wins = (0 until 16).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean =
+            store.putIfAbsent(f, key, s"body-$i-end".getBytes("UTF-8"))
+        })
+      }.count(_.get())
+      assert(wins == 1, s"exactly one racer must win, got $wins")
+    } finally pool.shutdown()
+    val body = {
+      val in = f.open(key); val buf = new Array[Byte](64)
+      val n = in.read(buf); in.close(); new String(buf, 0, n, "UTF-8")
+    }
+    assert(body.startsWith("body-") && body.endsWith("-end"),
+      s"winner's content must be complete, got '$body'")
+    assert(!f.listStatus(key.getParent).map(_.getPath.getName)
+      .exists(_.startsWith(".tmp-put-")), "losers must clean their stage files")
+  }
+
+  test("publish races through the conditional-put seam like through exclusive create") {
+    val root = SparkTestSession.tempDir("tlog-seam-publish")
+    val tp = new Path(s"$root/t")
+    val f = fs(root)
+    val store = new graft.store.ManifestStore.ConditionalPutStub
+    val n = 16
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      (0 until n).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            TableLog.publish(f, tp, Seq(s"file-$i.parquet"), Nil, store = store)
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    val commits = TableLog.commits(f, tp)
+    assert(commits.size == n && commits.map(_.id).distinct.size == n)
+    assert(commits.flatMap(_.dataFiles).toSet ==
+      (0 until n).map(i => s"file-$i.parquet").toSet,
+      "no manifest silently overwritten through the seam")
+  }
+
+  test("vacuum reclaims crashed conditional-put stage files") {
+    val root = SparkTestSession.tempDir("tlog-seam-vacuum")
+    val tp = new Path(s"$root/t")
+    val f = fs(root)
+    TableLog.publish(f, tp, Seq("a.parquet"), Nil)
+    // crash simulation: a put that died between stage write and rename
+    val orphan = new Path(new Path(tp, "_commits"), ".tmp-put-dead-writer")
+    val out = f.create(orphan, false); out.write("torn".getBytes("UTF-8")); out.close()
+    TableLog.vacuum(f, tp, new Path(s"$root/t__stats"))
+    assert(!f.exists(orphan), "crashed stage file must be reclaimed")
+    assert(TableLog.effective(f, tp)._1 == Seq("a.parquet"), "commit untouched")
+  }
+
   test("a torn manifest is invisible, never reuses its id, and vacuum reclaims it") {
     val root = SparkTestSession.tempDir("tlog-torn")
     val tp = new Path(s"$root/t")
