@@ -25,7 +25,15 @@ final case class CurationReport(
   */
 object CorpusPipeline {
 
-  /** Returns (surviving corpus with the input's columns, stage report). */
+  /** Returns (surviving corpus with the input's columns, stage report).
+    *
+    * The returned DataFrame is CACHED and already materialized (the
+    * intermediate working sets it was computed from are released before
+    * return, so the cache is what keeps it cheap to consume more than
+    * once). THE CALLER OWNS THE RELEASE: call `.unpersist()` on it when
+    * done — typically right after [[CorpusStore.writeSnapshot]] — or
+    * repeated curate runs accumulate executor storage until eviction
+    * pressure does it for you. */
   def curate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       minQuality: Double = 0.43, keepLang: String = "en",
       nearDedup: Boolean = true): (DataFrame, CurationReport) = {

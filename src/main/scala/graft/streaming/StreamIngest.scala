@@ -149,11 +149,21 @@ object StreamIngest {
       .dropDuplicatesWithinWatermark(keys)
 
   /** Stream-static enrichment: join a live stream against a slowly-
-    * changing dimension snapshot. The static side re-resolves per
-    * micro-batch (Spark re-plans the batch side each trigger, so a
-    * refreshed dim parquet is picked up without restarting the query)
-    * and broadcasts — the stream side never shuffles, which is the
-    * whole point: enrichment must not re-partition a firehose. */
+    * changing dimension snapshot. The dim broadcasts — the stream side
+    * never shuffles, which is the whole point: enrichment must not
+    * re-partition a firehose.
+    *
+    * Dim refresh caveat: Spark pins the static side's FILE LISTING when
+    * the dim DataFrame is created (InMemoryFileIndex), so a dim parquet
+    * that is overwritten or compacted in place under a long-running
+    * query can be missed — or fail the batch with FileNotFoundException
+    * when the listed files are replaced. To pick up a refreshed dim
+    * without restarting, either construct the dim DataFrame inside
+    * `foreachBatch` each trigger (a fresh listing per batch), or call
+    * `spark.catalog.refreshByPath(dimPath)` after publishing the new
+    * snapshot. [[graft.corpus.CorpusStore]]-style atomic snapshot dirs
+    * (write new, flip a pointer) avoid the mid-query replacement
+    * hazard entirely. */
   def enrichWithDim(stream: DataFrame, dim: DataFrame,
       condition: org.apache.spark.sql.Column, joinType: String = "left")
       : DataFrame =
