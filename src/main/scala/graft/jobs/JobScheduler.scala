@@ -101,6 +101,15 @@ final class JobScheduler(clock: () => Instant = () => Instant.now())
 
   def list(): Seq[ScheduleInfo] = scheds.keySet().asScala.toSeq.sorted.map(status)
 
+  /** One friendly line for every live schedule — the reference UI's
+    * deployment-table cell (utils.py `summarize_schedules_for_ui`). */
+  def summary(showDtstart: Boolean = false): String =
+    RruleSummary.summarize(
+      scheds.keySet().asScala.toSeq.sorted
+        .flatMap(id => Option(scheds.get(id)))
+        .map(s => RruleSummary.entryFor(s.rrule, s.dtstart)),
+      showDtstart)
+
   private def withSched[A](id: String)(f: Sched => A): A = {
     val s = scheds.get(id)
     require(s != null, s"unknown schedule: $id")

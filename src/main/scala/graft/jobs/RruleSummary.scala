@@ -1,0 +1,135 @@
+package graft.jobs
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, LocalDateTime, ZoneId}
+
+/** Human-readable one-line schedule summaries — the reference UI's
+  * schedule condenser (reference: datapipe_ui/utils.py:8-197
+  * `summarize_schedules_for_ui`): a list of RRULE schedules collapses to
+  * "Daily @ 09:30", "Every 2 weeks (Mon, Fri) @ 15:00 until 2026-12-31",
+  * multi-hour variants of one shape merge into a single line, and
+  * heterogeneous sets render "Mixed schedules (N)".
+  *
+  * Input is the reference's wire shape: the raw rrule block (optional
+  * `DTSTART[;TZID=..]:yyyyMMdd'T'HHmmss` line + `RRULE:` line) and the
+  * schedule timezone. Unknown/absent fields degrade gracefully
+  * ("Recurring") — a summarizer must never throw on a foreign string.
+  */
+object RruleSummary {
+
+  final case class Entry(rrule: String, timezone: String = "UTC")
+
+  private val unitMap = Map("DAILY" -> "day", "WEEKLY" -> "week",
+    "MONTHLY" -> "month", "YEARLY" -> "year", "HOURLY" -> "hour",
+    "MINUTELY" -> "minute")
+  private val titleMap = Map("DAILY" -> "Daily", "WEEKLY" -> "Weekly",
+    "MONTHLY" -> "Monthly", "YEARLY" -> "Yearly", "HOURLY" -> "Hourly",
+    "MINUTELY" -> "Minutely")
+  private val dayMap = Map("MO" -> "Mon", "TU" -> "Tue", "WE" -> "Wed",
+    "TH" -> "Thu", "FR" -> "Fri", "SA" -> "Sat", "SU" -> "Sun")
+
+  private final case class Parsed(tz: String, freq: String, interval: Int,
+      byDay: String, hours: Seq[Int], minutes: Seq[Int], seconds: Seq[Int],
+      untilLocal: Option[LocalDateTime])
+
+  private def kvOf(entry: Entry): Map[String, String] = {
+    val lines = entry.rrule.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val rr = lines.find(_.startsWith("RRULE:")).map(_.stripPrefix("RRULE:"))
+      .getOrElse(lines.filterNot(_.startsWith("DTSTART")).headOption.getOrElse(""))
+    rr.split(";").iterator.filter(_.contains("=")).map { p =>
+      val i = p.indexOf('='); p.substring(0, i).toUpperCase -> p.substring(i + 1)
+    }.toMap
+  }
+
+  private def ints(kv: Map[String, String], key: String): Seq[Int] =
+    kv.get(key).toSeq.flatMap(_.split(",").toSeq.map(_.trim)
+      .filter(_.nonEmpty).flatMap(_.toIntOption))
+
+  private def parseOne(e: Entry): Parsed = {
+    val kv = kvOf(e)
+    val until = kv.get("UNTIL").flatMap { u =>
+      try {
+        if (u.endsWith("Z"))
+          Some(LocalDateTime.ofInstant(
+            Instant.from(DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmssX").parse(u)),
+            ZoneId.of(e.timezone)))
+        else Some(LocalDateTime.parse(u, DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss")))
+      } catch { case _: Exception => None }
+    }
+    Parsed(
+      tz = e.timezone,
+      freq = kv.getOrElse("FREQ", ""),
+      interval = kv.get("INTERVAL").flatMap(_.toIntOption).getOrElse(1),
+      byDay = kv.getOrElse("BYDAY", ""),
+      hours = ints(kv, "BYHOUR"),
+      minutes = ints(kv, "BYMINUTE") match { case Nil => Seq(0); case m => m },
+      seconds = ints(kv, "BYSECOND") match { case Nil => Seq(0); case s => s },
+      untilLocal = until)
+  }
+
+  /** DTSTART of the first entry, rendered local ("yyyy-MM-dd HH:mm"), if
+    * a well-formed DTSTART line is present. */
+  private def dtstartOf(e: Entry): Option[String] = {
+    val line = e.rrule.linesIterator.map(_.trim).find(_.startsWith("DTSTART"))
+    line.filter(_.contains(":")).flatMap { l =>
+      val rhs = l.substring(l.indexOf(':') + 1)
+      try {
+        val naive = LocalDateTime.parse(rhs, DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss"))
+        Some(naive.format(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm")))
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** One line for the whole schedule set (see object doc). */
+  def summarize(entries: Seq[Entry], showDtstart: Boolean = false): String = {
+    if (entries.isEmpty) return "—"
+    val parsed = entries.map(parseOne)
+    // group on everything except the hour list: N same-shaped schedules
+    // that differ only in BYHOUR merge into one "@ t1, t2, ..." line
+    val groups = parsed.groupBy(p =>
+      (p.tz, p.freq, p.interval, p.byDay, p.minutes, p.seconds, p.untilLocal))
+    val friendly =
+      if (groups.size > 1) s"Mixed schedules (${entries.size})"
+      else {
+        val g = parsed.head
+        val hours = parsed.flatMap(_.hours).distinct.sorted
+        val unit = unitMap.getOrElse(g.freq, "run")
+        var s =
+          if (g.interval == 1) titleMap.getOrElse(g.freq, "Recurring")
+          else s"Every ${g.interval} ${unit}s"
+        if (g.byDay.nonEmpty) {
+          val days = g.byDay.split(",").toSeq.map(_.trim)
+            .map(d => dayMap.getOrElse(d, d)).mkString(", ")
+          s = s"$s ($days)"
+        }
+        val mm = g.minutes.head
+        val ss = g.seconds.head
+        g.freq match {
+          case "DAILY" | "WEEKLY" | "MONTHLY" | "YEARLY" if hours.nonEmpty =>
+            s = s + " @ " + hours.map(h => f"$h%02d:$mm%02d").mkString(", ")
+          case "HOURLY" if mm != 0 || ss != 0 =>
+            s = s + f" @ minute $mm%02d" + (if (ss != 0) f", second $ss%02d" else "")
+          case "MINUTELY" if ss != 0 =>
+            s = s + f" @ second $ss%02d"
+          case _ => ()
+        }
+        g.untilLocal.foreach(u =>
+          s = s + " until " + u.format(DateTimeFormatter.ofPattern("yyyy-MM-dd")))
+        s
+      }
+    if (showDtstart) dtstartOf(entries.head) match {
+      case Some(d) => s"$friendly | starts $d"
+      case None => friendly
+    } else friendly
+  }
+
+  /** The reference wire form for one of this repo's schedules: DTSTART
+    * line (TZID + local wall time) + rendered RRULE — what
+    * [[JobScheduler.summary]] feeds [[summarize]]. */
+  def entryFor(rrule: Rrule, dtstart: java.time.ZonedDateTime): Entry = {
+    val zone = dtstart.getZone.getId
+    val local = dtstart.toLocalDateTime.format(
+      DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss"))
+    Entry(s"DTSTART;TZID=$zone:$local\nRRULE:${rrule.render(dtstart)}", zone)
+  }
+}

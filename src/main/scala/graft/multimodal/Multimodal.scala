@@ -140,6 +140,81 @@ object Multimodal {
       .withColumn("chunk_len", length(col("chunk_bytes")))
   }
 
+  /** 64-pixel average-hash (aHash) perceptual signature as TWO 32-bit
+    * halves `struct(h0, h1)` — the classic image near-dup fingerprint:
+    * resample to a fixed 8×8 grid, threshold each cell against the mean,
+    * pack the bits. Here the "grayscale" is the payload's byte value on
+    * the [[stubResizeBatch]] nearest-neighbor grid (px_i =
+    * byte[floor(i·n/64)]) — a real pipeline swaps decoded pixel
+    * luminance onto the same grid and everything downstream (banding,
+    * Hamming pairs) is unchanged. Two 32-bit halves rather than one
+    * 64-bit word keep every shift/sum portable (no engine's BIGINT `1 <<
+    * 63` edge case); Hamming distance = popcount(xor) summed over
+    * halves. Pure integer column algebra: bit weights accumulate through
+    * a fold (weight doubles each step), so the whole signature stays
+    * inside whole-stage codegen with no UDF. */
+  def aHashHalves(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def half(pxSlice: org.apache.spark.sql.Column, mean: org.apache.spark.sql.Column) =
+      aggregate(pxSlice,
+        struct(lit(0L).as("s"), lit(1L).as("w")),
+        (acc, x) => struct(
+          (acc.getField("s") + when(x >= mean, acc.getField("w")).otherwise(0L)).as("s"),
+          (acc.getField("w") * 2).as("w")),
+        acc => acc.getField("s"))
+    val len = length(text)
+    // products stay far below 2^53, so the double division is exact
+    val px = transform(sequence(lit(0), lit(63)),
+      i => ascii(substr(text, floor(i * len / 64).cast("int") + 1, lit(1))))
+    val mean = floor(aggregate(px, lit(0L), (a, x) => a + x) / 64).cast("long")
+    struct(half(slice(px, 1, 32), mean).as("h0"), half(slice(px, 33, 32), mean).as("h1"))
+  }
+
+  /** All media pairs within `maxDistance` Hamming bits of each other on
+    * the [[aHashHalves]] signature — image near-dup detection with the
+    * LSH-style scale shape: 8 byte-bands per signature, ONE
+    * groupBy(band, value) with size-capped buckets
+    * ([[graft.functions.expressions.CappedLongCollectSet]]; drops are
+    * audible via the dedup accumulator), in-bucket pair explode, then an
+    * exact Hamming filter. For `maxDistance` < 8 the result is EXACT by
+    * pigeonhole — d flipped bits touch at most d of the 8 bands, so any
+    * qualifying pair still shares a band and is generated. Never an
+    * all-pairs join: bucket collisions bound the candidate set. */
+  def phashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 4,
+      maxBucket: Int = graft.dedup.MinHashLsh.DefaultMaxBucket): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 8,
+      s"the 8-band pigeonhole guarantee needs 0 <= maxDistance < 8, got $maxDistance")
+    val spark = docs.sparkSession
+    val sigs = docs
+      .where(length(col(textCol)) >= 1)
+      .select(col(idCol).cast("long").as("id"), aHashHalves(col(textCol)).as("h"))
+      .select(col("id"), col("h.h0").as("h0"), col("h.h1").as("h1"))
+    val p256 = array(lit(1L), lit(256L), lit(65536L), lit(16777216L))
+    def bandsOf(h: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(3)),
+        k => pmod(floor(h / element_at(p256, k + 1)).cast("long"), lit(256L)))
+    val banded = sigs.select(col("id"),
+      posexplode(concat(bandsOf(col("h0")), bandsOf(col("h1")))).as(Seq("band", "band_val")))
+    val pairs = banded
+      .groupBy(col("band"), col("band_val"))
+      .agg(graft.functions.AggFunctions.collectSetCapped(col("id"), maxBucket,
+        Some(graft.dedup.DedupMetrics.droppedBuckets(spark))).as("ids"))
+      .where(col("ids").isNotNull && size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    val sa = sigs.select(col("id").as("a"), col("h0").as("a0"), col("h1").as("a1"))
+    val sb = sigs.select(col("id").as("b"), col("h0").as("b0"), col("h1").as("b1"))
+    pairs.join(sa, "a").join(sb, "b")
+      .withColumn("dist",
+        bit_count(col("a0").bitwiseXOR(col("b0"))) +
+          bit_count(col("a1").bitwiseXOR(col("b1"))))
+      .where(col("dist") <= maxDistance)
+      .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
+  }
+
   /** Exact + near-duplicate detection over media: exact via content hash
     * (scales as a groupBy), near via feature cosine on the decoded
     * vectors (plug into LSH bucketing at scale). */

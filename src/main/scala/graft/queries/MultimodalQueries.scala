@@ -193,6 +193,56 @@ object MultimodalQueries {
         SELECT m.media_id, c.doc_id AS caption_id, m.byte_len, c.caption_tokens,
           md5(md5(m.payload) || ':' || md5(c.text)) AS pair_hash
         FROM media m JOIN captions c ON m.media_id + 1 = c.doc_id
-        ORDER BY m.media_id"""))
+        ORDER BY m.media_id""")),
+
+    // ── perceptual-hash near-dup pairs (image dedup) ──────────────────
+    // The image-side near-dedup every multimodal corpus runs: 64-px
+    // average hash on the nearest-neighbor resample grid, 8-byte-band
+    // bucketing, exact Hamming filter (≤4 bits of 64). Near-dups are
+    // planted by overwriting the first five bytes IN PLACE (+2e6 ids) —
+    // a localized pixel edit, the perturbation aHash is built to absorb
+    // (an append would shift the whole resample grid: a different
+    // image). The Spark side buckets (the 100 TB shape — pigeonhole
+    // makes it exact for distance < 8); the oracle brute-force joins,
+    // proving the banded plan loses nothing.
+    GraftQuery(
+      "m7_phash_near_dup",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.documents(s, dir)
+          .where(length($"text") >= 5).select($"doc_id", $"text")
+        val corpus = base.select($"doc_id", $"text", explode(filter(
+          array(lit(0L), lit(2000000L)),
+          off => (off === 0L) || ($"doc_id" % 5 === 0))).as("off"))
+          .select(($"doc_id" + $"off").as("doc_id"),
+            when($"off" === 2000000L,
+              concat(lit("XXXXX"), expr("substring(text, 6)")))
+              .otherwise($"text").as("text"))
+        Multimodal.phashPairs(corpus, "doc_id", "text", maxDistance = 4)
+          .orderBy($"a", $"b")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE length(text) >= 5
+          UNION ALL
+          SELECT doc_id + 2000000, 'XXXXX' || substr(text, 6)
+          FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 5),
+        px AS (
+          SELECT doc_id,
+            list_transform(generate_series(0,63),
+              i -> ord(substr(text, CAST(floor(i*length(text)/64) AS INT)+1, 1))) AS p
+          FROM corpus),
+        sig AS (
+          SELECT doc_id,
+            CAST(list_sum(list_transform(generate_series(0,31),
+              i -> CASE WHEN p[i+1] >= list_sum(p)//64 THEN (1::BIGINT<<i) ELSE 0 END)) AS BIGINT) AS h0,
+            CAST(list_sum(list_transform(generate_series(0,31),
+              i -> CASE WHEN p[i+33] >= list_sum(p)//64 THEN (1::BIGINT<<i) ELSE 0 END)) AS BIGINT) AS h1
+          FROM px)
+        SELECT x.doc_id AS a, y.doc_id AS b,
+          CAST(bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) AS BIGINT) AS dist
+        FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) <= 4
+        ORDER BY a, b"""))
   )
 }

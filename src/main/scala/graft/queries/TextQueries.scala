@@ -1170,6 +1170,57 @@ object TextQueries {
           WHERE doc_id < 50)
         SELECT a.doc_id, a.j, a.neg_id, d.source AS neg_source
         FROM anchors a JOIN documents d ON d.doc_id = a.neg_id
-        ORDER BY a.doc_id, a.j"""))
+        ORDER BY a.doc_id, a.j""")),
+
+    // ── n-gram LM surprisal scoring (CCNet-style LM filtering) ────────
+    // Rank documents by how surprising they are under the corpus's own
+    // bigram LM — the filtering signal CCNet takes from a KenLM
+    // perplexity. Transcendental-free by design: libm log() is not
+    // correctly rounded and never hash-portable across engines, so the
+    // per-bigram surprisal is the log2-FLOOR quantization bitlen(N) −
+    // bitlen(c) (bitlen = length of the binary rendering, an exact
+    // integer both engines compute identically) — a monotone stand-in
+    // for −log2 P(gram) that keeps the whole score in associative
+    // integer sums. Scale shape: counts are ONE map-side-combined
+    // groupBy; scoring is ONE equi-join on the gram (the count table is
+    // corpus-sized — it shuffles, it does not broadcast); the corpus
+    // total rides a broadcast 1-row frame; per-doc aggregation is ONE
+    // groupBy(doc_id).
+    GraftQuery(
+      "x25_bigram_surprisal",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", lowerTokens($"text").as("t"))
+        val bi = toks.where(size($"t") >= 2).select($"doc_id",
+          explode(transform(sequence(lit(1), size($"t") - 1),
+            i => concat_ws(" ", slice($"t", i, lit(2))))).as("gram"))
+        val counts = bi.groupBy($"gram").agg(count(lit(1)).as("c"))
+        val total = counts.agg(sum($"c").cast("long").as("n"))
+        bi.join(counts, "gram")
+          .crossJoin(broadcast(total))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(length(bin($"n")) - length(bin($"c"))).cast("long").as("surprisal_q"))
+          .withColumn("avg_q_x100",
+            expr("(surprisal_q * 100) div n_bigrams"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM documents),
+        bi AS (
+          SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                FROM toks WHERE len(t) >= 2)),
+        c AS (SELECT gram, COUNT(*) AS c FROM bi GROUP BY gram),
+        n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          CAST(SUM(length(bin(n.n)) - length(bin(c.c))) AS BIGINT) AS surprisal_q,
+          CAST((CAST(SUM(length(bin(n.n)) - length(bin(c.c))) AS BIGINT) * 100)
+            // COUNT(*) AS BIGINT) AS avg_q_x100
+        FROM bi JOIN c USING (gram) CROSS JOIN n
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

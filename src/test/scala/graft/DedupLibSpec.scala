@@ -82,6 +82,40 @@ class DedupLibSpec extends AnyFunSuite {
     assert(g.getAs[Long]("n_copies") == 2 && g.getAs[Long]("keeper_id") == 1L)
   }
 
+  test("phashPairs equals the brute-force Hamming join (pigeonhole exactness)") {
+    import spark.implicits._
+    // 40 random-ish docs + 8 planted in-place perturbations: the banded
+    // plan must return exactly what an all-pairs join returns
+    val base = (0 until 40).map { i =>
+      val body = (0 until 30).map(j => s"tok${(i * 31 + j * 7) % 97}").mkString(" ")
+      (i.toLong, body)
+    }
+    val planted = base.filter(_._1 % 5 == 0)
+      .map { case (id, t) => (id + 1000L, "XXXXX" + t.drop(5)) }
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val banded = Multimodal.phashPairs(docs, "doc_id", "text", maxDistance = 6)
+      .select($"a", $"b", $"dist").as[(Long, Long, Long)].collect().toSet
+    // brute force via the same signature column
+    val sigs = docs.select($"doc_id".as("id"),
+      Multimodal.aHashHalves($"text").as("h")).cache()
+    try {
+      val brute = sigs.as("x").join(sigs.as("y"), $"x.id" < $"y.id")
+        .select($"x.id".as("a"), $"y.id".as("b"),
+          (bit_count($"x.h.h0".bitwiseXOR($"y.h.h0")) +
+            bit_count($"x.h.h1".bitwiseXOR($"y.h.h1"))).cast("long").as("dist"))
+        .where($"dist" <= 6)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+      // recall on planted perturbations (mean-shift can flip borderline
+      // bits, so not necessarily all 8 — but a majority must land)
+      assert(planted.count(p => banded.exists(_._2 == p._1)) >= planted.size / 2,
+        s"planted perturbations must mostly pair with their originals")
+    } finally sigs.unpersist()
+    // the pigeonhole guarantee is a hard precondition
+    intercept[IllegalArgumentException](
+      Multimodal.phashPairs(docs, "doc_id", "text", maxDistance = 8))
+  }
+
   test("winnowing handles empty and shorter-than-k texts") {
     import spark.implicits._
     val out = Seq("", "abc", "a decent length document body here").toDF("t")

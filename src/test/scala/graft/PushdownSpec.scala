@@ -217,6 +217,24 @@ class PushdownSpec extends AnyFunSuite {
       s"pair pipeline must keep exactly 2 hash exchanges, got $hash:\n$plan")
   }
 
+  test("m7 phash pairs: banded equi-join only — no cartesian, no broadcast theta") {
+    val q = graft.core.Registry.allQueries.find(_.name == "m7_phash_near_dup").get
+    val plan = q.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(SimpleMode)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"phash near-dup must stay a banded equi-join, plan:\n$plan")
+  }
+
+  test("x25 surprisal: gram scoring joins on the gram — no cartesian fan-out") {
+    val q = graft.core.Registry.allQueries.find(_.name == "x25_bigram_surprisal").get
+    val plan = q.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(SimpleMode)
+    assert(!plan.contains("CartesianProduct"),
+      s"surprisal scoring must equi-join doc grams to the count table:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row corpus total must broadcast:\n$plan")
+  }
+
   test("h4: derived standalone bound reaches the lineitem scan as a pushed filter") {
     // the semi-join condition l_shipdate > o_orderdate is not pushable,
     // but the derived bound l_shipdate > '1996-01-01' (min possible

@@ -126,6 +126,47 @@ class SchedulerSpec extends AnyFunSuite {
     assert((System.nanoTime() - t0) < 1e9, "6 elapsed years must not be stepped month-by-month")
   }
 
+  test("schedule summaries condense like the reference UI") {
+    import graft.jobs.RruleSummary
+    import graft.jobs.RruleSummary.Entry
+    assert(RruleSummary.summarize(Nil) == "—")
+    assert(RruleSummary.summarize(Seq(Entry(
+      "RRULE:FREQ=DAILY;INTERVAL=1;BYHOUR=9;BYMINUTE=30;BYSECOND=0"))) == "Daily @ 09:30")
+    // same shape, different hours -> merged time list
+    assert(RruleSummary.summarize(Seq(
+      Entry("RRULE:FREQ=DAILY;INTERVAL=1;BYHOUR=17;BYMINUTE=30;BYSECOND=0"),
+      Entry("RRULE:FREQ=DAILY;INTERVAL=1;BYHOUR=9;BYMINUTE=30;BYSECOND=0")))
+      == "Daily @ 09:30, 17:30")
+    assert(RruleSummary.summarize(Seq(Entry(
+      "RRULE:FREQ=WEEKLY;INTERVAL=2;BYDAY=MO,FR;BYHOUR=15;BYMINUTE=0;BYSECOND=0;UNTIL=20261231T210000Z",
+      "America/New_York")))
+      == "Every 2 weeks (Mon, Fri) @ 15:00 until 2026-12-31")
+    assert(RruleSummary.summarize(Seq(Entry("RRULE:FREQ=HOURLY;INTERVAL=1;BYMINUTE=15;BYSECOND=0")))
+      == "Hourly @ minute 15")
+    assert(RruleSummary.summarize(Seq(Entry("RRULE:FREQ=MONTHLY;INTERVAL=1;BYMONTHDAY=-1;BYHOUR=17;BYMINUTE=0;BYSECOND=0")))
+      == "Monthly @ 17:00")
+    // heterogeneous set
+    assert(RruleSummary.summarize(Seq(
+      Entry("RRULE:FREQ=DAILY;BYHOUR=9;BYMINUTE=0;BYSECOND=0"),
+      Entry("RRULE:FREQ=WEEKLY;BYDAY=MO;BYHOUR=9;BYMINUTE=0;BYSECOND=0")))
+      == "Mixed schedules (2)")
+    // DTSTART inline
+    assert(RruleSummary.summarize(Seq(Entry(
+      "DTSTART;TZID=America/New_York:20260810T093000\nRRULE:FREQ=DAILY;BYHOUR=9;BYMINUTE=30;BYSECOND=0",
+      "America/New_York")), showDtstart = true)
+      == "Daily @ 09:30 | starts 2026-08-10 09:30")
+    // a foreign string degrades, never throws
+    assert(RruleSummary.summarize(Seq(Entry("RRULE:FREQ=BOGUS;WHAT=1"))) == "Recurring")
+    // the scheduler's own schedules summarize through the same path
+    val sched = new graft.jobs.JobScheduler()
+    try {
+      sched.create("eod", Rrule("DAILY", byHour = Some(17), byMinute = Some(0), bySecond = Some(0)),
+        "America/New_York", LocalDateTime.parse("2026-08-10T17:00:00")) { () => "run" }
+      assert(sched.summary() == "Daily @ 17:00")
+      assert(sched.summary(showDtstart = true) == "Daily @ 17:00 | starts 2026-08-10 17:00")
+    } finally sched.close()
+  }
+
   test("a rule that can never fire fails loudly instead of spinning") {
     val r = Rrule("MONTHLY", byMonth = Seq(2), byMonthDay = Seq(30))
     val ex = intercept[IllegalArgumentException](
