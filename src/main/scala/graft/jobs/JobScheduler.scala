@@ -110,6 +110,32 @@ final class JobScheduler(clock: () => Instant = () => Instant.now())
         .map(s => RruleSummary.entryFor(s.rrule, s.dtstart)),
       showDtstart)
 
+  /** Durable view of every live schedule (name-sorted) — feed to
+    * [[ScheduleStore.save]]. The rendered RRULE round-trips through
+    * [[Rrule.parse]]; dtstart is ISO local wall time + zone id. */
+  def snapshot(): Seq[ScheduleStore.StoredSchedule] =
+    scheds.values().asScala.toSeq.sortBy(_.name).map { s =>
+      ScheduleStore.StoredSchedule(
+        s.name, s.rrule.render(s.dtstart), s.dtstart.getZone.getId,
+        s.dtstart.toLocalDateTime.toString, s.active)
+    }
+
+  /** Recreate stored schedules (from [[ScheduleStore.load]]) in this
+    * scheduler: `submitFor` maps a schedule NAME back to its submit
+    * closure (the command wiring is code, not data — only the schedule
+    * definition persists, like a deployment whose flow is looked up by
+    * name). Inactive schedules are created paused; firing resumes at
+    * the next FUTURE occurrence (no backfill). Returns the new ids in
+    * input order. */
+  def restore(stored: Seq[ScheduleStore.StoredSchedule])(
+      submitFor: String => () => String): Seq[String] =
+    stored.map { st =>
+      val id = create(st.name, Rrule.parse(st.rrule), st.timezone,
+        LocalDateTime.parse(st.dtstartLocal))(submitFor(st.name))
+      if (!st.active) pause(id)
+      id
+    }
+
   private def withSched[A](id: String)(f: Sched => A): A = {
     val s = scheds.get(id)
     require(s != null, s"unknown schedule: $id")

@@ -1,0 +1,82 @@
+package graft.jobs
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import java.nio.charset.StandardCharsets
+
+/** Durable schedule definitions — the piece that makes the scheduling
+  * plane restartable. The reference keeps its deployment schedules in
+  * the orchestrator's database (Prefect deployment CRUD,
+  * datapipe_ui/api_backend.py:60-162), so schedules survive a process
+  * restart; [[JobScheduler]] alone is in-memory. This store closes the
+  * gap: [[JobScheduler.snapshot]] → [[save]] on every mutation the
+  * caller cares about, [[load]] → [[JobScheduler.restore]] on startup
+  * (no backfill — restored schedules resume at the next FUTURE
+  * occurrence, exactly like a resumed deployment).
+  *
+  * Format: line-oriented like [[graft.store.TableLog]] manifests
+  * (`graft-schedules-v1` header, one schedule per TAB-separated line —
+  * rendered RRULEs are tab/newline-free by construction and names are
+  * validated). The file is replaced ATOMICALLY (temp + rename) so a
+  * crash mid-save leaves the previous generation, never a torn file;
+  * last-writer-wins is the correct semantic for a config snapshot
+  * (unlike the append-only commit log, which needs [[graft.store
+  * .ManifestStore]] exclusivity).
+  */
+object ScheduleStore {
+
+  /** One durable schedule definition. `dtstartLocal` is ISO-8601 local
+    * wall time in `timezone` (the reference's naive-DTSTART-plus-tz
+    * shape, ui_backend.py:114-119). */
+  final case class StoredSchedule(
+      name: String, rrule: String, timezone: String,
+      dtstartLocal: String, active: Boolean) {
+    require(!name.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"schedule name must be tab/newline-free: $name")
+  }
+
+  private val Header = "graft-schedules-v1"
+
+  /** Atomically replace the store file with `schedules`. */
+  def save(fs: FileSystem, path: Path, schedules: Seq[StoredSchedule]): Unit = {
+    val body = (Header +: schedules.map { s =>
+      Seq(s.name, s.rrule, s.timezone, s.dtstartLocal, s.active.toString)
+        .mkString("\t")
+    }).mkString("", "\n", "\n")
+    val tmp = new Path(path.getParent,
+      s".tmp-${path.getName}-${java.util.UUID.randomUUID()}")
+    if (path.getParent != null) fs.mkdirs(path.getParent)
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (fs.exists(path)) fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"schedule store replace failed: $tmp -> $path")
+  }
+
+  /** Load the store; empty when the file is absent. A wrong header or a
+    * malformed line fails loudly — a half-understood schedule file must
+    * never silently drop schedules. */
+  def load(fs: FileSystem, path: Path): Seq[StoredSchedule] = {
+    if (!fs.exists(path)) return Seq.empty
+    val in = fs.open(path)
+    val body = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = body.linesIterator.filter(_.nonEmpty).toSeq
+    require(lines.headOption.contains(Header),
+      s"not a $Header file: $path (header=${lines.headOption})")
+    lines.drop(1).map { l =>
+      l.split("\t", -1) match {
+        case Array(name, rrule, tz, dtstart, active) =>
+          StoredSchedule(name, rrule, tz, dtstart, active.toBoolean)
+        case other =>
+          throw new IllegalArgumentException(
+            s"malformed schedule line (${other.length} fields): $l")
+      }
+    }
+  }
+}

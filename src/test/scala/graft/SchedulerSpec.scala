@@ -174,6 +174,64 @@ class SchedulerSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("never fire"))
   }
 
+  test("schedules survive a scheduler restart through ScheduleStore") {
+    import graft.jobs.{JobScheduler, ScheduleStore}
+    import org.apache.hadoop.fs.Path
+    val root = SparkTestSession.tempDir("sched-store")
+    val fs = new Path(root).getFileSystem(
+      SparkTestSession.spark.sparkContext.hadoopConfiguration)
+    val storePath = new Path(s"$root/schedules.tsv")
+    // absent file -> empty, not an error
+    assert(ScheduleStore.load(fs, storePath).isEmpty)
+
+    val fired = new AtomicInteger(0)
+    val s1 = new JobScheduler()
+    try {
+      s1.create("eod-refresh",
+        Rrule("MONTHLY", byMonthDay = Seq(-1), byHour = Some(17),
+          byMinute = Some(0), bySecond = Some(0)),
+        "America/New_York", LocalDateTime.parse("2026-01-01T17:00:00")) { () => "m" }
+      val paused = s1.create("tick-loop", Rrule("SECONDLY"), "UTC",
+        LocalDateTime.parse("2026-01-01T00:00:00")) { () => "t" }
+      s1.pause(paused)
+      ScheduleStore.save(fs, storePath, s1.snapshot())
+    } finally s1.close()
+
+    val loaded = ScheduleStore.load(fs, storePath)
+    assert(loaded.map(s => (s.name, s.active)) ==
+      Seq(("eod-refresh", true), ("tick-loop", false)), loaded.toString)
+    assert(loaded.head.rrule.contains("FREQ=MONTHLY") &&
+      loaded.head.rrule.contains("BYMONTHDAY=-1"))
+
+    val s2 = new JobScheduler()
+    try {
+      val ids = s2.restore(loaded) {
+        case "tick-loop" => () => s"run-${fired.incrementAndGet()}"
+        case _ => () => "noop"
+      }
+      // monthly restored active with a real next occurrence
+      val monthly = s2.status(ids.head)
+      assert(monthly.active && monthly.nextAt.nonEmpty)
+      // paused schedule restored PAUSED: must not fire
+      assert(!s2.status(ids(1)).active && s2.status(ids(1)).nextAt.isEmpty)
+      Thread.sleep(1500)
+      assert(fired.get() == 0, "a schedule stored paused must restore paused")
+      // resume fires at the next future occurrence
+      s2.resume(ids(1))
+      val deadline = System.currentTimeMillis() + 15000
+      while (fired.get() < 1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(fired.get() >= 1, "resumed restored schedule must fire")
+    } finally s2.close()
+
+    // atomic replace: a second save fully supersedes the first
+    ScheduleStore.save(fs, storePath, loaded.take(1))
+    assert(ScheduleStore.load(fs, storePath).map(_.name) == Seq("eod-refresh"))
+    // corrupted header fails loudly, never silently drops schedules
+    val out = fs.create(storePath, true)
+    out.write("bogus-header\nx\ty\tz\tw\ttrue\n".getBytes("UTF-8")); out.close()
+    intercept[IllegalArgumentException](ScheduleStore.load(fs, storePath))
+  }
+
   test("a schedule drives real JobRegistry historical submissions (deployment parity)") {
     // reference: a deployment = command parameters + an attached RRULE
     // schedule; each occurrence creates a flow run. Here: each firing
