@@ -195,12 +195,15 @@ object MinHashLsh {
       .repartition(col("b"))
       .cache()
     // Materialize the cache NOW, before the batch plan references it
-    // twice (step1 projects it, step(...) joins it). A lazy cache first
-    // touched by a job with two scans of the same InMemoryRelation races
-    // both scans through the UPSTREAM pipeline — i.e. the entire
-    // shingle→minhash→band→pair computation runs twice (measured 2× on
-    // the x7 funnel; at corpus scale that is a second full read). One
-    // tiny count job pins the edge list once.
+    // twice (step1 projects it, step(...) joins it). Lazily, the first
+    // batch job would carry the whole twice-referenced edge pipeline —
+    // one deep adaptive job of ~8 query stages (ReusedExchange covers
+    // the heavy branch, but every stage pays scheduling and the top
+    // stage races cache population between its two scans). Pinning the
+    // edge list with one tiny count job first makes the batch a shallow
+    // cache-scan job: measured 0.5-0.9 s off the x7 funnel, and the
+    // exchange reuse the lazy form depends on is pinned by
+    // DedupLibSpec ("edge symmetrization reuses ... bucket exchange").
     edges.count()
     // Initial labels as a MULTISET straight off the edges (id = label =
     // a): no distinct exchange — the groupBy-min in every round dedupes.

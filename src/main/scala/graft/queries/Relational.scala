@@ -27,16 +27,20 @@ object Relational {
         val one = lit(1).cast("decimal(3,2)")
         // Sums/avgs run as scaled-long integer aggregation where a single
         // long provably cannot overflow (exact, associative, ~2× faster
-        // than decimal): cents sums and the 1e-4-unit disc_price products
-        // (≤1e9/row → safe past SF1000). sum_charge's 1e-6-unit products
-        // reach 1e11/row — a single long sum would overflow around SF100,
-        // so it runs on the 128-bit two-long declarative aggregate
-        // (SumScaled128): still pure long codegen, exact to ~9e36.
+        // than decimal): the cents sums carry ≤1e7/row, ~9× under
+        // Long.Max even at the ~1e11-rows-per-group 100 TB point (6
+        // global groups). Both PRODUCT sums ride the 128-bit two-long
+        // declarative aggregate (SumScaled128 — still pure long
+        // codegen, exact to ~9e36): disc_price's 1e-4-unit products
+        // reach 1e9/row (a single long overflows around SF9000) and
+        // sum_charge's 1e-6-unit products 1e11/row (overflow ~SF100).
         li.groupBy($"l_returnflag", $"l_linestatus")
           .agg(
             sumCents($"l_quantity").as("sum_qty"),
             sumCents($"l_extendedprice").as("sum_base_price"),
-            (sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))) / 10000.0).as("sum_disc_price"),
+            sumScaledUnits(
+              cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")),
+              10000.0).as("sum_disc_price"),
             sumScaledUnits(
               cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")) * (lit(100L) + cents($"l_tax")),
               1000000.0).as("sum_charge"),

@@ -1221,6 +1221,71 @@ object TextQueries {
           CAST((CAST(SUM(length(bin(n.n)) - length(bin(c.c))) AS BIGINT) * 100)
             // COUNT(*) AS BIGINT) AS avg_q_x100
         FROM bi JOIN c USING (gram) CROSS JOIN n
-        GROUP BY doc_id ORDER BY doc_id"""))
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── decontamination SCRUB (x10's action form) ─────────────────────
+    // x10 detects eval-set contamination; this DROPS the flagged docs
+    // and reports what the scrub cost each source — the audit a
+    // training run records before it trusts a decontaminated corpus.
+    // Same 8-gram broadcast overlap rule as x10 (n_hit·5 ≥ n_grams);
+    // the source label rides the gram explode, so doc-level flags and
+    // the source rollup are two aggregations on one pipeline — no join
+    // back to the corpus, which at 100 TB would re-scan it.
+    GraftQuery(
+      "x26_decontaminate_scrub",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"text")
+        val leaked = docs.filter($"doc_id" % 50 === 0)
+          .select(($"doc_id" + 3000000L).as("doc_id"), $"source",
+            concat(lit("novel preface words then "), substring($"text", 1, 250)).as("text"))
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("toks", lowerTokens($"text"))
+          .select($"doc_id", $"source", explode(array_distinct(
+            graft.dedup.MinHashLsh.shinglesOfTokens($"toks", 8))).as("gm"))
+          .select($"doc_id", $"source", graft.functions.HashFunctions.md5Long($"gm").as("gh"))
+        val benchGrams = grams(docs.filter($"doc_id" % 50 === 0))
+          .select($"gh").distinct().withColumn("hit", lit(1))
+        grams(docs.unionAll(leaked))
+          .join(broadcast(benchGrams), Seq("gh"), "left")
+          .groupBy($"doc_id", $"source")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce($"hit".cast("long"), lit(0L))).as("n_hit"))
+          .withColumn("contam", $"n_hit" * 5 >= $"n_grams")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when($"contam", 1L).otherwise(0L)).as("n_dropped"),
+            sum(when(!$"contam", 1L).otherwise(0L)).as("n_kept"),
+            sum(when(!$"contam", $"n_grams").otherwise(0L)).as("kept_gram_mass"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + 3000000, source, 'novel preface words then ' || substr(text, 1, 250)
+          FROM documents WHERE doc_id % 50 = 0),
+        toks AS (
+          SELECT doc_id, source, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM corpus),
+        grams AS (
+          SELECT DISTINCT doc_id, source,
+            CAST(concat('0x', substr(md5(
+              CASE WHEN len(t) < 8 THEN array_to_string(t, ' ')
+                   ELSE array_to_string(t[i:i+7], ' ') END), 1, 15)) AS BIGINT) AS gh
+          FROM (SELECT doc_id, source, t, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+                FROM toks)),
+        bench AS (
+          SELECT DISTINCT gh FROM grams WHERE doc_id % 50 = 0 AND doc_id < 3000000),
+        flags AS (
+          SELECT g.doc_id, g.source, COUNT(*) AS n_grams,
+            CAST(SUM(CASE WHEN b.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+          FROM grams g LEFT JOIN bench b ON g.gh = b.gh
+          GROUP BY 1, 2)
+        SELECT source, COUNT(*) AS n_total,
+          CAST(SUM(CASE WHEN n_hit * 5 >= n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+          CAST(SUM(CASE WHEN n_hit * 5 >= n_grams THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN n_hit * 5 >= n_grams THEN 0 ELSE n_grams END) AS BIGINT) AS kept_gram_mass
+        FROM flags GROUP BY source ORDER BY source"""))
   )
 }

@@ -82,6 +82,33 @@ class DedupLibSpec extends AnyFunSuite {
     assert(g.getAs[Long]("n_copies") == 2 && g.getAs[Long]("keeper_id") == 1L)
   }
 
+  test("edge symmetrization reuses the pair pipeline's bucket exchange") {
+    import spark.implicits._
+    // The symmetrized edge list references `pairs` twice (a→b and b→a);
+    // the expensive shingle→minhash→band pipeline must execute ONCE,
+    // with the second branch riding a ReusedExchange of the bucket
+    // stage. This pins the reuse in the EXECUTED adaptive plan — a
+    // change that breaks canonicalized equality between the branches
+    // (e.g. a non-deterministic expression slipping into the pipeline)
+    // would silently double the heaviest stage of every dedup run.
+    // (Diagnosed with a column-evaluation counting tap this round: a
+    // tap expression itself breaks the branches' equality, so the scan
+    // side really does run twice when reuse is lost.)
+    val docs = (0 until 60).map { i =>
+      val base = (0 until 25).map(j => s"w${(i * 13 + j * 5) % 83}").mkString(" ")
+      (i.toLong, if (i % 4 == 0) base + " tail" else base)
+    }.toDF("doc_id", "text")
+    val pairs = graft.dedup.MinHashLsh.rawCandidatePairs(docs, "doc_id", "text")
+    val edges = pairs.select($"a", $"b")
+      .unionAll(pairs.select($"b".as("a"), $"a".as("b")))
+      .repartition($"b")
+    val qe = edges.queryExecution
+    edges.collect()
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"the second edge branch must reuse the bucket exchange, plan:\n$plan")
+  }
+
   test("phashPairs equals the brute-force Hamming join (pigeonhole exactness)") {
     import spark.implicits._
     // 40 random-ish docs + 8 planted in-place perturbations: the banded
