@@ -225,6 +225,15 @@ class PushdownSpec extends AnyFunSuite {
       s"phash near-dup must stay a banded equi-join, plan:\n$plan")
   }
 
+  test("x26 scrub: bench grams broadcast; no corpus re-join") {
+    val q = graft.core.Registry.allQueries.find(_.name == "x26_decontaminate_scrub").get
+    val plan = q.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(SimpleMode)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench grams must broadcast against the corpus grams:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("x25 surprisal: gram scoring joins on the gram — no cartesian fan-out") {
     val q = graft.core.Registry.allQueries.find(_.name == "x25_bigram_surprisal").get
     val plan = q.build(spark, "/root/testdata/sf0.001")
