@@ -1286,6 +1286,125 @@ object TextQueries {
           CAST(SUM(CASE WHEN n_hit * 5 >= n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
           CAST(SUM(CASE WHEN n_hit * 5 >= n_grams THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
           CAST(SUM(CASE WHEN n_hit * 5 >= n_grams THEN 0 ELSE n_grams END) AS BIGINT) AS kept_gram_mass
-        FROM flags GROUP BY source ORDER BY source"""))
+        FROM flags GROUP BY source ORDER BY source""")),
+
+    // ── HyperLogLog distinct sketch (Flajolet et al., AofA 2007) ──────
+    // The third mergeable cardinality sketch next to KMV (x20) and CMS
+    // (x18): m=64 registers per source, register = max over hashes of
+    // (leading-zero count of the 54-bit suffix + 1). Everything up to the
+    // final estimate is INTEGER-exact: bucket = h & 63, rho via
+    // length(bin(w)) (the portable log2-floor — no libm), and the
+    // harmonic-mean denominator is the exact BIGINT
+    // sum(2^(55-reg)) + n_zero * 2^55 (≤ 2^61, no overflow). Only the
+    // last division is a double, with the alpha*m^2*2^55 prefix folded
+    // to ONE literal so both engines perform exactly one IEEE divide.
+    // Scale shape: one groupBy(source, bucket) with map-side max
+    // partials, then a 64-row-per-source rollup — registers merge across
+    // shards/days by plain MAX, which is the whole point at 100 TB
+    // (CorpusOpsSpec proves the merge identity). The standard
+    // small-range linear-counting correction (est < 2.5m && n_zero > 0)
+    // needs ln() and is left to the caller — n_zero_regs is exposed for
+    // exactly that.
+    GraftQuery(
+      "x27_hll_distinct",
+      (s, dir) => {
+        import s.implicits._
+        val hashes = Tables.documents(s, dir)
+          .select($"source", explode(lowerTokens($"text")).as("tok"))
+          .distinct()
+          .select($"source", graft.functions.HashFunctions.md5Long($"tok").as("h"))
+        val regs = hashes
+          .select($"source", expr("h & 63").as("bucket"), expr("shiftright(h, 6)").as("w"))
+          .groupBy($"source", $"bucket")
+          .agg(max(when($"w" === 0L, lit(55))
+            .otherwise(lit(55) - length(bin($"w")))).as("reg"))
+        regs.groupBy($"source")
+          .agg(count(lit(1)).as("n_present"),
+            sum($"reg").cast("long").as("sum_reg"),
+            sum(expr("shiftleft(cast(1 as bigint), 55 - reg)")).cast("long").as("num_present"))
+          .join(hashes.groupBy($"source")
+            .agg(count(lit(1)).as("true_distinct")), Seq("source"))
+          .select($"source", $"true_distinct",
+            (lit(64L) - $"n_present").as("n_zero_regs"), $"sum_reg",
+            ($"num_present" + (lit(64L) - $"n_present") * lit(36028797018963968L))
+              .as("numerator"))
+          .withColumn("est_distinct",
+            lit(1.046802484394006e20) / $"numerator".cast("double"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT DISTINCT source,
+            unnest(regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+')) AS tok
+          FROM documents),
+        hashes AS (
+          SELECT source, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+          FROM toks),
+        regs AS (
+          SELECT source, h & 63 AS bucket,
+            MAX(CASE WHEN h >> 6 = 0 THEN 55
+                     ELSE 55 - length(bin(h >> 6)) END) AS reg
+          FROM hashes GROUP BY source, h & 63),
+        sk AS (
+          SELECT source, COUNT(*) AS n_present,
+            CAST(SUM(reg) AS BIGINT) AS sum_reg,
+            CAST(SUM(1::BIGINT << (55 - reg)) AS BIGINT) AS num_present
+          FROM regs GROUP BY source),
+        tr AS (
+          SELECT source, COUNT(*) AS true_distinct FROM hashes GROUP BY source)
+        SELECT sk.source, tr.true_distinct,
+          64 - sk.n_present AS n_zero_regs, sk.sum_reg,
+          CAST(sk.num_present + (64 - sk.n_present) * 36028797018963968::BIGINT AS BIGINT) AS numerator,
+          1.046802484394006e20
+            / CAST(sk.num_present + (64 - sk.n_present) * 36028797018963968::BIGINT AS DOUBLE) AS est_distinct
+        FROM sk JOIN tr ON sk.source = tr.source
+        ORDER BY sk.source""")),
+
+    // ── hashing-trick linear classifier inference (fastText-shaped) ───
+    // Quality/toxicity filters over a 100 TB corpus are usually a linear
+    // model over hashed token features (fastText / Vowpal Wabbit): no
+    // vocabulary file, just bucket = hash(tok) % 2^B and a weight vector
+    // indexed by bucket. Inference is then a streaming SUM of weights —
+    // one scan, zero joins, zero shuffles beyond the per-doc groupBy.
+    // Here the weight vector is itself derived from a hash (a
+    // deterministic stand-in for trained weights; a real model swaps in
+    // a 2^B-row broadcast table) so the margin stays INTEGER-exact:
+    // w(bucket) = md5("w:" || bucket) % 2001 - 1000 ∈ [-1000, 1000].
+    // label = sign(margin); the double score is margin/1000 per-row only.
+    GraftQuery(
+      "x28_hashed_linear_score",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id", explode(lowerTokens($"text")).as("tok"))
+          .select($"doc_id",
+            (graft.functions.HashFunctions.md5Long($"tok") % 1024L).as("bucket"))
+          .select($"doc_id",
+            (graft.functions.HashFunctions.md5Long(
+              concat(lit("w:"), $"bucket".cast("string"))) % 2001L - 1000L).as("w"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum($"w").cast("long").as("margin"))
+          .select($"doc_id", $"n_tokens", $"margin",
+            when($"margin" > 0L, 1L).otherwise(0L).as("label"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            unnest(regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+')) AS tok
+          FROM documents),
+        feats AS (
+          SELECT doc_id,
+            CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 1024 AS bucket
+          FROM toks),
+        weighted AS (
+          SELECT doc_id,
+            CAST(concat('0x', substr(md5(concat('w:', CAST(bucket AS VARCHAR))), 1, 15)) AS BIGINT) % 2001 - 1000 AS w
+          FROM feats)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          CAST(SUM(w) AS BIGINT) AS margin,
+          CAST(CASE WHEN CAST(SUM(w) AS BIGINT) > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+        FROM weighted GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 }

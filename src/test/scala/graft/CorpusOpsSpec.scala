@@ -156,6 +156,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(merged == whole)
   }
 
+  test("HLL registers merge across shards by plain MAX (the 100 TB contract)") {
+    import spark.implicits._
+    def regs(docs: org.apache.spark.sql.DataFrame) = docs
+      .select(explode(graft.functions.TextFunctions.lowerTokens($"text")).as("tok"))
+      .distinct()
+      .select(graft.functions.HashFunctions.md5Long($"tok").as("h"))
+      .select(expr("h & 63").as("bucket"), expr("shiftright(h, 6)").as("w"))
+      .groupBy($"bucket")
+      .agg(max(when($"w" === 0L, lit(55))
+        .otherwise(lit(55) - length(bin($"w")))).as("reg"))
+    val docs = graft.core.Tables.documents(spark, dir)
+    val whole = regs(docs)
+    // shard registers are computed independently, then merged by MAX —
+    // the same token landing in both shards is idempotent under max
+    val merged = regs(docs.filter($"doc_id" % 2 === 0))
+      .unionAll(regs(docs.filter($"doc_id" % 2 =!= 0)))
+      .groupBy($"bucket").agg(max($"reg").as("reg"))
+    assert(whole.unionAll(merged).distinct().count() == whole.count(),
+      "sharded-and-maxed registers must equal whole-corpus registers")
+  }
+
   test("PageRank: path graph 1-2-3 matches the hand-computed exact trajectory") {
     import spark.implicits._
     // N=3, r0 = 1e12/3 = 333333333333, base = 15*r0/100 = 49999999999;
