@@ -1,0 +1,93 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering so file-level
+  * min/max statistics prune on SEVERAL columns at once.
+  *
+  * Why this exists at 100 TB: a sort on one column gives perfect pruning on
+  * that column and none on any other; a Z-order sort interleaves the bits of
+  * two (rank-normalized) keys so every contiguous file holds a small
+  * rectangle of the 2-D key space — range predicates on EITHER column skip
+  * most files (the Delta Lake `OPTIMIZE ZORDER BY` idea, via the classic
+  * Morton curve). The curve math is integer-only and engine-portable.
+  *
+  * The interleave is the standard mask-and-spread sequence on 16-bit
+  * inputs. 16 bits per dimension = 65536 rank buckets, far finer than file
+  * granularity at any realistic file count, and — unlike the 21-bit variant
+  * — every intermediate fits comfortably below 2^31, so the same expression
+  * runs on engines with CHECKED 64-bit arithmetic (DuckDB) and engines that
+  * wrap (C): no shifted-out-bits-overflow trap. Multiplication by powers of
+  * two stands in for `<<` (not all SQL dialects have shift operators).
+  */
+object Layout {
+
+  /** Portable SQL spreading the low 16 bits of `v` to even bit positions
+    * (0xFFFF → 0x55555555). Valid in both Spark SQL and DuckDB: only
+    * `&`, `|`, `*` and CAST. */
+  def spreadSql(v: String): String = {
+    val s0 = s"(CAST($v AS BIGINT) & 65535)"
+    val s1 = s"(($s0 | ($s0 * 256)) & 16711935)" // 0x00FF00FF
+    val s2 = s"(($s1 | ($s1 * 16)) & 252645135)" // 0x0F0F0F0F
+    val s3 = s"(($s2 | ($s2 * 4)) & 858993459)" // 0x33333333
+    s"(($s3 | ($s3 * 2)) & 1431655765)" // 0x55555555
+  }
+
+  /** Portable SQL for the 32-bit Morton code of two 16-bit values:
+    * bits of `a` at even positions, bits of `b` at odd positions. */
+  def morton2Sql(a: String, b: String): String =
+    s"(${spreadSql(a)} | (${spreadSql(b)} * 2))"
+
+  /** Column form of [[spreadSql]] (same steps, Column algebra). */
+  def spread(v: Column): Column = {
+    val s0 = v.cast("long").bitwiseAND(lit(65535L))
+    val s1 = (s0.bitwiseOR(s0 * 256L)).bitwiseAND(lit(16711935L))
+    val s2 = (s1.bitwiseOR(s1 * 16L)).bitwiseAND(lit(252645135L))
+    val s3 = (s2.bitwiseOR(s2 * 4L)).bitwiseAND(lit(858993459L))
+    (s3.bitwiseOR(s3 * 2L)).bitwiseAND(lit(1431655765L))
+  }
+
+  /** Column form of [[morton2Sql]]. */
+  def morton2(a: Column, b: Column): Column =
+    spread(a).bitwiseOR(spread(b) * 2L)
+
+  /** Linear rank of column `name` scaled into [0, 65535] given the
+    * column's min/max — exact integral arithmetic (`div`, not float `/`).
+    * Value-uniform normalization — a quantile-rank variant (range-partition
+    * ids, as Delta's ZCube uses) is the drop-in upgrade for skewed columns;
+    * the curve math above is unchanged by that swap. */
+  def scale16(name: String, min: Long, max: Long): Column =
+    expr(s"((CAST($name AS BIGINT) - ($min)) * 65535) div ${math.max(max - min, 1L)}")
+
+  /** Write `df` Z-ordered on (`colA`, `colB`) into `numFiles` files.
+    *
+    * One bounded aggregate fetches the two min/max pairs (4 longs to the
+    * driver — same justified pattern as the table-stats rows), then ONE
+    * shuffle: `repartitionByRange` on the Morton key gives equal-size
+    * contiguous curve segments, and the within-partition sort makes
+    * row-group stats tight too. The helper returns the (min, max) pairs it
+    * used so callers can record them next to the layout. */
+  def zorderWrite(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      path: String,
+      numFiles: Int): ((Long, Long), (Long, Long)) = {
+    val Array(minA, maxA, minB, maxB) = df
+      .agg(
+        min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+        min(col(colB)).cast("long"), max(col(colB)).cast("long"))
+      .collect()(0).toSeq
+      .map { case null => 0L; case v => v.asInstanceOf[Long] }.toArray
+    val z = morton2(
+      scale16(colA, minA, maxA),
+      scale16(colB, minB, maxB))
+    df.withColumn("__zorder", z)
+      .repartitionByRange(numFiles, col("__zorder"))
+      .sortWithinPartitions("__zorder")
+      .drop("__zorder")
+      .write.mode("overwrite").parquet(path)
+    ((minA, maxA), (minB, maxB))
+  }
+}

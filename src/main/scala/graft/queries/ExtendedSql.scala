@@ -624,6 +624,40 @@ object ExtendedSql {
           COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
           COUNT(CASE WHEN lang = 'es' THEN 1 END) AS es,
           COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS zh
-        FROM documents GROUP BY source ORDER BY source"""))
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // ── Z-order clustering key (multi-dimensional layout) ─────────────
+    // The file-skipping layout primitive behind graft.core.Layout
+    // .zorderWrite: interleave the bits of two 16-bit keys (Morton curve)
+    // so contiguous key ranges cover small RECTANGLES of the 2-D space —
+    // range filters on EITHER column then prune most files by min/max
+    // stats alone. The curve math is integer-only mask-and-multiply
+    // (overflow-safe under checked BIGINT arithmetic, no shift operators
+    // needed) and the SAME SQL text runs on both engines — the oracle
+    // embeds Layout.morton2Sql verbatim. Output: per curve-segment
+    // (z div 2^16) doc counts plus min/max of BOTH dims — the "rectangle
+    // per segment" property the LayoutSpec asserts at the file level.
+    GraftQuery(
+      "e19_zorder_cluster",
+      (s, dir) => {
+        import s.implicits._
+        Tables.part(s, dir)
+          .withColumn("zkey",
+            expr(graft.core.Layout.morton2Sql("p_partkey", "p_size")))
+          .groupBy(expr("zkey div 65536").as("z_seg"))
+          .agg(count(lit(1)).as("n"),
+            min($"p_partkey").as("min_pk"), max($"p_partkey").as("max_pk"),
+            min($"p_size").as("min_size"), max($"p_size").as("max_size"))
+          .orderBy($"z_seg")
+      },
+      Some(s"""
+        WITH z AS (
+          SELECT p_partkey, p_size,
+            ${graft.core.Layout.morton2Sql("p_partkey", "p_size")} AS zkey
+          FROM part)
+        SELECT zkey // 65536 AS z_seg, COUNT(*) AS n,
+          MIN(p_partkey) AS min_pk, MAX(p_partkey) AS max_pk,
+          MIN(p_size) AS min_size, MAX(p_size) AS max_size
+        FROM z GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order layout: curve-math identities (Column algebra == portable SQL
+  * == a plain-Scala bit-interleave reference) and the file-level payoff —
+  * a Z-ordered write keeps per-file min/max rectangles tight on BOTH
+  * dimensions, where a single-column sort leaves the second dimension
+  * unclustered (full-range in every file). */
+class LayoutSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Bit-by-bit reference interleave (the definition, not the trick). */
+  private def mortonRef(a: Int, b: Int): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc |
+        (((a >> i) & 1).toLong << (2 * i)) |
+        (((b >> i) & 1).toLong << (2 * i + 1))
+    }
+
+  test("morton2: Column algebra == portable SQL == bit-by-bit reference") {
+    val samples = Seq(
+      (0, 0), (1, 0), (0, 1), (65535, 65535), (65535, 0), (0, 65535),
+      (12345, 54321), (40000, 1), (255, 256), (32768, 32767))
+    val df = samples.toDF("a", "b")
+      .withColumn("viaColumn", graft.core.Layout.morton2($"a", $"b"))
+      .withColumn("viaSql", expr(graft.core.Layout.morton2Sql("a", "b")))
+    val got = df.collect()
+    got.foreach { r =>
+      val expect = mortonRef(r.getInt(0), r.getInt(1))
+      assert(r.getLong(2) == expect, s"Column form diverged at ${(r.getInt(0), r.getInt(1))}")
+      assert(r.getLong(3) == expect, s"SQL form diverged at ${(r.getInt(0), r.getInt(1))}")
+    }
+  }
+
+  test("morton2 is monotone in each argument along the curve axes") {
+    // spread() is strictly monotone on [0, 65535], so fixing one argument
+    // must preserve order in the other — the property range pruning uses.
+    val vals = Seq(0, 1, 7, 255, 4096, 65534, 65535)
+    val zs = vals.map(v => mortonRef(v, 42))
+    assert(zs == zs.sorted)
+    val spark_zs = vals.toDF("a")
+      .withColumn("z", graft.core.Layout.morton2($"a", lit(42)))
+      .orderBy($"a").collect().map(_.getLong(1)).toSeq
+    assert(spark_zs == spark_zs.sorted)
+  }
+
+  test("zorderWrite keeps per-file rectangles tight on BOTH dims; a linear sort does not") {
+    val part = graft.core.Tables.part(spark, "/root/testdata/sf0.01")
+      .select($"p_partkey", $"p_size")
+    val zdir = SparkTestSession.tempDir("zorder")
+    val ldir = SparkTestSession.tempDir("linear")
+    graft.core.Layout.zorderWrite(part, "p_partkey", "p_size", zdir, 8)
+    part.repartitionByRange(8, $"p_partkey").sortWithinPartitions("p_partkey")
+      .write.mode("overwrite").parquet(ldir)
+
+    def perFileAvgRange(path: String, c: String): Double = {
+      val ranges = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col(c)) - min(col(c))).cast("double").as("r"))
+        .collect().map(_.getDouble(1))
+      ranges.sum / ranges.length
+    }
+    val pkFull = 1999.0
+    val sizeFull = 49.0
+
+    // Z-order: both dimensions bounded well below full range per file.
+    assert(perFileAvgRange(zdir, "p_partkey") / pkFull < 0.75,
+      "zorder should bound p_partkey per file")
+    assert(perFileAvgRange(zdir, "p_size") / sizeFull < 0.60,
+      "zorder should bound p_size per file")
+    // Linear sort: perfect on the sort column, unclustered on the other.
+    assert(perFileAvgRange(ldir, "p_partkey") / pkFull < 0.25)
+    assert(perFileAvgRange(ldir, "p_size") / sizeFull > 0.80,
+      "a single-column sort must leave p_size unclustered (the contrast)")
+  }
+}
