@@ -491,6 +491,61 @@ object Analytics {
           FROM s)
         SELECT user_id, n, beta,
           (CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS alpha
-        FROM b ORDER BY user_id"""))
+        FROM b ORDER BY user_id""")),
+
+    // ── Q-family: exponential-kernel smoothing (EWMA-shaped) ──────────
+    // A rolling window whose weight VARIES with distance from the current
+    // row (weight 2^(16−k) for the observation k steps back, truncated at
+    // 16) cannot be a plain window SUM, and writing it as a range
+    // self-join gives Spark a BroadcastNestedLoopJoin — the scale-killer.
+    // The scale-right shape: each observation EXPLODES its 17 forward
+    // contributions (tgt = rn + k, weight 2^(16−k)) and one
+    // groupBy(user_id, tgt) re-assembles the kernel — an equi-shuffle on
+    // the same key the series is already partitioned by. All weights are
+    // powers of two and values are cents, so numerator/denominator stay
+    // EXACT BIGINTs; the smoothed value is one double divide at the end.
+    GraftQuery(
+      "q14_exp_smooth",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+        val base = Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .select($"user_id", $"rn", $"ms", $"c")
+        val contrib = base
+          .withColumn("k", explode(expr("sequence(0, 16)")))
+          .select($"user_id", ($"rn" + $"k").as("rn"),
+            ($"c" * expr("shiftleft(cast(1 as bigint), 16 - k)")).as("cw"),
+            expr("shiftleft(cast(1 as bigint), 16 - k)").as("w"))
+        val sm = contrib.groupBy($"user_id", $"rn")
+          .agg(sum($"cw").as("num"), sum($"w").as("den"))
+        base.join(sm, Seq("user_id", "rn"))
+          .select($"user_id", $"rn", $"ms", $"c", $"num", $"den",
+            ($"num".cast("double") / $"den".cast("double") / 100.0).as("smooth"))
+          .orderBy($"user_id", $"rn")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id < 5),
+        b AS (
+          SELECT user_id, ms, c,
+            row_number() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS rn
+          FROM e),
+        contrib AS (
+          SELECT user_id, rn + k AS rn,
+            c * (1::BIGINT << (16 - k)) AS cw, 1::BIGINT << (16 - k) AS w
+          FROM (SELECT user_id, rn, c, unnest(generate_series(0, 16)) AS k FROM b)),
+        sm AS (
+          SELECT user_id, rn, CAST(SUM(cw) AS BIGINT) AS num,
+            CAST(SUM(w) AS BIGINT) AS den
+          FROM contrib GROUP BY user_id, rn)
+        SELECT b.user_id, b.rn, b.ms, b.c, sm.num, sm.den,
+          CAST(sm.num AS DOUBLE) / CAST(sm.den AS DOUBLE) / 100.0 AS smooth
+        FROM b JOIN sm ON b.user_id = sm.user_id AND b.rn = sm.rn
+        ORDER BY b.user_id, b.rn"""))
   )
 }

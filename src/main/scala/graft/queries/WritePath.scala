@@ -177,6 +177,47 @@ object WritePath {
           UNION ALL BY NAME
           SELECT event_id, user_id, value, 'src:' || event_type AS source_tag
           FROM events WHERE event_id % 2 = 1)
-        GROUP BY user_id ORDER BY user_id"""))
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // ── incremental materialized-view maintenance (A-family) ──────────
+    // The 100 TB stats pattern: a keyed aggregate view is NEVER rebuilt
+    // by rescanning the corpus — each ingest batch folds its own partial
+    // aggregate into the stored view. count/sum/min/max are
+    // self-maintainable under insert-only changelogs (exactly what the
+    // TableLog commit protocol produces), so merge = union the stored
+    // view with the delta's partials and re-reduce: sum+sum, min+min,
+    // max+max. Here base (90% of events) stands for the stored view and
+    // the event_id%10==9 slice for a new batch; the ORACLE computes the
+    // full recompute directly — hash equality IS the maintenance-equals-
+    // recompute proof. Deletes need a 2-level sketch for min/max (not
+    // self-maintainable); sums/counts take signed deltas — documented,
+    // out of scope for the insert-only log.
+    GraftQuery(
+      "a14_incremental_mv",
+      (s, dir) => {
+        import s.implicits._
+        def mv(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy($"user_id", $"event_type")
+          .agg(count(lit(1)).as("n"), sum($"c").as("sum_c"),
+            min($"c").as("min_c"), max($"c").as("max_c"))
+        val ev = Tables.events(s, dir)
+          .select($"user_id", $"event_type", $"event_id", cents($"value").as("c"))
+        val stored = mv(ev.filter($"event_id" % 10 =!= 9))
+        val delta = mv(ev.filter($"event_id" % 10 === 9))
+        stored.unionAll(delta)
+          .groupBy($"user_id", $"event_type")
+          .agg(sum($"n").cast("long").as("n"),
+            sum($"sum_c").cast("long").as("sum_c"),
+            min($"min_c").as("min_c"), max($"max_c").as("max_c"))
+          .orderBy($"user_id", $"event_type")
+      },
+      Some("""
+        SELECT user_id, event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+          MIN(CAST(round(value * 100) AS BIGINT)) AS min_c,
+          MAX(CAST(round(value * 100) AS BIGINT)) AS max_c
+        FROM events
+        GROUP BY user_id, event_type
+        ORDER BY user_id, event_type"""))
   )
 }
