@@ -1,0 +1,50 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact triangle counting with degree-ordered orientation — the third
+  * graph primitive next to connected components ([[graft.dedup.MinHashLsh]]
+  * label propagation) and [[PageRank]].
+  *
+  * Scale shape: the naive wedge join explodes on hub nodes (a degree-d hub
+  * contributes d² wedges). Orienting every edge from its lower-(degree, id)
+  * endpoint to the higher one bounds out-degree by O(√m) — the standard
+  * node-iterator++ result — so the wedge join stays tractable no matter how
+  * skewed the degree distribution. Every step is an equi-join or a key
+  * groupBy; counts are exact integers, each triangle closes through exactly
+  * one oriented edge (no /3 correction). */
+object Triangles {
+
+  /** One-row stats frame (n_nodes, n_edges, n_wedges, n_triangles) for an
+    * undirected edge list. `edges` must have two string/integral columns;
+    * duplicates and self-loops are removed here. */
+  def stats(edgesRaw: DataFrame): DataFrame = {
+    val spark = edgesRaw.sparkSession
+    import spark.implicits._
+    val cols = edgesRaw.columns
+    val norm = edgesRaw
+      .select(col(cols(0)).as("u"), col(cols(1)).as("v"))
+      .where($"u" =!= $"v")
+      .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
+      .distinct()
+    val deg = norm.select($"a".as("node")).unionAll(norm.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val lowFirst = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
+    val oriented = norm
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), Seq("b"))
+      .select(
+        when(lowFirst, $"a").otherwise($"b").as("src"),
+        when(lowFirst, $"b").otherwise($"a").as("dst"))
+    val wedges = oriented.as("o1").join(oriented.as("o2"), Seq("src"))
+      .where($"o1.dst" < $"o2.dst")
+      .select($"o1.dst".as("x"), $"o2.dst".as("y"))
+    val closing = oriented.select($"src".as("x"), $"dst".as("y"))
+      .unionAll(oriented.select($"dst".as("x"), $"src".as("y")))
+    val tri = wedges.join(closing, Seq("x", "y")).agg(count(lit(1)).as("n_triangles"))
+    deg.agg(count(lit(1)).as("n_nodes")).crossJoin(
+      norm.agg(count(lit(1)).as("n_edges"))).crossJoin(
+      wedges.agg(count(lit(1)).as("n_wedges"))).crossJoin(tri)
+  }
+}

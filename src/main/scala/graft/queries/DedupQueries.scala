@@ -711,6 +711,67 @@ object DedupQueries {
             row_number() OVER (PARTITION BY doc_id ORDER BY dist, canon) AS rn
           FROM cand)
         SELECT doc_id, dirty, canon, dist FROM r WHERE rn = 1
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ── triangle counting with degree-ordered orientation ─────────────
+    // The third graph op next to connected components (d6) and PageRank
+    // (d10), on the token co-occurrence graph (tokens sharing a doc).
+    // The naive triangle join explodes on hub nodes; the canonical
+    // distributed fix (node-iterator++) orients every edge from its
+    // lower-(degree, id) endpoint to the higher one, which provably
+    // bounds out-degree by O(sqrt(m)) — wedge fan-out becomes tractable
+    // at any scale. Wedges = oriented ⋈ oriented on the shared source;
+    // each triangle then closes through exactly ONE oriented edge
+    // (dst1 → dst2 or dst2 → dst1, never both), so the count is exact
+    // with no /3 or /2 correction. All equi-joins, all integers.
+    GraftQuery(
+      "d14_triangle_count",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", explode(lowerTokens($"text")).as("tok"))
+          .distinct()
+        val edges = toks.as("t1").join(toks.as("t2"), Seq("doc_id"))
+          .where($"t1.tok" < $"t2.tok")
+          .select($"t1.tok".as("a"), $"t2.tok".as("b"))
+          .distinct()
+        graft.graph.Triangles.stats(edges)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT DISTINCT doc_id,
+            unnest(regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+')) AS tok
+          FROM documents),
+        edges AS (
+          SELECT DISTINCT t1.tok AS a, t2.tok AS b
+          FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t1.tok < t2.tok),
+        deg AS (
+          SELECT node, COUNT(*) AS deg FROM (
+            SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges)
+          GROUP BY node),
+        oriented AS (
+          SELECT
+            CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                 THEN e.a ELSE e.b END AS src,
+            CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                 THEN e.b ELSE e.a END AS dst
+          FROM edges e
+          JOIN deg da ON da.node = e.a
+          JOIN deg db ON db.node = e.b),
+        wedges AS (
+          SELECT o1.dst AS x, o2.dst AS y
+          FROM oriented o1 JOIN oriented o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+        closing AS (
+          SELECT src AS x, dst AS y FROM oriented
+          UNION ALL SELECT dst AS x, src AS y FROM oriented),
+        tri AS (
+          SELECT COUNT(*) AS n_triangles
+          FROM wedges w JOIN closing c ON w.x = c.x AND w.y = c.y)
+        SELECT
+          (SELECT COUNT(*) FROM deg) AS n_nodes,
+          (SELECT COUNT(*) FROM edges) AS n_edges,
+          (SELECT COUNT(*) FROM wedges) AS n_wedges,
+          tri.n_triangles
+        FROM tri"""))
   )
 }

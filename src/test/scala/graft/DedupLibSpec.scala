@@ -203,4 +203,18 @@ class DedupLibSpec extends AnyFunSuite {
       .select(bpeTokens($"t")).as[Seq[String]].head()
     assert(toks == Seq("ab", "1", "2", ",", "c", "!"))
   }
+
+  test("Triangles.stats: hand graphs (path=0, K4=4, K4-minus-edge=2)") {
+    import spark.implicits._
+    def tri(edges: Seq[(String, String)]): (Long, Long, Long) = {
+      val r = graft.graph.Triangles.stats(edges.toDF("u", "v")).head()
+      (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"), r.getAs[Long]("n_triangles"))
+    }
+    assert(tri(Seq(("a", "b"), ("b", "c"), ("c", "d"))) == (4L, 3L, 0L))
+    val k4 = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"))
+    assert(tri(k4) == (4L, 6L, 4L))
+    assert(tri(k4.filterNot(_ == ("c", "d"))) == (4L, 5L, 2L))
+    // dup edges, reversed edges, and self-loops are normalized away
+    assert(tri(k4 ++ Seq(("b", "a"), ("d", "d"))) == (4L, 6L, 4L))
+  }
 }
