@@ -226,6 +226,59 @@ object StreamingQueries {
             row_number() OVER (PARTITION BY event_type
               ORDER BY COUNT(*) DESC, user_id) AS rank
           FROM events GROUP BY event_type, user_id)
-        WHERE rank <= 3 ORDER BY event_type, rank"""))
+        WHERE rank <= 3 ORDER BY event_type, rank""")),
+
+    // ── stream-stream LEFT OUTER interval join (unmatched emission) ────
+    // s4's missing half: attribution must also REPORT the clicks that
+    // never converted. In the streaming form
+    // (StreamIngest.intervalJoinStreams with joinType="leftOuter") the
+    // unmatched click is held in the state store until the watermark
+    // passes its join horizon, then emitted once with nulls —
+    // StreamingSpec drives that end to end. This batch projection is the
+    // same plan minus time: LEFT join on user_id with the range residual,
+    // first-match tie-break, matched flag for the funnel report. A click
+    // either matches (no null rows survive the left join) or doesn't
+    // (exactly one all-null row), so the rn tie-break never compares a
+    // null against a value — engine null-ordering defaults stay moot.
+    GraftQuery(
+      "s8_stream_outer_attribution",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+        val clicks = e.filter($"event_type" === "click")
+          .select($"event_id".as("click_id"), $"user_id", $"ts".as("cts"))
+        val purchases = e.filter($"event_type" === "purchase")
+          .select($"event_id".as("purchase_id"), $"user_id".as("p_user_id"),
+            $"ts".as("pts"), $"value")
+        clicks.join(purchases,
+            $"user_id" === $"p_user_id" &&
+              $"pts" >= $"cts" && $"pts" <= $"cts" + expr("interval 30 minutes"),
+            "left")
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"click_id").orderBy($"pts", $"purchase_id")))
+          .filter($"rn" === 1)
+          .select($"click_id", $"user_id", $"purchase_id",
+            (unix_millis($"pts") - unix_millis($"cts")).as("ms_to_purchase"),
+            when($"purchase_id".isNull, 0L).otherwise(1L).as("matched"))
+          .orderBy($"click_id")
+      },
+      Some("""
+        WITH c AS (
+          SELECT event_id AS click_id, user_id, ts AS cts
+          FROM events WHERE event_type = 'click'),
+        p AS (
+          SELECT event_id AS purchase_id, user_id AS p_user_id, ts AS pts
+          FROM events WHERE event_type = 'purchase'),
+        j AS (
+          SELECT c.click_id, c.user_id, p.purchase_id,
+            epoch_ms(p.pts) - epoch_ms(c.cts) AS ms_to_purchase,
+            row_number() OVER (PARTITION BY c.click_id
+                               ORDER BY p.pts, p.purchase_id) AS rn
+          FROM c LEFT JOIN p ON c.user_id = p.p_user_id
+            AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL '30 minutes')
+        SELECT click_id, user_id, purchase_id, ms_to_purchase,
+          CAST(CASE WHEN purchase_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS matched
+        FROM j WHERE rn = 1 ORDER BY click_id"""))
   )
 }

@@ -140,7 +140,10 @@ object GraftFunctions {
       info("graft_ngrams", "graft_ngrams(tokens, n) - sliding space-joined n-grams (empty below n tokens)"),
       sqlFnText("CASE WHEN size(__arg0) >= __arg1 THEN " +
         "transform(sequence(1, size(__arg0) - (__arg1 - 1)), i -> array_join(slice(__arg0, i, __arg1), ' ')) " +
-        "ELSE CAST(array() AS ARRAY<STRING>) END")))
+        "ELSE CAST(array() AS ARRAY<STRING>) END")),
+    (FunctionIdentifier("graft_zorder_key"),
+      info("graft_zorder_key", "graft_zorder_key(a, b) - 32-bit Morton/Z-order interleave of two 16-bit keys (multi-dim layout clustering; see core.Layout)"),
+      sqlFn(graft.core.Layout.morton2Sql("__arg0", "__arg1"))))
 
   private def litInt(e: Expression): Int = {
     require(e.foldable, s"argument must be a literal: $e")

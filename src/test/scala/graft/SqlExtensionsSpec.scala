@@ -120,6 +120,17 @@ class SqlExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](3).isEmpty)
   }
 
+  test("graft_zorder_key matches the Layout Column algebra") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    // 3 = 0b11 spreads to 0b0101; 5 = 0b101 spreads to 0b010001 << 1 = 34
+    assert(spark.sql("SELECT graft_zorder_key(3, 5) AS z").head().getLong(0) == (5L | 34L))
+    val viaSql = spark.sql("SELECT graft_zorder_key(12345, 54321) AS z").head().getLong(0)
+    val viaCol = Seq((12345, 54321)).toDF("a", "b")
+      .select(graft.core.Layout.morton2($"a", $"b")).head().getLong(0)
+    assert(viaSql == viaCol)
+  }
+
   test("extensions class wires the same function list") {
     // The injectFunction path needs a fresh session; here we assert the
     // registration list itself is well-formed (names unique, builders run).

@@ -107,6 +107,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: unmatched click emitted with nulls after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val left = clicks.toDF().toDF("click_id", "user_id", "cts")
+    val right = purchases.toDF().toDF("purchase_id", "p_user_id", "pts")
+    val joined = StreamIngest.intervalJoinStreams(
+      left, "cts", right, "pts", "10 minutes",
+      col("user_id") === col("p_user_id") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("interval 30 minutes"),
+      joinType = "leftOuter")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("soj_out").start()
+    try {
+      def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+      clicks.addData((1L, 7L, ts(0)), (2L, 8L, ts(0)))
+      purchases.addData((100L, 7L, ts(5))) // click 1 converts; click 2 never does
+      q.processAllAvailable()
+      // push BOTH watermarks past click 2's 30-min horizon so its state
+      // row is finalized and the unmatched emission fires
+      clicks.addData((99L, 1L, ts(120)))
+      purchases.addData((999L, 1L, ts(120)))
+      q.processAllAvailable()
+      clicks.addData((98L, 1L, ts(240)))
+      purchases.addData((998L, 1L, ts(240)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT click_id, purchase_id FROM soj_out WHERE click_id = 2").collect()
+      assert(got.length == 1 && got(0).isNullAt(1),
+        s"click 2 must emit exactly once with NULL purchase after the watermark, got ${got.mkString}")
+      val matched = spark.sql("SELECT purchase_id FROM soj_out WHERE click_id = 1").collect()
+      assert(matched.map(_.getLong(0)).toSet == Set(100L))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment: dim broadcast joins each micro-batch, no drops") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
