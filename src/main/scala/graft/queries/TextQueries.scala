@@ -1405,6 +1405,126 @@ object TextQueries {
           CAST(SUM(w) AS BIGINT) AS margin,
           CAST(CASE WHEN CAST(SUM(w) AS BIGINT) > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
         FROM weighted GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ── distributed BPE training rounds (Sennrich et al. 2016) ────────
+    // The tokenizer-TRAINING inner loop as relational ops: count adjacent
+    // symbol pairs over the word-frequency vocab, pick the argmax merge,
+    // APPLY it, recount. Two key scale facts: (1) training runs on the
+    // aggregated (word, freq) vocab, never the raw corpus — the corpus is
+    // touched once for word counts (tiny vs 100 TB); (2) merge
+    // application must be GREEDY-faithful — a string replace() diverges
+    // from BPE on runs of repeated pairs (it skips the shared-boundary
+    // occurrence), so the merge is positional: flag matching pair
+    // positions, gaps-and-islands over consecutive flags (the d9
+    // machinery), merge at even offsets within each island — exactly
+    // greedy left-to-right. All windows partition by word; counts are
+    // exact integers. Output: top-5 pairs before (round 0) and after
+    // (round 1) the first learned merge.
+    GraftQuery(
+      "x29_bpe_train_rounds",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val wOrd = Window.partitionBy($"w").orderBy($"i")
+        def pairCounts(syms: org.apache.spark.sql.DataFrame) = syms
+          .withColumn("nxt", lead($"sym", 1).over(wOrd))
+          .where($"nxt".isNotNull)
+          .select(concat($"sym", lit(" "), $"nxt").as("pair"), $"f")
+          .groupBy($"pair").agg(sum($"f").cast("long").as("cnt"))
+        def top5(cnt: org.apache.spark.sql.DataFrame, round: Int) = cnt
+          .withColumn("rank", row_number().over(
+            Window.orderBy($"cnt".desc, $"pair")).cast("long"))
+          .where($"rank" <= 5)
+          .select(lit(round.toLong).as("round"), $"rank", $"pair", $"cnt")
+        val words = Tables.documents(s, dir)
+          .select(explode(lowerTokens($"text")).as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("f"))
+        val syms0 = words
+          .withColumn("i", explode(sequence(lit(1), length($"w"))))
+          .select($"w", $"f", $"i", expr("substr(w, i, 1)").as("sym"))
+        val cnt0 = pairCounts(syms0)
+        val best = cnt0.orderBy($"cnt".desc, $"pair").limit(1)
+          .select($"pair".as("best"))
+        val flagged = syms0
+          .withColumn("nxt", lead($"sym", 1).over(wOrd))
+          .crossJoin(broadcast(best))
+          .withColumn("m",
+            ($"nxt".isNotNull && concat($"sym", lit(" "), $"nxt") === $"best")
+              .cast("int"))
+        val merged = flagged
+          .withColumn("grp", $"i" - row_number().over(
+            Window.partitionBy($"w", $"m").orderBy($"i")))
+          .withColumn("mrg", ($"m" === 1 &&
+            ($"i" - min($"i").over(
+              Window.partitionBy($"w", $"m", $"grp"))) % 2 === 0).cast("int"))
+          .withColumn("consumed",
+            coalesce(lag($"mrg", 1).over(wOrd), lit(0)))
+        val syms1 = merged.where($"consumed" === 0)
+          .select($"w", $"f",
+            row_number().over(wOrd).as("i"),
+            when($"mrg" === 1, concat($"sym", $"nxt")).otherwise($"sym").as("sym"))
+        top5(cnt0, 0).unionAll(top5(pairCounts(syms1), 1))
+          .orderBy($"round", $"rank")
+      },
+      Some("""
+        WITH words AS (
+          SELECT w, COUNT(*) AS f FROM (
+            SELECT unnest(regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+')) AS w
+            FROM documents)
+          GROUP BY w),
+        syms0 AS (
+          SELECT w, f, i, substr(w, i, 1) AS sym FROM (
+            SELECT w, f, unnest(generate_series(1, length(w))) AS i FROM words)),
+        p0 AS (
+          SELECT w, f, i, sym,
+            lead(sym) OVER (PARTITION BY w ORDER BY i) AS nxt
+          FROM syms0),
+        cnt0 AS (
+          SELECT sym || ' ' || nxt AS pair, CAST(SUM(f) AS BIGINT) AS cnt
+          FROM p0 WHERE nxt IS NOT NULL GROUP BY 1),
+        best AS (
+          SELECT pair AS best FROM cnt0 ORDER BY cnt DESC, pair LIMIT 1),
+        fl AS (
+          SELECT w, f, i, sym, nxt,
+            CASE WHEN nxt IS NOT NULL
+                  AND sym || ' ' || nxt = (SELECT best FROM best)
+                 THEN 1 ELSE 0 END AS m
+          FROM p0),
+        isl AS (
+          SELECT *, i - row_number() OVER (PARTITION BY w, m ORDER BY i) AS grp
+          FROM fl),
+        mh AS (
+          SELECT *, CASE WHEN m = 1 AND
+              (i - MIN(i) OVER (PARTITION BY w, m, grp)) % 2 = 0
+            THEN 1 ELSE 0 END AS mrg
+          FROM isl),
+        cons AS (
+          SELECT *, COALESCE(lag(mrg) OVER (PARTITION BY w ORDER BY i), 0) AS consumed
+          FROM mh),
+        syms1 AS (
+          SELECT w, f, row_number() OVER (PARTITION BY w ORDER BY i) AS i,
+            CASE WHEN mrg = 1 THEN sym || nxt ELSE sym END AS sym
+          FROM cons WHERE consumed = 0),
+        p1 AS (
+          SELECT w, f, i, sym,
+            lead(sym) OVER (PARTITION BY w ORDER BY i) AS nxt
+          FROM syms1),
+        cnt1 AS (
+          SELECT sym || ' ' || nxt AS pair, CAST(SUM(f) AS BIGINT) AS cnt
+          FROM p1 WHERE nxt IS NOT NULL GROUP BY 1),
+        top0 AS (
+          SELECT CAST(0 AS BIGINT) AS round, rank, pair, cnt FROM (
+            SELECT pair, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank
+            FROM cnt0)
+          WHERE rank <= 5),
+        top1 AS (
+          SELECT CAST(1 AS BIGINT) AS round, rank, pair, cnt FROM (
+            SELECT pair, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank
+            FROM cnt1)
+          WHERE rank <= 5)
+        SELECT round, rank, pair, cnt FROM (
+          SELECT * FROM top0 UNION ALL SELECT * FROM top1)
+        ORDER BY round, rank"""))
   )
 }

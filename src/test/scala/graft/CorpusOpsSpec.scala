@@ -177,6 +177,44 @@ class CorpusOpsSpec extends AnyFunSuite {
       "sharded-and-maxed registers must equal whole-corpus registers")
   }
 
+  test("x29 BPE rounds match a plain-Scala greedy reference (island parity == greedy)") {
+    import spark.implicits._
+    // independent reference: count pairs over the word vocab, take the
+    // (cnt desc, pair asc) argmax, apply it GREEDY left-to-right (skip 2
+    // on merge — the semantics replace() gets wrong on runs), recount
+    val vocab = graft.core.Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFunctions.lowerTokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)].collect().toSeq
+    def pairCounts(words: Seq[(Seq[String], Long)]): Map[(String, String), Long] =
+      words.flatMap { case (syms, f) =>
+        syms.zip(syms.drop(1)).map(p => p -> f)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    def applyMerge(syms: Seq[String], best: (String, String)): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && (syms(i), syms(i + 1)) == best) {
+          out += syms(i) + syms(i + 1); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val w0 = vocab.map { case (w, f) => (w.map(_.toString), f) }
+    val c0 = pairCounts(w0)
+    val best = c0.toSeq.minBy { case ((a, b), c) => (-c, a + " " + b) }._1
+    val c1 = pairCounts(w0.map { case (s, f) => (applyMerge(s, best), f) })
+    def top5(m: Map[(String, String), Long]): Seq[(String, Long)] =
+      m.toSeq.map { case ((a, b), c) => (a + " " + b, c) }
+        .sortBy { case (p, c) => (-c, p) }.take(5)
+    val got = graft.core.Registry.allQueries.find(_.name == "x29_bpe_train_rounds").get
+      .build(spark, dir)
+      .select($"round", $"pair", $"cnt").as[(Long, String, Long)]
+      .collect().toSeq
+    assert(got.filter(_._1 == 0L).map(r => (r._2, r._3)) == top5(c0))
+    assert(got.filter(_._1 == 1L).map(r => (r._2, r._3)) == top5(c1))
+  }
+
   test("PageRank: path graph 1-2-3 matches the hand-computed exact trajectory") {
     import spark.implicits._
     // N=3, r0 = 1e12/3 = 333333333333, base = 15*r0/100 = 49999999999;
