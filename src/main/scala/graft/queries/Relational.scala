@@ -389,6 +389,48 @@ object Relational {
                ELSE CAST(raw_epoch AS BIGINT) END AS epoch_s
         FROM raw ORDER BY event_id""")),
 
+    // ── T9: malformed-JSON tolerance (drop, don't fail) ────────────────
+    // (reference: transform.py's tolerant parse path — a bad payload row
+    // must never kill the batch.) Every 97th props payload is corrupted
+    // from char 0 ('{' prepended); extraction yields NULL for those rows
+    // on BOTH engines (Spark's get_json_object nulls on invalid input;
+    // the oracle gates on json_valid — the same drop-malformed contract),
+    // and the report counts parsed vs dropped per event type with exact
+    // stats over the surviving k values. One scan, one groupBy.
+    GraftQuery(
+      "t9_json_tolerance",
+      (s, dir) => {
+        import s.implicits._
+        val corrupted = when($"event_id" % 97 === 0, concat(lit("{"), $"props"))
+          .otherwise($"props")
+        Tables.events(s, dir)
+          .select($"event_type",
+            get_json_object(corrupted, "$.k").cast("long").as("k"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            count($"k").as("n_parsed"),
+            (count(lit(1)) - count($"k")).as("n_dropped"),
+            sum($"k").cast("long").as("sum_k"),
+            min($"k").as("min_k"), max($"k").as("max_k"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH c AS (
+          SELECT event_type,
+            CASE WHEN event_id % 97 = 0 THEN '{' || props ELSE props END AS p
+          FROM events),
+        parsed AS (
+          SELECT event_type,
+            CASE WHEN json_valid(p)
+                 THEN CAST(json_extract_string(p, '$.k') AS BIGINT) END AS k
+          FROM c)
+        SELECT event_type, COUNT(*) AS n,
+          COUNT(k) AS n_parsed,
+          COUNT(*) - COUNT(k) AS n_dropped,
+          CAST(SUM(k) AS BIGINT) AS sum_k,
+          MIN(k) AS min_k, MAX(k) AS max_k
+        FROM parsed GROUP BY event_type ORDER BY event_type""")),
+
     // ── NOT IN subquery (null-aware anti join semantics) ───────────────
     // The subtlest SQL join: NOT IN must return ZERO rows if the
     // subquery ever yields NULL — Spark compiles it to a null-aware

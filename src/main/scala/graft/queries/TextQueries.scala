@@ -1525,6 +1525,59 @@ object TextQueries {
           WHERE rank <= 5)
         SELECT round, rank, pair, cnt FROM (
           SELECT * FROM top0 UNION ALL SELECT * FROM top1)
-        ORDER BY round, rank"""))
+        ORDER BY round, rank""")),
+
+    // ── corpus-mixing budget allocation (largest-remainder method) ────
+    // Turning mixing WEIGHTS into integer per-source doc QUOTAS is its
+    // own operator: naive rounding of B·n_s/N over- or under-shoots the
+    // budget, and at 100 TB "re-sample until it fits" is not a plan.
+    // Hamilton's method is exact and one pass: base = floor share, then
+    // the L = B − Σbase leftover units go to the L largest scaled
+    // remainders (B·n_s − base·N — kept as INTEGERS, no float shares,
+    // ties broken by source). Invariant Σalloc = B by construction
+    // (CorpusOpsSpec asserts it). Shape: one groupBy(source), a
+    // broadcast 1-row total, one tiny window over n_sources rows.
+    GraftQuery(
+      "x30_mix_allocation",
+      (s, dir) => {
+        import s.implicits._
+        val budget = 10000L
+        val counts = Tables.documents(s, dir)
+          .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        val tot = counts.agg(sum($"n_docs").cast("long").as("n_total"))
+        val shares = counts.crossJoin(broadcast(tot))
+          .select($"source", $"n_docs",
+            expr(s"($budget * n_docs) div n_total").as("base"),
+            expr(s"$budget * n_docs - (($budget * n_docs) div n_total) * n_total").as("rem"),
+            $"n_total")
+        val leftover = shares.agg((lit(budget) - sum($"base")).cast("long").as("l"))
+        shares.crossJoin(broadcast(leftover))
+          .withColumn("pri", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy($"rem".desc, $"source")).cast("long"))
+          .select($"source", $"n_docs", $"base", $"rem",
+            when($"pri" <= $"l", 1L).otherwise(0L).as("extra"),
+            ($"base" + when($"pri" <= $"l", 1L).otherwise(0L)).as("alloc"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH counts AS (
+          SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM counts),
+        shares AS (
+          SELECT source, n_docs,
+            (10000 * n_docs) // n_total AS base,
+            10000 * n_docs - ((10000 * n_docs) // n_total) * n_total AS rem
+          FROM counts, tot),
+        lo AS (SELECT 10000 - CAST(SUM(base) AS BIGINT) AS l FROM shares),
+        ranked AS (
+          SELECT source, n_docs, base, rem,
+            CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS pri
+          FROM shares)
+        SELECT source, n_docs, CAST(base AS BIGINT) AS base,
+          CAST(rem AS BIGINT) AS rem,
+          CAST(CASE WHEN pri <= (SELECT l FROM lo) THEN 1 ELSE 0 END AS BIGINT) AS extra,
+          CAST(base + CASE WHEN pri <= (SELECT l FROM lo) THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM ranked ORDER BY source"""))
   )
 }

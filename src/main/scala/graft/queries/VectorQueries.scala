@@ -607,6 +607,103 @@ object VectorQueries {
         SELECT p.pid, COALESCE(h.n_hits, 0) AS n_hits,
           COALESCE(h.n_hits, 0) / 3.0 AS recall_at_3
         FROM (SELECT DISTINCT pid FROM exact) p LEFT JOIN hits h USING (pid)
-        ORDER BY pid"""))
+        ORDER BY pid""")),
+
+    // ── two-stage retrieval: PQ candidates → exact re-rank ────────────
+    // The production ANN serving shape: a CHEAP first stage (IVF-PQ ADC
+    // over 4-byte codes, v6's machinery) over-fetches 6 candidates per
+    // probe, then only those 6 pay the exact distance — here integer
+    // squared-L2 on the quantized vectors via one zip_with/aggregate
+    // lambda (64 multiplies per surviving pair instead of per corpus
+    // row). The output keeps BOTH ranks so the reordering the re-rank
+    // exists to produce is visible in the verified result. Scale shape:
+    // stage 1 ships codes not vectors; stage 2 joins full vectors for
+    // probe×6 rows only — the full-vector join never touches the corpus
+    // beyond the candidate set.
+    GraftQuery(
+      "v12_pq_rerank",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val cent = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+        val assigned = graft.similarity.Ivf.assign(emb, cent)
+        val cand = graft.similarity.Pq.ivfAdcTopK(assigned, $"vec_id" < 10, 6)
+          .select($"pid", $"nid", $"rank".as("adc_rank"))
+        val q = emb.select($"vec_id",
+          graft.similarity.Pq.quantize($"embedding").as("q"))
+        cand
+          .join(q.select($"vec_id".as("pid"), $"q".as("pq")), Seq("pid"))
+          .join(q.select($"vec_id".as("nid"), $"q".as("nq")), Seq("nid"))
+          .withColumn("l2",
+            expr("aggregate(zip_with(pq, nq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy($"pid").orderBy($"l2", $"nid")))
+          .where($"rank" <= 3)
+          .select($"pid", $"nid", $"rank", $"adc_rank", $"l2")
+          .orderBy($"pid", $"rank")
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+        scored AS (
+          SELECT e.vec_id, c.cid, list_cosine_similarity(e.embedding, c.cemb) AS cos
+          FROM embeddings e CROSS JOIN cent c),
+        asg AS (
+          SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+            FROM scored)
+          WHERE rn = 1),
+        pqcent AS (
+          SELECT m, k, d,
+            CAST(concat('0x', substr(md5('pq|' || m || '|' || k || '|' || d), 1, 15)) AS BIGINT) % 10001 - 5000 AS c
+          FROM (SELECT unnest(generate_series(0, 3)) AS m),
+               (SELECT unnest(generate_series(0, 7)) AS k),
+               (SELECT unnest(generate_series(0, 15)) AS d)),
+        e AS (
+          SELECT vec_id, unnest(generate_series(1, 64)) - 1 AS gi,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS q
+          FROM embeddings),
+        sub AS (SELECT vec_id, gi // 16 AS m, gi % 16 AS d, q FROM e),
+        dist AS (
+          SELECT s.vec_id, s.m, c.k, SUM((s.q - c.c) * (s.q - c.c)) AS dist
+          FROM sub s JOIN pqcent c ON s.m = c.m AND s.d = c.d
+          GROUP BY 1, 2, 3),
+        code AS (
+          SELECT vec_id, m, k AS code FROM (
+            SELECT vec_id, m, k,
+              row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+            FROM dist)
+          WHERE rn = 1),
+        candpairs AS (
+          SELECT p.vec_id AS pid, n.vec_id AS nid
+          FROM asg p JOIN asg n ON p.cluster = n.cluster AND p.vec_id <> n.vec_id
+          WHERE p.vec_id < 10),
+        adc AS (
+          SELECT c.pid, c.nid, CAST(SUM(d.dist) AS BIGINT) AS adc
+          FROM candpairs c
+          JOIN code co ON co.vec_id = c.nid
+          JOIN dist d ON d.vec_id = c.pid AND d.m = co.m AND d.k = co.code
+          GROUP BY 1, 2),
+        cand AS (
+          SELECT pid, nid, adc_rank FROM (
+            SELECT pid, nid, adc,
+              row_number() OVER (PARTITION BY pid ORDER BY adc, nid) AS adc_rank
+            FROM adc)
+          WHERE adc_rank <= 6),
+        l2 AS (
+          SELECT c.pid, c.nid, c.adc_rank,
+            CAST(SUM((ep.q - en.q) * (ep.q - en.q)) AS BIGINT) AS l2
+          FROM cand c
+          JOIN e ep ON ep.vec_id = c.pid
+          JOIN e en ON en.vec_id = c.nid AND en.gi = ep.gi
+          GROUP BY 1, 2, 3),
+        rr AS (
+          SELECT pid, nid, adc_rank, l2,
+            row_number() OVER (PARTITION BY pid ORDER BY l2, nid) AS rank
+          FROM l2)
+        SELECT pid, nid, rank, adc_rank, l2 FROM rr WHERE rank <= 3
+        ORDER BY pid, rank"""))
   )
 }

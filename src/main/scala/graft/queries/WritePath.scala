@@ -218,6 +218,57 @@ object WritePath {
           MAX(CAST(round(value * 100) AS BIGINT)) AS max_c
         FROM events
         GROUP BY user_id, event_type
-        ORDER BY user_id, event_type"""))
+        ORDER BY user_id, event_type""")),
+
+    // ── SCD type-2 dimension build (validity-interval versioning) ─────
+    // The warehouse-standard history table: each attribute CHANGE opens a
+    // new row with [valid_from, valid_to) and the open row carries
+    // is_current=1. Built from an update stream in three window passes,
+    // all partitioned by the dimension key (ONE shuffle): (1) order
+    // updates, (2) drop no-op updates (value equal to the previous one —
+    // change detection via lag), (3) close each surviving row with the
+    // next change's timestamp via lead. The attribute rides as exact
+    // cents; timestamps as epoch ms with event_id tie-breaks. At scale
+    // this is incremental too: only keys present in the batch reopen
+    // their current row (equi anti/semi-join vs the stored dim — the
+    // same shape a14 proves for aggregates).
+    GraftQuery(
+      "a15_scd2_dim",
+      (s, dir) => {
+        import s.implicits._
+        val wOrd = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+        val upd = Tables.events(s, dir).filter($"user_id" < 10)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("attr"))
+        val changes = upd
+          .withColumn("prev", lag($"attr", 1).over(wOrd))
+          .where($"prev".isNull || $"prev" =!= $"attr")
+        changes
+          .withColumn("valid_to_ms", lead($"ms", 1).over(wOrd))
+          .select($"user_id", $"attr", $"ms".as("valid_from_ms"),
+            coalesce($"valid_to_ms", lit(-1L)).as("valid_to_ms"),
+            when($"valid_to_ms".isNull, 1L).otherwise(0L).as("is_current"))
+          .orderBy($"user_id", $"valid_from_ms", $"attr")
+      },
+      Some("""
+        WITH upd AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS attr
+          FROM events WHERE user_id < 10),
+        ch AS (
+          SELECT * FROM (
+            SELECT user_id, ms, event_id, attr,
+              lag(attr) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+            FROM upd)
+          WHERE prev IS NULL OR prev <> attr),
+        closed AS (
+          SELECT user_id, attr, ms AS valid_from_ms,
+            lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to_ms
+          FROM ch)
+        SELECT user_id, attr, valid_from_ms,
+          COALESCE(valid_to_ms, -1) AS valid_to_ms,
+          CAST(CASE WHEN valid_to_ms IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        FROM closed
+        ORDER BY user_id, valid_from_ms, attr"""))
   )
 }

@@ -215,6 +215,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 1L).map(r => (r._2, r._3)) == top5(c1))
   }
 
+  test("x30 Hamilton allocation: quotas sum exactly to the budget") {
+    val rows = graft.core.Registry.allQueries.find(_.name == "x30_mix_allocation").get
+      .build(spark, dir)
+    assert(rows.agg(sum(col("alloc"))).head().getLong(0) == 10000L,
+      "largest-remainder apportionment must hit the budget exactly")
+    assert(rows.agg(sum(col("extra"))).head().getLong(0) ==
+      rows.selectExpr("10000 - sum(base)").head().getLong(0))
+  }
+
   test("PageRank: path graph 1-2-3 matches the hand-computed exact trajectory") {
     import spark.implicits._
     // N=3, r0 = 1e12/3 = 333333333333, base = 15*r0/100 = 49999999999;
