@@ -243,6 +243,58 @@ object MultimodalQueries {
           CAST(bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) AS BIGINT) AS dist
         FROM sig x JOIN sig y ON x.doc_id < y.doc_id
         WHERE bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) <= 4
-        ORDER BY a, b"""))
+        ORDER BY a, b""")),
+
+    // ── m8: energy-based media segmentation (VAD / shot detection) ────
+    // The segmentation pass every audio/video pipeline runs before
+    // transcription or captioning: score each frame, threshold, and
+    // collapse consecutive "active" frames into segments. Per-frame
+    // energy here is an md5-derived stand-in for decoded RMS (the codec
+    // seam is stubbed container-wide — the PLUMBING is what's real:
+    // frame explode, per-media windows, gaps-and-islands, exact sums).
+    // Scale shape: everything partitions by media_id — the explode, the
+    // one window, and the segment groupBy ride a single key shuffle;
+    // segments per media are bounded by frame count, state by nothing.
+    GraftQuery(
+      "m8_energy_segments",
+      (s, dir) => {
+        import s.implicits._
+        val frames = Multimodal.sampleFrames(
+          Multimodal.asMediaTable(Tables.documents(s, dir))
+            .where($"media_id" % 10 === 0), everyK = 1)
+        val en = frames.select($"media_id", $"frame_idx",
+          (graft.functions.HashFunctions.md5Long($"frame_bytes".cast("string")) % 1000L)
+            .as("energy"))
+        en.where($"energy" >= 500L)
+          .withColumn("grp", $"frame_idx" - row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"media_id").orderBy($"frame_idx")))
+          .groupBy($"media_id", $"grp")
+          .agg(min($"frame_idx").as("seg_start"), max($"frame_idx").as("seg_end"),
+            count(lit(1)).as("n_frames"), sum($"energy").cast("long").as("sum_energy"))
+          .select($"media_id", $"seg_start", $"seg_end", $"n_frames", $"sum_energy")
+          .orderBy($"media_id", $"seg_start")
+      },
+      Some("""
+        WITH media AS (
+          SELECT doc_id AS media_id, text, length(text) AS byte_len
+          FROM documents WHERE doc_id % 10 = 0),
+        frames AS (
+          SELECT media_id,
+            unnest(generate_series(0, greatest(CAST(FLOOR((byte_len - 1) / 64) AS INT), 0), 1)) AS frame_idx,
+            text
+          FROM media),
+        en AS (
+          SELECT media_id, frame_idx,
+            CAST(concat('0x', substr(md5(substring(text, frame_idx * 64 + 1, 64)), 1, 15)) AS BIGINT) % 1000 AS energy
+          FROM frames),
+        act AS (
+          SELECT media_id, frame_idx, energy,
+            frame_idx - row_number() OVER (PARTITION BY media_id ORDER BY frame_idx) AS grp
+          FROM en WHERE energy >= 500)
+        SELECT media_id, MIN(frame_idx) AS seg_start, MAX(frame_idx) AS seg_end,
+          COUNT(*) AS n_frames, CAST(SUM(energy) AS BIGINT) AS sum_energy
+        FROM act GROUP BY media_id, grp
+        ORDER BY media_id, seg_start"""))
   )
 }
