@@ -546,6 +546,60 @@ object Analytics {
         SELECT b.user_id, b.rn, b.ms, b.c, sm.num, sm.den,
           CAST(sm.num AS DOUBLE) / CAST(sm.den AS DOUBLE) / 100.0 AS smooth
         FROM b JOIN sm ON b.user_id = sm.user_id AND b.rn = sm.rn
-        ORDER BY b.user_id, b.rn"""))
+        ORDER BY b.user_id, b.rn""")),
+
+    // ── Q-family: Bollinger bands (rolling mean ± 2σ) ─────────────────
+    // Rolling volatility bands from EXACT integer sufficient statistics:
+    // the 20-row window carries sum(c) and sum(c²) as BIGINTs (c ≤ 49k
+    // cents ⇒ c²·20 ≪ 2⁶³), the variance numerator n·Σc² − (Σc)² stays
+    // integer, and the only floats are the final mean/sd renders — sqrt
+    // is IEEE correctly-rounded (unlike log/exp) so the band expressions
+    // hash-match across engines when written in the same operation
+    // order. Rows with a full 20-deep window only. One key shuffle.
+    GraftQuery(
+      "q15_bollinger",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+          .rowsBetween(-19, 0)
+        Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sumc", sum($"c").over(w).cast("long"))
+          .withColumn("sumc2", sum($"c" * $"c").over(w).cast("long"))
+          .where($"n" === 20L)
+          .withColumn("var_num", lit(20L) * $"sumc2" - $"sumc" * $"sumc")
+          .select($"user_id", $"ms", $"event_id", $"c", $"sumc", $"var_num",
+            ($"sumc".cast("double") / 20.0 / 100.0).as("mean"),
+            ($"sumc".cast("double") / 20.0 / 100.0
+              + lit(2.0) * sqrt($"var_num".cast("double")) / 20.0 / 100.0).as("upper"),
+            ($"sumc".cast("double") / 20.0 / 100.0
+              - lit(2.0) * sqrt($"var_num".cast("double")) / 20.0 / 100.0).as("lower"))
+          .orderBy($"user_id", $"ms", $"event_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id < 5),
+        roll AS (
+          SELECT user_id, ms, event_id, c,
+            COUNT(*) OVER w AS n,
+            CAST(SUM(c) OVER w AS BIGINT) AS sumc,
+            CAST(SUM(c * c) OVER w AS BIGINT) AS sumc2
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        v AS (
+          SELECT user_id, ms, event_id, c, sumc,
+            20 * sumc2 - sumc * sumc AS var_num
+          FROM roll WHERE n = 20)
+        SELECT user_id, ms, event_id, c, sumc,
+          CAST(var_num AS BIGINT) AS var_num,
+          CAST(sumc AS DOUBLE) / 20.0 / 100.0 AS mean,
+          CAST(sumc AS DOUBLE) / 20.0 / 100.0 + 2.0 * sqrt(CAST(var_num AS DOUBLE)) / 20.0 / 100.0 AS upper,
+          CAST(sumc AS DOUBLE) / 20.0 / 100.0 - 2.0 * sqrt(CAST(var_num AS DOUBLE)) / 20.0 / 100.0 AS lower
+        FROM v ORDER BY user_id, ms, event_id"""))
   )
 }
