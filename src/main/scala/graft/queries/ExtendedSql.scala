@@ -658,6 +658,83 @@ object ExtendedSql {
         SELECT zkey // 65536 AS z_seg, COUNT(*) AS n,
           MIN(p_partkey) AS min_pk, MAX(p_partkey) AS max_pk,
           MIN(p_size) AS min_size, MAX(p_size) AS max_size
-        FROM z GROUP BY 1 ORDER BY 1"""))
+        FROM z GROUP BY 1 ORDER BY 1""")),
+
+    // ── hierarchy closure + subtree rollup (recursive-CTE shape) ──────
+    // The org-chart/BOM workload: ancestor closure, node depth, and
+    // SUBTREE aggregation. Spark has no recursive CTE; the scale-correct
+    // answer is bounded-depth ITERATIVE equi-joins (one per level, like
+    // PageRank's rounds — depth is log-bounded for any sane hierarchy,
+    // and each round is a plain shuffle join a 1000-executor cluster
+    // eats). The oracle runs DuckDB's native WITH RECURSIVE over the
+    // same tree — two genuinely different evaluation strategies, one
+    // hash. Tree: user_id nodes with parent (id−1) div 2 (binary heap
+    // numbering), weight = per-user event count.
+    GraftQuery(
+      "e20_hierarchy_rollup",
+      (s, dir) => {
+        import s.implicits._
+        val nodes = Tables.events(s, dir)
+          .groupBy($"user_id".as("id")).agg(count(lit(1)).as("n"))
+        val tree = nodes.select($"id", $"n",
+          when($"id" === 0L, lit(null).cast("long"))
+            .otherwise(expr("(id - 1) div 2")).as("parent"))
+        val parents = tree.select($"id".as("p_id"), $"parent".as("p_parent"))
+        // ancestor closure by bounded iteration: a heap tree on ids
+        // 0..maxId is ceil(log2(maxId+2)) levels deep, so the round
+        // count is LOG-bounded in the node count — fetched by one
+        // bounded aggregate (a single long to the driver, the same
+        // justified pattern as Layout.zorderWrite's min/max). Extra
+        // rounds would be no-ops on an empty frontier; too FEW rounds
+        // would silently truncate deep chains, which is exactly what a
+        // fixed constant got wrong on the first cut of this query.
+        val maxId = nodes.agg(max($"id")).head().getLong(0)
+        val levels = 64 - java.lang.Long.numberOfLeadingZeros(maxId + 1)
+        var closure = tree.select($"id", $"id".as("anc"))
+        var frontier = tree.where($"parent".isNotNull)
+          .select($"id", $"parent".as("anc"))
+        for (_ <- 0 until levels.toInt) {
+          closure = closure.unionAll(frontier)
+          frontier = frontier.select($"id", $"anc".as("p_id"))
+            .join(parents, Seq("p_id"))
+            .where($"p_parent".isNotNull)
+            .select($"id", $"p_parent".as("anc"))
+        }
+        val depth = closure.groupBy($"id")
+          .agg((count(lit(1)) - 1L).as("depth"))
+        val subtree = closure
+          .join(nodes.select($"id".as("d_id"), $"n".as("d_n")),
+            closure("id") === $"d_id")
+          .groupBy($"anc").agg(sum($"d_n").cast("long").as("subtree_n"))
+        tree
+          .join(depth, Seq("id"))
+          .join(subtree, tree("id") === subtree("anc"))
+          .select($"id".as("user_id"), coalesce($"parent", lit(-1L)).as("parent"),
+            $"depth", $"n".as("n_events"), $"subtree_n")
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH RECURSIVE nodes AS (
+          SELECT user_id AS id, COUNT(*) AS n FROM events GROUP BY 1),
+        tree AS (
+          SELECT id, n,
+            CASE WHEN id = 0 THEN NULL ELSE (id - 1) // 2 END AS parent
+          FROM nodes),
+        c AS (
+          SELECT id, id AS anc FROM tree
+          UNION ALL
+          SELECT c.id, t.parent AS anc
+          FROM c JOIN tree t ON c.anc = t.id
+          WHERE t.parent IS NOT NULL),
+        d AS (SELECT id, COUNT(*) - 1 AS depth FROM c GROUP BY id),
+        s AS (
+          SELECT c.anc, CAST(SUM(n2.n) AS BIGINT) AS subtree_n
+          FROM c JOIN tree n2 ON c.id = n2.id GROUP BY c.anc)
+        SELECT t.id AS user_id, COALESCE(t.parent, -1) AS parent,
+          d.depth, t.n AS n_events, s.subtree_n
+        FROM tree t
+        JOIN d ON d.id = t.id
+        JOIN s ON s.anc = t.id
+        ORDER BY user_id"""))
   )
 }
