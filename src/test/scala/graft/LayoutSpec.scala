@@ -47,6 +47,25 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark_zs == spark_zs.sorted)
   }
 
+  test("morton2 is invertible: 200 random pairs deinterleave back exactly") {
+    val rnd = new scala.util.Random(42)
+    val samples = Seq.fill(200)((rnd.nextInt(65536), rnd.nextInt(65536)))
+    def deinterleave(z: Long): (Int, Int) = {
+      var a = 0; var b = 0
+      (0 until 16).foreach { i =>
+        a |= (((z >> (2 * i)) & 1L) << i).toInt
+        b |= (((z >> (2 * i + 1)) & 1L) << i).toInt
+      }
+      (a, b)
+    }
+    val got = samples.toDF("a", "b")
+      .withColumn("z", graft.core.Layout.morton2($"a", $"b")).collect()
+    got.foreach { r =>
+      assert(deinterleave(r.getLong(2)) == ((r.getInt(0), r.getInt(1))),
+        s"bits lost at ${(r.getInt(0), r.getInt(1))}")
+    }
+  }
+
   test("zorderWrite keeps per-file rectangles tight on BOTH dims; a linear sort does not") {
     val part = graft.core.Tables.part(spark, "/root/testdata/sf0.01")
       .select($"p_partkey", $"p_size")

@@ -255,4 +255,29 @@ class PushdownSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(l_shipdate"),
       s"derived l_shipdate bound must push to the lineitem scan, plan:\n$plan")
   }
+
+  test("round-5 additions stay equi-join shaped (no cartesian, no nested loop)") {
+    // q14's kernel reassembly, s8's outer attribution, a15's windows,
+    // v12's candidate+rescore joins, and m8's segment pipeline must all
+    // compile to key-partitioned equi plans — a BroadcastNestedLoopJoin
+    // here means a range/theta join leaked back in and would be
+    // quadratic per key at scale. (x29/x30/d14 are exempt BY DESIGN:
+    // their 1-row broadcast crossJoins ARE nested-loop by construction.)
+    for (name <- Seq("q14_exp_smooth", "s8_stream_outer_attribution",
+        "a15_scd2_dim", "m8_energy_segments",
+        "q15_bollinger", "a14_incremental_mv")) {
+      val q = graft.core.Registry.allQueries.find(_.name == name).get
+      val plan = q.build(spark, "/root/testdata/sf0.001")
+        .queryExecution.explainString(SimpleMode)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must stay equi-join shaped, plan:\n$plan")
+    }
+    // v12 keeps Ivf.assign's broadcast-centroid crossJoin (small by
+    // construction); only a true shuffle cartesian would be a bug there
+    val v12 = graft.core.Registry.allQueries.find(_.name == "v12_pq_rerank").get
+    val v12plan = v12.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(SimpleMode)
+    assert(!v12plan.contains("CartesianProduct"),
+      s"v12 must not shuffle-cartesian, plan:\n$v12plan")
+  }
 }
