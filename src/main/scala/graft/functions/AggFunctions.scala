@@ -31,4 +31,29 @@ object AggFunctions {
   def countingTap(c: Column, acc: org.apache.spark.util.LongAccumulator): Column =
     GraftBridge.column(
       graft.functions.expressions.AccumulateRowCount(GraftBridge.expression(c), acc))
+
+  /** HyperLogLog registers over a pre-hashed LONG column (md5Long) as a
+    * constant-size mergeable aggregate — m bytes of state per group, any
+    * input size; see [[graft.functions.expressions.HllRegisters]].
+    * Evaluates to the integer register array (hash-exact, mergeable by
+    * element-wise MAX); pair with [[hllEstimate]] for the cardinality. */
+  def hllRegisters(hash: Column, m: Int = 64): Column =
+    GraftBridge.column(
+      graft.functions.expressions.HllRegisters(GraftBridge.expression(hash), m)
+        .toAggregateExpression())
+
+  /** Cardinality estimate from an [[hllRegisters]] array column (by
+    * NAME, like Layout.scale16 — the expression embeds it): the harmonic
+    * denominator Σ 2^(S₁−reg) stays an exact BIGINT; the single double
+    * division happens here and nowhere upstream. Uses the analytic
+    * α = 0.7213/(1 + 1.079/m) for every m (x27 parity). */
+  def hllEstimate(registersCol: String, m: Int = 64): Column = {
+    val s1 = 60 - java.lang.Integer.numberOfTrailingZeros(m) + 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val scale = alpha * m.toDouble * m.toDouble * java.lang.Math.scalb(1.0, s1)
+    org.apache.spark.sql.functions.expr(
+      s"CAST($scale AS DOUBLE) / CAST(aggregate(transform($registersCol, " +
+        s"r -> shiftleft(CAST(1 AS BIGINT), $s1 - CAST(r AS INT))), " +
+        s"CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)")
+  }
 }

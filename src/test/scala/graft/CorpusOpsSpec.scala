@@ -215,6 +215,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 1L).map(r => (r._2, r._3)) == top5(c1))
   }
 
+  test("HllRegisters aggregate == the x27 query-shape registers, estimate included") {
+    import spark.implicits._
+    val hashes = graft.core.Tables.documents(spark, dir)
+      .select($"source", explode(graft.functions.TextFunctions.lowerTokens($"text")).as("tok"))
+      .distinct()
+      .select($"source", graft.functions.HashFunctions.md5Long($"tok").as("h"))
+    // constant-state aggregate (exercises update/merge/serialize through
+    // real partial aggregation)
+    val agg = hashes.groupBy($"source")
+      .agg(graft.functions.AggFunctions.hllRegisters($"h").as("regs"))
+      .withColumn("est", graft.functions.AggFunctions.hllEstimate("regs"))
+    // x27's relational register formulation (dense view via explode)
+    val aggRows = agg.select($"source", posexplode($"regs").as(Seq("bucket", "reg")))
+      .where($"reg" > 0L)
+      .as[(String, Int, Long)].collect().toSet
+    val queryRows = hashes
+      .select($"source", expr("h & 63").as("bucket"), expr("shiftright(h, 6)").as("w"))
+      .groupBy($"source", $"bucket")
+      .agg(max(when($"w" === 0L, lit(55))
+        .otherwise(lit(55) - length(bin($"w")))).as("reg"))
+      .select($"source", $"bucket".cast("int"), $"reg".cast("long"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(aggRows == queryRows, "aggregate registers must equal the query-shape registers")
+    // estimate parity vs x27's single-literal form (1-ulp tolerance: the
+    // α·m²·2⁵⁵ prefix is assembled in a different multiply order here)
+    val estBySource = agg.select($"source", $"est").as[(String, Double)].collect().toMap
+    val x27 = graft.core.Registry.allQueries.find(_.name == "x27_hll_distinct").get
+      .build(spark, dir)
+      .select(col("source"), col("est_distinct")).as[(String, Double)].collect().toMap
+    x27.foreach { case (src, e) =>
+      assert(math.abs(estBySource(src) / e - 1.0) < 1e-12, s"estimate diverged for $src")
+    }
+  }
+
   test("x30 Hamilton allocation: quotas sum exactly to the budget") {
     val rows = graft.core.Registry.allQueries.find(_.name == "x30_mix_allocation").get
       .build(spark, dir)
