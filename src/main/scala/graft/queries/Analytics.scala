@@ -600,6 +600,65 @@ object Analytics {
           CAST(sumc AS DOUBLE) / 20.0 / 100.0 AS mean,
           CAST(sumc AS DOUBLE) / 20.0 / 100.0 + 2.0 * sqrt(CAST(var_num AS DOUBLE)) / 20.0 / 100.0 AS upper,
           CAST(sumc AS DOUBLE) / 20.0 / 100.0 - 2.0 * sqrt(CAST(var_num AS DOUBLE)) / 20.0 / 100.0 AS lower
-        FROM v ORDER BY user_id, ms, event_id"""))
+        FROM v ORDER BY user_id, ms, event_id""")),
+
+    // ── Q-family: tick-rule sign runs (Lee–Ready style) ───────────────
+    // Microstructure classification: each tick is an uptick (+1) or
+    // downtick (−1) by price delta, with ZERO ticks carrying the prior
+    // non-zero sign (the tick-rule convention) via one ignore-nulls
+    // running last. Consecutive same-sign ticks collapse to RUNS with
+    // gaps-and-islands; per run: length, time span, and the exact net
+    // move in cents (= sum of member deltas). Two windows and the
+    // groupBy all partition by the series key — one shuffle.
+    GraftQuery(
+      "q16_tick_runs",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+        val wRun = Window.partitionBy($"user_id", $"sign").orderBy($"rn")
+        Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"))
+          .withColumn("delta", $"c" - lag($"c", 1).over(w))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("sgn0",
+            when($"delta" > 0L, 1).when($"delta" < 0L, -1).otherwise(lit(null)))
+          .withColumn("sign", last($"sgn0", ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .where($"sign".isNotNull)
+          .withColumn("grp", $"rn" - row_number().over(wRun))
+          .groupBy($"user_id", $"sign", $"grp")
+          .agg(count(lit(1)).as("n_ticks"),
+            min($"ms").as("first_ms"), max($"ms").as("last_ms"),
+            sum($"delta").cast("long").as("net_move_c"))
+          .select($"user_id", $"sign", $"n_ticks", $"first_ms", $"last_ms",
+            $"net_move_c")
+          .orderBy($"user_id", $"first_ms")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id < 5),
+        d AS (
+          SELECT user_id, ms, event_id, c,
+            c - lag(c) OVER w AS delta,
+            row_number() OVER w AS rn
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        sg AS (
+          SELECT *, last_value(
+              CASE WHEN delta > 0 THEN 1 WHEN delta < 0 THEN -1 END
+              IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sign
+          FROM d),
+        runs AS (
+          SELECT *, rn - row_number() OVER (PARTITION BY user_id, sign ORDER BY rn) AS grp
+          FROM sg WHERE sign IS NOT NULL)
+        SELECT user_id, sign, COUNT(*) AS n_ticks,
+          MIN(ms) AS first_ms, MAX(ms) AS last_ms,
+          CAST(SUM(delta) AS BIGINT) AS net_move_c
+        FROM runs GROUP BY user_id, sign, grp
+        ORDER BY user_id, first_ms"""))
   )
 }
