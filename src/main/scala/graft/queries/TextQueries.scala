@@ -1578,6 +1578,82 @@ object TextQueries {
           CAST(rem AS BIGINT) AS rem,
           CAST(CASE WHEN pri <= (SELECT l FROM lo) THEN 1 ELSE 0 END AS BIGINT) AS extra,
           CAST(base + CASE WHEN pri <= (SELECT l FROM lo) THEN 1 ELSE 0 END AS BIGINT) AS alloc
-        FROM ranked ORDER BY source"""))
+        FROM ranked ORDER BY source""")),
+
+    // ── filter-rule attribution (which rule kills what) ───────────────
+    // Every curation funnel needs the kill report: per-rule hit counts
+    // AND first-kill attribution (rules fire in a fixed order; a doc
+    // counts once toward the FIRST rule that would drop it) — that is
+    // what tells you which threshold to tune and which rule is dead
+    // weight. Three integer-exact rules from ONE token scan: too-short
+    // (n_tokens < 30), dominant-token repetition (top token ≥ 20% of
+    // occurrences), long-word gibberish (mean token length > 8, as
+    // 10·Σlen > 80·n). Per-doc profile = two groupBys on the same key
+    // prefix; the report is one rollup. No floats anywhere.
+    GraftQuery(
+      "x31_filter_attribution",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", $"source", explode(lowerTokens($"text")).as("tok"))
+        val perDoc = toks
+          .groupBy($"doc_id", $"source", $"tok").agg(count(lit(1)).as("cnt"),
+            sum(length($"tok")).as("len_sum"))
+          .groupBy($"doc_id", $"source")
+          .agg(sum($"cnt").cast("long").as("n_tokens"),
+            max($"cnt").cast("long").as("max_cnt"),
+            sum($"len_sum").cast("long").as("sum_len"))
+        val flagged = perDoc
+          .withColumn("r_short", ($"n_tokens" < 30L).cast("long"))
+          .withColumn("r_rep", ($"max_cnt" * 5L >= $"n_tokens").cast("long"))
+          .withColumn("r_long", ($"sum_len" * 10L > $"n_tokens" * 80L).cast("long"))
+          .withColumn("first_kill",
+            when($"r_short" === 1L, "short")
+              .when($"r_rep" === 1L, "repetitive")
+              .when($"r_long" === 1L, "longwords"))
+        flagged.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"r_short").as("n_short"),
+            sum($"r_rep").as("n_rep"),
+            sum($"r_long").as("n_long"),
+            sum(when($"first_kill" === "short", 1L).otherwise(0L)).as("fk_short"),
+            sum(when($"first_kill" === "repetitive", 1L).otherwise(0L)).as("fk_rep"),
+            sum(when($"first_kill" === "longwords", 1L).otherwise(0L)).as("fk_long"),
+            sum(when($"first_kill".isNull, 1L).otherwise(0L)).as("n_kept"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source,
+            unnest(regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+')) AS tok
+          FROM documents),
+        bytok AS (
+          SELECT doc_id, source, tok, COUNT(*) AS cnt,
+            CAST(SUM(length(tok)) AS BIGINT) AS len_sum
+          FROM toks GROUP BY doc_id, source, tok),
+        perdoc AS (
+          SELECT doc_id, source,
+            CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+            CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+            CAST(SUM(len_sum) AS BIGINT) AS sum_len
+          FROM bytok GROUP BY doc_id, source),
+        fl AS (
+          SELECT source,
+            CASE WHEN n_tokens < 30 THEN 1 ELSE 0 END AS r_short,
+            CASE WHEN max_cnt * 5 >= n_tokens THEN 1 ELSE 0 END AS r_rep,
+            CASE WHEN sum_len * 10 > n_tokens * 80 THEN 1 ELSE 0 END AS r_long,
+            CASE WHEN n_tokens < 30 THEN 'short'
+                 WHEN max_cnt * 5 >= n_tokens THEN 'repetitive'
+                 WHEN sum_len * 10 > n_tokens * 80 THEN 'longwords' END AS first_kill
+          FROM perdoc)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(r_short) AS BIGINT) AS n_short,
+          CAST(SUM(r_rep) AS BIGINT) AS n_rep,
+          CAST(SUM(r_long) AS BIGINT) AS n_long,
+          CAST(SUM(CASE WHEN first_kill = 'short' THEN 1 ELSE 0 END) AS BIGINT) AS fk_short,
+          CAST(SUM(CASE WHEN first_kill = 'repetitive' THEN 1 ELSE 0 END) AS BIGINT) AS fk_rep,
+          CAST(SUM(CASE WHEN first_kill = 'longwords' THEN 1 ELSE 0 END) AS BIGINT) AS fk_long,
+          CAST(SUM(CASE WHEN first_kill IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM fl GROUP BY source ORDER BY source"""))
   )
 }
