@@ -269,6 +269,52 @@ object WritePath {
           COALESCE(valid_to_ms, -1) AS valid_to_ms,
           CAST(CASE WHEN valid_to_ms IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
         FROM closed
-        ORDER BY user_id, valid_from_ms, attr"""))
+        ORDER BY user_id, valid_from_ms, attr""")),
+
+    // ── CDC apply: upsert/delete changelog → final table state ────────
+    // The MERGE INTO / change-data-capture semantic: a keyed change
+    // stream where the LAST operation wins — upsert replaces the row,
+    // delete tombstones it (the key vanishes from the final state, which
+    // is what distinguishes this from a14's insert-only fold). One
+    // row_number window ordered DESC picks each key's final op; deletes
+    // filter out after, so the tombstone beats any earlier upsert.
+    // Change log synthesized from events: 'error' events are deletes,
+    // everything else upserts the user's payload. One key shuffle.
+    GraftQuery(
+      "a16_cdc_apply",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ms".desc, $"event_id".desc)
+        Tables.events(s, dir)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            when($"event_type" === "error", "delete").otherwise("upsert").as("op"),
+            cents($"value").as("payload_c"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_changes", count(lit(1)).over(
+            Window.partitionBy($"user_id")))
+          .withColumn("n_deletes", sum(when($"op" === "delete", 1L).otherwise(0L))
+            .over(Window.partitionBy($"user_id")))
+          .where($"rn" === 1 && $"op" =!= "delete")
+          .select($"user_id", $"ms".as("last_ms"), $"payload_c",
+            $"n_changes".cast("long").as("n_changes"),
+            $"n_deletes".cast("long").as("n_deletes"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH ch AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+            CAST(round(value * 100) AS BIGINT) AS payload_c
+          FROM events),
+        ranked AS (
+          SELECT *,
+            row_number() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn,
+            COUNT(*) OVER (PARTITION BY user_id) AS n_changes,
+            CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id) AS BIGINT) AS n_deletes
+          FROM ch)
+        SELECT user_id, ms AS last_ms, payload_c, n_changes, n_deletes
+        FROM ranked WHERE rn = 1 AND op <> 'delete'
+        ORDER BY user_id"""))
   )
 }

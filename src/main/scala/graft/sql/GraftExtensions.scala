@@ -143,7 +143,20 @@ object GraftFunctions {
         "ELSE CAST(array() AS ARRAY<STRING>) END")),
     (FunctionIdentifier("graft_zorder_key"),
       info("graft_zorder_key", "graft_zorder_key(a, b) - 32-bit Morton/Z-order interleave of two 16-bit keys (multi-dim layout clustering; see core.Layout)"),
-      sqlFn(graft.core.Layout.morton2Sql("__arg0", "__arg1"))))
+      sqlFn(graft.core.Layout.morton2Sql("__arg0", "__arg1"))),
+    (FunctionIdentifier("graft_hll_registers"),
+      info("graft_hll_registers", "graft_hll_registers(hash) - AGGREGATE: 64 HyperLogLog registers over a md5-long hash column (constant 64-byte state, merge by MAX)"),
+      es => graft.functions.expressions.HllRegisters(es.head, 64)
+        .toAggregateExpression()),
+    (FunctionIdentifier("graft_hll_estimate"),
+      info("graft_hll_estimate", "graft_hll_estimate(registers) - cardinality estimate from a graft_hll_registers array (one double division; registers stay integer-exact)"),
+      sqlFn({
+        val s1 = 55
+        val scale = 0.7213 / (1.0 + 1.079 / 64) * 64.0 * 64.0 * java.lang.Math.scalb(1.0, s1)
+        s"CAST($scale AS DOUBLE) / CAST(aggregate(transform(__arg0, " +
+          s"r -> shiftleft(CAST(1 AS BIGINT), $s1 - CAST(r AS INT))), " +
+          s"CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)"
+      })))
 
   private def litInt(e: Expression): Int = {
     require(e.foldable, s"argument must be a literal: $e")

@@ -120,6 +120,21 @@ class SqlExtensionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](3).isEmpty)
   }
 
+  test("graft_hll_registers/estimate via SQL == the AggFunctions forms") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    Seq("a", "b", "c", "a", "d").toDF("t").createOrReplaceTempView("hll_in")
+    val viaSql = spark.sql(
+      """SELECT graft_hll_estimate(graft_hll_registers(graft_md5_long(t))) AS est
+        |FROM hll_in""".stripMargin).head().getDouble(0)
+    val viaApi = Seq("a", "b", "c", "a", "d").toDF("t")
+      .agg(graft.functions.AggFunctions.hllRegisters(
+        graft.functions.HashFunctions.md5Long($"t")).as("regs"))
+      .withColumn("est", graft.functions.AggFunctions.hllEstimate("regs"))
+      .head().getDouble(1)
+    assert(viaSql == viaApi)
+  }
+
   test("graft_zorder_key matches the Layout Column algebra") {
     GraftFunctions.registerAll(spark)
     import spark.implicits._
