@@ -53,12 +53,33 @@ object Layout {
     spread(a).bitwiseOR(spread(b) * 2L)
 
   /** Linear rank of column `name` scaled into [0, 65535] given the
-    * column's min/max — exact integral arithmetic (`div`, not float `/`).
-    * Value-uniform normalization — a quantile-rank variant (range-partition
-    * ids, as Delta's ZCube uses) is the drop-in upgrade for skewed columns;
-    * the curve math above is unchanged by that swap. */
-  def scale16(name: String, min: Long, max: Long): Column =
-    expr(s"((CAST($name AS BIGINT) - ($min)) * 65535) div ${math.max(max - min, 1L)}")
+    * column's min/max — exact integral arithmetic (`div`, not float `/`),
+    * and OVERFLOW-SAFE for wide-range keys (snowflake ids, epoch-micros):
+    * instead of `(v − min) · 65535` (which wraps 64-bit once the range
+    * exceeds ~1.4e14), the value is divided by a precomputed step =
+    * range/65536 + 1 — no multiplication anywhere, so any span below
+    * 2⁶³ ranks correctly. The span requirement is asserted (a span that
+    * wide would overflow `v − min` itself). Value-uniform normalization —
+    * a quantile-rank variant (range-partition ids, as Delta's ZCube uses)
+    * is the drop-in upgrade for skewed columns; the curve math above is
+    * unchanged by that swap. */
+  def scale16(name: String, min: Long, max: Long): Column = {
+    val span = BigInt(max) - BigInt(min)
+    require(span >= 0 && span < BigInt(Long.MaxValue),
+      s"column span $span exceeds signed-64 range; rank-normalize upstream")
+    if (span <= Long.MaxValue / 65535) {
+      // narrow span: exact proportional scale to the FULL 16-bit range
+      // (both dimensions must fill their bit-field top-down or the
+      // interleave compares mismatched significance)
+      expr(s"((CAST($name AS BIGINT) - ($min)) * 65535) div ${span.toLong.max(1L)}")
+    } else {
+      // wide span (snowflake ids, epoch-nanos): the multiply would wrap
+      // 64-bit, but a span this wide already fills the top bits after
+      // step division — no multiplication anywhere
+      val step = (span / 65536 + 1).toLong
+      expr(s"(CAST($name AS BIGINT) - ($min)) div $step")
+    }
+  }
 
   /** Write `df` Z-ordered on (`colA`, `colB`) into `numFiles` files.
     *

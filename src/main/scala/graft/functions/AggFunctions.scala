@@ -47,13 +47,18 @@ object AggFunctions {
     * denominator Σ 2^(S₁−reg) stays an exact BIGINT; the single double
     * division happens here and nowhere upstream. Uses the analytic
     * α = 0.7213/(1 + 1.079/m) for every m (x27 parity). */
-  def hllEstimate(registersCol: String, m: Int = 64): Column = {
+  def hllEstimate(registersCol: String, m: Int = 64): Column =
+    org.apache.spark.sql.functions.expr(hllEstimateSql(registersCol, m))
+
+  /** The SQL text behind [[hllEstimate]] — single source of truth shared
+    * with the `graft_hll_estimate` SQL-surface registration so the two
+    * forms cannot drift. */
+  def hllEstimateSql(registersCol: String, m: Int = 64): String = {
     val s1 = 60 - java.lang.Integer.numberOfTrailingZeros(m) + 1
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     val scale = alpha * m.toDouble * m.toDouble * java.lang.Math.scalb(1.0, s1)
-    org.apache.spark.sql.functions.expr(
-      s"CAST($scale AS DOUBLE) / CAST(aggregate(transform($registersCol, " +
-        s"r -> shiftleft(CAST(1 AS BIGINT), $s1 - CAST(r AS INT))), " +
-        s"CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)")
+    s"CAST($scale AS DOUBLE) / CAST(aggregate(transform($registersCol, " +
+      s"r -> shiftleft(CAST(1 AS BIGINT), $s1 - CAST(r AS INT))), " +
+      s"CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)"
   }
 }

@@ -18,7 +18,19 @@ object Triangles {
 
   /** One-row stats frame (n_nodes, n_edges, n_wedges, n_triangles) for an
     * undirected edge list. `edges` must have two string/integral columns;
-    * duplicates and self-loops are removed here. */
+    * duplicates and self-loops are removed here.
+    *
+    * The normalized edge list and the oriented edges are cached and
+    * MATERIALIZED (one count job) before the multi-branch assembly:
+    * `oriented` feeds four subtrees (both wedge sides + both closing
+    * directions) and `norm` three — without a populated cache, whichever
+    * branches exchange-reuse misses would re-execute the upstream edge
+    * construction (for d14 that is the quadratic token-pair self-join,
+    * the most expensive stage) once per branch, and a lazily-cached
+    * frame first referenced twice in ONE job races its own population
+    * (the same lesson as MinHashLsh.memberLabels). Caches are left to
+    * Spark's LRU, matching PageRank's precedent — they hold edges and
+    * degrees, small relative to the input. */
   def stats(edgesRaw: DataFrame): DataFrame = {
     val spark = edgesRaw.sparkSession
     import spark.implicits._
@@ -28,6 +40,7 @@ object Triangles {
       .where($"u" =!= $"v")
       .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
       .distinct()
+      .cache()
     val deg = norm.select($"a".as("node")).unionAll(norm.select($"b".as("node")))
       .groupBy($"node").agg(count(lit(1)).as("deg"))
     val lowFirst = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
@@ -37,6 +50,8 @@ object Triangles {
       .select(
         when(lowFirst, $"a").otherwise($"b").as("src"),
         when(lowFirst, $"b").otherwise($"a").as("dst"))
+      .cache()
+    oriented.count() // materialize both caches before the fan-out job
     val wedges = oriented.as("o1").join(oriented.as("o2"), Seq("src"))
       .where($"o1.dst" < $"o2.dst")
       .select($"o1.dst".as("x"), $"o2.dst".as("y"))

@@ -688,7 +688,8 @@ object ExtendedSql {
         // rounds would be no-ops on an empty frontier; too FEW rounds
         // would silently truncate deep chains, which is exactly what a
         // fixed constant got wrong on the first cut of this query.
-        val maxId = nodes.agg(max($"id")).head().getLong(0)
+        val maxId = Option(nodes.agg(max($"id")).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(-1L) // empty input → 0 rounds
         val levels = 64 - java.lang.Long.numberOfLeadingZeros(maxId + 1)
         var closure = tree.select($"id", $"id".as("anc"))
         var frontier = tree.where($"parent".isNotNull)

@@ -249,7 +249,7 @@ object StreamingQueries {
           .select($"event_id".as("click_id"), $"user_id", $"ts".as("cts"))
         val purchases = e.filter($"event_type" === "purchase")
           .select($"event_id".as("purchase_id"), $"user_id".as("p_user_id"),
-            $"ts".as("pts"), $"value")
+            $"ts".as("pts"))
         clicks.join(purchases,
             $"user_id" === $"p_user_id" &&
               $"pts" >= $"cts" && $"pts" <= $"cts" + expr("interval 30 minutes"),

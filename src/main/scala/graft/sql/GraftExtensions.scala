@@ -150,13 +150,7 @@ object GraftFunctions {
         .toAggregateExpression()),
     (FunctionIdentifier("graft_hll_estimate"),
       info("graft_hll_estimate", "graft_hll_estimate(registers) - cardinality estimate from a graft_hll_registers array (one double division; registers stay integer-exact)"),
-      sqlFn({
-        val s1 = 55
-        val scale = 0.7213 / (1.0 + 1.079 / 64) * 64.0 * 64.0 * java.lang.Math.scalb(1.0, s1)
-        s"CAST($scale AS DOUBLE) / CAST(aggregate(transform(__arg0, " +
-          s"r -> shiftleft(CAST(1 AS BIGINT), $s1 - CAST(r AS INT))), " +
-          s"CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE)"
-      })))
+      sqlFn(graft.functions.AggFunctions.hllEstimateSql("__arg0", 64))))
 
   private def litInt(e: Expression): Int = {
     require(e.foldable, s"argument must be a literal: $e")

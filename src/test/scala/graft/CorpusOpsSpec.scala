@@ -173,6 +173,10 @@ class CorpusOpsSpec extends AnyFunSuite {
     val merged = regs(docs.filter($"doc_id" % 2 === 0))
       .unionAll(regs(docs.filter($"doc_id" % 2 =!= 0)))
       .groupBy($"bucket").agg(max($"reg").as("reg"))
+    // set equality needs BOTH directions: union-distinct == whole-count
+    // alone would pass for any merged ⊆ whole (a merge that LOSES
+    // buckets would ship green)
+    assert(merged.count() == whole.count(), "merged must not lose buckets")
     assert(whole.unionAll(merged).distinct().count() == whole.count(),
       "sharded-and-maxed registers must equal whole-corpus registers")
   }

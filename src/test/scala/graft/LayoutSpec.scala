@@ -66,6 +66,25 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("scale16 survives wide-range keys (no 64-bit wrap) and fills 16 bits on narrow ones") {
+    // wide span: snowflake-style ids around 1e18 — the multiply form
+    // would wrap; ranks must stay in [0, 65535] and be monotone
+    val lo = 1_000_000_000_000_000_000L
+    val hi = 4_600_000_000_000_000_000L
+    val wide = Seq(lo, lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3), hi)
+      .toDF("k")
+      .select(graft.core.Layout.scale16("k", lo, hi).as("r"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(wide == wide.sorted && wide.head == 0L, s"wide ranks broken: $wide")
+    assert(wide.forall(r => r >= 0L && r <= 65535L), s"rank out of range: $wide")
+    assert(wide.last > 60000L, s"wide span must still fill the top bits: $wide")
+    // narrow span: p_size-like 1..50 must scale UP to the full field
+    val narrow = Seq(1L, 25L, 50L).toDF("k")
+      .select(graft.core.Layout.scale16("k", 1L, 50L).as("r"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(narrow == Seq(0L, 32098L, 65535L), s"narrow scale wrong: $narrow") // 24*65535 div 49
+  }
+
   test("zorderWrite keeps per-file rectangles tight on BOTH dims; a linear sort does not") {
     val part = graft.core.Tables.part(spark, "/root/testdata/sf0.01")
       .select($"p_partkey", $"p_size")
