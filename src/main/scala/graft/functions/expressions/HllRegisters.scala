@@ -1,0 +1,91 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** HyperLogLog register aggregation over a pre-hashed LONG column
+  * (Flajolet et al., AofA 2007) — the reusable-aggregate form of the x27
+  * query shape, sized for the 100 TB contract:
+  *
+  *   - the buffer is m bytes per group, CONSTANT in the input size (a
+  *     billion rows and a thousand rows cost the same state);
+  *   - update is two masks and a leading-zero count;
+  *   - merge is bytewise MAX, so partial (map-side) aggregation, shuffle
+  *     partials, and cross-day/cross-shard sketch unions are all the same
+  *     operation (CorpusOpsSpec proves the identity against the query
+  *     formulation).
+  *
+  * The input must be a well-mixed non-negative 60-bit hash
+  * ([[graft.functions.HashFunctions.md5Long]] — engine-portable, which is
+  * what lets the DuckDB oracle replay register values bit-for-bit). The
+  * aggregate evaluates to the raw register array (integers, hash-exact);
+  * the floating-point estimate is the caller's one final expression —
+  * [[graft.functions.AggFunctions.hllEstimate]] — keeping every stored /
+  * shuffled / compared artifact integer-only.
+  *
+  * `m` must be a power of two in [16, 4096]: the 60-bit hash splits into
+  * log2(m) bucket bits and a (60 − log2 m)-bit suffix whose leading-zero
+  * rank feeds the register (max rho = 61 − log2 m, well inside a byte).
+  */
+case class HllRegisters(
+    child: Expression,
+    m: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  require(m >= 16 && m <= 4096 && (m & (m - 1)) == 0,
+    s"m must be a power of two in [16, 4096], got $m")
+
+  private val bucketBits = java.lang.Integer.numberOfTrailingZeros(m)
+  private val suffixBits = 60 - bucketBits
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: org.apache.spark.sql.catalyst.InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val bucket = (h & (m - 1)).toInt
+      val w = h >>> bucketBits
+      // rho = leading zeros within the suffix + 1; w == 0 → suffixBits + 1
+      val rho =
+        if (w == 0L) suffixBits + 1
+        else suffixBits - (63 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > buf(bucket)) buf(bucket) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) {
+      if (other(i) > buf(i)) buf(i) = other(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) { out(i) = buf(i).toLong; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllRegisters =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllRegisters =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): HllRegisters =
+    copy(child = c)
+}
