@@ -88,6 +88,26 @@ object MinHashLsh {
     signatureMatrix(docs, idCol, textCol, numHashes, shingleWidth)
       .select(col("id"), posexplode(col("sigs")).as(Seq("seed", "sig")))
 
+  /** Distinct (doc_id, shingle-hash) membership sets — the EXACT-set view
+    * of the same shingle space the signatures summarize (full 60-bit
+    * md5, no % P fold). The prefix-filter exact join (d15) verifies
+    * candidates against these; same repartition-before-explode shape as
+    * [[signatureMatrix]] so the CPU-heavy shingle/md5 stage parallelizes
+    * off few input files. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+        col(idCol))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.lowerTokens(col(textCol)).as("toks"))
+      .select($"doc_id",
+        explode(array_distinct(shinglesOfTokens($"toks", shingleWidth))).as("sh"))
+      .select($"doc_id", md5Long($"sh").as("h"))
+  }
+
   /** Candidate near-dup pairs: ids sharing any LSH band signature.
     * numHashes = bands × rowsPerBand.
     *

@@ -772,6 +772,94 @@ object DedupQueries {
           (SELECT COUNT(*) FROM edges) AS n_edges,
           (SELECT COUNT(*) FROM wedges) AS n_wedges,
           tri.n_triangles
-        FROM tri"""))
+        FROM tri""")),
+
+    // ── prefix-filtered EXACT similarity join (AllPairs/PPJoin) ───────
+    // The exact, no-false-negative complement to MinHash-LSH (d2): for
+    // Jaccard ≥ t, |∩| ≥ t·|A| (from j = i/(na+nb−i) ≥ t with nb ≥ i),
+    // so at most |A| − ⌈t·|A|⌉ members of A can miss — index only the
+    // first |A| − ⌈t·|A|⌉ + 1 members under a CONSISTENT global order
+    // and pigeonhole guarantees every qualifying pair collides on some
+    // prefix token. Rarest-first ordering makes those prefixes the
+    // LOW-frequency shingles, so the candidate join stays near-linear
+    // instead of hub-exploding (the entire point of AllPairs at scale).
+    // Candidates then verify with an EXACT intersection count — two
+    // equi-joins restricted to the candidate pairs, never all-pairs.
+    // t = 0.8; ⌈0.8n⌉ = (8n+9) div 10 keeps everything integer.
+    GraftQuery(
+      "d15_prefix_filter_join",
+      (s, dir) => {
+        import s.implicits._
+        val sets = graft.dedup.MinHashLsh
+          .shingleSets(corpusWithNearDups(s, dir), "doc_id", "text")
+        val freq = sets.groupBy($"h").agg(count(lit(1)).as("f"))
+        // the global order only needs to be CONSISTENT, not contiguous —
+        // ordering each doc's members by the (freq, hash) tuple avoids
+        // the single-partition global-rank window an integer rank would
+        // cost (the doc-keyed window is the only sort)
+        val docsets = sets.join(freq, Seq("h"))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+          .withColumn("pos", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"doc_id").orderBy($"f", $"h")))
+        val prefix = docsets
+          .where($"pos" <= $"n" - expr("(8 * n + 9) div 10") + 1)
+          .select($"doc_id", $"h")
+        val cand = prefix.as("p1").join(prefix.as("p2"), Seq("h"))
+          .where($"p1.doc_id" < $"p2.doc_id")
+          .select($"p1.doc_id".as("a"), $"p2.doc_id".as("b"))
+          .distinct()
+        val members = docsets.select($"doc_id", $"h", $"n")
+        val inter = cand
+          .join(members.select($"doc_id".as("a"), $"h", $"n".as("n_a")), Seq("a"))
+          .join(members.select($"doc_id".as("b"), $"h", $"n".as("n_b")),
+            Seq("b", "h"))
+          .groupBy($"a", $"b", $"n_a", $"n_b")
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .withColumn("jac_permille",
+            expr("(n_inter * 1000) div (n_a + n_b - n_inter)"))
+          .where($"jac_permille" >= 800L)
+          .select($"a", $"b", $"n_a".cast("long").as("n_a"),
+            $"n_b".cast("long").as("n_b"), $"n_inter", $"jac_permille")
+          .orderBy($"a", $"b")
+      },
+      Some(s"""
+        WITH corpus AS (
+          $corpusSql),
+        toks AS (
+          SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM corpus),
+        sh AS (
+          SELECT DISTINCT doc_id, CASE WHEN len(t) < 5 THEN array_to_string(t, ' ')
+            ELSE array_to_string(t[i:i+4], ' ') END AS shingle
+          FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i FROM toks)),
+        sets AS (
+          SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+          FROM sh),
+        freq AS (SELECT h, COUNT(*) AS f FROM sets GROUP BY h),
+        docsets AS (
+          SELECT s.doc_id, s.h,
+            COUNT(*) OVER (PARTITION BY s.doc_id) AS n,
+            row_number() OVER (PARTITION BY s.doc_id ORDER BY f.f, s.h) AS pos
+          FROM sets s JOIN freq f ON s.h = f.h),
+        prefix AS (
+          SELECT doc_id, h FROM docsets
+          WHERE pos <= n - ((8 * n + 9) // 10) + 1),
+        cand AS (
+          SELECT DISTINCT p1.doc_id AS a, p2.doc_id AS b
+          FROM prefix p1 JOIN prefix p2 ON p1.h = p2.h AND p1.doc_id < p2.doc_id),
+        inter AS (
+          SELECT c.a, c.b, ma.n AS n_a, mb.n AS n_b, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN docsets ma ON ma.doc_id = c.a
+          JOIN docsets mb ON mb.doc_id = c.b AND mb.h = ma.h
+          GROUP BY c.a, c.b, ma.n, mb.n)
+        SELECT a, b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          n_inter, (n_inter * 1000) // (n_a + n_b - n_inter) AS jac_permille
+        FROM inter
+        WHERE (n_inter * 1000) // (n_a + n_b - n_inter) >= 800
+        ORDER BY a, b"""))
   )
 }

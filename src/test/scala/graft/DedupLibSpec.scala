@@ -204,6 +204,32 @@ class DedupLibSpec extends AnyFunSuite {
     assert(toks == Seq("ab", "1", "2", ",", "c", "!"))
   }
 
+  test("d15 prefix filter has NO false negatives vs brute-force exact Jaccard") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.core.Registry.allQueries.find(_.name == "d15_prefix_filter_join").get
+      .build(spark, dir)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    // brute force: every co-occurring pair's exact intersection, no
+    // prefix shortcut — the theorem says prefix candidates ⊇ these
+    val corpus = graft.core.Tables.documents(spark, dir)
+    val withDups = corpus.select($"doc_id", $"text").unionAll(
+      corpus.filter($"doc_id" % 5 === 0).select(($"doc_id" + 1000000L).as("doc_id"),
+        concat($"text", lit(" extra appended tail tokens here")).as("text")))
+    val sets = graft.dedup.MinHashLsh.shingleSets(withDups, "doc_id", "text")
+    val sizes = sets.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val brute = sets.as("t1").join(sets.as("t2"), Seq("h"))
+      .where($"t1.doc_id" < $"t2.doc_id")
+      .groupBy($"t1.doc_id".as("a"), $"t2.doc_id".as("b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.select($"doc_id".as("a"), $"n".as("na")), Seq("a"))
+      .join(sizes.select($"doc_id".as("b"), $"n".as("nb")), Seq("b"))
+      .where(expr("(i * 1000) div (na + nb - i) >= 800"))
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(brute.subsetOf(got) && got == brute,
+      s"prefix filter must find exactly the brute-force pairs; missing=${brute -- got}, extra=${got -- brute}")
+  }
+
   test("Triangles.stats: hand graphs (path=0, K4=4, K4-minus-edge=2)") {
     import spark.implicits._
     def tri(edges: Seq[(String, String)]): (Long, Long, Long) = {
