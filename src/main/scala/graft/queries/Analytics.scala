@@ -659,6 +659,133 @@ object Analytics {
           MIN(ms) AS first_ms, MAX(ms) AS last_ms,
           CAST(SUM(delta) AS BIGINT) AS net_move_c
         FROM runs GROUP BY user_id, sign, grp
-        ORDER BY user_id, first_ms"""))
+        ORDER BY user_id, first_ms""")),
+
+    // ── Q-family: RSI (Cutler's SMA variant) ──────────────────────────
+    // Relative Strength Index over a 14-observation simple window.
+    // Wilder's original recursive smoothing is a per-row recurrence —
+    // inexpressible as a window aggregate and float-order-sensitive —
+    // so this is Cutler's variant (SMA of gains/losses), which IS a
+    // window SUM and is the standard batch-friendly form. Gains and
+    // losses stay EXACT BIGINT cents inside the window; the only float
+    // is the final 100·g/(g+l) render (one divide — IEEE-portable).
+    // Flat windows (g+l = 0) pin to 50 by convention. One key shuffle;
+    // per-key window state is 14 rows — scale-safe at any corpus size.
+    GraftQuery(
+      "q17_rsi",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+        val w14 = w.rowsBetween(-13, 0)
+        Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"))
+          .withColumn("delta", $"c" - lag($"c", 1).over(w))
+          .where($"delta".isNotNull)
+          .withColumn("gain", when($"delta" > 0L, $"delta").otherwise(lit(0L)))
+          .withColumn("loss", when($"delta" < 0L, -$"delta").otherwise(lit(0L)))
+          .withColumn("n", count(lit(1)).over(w14))
+          .withColumn("sum_gain", sum($"gain").over(w14).cast("long"))
+          .withColumn("sum_loss", sum($"loss").over(w14).cast("long"))
+          .where($"n" === 14L)
+          .select($"user_id", $"ms", $"event_id", $"sum_gain", $"sum_loss",
+            when($"sum_gain" + $"sum_loss" === 0L, lit(50.0))
+              .otherwise(lit(100.0) * $"sum_gain".cast("double")
+                / ($"sum_gain" + $"sum_loss").cast("double")).as("rsi"))
+          .orderBy($"user_id", $"ms", $"event_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id < 5),
+        d AS (
+          SELECT user_id, ms, event_id,
+            c - lag(c) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS delta
+          FROM e),
+        gl AS (
+          SELECT user_id, ms, event_id,
+            CASE WHEN delta > 0 THEN delta ELSE 0 END AS gain,
+            CASE WHEN delta < 0 THEN -delta ELSE 0 END AS loss
+          FROM d WHERE delta IS NOT NULL),
+        roll AS (
+          SELECT user_id, ms, event_id,
+            COUNT(*) OVER w AS n,
+            CAST(SUM(gain) OVER w AS BIGINT) AS sum_gain,
+            CAST(SUM(loss) OVER w AS BIGINT) AS sum_loss
+          FROM gl
+          WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        SELECT user_id, ms, event_id, sum_gain, sum_loss,
+          CASE WHEN sum_gain + sum_loss = 0 THEN CAST(50 AS DOUBLE)
+               ELSE CAST(100 AS DOUBLE) * CAST(sum_gain AS DOUBLE)
+                    / CAST(sum_gain + sum_loss AS DOUBLE) END AS rsi
+        FROM roll WHERE n = 14
+        ORDER BY user_id, ms, event_id""")),
+
+    // ── Q-family: ATR (average true range, SMA variant) ───────────────
+    // A two-stage pipeline: ticks → day bars (the q4 struct-min/max
+    // single-aggregation shape — open/close without a per-day sort),
+    // then a 14-bar rolling mean of the TRUE RANGE
+    // max(hi−lo, |hi−prev_close|, |lo−prev_close|). The range stays an
+    // EXACT BIGINT in cents through the window sum; the ATR is one
+    // double divide at render. Both stages partition by the series key,
+    // so bars and the window ride the SAME shuffle partitioning — at
+    // 100 TB this is one exchange over (user_id) and bounded window
+    // state, never a global sort.
+    GraftQuery(
+      "q18_atr",
+      (s, dir) => {
+        import s.implicits._
+        val tev = struct($"ms", $"event_id", $"c")
+        val w = Window.partitionBy($"user_id").orderBy($"bar")
+        val w14 = w.rowsBetween(-13, 0)
+        Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"))
+          .withColumn("bar", expr("ms div 86400000"))
+          .groupBy($"user_id", $"bar")
+          .agg(max($"c").as("hi"), min($"c").as("lo"),
+            max(tev).getField("c").as("close"))
+          .withColumn("prev_close", lag($"close", 1).over(w))
+          .where($"prev_close".isNotNull)
+          .withColumn("tr", greatest($"hi" - $"lo",
+            abs($"hi" - $"prev_close"), abs($"lo" - $"prev_close")))
+          .withColumn("n", count(lit(1)).over(w14))
+          .withColumn("sum_tr", sum($"tr").over(w14).cast("long"))
+          .where($"n" === 14L)
+          .select($"user_id", $"bar", $"tr", $"sum_tr",
+            ($"sum_tr".cast("double") / 14.0 / 100.0).as("atr"))
+          .orderBy($"user_id", $"bar")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id < 5),
+        bars AS (
+          SELECT user_id, ms // 86400000 AS bar,
+            MAX(c) AS hi, MIN(c) AS lo,
+            (max(struct_pack(a := ms, b := event_id, c := c))).c AS close
+          FROM e GROUP BY 1, 2),
+        tr AS (
+          SELECT user_id, bar, hi, lo, close,
+            lag(close) OVER (PARTITION BY user_id ORDER BY bar) AS prev_close
+          FROM bars),
+        t2 AS (
+          SELECT user_id, bar,
+            greatest(hi - lo, abs(hi - prev_close), abs(lo - prev_close)) AS tr
+          FROM tr WHERE prev_close IS NOT NULL),
+        roll AS (
+          SELECT user_id, bar, tr,
+            COUNT(*) OVER w AS n,
+            CAST(SUM(tr) OVER w AS BIGINT) AS sum_tr
+          FROM t2
+          WINDOW w AS (PARTITION BY user_id ORDER BY bar
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        SELECT user_id, bar, tr, sum_tr,
+          CAST(sum_tr AS DOUBLE) / 14.0 / 100.0 AS atr
+        FROM roll WHERE n = 14
+        ORDER BY user_id, bar"""))
   )
 }
