@@ -16,9 +16,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Diagnostics knob: decouple shuffle width from executor threads.
+    // Measured on this host class: with a quiet host all widths within
+    // noise (6.3-6.5 s total at sf0.1); under hypervisor contention
+    // narrow widths are far more stable (8 threads ~6.9 s while 32
+    // swings to ~9.5 s). Default stays cores=width per the deployment
+    // guidance; the knob exists so a drifting BENCH number can be
+    // bisected into host-vs-plan in one run.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

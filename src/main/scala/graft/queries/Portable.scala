@@ -28,9 +28,17 @@ private[queries] object Portable {
   /** 2-decimal money/ratio column as exact integer hundredths. Integer
     * sums are associative (shuffle-order-proof) like decimal sums but
     * aggregate ~2× faster (plain long adds in codegen vs Decimal
-    * boxing); the inputs are 2-decimal values, so round() hits an exact
-    * integer in both engines. DuckDB: CAST(round(c * 100) AS BIGINT). */
-  def cents(c: Column): Column = round(c * 100).cast("long")
+    * boxing). DuckDB: CAST(round(c * 100) AS BIGINT).
+    *
+    * `floor(c*100 + 0.5)` rather than `round(c*100)`: Spark's Round on
+    * DoubleType routes every value through `BigDecimal.setScale` — an
+    * allocation per row that dominates the scan-side cost of the
+    * headline aggregates. For 2-decimal inputs, `c*100` lands within
+    * ±ε ≪ 0.5 of an integer (never on a .5 tie), so floor(v + 0.5)
+    * equals round-half-away-from-zero for BOTH signs and both engines —
+    * bit-identical to the DuckDB oracle's round() — while compiling to
+    * one Math.floor. (Spark's floor(double) already returns LONG.) */
+  def cents(c: Column): Column = floor(c * 100 + 0.5)
 
   /** Exact hundredths-sum surfaced as DOUBLE.
     * DuckDB: SUM(CAST(round(c*100) AS BIGINT)) / 100.0. */

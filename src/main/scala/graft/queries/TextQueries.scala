@@ -575,30 +575,35 @@ object TextQueries {
           .select(($"doc_id" + $"v.off").as("doc_id"),
             when($"v.tail", concat($"text", lit(" extra appended tail tokens here")))
               .otherwise($"text").as("text"))
-        // Single-scan funnel flags: every stage predicate is a column, so
-        // the first four counts come from ONE pass over the corpus (one
-        // aggregate of booleans), not one re-execution of the filter
-        // chain per stage. The exact-dedup rank orders survivors first
-        // within each fingerprint group, so rn=1 picks the min-id
-        // SURVIVING copy — same row the sequential filter→dedup picks.
+        // Single-scan funnel flags: every stage predicate is a column and
+        // the first three counts ride CollectMetrics (`observe`) nodes ON
+        // the dedup pipeline itself — zero extra passes, zero extra jobs;
+        // the metrics materialize as a side effect of the first action
+        // the near-dedup phase runs (the edge-cache materialization
+        // inside memberLabels).
         val flagged = corpus
           .withColumn("q_ok", qualityScore($"text", length($"text")) > 0.43)
           .withColumn("l_ok", $"q_ok" && langId($"text") === "en")
-        // The funnel has THREE consumers of the flag/rank pipeline (stage
-        // counts, the near-dedup pair graph, and the survivor anti-join);
-        // without materialization each consumer re-executes the scalar +
-        // window pipeline from the scan. Persist once, compute, release —
-        // the same persist a production funnel would put between its
-        // cleaning and dedup phases. The result is 5 rows, so it is
-        // collected eagerly and returned as a local relation (which also
-        // guarantees the cache cannot leak across repeated runs).
-        val ranked = flagged
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(fingerprint($"text")).orderBy($"l_ok".desc, $"doc_id")))
-          .withColumn("e_ok", $"l_ok" && $"rn" === 1)
-          .cache()
-        val e = ranked.filter($"e_ok").select($"doc_id", $"text")
+        // Exact dedup as a map-side-combinable aggregation, NOT a window:
+        // text is identical within a fingerprint group by construction, so
+        // the surviving (min-id) copy is `min(doc_id), min(text)` per
+        // fingerprint. Partial aggregation collapses each scan partition
+        // to one row per distinct document BEFORE the shuffle — at 100 TB
+        // the exchange carries ~|distinct docs| rows, where the
+        // row_number window shape would shuffle AND sort the whole
+        // corpus. c3 (survivor count) is observed on the agg output.
+        val obsFlags = org.apache.spark.sql.Observation()
+        val obsExact = org.apache.spark.sql.Observation()
+        val e = flagged
+          .observe(obsFlags,
+            count(lit(1)).as("c0"),
+            sum(when($"q_ok", 1L).otherwise(0L)).as("c1"),
+            sum(when($"l_ok", 1L).otherwise(0L)).as("c2"))
+          .filter($"l_ok")
+          .groupBy(fingerprint($"text").as("fp"))
+          .agg(min($"doc_id").as("doc_id"), min($"text").as("text"))
+          .observe(obsExact, count(lit(1)).as("c3"))
+          .select($"doc_id", $"text")
         val labels = graft.dedup.MinHashLsh
           .memberLabels(graft.dedup.MinHashLsh.rawCandidatePairs(e, "doc_id", "text"))
         // labels only contains ids that appeared in a candidate pair over
@@ -607,18 +612,18 @@ object TextQueries {
         // The non-keeper count is a one-partition count on the cached,
         // already-materialized labels frame.
         val nkCount = labels.filter($"label" =!= $"id").count()
-        val flags = ranked.groupBy().agg(
-          count(lit(1)).as("c0"),
-          sum(when($"q_ok", 1L).otherwise(0L)).as("c1"),
-          sum(when($"l_ok", 1L).otherwise(0L)).as("c2"),
-          sum(when($"e_ok", 1L).otherwise(0L)).as("c3"))
-          .head()
-        ranked.unpersist(false)
         labels.unpersist(false)
+        // Both observations were populated by the edge materialization
+        // job (their plan nodes sit upstream of the pair graph), so these
+        // reads never block on a new action.
+        val f = obsFlags.get
+        val c3 = obsExact.get("c3").asInstanceOf[Long]
         val counts = Seq(
-          "00_raw" -> flags.getLong(0), "10_quality" -> flags.getLong(1),
-          "20_lang" -> flags.getLong(2), "30_exact_dedup" -> flags.getLong(3),
-          "40_near_dedup" -> (flags.getLong(3) - nkCount))
+          "00_raw" -> f("c0").asInstanceOf[Long],
+          "10_quality" -> f("c1").asInstanceOf[Long],
+          "20_lang" -> f("c2").asInstanceOf[Long],
+          "30_exact_dedup" -> c3,
+          "40_near_dedup" -> (c3 - nkCount))
         import s.implicits._
         counts.toDF("stage", "n_docs").orderBy($"stage")
       },
