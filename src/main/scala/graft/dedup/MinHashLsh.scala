@@ -155,13 +155,7 @@ object MinHashLsh {
     val idType = docs.schema(idCol).dataType
     require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
       s"candidatePairs needs an integral id column; $idCol is $idType")
-    val sigs = signatureMatrix(docs, idCol, textCol, bands * rowsPerBand, shingleWidth)
-    val bandSigs = sigs.select(col("id").cast("long").as("id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => md5(array_join(transform(
-          slice(col("sigs"), b * rowsPerBand + 1, lit(rowsPerBand)),
-          s => s.cast("string")), ",")))).as(Seq("band", "band_sig")))
+    val bandSigs = bandSignatures(docs, idCol, textCol, bands, rowsPerBand, shingleWidth)
     bandSigs
       .groupBy(col("band"), col("band_sig"))
       .agg(graft.functions.AggFunctions.collectSetCapped(col("id"), maxBucket,
@@ -172,6 +166,58 @@ object MinHashLsh {
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           y => struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+  }
+
+  /** The (id, band, band_sig) LSH index rows for a corpus — the frame a
+    * persisted near-dup index stores and the band-bucket join consumes.
+    * Batch shape: [[signatureMatrix]]'s wide shingle/md5 stage, then a
+    * row-local band slice + md5 — no exchange beyond the signature
+    * groupBy. `band_sig` is md5 of the comma-joined band slice, matching
+    * the oracle's `md5(string_agg(sig, ',' ORDER BY seed))` exactly. */
+  def bandSignatures(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 4, shingleWidth: Int = 5): DataFrame =
+    signatureMatrix(docs, idCol, textCol, bands * rowsPerBand, shingleWidth)
+      .select(col("id").cast("long").as("id"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => md5(array_join(transform(
+            slice(col("sigs"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            s => s.cast("string")), ",")))).as(Seq("band", "band_sig")))
+
+  /** Per-ROW band signatures: the same arithmetic as [[bandSignatures]]
+    * (md5-prefix base hash, affine permutations, md5 band digest —
+    * bit-identical output) computed entirely inside one row with
+    * higher-order functions, so it needs NO shuffle and NO aggregation
+    * state. This is the streaming form: a micro-batch of new documents
+    * signs itself row-locally and equi-joins a persisted
+    * [[bandSignatures]] index — candidate near-dups in-stream with
+    * watermark-free, bounded work per batch. (The batch builder keeps
+    * the explode+groupBy shape instead because its repartition spreads
+    * the shingle/md5 CPU across the cluster when the input is a few
+    * large files; a stream's micro-batch is already narrow.)
+    *
+    * Staged projections: each lambda consumes an ATTRIBUTE (`__toks`,
+    * `__hs`, `__sigs`), never a nested expression — higher-order
+    * functions are CodegenFallback, so an expression argument would
+    * re-evaluate once per lambda element (the [[shinglesOfTokens]]
+    * scaladoc trap). Output: input columns + `bsig` array<string>
+    * (element b = band b's digest). */
+  def withRowBandSigs(docs: DataFrame, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 4, shingleWidth: Int = 5): DataFrame = {
+    val keep = docs.columns.map(col)
+    docs
+      .withColumn("__toks", graft.functions.TextFunctions.lowerTokens(col(textCol)))
+      .withColumn("__hs",
+        transform(array_distinct(shinglesOfTokens(col("__toks"), shingleWidth)),
+          sh => md5Long(sh) % P))
+      .withColumn("__sigs",
+        transform(sequence(lit(0), lit(bands * rowsPerBand - 1)),
+          i => array_min(transform(col("__hs"), h => perm(h, i)))))
+      .select(keep :+ transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => md5(array_join(transform(
+          slice(col("__sigs"), b * rowsPerBand + 1, lit(rowsPerBand)),
+          s => s.cast("string")), ","))).as("bsig"): _*)
   }
 
   /** Drop diagnostic: the (band, band_sig, n_members) of buckets the cap

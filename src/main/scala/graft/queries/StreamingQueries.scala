@@ -279,6 +279,75 @@ object StreamingQueries {
             AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL '30 minutes')
         SELECT click_id, user_id, purchase_id, ms_to_purchase,
           CAST(CASE WHEN purchase_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS matched
-        FROM j WHERE rn = 1 ORDER BY click_id"""))
+        FROM j WHERE rn = 1 ORDER BY click_id""")),
+
+    // ── streaming near-dup candidates vs a persisted LSH index ─────────
+    // The incremental-ingest form of d2: a micro-batch of NEW documents
+    // signs itself ROW-LOCALLY (MinHashLsh.withRowBandSigs — identical
+    // arithmetic to the batch signature pipeline, zero shuffle, zero
+    // aggregation state) and equi-joins the persisted band-signature
+    // index of the already-ingested corpus. Work per batch is bounded by
+    // the batch; the corpus is never rescanned — the 100 TB shape is
+    // "index once, probe forever". The "stream" here is two synthetic
+    // cohorts: tail-modified near-dups (must hit their source) and
+    // reversed-text strangers (must miss). The live micro-batch path is
+    // exercised in StreamingSpec over MemoryStream with the same helper.
+    GraftQuery(
+      "s9_stream_neardup_candidates",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+        val idx = graft.dedup.MinHashLsh.bandSignatures(docs, "doc_id", "text")
+          .select($"id".as("corpus_id"), $"band", $"band_sig")
+        val stream = docs.filter($"doc_id" % 5 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"),
+            concat($"text", lit(" extra appended tail tokens here")).as("text"))
+          .unionAll(docs.filter($"doc_id" % 7 === 0)
+            .select(($"doc_id" + 3000000L).as("doc_id"), reverse($"text").as("text")))
+        val probes = graft.dedup.MinHashLsh.withRowBandSigs(stream, "text")
+          .select($"doc_id", posexplode($"bsig").as(Seq("band", "band_sig")))
+        probes.join(idx, Seq("band", "band_sig"), "left")
+          .groupBy($"doc_id")
+          .agg(coalesce(min($"corpus_id"), lit(-1L)).as("first_match"),
+            countDistinct($"corpus_id").as("n_matches"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH stream_docs AS (
+          SELECT doc_id + 1000000 AS doc_id, text || ' extra appended tail tokens here' AS text
+          FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 3000000 AS doc_id, reverse(text) AS text
+          FROM documents WHERE doc_id % 7 = 0),
+        allx AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id, text FROM stream_docs),
+        toks AS (
+          SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM allx),
+        sh AS (
+          SELECT DISTINCT doc_id, CASE WHEN len(t) < 5 THEN array_to_string(t, ' ')
+            ELSE array_to_string(t[i:i+4], ' ') END AS sh
+          FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i FROM toks)),
+        hashed AS (
+          SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) % 2147483647 AS h FROM sh),
+        sigs AS (
+          SELECT doc_id, seed,
+            MIN(((seed * 2 + 1) * h + seed * 12582917) % 2147483647) AS sig
+          FROM hashed, (SELECT unnest(generate_series(0, 15)) AS seed)
+          GROUP BY doc_id, seed),
+        bands AS (
+          SELECT doc_id, CAST(FLOOR(seed / 4) AS INT) AS band,
+            md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY seed)) AS band_sig
+          FROM sigs GROUP BY doc_id, CAST(FLOOR(seed / 4) AS INT)),
+        probes AS (SELECT * FROM bands WHERE doc_id >= 1000000),
+        idx AS (SELECT * FROM bands WHERE doc_id < 1000000)
+        SELECT p.doc_id,
+          COALESCE(MIN(i.doc_id), -1) AS first_match,
+          COUNT(DISTINCT i.doc_id) AS n_matches
+        FROM probes p LEFT JOIN idx i
+          ON p.band = i.band AND p.band_sig = i.band_sig
+        GROUP BY p.doc_id ORDER BY p.doc_id"""))
   )
 }

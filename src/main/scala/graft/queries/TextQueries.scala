@@ -1659,6 +1659,82 @@ object TextQueries {
           CAST(SUM(CASE WHEN first_kill = 'repetitive' THEN 1 ELSE 0 END) AS BIGINT) AS fk_rep,
           CAST(SUM(CASE WHEN first_kill = 'longwords' THEN 1 ELSE 0 END) AS BIGINT) AS fk_long,
           CAST(SUM(CASE WHEN first_kill IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-        FROM fl GROUP BY source ORDER BY source"""))
+        FROM fl GROUP BY source ORDER BY source""")),
+
+    // ── seeded epoch shuffle with exact global positions ───────────────
+    // Training epochs need a deterministic, seed-replayable global
+    // permutation of the corpus. Order = (md5(seed:doc_id), doc_id);
+    // the exact global position comes from the distributed two-pass
+    // rank: bucket on the hash's high byte (a monotone PREFIX of the
+    // sort key, so bucket order == global order), count each bucket,
+    // prefix-sum the 256 counts into offsets, and add a within-bucket
+    // row_number. No global sort of the corpus into one partition, no
+    // driver collect — the offsets frame is 256 rows (its prefix-sum
+    // window is single-partition over 256 rows, the same bounded-small
+    // exception as Ivf's centroid numbering) and broadcast-joins back.
+    // At 100 TB each bucket ranks independently; a new seed is a new
+    // permutation with zero data movement beyond the rank itself.
+    GraftQuery(
+      "x32_epoch_shuffle",
+      (s, dir) => {
+        import s.implicits._
+        val keyed = Tables.documents(s, dir).select($"doc_id",
+          graft.functions.HashFunctions.md5LongSeeded(lit(7), $"doc_id".cast("string")).as("k"))
+          .withColumn("bucket", shiftright($"k", 52))
+        val offsets = keyed.groupBy($"bucket").agg(count(lit(1)).as("n"))
+          .withColumn("off", coalesce(sum($"n").over(
+            org.apache.spark.sql.expressions.Window.orderBy($"bucket")
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select($"bucket", $"off")
+        keyed.join(broadcast(offsets), Seq("bucket"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"bucket").orderBy($"k", $"doc_id")))
+          .select($"doc_id", ($"off" + $"rn").cast("long").as("pos"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH keyed AS (
+          SELECT doc_id,
+            CAST(concat('0x', substr(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS k
+          FROM documents)
+        SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT) AS pos
+        FROM keyed ORDER BY doc_id""")),
+
+    // ── length-bucketed batch assignment (padding-efficient batching) ──
+    // Sequence batches waste FLOPs on padding when lengths are mixed;
+    // production loaders bucket by length and batch within the bucket.
+    // bucket = n_tokens div 32, then batch_no = (rank-1) div 16 within
+    // the bucket ordered by (n_tokens, doc_id) — all integer-exact, one
+    // window per bucket partition (parallel across buckets at any
+    // scale; no global sort).
+    GraftQuery(
+      "x33_length_batches",
+      (s, dir) => {
+        import s.implicits._
+        val t = Tables.documents(s, dir)
+          .select($"doc_id", tokenCount($"text").cast("long").as("n_tokens"))
+          .withColumn("bucket", expr("n_tokens div 32"))
+        t.withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"bucket").orderBy($"n_tokens", $"doc_id")))
+          .select($"doc_id", $"n_tokens", $"bucket",
+            expr("CAST(rn - 1 AS BIGINT) div 16").as("batch_no"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_tokens
+          FROM documents),
+        b AS (
+          SELECT doc_id, n_tokens, n_tokens // 32 AS bucket,
+            ROW_NUMBER() OVER (PARTITION BY n_tokens // 32
+                               ORDER BY n_tokens, doc_id) AS rn
+          FROM t)
+        SELECT doc_id, n_tokens, bucket,
+          CAST((rn - 1) // 16 AS BIGINT) AS batch_no
+        FROM b ORDER BY doc_id"""))
   )
 }

@@ -280,4 +280,39 @@ class PushdownSpec extends AnyFunSuite {
     assert(!v12plan.contains("CartesianProduct"),
       s"v12 must not shuffle-cartesian, plan:\n$v12plan")
   }
+
+  test("cents compiles to FLOOR, never Round's per-row BigDecimal path") {
+    // Portable.cents deliberately lowers round(x*100) to floor(x*100+0.5)
+    // (bit-identical for 2-decimal money, allocation-free in codegen). A
+    // `round(` reappearing in the money aggregates means someone re-
+    // introduced the BigDecimal-per-row scan cost that dominated h1.
+    for (name <- Seq("h1_pricing_summary", "h2_star_join_broadcast",
+        "h3_top_revenue_orders", "h6_regional_revenue")) {
+      val q = graft.core.Registry.allQueries.find(_.name == name).get
+      val plan = q.build(spark, "/root/testdata/sf0.001")
+        .queryExecution.explainString(SimpleMode)
+      assert(plan.contains("FLOOR("),
+        s"$name money lowering must use FLOOR, plan:\n$plan")
+      assert(!plan.contains("round("),
+        s"$name must not route money through Round/BigDecimal, plan:\n$plan")
+    }
+  }
+
+  test("x7 funnel job budget: counts ride observations, not extra actions") {
+    // The funnel runs THREE actions (edge-cache materialization, the
+    // label-propagation batch, the non-keeper count); its stage counts
+    // ride CollectMetrics observations on those same jobs. Under AQE
+    // each exchange stage materializes as its own Spark job, so the
+    // three actions measure as 16 jobs at this SF — the budget below
+    // carries slack for stage-count wobble but fails when a funnel
+    // count regresses to being its own action again (each re-added
+    // action costs 2-5 stage jobs of pure scheduling floor, the shape
+    // that cost ~1s before round 5's rework).
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val q = graft.core.Registry.allQueries.find(_.name == "x7_training_data_pipeline").get
+    q.build(spark, "/root/testdata/sf0.001")
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val fired = after - before
+    assert(fired <= 18, s"x7 build fired $fired jobs, expected <= 18")
+  }
 }

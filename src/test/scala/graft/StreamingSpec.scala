@@ -275,4 +275,60 @@ class StreamingSpec extends AnyFunSuite {
       assert(r.getAs[Long]("volume") == 5L)
     } finally q.stop()
   }
+
+  test("streaming near-dup: row-local LSH sigs probe a static index per micro-batch") {
+    import spark.implicits._
+    import graft.dedup.MinHashLsh
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"),
+      (3L, "red orange yellow green blue indigo violet ultra infra deep dark light")
+    ).toDF("doc_id", "text")
+
+    // bit-identity: the shuffle-free row-local signer must reproduce the
+    // batch (explode+groupBy) index EXACTLY — that identity is what lets
+    // a stream probe an index built by the batch pipeline
+    val idx = MinHashLsh.bandSignatures(corpus, "doc_id", "text")
+    val rowForm = MinHashLsh.withRowBandSigs(corpus, "text")
+      .select($"doc_id".as("id"), posexplode($"bsig").as(Seq("band", "band_sig")))
+    assert(idx.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet ==
+      rowForm.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet,
+      "row-local band signatures must be bit-identical to the batch index")
+
+    val idxCached = idx.select($"id", $"band", $"band_sig").cache()
+    idxCached.count()
+    val probeRows = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu extra"),
+      (101L, "totally different words sharing nothing with anything indexed at all here"),
+      (102L, "one two three four five six seven eight nine ten eleven twelve"))
+
+    def matchOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      MinHashLsh.withRowBandSigs(df, "text")
+        .select(col("doc_id"), posexplode(col("bsig")).as(Seq("band", "band_sig")))
+        .join(idxCached, Seq("band", "band_sig"), "left")
+        .groupBy(col("doc_id"))
+        .agg(coalesce(min(col("id")), lit(-1L)).as("first_match"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // expected from the BATCH run of the same probes — the stream must agree
+    val expected = matchOf(probeRows.toDF("doc_id", "text"))
+    assert(expected(102L) == 2L, "exact copy must hit its source via every band")
+    assert(expected(101L) == -1L, "disjoint-shingle stranger must miss")
+
+    val source = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Long]()
+    val q = source.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got ++= matchOf(batch); ()
+      }.start()
+    try {
+      source.addData(probeRows(0), probeRows(1))
+      q.processAllAvailable()
+      source.addData(probeRows(2))
+      q.processAllAvailable()
+      assert(got.toMap == expected,
+        s"per-batch stream probe must equal the batch run: $got vs $expected")
+    } finally { q.stop(); idxCached.unpersist(false) }
+  }
 }
