@@ -786,6 +786,143 @@ object Analytics {
         SELECT user_id, bar, tr, sum_tr,
           CAST(sum_tr AS DOUBLE) / 14.0 / 100.0 AS atr
         FROM roll WHERE n = 14
-        ORDER BY user_id, bar"""))
+        ORDER BY user_id, bar""")),
+
+    // ── Q-family: on-balance volume (OBV) ─────────────────────────────
+    // Volume-flow confirmation: each tick's volume is signed by the
+    // price delta's direction and accumulated per series. The events
+    // table has no volume column, so volume is a deterministic proxy
+    // (event_id mod 97 + 1) — the POINT is the signed running sum, and
+    // everything stays BIGINT end to end. Per-key cumulative window =
+    // one key shuffle, O(1) running state per key at any corpus size.
+    GraftQuery(
+      "q19_obv",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+        Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"), ($"event_id" % 97L + 1L).as("vol"))
+          .withColumn("delta", $"c" - lag($"c", 1).over(w))
+          .where($"delta".isNotNull)
+          .withColumn("signed_vol",
+            when($"delta" > 0L, $"vol").when($"delta" < 0L, -$"vol")
+              .otherwise(lit(0L)))
+          .withColumn("obv", sum($"signed_vol")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+          .select($"user_id", $"ms", $"event_id", $"signed_vol", $"obv")
+          .orderBy($"user_id", $"ms", $"event_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c,
+            event_id % 97 + 1 AS vol
+          FROM events WHERE user_id < 5),
+        d AS (
+          SELECT user_id, ms, event_id, vol,
+            c - lag(c) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS delta
+          FROM e),
+        sv AS (
+          SELECT user_id, ms, event_id,
+            CAST(CASE WHEN delta > 0 THEN vol WHEN delta < 0 THEN -vol
+                 ELSE 0 END AS BIGINT) AS signed_vol
+          FROM d WHERE delta IS NOT NULL)
+        SELECT user_id, ms, event_id, signed_vol,
+          CAST(SUM(signed_vol) OVER (PARTITION BY user_id ORDER BY ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+        FROM sv ORDER BY user_id, ms, event_id""")),
+
+    // ── Q-family: Donchian channel + breakout flags ───────────────────
+    // The 20-tick rolling high/low channel over the PRIOR window
+    // (−20..−1, excluding the current tick — the trading convention, so
+    // a new extreme counts as a BREAKOUT instead of widening its own
+    // channel). hi/lo/flags stay BIGINT; the midline is one double
+    // render. Rolling min/max windows keep bounded per-key state — one
+    // key shuffle, same scale shape as q15/q17.
+    GraftQuery(
+      "q20_donchian",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+        val wPrior = w.rowsBetween(-20, -1)
+        Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"))
+          .withColumn("n", count(lit(1)).over(wPrior))
+          .withColumn("hi20", max($"c").over(wPrior))
+          .withColumn("lo20", min($"c").over(wPrior))
+          .where($"n" === 20L)
+          .select($"user_id", $"ms", $"event_id", $"c", $"hi20", $"lo20",
+            when($"c" > $"hi20", lit(1L)).otherwise(lit(0L)).as("breakout_up"),
+            when($"c" < $"lo20", lit(1L)).otherwise(lit(0L)).as("breakout_dn"),
+            (($"hi20" + $"lo20").cast("double") / 2.0 / 100.0).as("mid"))
+          .orderBy($"user_id", $"ms", $"event_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id < 5),
+        roll AS (
+          SELECT user_id, ms, event_id, c,
+            COUNT(*) OVER w AS n,
+            MAX(c) OVER w AS hi20,
+            MIN(c) OVER w AS lo20
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        SELECT user_id, ms, event_id, c, hi20, lo20,
+          CAST(CASE WHEN c > hi20 THEN 1 ELSE 0 END AS BIGINT) AS breakout_up,
+          CAST(CASE WHEN c < lo20 THEN 1 ELSE 0 END AS BIGINT) AS breakout_dn,
+          CAST(hi20 + lo20 AS DOUBLE) / 2.0 / 100.0 AS mid
+        FROM roll WHERE n = 20
+        ORDER BY user_id, ms, event_id""")),
+
+    // ── Q-family: stochastic oscillator %K ────────────────────────────
+    // %K = 100·(close − low14)/(high14 − low14) over a 14-tick window.
+    // Numerator and denominator stay EXACT BIGINT cents (both are
+    // emitted so the oracle hashes the integers, not just the render);
+    // %K itself is the single IEEE divide at the end, with the flat
+    // window (den = 0) pinned to 50 like q17's RSI convention. One key
+    // shuffle, 14 rows of window state per key.
+    GraftQuery(
+      "q21_stochastic_k",
+      (s, dir) => {
+        import s.implicits._
+        val w14 = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+          .rowsBetween(-13, 0)
+        Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"))
+          .withColumn("n", count(lit(1)).over(w14))
+          .withColumn("num", $"c" - min($"c").over(w14))
+          .withColumn("den", max($"c").over(w14) - min($"c").over(w14))
+          .where($"n" === 14L)
+          .select($"user_id", $"ms", $"event_id", $"num", $"den",
+            when($"den" === 0L, lit(50.0))
+              .otherwise(lit(100.0) * $"num".cast("double")
+                / $"den".cast("double")).as("pct_k"))
+          .orderBy($"user_id", $"ms", $"event_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id < 5),
+        roll AS (
+          SELECT user_id, ms, event_id,
+            COUNT(*) OVER w AS n,
+            c - MIN(c) OVER w AS num,
+            MAX(c) OVER w - MIN(c) OVER w AS den
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        SELECT user_id, ms, event_id, num, den,
+          CASE WHEN den = 0 THEN CAST(50 AS DOUBLE)
+               ELSE CAST(100 AS DOUBLE) * CAST(num AS DOUBLE)
+                    / CAST(den AS DOUBLE) END AS pct_k
+        FROM roll WHERE n = 14
+        ORDER BY user_id, ms, event_id"""))
   )
 }

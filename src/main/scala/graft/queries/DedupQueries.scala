@@ -860,6 +860,52 @@ object DedupQueries {
           n_inter, (n_inter * 1000) // (n_a + n_b - n_inter) AS jac_permille
         FROM inter
         WHERE (n_inter * 1000) // (n_a + n_b - n_inter) >= 800
-        ORDER BY a, b"""))
+        ORDER BY a, b""")),
+
+    // ── cluster representatives: keep the best doc per dup cluster ────
+    // The step AFTER near-dup clustering: each connected component (d6's
+    // label-propagation labels) elects ONE canonical document —
+    // longest by token count, ties to the smallest id — and reports the
+    // cluster's member count and total tokens (= what dedup saves).
+    // Rep election is the q4 struct-max trick: max(struct(n_tokens,
+    // −doc_id)) in the SAME groupBy as the counts, so the whole report
+    // is the label join plus ONE aggregation — no second pass, no
+    // window. Scale: labels come from the bounded label-propagation
+    // rounds; everything after is one equi-join + one groupBy on the
+    // cluster key.
+    GraftQuery(
+      "d16_cluster_reps",
+      (s, dir) => {
+        import s.implicits._
+        val corpus = corpusWithNearDups(s, dir)
+        val labels = graft.dedup.MinHashLsh
+          .memberLabels(graft.dedup.MinHashLsh
+            .candidatePairs(corpus, "doc_id", "text"))
+        val toks = corpus.select($"doc_id",
+          tokenCount($"text").cast("long").as("n_tokens"))
+        labels.join(toks, labels("id") === toks("doc_id"))
+          .groupBy($"label".as("cluster"))
+          .agg(count(lit(1)).as("n_members"),
+            sum($"n_tokens").cast("long").as("total_tokens"),
+            (-max(struct($"n_tokens".as("a"), (-$"doc_id").as("b")))
+              .getField("b")).as("rep_id"))
+          .orderBy($"cluster")
+      },
+      Some(s"""WITH RECURSIVE $pairsCte,
+        edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+        reach(id, r) AS (
+          SELECT a AS id, a AS r FROM edges
+          UNION
+          SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+        labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+        toks2 AS (
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_tokens
+          FROM corpus)
+        SELECT l.label AS cluster, COUNT(*) AS n_members,
+          CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
+          -((max(struct_pack(a := t.n_tokens, b := -t.doc_id))).b) AS rep_id
+        FROM labels l JOIN toks2 t ON l.id = t.doc_id
+        GROUP BY l.label ORDER BY cluster"""))
   )
 }

@@ -1735,6 +1735,48 @@ object TextQueries {
           FROM t)
         SELECT doc_id, n_tokens, bucket,
           CAST((rn - 1) // 16 AS BIGINT) AS batch_no
-        FROM b ORDER BY doc_id"""))
+        FROM b ORDER BY doc_id""")),
+
+    // ── deterministic round-robin source interleave ───────────────────
+    // The stratified complement of x32's random permutation: training
+    // order that cycles the sources round-robin (src0, src1, …, src19,
+    // src0, …) with a seed-replayable shuffle WITHIN each source.
+    // pos = (r−1)·S + src_idx, where r is the doc's seeded rank inside
+    // its source and S the source count — pure arithmetic, so the
+    // global interleave needs NO global sort: one window per source
+    // (parallel across sources at any scale) plus a broadcast 1-row
+    // count. Mixing loaders use exactly this to avoid source-burst
+    // batches when corpus shards are stored per-source.
+    GraftQuery(
+      "x34_source_interleave",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val srcs = docs.agg(countDistinct($"source").cast("long").as("n_src"))
+        docs.select($"doc_id", $"source",
+            substring($"source", 4, 10).cast("long").as("src_idx"),
+            graft.functions.HashFunctions
+              .md5LongSeeded(lit(11), $"doc_id".cast("string")).as("k"))
+          .withColumn("r", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"source").orderBy($"k", $"doc_id")).cast("long"))
+          .crossJoin(broadcast(srcs))
+          .select($"doc_id", $"source", $"r",
+            (($"r" - 1L) * $"n_src" + $"src_idx").as("pos"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH s AS (SELECT COUNT(DISTINCT source) AS n_src FROM documents),
+        keyed AS (
+          SELECT doc_id, source, CAST(substr(source, 4) AS BIGINT) AS src_idx,
+            CAST(concat('0x', substr(md5(concat('11:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS k
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, source, src_idx,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY k, doc_id) AS r
+          FROM keyed)
+        SELECT doc_id, source, CAST(r AS BIGINT) AS r,
+          CAST((r - 1) * (SELECT n_src FROM s) + src_idx AS BIGINT) AS pos
+        FROM ranked ORDER BY doc_id"""))
   )
 }
