@@ -704,6 +704,87 @@ object VectorQueries {
             row_number() OVER (PARTITION BY pid ORDER BY l2, nid) AS rank
           FROM l2)
         SELECT pid, nid, rank, adc_rank, l2 FROM rr WHERE rank <= 3
-        ORDER BY pid, rank"""))
+        ORDER BY pid, rank""")),
+
+    // ── mutual-kNN graph over LSH-bucketed candidates ─────────────────
+    // The backbone structure for NN-descent, graph clustering, and
+    // graph-based semantic dedup: each node's top-3 neighbors by cosine
+    // among its SRP-bucket mates (v2's 8×4 tables — candidate pairs are
+    // an equi-join on (table, bucket), never all-pairs), then an edge
+    // survives only if it is MUTUAL (a ∈ knn(b) AND b ∈ knn(a)) — the
+    // standard symmetrization that prunes hub artifacts. Pairs dedupe
+    // BEFORE the cosine (a pair can collide in several tables), the
+    // per-node rank is a WindowGroupLimit top-k, and mutuality is a
+    // self-equi-join of the k·n edge list on the reversed key — every
+    // stage is bounded by candidates, not n². Oracle replays the same
+    // bucketed semantics.
+    GraftQuery(
+      "v13_mutual_knn_graph",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val bucketed = emb.select($"vec_id",
+          posexplode(graft.functions.VectorFunctions.lshBuckets($"embedding", 8, 4, 64))
+            .as(Seq("table", "bucket")))
+        val pairs = bucketed.select($"table", $"bucket", $"vec_id".as("a"))
+          .join(bucketed.select($"table", $"bucket", $"vec_id".as("b")),
+            Seq("table", "bucket"))
+          .where($"a" =!= $"b")
+          .select($"a", $"b").distinct()
+        val scored = pairs
+          .join(emb.select($"vec_id".as("a"), $"embedding".as("ea")), Seq("a"))
+          .join(emb.select($"vec_id".as("b"), $"embedding".as("eb")), Seq("b"))
+          .select($"a", $"b", cosineNative($"ea", $"eb").as("cos"))
+        val knn = scored
+          .withColumn("rank", row_number().over(
+            Window.partitionBy($"a").orderBy($"cos".desc, $"b")))
+          .where($"rank" <= 3)
+          .select($"a", $"b", $"rank")
+        knn.as("x")
+          .join(knn.select($"a".as("b2"), $"b".as("a2")).as("y"),
+            $"x.a" === $"y.a2" && $"x.b" === $"y.b2")
+          .where($"x.a" < $"x.b")
+          .select($"x.a".as("a"), $"x.b".as("b"), $"x.rank".cast("long").as("rank_ab"))
+          .orderBy($"a", $"b")
+      },
+      Some("""
+        WITH w AS (
+          SELECT g, d,
+            CAST(CAST(concat('0x', substr(md5('plane:' || g || ':' || d), 1, 15)) AS BIGINT) % 2001 - 1000 AS DOUBLE) AS w
+          FROM (SELECT unnest(generate_series(0, 31)) AS g),
+               (SELECT unnest(generate_series(0, 63)) AS d)),
+        e AS (
+          SELECT vec_id, unnest(generate_series(1, len(embedding))) - 1 AS d,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings),
+        proj AS (
+          SELECT vec_id, g, SUM(v * w.w ORDER BY e.d) AS proj
+          FROM e JOIN w ON e.d = w.d
+          GROUP BY vec_id, g),
+        buckets AS (
+          SELECT vec_id, CAST(FLOOR(g / 4) AS INT) AS tbl,
+            CAST(SUM(CASE WHEN proj > 0 THEN (1 << (g % 4)) ELSE 0 END) AS INT) AS bucket
+          FROM proj GROUP BY vec_id, tbl),
+        pairs AS (
+          SELECT DISTINCT bx.vec_id AS a, by.vec_id AS b
+          FROM buckets bx JOIN buckets by
+            ON bx.tbl = by.tbl AND bx.bucket = by.bucket
+          WHERE bx.vec_id <> by.vec_id),
+        scored AS (
+          SELECT p.a, p.b,
+            list_cosine_similarity(x.embedding, y.embedding) AS cos
+          FROM pairs p
+          JOIN embeddings x ON x.vec_id = p.a
+          JOIN embeddings y ON y.vec_id = p.b),
+        knn AS (
+          SELECT a, b, rank FROM (
+            SELECT a, b,
+              row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rank
+            FROM scored)
+          WHERE rank <= 3)
+        SELECT x.a, x.b, CAST(x.rank AS BIGINT) AS rank_ab
+        FROM knn x JOIN knn y ON x.a = y.b AND x.b = y.a
+        WHERE x.a < x.b
+        ORDER BY x.a, x.b"""))
   )
 }

@@ -265,7 +265,7 @@ class PushdownSpec extends AnyFunSuite {
     // their 1-row broadcast crossJoins ARE nested-loop by construction.)
     for (name <- Seq("q14_exp_smooth", "s8_stream_outer_attribution",
         "a15_scd2_dim", "m8_energy_segments",
-        "q15_bollinger", "a14_incremental_mv")) {
+        "q15_bollinger", "a14_incremental_mv", "v13_mutual_knn_graph")) {
       val q = graft.core.Registry.allQueries.find(_.name == name).get
       val plan = q.build(spark, "/root/testdata/sf0.001")
         .queryExecution.explainString(SimpleMode)
