@@ -906,6 +906,54 @@ object DedupQueries {
           CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
           -((max(struct_pack(a := t.n_tokens, b := -t.doc_id))).b) AS rep_id
         FROM labels l JOIN toks2 t ON l.id = t.doc_id
-        GROUP BY l.label ORDER BY cluster"""))
+        GROUP BY l.label ORDER BY cluster""")),
+
+    // ── leakage-safe train/val/test split ─────────────────────────────
+    // x17's salted-hash split assigns PER DOCUMENT — so two near-
+    // duplicates can straddle train and test, leaking training content
+    // into evaluation (the classic contamination bug that inflates
+    // benchmarks). The safe rule hashes the near-dup CLUSTER label
+    // instead: every member of a connected component rides the same
+    // hash, so a cluster lands wholly in one split; singletons (docs in
+    // no candidate pair) fall back to their own id and keep x17's exact
+    // per-doc behavior. Costs one left join against the label frame on
+    // top of x17 — still no shuffle beyond the label propagation itself,
+    // and split assignment stays stable as the corpus grows.
+    GraftQuery(
+      "d17_leakage_safe_split",
+      (s, dir) => {
+        import s.implicits._
+        val corpus = corpusWithNearDups(s, dir)
+        val labels = graft.dedup.MinHashLsh
+          .memberLabels(graft.dedup.MinHashLsh
+            .candidatePairs(corpus, "doc_id", "text"))
+        val labeled = corpus.select($"doc_id")
+          .join(labels, corpus("doc_id") === labels("id"), "left")
+          .select($"doc_id", coalesce($"label", $"doc_id").as("grp"))
+        val bucket = pmod(md5Long(
+          concat(lit("split:"), $"grp".cast("string"))), lit(100L))
+        labeled
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE $pairsCte,
+        edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+        reach(id, r) AS (
+          SELECT a AS id, a AS r FROM edges
+          UNION
+          SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+        labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+        lab AS (
+          SELECT c.doc_id, COALESCE(l.label, c.doc_id) AS grp
+          FROM corpus c LEFT JOIN labels l ON l.id = c.doc_id),
+        b AS (
+          SELECT doc_id, grp,
+            CAST(concat('0x', substr(md5('split:' || CAST(grp AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+          FROM lab)
+        SELECT doc_id, grp,
+          CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM b ORDER BY doc_id"""))
   )
 }
