@@ -923,6 +923,67 @@ object Analytics {
                ELSE CAST(100 AS DOUBLE) * CAST(num AS DOUBLE)
                     / CAST(den AS DOUBLE) END AS pct_k
         FROM roll WHERE n = 14
-        ORDER BY user_id, ms, event_id"""))
+        ORDER BY user_id, ms, event_id""")),
+
+    // ── Q-family: candlestick pattern flags ───────────────────────────
+    // Day bars (the q4 struct-min/max single-aggregation shape) scanned
+    // once for the classic two-bar patterns: doji (body ≤ 10% of the
+    // bar's range — scaled integer compare, no division) and bullish /
+    // bearish engulfing (current body strictly swallows the previous
+    // bar's body in the opposite direction). Every flag is an EXACT
+    // integer comparison in cents; bars and the lag window ride the same
+    // (user_id) exchange — one shuffle end to end, like q18.
+    GraftQuery(
+      "q22_candlestick",
+      (s, dir) => {
+        import s.implicits._
+        val tev = struct($"ms", $"event_id", $"c")
+        val w = Window.partitionBy($"user_id").orderBy($"bar")
+        Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"))
+          .withColumn("bar", expr("ms div 86400000"))
+          .groupBy($"user_id", $"bar")
+          .agg(min(tev).getField("c").as("open"),
+            max($"c").as("hi"), min($"c").as("lo"),
+            max(tev).getField("c").as("close"))
+          .withColumn("p_open", lag($"open", 1).over(w))
+          .withColumn("p_close", lag($"close", 1).over(w))
+          .where($"p_open".isNotNull)
+          .select($"user_id", $"bar", $"open", $"hi", $"lo", $"close",
+            when(abs($"close" - $"open") * 10L <= $"hi" - $"lo", lit(1L))
+              .otherwise(lit(0L)).as("doji"),
+            when($"p_close" < $"p_open" && $"close" > $"open"
+              && $"close" >= $"p_open" && $"open" <= $"p_close", lit(1L))
+              .otherwise(lit(0L)).as("bull_engulf"),
+            when($"p_close" > $"p_open" && $"close" < $"open"
+              && $"close" <= $"p_open" && $"open" >= $"p_close", lit(1L))
+              .otherwise(lit(0L)).as("bear_engulf"))
+          .orderBy($"user_id", $"bar")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id < 5),
+        bars AS (
+          SELECT user_id, ms // 86400000 AS bar,
+            (min(struct_pack(a := ms, b := event_id, c := c))).c AS open,
+            MAX(c) AS hi, MIN(c) AS lo,
+            (max(struct_pack(a := ms, b := event_id, c := c))).c AS close
+          FROM e GROUP BY 1, 2),
+        lagged AS (
+          SELECT *,
+            lag(open) OVER (PARTITION BY user_id ORDER BY bar) AS p_open,
+            lag(close) OVER (PARTITION BY user_id ORDER BY bar) AS p_close
+          FROM bars)
+        SELECT user_id, bar, open, hi, lo, close,
+          CAST(CASE WHEN abs(close - open) * 10 <= hi - lo THEN 1 ELSE 0 END AS BIGINT) AS doji,
+          CAST(CASE WHEN p_close < p_open AND close > open
+                    AND close >= p_open AND open <= p_close THEN 1 ELSE 0 END AS BIGINT) AS bull_engulf,
+          CAST(CASE WHEN p_close > p_open AND close < open
+                    AND close <= p_open AND open >= p_close THEN 1 ELSE 0 END AS BIGINT) AS bear_engulf
+        FROM lagged WHERE p_open IS NOT NULL
+        ORDER BY user_id, bar"""))
   )
 }

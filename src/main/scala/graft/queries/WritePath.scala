@@ -315,6 +315,67 @@ object WritePath {
           FROM ch)
         SELECT user_id, ms AS last_ms, payload_c, n_changes, n_deletes
         FROM ranked WHERE rn = 1 AND op <> 'delete'
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // ── A-family: snapshot diff (change data feed between versions) ───
+    // The inverse of a16: given two snapshots of a keyed table, emit the
+    // changelog that transforms one into the other — insert / delete /
+    // update rows with before/after payloads (Delta CDF semantics; what
+    // TableLog time travel lets a reader compute between any two pinned
+    // commits). Versions are synthesized from orders: v1 = pre-1997;
+    // v2 = pre-1998 minus every 17th key (deletes) with every 13th key
+    // repriced (updates). Shape: ONE key-partitioned full-outer
+    // equi-join — both snapshots shuffle once on the key and the
+    // changelog falls out row-locally; nothing rescans or sorts, so the
+    // cost at 100 TB is the two scans plus one exchange each.
+    GraftQuery(
+      "a17_snapshot_diff",
+      (s, dir) => {
+        import s.implicits._
+        val ord = Tables.orders(s, dir)
+          .select($"o_orderkey", $"o_orderdate", cents($"o_totalprice").as("c"))
+        val v1 = ord.filter($"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+          .select($"o_orderkey", $"c".as("old_c"))
+        val v2 = ord.filter($"o_orderdate" < lit("1998-01-01").cast("timestamp")
+            && $"o_orderkey" % 17 =!= 0)
+          .select($"o_orderkey",
+            when($"o_orderkey" % 13 === 0, $"c" + 100L).otherwise($"c").as("new_c"))
+        v1.join(v2, Seq("o_orderkey"), "full_outer")
+          .withColumn("status",
+            when($"old_c".isNull, "insert").when($"new_c".isNull, "delete")
+              .when($"old_c" =!= $"new_c", "update").otherwise("same"))
+          .where($"status" =!= "same")
+          .select($"o_orderkey", $"status",
+            coalesce($"old_c", lit(-1L)).as("old_c"),
+            coalesce($"new_c", lit(-1L)).as("new_c"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        WITH ord AS (
+          SELECT o_orderkey, o_orderdate,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders),
+        v1 AS (
+          SELECT o_orderkey, c AS old_c FROM ord
+          WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        v2 AS (
+          SELECT o_orderkey,
+            CASE WHEN o_orderkey % 13 = 0 THEN c + 100 ELSE c END AS new_c
+          FROM ord
+          WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            AND o_orderkey % 17 <> 0),
+        j AS (
+          SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+            old_c, new_c
+          FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey),
+        d AS (
+          SELECT o_orderkey,
+            CASE WHEN old_c IS NULL THEN 'insert'
+                 WHEN new_c IS NULL THEN 'delete'
+                 WHEN old_c <> new_c THEN 'update' ELSE 'same' END AS status,
+            COALESCE(old_c, -1) AS old_c, COALESCE(new_c, -1) AS new_c
+          FROM j)
+        SELECT o_orderkey, status, old_c, new_c
+        FROM d WHERE status <> 'same' ORDER BY o_orderkey"""))
   )
 }
