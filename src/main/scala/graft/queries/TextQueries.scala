@@ -1777,6 +1777,106 @@ object TextQueries {
           FROM keyed)
         SELECT doc_id, source, CAST(r AS BIGINT) AS r,
           CAST((r - 1) * (SELECT n_src FROM s) + src_idx AS BIGINT) AS pos
-        FROM ranked ORDER BY doc_id"""))
+        FROM ranked ORDER BY doc_id""")),
+
+    // ── BPE encode: train 4 merges, tokenize the vocab with them ──────
+    // Closes x29's tokenizer loop: run FOUR training rounds (argmax
+    // pair → greedy-faithful positional merge — x29's island machinery,
+    // iterated) and emit each word's final symbol sequence plus its
+    // char→symbol compression. Everything runs on the aggregated
+    // (word, freq) vocab — the corpus is touched once for word counts,
+    // so at 100 TB the iteration cost is bounded by DISTINCT WORDS, not
+    // corpus bytes; encoding raw docs is then a broadcast vocab join.
+    // Oracle replays the identical 4-round trajectory (the round block
+    // is generated, so both engines step in lockstep by construction).
+    GraftQuery(
+      "x35_bpe_encode",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val wOrd = Window.partitionBy($"w").orderBy($"i")
+        val words = Tables.documents(s, dir)
+          .select(explode(lowerTokens($"text")).as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("f"))
+        var syms = words
+          .withColumn("i", explode(sequence(lit(1), length($"w"))))
+          .select($"w", $"f", $"i", expr("substr(w, i, 1)").as("sym"))
+        for (_ <- 0 until 4) {
+          val withNxt = syms.withColumn("nxt", lead($"sym", 1).over(wOrd))
+          val best = withNxt.where($"nxt".isNotNull)
+            .select(concat($"sym", lit(" "), $"nxt").as("pair"), $"f")
+            .groupBy($"pair").agg(sum($"f").cast("long").as("cnt"))
+            .orderBy($"cnt".desc, $"pair").limit(1)
+            .select($"pair".as("best"))
+          syms = withNxt
+            .crossJoin(broadcast(best))
+            .withColumn("m",
+              ($"nxt".isNotNull && concat($"sym", lit(" "), $"nxt") === $"best")
+                .cast("int"))
+            .withColumn("grp", $"i" - row_number().over(
+              Window.partitionBy($"w", $"m").orderBy($"i")))
+            .withColumn("mrg", ($"m" === 1 &&
+              ($"i" - min($"i").over(
+                Window.partitionBy($"w", $"m", $"grp"))) % 2 === 0).cast("int"))
+            .withColumn("consumed",
+              coalesce(lag($"mrg", 1).over(wOrd), lit(0)))
+            .where($"consumed" === 0)
+            .select($"w", $"f", row_number().over(wOrd).as("i"),
+              when($"mrg" === 1, concat($"sym", $"nxt")).otherwise($"sym").as("sym"))
+        }
+        syms.groupBy($"w", $"f")
+          .agg(count(lit(1)).cast("long").as("n_syms"),
+            array_join(transform(
+              array_sort(collect_list(struct($"i", $"sym"))),
+              x => x("sym")), " ").as("sym_seq"))
+          .select($"w", $"f", length($"w").cast("long").as("n_chars"),
+            $"n_syms", $"sym_seq")
+          .orderBy($"w")
+      },
+      Some {
+        val rounds = (0 until 4).map { k =>
+          s"""p$k AS (
+          SELECT w, f, i, sym, lead(sym) OVER (PARTITION BY w ORDER BY i) AS nxt
+          FROM syms$k),
+        best$k AS (
+          SELECT sym || ' ' || nxt AS pair FROM p$k WHERE nxt IS NOT NULL
+          GROUP BY 1 ORDER BY CAST(SUM(f) AS BIGINT) DESC, pair LIMIT 1),
+        fl$k AS (
+          SELECT w, f, i, sym, nxt,
+            CASE WHEN nxt IS NOT NULL
+                  AND sym || ' ' || nxt = (SELECT pair FROM best$k)
+                 THEN 1 ELSE 0 END AS m
+          FROM p$k),
+        isl$k AS (
+          SELECT *, i - row_number() OVER (PARTITION BY w, m ORDER BY i) AS grp
+          FROM fl$k),
+        mh$k AS (
+          SELECT *, CASE WHEN m = 1 AND
+              (i - MIN(i) OVER (PARTITION BY w, m, grp)) % 2 = 0
+            THEN 1 ELSE 0 END AS mrg
+          FROM isl$k),
+        cons$k AS (
+          SELECT *, COALESCE(lag(mrg) OVER (PARTITION BY w ORDER BY i), 0) AS consumed
+          FROM mh$k),
+        syms${k + 1} AS (
+          SELECT w, f, row_number() OVER (PARTITION BY w ORDER BY i) AS i,
+            CASE WHEN mrg = 1 THEN sym || nxt ELSE sym END AS sym
+          FROM cons$k WHERE consumed = 0)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH words AS (
+          SELECT w, COUNT(*) AS f FROM (
+            SELECT unnest(regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[a-zA-Z0-9]+')) AS w
+            FROM documents)
+          GROUP BY w),
+        syms0 AS (
+          SELECT w, f, i, substr(w, i, 1) AS sym FROM (
+            SELECT w, f, unnest(generate_series(1, length(w))) AS i FROM words)),
+        $rounds
+        SELECT w, f, CAST(length(w) AS BIGINT) AS n_chars,
+          CAST(COUNT(*) AS BIGINT) AS n_syms,
+          string_agg(sym, ' ' ORDER BY i) AS sym_seq
+        FROM syms4 GROUP BY w, f ORDER BY w"""
+      })
   )
 }

@@ -18,7 +18,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   test("oracle SQL exists for every SQL-expressible query") {
     val withOracle = Registry.allQueries.count(_.oracle.isDefined)
-    assert(withOracle >= 150, s"expected full oracle coverage, got $withOracle")
+    assert(withOracle >= 151, s"expected full oracle coverage, got $withOracle")
   }
 
   test("query names are unique (registry hygiene)") {
