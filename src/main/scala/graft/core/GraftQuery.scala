@@ -33,6 +33,7 @@ object Registry {
       graft.queries.Analytics.defs ++
       graft.queries.WritePath.defs ++
       graft.queries.TextQueries.defs ++
+      graft.queries.CorpusQueries.defs ++
       graft.queries.DedupQueries.defs ++
       graft.queries.VectorQueries.defs ++
       graft.queries.MultimodalQueries.defs ++

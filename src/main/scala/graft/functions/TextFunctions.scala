@@ -133,6 +133,31 @@ object TextFunctions {
         PhonePattern, "<PHONE>"),
       Ipv4Pattern, "<IP>")
 
+  /** Markup/boilerplate strip — the first pass of every web-crawl
+    * curation pipeline (CCNet/Dolma shape): drop <script>/<style>
+    * blocks wholesale, then all remaining tags, unescape the common
+    * HTML entities, and collapse whitespace. Pure per-row
+    * regexp_replace/replace chain — one map pass, no shuffle.
+    * Deliberately backreference- and lookaround-free so Java regex
+    * (Spark) and RE2 (DuckDB) strip identically; entity unescape does
+    * `&lt;`/`&gt;`/`&quot;`/`&#39;` BEFORE `&amp;` so double-escaped
+    * text (`&amp;lt;`) resolves one level per pass, as html.unescape
+    * semantics require for single-escaped input. */
+  def stripMarkup(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val unescaped = replace(
+      replace(
+        replace(
+          replace(noTags, lit("&lt;"), lit("<")),
+          lit("&gt;"), lit(">")),
+        lit("&quot;"), lit("\"")),
+      lit("&#39;"), lit("'"))
+    val amp = replace(unescaped, lit("&amp;"), lit("&"))
+    trim(regexp_replace(amp, "\\s+", " "))
+  }
+
   /** Overlapping token-window chunks — the standard LLM training-data
     * chunking op (context-window packing with overlap so no boundary
     * content is lost). Chunk j covers tokens [j·stride+1, j·stride+n];

@@ -984,6 +984,64 @@ object Analytics {
           CAST(CASE WHEN p_close > p_open AND close < open
                     AND close <= p_open AND open >= p_close THEN 1 ELSE 0 END AS BIGINT) AS bear_engulf
         FROM lagged WHERE p_open IS NOT NULL
+        ORDER BY user_id, bar""")),
+
+    // ── Q23: classic floor-trader pivot points ─────────────────────────
+    // Next-session support/resistance levels from the previous day's
+    // bar: P=(H+L+C)/3, R1=2P−L, S1=2P−H, R2=P+(H−L), S2=P−(H−L).
+    // Every level is EXACT: prices ride as integer cents and all five
+    // levels are emitted ×3 (p_x3 = H+L+C etc.), so the /3 never
+    // happens — integer arithmetic end to end, no float division to
+    // hash-mismatch on. Per-ticker day bars come from the q4 struct
+    // min/max shape; the lag window rides the same (user_id) exchange
+    // as the bars — one shuffle end to end (the q18/q22 discipline).
+    GraftQuery(
+      "q23_pivot_points",
+      (s, dir) => {
+        import s.implicits._
+        val tev = struct($"ms", $"event_id", $"c")
+        val w = Window.partitionBy($"user_id").orderBy($"bar")
+        Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"))
+          .withColumn("bar", expr("ms div 86400000"))
+          .groupBy($"user_id", $"bar")
+          .agg(max($"c").as("hi"), min($"c").as("lo"),
+            max(tev).getField("c").as("close"))
+          .select($"user_id", $"bar",
+            lag($"hi", 1).over(w).as("ph"),
+            lag($"lo", 1).over(w).as("pl"),
+            lag($"close", 1).over(w).as("pc"))
+          .where($"ph".isNotNull)
+          .select($"user_id", $"bar",
+            ($"ph" + $"pl" + $"pc").as("p_x3"),
+            (($"ph" + $"pl" + $"pc") * 2L - $"pl" * 3L).as("r1_x3"),
+            (($"ph" + $"pl" + $"pc") * 2L - $"ph" * 3L).as("s1_x3"),
+            ($"ph" + $"pl" + $"pc" + ($"ph" - $"pl") * 3L).as("r2_x3"),
+            ($"ph" + $"pl" + $"pc" - ($"ph" - $"pl") * 3L).as("s2_x3"))
+          .orderBy($"user_id", $"bar")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id < 5),
+        bars AS (
+          SELECT user_id, ms // 86400000 AS bar,
+            MAX(c) AS hi, MIN(c) AS lo,
+            (max(struct_pack(a := ms, b := event_id, c := c))).c AS close
+          FROM e GROUP BY 1, 2),
+        lagged AS (
+          SELECT user_id, bar,
+            lag(hi) OVER w AS ph, lag(lo) OVER w AS pl, lag(close) OVER w AS pc
+          FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY bar))
+        SELECT user_id, bar,
+          ph + pl + pc AS p_x3,
+          (ph + pl + pc) * 2 - pl * 3 AS r1_x3,
+          (ph + pl + pc) * 2 - ph * 3 AS s1_x3,
+          ph + pl + pc + (ph - pl) * 3 AS r2_x3,
+          ph + pl + pc - (ph - pl) * 3 AS s2_x3
+        FROM lagged WHERE ph IS NOT NULL
         ORDER BY user_id, bar"""))
   )
 }

@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.core.{GraftQuery, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators beyond the per-document text plane
+  * (TextQueries x1–x35): retrieval-index materialization, crawl
+  * boilerplate removal, cross-source vocabulary analysis, and
+  * multi-objective (Pareto) curation — the corpus-level views a
+  * 100 TB training-data pipeline builds ON TOP of the cleaned
+  * documents. Same determinism contract as every registry query
+  * (GraftQuery scaladoc).
+  */
+object CorpusQueries {
+
+  def defs: Seq[GraftQuery] = Seq(
+
+    // ── inverted index build (term → df + capped posting list) ─────────
+    // The retrieval-side materialization of the corpus: one row per
+    // term with its document frequency and a doc-id posting list. The
+    // list is CAPPED (first 64 doc_ids in id order) the way real
+    // index shards cap hot postings — df stays exact over ALL docs
+    // while the stored list is bounded, so a stop-word-like term
+    // cannot produce an unbounded row. Scale shape: one distinct over
+    // (term, doc_id) [map-side combined], one row_number window per
+    // term key for the cap, one groupBy(term) — all on the same
+    // term-hash exchange; output is vocabulary-sized, not corpus-sized.
+    GraftQuery(
+      "x36_inverted_index",
+      (s, dir) => {
+        import s.implicits._
+        val terms = Tables.documents(s, dir)
+          .select($"doc_id", explode(lowerTokens($"text")).as("term"))
+          .filter(length($"term") >= 3)
+          .distinct()
+        val ranked = terms.withColumn("rn",
+          row_number().over(Window.partitionBy($"term").orderBy($"doc_id")))
+        ranked.groupBy($"term")
+          .agg(
+            count(lit(1)).as("df"),
+            array_join(
+              transform(array_sort(collect_list(when($"rn" <= 64, $"doc_id"))),
+                _.cast("string")), ",").as("postings"))
+          .orderBy($"term")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT DISTINCT doc_id,
+            unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9]+')) AS term
+          FROM documents),
+        t AS (SELECT doc_id, term FROM toks WHERE length(term) >= 3),
+        r AS (SELECT doc_id, term,
+                row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+              FROM t)
+        SELECT term, COUNT(*) AS df,
+          string_agg(CASE WHEN rn <= 64 THEN CAST(doc_id AS VARCHAR) END,
+                     ',' ORDER BY doc_id) AS postings
+        FROM r GROUP BY term ORDER BY term""")),
+
+    // ── markup / boilerplate strip ─────────────────────────────────────
+    // The crawl-cleaning pass: each document is wrapped in a
+    // deterministic HTML shell (nav chrome, a script block whose body
+    // contains a bare '<', escaped entities in the footer) and
+    // [[TextFunctions.stripMarkup]] must recover exactly the original
+    // text plus the unescaped footer chrome. Per-row regex chain — no
+    // shuffle; at 100 TB this inherits the scan partitioning like
+    // every map-only transform.
+    GraftQuery(
+      "x37_markup_strip",
+      (s, dir) => {
+        import s.implicits._
+        val shell = concat(
+          lit("<html><body><div class=\"nav\">Home | About | Contact</div>" +
+            "<script type=\"text/javascript\">var x = 1 < 2; track();</script><p>"),
+          $"text",
+          lit("</p><footer>&copy; 2024 Example &amp; Co. " +
+            "&lt;contact&gt; &quot;quoted&quot; &#39;q&#39;</footer></body></html>"))
+        Tables.documents(s, dir)
+          .select($"doc_id", shell.as("html"))
+          .select($"doc_id",
+            length($"html").as("n_raw"),
+            stripMarkup($"html").as("clean"))
+          .withColumn("n_clean", length($"clean"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH shelled AS (
+          SELECT doc_id,
+            '<html><body><div class="nav">Home | About | Contact</div>' ||
+            '<script type="text/javascript">var x = 1 < 2; track();</script><p>' ||
+            text ||
+            '</p><footer>&copy; 2024 Example &amp; Co. ' ||
+            '&lt;contact&gt; &quot;quoted&quot; &#39;q&#39;</footer></body></html>'
+            AS html
+          FROM documents),
+        stripped AS (
+          SELECT doc_id, length(html) AS n_raw,
+            trim(regexp_replace(
+              replace(
+                replace(replace(replace(replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                    '<[^>]+>', ' ', 'g'),
+                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                '&amp;', '&'),
+              '\s+', ' ', 'g')) AS clean
+          FROM shelled)
+        SELECT doc_id, n_raw, clean, length(clean) AS n_clean
+        FROM stripped ORDER BY doc_id""")),
+
+    // ── cross-source vocabulary overlap (source-pair Jaccard) ──────────
+    // The corpus-composition diagnostic: how much does each source
+    // pair's vocabulary overlap? Per-source vocabularies come from one
+    // distinct over (source, term); the pair intersection is an
+    // equi-join ON TERM (never a cross join over docs), and per-source
+    // sizes broadcast back. Jaccard is the integer-exact
+    // ⌊inter·10⁹/union⌋ (same rational-score convention as x14 — a
+    // float ratio would not hash-compare across engines). At 100 TB
+    // the joined relation is (vocabulary × sources), not corpus-sized.
+    GraftQuery(
+      "x38_source_vocab_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val vocab = Tables.documents(s, dir)
+          .select($"source", explode(lowerTokens($"text")).as("term"))
+          .filter(length($"term") >= 3)
+          .distinct()
+        val sizes = vocab.groupBy($"source").agg(count(lit(1)).as("nv"))
+        val inter = vocab.as("a")
+          .join(vocab.as("b"),
+            col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(broadcast(sizes.select($"source".as("src_a"), $"nv".as("nv_a"))), "src_a")
+          .join(broadcast(sizes.select($"source".as("src_b"), $"nv".as("nv_b"))), "src_b")
+          .select($"src_a", $"src_b", $"nv_a", $"nv_b", $"inter",
+            floor(($"inter" * lit(1000000000L)).cast("double")
+              / ($"nv_a" + $"nv_b" - $"inter")).cast("long").as("jaccard_nano"))
+          .orderBy($"src_a", $"src_b")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT DISTINCT source,
+            unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9]+')) AS term
+          FROM documents),
+        v AS (SELECT source, term FROM toks WHERE length(term) >= 3),
+        sizes AS (SELECT source, COUNT(*) AS nv FROM v GROUP BY 1),
+        pairs AS (
+          SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+          FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT src_a, src_b, sa.nv AS nv_a, sb.nv AS nv_b, inter,
+          CAST(floor(CAST(inter * 1000000000 AS DOUBLE) / (sa.nv + sb.nv - inter)) AS BIGINT) AS jaccard_nano
+        FROM pairs
+        JOIN sizes sa ON sa.source = pairs.src_a
+        JOIN sizes sb ON sb.source = pairs.src_b
+        ORDER BY src_a, src_b""")),
+
+    // ── multi-objective curation: quality-vs-length Pareto frontier ────
+    // Skyline selection for data curation: keep the documents no other
+    // document beats on BOTH token count and quality score (longer AND
+    // higher-quality dominates). Scale shape: the corpus first
+    // collapses to one row per distinct length (groupBy n_tokens →
+    // max quality: map-side combined), the running-max window then
+    // runs over that LENGTH-DISTINCT aggregate (thousands of rows at
+    // any corpus size, so the single-partition window is safe), and
+    // the verdict broadcasts back against the corpus — the full data
+    // is never globally sorted. Frontier rule per point (nt, q):
+    // dominated iff a strictly-longer doc has quality ≥ q, or an
+    // equal-length doc has quality > q; ties on both axes all survive.
+    GraftQuery(
+      "x39_quality_pareto",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", tokenCount($"text").as("n_tokens"),
+            qualityScore($"text", $"n_chars").as("quality"))
+        val perLen = docs.groupBy($"n_tokens").agg(max($"quality").as("gq"))
+        val wLonger = Window.orderBy($"n_tokens".desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val verdict = perLen.withColumn("prevmax", max($"gq").over(wLonger))
+        docs.join(broadcast(verdict), "n_tokens")
+          .filter($"quality" === $"gq" && ($"prevmax".isNull || $"gq" > $"prevmax"))
+          .select($"doc_id", $"n_tokens", $"quality")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS n_tokens,
+            (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.5
+              + (CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE)
+                 / (CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS DOUBLE) + 1.0)) * 0.5
+              - (CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.25
+              AS quality
+          FROM documents),
+        g AS (SELECT n_tokens, MAX(quality) AS gq FROM d GROUP BY 1),
+        v AS (SELECT n_tokens, gq,
+                MAX(gq) OVER (ORDER BY n_tokens DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+              FROM g)
+        SELECT d.doc_id, d.n_tokens, d.quality
+        FROM d JOIN v USING (n_tokens)
+        WHERE d.quality = v.gq AND (v.prevmax IS NULL OR v.gq > v.prevmax)
+        ORDER BY doc_id"""))
+  )
+}

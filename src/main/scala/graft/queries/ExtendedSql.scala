@@ -736,6 +736,62 @@ object ExtendedSql {
         FROM tree t
         JOIN d ON d.id = t.id
         JOIN s ON s.anc = t.id
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // ── winsorization: clamp outliers at exact per-group p05/p95 ───────
+    // The robust-statistics cleaning op (feature clipping before model
+    // fitting): exact per-group percentile BOUNDS via the e6 rank
+    // trick, broadcast back, every value clamped into [p05, p95].
+    // Prices ride as exact integer cents end-to-end (clamp and sum are
+    // integer ops; ONE double division at render), so the result is
+    // shuffle-order-proof. Scale shape: one window sort per group for
+    // the exact bounds (the same cost e6 pays — a two-pass histogram
+    // replaces it when groups stop fitting a sort), then a broadcast
+    // join of a GROUP-sized bounds table against the fact scan.
+    GraftQuery(
+      "e21_winsorize",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+          .select($"l_returnflag".as("rf"), cents($"l_extendedprice").as("pc"))
+        val w = Window.partitionBy($"rf").orderBy($"pc")
+        def at(q: Double): org.apache.spark.sql.Column =
+          (floor(($"cnt" - 1) * lit(q)) + 1).cast("long")
+        val bounds = li
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"rf")))
+          .groupBy($"rf")
+          .agg(
+            max(when($"rn" === at(0.05), $"pc")).as("lo"),
+            max(when($"rn" === at(0.95), $"pc")).as("hi"))
+        li.join(broadcast(bounds), "rf")
+          .select($"rf",
+            greatest(least($"pc", $"hi"), $"lo").as("wc"),
+            ($"pc" < $"lo" || $"pc" > $"hi").cast("long").as("clip"))
+          .groupBy($"rf")
+          .agg(count(lit(1)).as("n"), sum($"clip").as("n_clipped"),
+            (sum($"wc") / 100.0).as("winsorized_sum"))
+          .orderBy($"rf")
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_returnflag AS rf,
+            CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc
+          FROM lineitem),
+        r AS (
+          SELECT rf, pc,
+            CAST(row_number() OVER (PARTITION BY rf ORDER BY pc) AS BIGINT) AS rn,
+            COUNT(*) OVER (PARTITION BY rf) AS cnt
+          FROM li),
+        b AS (
+          SELECT rf,
+            MAX(CASE WHEN rn = CAST(FLOOR((cnt - 1) * 0.05) AS BIGINT) + 1 THEN pc END) AS lo,
+            MAX(CASE WHEN rn = CAST(FLOOR((cnt - 1) * 0.95) AS BIGINT) + 1 THEN pc END) AS hi
+          FROM r GROUP BY rf)
+        SELECT li.rf AS rf, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN pc < lo OR pc > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+          CAST(SUM(GREATEST(LEAST(pc, hi), lo)) AS DOUBLE) / 100.0 AS winsorized_sum
+        FROM li JOIN b ON li.rf = b.rf
+        GROUP BY li.rf ORDER BY li.rf"""))
   )
 }

@@ -197,6 +197,36 @@ class DedupLibSpec extends AnyFunSuite {
     assert(again == row._1)
   }
 
+  test("stripMarkup drops script/style blocks, tags, entities; collapses ws") {
+    import spark.implicits._
+    val html = "<html><head><style>p { color: red; }</style>" +
+      "<script>if (1 < 2) { alert(\"x\"); }</script></head>" +
+      "<body>\n  <div class=\"nav\">Home</div>\n  <p>Tom &amp; Jerry say " +
+      "&quot;hi&quot;, 1 &lt; 2 &gt; 0, it&#39;s fine</p>\n</body></html>"
+    val clean = Seq(html).toDF("t").select(stripMarkup($"t")).as[String].head()
+    assert(clean == "Home Tom & Jerry say \"hi\", 1 < 2 > 0, it's fine")
+    // plain text with no markup passes through (modulo ws collapse)
+    val plain = Seq("already   clean text").toDF("t")
+      .select(stripMarkup($"t")).as[String].head()
+    assert(plain == "already clean text")
+  }
+
+  test("x39 Pareto frontier matches brute-force dominance check") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select($"doc_id", tokenCount($"text").as("nt"),
+        qualityScore($"text", $"n_chars").as("q"))
+      .as[(Long, Int, Double)].collect()
+    val expected = docs.filter { case (_, nt, q) =>
+      !docs.exists { case (_, nt2, q2) =>
+        nt2 >= nt && q2 >= q && (nt2 > nt || q2 > q) }
+    }.map(_._1).toSet
+    val got = graft.core.Registry.allQueries.find(_.name == "x39_quality_pareto").get
+      .build(spark, dir).select($"doc_id").as[Long].collect().toSet
+    assert(got == expected)
+  }
+
   test("BPE-ish tokens split letter runs, single digits, punct") {
     import spark.implicits._
     val toks = Seq("ab12, c!").toDF("t")
