@@ -1042,6 +1042,75 @@ object Analytics {
           ph + pl + pc + (ph - pl) * 3 AS r2_x3,
           ph + pl + pc - (ph - pl) * 3 AS s2_x3
         FROM lagged WHERE ph IS NOT NULL
+        ORDER BY user_id, bar""")),
+
+    // ── Q24: Ichimoku cloud (scaled-integer, full windows only) ────────
+    // The multi-window indicator family in one pass: conversion/base
+    // lines are rolling (max(high)+min(low)) midpoints, the cloud is
+    // those midpoints SHIFTED forward, the lagging span is close
+    // shifted back. Periods are 3/7/14 with a 7-bar shift (the 9/26/52
+    // classic scaled to the one-month test window); every line rides
+    // ×2 or ×4 in integer cents so the midpoint divisions never
+    // happen. Rows emit only where every backward window is FULL
+    // (rn ≥ 21); the lagging span is −1 where its forward close does
+    // not exist yet. One (user_id) exchange carries the bars and all
+    // five windows (the q18/q22/q23 discipline).
+    GraftQuery(
+      "q24_ichimoku",
+      (s, dir) => {
+        import s.implicits._
+        val tev = struct($"ms", $"event_id", $"c")
+        val wb = Window.partitionBy($"user_id").orderBy($"bar")
+        def roll(n: Int) = wb.rowsBetween(-(n - 1), 0)
+        Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"))
+          .withColumn("bar", expr("ms div 86400000"))
+          .groupBy($"user_id", $"bar")
+          .agg(max($"c").as("hi"), min($"c").as("lo"),
+            max(tev).getField("c").as("close"))
+          .select($"user_id", $"bar", $"close",
+            row_number().over(wb).as("rn"),
+            (max($"hi").over(roll(3)) + min($"lo").over(roll(3))).as("tenkan_x2"),
+            (max($"hi").over(roll(7)) + min($"lo").over(roll(7))).as("kijun_x2"),
+            (max($"hi").over(roll(14)) + min($"lo").over(roll(14))).as("b14_x2"))
+          .select($"user_id", $"bar", $"rn", $"tenkan_x2", $"kijun_x2",
+            lag($"tenkan_x2" + $"kijun_x2", 7).over(wb).as("senkou_a_x4"),
+            lag($"b14_x2", 7).over(wb).as("senkou_b_x2"),
+            coalesce(lead($"close", 7).over(wb), lit(-1L)).as("chikou"))
+          .where($"rn" >= 21)
+          .select($"user_id", $"bar", $"tenkan_x2", $"kijun_x2",
+            $"senkou_a_x4", $"senkou_b_x2", $"chikou")
+          .orderBy($"user_id", $"bar")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id < 5),
+        bars AS (
+          SELECT user_id, ms // 86400000 AS bar,
+            MAX(c) AS hi, MIN(c) AS lo,
+            (max(struct_pack(a := ms, b := event_id, c := c))).c AS close
+          FROM e GROUP BY 1, 2),
+        lines AS (
+          SELECT user_id, bar, close,
+            row_number() OVER w AS rn,
+            MAX(hi) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+              + MIN(lo) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS tenkan_x2,
+            MAX(hi) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+              + MIN(lo) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS kijun_x2,
+            MAX(hi) OVER (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+              + MIN(lo) OVER (w ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS b14_x2
+          FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY bar)),
+        shifted AS (
+          SELECT user_id, bar, rn, tenkan_x2, kijun_x2,
+            lag(tenkan_x2 + kijun_x2, 7) OVER w2 AS senkou_a_x4,
+            lag(b14_x2, 7) OVER w2 AS senkou_b_x2,
+            COALESCE(lead(close, 7) OVER w2, -1) AS chikou
+          FROM lines WINDOW w2 AS (PARTITION BY user_id ORDER BY bar))
+        SELECT user_id, bar, tenkan_x2, kijun_x2, senkou_a_x4, senkou_b_x2, chikou
+        FROM shifted WHERE rn >= 21
         ORDER BY user_id, bar"""))
   )
 }

@@ -207,6 +207,135 @@ object CorpusQueries {
         SELECT d.doc_id, d.n_tokens, d.quality
         FROM d JOIN v USING (n_tokens)
         WHERE d.quality = v.gq AND (v.prevmax IS NULL OR v.gq > v.prevmax)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ── intra-document repetition REMOVAL (rewrite, not just stats) ────
+    // x11 measures repetition; this op repairs it (the Gopher-style
+    // "remove duplicated passages within a page" pass): the token
+    // stream splits into non-overlapping 8-token segments, only the
+    // FIRST occurrence of each distinct segment survives, and the doc
+    // reassembles in original order. The input synthesizes the defect
+    // it removes (raw word-salad never repeats an 8-gram): each doc is
+    // padded to an 8-token boundary and its own FIRST segment is
+    // appended — the classic repeated-boilerplate tail — so every doc
+    // has exactly one duplicate segment to drop (n_kept = n_segs − 1).
+    // Scale shape: segments explode ~n/8 rows per doc, the
+    // first-occurrence window partitions by (doc_id, seg) — narrow
+    // keys, never corpus-global — and the reassembly is one
+    // groupBy(doc_id); everything rides a single doc-keyed exchange.
+    GraftQuery(
+      "x40_line_dedup_rewrite",
+      (s, dir) => {
+        import s.implicits._
+        val raw = Tables.documents(s, dir)
+          .select($"doc_id", $"text", lowerTokens($"text").as("toks0"))
+          .filter(size($"toks0") >= 8)
+        val base = raw
+          .select($"doc_id",
+            concat($"text",
+              expr("repeat(' pad', CAST((8 - size(toks0) % 8) % 8 AS INT))"),
+              lit(" "), array_join(slice($"toks0", 1, 8), " ")).as("text2"))
+          .select($"doc_id", lowerTokens($"text2").as("toks"))
+        val segs = base
+          .select($"doc_id", posexplode(tokenChunks($"toks", 8, 8)))
+          .select($"doc_id", $"pos", array_join($"col", " ").as("seg"))
+        segs
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"doc_id", $"seg").orderBy($"pos")))
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_segs"),
+            sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"),
+            array_join(
+              transform(
+                array_sort(collect_list(when($"rn" === 1, struct($"pos", $"seg")))),
+                _.getField("seg")), " ").as("rewritten"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH t0 AS (
+          SELECT doc_id, text,
+            regexp_extract_all(lower(text), '[a-zA-Z0-9]+') AS toks0
+          FROM documents),
+        t1 AS (
+          SELECT doc_id,
+            text || repeat(' pad', CAST((8 - len(toks0) % 8) % 8 AS INT)) || ' ' ||
+            array_to_string(list_slice(toks0, 1, 8), ' ') AS text2
+          FROM t0 WHERE len(toks0) >= 8),
+        t AS (
+          SELECT doc_id, regexp_extract_all(lower(text2), '[a-zA-Z0-9]+') AS toks
+          FROM t1),
+        tt AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        ex AS (
+          SELECT doc_id, toks,
+            unnest(range(0, CAST(ceil(greatest(n - 8, 0) / 8.0) AS BIGINT) + 1)) AS pos
+          FROM tt),
+        s AS (
+          SELECT doc_id, pos,
+            array_to_string(list_slice(toks, pos*8 + 1, pos*8 + 8), ' ') AS seg
+          FROM ex),
+        k AS (
+          SELECT doc_id, pos, seg,
+            row_number() OVER (PARTITION BY doc_id, seg ORDER BY pos) AS rn
+          FROM s)
+        SELECT doc_id, COUNT(*) AS n_segs,
+          CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos) AS rewritten
+        FROM k GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── exact-dup source-attribution matrix ────────────────────────────
+    // WHICH sources copy from each other: every exact-duplicate pair is
+    // attributed to its (source, source) cell. Input synthesizes the
+    // d1 duplication (doc_id%4 copies, +1e6) but lands each copy in a
+    // ROTATED source ((doc_id+7)%20) so the matrix has off-diagonal
+    // mass. Scale shape: pair counts come from per-(fingerprint,
+    // source) group sizes joined WITHIN a fingerprint — the join is
+    // fingerprint-keyed (group-sized relation, tiny vs the corpus) and
+    // the n·(n−1)/2 within-cell arithmetic happens on COUNTS, never by
+    // materializing pairs.
+    GraftQuery(
+      "x41_dup_source_matrix",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val doubled = docs.select($"doc_id", $"source", $"text")
+          .unionAll(docs.filter($"doc_id" % 4 === 0)
+            .select(($"doc_id" + 1000000L).as("doc_id"),
+              concat(lit("src"), (($"doc_id" + 7) % 20).cast("string")).as("source"),
+              $"text"))
+        val g = doubled
+          .select(fingerprint($"text").as("fp"), $"source")
+          .groupBy($"fp", $"source").agg(count(lit(1)).as("c"))
+        g.as("a")
+          .join(g.as("b"),
+            col("a.fp") === col("b.fp") && col("a.source") <= col("b.source"))
+          .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+            when(col("a.source") === col("b.source"),
+              (col("a.c") * (col("a.c") - lit(1L)) / 2).cast("long"))
+              .otherwise(col("a.c") * col("b.c")).as("np"))
+          .groupBy($"src_a", $"src_b").agg(sum($"np").as("n_dup_pairs"))
+          .filter($"n_dup_pairs" > 0)
+          .orderBy($"src_a", $"src_b")
+      },
+      Some("""
+        WITH doubled AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+            'src' || CAST((doc_id + 7) % 20 AS VARCHAR), text
+          FROM documents WHERE doc_id % 4 = 0),
+        g AS (
+          SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+            source, COUNT(*) AS c
+          FROM doubled GROUP BY 1, 2),
+        p AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+            CASE WHEN a.source = b.source
+                 THEN CAST(a.c * (a.c - 1) / 2 AS BIGINT)
+                 ELSE a.c * b.c END AS np
+          FROM g a JOIN g b ON a.fp = b.fp AND a.source <= b.source)
+        SELECT src_a, src_b, CAST(SUM(np) AS BIGINT) AS n_dup_pairs
+        FROM p GROUP BY 1, 2 HAVING SUM(np) > 0
+        ORDER BY src_a, src_b"""))
   )
 }
