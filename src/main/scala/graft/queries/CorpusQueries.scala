@@ -336,6 +336,111 @@ object CorpusQueries {
           FROM g a JOIN g b ON a.fp = b.fp AND a.source <= b.source)
         SELECT src_a, src_b, CAST(SUM(np) AS BIGINT) AS n_dup_pairs
         FROM p GROUP BY 1, 2 HAVING SUM(np) > 0
-        ORDER BY src_a, src_b"""))
+        ORDER BY src_a, src_b""")),
+
+    // ── per-document n-gram novelty vs everything that came before ─────
+    // The streaming-ingest admission signal: how much of a doc's
+    // trigram content is NEW relative to all earlier docs (doc_id =
+    // arrival order)? First-occurrence ownership comes from one
+    // groupBy(gram) → min(doc_id); per-doc novelty is then a
+    // gram-keyed join + one doc-keyed aggregate. Novelty is the
+    // integer-exact ⌊novel·10⁹/total⌋ rational. Scale shape: both
+    // aggregates are map-side combinable; the join key is the gram
+    // hash — no corpus-global state, and the first-occurrence table
+    // is exactly the incremental-dedup index d8 maintains.
+    GraftQuery(
+      "x42_ngram_novelty",
+      (s, dir) => {
+        import s.implicits._
+        def grams3(toks: org.apache.spark.sql.Column) =
+          when(size(toks) >= 3,
+            transform(sequence(lit(1), size(toks) - 2),
+              i => concat_ws(" ", slice(toks, i, lit(3)))))
+            .otherwise(array().cast("array<string>"))
+        val dg = Tables.documents(s, dir)
+          .select($"doc_id", lowerTokens($"text").as("toks"))
+          .select($"doc_id", explode(array_distinct(grams3($"toks"))).as("gram"))
+        val firstDoc = dg.groupBy($"gram").agg(min($"doc_id").as("first_doc"))
+        dg.join(firstDoc, "gram")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty_nano",
+            floor(($"n_novel" * lit(1000000000L)).cast("double") / $"n_grams")
+              .cast("long"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-zA-Z0-9]+') AS t
+          FROM documents),
+        g0 AS (
+          SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                FROM toks WHERE len(t) >= 3)),
+        f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g0 GROUP BY 1)
+        SELECT g0.doc_id, COUNT(*) AS n_grams,
+          CAST(SUM(CASE WHEN f.first_doc = g0.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+          CAST(floor(CAST(SUM(CASE WHEN f.first_doc = g0.doc_id THEN 1 ELSE 0 END)
+            * 1000000000 AS DOUBLE) / COUNT(*)) AS BIGINT) AS novelty_nano
+        FROM g0 JOIN f USING (gram)
+        GROUP BY g0.doc_id ORDER BY doc_id""")),
+
+    // ── quality-score calibration against language-ID agreement ────────
+    // Is the quality score predictive? Docs rank into deciles by
+    // score (ntile over a total order — corpus-stats query; at 100 TB
+    // the same calibration runs on a sample or via the e6 rank-index
+    // method) and each decile reports its language-ID agreement rate:
+    // a well-calibrated score shows monotone agreement. min/max score
+    // per decile bound the bucket for downstream threshold picking.
+    GraftQuery(
+      "x43_quality_calibration",
+      (s, dir) => {
+        import s.implicits._
+        val scored = Tables.documents(s, dir)
+          .select($"doc_id", $"lang",
+            qualityScore($"text", $"n_chars").as("q"),
+            (langId($"text") === $"lang").as("m"))
+        scored
+          .withColumn("decile",
+            ntile(10).over(Window.orderBy($"q", $"doc_id")))
+          .groupBy($"decile")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"m", 1L).otherwise(0L)).as("n_lang_match"),
+            min($"q").as("min_q"), max($"q").as("max_q"))
+          .orderBy($"decile")
+      },
+      Some("""
+        WITH qs AS (
+          SELECT doc_id, lang,
+            (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.5
+              + (CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE)
+                 / (CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS DOUBLE) + 1.0)) * 0.5
+              - (CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.25
+              AS q,
+            len(regexp_extract_all(lower(text), '\b(the|and|of|is|was)\b')) AS s_en,
+            len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de,
+            len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS s_fr,
+            len(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b')) AS s_es,
+            len(regexp_extract_all(lower(text), '\b(de|shi|le|zai|you)\b')) AS s_zh
+          FROM documents),
+        pred AS (
+          SELECT doc_id, lang, q,
+            CASE
+              WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) AND greatest(s_en, s_de, s_fr, s_es, s_zh) > 0 THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) AND greatest(s_en, s_de, s_fr, s_es, s_zh) > 0 THEN 'de'
+              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) AND greatest(s_en, s_de, s_fr, s_es, s_zh) > 0 THEN 'fr'
+              WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) AND greatest(s_en, s_de, s_fr, s_es, s_zh) > 0 THEN 'es'
+              WHEN s_zh = greatest(s_en, s_de, s_fr, s_es, s_zh) AND greatest(s_en, s_de, s_fr, s_es, s_zh) > 0 THEN 'zh'
+              ELSE 'und' END AS predicted
+          FROM qs),
+        t AS (
+          SELECT doc_id, q, CASE WHEN predicted = lang THEN 1 ELSE 0 END AS m,
+            ntile(10) OVER (ORDER BY q, doc_id) AS decile
+          FROM pred)
+        SELECT decile, COUNT(*) AS n,
+          CAST(SUM(m) AS BIGINT) AS n_lang_match,
+          MIN(q) AS min_q, MAX(q) AS max_q
+        FROM t GROUP BY decile ORDER BY decile"""))
   )
 }

@@ -40,6 +40,53 @@ object VectorQueries {
         SELECT pid, nid, rank FROM r WHERE rank <= 5 ORDER BY pid, rank"""),
       bench = true),
 
+    // ── kNN classification via brute-force neighbors ───────────────────
+    // The label-propagation use of the ANN plane: each probe takes the
+    // majority label of its 5 nearest neighbors (tie → smaller label),
+    // reported against its actual label. Neighbor RANKS (not raw
+    // cosines) cross the engine boundary, so the comparison is
+    // integer-robust — the v1 convention. Scale shape: bruteForce
+    // broadcasts the probe set; votes are one (pid, label) aggregate
+    // and the argmax is a WindowGroupLimit row_number — swap in
+    // lshTopK for corpus-scale probe sets.
+    GraftQuery(
+      "v14_knn_classify",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val nn = graft.similarity.TopK
+          .bruteForce(emb, emb.filter($"vec_id" < 50), 5)
+        val votes = nn
+          .join(emb.select($"vec_id".as("nid"), $"label".as("nlabel")), "nid")
+          .groupBy($"pid", $"nlabel").agg(count(lit(1)).as("votes"))
+        val wv = Window.partitionBy($"pid").orderBy($"votes".desc, $"nlabel")
+        votes.withColumn("rn", row_number().over(wv)).where($"rn" === 1)
+          .join(emb.select($"vec_id".as("pid"), $"label".as("actual")), "pid")
+          .select($"pid", $"nlabel".as("predicted"), $"actual", $"votes",
+            ($"nlabel" === $"actual").cast("int").as("correct"))
+          .orderBy($"pid")
+      },
+      Some("""
+        WITH c AS (
+          SELECT p.vec_id AS pid, n.vec_id AS nid, n.label AS nlabel,
+            list_cosine_similarity(p.embedding, n.embedding) AS cos
+          FROM embeddings p JOIN embeddings n ON p.vec_id <> n.vec_id
+          WHERE p.vec_id < 50),
+        r AS (
+          SELECT pid, nid, nlabel,
+            row_number() OVER (PARTITION BY pid ORDER BY cos DESC, nid) AS rank
+          FROM c),
+        v AS (SELECT pid, nlabel, COUNT(*) AS votes
+              FROM r WHERE rank <= 5 GROUP BY 1, 2),
+        p1 AS (
+          SELECT pid, nlabel, votes,
+            row_number() OVER (PARTITION BY pid ORDER BY votes DESC, nlabel) AS rn
+          FROM v)
+        SELECT p1.pid, p1.nlabel AS predicted, e.label AS actual, p1.votes,
+          CAST(p1.nlabel = e.label AS INT) AS correct
+        FROM p1 JOIN embeddings e ON e.vec_id = p1.pid
+        WHERE rn = 1 ORDER BY pid""")),
+
     // ── embedding near-duplicate pairs (cosine > 0.99) ─────────────────
     // duplicates synthesized: every 10th vector re-appears under a new id.
     // SCALE SHAPE, not the all-pairs theta-join: candidates are confined
