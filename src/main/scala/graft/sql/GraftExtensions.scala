@@ -141,6 +141,16 @@ object GraftFunctions {
       sqlFnText("CASE WHEN size(__arg0) >= __arg1 THEN " +
         "transform(sequence(1, size(__arg0) - (__arg1 - 1)), i -> array_join(slice(__arg0, i, __arg1), ' ')) " +
         "ELSE CAST(array() AS ARRAY<STRING>) END")),
+    (FunctionIdentifier("graft_strip_markup"),
+      info("graft_strip_markup", "graft_strip_markup(html) - drop script/style blocks and tags, unescape common entities, collapse whitespace"),
+      sqlFn("trim(regexp_replace(" +
+        "replace(replace(replace(replace(replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(__arg0, " +
+        "'(?is)<script[^>]*>.*?</script>', ' '), " +
+        "'(?is)<style[^>]*>.*?</style>', ' '), " +
+        "'<[^>]+>', ' '), " +
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\\\"'), '&#39;', '\\''), '&amp;', '&'), " +
+        s"'${lit("\\s+")}', ' '))")),
     (FunctionIdentifier("graft_zorder_key"),
       info("graft_zorder_key", "graft_zorder_key(a, b) - 32-bit Morton/Z-order interleave of two 16-bit keys (multi-dim layout clustering; see core.Layout)"),
       sqlFn(graft.core.Layout.morton2Sql("__arg0", "__arg1"))),

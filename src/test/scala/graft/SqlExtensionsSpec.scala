@@ -96,6 +96,19 @@ class SqlExtensionsSpec extends AnyFunSuite {
     assert(chunks.map(_.toSeq) == viaCol)
   }
 
+  test("graft_strip_markup SQL matches the stripMarkup column kernel") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    val html = "<div>Tom &amp; Jerry</div><script>var a = 1 < 2;</script>" +
+      "<style>p{}</style><p>it&#39;s &quot;ok&quot;, 1 &lt; 2</p>"
+    val viaSql = spark.sql("SELECT graft_strip_markup(t) AS s FROM VALUES " +
+      s"('${html.replace("'", "\\'")}') v(t)").head().getString(0)
+    val viaCol = Seq(html).toDF("t")
+      .select(graft.functions.TextFunctions.stripMarkup($"t")).head().getString(0)
+    assert(viaSql == viaCol)
+    assert(viaCol == "Tom & Jerry it's \"ok\", 1 < 2")
+  }
+
   test("split and ngram SQL functions match the query-plane formulas") {
     GraftFunctions.registerAll(spark)
     import spark.implicits._
