@@ -87,6 +87,37 @@ object SpanDedup {
         concat_ws(" ", col("kept")).as("cleaned"))
   }
 
+  /** Intra-document repetition removal (the x40 query's library face):
+    * the token stream splits into non-overlapping `segTokens`-token
+    * segments, only the FIRST occurrence of each distinct segment
+    * survives, and the doc reassembles in original order. Complements
+    * [[scrub]]: scrub removes spans duplicated ACROSS docs, this
+    * removes repetition WITHIN one (the Gopher repeated-paragraph
+    * rule). Note the rewrite is over lowercased alnum tokens —
+    * punctuation/case do not survive (same contract as scrub).
+    * Returns (id, n_segs, n_kept, rewritten); one doc-keyed exchange.
+    */
+  def dedupSegmentsRewrite(corpus: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 8): DataFrame = {
+    val segs = corpus
+      .select(col(idCol).as("id"), lowerTokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("id"),
+        posexplode(graft.functions.TextFunctions.tokenChunks(
+          col("toks"), segTokens, segTokens)))
+      .select(col("id"), col("pos"), concat_ws(" ", col("col")).as("seg"))
+    segs
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id"), col("seg")).orderBy(col("pos"))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("rn") === 1, struct(col("pos"), col("seg"))))),
+          _.getField("seg")), " ").as("rewritten"))
+  }
+
   /** Per-doc summary over ALL docs (zero-filled for clean docs):
     * (id, n_spans, dup_tokens, max_span). */
   def spanStats(corpus: DataFrame, idCol: String, textCol: String,
