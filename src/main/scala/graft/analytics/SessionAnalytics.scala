@@ -49,7 +49,7 @@ object SessionAnalytics {
     * `(ts - target).abs().argmin()` as a distributed plan. */
   def asOfNearest(df: DataFrame, tsCol: String, target: Column,
       groupCols: Seq[String]): DataFrame = {
-    val diff = abs(unix_millis(col(tsCol)) - unix_millis(target))
+    val diff = abs(unix_millis(col(tsCol).cast("timestamp")) - unix_millis(target.cast("timestamp")))
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(diff)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
@@ -93,7 +93,7 @@ object SessionAnalytics {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col(tieCol))
     df.withColumn("__dt",
-        (unix_millis(lead(col(tsCol), 1).over(w)) - unix_millis(col(tsCol))).cast("double"))
+        (unix_millis(lead(col(tsCol), 1).over(w).cast("timestamp")) - unix_millis(col(tsCol).cast("timestamp"))).cast("double"))
       .groupBy(keyCols.map(col): _*)
       .agg(
         (sum(col(priceCol) * col("__dt")) / sum(col("__dt"))).as("twap"),
@@ -133,7 +133,7 @@ object SessionAnalytics {
       bounds: Option[(Long, Long)] = None): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val pre = df.select((keyCols.map(col) ++ Seq(
-        unix_millis(col(tsCol)).as("__xms"),
+        unix_millis(col(tsCol).cast("timestamp")).as("__xms"),
         col(tieCol).as("__tie"),
         col(valueCol).cast("double").as("__y"))): _*)
       .where(col("__xms").isNotNull && col("__y").isNotNull)

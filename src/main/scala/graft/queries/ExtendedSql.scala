@@ -176,7 +176,7 @@ object ExtendedSql {
       (s, dir) => {
         import s.implicits._
         val ev = Tables.events(s, dir)
-          .select($"event_id", $"user_id", unix_millis($"ts").as("ms"))
+          .select($"event_id", $"user_id", Portable.tsMillis($"ts").as("ms"))
         // long/long is double division in Column algebra; cast back for
         // the integral bucket id (exact: quotients ~6e6 ≪ 2^53).
         val cell = ($"ms" / 300000L).cast("long")
@@ -216,7 +216,7 @@ object ExtendedSql {
         val w = Window.partitionBy($"user_id").orderBy($"ms")
           .rangeBetween(-3600000L, 0L)
         Tables.events(s, dir).filter($"user_id" < 10)
-          .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+          .select($"user_id", $"event_id", Portable.tsMillis($"ts").as("ms"),
             cents($"value").as("c"))
           .withColumn("n_1h", count(lit(1)).over(w))
           .withColumn("sum_1h", (sum($"c").over(w) / 100.0))

@@ -22,8 +22,15 @@ private[queries] object Portable {
   def avgd(c: Column): Column = sum(dec2(c)).cast(DoubleType) / count(lit(1))
 
   /** Epoch milliseconds BIGINT — the portable way to output an instant.
-    * DuckDB: epoch_ms(ts). */
-  def tsMillis(c: Column): Column = unix_millis(c)
+    * DuckDB: epoch_ms(ts).
+    *
+    * The cast makes this total over BOTH timestamp types: driver-written
+    * parquet carries naive TIMESTAMP_NTZ (DuckDB reads it verbatim), and
+    * `unix_millis` rejects NTZ outright. All graft sessions pin
+    * spark.sql.session.timeZone=UTC, so NTZ→LTZ cast interprets the
+    * wall-clock as UTC — the same instant DuckDB's epoch_ms assigns the
+    * naive value — and on an already-LTZ column the cast is a no-op. */
+  def tsMillis(c: Column): Column = unix_millis(c.cast("timestamp"))
 
   /** 2-decimal money/ratio column as exact integer hundredths. Integer
     * sums are associative (shuffle-order-proof) like decimal sums but

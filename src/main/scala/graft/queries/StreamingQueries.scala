@@ -124,7 +124,7 @@ object StreamingQueries {
               .partitionBy($"click_id").orderBy($"pts", $"purchase_id")))
           .filter($"rn" === 1)
           .select($"click_id", $"user_id", $"purchase_id",
-            (unix_millis($"pts") - unix_millis($"cts")).as("ms_to_purchase"),
+            (Portable.tsMillis($"pts") - Portable.tsMillis($"cts")).as("ms_to_purchase"),
             cents($"value").as("purchase_cents"))
           .orderBy($"click_id")
       },
@@ -259,7 +259,7 @@ object StreamingQueries {
               .partitionBy($"click_id").orderBy($"pts", $"purchase_id")))
           .filter($"rn" === 1)
           .select($"click_id", $"user_id", $"purchase_id",
-            (unix_millis($"pts") - unix_millis($"cts")).as("ms_to_purchase"),
+            (Portable.tsMillis($"pts") - Portable.tsMillis($"cts")).as("ms_to_purchase"),
             when($"purchase_id".isNull, 0L).otherwise(1L).as("matched"))
           .orderBy($"click_id")
       },
