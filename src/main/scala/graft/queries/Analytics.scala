@@ -295,7 +295,7 @@ object Analytics {
         val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
           .rowsBetween(Window.unboundedPreceding, 0)
         Tables.events(s, dir)
-          .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+          .select($"user_id", $"event_id", Portable.tsMillis($"ts").as("ms"),
             cents($"value").as("c"))
           .withColumn("runmax", max($"c").over(w))
           .groupBy($"user_id")
@@ -347,7 +347,7 @@ object Analytics {
           .rowsBetween(Window.unboundedPreceding, 0)
         grid.join(perMin, Seq("user_id", "minute"), "left")
           .withColumn("filled", last($"v", ignoreNulls = true).over(wFill))
-          .select($"user_id", unix_millis($"minute").as("minute_ms"), $"filled",
+          .select($"user_id", Portable.tsMillis($"minute").as("minute_ms"), $"filled",
             ($"v".isNull && $"filled".isNotNull).cast("int").as("was_filled"))
           .orderBy($"user_id", $"minute_ms")
       },
@@ -1111,6 +1111,342 @@ object Analytics {
           FROM lines WINDOW w2 AS (PARTITION BY user_id ORDER BY bar))
         SELECT user_id, bar, tenkan_x2, kijun_x2, senkou_a_x4, senkou_b_x2, chikou
         FROM shifted WHERE rn >= 21
+        ORDER BY user_id, bar""")),
+
+    // ── Q25: MACD (dyadic-quantized truncated EMA kernels) ────────────
+    // True EMA is a per-row float recurrence — order-sensitive and
+    // engine-divergent — so the kernels here are the EMA weights
+    // α(1−α)^k quantized to BIGINT at 2^16 scale and truncated at 17
+    // taps (tail mass < 7% for EMA-12, < 27% for EMA-26, re-normalized
+    // exactly by the integer denominators). Reuses the q14 explode →
+    // groupBy(key, tgt) kernel shape: the convolution is an equi-shuffle
+    // on the key the series is already partitioned by — at 100 TB it is
+    // one exchange, never a range self-join. The MACD line is kept as an
+    // EXACT integer numerator over the constant denominator
+    // d12·d26 = 2 950 993 800, so the 9-tap signal SMA is an integer
+    // window sum; macd/signal/hist are three final IEEE renders.
+    GraftQuery(
+      "q25_macd",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+        val wrn = Window.partitionBy($"user_id").orderBy($"rn")
+        val w9 = wrn.rowsBetween(-8, 0)
+        val base = Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .select($"user_id", $"rn", $"ms", $"c")
+        val w12 = "array(10082,8531,7219,6108,5168,4373,3701,3131,2649,2242,1897,1605,1358,1149,972,823,696)"
+        val w26 = "array(4855,4495,4162,3854,3568,3304,3059,2833,2623,2428,2249,2082,1928,1785,1653,1530,1417)"
+        val contrib = base
+          .withColumn("k", explode(expr("sequence(0, 16)")))
+          .select($"user_id", ($"rn" + $"k").as("rn"),
+            ($"c" * expr(s"element_at($w12, k + 1)")).as("cw12"),
+            ($"c" * expr(s"element_at($w26, k + 1)")).as("cw26"))
+        val sums = contrib.groupBy($"user_id", $"rn")
+          .agg(sum($"cw12").as("n12"), sum($"cw26").as("n26"))
+        base.join(sums, Seq("user_id", "rn"))
+          .withColumn("m_num", $"n12" * lit(47825L) - $"n26" * lit(61704L))
+          .withColumn("sig_sum", sum($"m_num").over(w9).cast("long"))
+          .where($"rn" >= 25L)
+          .select($"user_id", $"rn", $"ms", $"m_num", $"sig_sum",
+            ($"m_num".cast("double") / 2950993800.0 / 100.0).as("macd"),
+            ($"sig_sum".cast("double") / 9.0 / 2950993800.0 / 100.0).as("signal"),
+            (($"m_num".cast("double") / 2950993800.0 / 100.0)
+              - ($"sig_sum".cast("double") / 9.0 / 2950993800.0 / 100.0)).as("hist"))
+          .orderBy($"user_id", $"rn")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id < 5),
+        b AS (
+          SELECT user_id, ms, c,
+            row_number() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS rn
+          FROM e),
+        contrib AS (
+          SELECT user_id, rn + k AS rn,
+            c * ([10082,8531,7219,6108,5168,4373,3701,3131,2649,2242,1897,1605,1358,1149,972,823,696][k + 1]) AS cw12,
+            c * ([4855,4495,4162,3854,3568,3304,3059,2833,2623,2428,2249,2082,1928,1785,1653,1530,1417][k + 1]) AS cw26
+          FROM (SELECT user_id, rn, c, unnest(generate_series(0, 16)) AS k FROM b)),
+        sums AS (
+          SELECT user_id, rn, CAST(SUM(cw12) AS BIGINT) AS n12,
+            CAST(SUM(cw26) AS BIGINT) AS n26
+          FROM contrib GROUP BY user_id, rn),
+        m AS (
+          SELECT b.user_id, b.rn, b.ms,
+            n12 * 47825 - n26 * 61704 AS m_num
+          FROM b JOIN sums ON b.user_id = sums.user_id AND b.rn = sums.rn),
+        sig AS (
+          SELECT user_id, rn, ms, m_num,
+            CAST(SUM(m_num) OVER (PARTITION BY user_id ORDER BY rn
+              ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS BIGINT) AS sig_sum
+          FROM m)
+        SELECT user_id, rn, ms, m_num, sig_sum,
+          CAST(m_num AS DOUBLE) / 2950993800.0 / 100.0 AS macd,
+          CAST(sig_sum AS DOUBLE) / 9.0 / 2950993800.0 / 100.0 AS signal,
+          (CAST(m_num AS DOUBLE) / 2950993800.0 / 100.0)
+            - (CAST(sig_sum AS DOUBLE) / 9.0 / 2950993800.0 / 100.0) AS hist
+        FROM sig WHERE rn >= 25
+        ORDER BY user_id, rn""")),
+
+    // ── Q26: Williams %R (14 day-bars, exact integer core) ────────────
+    // %R = −100·(HH−close)/(HH−LL): the q18 day-bar shape feeding
+    // rolling max/min windows; numerator and denominator stay integer
+    // cents, the ratio is ONE double divide at render. Flat windows
+    // (HH = LL) pin to −50 by convention. Bars and windows ride one
+    // (user_id) exchange — bounded window state at any corpus size.
+    GraftQuery(
+      "q26_williams_r",
+      (s, dir) => {
+        import s.implicits._
+        val tev = struct($"ms", $"event_id", $"c")
+        val wb = Window.partitionBy($"user_id").orderBy($"bar")
+        val w14 = wb.rowsBetween(-13, 0)
+        Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"))
+          .withColumn("bar", expr("ms div 86400000"))
+          .groupBy($"user_id", $"bar")
+          .agg(max($"c").as("hi"), min($"c").as("lo"),
+            max(tev).getField("c").as("close"))
+          .withColumn("n", count(lit(1)).over(w14))
+          .withColumn("hh", max($"hi").over(w14))
+          .withColumn("ll", min($"lo").over(w14))
+          .where($"n" === 14L)
+          .select($"user_id", $"bar", $"close", $"hh", $"ll",
+            when($"hh" === $"ll", lit(-50.0))
+              .otherwise(lit(-100.0) * ($"hh" - $"close").cast("double")
+                / ($"hh" - $"ll").cast("double")).as("willr"))
+          .orderBy($"user_id", $"bar")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id < 5),
+        bars AS (
+          SELECT user_id, ms // 86400000 AS bar,
+            MAX(c) AS hi, MIN(c) AS lo,
+            (max(struct_pack(a := ms, b := event_id, c := c))).c AS close
+          FROM e GROUP BY 1, 2),
+        roll AS (
+          SELECT user_id, bar, close,
+            COUNT(*) OVER w AS n,
+            MAX(hi) OVER w AS hh, MIN(lo) OVER w AS ll
+          FROM bars
+          WINDOW w AS (PARTITION BY user_id ORDER BY bar
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        SELECT user_id, bar, close, hh, ll,
+          CASE WHEN hh = ll THEN CAST(-50 AS DOUBLE)
+               ELSE CAST(-100 AS DOUBLE) * CAST(hh - close AS DOUBLE)
+                    / CAST(hh - ll AS DOUBLE) END AS willr
+        FROM roll WHERE n = 14
+        ORDER BY user_id, bar""")),
+
+    // ── Q27: CCI (commodity channel index, list-window exact form) ────
+    // CCI's mean deviation is measured from the CURRENT window's own
+    // SMA — a window-dependent inner statistic no plain window SUM can
+    // express. The portable exact form: collect the 14 typical prices
+    // (×3, integer cents) as an ordered frame list, then fold
+    // Σ|n·u_j − S| with a higher-order aggregate — integer math, so the
+    // fold order never matters and both engines agree bit-for-bit.
+    // CCI = (n·u − S)·n / (0.015·D) — one float multiply + divide at
+    // render. Window state is 14 longs per key; one (user_id) exchange.
+    GraftQuery(
+      "q27_cci",
+      (s, dir) => {
+        import s.implicits._
+        val tev = struct($"ms", $"event_id", $"c")
+        val wb = Window.partitionBy($"user_id").orderBy($"bar")
+        val w14 = wb.rowsBetween(-13, 0)
+        Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"))
+          .withColumn("bar", expr("ms div 86400000"))
+          .groupBy($"user_id", $"bar")
+          .agg(max($"c").as("hi"), min($"c").as("lo"),
+            max(tev).getField("c").as("close"))
+          .withColumn("u", $"hi" + $"lo" + $"close")
+          .withColumn("n", count(lit(1)).over(w14))
+          .withColumn("s14", sum($"u").over(w14).cast("long"))
+          .withColumn("xs", collect_list($"u").over(w14))
+          .where($"n" === 14L)
+          .withColumn("dev",
+            expr("aggregate(xs, CAST(0 AS BIGINT), (a, x) -> a + abs(14 * x - s14))"))
+          .select($"user_id", $"bar", $"u", $"s14", $"dev",
+            when($"dev" === 0L, lit(0.0))
+              .otherwise((lit(14L) * $"u" - $"s14").cast("double") * 14.0
+                / (lit(0.015) * $"dev".cast("double"))).as("cci"))
+          .orderBy($"user_id", $"bar")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id < 5),
+        bars AS (
+          SELECT user_id, ms // 86400000 AS bar,
+            MAX(c) AS hi, MIN(c) AS lo,
+            (max(struct_pack(a := ms, b := event_id, c := c))).c AS close
+          FROM e GROUP BY 1, 2),
+        tp AS (SELECT user_id, bar, hi + lo + close AS u FROM bars),
+        roll AS (
+          SELECT user_id, bar, u,
+            COUNT(*) OVER w AS n,
+            CAST(SUM(u) OVER w AS BIGINT) AS s14,
+            list(u) OVER w AS xs
+          FROM tp
+          WINDOW w AS (PARTITION BY user_id ORDER BY bar
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        dev AS (
+          SELECT user_id, bar, u, s14,
+            CAST(list_sum(list_transform(xs, x -> abs(14 * x - s14))) AS BIGINT) AS dev
+          FROM roll WHERE n = 14)
+        SELECT user_id, bar, u, s14, dev,
+          CASE WHEN dev = 0 THEN CAST(0 AS DOUBLE)
+               ELSE CAST(14 * u - s14 AS DOUBLE) * 14.0
+                    / (0.015 * CAST(dev AS DOUBLE)) END AS cci
+        FROM dev
+        ORDER BY user_id, bar""")),
+
+    // ── Q28: MFI (money flow index, 14 day-bars) ──────────────────────
+    // Volume-weighted RSI cousin: raw money flow = typical price ×
+    // volume, signed by the typical-price delta, ratioed over 14 bars.
+    // The events table carries no volume, so volume is the q19 OBV
+    // deterministic proxy Σ(event_id mod 97 + 1) per bar. Positive and
+    // negative flows stay EXACT BIGINTs through the window sums; the
+    // index is one float divide (flat deltas excluded from both sides,
+    // all-flat windows pin to 50). One (user_id) exchange end-to-end.
+    GraftQuery(
+      "q28_mfi",
+      (s, dir) => {
+        import s.implicits._
+        val tev = struct($"ms", $"event_id", $"c")
+        val wb = Window.partitionBy($"user_id").orderBy($"bar")
+        val w14 = wb.rowsBetween(-13, 0)
+        Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"), ($"event_id" % 97L + 1L).as("v"))
+          .withColumn("bar", expr("ms div 86400000"))
+          .groupBy($"user_id", $"bar")
+          .agg(max($"c").as("hi"), min($"c").as("lo"),
+            max(tev).getField("c").as("close"), sum($"v").as("vol"))
+          .withColumn("u", $"hi" + $"lo" + $"close")
+          .withColumn("du", $"u" - lag($"u", 1).over(wb))
+          .where($"du".isNotNull)
+          .withColumn("mf", $"u" * $"vol")
+          .withColumn("pos", when($"du" > 0L, $"mf").otherwise(lit(0L)))
+          .withColumn("neg", when($"du" < 0L, $"mf").otherwise(lit(0L)))
+          .withColumn("n", count(lit(1)).over(w14))
+          .withColumn("sum_pos", sum($"pos").over(w14).cast("long"))
+          .withColumn("sum_neg", sum($"neg").over(w14).cast("long"))
+          .where($"n" === 14L)
+          .select($"user_id", $"bar", $"sum_pos", $"sum_neg",
+            when($"sum_pos" + $"sum_neg" === 0L, lit(50.0))
+              .otherwise(lit(100.0) * $"sum_pos".cast("double")
+                / ($"sum_pos" + $"sum_neg").cast("double")).as("mfi"))
+          .orderBy($"user_id", $"bar")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c,
+            event_id % 97 + 1 AS v
+          FROM events WHERE user_id < 5),
+        bars AS (
+          SELECT user_id, ms // 86400000 AS bar,
+            MAX(c) AS hi, MIN(c) AS lo,
+            (max(struct_pack(a := ms, b := event_id, c := c))).c AS close,
+            CAST(SUM(v) AS BIGINT) AS vol
+          FROM e GROUP BY 1, 2),
+        tp AS (
+          SELECT user_id, bar, hi + lo + close AS u, vol,
+            (hi + lo + close)
+              - lag(hi + lo + close) OVER (PARTITION BY user_id ORDER BY bar) AS du
+          FROM bars),
+        fl AS (
+          SELECT user_id, bar,
+            CASE WHEN du > 0 THEN u * vol ELSE 0 END AS pos,
+            CASE WHEN du < 0 THEN u * vol ELSE 0 END AS neg
+          FROM tp WHERE du IS NOT NULL),
+        roll AS (
+          SELECT user_id, bar,
+            COUNT(*) OVER w AS n,
+            CAST(SUM(pos) OVER w AS BIGINT) AS sum_pos,
+            CAST(SUM(neg) OVER w AS BIGINT) AS sum_neg
+          FROM fl
+          WINDOW w AS (PARTITION BY user_id ORDER BY bar
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        SELECT user_id, bar, sum_pos, sum_neg,
+          CASE WHEN sum_pos + sum_neg = 0 THEN CAST(50 AS DOUBLE)
+               ELSE CAST(100 AS DOUBLE) * CAST(sum_pos AS DOUBLE)
+                    / CAST(sum_pos + sum_neg AS DOUBLE) END AS mfi
+        FROM roll WHERE n = 14
+        ORDER BY user_id, bar""")),
+
+    // ── Q29: Aroon up/down (10 day-bars, fully integer) ───────────────
+    // "Bars since the rolling high/low" via an argmax-as-struct-max
+    // window: max(struct(hi, rn)) picks the highest high and breaks
+    // ties toward the MOST RECENT bar (rn ascends inside the struct
+    // compare); the low side negates rn so min-struct tie-breaks recent
+    // too. With period 10 the indicator is 10·(10 − bars_since) — pure
+    // BIGINT, no float anywhere. One (user_id) exchange, O(window)
+    // state per key.
+    GraftQuery(
+      "q29_aroon",
+      (s, dir) => {
+        import s.implicits._
+        val tev = struct($"ms", $"event_id", $"c")
+        val wb = Window.partitionBy($"user_id").orderBy($"bar")
+        val w10 = wb.rowsBetween(-9, 0)
+        Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"))
+          .withColumn("bar", expr("ms div 86400000"))
+          .groupBy($"user_id", $"bar")
+          .agg(max($"c").as("hi"), min($"c").as("lo"),
+            max(tev).getField("c").as("close"))
+          .withColumn("rn", row_number().over(wb).cast("long"))
+          .withColumn("n", count(lit(1)).over(w10))
+          .withColumn("rn_hi",
+            max(struct($"hi", $"rn")).over(w10).getField("rn"))
+          .withColumn("rn_lo",
+            (-min(struct($"lo", (-$"rn").as("nrn"))).over(w10).getField("nrn")).cast("long"))
+          .where($"n" === 10L)
+          .select($"user_id", $"bar",
+            (lit(10L) * (lit(10L) - ($"rn" - $"rn_hi"))).as("aroon_up"),
+            (lit(10L) * (lit(10L) - ($"rn" - $"rn_lo"))).as("aroon_dn"))
+          .orderBy($"user_id", $"bar")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id < 5),
+        bars AS (
+          SELECT user_id, ms // 86400000 AS bar,
+            MAX(c) AS hi, MIN(c) AS lo,
+            (max(struct_pack(a := ms, b := event_id, c := c))).c AS close
+          FROM e GROUP BY 1, 2),
+        rb AS (
+          SELECT user_id, bar, hi, lo,
+            CAST(row_number() OVER (PARTITION BY user_id ORDER BY bar) AS BIGINT) AS rn
+          FROM bars),
+        roll AS (
+          SELECT user_id, bar, rn,
+            COUNT(*) OVER w AS n,
+            (max(struct_pack(h := hi, r := rn)) OVER w).r AS rn_hi,
+            -((min(struct_pack(l := lo, nr := -rn)) OVER w).nr) AS rn_lo
+          FROM rb
+          WINDOW w AS (PARTITION BY user_id ORDER BY bar
+                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        SELECT user_id, bar,
+          10 * (10 - (rn - rn_hi)) AS aroon_up,
+          10 * (10 - (rn - rn_lo)) AS aroon_dn
+        FROM roll WHERE n = 10
         ORDER BY user_id, bar"""))
   )
 }
