@@ -320,60 +320,62 @@ object Analytics {
         FROM r GROUP BY user_id ORDER BY user_id""")),
 
     // ── Q-family: fixed-grid resample + forward fill (asfreq/ffill) ────
-    // The gap-filling every tick consumer needs: a dense 1-minute grid
-    // per key over a 2h window, each cell carrying the LAST observation
-    // at-or-before it (null until the first). Last-in-minute picks by
-    // row_number (portable tie-break), the fill is one
-    // last(ignoreNulls) running window — grid join and both windows all
-    // partition by user_id, so the whole op is one key-shuffle wide.
+    // The gap-filling every tick consumer needs: a dense hourly grid
+    // per key over the month, each cell carrying the LAST observation
+    // at-or-before it (null until the first). The sparse feed (~2
+    // observations per key-day) leaves most cells empty, so the fill
+    // path is genuinely exercised. Last-in-cell picks by row_number
+    // (portable tie-break), the fill is one last(ignoreNulls) running
+    // window — grid join and both windows all partition by user_id, so
+    // the whole op is one key-shuffle wide.
     GraftQuery(
       "q11_gap_fill_ffill",
       (s, dir) => {
         import s.implicits._
         val lo = lit("2024-01-01 00:00:00").cast("timestamp")
-        val hi = lit("2024-01-01 02:00:00").cast("timestamp")
+        val hi = lit("2024-01-31 00:00:00").cast("timestamp")
         val ev = Tables.events(s, dir).filter($"user_id" < 5)
         val grid = ev.select($"user_id").distinct()
-          .withColumn("minute", explode(expr(
-            "sequence(timestamp'2024-01-01 00:00:00', timestamp'2024-01-01 01:59:00', interval 1 minute)")))
-        val wPick = Window.partitionBy($"user_id", $"minute")
+          .withColumn("cell", explode(expr(
+            "sequence(timestamp'2024-01-01 00:00:00', timestamp'2024-01-30 23:00:00', interval 1 hour)")))
+        val wPick = Window.partitionBy($"user_id", $"cell")
           .orderBy($"ts".desc, $"event_id".desc)
-        val perMin = ev.filter($"ts" >= lo && $"ts" < hi)
-          .withColumn("minute", date_trunc("minute", $"ts"))
+        val perCell = ev.filter($"ts" >= lo && $"ts" < hi)
+          .withColumn("cell", date_trunc("hour", $"ts"))
           .withColumn("rn", row_number().over(wPick))
           .filter($"rn" === 1)
-          .select($"user_id", $"minute", $"value".as("v"))
-        val wFill = Window.partitionBy($"user_id").orderBy($"minute")
+          .select($"user_id", $"cell", $"value".as("v"))
+        val wFill = Window.partitionBy($"user_id").orderBy($"cell")
           .rowsBetween(Window.unboundedPreceding, 0)
-        grid.join(perMin, Seq("user_id", "minute"), "left")
+        grid.join(perCell, Seq("user_id", "cell"), "left")
           .withColumn("filled", last($"v", ignoreNulls = true).over(wFill))
-          .select($"user_id", Portable.tsMillis($"minute").as("minute_ms"), $"filled",
+          .select($"user_id", Portable.tsMillis($"cell").as("cell_ms"), $"filled",
             ($"v".isNull && $"filled".isNotNull).cast("int").as("was_filled"))
-          .orderBy($"user_id", $"minute_ms")
+          .orderBy($"user_id", $"cell_ms")
       },
       Some("""
         WITH users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 5),
         grid AS (
           SELECT user_id,
             unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
-              TIMESTAMP '2024-01-01 01:59:00', INTERVAL 1 minute)) AS minute
+              TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 hour)) AS cell
           FROM users),
         pm AS (
-          SELECT user_id, minute, value AS v FROM (
-            SELECT user_id, date_trunc('minute', ts) AS minute, value,
-              row_number() OVER (PARTITION BY user_id, date_trunc('minute', ts)
+          SELECT user_id, cell, value AS v FROM (
+            SELECT user_id, date_trunc('hour', ts) AS cell, value,
+              row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
                 ORDER BY ts DESC, event_id DESC) AS rn
             FROM events
             WHERE user_id < 5 AND ts >= TIMESTAMP '2024-01-01 00:00:00'
-              AND ts < TIMESTAMP '2024-01-01 02:00:00')
+              AND ts < TIMESTAMP '2024-01-31 00:00:00')
           WHERE rn = 1)
-        SELECT g.user_id, epoch_ms(g.minute) AS minute_ms,
+        SELECT g.user_id, epoch_ms(g.cell) AS cell_ms,
           last_value(p.v IGNORE NULLS) OVER w AS filled,
           CAST(p.v IS NULL AND last_value(p.v IGNORE NULLS) OVER w IS NOT NULL AS INT) AS was_filled
-        FROM grid g LEFT JOIN pm p ON g.user_id = p.user_id AND g.minute = p.minute
-        WINDOW w AS (PARTITION BY g.user_id ORDER BY g.minute
+        FROM grid g LEFT JOIN pm p ON g.user_id = p.user_id AND g.cell = p.cell
+        WINDOW w AS (PARTITION BY g.user_id ORDER BY g.cell
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        ORDER BY g.user_id, minute_ms""")),
+        ORDER BY g.user_id, cell_ms""")),
 
     // ── Q-family: pairwise correlation matrix (exact-sum Pearson) ──────
     // The quant staple: correlations between keys' aligned minute

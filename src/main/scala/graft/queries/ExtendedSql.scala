@@ -792,6 +792,146 @@ object ExtendedSql {
           CAST(SUM(CASE WHEN pc < lo OR pc > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
           CAST(SUM(GREATEST(LEAST(pc, hi), lo)) AS DOUBLE) / 100.0 AS winsorized_sum
         FROM li JOIN b ON li.rf = b.rf
-        GROUP BY li.rf ORDER BY li.rf"""))
+        GROUP BY li.rf ORDER BY li.rf""")),
+
+    // ── batch sessionization (gaps-and-islands) ───────────────────────
+    // The batch twin of s3's streaming session window: a session breaks
+    // where the gap to the previous event exceeds 30 minutes; session
+    // ids are a running sum of break flags. Everything — gaps, ids,
+    // spans, value sums — is BIGINT; both windows and the final groupBy
+    // ride ONE (user_id) exchange, and per-key window state is O(1), so
+    // the shape survives any corpus size.
+    GraftQuery(
+      "e22_sessionization",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+        Tables.events(s, dir).filter($"user_id" < 20)
+          .select($"user_id", Portable.tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"))
+          .withColumn("brk",
+            when(($"ms" - lag($"ms", 1).over(w)) > 1800000L
+              || lag($"ms", 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("sess", sum($"brk").over(wRun))
+          .groupBy($"user_id", $"sess")
+          .agg(count(lit(1)).as("n_events"),
+            min($"ms").as("start_ms"), max($"ms").as("end_ms"),
+            (max($"ms") - min($"ms")).as("duration_ms"),
+            (sum($"c") / 100.0).as("session_value"))
+          .orderBy($"user_id", $"start_ms")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id < 20),
+        b AS (
+          SELECT user_id, ms, event_id, c,
+            CASE WHEN ms - lag(ms) OVER w > 1800000
+                   OR lag(ms) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        sess AS (
+          SELECT user_id, ms, c,
+            CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+          FROM b)
+        SELECT user_id, sess, COUNT(*) AS n_events,
+          MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+          MAX(ms) - MIN(ms) AS duration_ms,
+          CAST(SUM(c) AS BIGINT) / 100.0 AS session_value
+        FROM sess GROUP BY user_id, sess
+        ORDER BY user_id, start_ms""")),
+
+    // ── linear interpolation on a fixed hourly grid ───────────────────
+    // q11 forward-fills; this LERPs: each empty grid cell finds its
+    // bracketing observations via running last/first(IGNORE NULLS)
+    // anchor structs — no self-join, no range join — and the
+    // interpolated value is kept as the EXACT integer rational
+    // prev·(Δt_total) + Δv·(Δt_elapsed) over Δt_total until one final
+    // double divide. The sparse feed (~2 observations per key-day on an
+    // hourly grid) leaves most cells empty, so the lerp path is
+    // genuinely exercised. Grid join + both anchor windows share the
+    // single (user_id) exchange; per-key window state is one struct
+    // each way.
+    GraftQuery(
+      "e23_linear_interp",
+      (s, dir) => {
+        import s.implicits._
+        val lo = lit("2024-01-01 00:00:00").cast("timestamp")
+        val hi = lit("2024-01-31 00:00:00").cast("timestamp")
+        val ev = Tables.events(s, dir).filter($"user_id" < 5)
+        val grid = ev.select($"user_id").distinct()
+          .withColumn("cell", explode(expr(
+            "sequence(timestamp'2024-01-01 00:00:00', timestamp'2024-01-30 23:00:00', interval 1 hour)")))
+        val wPick = Window.partitionBy($"user_id", $"cell")
+          .orderBy($"ts".desc, $"event_id".desc)
+        val perCell = ev.filter($"ts" >= lo && $"ts" < hi)
+          .withColumn("cell", date_trunc("hour", $"ts"))
+          .withColumn("rn", row_number().over(wPick))
+          .filter($"rn" === 1)
+          .select($"user_id", $"cell", cents($"value").as("v"))
+        val wPast = Window.partitionBy($"user_id").orderBy($"cell")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wFut = Window.partitionBy($"user_id").orderBy($"cell")
+          .rowsBetween(0, Window.unboundedFollowing)
+        grid.join(perCell, Seq("user_id", "cell"), "left")
+          .withColumn("ms", Portable.tsMillis($"cell"))
+          .withColumn("pa", last(when($"v".isNotNull,
+            struct($"ms".as("m"), $"v".as("x"))), ignoreNulls = true).over(wPast))
+          .withColumn("na", first(when($"v".isNotNull,
+            struct($"ms".as("m"), $"v".as("x"))), ignoreNulls = true).over(wFut))
+          .select($"user_id", $"ms".as("cell_ms"), $"v".as("src"),
+            when($"v".isNotNull, $"v".cast("double") / 100.0)
+              .otherwise(when($"pa".isNotNull && $"na".isNotNull,
+                ($"pa.x" * ($"na.m" - $"pa.m")
+                  + ($"na.x" - $"pa.x") * ($"ms" - $"pa.m")).cast("double")
+                  / ($"na.m" - $"pa.m").cast("double") / 100.0)).as("interp"),
+            ($"v".isNull && $"pa".isNotNull && $"na".isNotNull)
+              .cast("int").as("was_interp"))
+          .orderBy($"user_id", $"cell_ms")
+      },
+      Some("""
+        WITH users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 5),
+        grid AS (
+          SELECT user_id,
+            unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+              TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 hour)) AS cell
+          FROM users),
+        pm AS (
+          SELECT user_id, cell, v FROM (
+            SELECT user_id, date_trunc('hour', ts) AS cell,
+              CAST(round(value * 100) AS BIGINT) AS v,
+              row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+            WHERE user_id < 5 AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts < TIMESTAMP '2024-01-31 00:00:00')
+          WHERE rn = 1),
+        j AS (
+          SELECT g.user_id AS user_id, epoch_ms(g.cell) AS ms, p.v AS v
+          FROM grid g LEFT JOIN pm p
+            ON g.user_id = p.user_id AND g.cell = p.cell),
+        anch AS (
+          SELECT user_id, ms, v,
+            last_value(CASE WHEN v IS NOT NULL
+              THEN struct_pack(m := ms, x := v) END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ms
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pa,
+            first_value(CASE WHEN v IS NOT NULL
+              THEN struct_pack(m := ms, x := v) END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ms
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS na
+          FROM j)
+        SELECT user_id, ms AS cell_ms, v AS src,
+          CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE) / 100.0
+               WHEN pa IS NOT NULL AND na IS NOT NULL THEN
+                 CAST(pa.x * (na.m - pa.m)
+                   + (na.x - pa.x) * (ms - pa.m) AS DOUBLE)
+                 / CAST(na.m - pa.m AS DOUBLE) / 100.0
+          END AS interp,
+          CAST(v IS NULL AND pa IS NOT NULL AND na IS NOT NULL AS INT) AS was_interp
+        FROM anch
+        ORDER BY user_id, cell_ms"""))
   )
 }
