@@ -1877,6 +1877,128 @@ object TextQueries {
           CAST(COUNT(*) AS BIGINT) AS n_syms,
           string_agg(sym, ' ' ORDER BY i) AS sym_seq
         FROM syms4 GROUP BY w, f ORDER BY w"""
-      })
+      }),
+
+    // ── DSIR-style importance resampling weights ──────────────────────
+    // Data Selection via Importance Resampling (Xie et al. 2023): score
+    // every raw document by how much its hashed-unigram profile looks
+    // like a TARGET distribution vs the RAW corpus distribution. Target
+    // here = mid-length documents (250–400 chars), the stand-in for "a
+    // trusted high-quality subset". Transcendental-free by the house
+    // rule: instead of Σ c·(log λt − log λr), each of the 64 hash
+    // buckets carries the INTEGER-quantized likelihood ratio
+    // ((ct+1)·2^20) div (cr+1) — monotone in the true ratio, exact in
+    // both engines — and a document's importance is the plain integer
+    // sum of its tokens' bucket weights, length-normalized at the end.
+    // Scale shape: bucket stats are one map-side-combined groupBy into
+    // a 64-row table that BROADCASTS back onto the token stream; the
+    // per-doc score is one groupBy(doc_id); the top-100 "resampled"
+    // flag is a WindowGroupLimit row_number, never a global sort.
+    GraftQuery(
+      "x44_dsir_importance",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", $"n_chars", explode(lowerTokens($"text")).as("t"))
+          .withColumn("b", graft.functions.HashFunctions.md5Long($"t") % 64)
+        val raw = toks.groupBy($"b").agg(count(lit(1)).as("cr"))
+        val tgt = toks.where($"n_chars".between(250, 400))
+          .groupBy($"b").agg(count(lit(1)).as("ct"))
+        val weights = raw.join(tgt, Seq("b"), "left")
+          .select($"b",
+            expr("((coalesce(ct, CAST(0 AS BIGINT)) + 1) * 1048576) div (cr + 1)").as("w"))
+        val scored = toks.join(broadcast(weights), "b")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_toks"), sum($"w").cast("long").as("imp"))
+          .withColumn("imp_per_tok", expr("imp div n_toks"))
+        val wSel = org.apache.spark.sql.expressions.Window
+          .orderBy($"imp_per_tok".desc, $"doc_id")
+        // rank-LIMIT filter (not a flag projection) so Spark compiles the
+        // global rank into WindowGroupLimit — top-100 per task flows to
+        // the merge, never the whole corpus through one sort partition
+        val top = scored
+          .withColumn("rn", row_number().over(wSel)).where($"rn" <= 100)
+          .select($"doc_id", lit(1).as("sel1"))
+        scored.join(top, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_toks", $"imp", $"imp_per_tok",
+            coalesce($"sel1", lit(0)).as("sel"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, n_chars,
+            unnest(regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+')) AS t
+          FROM documents),
+        tb AS (
+          SELECT doc_id, n_chars,
+            CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 64 AS b
+          FROM toks),
+        raw AS (SELECT b, COUNT(*) AS cr FROM tb GROUP BY b),
+        tgt AS (SELECT b, COUNT(*) AS ct FROM tb
+                WHERE n_chars BETWEEN 250 AND 400 GROUP BY b),
+        w AS (
+          SELECT raw.b AS b,
+            ((COALESCE(ct, 0) + 1) * 1048576) // (cr + 1) AS w
+          FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+        scored AS (
+          SELECT doc_id, COUNT(*) AS n_toks, CAST(SUM(w.w) AS BIGINT) AS imp
+          FROM tb JOIN w ON tb.b = w.b
+          GROUP BY doc_id),
+        sel AS (
+          SELECT doc_id, n_toks, imp, imp // n_toks AS imp_per_tok,
+            row_number() OVER (ORDER BY imp // n_toks DESC, doc_id) AS rn
+          FROM scored)
+        SELECT doc_id, n_toks, imp, imp_per_tok,
+          CAST(rn <= 100 AS INT) AS sel
+        FROM sel ORDER BY doc_id""")),
+
+    // ── tokenizer fertility / compression-ratio audit ─────────────────
+    // The tokenizer-health diagnostic a pipeline runs before committing
+    // to a vocabulary: characters per whitespace token (word length
+    // proxy) and per BPE-ish token (fertility — tokens per word
+    // inflate when the vocabulary fits the corpus poorly), per source.
+    // All ratios ride as integer milli-units (exact ÷ via div); ONE
+    // map-side-combinable groupBy over one scan — no shuffle beyond
+    // the 20-row source rollup at any corpus size.
+    GraftQuery(
+      "x45_token_fertility",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"source", $"n_chars",
+            wsTokenCount($"text").cast("long").as("n_ws"),
+            bpeTokenCount($"text").cast("long").as("n_bpe"),
+            tokenCount($"text").cast("long").as("n_alnum"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").as("sum_chars"),
+            sum($"n_ws").as("sum_ws"),
+            sum($"n_bpe").as("sum_bpe"),
+            sum($"n_alnum").as("sum_alnum"))
+          .select($"source", $"n_docs", $"sum_chars", $"sum_ws", $"sum_bpe",
+            expr("(sum_chars * 1000) div sum_ws").as("chars_per_ws_x1000"),
+            expr("(sum_chars * 1000) div sum_bpe").as("chars_per_bpe_x1000"),
+            expr("(sum_bpe * 1000) div sum_alnum").as("fertility_x1000"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH d AS (
+          SELECT source, n_chars,
+            len(regexp_extract_all(text, '[^\s]+')) AS n_ws,
+            len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe,
+            len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS n_alnum
+          FROM documents),
+        g AS (
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+            CAST(SUM(n_ws) AS BIGINT) AS sum_ws,
+            CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe,
+            CAST(SUM(n_alnum) AS BIGINT) AS sum_alnum
+          FROM d GROUP BY source)
+        SELECT source, n_docs, sum_chars, sum_ws, sum_bpe,
+          (sum_chars * 1000) // sum_ws AS chars_per_ws_x1000,
+          (sum_chars * 1000) // sum_bpe AS chars_per_bpe_x1000,
+          (sum_bpe * 1000) // sum_alnum AS fertility_x1000
+        FROM g ORDER BY source"""))
   )
 }

@@ -832,6 +832,55 @@ object VectorQueries {
         SELECT x.a, x.b, CAST(x.rank AS BIGINT) AS rank_ab
         FROM knn x JOIN knn y ON x.a = y.b AND x.b = y.a
         WHERE x.a < x.b
-        ORDER BY x.a, x.b"""))
+        ORDER BY x.a, x.b""")),
+
+    // ── binary quantization ANN (sign bits + Hamming + rerank) ─────────
+    // The memory-bound ANN trade modern vector stores ship first: each
+    // 64-dim float vector collapses to TWO 32-bit sign words (strictly
+    // positive dims set bits; two words keep every shift inside
+    // non-negative BIGINT range), candidate search is integer popcount
+    // Hamming over 8 bytes/vector, and only a 20-deep shortlist per
+    // probe ever touches the float cosine kernel. Hamming distances are
+    // exact integers — they cross the engine boundary directly; cosine
+    // appears only as rerank RANKS (the v1 convention). Both prunes are
+    // WindowGroupLimit row_number — bounded per-task state at any
+    // corpus size; probes broadcast.
+    GraftQuery(
+      "v15_binary_quant_ann",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        graft.similarity.TopK
+          .binaryTopK(emb, emb.filter($"vec_id" < 10), 5, shortlist = 20)
+          .orderBy($"pid", $"rank")
+      },
+      Some("""
+        WITH sw AS (
+          SELECT vec_id, embedding,
+            CAST(list_sum(list_transform(generate_series(0, 31),
+              i -> CASE WHEN embedding[i + 1] > 0
+                        THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS w0,
+            CAST(list_sum(list_transform(generate_series(0, 31),
+              i -> CASE WHEN embedding[i + 33] > 0
+                        THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS w1
+          FROM embeddings),
+        ham AS (
+          SELECT p.vec_id AS pid, n.vec_id AS nid,
+            p.embedding AS pe, n.embedding AS ne,
+            bit_count(xor(p.w0, n.w0)) + bit_count(xor(p.w1, n.w1)) AS ham
+          FROM sw p JOIN sw n ON p.vec_id <> n.vec_id
+          WHERE p.vec_id < 10),
+        short AS (
+          SELECT pid, nid, pe, ne, ham,
+            row_number() OVER (PARTITION BY pid ORDER BY ham, nid) AS srank
+          FROM ham),
+        rr AS (
+          SELECT pid, nid, ham,
+            row_number() OVER (PARTITION BY pid
+              ORDER BY list_cosine_similarity(pe, ne) DESC, nid) AS rank
+          FROM short WHERE srank <= 20)
+        SELECT pid, nid, CAST(ham AS BIGINT) AS ham, CAST(rank AS BIGINT) AS rank
+        FROM rr WHERE rank <= 5
+        ORDER BY pid, rank"""))
   )
 }

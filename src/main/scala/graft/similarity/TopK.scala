@@ -66,4 +66,44 @@ object TopK {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /** Sign-bit words of an embedding: bit i of word j is set iff
+    * dim 32·j + i is strictly positive. Two 32-bit words per 64-dim
+    * vector keep every shift inside non-negative BIGINT range (a
+    * 1<<63 would wrap sign in either engine). */
+  def signWord(embCol: String, lo: Int): org.apache.spark.sql.Column =
+    expr(s"""aggregate(transform(sequence(0, 31),
+      i -> IF(element_at($embCol, i + $lo + 1) > 0,
+              shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+      CAST(0 AS BIGINT), (a, b) -> a + b)""")
+
+  /** Binary-quantization ANN: 1-bit-per-dim signatures, Hamming-distance
+    * shortlist of `shortlist` candidates per probe (integer popcounts —
+    * exact, engine-portable), then an exact-cosine rerank of the
+    * shortlist down to top-`k`. The modern memory-bound recall trade:
+    * the scan side touches 8 bytes per vector instead of 256, and the
+    * float kernel runs on `shortlist` rows per probe, not the corpus.
+    * Probe side broadcasts; the shortlist and rerank are both
+    * WindowGroupLimit row_number prunes (bounded per-task state). */
+  def binaryTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      shortlist: Int = 20): DataFrame = {
+    def signed(df: DataFrame, idAs: String, embAs: String) =
+      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+        signWord("embedding", 0).as(s"${idAs}_w0"),
+        signWord("embedding", 32).as(s"${idAs}_w1"))
+    val c = signed(corpus, "nid", "ne")
+    val p = signed(probes, "pid", "pe")
+    val wHam = Window.partitionBy(col("pid")).orderBy(col("ham"), col("nid"))
+    val wCos = Window.partitionBy(col("pid")).orderBy(col("cos").desc, col("nid"))
+    broadcast(p).join(c, col("pid") =!= col("nid"))
+      .withColumn("ham",
+        bit_count(col("pid_w0").bitwiseXOR(col("nid_w0")))
+          + bit_count(col("pid_w1").bitwiseXOR(col("nid_w1"))))
+      .withColumn("srank", row_number().over(wHam))
+      .where(col("srank") <= shortlist)
+      .withColumn("cos", cosineNative(col("pe"), col("ne")))
+      .withColumn("rank", row_number().over(wCos))
+      .where(col("rank") <= k)
+      .select(col("pid"), col("nid"), col("ham"), col("rank"))
+  }
 }
