@@ -1449,6 +1449,163 @@ object Analytics {
           10 * (10 - (rn - rn_hi)) AS aroon_up,
           10 * (10 - (rn - rn_lo)) AS aroon_dn
         FROM roll WHERE n = 10
+        ORDER BY user_id, bar""")),
+
+    // ── Q32: DMI (+DI/−DI/DX, Cutler-style SMA smoothing) ─────────────
+    // Directional movement: +DM/−DM compare today's high/low push
+    // against yesterday's, true range normalizes. Wilder's recursive
+    // smoothing is order-sensitive float; the SMA variant keeps the
+    // 14-bar sums EXACT BIGINTs, and DX's true-range term CANCELS
+    // (|S+ − S−| / (S+ + S−)) so every output is one float divide off
+    // integer sums. One (user_id) exchange carries bars + windows.
+    GraftQuery(
+      "q32_dmi",
+      (s, dir) => {
+        import s.implicits._
+        val tev = struct($"ms", $"event_id", $"c")
+        val wb = Window.partitionBy($"user_id").orderBy($"bar")
+        val w14 = wb.rowsBetween(-13, 0)
+        Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"))
+          .withColumn("bar", expr("ms div 86400000"))
+          .groupBy($"user_id", $"bar")
+          .agg(max($"c").as("hi"), min($"c").as("lo"),
+            max(tev).getField("c").as("close"))
+          .withColumn("phi", lag($"hi", 1).over(wb))
+          .withColumn("plo", lag($"lo", 1).over(wb))
+          .withColumn("pcl", lag($"close", 1).over(wb))
+          .where($"phi".isNotNull)
+          .withColumn("up", $"hi" - $"phi")
+          .withColumn("dn", $"plo" - $"lo")
+          .withColumn("dmp",
+            when($"up" > $"dn" && $"up" > 0L, $"up").otherwise(lit(0L)))
+          .withColumn("dmm",
+            when($"dn" > $"up" && $"dn" > 0L, $"dn").otherwise(lit(0L)))
+          .withColumn("tr", greatest($"hi" - $"lo",
+            abs($"hi" - $"pcl"), abs($"lo" - $"pcl")))
+          .withColumn("n", count(lit(1)).over(w14))
+          .withColumn("sp", sum($"dmp").over(w14).cast("long"))
+          .withColumn("sm", sum($"dmm").over(w14).cast("long"))
+          .withColumn("st", sum($"tr").over(w14).cast("long"))
+          .where($"n" === 14L)
+          .select($"user_id", $"bar", $"sp", $"sm", $"st",
+            when($"st" === 0L, lit(0.0))
+              .otherwise(lit(100.0) * $"sp".cast("double")
+                / $"st".cast("double")).as("di_plus"),
+            when($"st" === 0L, lit(0.0))
+              .otherwise(lit(100.0) * $"sm".cast("double")
+                / $"st".cast("double")).as("di_minus"),
+            when($"sp" + $"sm" === 0L, lit(0.0))
+              .otherwise(lit(100.0) * abs($"sp" - $"sm").cast("double")
+                / ($"sp" + $"sm").cast("double")).as("dx"))
+          .orderBy($"user_id", $"bar")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id < 5),
+        bars AS (
+          SELECT user_id, ms // 86400000 AS bar,
+            MAX(c) AS hi, MIN(c) AS lo,
+            (max(struct_pack(a := ms, b := event_id, c := c))).c AS close
+          FROM e GROUP BY 1, 2),
+        lagd AS (
+          SELECT user_id, bar, hi, lo, close,
+            lag(hi) OVER w AS phi, lag(lo) OVER w AS plo,
+            lag(close) OVER w AS pcl
+          FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY bar)),
+        dm AS (
+          SELECT user_id, bar,
+            CASE WHEN hi - phi > plo - lo AND hi - phi > 0
+                 THEN hi - phi ELSE 0 END AS dmp,
+            CASE WHEN plo - lo > hi - phi AND plo - lo > 0
+                 THEN plo - lo ELSE 0 END AS dmm,
+            greatest(hi - lo, abs(hi - pcl), abs(lo - pcl)) AS tr
+          FROM lagd WHERE phi IS NOT NULL),
+        roll AS (
+          SELECT user_id, bar,
+            COUNT(*) OVER w AS n,
+            CAST(SUM(dmp) OVER w AS BIGINT) AS sp,
+            CAST(SUM(dmm) OVER w AS BIGINT) AS sm,
+            CAST(SUM(tr) OVER w AS BIGINT) AS st
+          FROM dm
+          WINDOW w AS (PARTITION BY user_id ORDER BY bar
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        SELECT user_id, bar, sp, sm, st,
+          CASE WHEN st = 0 THEN CAST(0 AS DOUBLE)
+               ELSE CAST(100 AS DOUBLE) * CAST(sp AS DOUBLE) / CAST(st AS DOUBLE) END AS di_plus,
+          CASE WHEN st = 0 THEN CAST(0 AS DOUBLE)
+               ELSE CAST(100 AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(st AS DOUBLE) END AS di_minus,
+          CASE WHEN sp + sm = 0 THEN CAST(0 AS DOUBLE)
+               ELSE CAST(100 AS DOUBLE) * CAST(abs(sp - sm) AS DOUBLE)
+                    / CAST(sp + sm AS DOUBLE) END AS dx
+        FROM roll WHERE n = 14
+        ORDER BY user_id, bar""")),
+
+    // ── Q33: Chaikin money flow (quantized multiplier, 20 bars) ───────
+    // CMF = Σ(mfm·vol) / Σvol: the money-flow multiplier
+    // (2·close − hi − lo)/(hi − lo) is a per-bar rational, so summing it
+    // exactly across bars with different denominators is impossible in
+    // integers — the house answer is QUANTIZE, not float: mfm rides as
+    // exact integer milli-units (div), flows stay BIGINT through the
+    // 20-bar window, and CMF is one double divide at render (result in
+    // milli-units of the classic CMF). Volume is the q19/q28 proxy.
+    GraftQuery(
+      "q33_cmf",
+      (s, dir) => {
+        import s.implicits._
+        val tev = struct($"ms", $"event_id", $"c")
+        val wb = Window.partitionBy($"user_id").orderBy($"bar")
+        val w20 = wb.rowsBetween(-19, 0)
+        Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"), ($"event_id" % 97L + 1L).as("v"))
+          .withColumn("bar", expr("ms div 86400000"))
+          .groupBy($"user_id", $"bar")
+          .agg(max($"c").as("hi"), min($"c").as("lo"),
+            max(tev).getField("c").as("close"), sum($"v").as("vol"))
+          .withColumn("mfm_x1000",
+            when($"hi" === $"lo", lit(0L))
+              .otherwise(expr("((2 * close - hi - lo) * 1000) div (hi - lo)")))
+          .withColumn("flow", $"mfm_x1000" * $"vol")
+          .withColumn("n", count(lit(1)).over(w20))
+          .withColumn("sf", sum($"flow").over(w20).cast("long"))
+          .withColumn("sv", sum($"vol").over(w20).cast("long"))
+          .where($"n" === 20L)
+          .select($"user_id", $"bar", $"sf", $"sv",
+            ($"sf".cast("double") / $"sv".cast("double")).as("cmf_x1000"))
+          .orderBy($"user_id", $"bar")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c,
+            event_id % 97 + 1 AS v
+          FROM events WHERE user_id < 5),
+        bars AS (
+          SELECT user_id, ms // 86400000 AS bar,
+            MAX(c) AS hi, MIN(c) AS lo,
+            (max(struct_pack(a := ms, b := event_id, c := c))).c AS close,
+            CAST(SUM(v) AS BIGINT) AS vol
+          FROM e GROUP BY 1, 2),
+        mf AS (
+          SELECT user_id, bar, vol,
+            CASE WHEN hi = lo THEN 0
+                 ELSE ((2 * close - hi - lo) * 1000) // (hi - lo) END AS mfm_x1000
+          FROM bars),
+        roll AS (
+          SELECT user_id, bar,
+            COUNT(*) OVER w AS n,
+            CAST(SUM(mfm_x1000 * vol) OVER w AS BIGINT) AS sf,
+            CAST(SUM(vol) OVER w AS BIGINT) AS sv
+          FROM mf
+          WINDOW w AS (PARTITION BY user_id ORDER BY bar
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        SELECT user_id, bar, sf, sv,
+          CAST(sf AS DOUBLE) / CAST(sv AS DOUBLE) AS cmf_x1000
+        FROM roll WHERE n = 20
         ORDER BY user_id, bar"""))
   )
 }

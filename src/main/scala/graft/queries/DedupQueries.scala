@@ -954,6 +954,69 @@ object DedupQueries {
         SELECT doc_id, grp,
           CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
                ELSE 'test' END AS split
-        FROM b ORDER BY doc_id"""))
+        FROM b ORDER BY doc_id""")),
+
+    // ── containment score (sub-document duplication, asymmetric) ──────
+    // Jaccard misses the case training pipelines care about most: doc A
+    // fully CONTAINED in longer doc B (quote-with-commentary, page +
+    // boilerplate). Containment C(A,B) = |S_A ∩ S_B| / |S_A| is the
+    // asymmetric fix. Shape: distinct 5-token shingles explode once,
+    // candidate pairs come from a shingle EQUI-join (≥10 shared
+    // shingles to surface a pair — the d2 candidate discipline: at
+    // corpus scale the raw shingle would ride as an md5 long and hot
+    // shingles would be cap-dropped audibly, same as the LSH buckets),
+    // per-pair intersection sizes are count arithmetic, and the two
+    // directional scores are integer milli-units. The synthesized
+    // corpus guarantees exercised full-containment pairs (original ⊂
+    // tail-extended variant → C = 1000).
+    GraftQuery(
+      "d18_containment",
+      (s, dir) => {
+        import s.implicits._
+        val sh = corpusWithNearDups(s, dir)
+          .select($"doc_id",
+            explode(array_distinct(shingles(tokens(normalized($"text"))))).as("g"))
+        val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val shared = sh.select($"doc_id".as("a"), $"g")
+          .join(sh.select($"doc_id".as("b"), $"g"), "g")
+          .where($"a" < $"b")
+          .groupBy($"a", $"b").agg(count(lit(1)).as("n_shared"))
+          .where($"n_shared" >= 10L)
+        shared
+          .join(counts.select($"doc_id".as("a"), $"n".as("n_a")), "a")
+          .join(counts.select($"doc_id".as("b"), $"n".as("n_b")), "b")
+          .select($"a", $"b", $"n_a", $"n_b", $"n_shared",
+            expr("(n_shared * 1000) div n_a").as("cont_ab_x1000"),
+            expr("(n_shared * 1000) div n_b").as("cont_ba_x1000"))
+          .orderBy($"a", $"b")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text || ' extra appended tail tokens here' AS text
+          FROM documents WHERE doc_id % 5 = 0),
+        toks AS (
+          SELECT doc_id,
+            regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM corpus),
+        sh AS (
+          SELECT DISTINCT doc_id,
+            CASE WHEN len(t) < 5 THEN array_to_string(t, ' ')
+                 ELSE array_to_string(t[i:i+4], ' ') END AS g
+          FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i
+                FROM toks)),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        shared AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
+          FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= 10)
+        SELECT a, b, ca.n AS n_a, cb.n AS n_b, n_shared,
+          (n_shared * 1000) // ca.n AS cont_ab_x1000,
+          (n_shared * 1000) // cb.n AS cont_ba_x1000
+        FROM shared
+        JOIN counts ca ON ca.doc_id = a
+        JOIN counts cb ON cb.doc_id = b
+        ORDER BY a, b"""))
   )
 }

@@ -1999,6 +1999,79 @@ object TextQueries {
           (sum_chars * 1000) // sum_ws AS chars_per_ws_x1000,
           (sum_chars * 1000) // sum_bpe AS chars_per_bpe_x1000,
           (sum_bpe * 1000) // sum_alnum AS fertility_x1000
-        FROM g ORDER BY source"""))
+        FROM g ORDER BY source""")),
+
+    // ── curriculum ordering (stratified difficulty interleave) ────────
+    // Curriculum learning's data-side half: rank documents by a
+    // difficulty proxy (token count) inside length-quartile strata,
+    // then interleave the strata round-robin so every training window
+    // sees the full difficulty mix while within-stratum order stays
+    // easy→hard. Quartile bounds are exact (the e6 rank trick — and,
+    // as there, the exact global rank is the audit form: at corpus
+    // scale the bounds downgrade to approx_percentile, the strata and
+    // interleave below are unchanged); position = rank·4 + stratum is
+    // pure integer arithmetic. The per-stratum windows bound their
+    // sort partitions to corpus/4, and the position column IS the
+    // curriculum order — emitted, not sorted-by.
+    GraftQuery(
+      "x46_curriculum_order",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"n_chars", tokenCount($"text").cast("long").as("n_toks"))
+        val wAll = org.apache.spark.sql.expressions.Window
+          .orderBy($"n_chars", $"doc_id")
+        val bounds = docs
+          .withColumn("rn", row_number().over(wAll).cast("long"))
+          .withColumn("cnt", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+          .groupBy()
+          .agg(
+            max(when($"rn" === expr("(cnt * 1) div 4"), $"n_chars")).as("q1"),
+            max(when($"rn" === expr("(cnt * 2) div 4"), $"n_chars")).as("q2"),
+            max(when($"rn" === expr("(cnt * 3) div 4"), $"n_chars")).as("q3"))
+        val strat = docs.crossJoin(broadcast(bounds))
+          .withColumn("stratum",
+            when($"n_chars" <= $"q1", lit(0L))
+              .when($"n_chars" <= $"q2", lit(1L))
+              .when($"n_chars" <= $"q3", lit(2L)).otherwise(lit(3L)))
+        val wS = org.apache.spark.sql.expressions.Window
+          .partitionBy($"stratum").orderBy($"n_toks", $"doc_id")
+        strat
+          .withColumn("rank_in_stratum", row_number().over(wS).cast("long") - 1L)
+          .select($"doc_id", $"stratum", $"rank_in_stratum",
+            ($"rank_in_stratum" * 4L + $"stratum").as("curriculum_pos"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, n_chars,
+            CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_toks
+          FROM documents),
+        r AS (
+          SELECT doc_id, n_chars,
+            CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+            COUNT(*) OVER () AS cnt
+          FROM docs),
+        b AS (
+          SELECT
+            MAX(CASE WHEN rn = (cnt * 1) // 4 THEN n_chars END) AS q1,
+            MAX(CASE WHEN rn = (cnt * 2) // 4 THEN n_chars END) AS q2,
+            MAX(CASE WHEN rn = (cnt * 3) // 4 THEN n_chars END) AS q3
+          FROM r),
+        strat AS (
+          SELECT doc_id, n_toks,
+            CASE WHEN n_chars <= q1 THEN 0
+                 WHEN n_chars <= q2 THEN 1
+                 WHEN n_chars <= q3 THEN 2 ELSE 3 END AS stratum
+          FROM docs CROSS JOIN b),
+        ranked AS (
+          SELECT doc_id, stratum,
+            CAST(row_number() OVER (PARTITION BY stratum
+              ORDER BY n_toks, doc_id) AS BIGINT) - 1 AS rank_in_stratum
+          FROM strat)
+        SELECT doc_id, stratum, rank_in_stratum,
+          rank_in_stratum * 4 + stratum AS curriculum_pos
+        FROM ranked ORDER BY doc_id"""))
   )
 }

@@ -376,6 +376,46 @@ object WritePath {
             COALESCE(old_c, -1) AS old_c, COALESCE(new_c, -1) AS new_c
           FROM j)
         SELECT o_orderkey, status, old_c, new_c
-        FROM d WHERE status <> 'same' ORDER BY o_orderkey"""))
+        FROM d WHERE status <> 'same' ORDER BY o_orderkey""")),
+
+    // ── compaction planning (small-file bin packing) ──────────────────
+    // The table-maintenance op every object-store lakehouse schedules:
+    // group a partition's small files into target-sized compaction bins.
+    // File inventory is simulated from orders (file = customer bucket
+    // within an order-month partition, size = row count — the stats
+    // A7 already maintains per interval); the plan is NEXT-FIT in
+    // deterministic file order: bin = (running size BEFORE this file)
+    // div target — one prefix-sum window per partition, integers end to
+    // end. At 100 TB this runs over the stats table (tiny), never the
+    // data; the plan itself is the shuffle-free part of compaction.
+    GraftQuery(
+      "a18_compaction_plan",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"part").orderBy($"file_id")
+        val wBefore = w.rowsBetween(Window.unboundedPreceding, -1)
+        Tables.orders(s, dir)
+          .select(date_format($"o_orderdate", "yyyy-MM").as("part"),
+            ($"o_custkey" % 50L).as("file_id"))
+          .groupBy($"part", $"file_id")
+          .agg(count(lit(1)).as("size"))
+          .withColumn("cum_before",
+            coalesce(sum($"size").over(wBefore), lit(0L)).cast("long"))
+          .select($"part", $"file_id", $"size",
+            expr("cum_before div 4000").as("bin"))
+          .orderBy($"part", $"file_id")
+      },
+      Some("""
+        WITH files AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS part,
+            o_custkey % 50 AS file_id, COUNT(*) AS size
+          FROM orders GROUP BY 1, 2),
+        plan AS (
+          SELECT part, file_id, size,
+            CAST(COALESCE(SUM(size) OVER (PARTITION BY part ORDER BY file_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+          FROM files)
+        SELECT part, file_id, size, cum_before // 4000 AS bin
+        FROM plan ORDER BY part, file_id"""))
   )
 }
