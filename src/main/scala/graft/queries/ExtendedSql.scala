@@ -932,6 +932,38 @@ object ExtendedSql {
           END AS interp,
           CAST(v IS NULL AND pa IS NOT NULL AND na IS NOT NULL AS INT) AS was_interp
         FROM anch
-        ORDER BY user_id, cell_ms"""))
-  )
-}
+        ORDER BY user_id, cell_ms""")),
+
+    // ── arbitrary GROUPING SETS with portable grouping flags ──────────
+    // e1/e17 cover ROLLUP and CUBE; this is the general form — an
+    // explicit set list mixing a 2-d cell, one margin, and the grand
+    // total. Disambiguation rides per-dimension grouping() FLAGS (0/1
+    // in both engines) rather than grouping_id(), whose bit order is
+    // engine-specific. One shuffle: Catalyst expands the sets into a
+    // single Expand + hash aggregate, the same plan shape a 100 TB
+    // cube slice wants.
+    GraftQuery(
+      "e24_grouping_sets",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("e24_li")
+        s.sql("""
+          SELECT coalesce(l_returnflag, 'ALL') AS rf,
+            coalesce(l_linestatus, 'ALL') AS ls,
+            grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+            COUNT(*) AS n,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+          FROM e24_li
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          ORDER BY g_rf, g_ls, rf, ls""")
+      },
+      Some("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          coalesce(l_linestatus, 'ALL') AS ls,
+          CAST(grouping(l_returnflag) AS INT) AS g_rf,
+          CAST(grouping(l_linestatus) AS INT) AS g_ls,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY g_rf, g_ls, rf, ls"""))
+  )}

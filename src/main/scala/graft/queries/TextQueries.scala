@@ -2072,6 +2072,76 @@ object TextQueries {
           FROM strat)
         SELECT doc_id, stratum, rank_in_stratum,
           rank_in_stratum * 4 + stratum AS curriculum_pos
-        FROM ranked ORDER BY doc_id"""))
+        FROM ranked ORDER BY doc_id""")),
+
+    // ── padding-efficiency audit (why length-bucketed batching) ───────
+    // The measurement that justifies x33: build 8-doc batches two ways
+    // — arrival order (doc_id) vs length-sorted — and compare padded
+    // tokens (each batch pads to its own max length). Pure integer:
+    // padding = max_len·8 − Σlen per batch, waste is milli-units of
+    // the padded total. The global row_number is the audit form (x32's
+    // two-pass bucket rank replaces it at corpus scale); everything
+    // else is one groupBy per strategy over 500/8 batch rows.
+    GraftQuery(
+      "x47_padding_efficiency",
+      (s, dir) => {
+        import s.implicits._
+        val W = org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", tokenCount($"text").cast("long").as("len"))
+        def audit(ordered: org.apache.spark.sql.DataFrame, strategy: String) =
+          ordered
+            .withColumn("batch", expr("(rn - 1) div 8"))
+            .groupBy($"batch")
+            .agg(count(lit(1)).as("bsz"), max($"len").as("maxlen"),
+              sum($"len").cast("long").as("toks"))
+            .agg(count(lit(1)).as("n_batches"),
+              sum($"toks").cast("long").as("sum_tokens"),
+              sum($"maxlen" * $"bsz" - $"toks").cast("long").as("sum_padding"))
+            .select(lit(strategy).as("strategy"), $"n_batches", $"sum_tokens",
+              $"sum_padding",
+              expr("(sum_padding * 1000) div (sum_tokens + sum_padding)")
+                .as("waste_x1000"))
+        val naive = audit(docs.withColumn("rn",
+          row_number().over(W.orderBy($"doc_id")).cast("long")), "arrival")
+        val bucketed = audit(docs.withColumn("rn",
+          row_number().over(W.orderBy($"len", $"doc_id")).cast("long")), "length_sorted")
+        naive.unionAll(bucketed).orderBy($"strategy")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS len
+          FROM documents),
+        a AS (
+          SELECT doc_id, len,
+            CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+          FROM docs),
+        b AS (
+          SELECT doc_id, len,
+            CAST(row_number() OVER (ORDER BY len, doc_id) AS BIGINT) AS rn
+          FROM docs),
+        ab AS (
+          SELECT (rn - 1) // 8 AS batch, COUNT(*) AS bsz,
+            MAX(len) AS maxlen, CAST(SUM(len) AS BIGINT) AS toks
+          FROM a GROUP BY 1),
+        bb AS (
+          SELECT (rn - 1) // 8 AS batch, COUNT(*) AS bsz,
+            MAX(len) AS maxlen, CAST(SUM(len) AS BIGINT) AS toks
+          FROM b GROUP BY 1),
+        ag AS (
+          SELECT 'arrival' AS strategy, COUNT(*) AS n_batches,
+            CAST(SUM(toks) AS BIGINT) AS sum_tokens,
+            CAST(SUM(maxlen * bsz - toks) AS BIGINT) AS sum_padding
+          FROM ab),
+        bg AS (
+          SELECT 'length_sorted' AS strategy, COUNT(*) AS n_batches,
+            CAST(SUM(toks) AS BIGINT) AS sum_tokens,
+            CAST(SUM(maxlen * bsz - toks) AS BIGINT) AS sum_padding
+          FROM bb),
+        u AS (SELECT * FROM ag UNION ALL SELECT * FROM bg)
+        SELECT strategy, n_batches, sum_tokens, sum_padding,
+          (sum_padding * 1000) // (sum_tokens + sum_padding) AS waste_x1000
+        FROM u ORDER BY strategy"""))
   )
 }

@@ -416,6 +416,44 @@ object WritePath {
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
           FROM files)
         SELECT part, file_id, size, cum_before // 4000 AS bin
-        FROM plan ORDER BY part, file_id"""))
+        FROM plan ORDER BY part, file_id""")),
+
+    // ── partition skew report (table-maintenance audit) ───────────────
+    // The read-side twin of a18: per-partition row counts with each
+    // partition's share and its ratio over the mean — the report that
+    // decides whether a table needs salting, re-bucketing, or AQE skew
+    // hints before a 1000-executor job reads it. Ratios are integer
+    // milli-units via the rational identity rows·nparts·1000 div total
+    // (no float division anywhere). At 100 TB this reads the A7 stats
+    // log, not the data; here it demonstrates on one scan + a tiny
+    // all-partition window.
+    GraftQuery(
+      "a19_partition_skew",
+      (s, dir) => {
+        import s.implicits._
+        val wAll = Window.partitionBy(lit(1))
+        Tables.orders(s, dir)
+          .select(date_format($"o_orderdate", "yyyy-MM").as("part"))
+          .groupBy($"part").agg(count(lit(1)).as("rows"))
+          .withColumn("total", sum($"rows").over(wAll).cast("long"))
+          .withColumn("nparts", count(lit(1)).over(wAll).cast("long"))
+          .select($"part", $"rows",
+            expr("(rows * 1000) div total").as("share_x1000"),
+            expr("(rows * nparts * 1000) div total").as("over_mean_x1000"))
+          .orderBy($"part")
+      },
+      Some("""
+        WITH p AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS part, COUNT(*) AS rows
+          FROM orders GROUP BY 1),
+        t AS (
+          SELECT part, rows,
+            CAST(SUM(rows) OVER () AS BIGINT) AS total,
+            CAST(COUNT(*) OVER () AS BIGINT) AS nparts
+          FROM p)
+        SELECT part, rows,
+          (rows * 1000) // total AS share_x1000,
+          (rows * nparts * 1000) // total AS over_mean_x1000
+        FROM t ORDER BY part"""))
   )
 }
