@@ -1913,10 +1913,17 @@ object TextQueries {
           .withColumn("imp_per_tok", expr("imp div n_toks"))
         val wSel = org.apache.spark.sql.expressions.Window
           .orderBy($"imp_per_tok".desc, $"doc_id")
-        // rank-LIMIT filter (not a flag projection) so Spark compiles the
-        // global rank into WindowGroupLimit — top-100 per task flows to
-        // the merge, never the whole corpus through one sort partition
+        // Two-stage top-100: Spark's InferWindowGroupLimit never fires
+        // on an EMPTY partition spec (verified empirically), so a bare
+        // global rank would sort the whole corpus in one partition. The
+        // shard stage ranks inside 64 hash shards — rank-LIMIT filter →
+        // WindowGroupLimit, bounded per-task state — and the global
+        // rank then orders ≤ 64·100 survivors, corpus-size-independent.
+        val wShard = org.apache.spark.sql.expressions.Window
+          .partitionBy($"shard").orderBy($"imp_per_tok".desc, $"doc_id")
         val top = scored
+          .withColumn("shard", $"doc_id" % 64L)
+          .withColumn("srn", row_number().over(wShard)).where($"srn" <= 100)
           .withColumn("rn", row_number().over(wSel)).where($"rn" <= 100)
           .select($"doc_id", lit(1).as("sel1"))
         scored.join(top, Seq("doc_id"), "left")

@@ -281,6 +281,36 @@ class PushdownSpec extends AnyFunSuite {
       s"v12 must not shuffle-cartesian, plan:\n$v12plan")
   }
 
+  test("round-5 third-block additions stay equi-join shaped") {
+    // The indicator family (q25-q33) must ride one key exchange of
+    // windows; the audits (a18/a19/x45/x47) are groupBy+window only;
+    // d18's candidate generation is a shingle EQUI-join; e22/e23 are
+    // grid equi-joins + windows. A CartesianProduct or
+    // BroadcastNestedLoopJoin in any of them means a theta join leaked
+    // in. (v15 is exempt BY DESIGN: its broadcast-probe pid<>nid join
+    // is nested-loop by construction, like v1's bruteForce; x46's
+    // 1-row broadcast bounds crossJoin likewise.)
+    for (name <- Seq("q25_macd", "q26_williams_r", "q27_cci", "q28_mfi",
+        "q29_aroon", "q32_dmi", "q33_cmf", "e22_sessionization",
+        "e23_linear_interp", "e24_grouping_sets", "x44_dsir_importance",
+        "x45_token_fertility", "x47_padding_efficiency",
+        "a18_compaction_plan", "a19_partition_skew", "d18_containment")) {
+      val q = graft.core.Registry.allQueries.find(_.name == name).get
+      val plan = q.build(spark, "/root/testdata/sf0.001")
+        .queryExecution.explainString(SimpleMode)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name must stay equi-join shaped, plan:\n$plan")
+    }
+    // x44's resample flag must keep its rank-LIMIT form: the global
+    // row_number prunes per-task via WindowGroupLimit instead of
+    // sorting the whole corpus in one partition
+    val x44 = graft.core.Registry.allQueries.find(_.name == "x44_dsir_importance").get
+    val x44plan = x44.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(x44plan.contains("WindowGroupLimit"),
+      s"x44 top-100 must compile to WindowGroupLimit, plan:\n$x44plan")
+  }
+
   test("cents compiles to FLOOR, never Round's per-row BigDecimal path") {
     // Portable.cents deliberately lowers round(x*100) to floor(x*100+0.5)
     // (bit-identical for 2-decimal money, allocation-free in codegen). A
