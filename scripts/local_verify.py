@@ -77,6 +77,14 @@ def main() -> int:
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # The v-family oracles are deliberately all-pairs (the oracle states
+    # the SEMANTICS; our engine, not the oracle, carries the scale
+    # design) — at sf0.1 their intermediates exceed DuckDB's default
+    # in-memory budget and die with "Out of Memory Error". Give the
+    # oracle headroom and a spill path so the gate measures value
+    # equality, not the oracle's memory ceiling.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_verify_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
