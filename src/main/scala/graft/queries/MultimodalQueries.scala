@@ -295,6 +295,70 @@ object MultimodalQueries {
         SELECT media_id, MIN(frame_idx) AS seg_start, MAX(frame_idx) AS seg_end,
           COUNT(*) AS n_frames, CAST(SUM(energy) AS BIGINT) AS sum_energy
         FROM act GROUP BY media_id, grp
-        ORDER BY media_id, seg_start"""))
+        ORDER BY media_id, seg_start""")),
+
+    // ── A/V stream alignment (as-of pairing across modalities) ────────
+    // Training pairs for audio-visual models: every video segment takes
+    // the LATEST audio segment at-or-before it from the same source
+    // group. Segment timelines are synthesized from the media table
+    // (deterministic ms offsets; audio cadence 700ms, video 1100ms so
+    // alignment is non-trivial), and the as-of is the union-tag +
+    // running-last pattern — ONE (group) exchange and an O(1) running
+    // struct per key, the q6 discipline, never a range join. Unmatched
+    // leading videos emit -1.
+    GraftQuery(
+      "m9_av_align",
+      (s, dir) => {
+        import s.implicits._
+        val media = Multimodal.asMediaTable(Tables.documents(s, dir))
+          .select($"media_id", $"kind", ($"media_id" % 7L).as("grp"))
+        val audio = media.filter($"kind" === "audio")
+          .select($"grp", ($"media_id" * 700L).as("t_ms"),
+            $"media_id".as("audio_id"), lit(0).as("is_v"))
+        val video = media.filter($"kind" === "video")
+          .select($"grp", ($"media_id" * 1100L).as("t_ms"),
+            $"media_id".as("video_id"), lit(1).as("is_v"))
+        val tagged = audio.select($"grp", $"t_ms", $"is_v",
+            $"audio_id", lit(null).cast("long").as("video_id"))
+          .unionByName(video.select($"grp", $"t_ms", $"is_v",
+            lit(null).cast("long").as("audio_id"), $"video_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"grp").orderBy($"t_ms", $"is_v", $"video_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        tagged
+          .withColumn("last_audio", last($"audio_id", ignoreNulls = true).over(w))
+          .where($"is_v" === 1)
+          .select($"grp", $"video_id", ($"video_id" * 1100L).as("video_ms"),
+            coalesce($"last_audio", lit(-1L)).as("paired_audio"))
+          .orderBy($"grp", $"video_id")
+      },
+      Some("""
+        WITH media AS (
+          SELECT doc_id AS media_id,
+            (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+            doc_id % 7 AS grp
+          FROM documents),
+        audio AS (
+          SELECT grp, media_id * 700 AS t_ms, media_id AS audio_id,
+            0 AS is_v, NULL::BIGINT AS video_id
+          FROM media WHERE kind = 'audio'),
+        video AS (
+          SELECT grp, media_id * 1100 AS t_ms, NULL::BIGINT AS audio_id,
+            1 AS is_v, media_id AS video_id
+          FROM media WHERE kind = 'video'),
+        tagged AS (
+          SELECT grp, t_ms, is_v, audio_id, video_id FROM audio
+          UNION ALL
+          SELECT grp, t_ms, is_v, audio_id, video_id FROM video),
+        runs AS (
+          SELECT grp, t_ms, is_v, video_id,
+            last_value(audio_id IGNORE NULLS) OVER (
+              PARTITION BY grp ORDER BY t_ms, is_v, video_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_audio
+          FROM tagged)
+        SELECT grp, video_id, video_id * 1100 AS video_ms,
+          COALESCE(last_audio, -1) AS paired_audio
+        FROM runs WHERE is_v = 1
+        ORDER BY grp, video_id"""))
   )
 }

@@ -348,6 +348,67 @@ object StreamingQueries {
           COUNT(DISTINCT i.doc_id) AS n_matches
         FROM probes p LEFT JOIN idx i
           ON p.band = i.band AND p.band_sig = i.band_sig
-        GROUP BY p.doc_id ORDER BY p.doc_id"""))
+        GROUP BY p.doc_id ORDER BY p.doc_id""")),
+
+    // ── watermark lateness audit (batch projection of s1's policy) ────
+    // Before committing to a watermark delay, a pipeline measures what
+    // that delay would DROP. Arrival time is synthesized as event time
+    // plus a deterministic skew (an event_id LCG hash, up to ~2 h —
+    // hashed so skew does NOT correlate with the sequential event ids); the
+    // running watermark is max(arrival) so far minus the 10-minute
+    // delay over arrival order — exactly Structured Streaming's global
+    // watermark under a 1-row-per-trigger replay, expressed as one
+    // running-max window. An event is LATE iff its event time is
+    // behind the watermark when it arrives. The per-user rollup is the
+    // drop report: lateness is decided by a GLOBAL clock but audited
+    // per key. The arrival-order running max is a global window — the
+    // audit form (this replays ONE global watermark, which is what the
+    // streaming engine maintains); at corpus scale the same statistic
+    // comes from per-partition maxima + a prefix merge, two passes.
+    GraftQuery(
+      "s10_lateness_audit",
+      (s, dir) => {
+        import s.implicits._
+        val wArr = org.apache.spark.sql.expressions.Window
+          .orderBy($"arr_ms", $"event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        Tables.events(s, dir).filter($"user_id" < 20)
+          .select($"user_id", $"event_id", Portable.tsMillis($"ts").as("ms"))
+          .withColumn("arr_ms", $"ms" + (($"event_id" * 1103515245L + 12345L) % 7207L) * 1000L)
+          .withColumn("wm",
+            coalesce(max($"ms").over(wArr), lit(0L)) - 600000L)
+          .withColumn("late", ($"ms" < $"wm").cast("long"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"late").cast("long").as("n_late"),
+            max(when($"late" === 1L, $"wm" - $"ms")).as("worst_lag_ms"))
+          .select($"user_id", $"n_events", $"n_late",
+            coalesce($"worst_lag_ms", lit(0L)).as("worst_lag_ms"),
+            expr("(n_late * 1000) div n_events").as("late_x1000"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ms,
+            epoch_ms(ts) + ((event_id * 1103515245 + 12345) % 7207) * 1000 AS arr_ms
+          FROM events WHERE user_id < 20),
+        wm AS (
+          SELECT user_id, event_id, ms,
+            COALESCE(MAX(ms) OVER (ORDER BY arr_ms, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              - 600000 AS wm
+          FROM e),
+        flags AS (
+          SELECT user_id, ms, wm,
+            CASE WHEN ms < wm THEN 1 ELSE 0 END AS late
+          FROM wm),
+        g AS (
+          SELECT user_id, COUNT(*) AS n_events,
+            CAST(SUM(late) AS BIGINT) AS n_late,
+            COALESCE(MAX(CASE WHEN late = 1 THEN wm - ms END), 0) AS worst_lag_ms
+          FROM flags GROUP BY user_id)
+        SELECT user_id, n_events, n_late, worst_lag_ms,
+          (n_late * 1000) // n_events AS late_x1000
+        FROM g ORDER BY user_id"""))
   )
 }
