@@ -30,6 +30,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.6, f"LSH recall $recall%.2f too low (|truth|=${truth.size})")
   }
 
+  test("binary-quant Hamming shortlist recovers most exact neighbors") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val truth = truthPairs(5)
+    def recallAt(shortlist: Int): Double = {
+      val bq = TopK.binaryTopK(emb, emb.filter($"vec_id" < 20), 5, shortlist)
+        .select($"pid", $"nid").as[(Long, Long)].collect().toSet
+      (truth intersect bq).size.toDouble / truth.size
+    }
+    // 1 bit/dim keeps cosine ordering only approximately — the CONTRACT
+    // is that the exact rerank converges on brute-force truth as the
+    // Hamming shortlist deepens (the recall/scan-bytes knob)
+    val r20 = recallAt(20); val r40 = recallAt(40)
+    assert(r20 > 0.35, f"binary-quant recall@20 $r20%.2f too low")
+    assert(r40 >= r20, f"recall@40 $r40%.2f must not trail recall@20 $r20%.2f")
+    assert(r40 > 0.55, f"binary-quant recall@40 $r40%.2f too low")
+    // shortlist invariants: k results per probe, no self-pairs
+    val full = TopK.binaryTopK(emb, emb.filter($"vec_id" < 20), 5, shortlist = 20)
+    assert(full.groupBy($"pid").count().filter($"count" =!= 5).count() == 0)
+    assert(full.filter($"pid" === $"nid").count() == 0)
+  }
+
   test("two SrpBucketsExpr in one projection compile under codegen (no name clash)") {
     import graft.functions.VectorFunctions.lshBuckets
     // coalesce makes the child non-nullable, so nullSafeExec inlines both
