@@ -1606,6 +1606,91 @@ object Analytics {
         SELECT user_id, bar, sf, sv,
           CAST(sf AS DOUBLE) / CAST(sv AS DOUBLE) AS cmf_x1000
         FROM roll WHERE n = 20
-        ORDER BY user_id, bar"""))
+        ORDER BY user_id, bar""")),
+
+    // ── Q34: VPIN-style order-flow imbalance (volume buckets) ─────────
+    // Volume-synchronized probability of informed trading, the
+    // flow-toxicity gauge: ticks are signed by the q16 tick rule
+    // (carry-forward on flat deltas), sliced into equal-VOLUME buckets
+    // (running volume div bucket size — a calendar-free clock), and
+    // each bucket reports |buy − sell| over its volume; VPIN is the
+    // 5-bucket rolling mean of that imbalance. Volumes are the q19
+    // proxy; buy/sell/imbalance stay EXACT BIGINTs through every
+    // window; VPIN's mean-of-ratios uses the common bucket volume so
+    // even the rolling mean is a ratio of integer sums — ONE divide at
+    // render. One (user_id) exchange carries signs, buckets, windows.
+    GraftQuery(
+      "q34_vpin",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+        val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+        val wB = Window.partitionBy($"user_id").orderBy($"bucket")
+        val w5 = wB.rowsBetween(-4, 0)
+        Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"), ($"event_id" % 97L + 1L).as("v"))
+          .withColumn("delta", $"c" - lag($"c", 1).over(w))
+          .withColumn("sgn0",
+            when($"delta" > 0L, 1L).when($"delta" < 0L, -1L).otherwise(lit(null)))
+          .withColumn("sign", last($"sgn0", ignoreNulls = true).over(wRun))
+          .where($"sign".isNotNull)
+          .withColumn("vcum_before", coalesce(sum($"v").over(wPrev), lit(0L)).cast("long"))
+          .withColumn("bucket", expr("vcum_before div 500"))
+          .groupBy($"user_id", $"bucket")
+          .agg(
+            sum(when($"sign" === 1L, $"v").otherwise(0L)).cast("long").as("buy_v"),
+            sum(when($"sign" === -1L, $"v").otherwise(0L)).cast("long").as("sell_v"))
+          .withColumn("imb", abs($"buy_v" - $"sell_v"))
+          .withColumn("bv", $"buy_v" + $"sell_v")
+          .withColumn("n", count(lit(1)).over(w5))
+          .withColumn("s_imb", sum($"imb").over(w5).cast("long"))
+          .withColumn("s_bv", sum($"bv").over(w5).cast("long"))
+          .where($"n" === 5L)
+          .select($"user_id", $"bucket", $"buy_v", $"sell_v", $"s_imb", $"s_bv",
+            ($"s_imb".cast("double") / $"s_bv".cast("double")).as("vpin"))
+          .orderBy($"user_id", $"bucket")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c,
+            event_id % 97 + 1 AS v
+          FROM events WHERE user_id < 5),
+        d AS (
+          SELECT user_id, ms, event_id, v,
+            c - lag(c) OVER w AS delta
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        sg AS (
+          SELECT user_id, ms, event_id, v,
+            last_value(CASE WHEN delta > 0 THEN 1
+                            WHEN delta < 0 THEN -1 END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ms, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sign
+          FROM d),
+        bkt AS (
+          SELECT user_id, v, sign,
+            CAST(COALESCE(SUM(v) OVER (PARTITION BY user_id ORDER BY ms, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              // 500 AS bucket
+          FROM sg WHERE sign IS NOT NULL),
+        agg AS (
+          SELECT user_id, bucket,
+            CAST(SUM(CASE WHEN sign = 1 THEN v ELSE 0 END) AS BIGINT) AS buy_v,
+            CAST(SUM(CASE WHEN sign = -1 THEN v ELSE 0 END) AS BIGINT) AS sell_v
+          FROM bkt GROUP BY 1, 2),
+        roll AS (
+          SELECT user_id, bucket, buy_v, sell_v,
+            COUNT(*) OVER w AS n,
+            CAST(SUM(abs(buy_v - sell_v)) OVER w AS BIGINT) AS s_imb,
+            CAST(SUM(buy_v + sell_v) OVER w AS BIGINT) AS s_bv
+          FROM agg
+          WINDOW w AS (PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        SELECT user_id, bucket, buy_v, sell_v, s_imb, s_bv,
+          CAST(s_imb AS DOUBLE) / CAST(s_bv AS DOUBLE) AS vpin
+        FROM roll WHERE n = 5
+        ORDER BY user_id, bucket"""))
   )
 }

@@ -2149,6 +2149,43 @@ object TextQueries {
         u AS (SELECT * FROM ag UNION ALL SELECT * FROM bg)
         SELECT strategy, n_batches, sum_tokens, sum_padding,
           (sum_padding * 1000) // (sum_tokens + sum_padding) AS waste_x1000
-        FROM u ORDER BY strategy"""))
+        FROM u ORDER BY strategy""")),
+
+    // ── exact-k stratified sampling (deterministic reservoir) ─────────
+    // x12's Bernoulli mix sampling hits a RATE; eval-set construction
+    // usually needs an exact COUNT per stratum. The distributed exact-k
+    // reservoir: order each stratum by a salted md5 of the key (a
+    // deterministic stand-in for the random reservoir draw — replayable
+    // across runs and engines by construction) and keep the first k
+    // via rank-LIMIT, which compiles to WindowGroupLimit — per-task
+    // top-k state, no stratum ever sorts in one partition beyond its
+    // own rows. One (source) exchange.
+    GraftQuery(
+      "x48_stratified_sample",
+      (s, dir) => {
+        import s.implicits._
+        val wS = org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"draw", $"doc_id")
+        Tables.documents(s, dir)
+          .select($"doc_id", $"source",
+            graft.functions.HashFunctions.md5Long(
+              concat(lit("x48:"), $"doc_id".cast("string"))).as("draw"))
+          .withColumn("rn", row_number().over(wS))
+          .where($"rn" <= 10)
+          .select($"doc_id", $"source", $"rn".cast("long").as("pick_order"))
+          .orderBy($"source", $"pick_order")
+      },
+      Some("""
+        WITH drawn AS (
+          SELECT doc_id, source,
+            CAST(concat('0x', substr(md5(concat('x48:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS draw
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source ORDER BY draw, doc_id) AS rn
+          FROM drawn)
+        SELECT doc_id, source, CAST(rn AS BIGINT) AS pick_order
+        FROM ranked WHERE rn <= 10
+        ORDER BY source, pick_order"""))
   )
 }
