@@ -1691,6 +1691,55 @@ object Analytics {
         SELECT user_id, bucket, buy_v, sell_v, s_imb, s_bv,
           CAST(s_imb AS DOUBLE) / CAST(s_bv AS DOUBLE) AS vpin
         FROM roll WHERE n = 5
-        ORDER BY user_id, bucket"""))
+        ORDER BY user_id, bucket""")),
+
+    // ── Q35: realized volatility (integer basis-point returns) ────────
+    // Daily realized variance = Σ (per-tick return)² — the high-
+    // frequency vol estimator. Float returns would make the sum
+    // order-sensitive, so returns are QUANTIZED to integer basis
+    // points first: r_bp = (Δc·10000) div c_prev (exact in both
+    // engines, truncation toward zero matches), and the variance is a
+    // plain BIGINT sum of r_bp² — shuffle-order-proof. One divide at
+    // render scales to daily vol in bp units. Per-key windows + one
+    // groupBy on the same (user_id) exchange.
+    GraftQuery(
+      "q35_realized_vol",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+        Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"))
+          .withColumn("pc", lag($"c", 1).over(w))
+          .where($"pc".isNotNull && $"pc" =!= 0L)
+          .withColumn("r_bp", expr("((c - pc) * 10000) div pc"))
+          .withColumn("bar", expr("ms div 86400000"))
+          .groupBy($"user_id", $"bar")
+          .agg(count(lit(1)).as("n_returns"),
+            sum($"r_bp" * $"r_bp").cast("long").as("rv_bp2"),
+            max(abs($"r_bp")).as("max_abs_bp"))
+          .select($"user_id", $"bar", $"n_returns", $"rv_bp2", $"max_abs_bp",
+            sqrt($"rv_bp2".cast("double")).as("rvol_bp"))
+          .orderBy($"user_id", $"bar")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id < 5),
+        r AS (
+          SELECT user_id, ms, event_id, c,
+            lag(c) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS pc
+          FROM e),
+        bp AS (
+          SELECT user_id, ms // 86400000 AS bar,
+            ((c - pc) * 10000) // pc AS r_bp
+          FROM r WHERE pc IS NOT NULL AND pc <> 0)
+        SELECT user_id, bar, COUNT(*) AS n_returns,
+          CAST(SUM(r_bp * r_bp) AS BIGINT) AS rv_bp2,
+          MAX(abs(r_bp)) AS max_abs_bp,
+          sqrt(CAST(SUM(r_bp * r_bp) AS BIGINT)) AS rvol_bp
+        FROM bp GROUP BY 1, 2
+        ORDER BY user_id, bar"""))
   )
 }

@@ -2186,6 +2186,65 @@ object TextQueries {
           FROM drawn)
         SELECT doc_id, source, CAST(rn AS BIGINT) AS pick_order
         FROM ranked WHERE rn <= 10
-        ORDER BY source, pick_order"""))
+        ORDER BY source, pick_order""")),
+
+    // ── Heaps-law vocabulary growth curve ─────────────────────────────
+    // How fast does vocabulary grow as the corpus is consumed in doc_id
+    // order? Each distinct term contributes at its FIRST document; the
+    // curve at checkpoint N is the count of terms whose first doc is ≤
+    // N, with the token prefix alongside — all from ONE scan: a
+    // min-per-term aggregate (map-side combinable), bucketed into
+    // 50-doc checkpoints, then a running sum over the tiny checkpoint
+    // axis. The tokenizer-budget planning curve (does vocab saturate?)
+    // with no distinct-per-prefix rescans anywhere.
+    GraftQuery(
+      "x49_vocab_growth",
+      (s, dir) => {
+        import s.implicits._
+        val W = org.apache.spark.sql.expressions.Window
+        val wCk = W.orderBy($"checkpoint")
+          .rowsBetween(W.unboundedPreceding, 0)
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", explode(lowerTokens($"text")).as("t"))
+        val firsts = toks.groupBy($"t").agg(min($"doc_id").as("first_doc"))
+          .withColumn("checkpoint", expr("((first_doc div 50) + 1) * 50"))
+          .groupBy($"checkpoint").agg(count(lit(1)).as("new_terms"))
+        val tokCk = toks
+          .withColumn("checkpoint", expr("((doc_id div 50) + 1) * 50"))
+          .groupBy($"checkpoint").agg(count(lit(1)).as("new_tokens"))
+        firsts.join(tokCk, Seq("checkpoint"), "full")
+          .select($"checkpoint",
+            coalesce($"new_terms", lit(0L)).as("new_terms"),
+            coalesce($"new_tokens", lit(0L)).as("new_tokens"))
+          .withColumn("vocab", sum($"new_terms").over(wCk).cast("long"))
+          .withColumn("tokens", sum($"new_tokens").over(wCk).cast("long"))
+          .orderBy($"checkpoint")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            unnest(regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+')) AS t
+          FROM documents),
+        firsts AS (
+          SELECT ((doc_id // 50) + 1) * 50 AS checkpoint,
+            COUNT(*) AS new_terms
+          FROM (SELECT t, MIN(doc_id) AS doc_id FROM toks GROUP BY t) ft
+          GROUP BY 1),
+        tok_ck AS (
+          SELECT ((doc_id // 50) + 1) * 50 AS checkpoint,
+            COUNT(*) AS new_tokens
+          FROM toks GROUP BY 1),
+        j AS (
+          SELECT COALESCE(f.checkpoint, k.checkpoint) AS checkpoint,
+            COALESCE(new_terms, 0) AS new_terms,
+            COALESCE(new_tokens, 0) AS new_tokens
+          FROM firsts f FULL OUTER JOIN tok_ck k ON f.checkpoint = k.checkpoint)
+        SELECT checkpoint, new_terms, new_tokens,
+          CAST(SUM(new_terms) OVER w AS BIGINT) AS vocab,
+          CAST(SUM(new_tokens) OVER w AS BIGINT) AS tokens
+        FROM j
+        WINDOW w AS (ORDER BY checkpoint
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY checkpoint"""))
   )
 }
