@@ -294,7 +294,9 @@ class PushdownSpec extends AnyFunSuite {
         "q29_aroon", "q32_dmi", "q33_cmf", "e22_sessionization",
         "e23_linear_interp", "e24_grouping_sets", "x44_dsir_importance",
         "x45_token_fertility", "x47_padding_efficiency",
-        "a18_compaction_plan", "a19_partition_skew", "d18_containment")) {
+        "a18_compaction_plan", "a19_partition_skew", "d18_containment",
+        "s10_lateness_audit", "m9_av_align", "q34_vpin",
+        "q35_realized_vol", "x48_stratified_sample", "x49_vocab_growth")) {
       val q = graft.core.Registry.allQueries.find(_.name == name).get
       val plan = q.build(spark, "/root/testdata/sf0.001")
         .queryExecution.explainString(SimpleMode)
