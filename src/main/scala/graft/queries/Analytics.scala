@@ -1740,6 +1740,70 @@ object Analytics {
           MAX(abs(r_bp)) AS max_abs_bp,
           sqrt(CAST(SUM(r_bp * r_bp) AS BIGINT)) AS rvol_bp
         FROM bp GROUP BY 1, 2
-        ORDER BY user_id, bar"""))
+        ORDER BY user_id, bar""")),
+
+    // ── Q36: pairs-trading spread z-score (integer sufficient stats) ──
+    // The stat-arb entry signal: z-score of the price spread between
+    // two aligned series. Day bars for both legs join on the bar, the
+    // spread stays integer cents, and the rolling mean/σ come from the
+    // q15 Bollinger sufficient statistics — the z-score reduces to
+    // (n·s − S) / sqrt(n·Σs² − S²), integer numerator AND integer
+    // radicand, so the only floats are one sqrt (IEEE correctly
+    // rounded) and one divide. Full 10-bar windows; degenerate windows
+    // (zero variance) pin to 0.
+    GraftQuery(
+      "q36_pair_spread_z",
+      (s, dir) => {
+        import s.implicits._
+        val tev = struct($"ms", $"event_id", $"c")
+        def leg(uid: Int, as: String) =
+          Tables.events(s, dir).filter($"user_id" === uid)
+            .select(tsMillis($"ts").as("ms"), $"event_id", cents($"value").as("c"))
+            .withColumn("bar", expr("ms div 86400000"))
+            .groupBy($"bar").agg(max(tev).getField("c").as(as))
+        val w10 = org.apache.spark.sql.expressions.Window
+          .orderBy($"bar").rowsBetween(-9, 0)
+        leg(0, "c0").join(leg(1, "c1"), "bar")
+          .withColumn("s", $"c0" - $"c1")
+          .withColumn("n", count(lit(1)).over(w10))
+          .withColumn("ss", sum($"s").over(w10).cast("long"))
+          .withColumn("ss2", sum($"s" * $"s").over(w10).cast("long"))
+          .where($"n" === 10L)
+          .withColumn("var_num", lit(10L) * $"ss2" - $"ss" * $"ss")
+          .select($"bar", $"s", $"ss", $"var_num",
+            when($"var_num" <= 0L, lit(0.0))
+              .otherwise((lit(10L) * $"s" - $"ss").cast("double")
+                / sqrt($"var_num".cast("double"))).as("zscore"))
+          .orderBy($"bar")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id IN (0, 1)),
+        b0 AS (
+          SELECT ms // 86400000 AS bar,
+            (max(struct_pack(a := ms, b := event_id, c := c))).c AS c0
+          FROM e WHERE user_id = 0 GROUP BY 1),
+        b1 AS (
+          SELECT ms // 86400000 AS bar,
+            (max(struct_pack(a := ms, b := event_id, c := c))).c AS c1
+          FROM e WHERE user_id = 1 GROUP BY 1),
+        sp AS (
+          SELECT b0.bar AS bar, c0 - c1 AS s
+          FROM b0 JOIN b1 ON b0.bar = b1.bar),
+        roll AS (
+          SELECT bar, s,
+            COUNT(*) OVER w AS n,
+            CAST(SUM(s) OVER w AS BIGINT) AS ss,
+            CAST(SUM(s * s) OVER w AS BIGINT) AS ss2
+          FROM sp
+          WINDOW w AS (ORDER BY bar ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        SELECT bar, s, ss, 10 * ss2 - ss * ss AS var_num,
+          CASE WHEN 10 * ss2 - ss * ss <= 0 THEN CAST(0 AS DOUBLE)
+               ELSE CAST(10 * s - ss AS DOUBLE)
+                    / sqrt(CAST(10 * ss2 - ss * ss AS DOUBLE)) END AS zscore
+        FROM roll WHERE n = 10
+        ORDER BY bar"""))
   )
 }

@@ -1017,6 +1017,54 @@ object DedupQueries {
         FROM shared
         JOIN counts ca ON ca.doc_id = a
         JOIN counts cb ON cb.doc_id = b
-        ORDER BY a, b"""))
+        ORDER BY a, b""")),
+
+    // ── dedup yield curve (how aggressive should the threshold be?) ───
+    // Before committing to a near-dup threshold, a pipeline asks what
+    // each setting would REMOVE. For every SimHash Hamming threshold
+    // h = 0..8: how many candidate pairs qualify, and how many distinct
+    // documents a keep-smallest-id rule would drop. One pairs pass
+    // (banded at scale — d5's discipline), thresholds EXPLODE from each
+    // pair (9 small rows per pair), distinct-removed is one
+    // count(DISTINCT) per threshold — the whole curve from one scan of
+    // the pair set, no per-threshold re-runs.
+    GraftQuery(
+      "d19_dedup_yield_curve",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = graft.dedup.SimHash.hammingPairs(
+          graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text"),
+          maxHamming = 8)
+        pairs
+          .withColumn("h", explode(expr("sequence(hamming, 8)")))
+          .groupBy($"h")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct($"b").as("n_docs_removed"))
+          .orderBy($"h")
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text || ' extra appended tail tokens here' AS text
+          FROM documents WHERE doc_id % 5 = 0),
+        toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9]+')) AS tok
+          FROM corpus),
+        hashed AS (
+          SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+        sigs AS (
+          SELECT doc_id, CAST($simhashAggSql AS BIGINT) AS sig
+          FROM hashed GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS a, b.doc_id AS b,
+            bit_count(xor(a.sig, b.sig)) AS hamming
+          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sig, b.sig)) <= 8),
+        curve AS (
+          SELECT unnest(generate_series(hamming, 8)) AS h, a, b FROM pairs)
+        SELECT CAST(h AS INT) AS h, COUNT(*) AS n_pairs,
+          COUNT(DISTINCT b) AS n_docs_removed
+        FROM curve GROUP BY h ORDER BY h"""))
   )
 }
