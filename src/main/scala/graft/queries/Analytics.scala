@@ -1804,6 +1804,107 @@ object Analytics {
                ELSE CAST(10 * s - ss AS DOUBLE)
                     / sqrt(CAST(10 * ss2 - ss * ss AS DOUBLE)) END AS zscore
         FROM roll WHERE n = 10
-        ORDER BY bar"""))
+        ORDER BY bar""")),
+
+    // ── Q37: intraday seasonality profile (hour-of-day U-curve) ───────
+    // The microstructure prior every execution algo loads first: mean
+    // activity and absolute move per hour-of-day, pooled across the
+    // month. Both statistics are ratios of integer sums (Σ|Δc| and tick
+    // counts per (hour) cell — cells pool across days BEFORE dividing,
+    // the only portable way to average), ONE groupBy on an exchange
+    // keyed by the 24-row hour axis after a per-key delta window.
+    GraftQuery(
+      "q37_intraday_seasonality",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+        Tables.events(s, dir).filter($"user_id" < 20)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"))
+          .withColumn("delta", abs($"c" - lag($"c", 1).over(w)))
+          .where($"delta".isNotNull)
+          .withColumn("hod", expr("(ms div 3600000) % 24"))
+          .groupBy($"hod")
+          .agg(count(lit(1)).as("n_ticks"),
+            sum($"delta").cast("long").as("sum_abs_move_c"))
+          .select($"hod", $"n_ticks", $"sum_abs_move_c",
+            expr("(sum_abs_move_c * 1000) div n_ticks").as("mean_abs_move_mc"))
+          .orderBy($"hod")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id < 20),
+        d AS (
+          SELECT user_id, ms,
+            abs(c - lag(c) OVER (PARTITION BY user_id ORDER BY ms, event_id)) AS delta
+          FROM e),
+        h AS (
+          SELECT (ms // 3600000) % 24 AS hod, delta
+          FROM d WHERE delta IS NOT NULL)
+        SELECT hod, COUNT(*) AS n_ticks,
+          CAST(SUM(delta) AS BIGINT) AS sum_abs_move_c,
+          (CAST(SUM(delta) AS BIGINT) * 1000) // COUNT(*) AS mean_abs_move_mc
+        FROM h GROUP BY hod ORDER BY hod""")),
+
+    // ── Q40-shape: Roll model implied spread (autocovariance) ─────────
+    // Roll (1984): with i.i.d. flow, the effective bid-ask spread is
+    // 2·√(−cov(Δp_t, Δp_{t−1})). The first-order autocovariance rides
+    // the exact sufficient statistics n·Σxy − Σx·Σy — ALL integer cents
+    // products (per-key tick counts here keep n·Σxy ≪ 2⁶³; an unbounded
+    // key would move these sums onto SumScaled128, the h1 discipline) —
+    // so the
+    // only floats are the final divide and √. Positive autocovariance
+    // (trending, model violated) reports spread 0 with the raw
+    // covariance numerator alongside. One per-key window + one groupBy.
+    GraftQuery(
+      "q38_roll_spread",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+        Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"))
+          .withColumn("dp", $"c" - lag($"c", 1).over(w))
+          .withColumn("dp1", lag($"dp", 1).over(w))
+          .where($"dp".isNotNull && $"dp1".isNotNull)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n"),
+            sum($"dp" * $"dp1").cast("long").as("sxy"),
+            sum($"dp").cast("long").as("sx"),
+            sum($"dp1").cast("long").as("sy"))
+          .withColumn("cov_num", $"n" * $"sxy" - $"sx" * $"sy")
+          .select($"user_id", $"n", $"cov_num",
+            when($"cov_num" >= 0L, lit(0.0))
+              .otherwise(lit(2.0) * sqrt((-$"cov_num").cast("double")
+                / ($"n" * $"n").cast("double")) / 100.0).as("spread"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id < 5),
+        d0 AS (
+          SELECT user_id, ms, event_id,
+            c - lag(c) OVER w AS dp
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        d AS (
+          SELECT user_id, ms, event_id, dp,
+            lag(dp) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS dp1
+          FROM d0),
+        g AS (
+          SELECT user_id, COUNT(*) AS n,
+            CAST(SUM(dp * dp1) AS BIGINT) AS sxy,
+            CAST(SUM(dp) AS BIGINT) AS sx,
+            CAST(SUM(dp1) AS BIGINT) AS sy
+          FROM d WHERE dp IS NOT NULL AND dp1 IS NOT NULL
+          GROUP BY user_id)
+        SELECT user_id, n, n * sxy - sx * sy AS cov_num,
+          CASE WHEN n * sxy - sx * sy >= 0 THEN CAST(0 AS DOUBLE)
+               ELSE 2.0 * sqrt(CAST(-(n * sxy - sx * sy) AS DOUBLE)
+                    / CAST(n * n AS DOUBLE)) / 100.0 END AS spread
+        FROM g ORDER BY user_id"""))
   )
 }

@@ -881,6 +881,60 @@ object VectorQueries {
           FROM short WHERE srank <= 20)
         SELECT pid, nid, CAST(ham AS BIGINT) AS ham, CAST(rank AS BIGINT) AS rank
         FROM rr WHERE rank <= 5
-        ORDER BY pid, rank"""))
+        ORDER BY pid, rank""")),
+
+    // ── IVF cell-balance audit (the a19 report for vector indexes) ────
+    // An IVF index is only as good as its cell balance: a hot cell
+    // turns probes into scans. Per-cell counts from one assignment pass
+    // (broadcast centroids — v4's shape), share and over-mean ratio in
+    // integer milli-units over the tiny cell axis, plus each cell's
+    // probe cost proxy (its share of all pairwise work, count²). The
+    // rebalance trigger for v8's trained centroids.
+    GraftQuery(
+      "v17_ivf_balance",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val cent = emb.filter($"vec_id" < 8)
+          .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+        graft.similarity.Ivf.assign(emb, cent)
+          .groupBy($"cluster").agg(count(lit(1)).as("n_vecs"))
+          .withColumn("total", sum($"n_vecs").over(wAll).cast("long"))
+          .withColumn("ncells", count(lit(1)).over(wAll).cast("long"))
+          .withColumn("work", $"n_vecs" * $"n_vecs")
+          .withColumn("tot_work", sum($"work").over(wAll).cast("long"))
+          .select($"cluster", $"n_vecs",
+            expr("(n_vecs * 1000) div total").as("share_x1000"),
+            expr("(n_vecs * ncells * 1000) div total").as("over_mean_x1000"),
+            expr("(work * 1000) div tot_work").as("work_share_x1000"))
+          .orderBy($"cluster")
+      },
+      Some("""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+        scored AS (
+          SELECT e.vec_id, c.cid, list_cosine_similarity(e.embedding, c.cemb) AS cos
+          FROM embeddings e CROSS JOIN cent c),
+        asg AS (
+          SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+            FROM scored)
+          WHERE rn = 1),
+        cells AS (
+          SELECT cluster, COUNT(*) AS n_vecs FROM asg GROUP BY cluster),
+        t AS (
+          SELECT cluster, n_vecs,
+            CAST(SUM(n_vecs) OVER () AS BIGINT) AS total,
+            CAST(COUNT(*) OVER () AS BIGINT) AS ncells,
+            n_vecs * n_vecs AS work,
+            CAST(SUM(n_vecs * n_vecs) OVER () AS BIGINT) AS tot_work
+          FROM cells)
+        SELECT cluster, n_vecs,
+          (n_vecs * 1000) // total AS share_x1000,
+          (n_vecs * ncells * 1000) // total AS over_mean_x1000,
+          (work * 1000) // tot_work AS work_share_x1000
+        FROM t ORDER BY cluster"""))
   )
 }
