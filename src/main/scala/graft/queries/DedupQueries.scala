@@ -1065,6 +1065,61 @@ object DedupQueries {
           SELECT unnest(generate_series(hamming, 8)) AS h, a, b FROM pairs)
         SELECT CAST(h AS INT) AS h, COUNT(*) AS n_pairs,
           COUNT(DISTINCT b) AS n_docs_removed
-        FROM curve GROUP BY h ORDER BY h"""))
+        FROM curve GROUP BY h ORDER BY h""")),
+
+    // ── near-dup source-attribution matrix (x41's fuzzy twin) ─────────
+    // x41 maps EXACT copying between sources; this maps NEAR-dup flow:
+    // for every source pair, how many SimHash candidate pairs (Hamming
+    // ≤ 8) connect them. Pair counts come straight off the pairs pass
+    // joined to a broadcast-sized (doc → source) map — the matrix is a
+    // groupBy over pair labels; the synthesized +1000000 variants fold
+    // back to their origin's source so the diagonal carries the
+    // self-duplication signal.
+    GraftQuery(
+      "d20_neardup_source_matrix",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = graft.dedup.SimHash.hammingPairs(
+          graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text"),
+          maxHamming = 8)
+        val src = Tables.documents(s, dir).select($"doc_id", $"source")
+        pairs
+          .withColumn("oa", $"a" % 1000000L)
+          .withColumn("ob", $"b" % 1000000L)
+          .join(broadcast(src.select($"doc_id".as("oa"), $"source".as("src_a"))), "oa")
+          .join(broadcast(src.select($"doc_id".as("ob"), $"source".as("src_b"))), "ob")
+          .withColumn("s1", least($"src_a", $"src_b"))
+          .withColumn("s2", greatest($"src_a", $"src_b"))
+          .groupBy($"s1", $"s2")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct($"oa").as("n_docs_a"))
+          .orderBy($"s1", $"s2")
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text || ' extra appended tail tokens here' AS text
+          FROM documents WHERE doc_id % 5 = 0),
+        toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9]+')) AS tok
+          FROM corpus),
+        hashed AS (
+          SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+        sigs AS (
+          SELECT doc_id, CAST($simhashAggSql AS BIGINT) AS sig
+          FROM hashed GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id % 1000000 AS oa, b.doc_id % 1000000 AS ob
+          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sig, b.sig)) <= 8),
+        lab AS (
+          SELECT least(sa.source, sb.source) AS s1,
+            greatest(sa.source, sb.source) AS s2, oa
+          FROM pairs
+          JOIN documents sa ON sa.doc_id = oa
+          JOIN documents sb ON sb.doc_id = ob)
+        SELECT s1, s2, COUNT(*) AS n_pairs, COUNT(DISTINCT oa) AS n_docs_a
+        FROM lab GROUP BY 1, 2 ORDER BY s1, s2"""))
   )
 }

@@ -359,6 +359,60 @@ object MultimodalQueries {
         SELECT grp, video_id, video_id * 1100 AS video_ms,
           COALESCE(last_audio, -1) AS paired_audio
         FROM runs WHERE is_v = 1
-        ORDER BY grp, video_id"""))
+        ORDER BY grp, video_id""")),
+
+    // ── per-kind frame budget allocation (x30 for media) ──────────────
+    // A multimodal training run buys a fixed decode budget; kinds claim
+    // shares proportional to their total frame supply with exact
+    // largest-remainder rounding (the x30 Hamilton method — integer
+    // div/mod only, no float apportionment). Frame supply derives from
+    // byte length over the m2 frame size; the 3-row kind axis makes
+    // every window here trivially broadcast-sized.
+    GraftQuery(
+      "m10_frame_budget",
+      (s, dir) => {
+        import s.implicits._
+        val budget = 5000L
+        val counts = Multimodal.asMediaTable(Tables.documents(s, dir))
+          .select($"kind", (($"meta.byte_len" + 63L) / 64L).cast("long").as("frames"))
+          .groupBy($"kind").agg(sum($"frames").cast("long").as("n_frames"))
+        val tot = counts.agg(sum($"n_frames").cast("long").as("n_total"))
+        val shares = counts.crossJoin(broadcast(tot))
+          .select($"kind", $"n_frames",
+            expr(s"($budget * n_frames) div n_total").as("base"),
+            expr(s"$budget * n_frames - (($budget * n_frames) div n_total) * n_total").as("rem"))
+        val leftover = shares.agg((lit(budget) - sum($"base")).cast("long").as("l"))
+        shares.crossJoin(broadcast(leftover))
+          .withColumn("pri", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy($"rem".desc, $"kind")).cast("long"))
+          .select($"kind", $"n_frames", $"base",
+            ($"base" + when($"pri" <= $"l", 1L).otherwise(0L)).as("alloc"))
+          .orderBy($"kind")
+      },
+      Some("""
+        WITH media AS (
+          SELECT doc_id AS media_id,
+            (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+            (length(text) + 63) // 64 AS frames
+          FROM documents),
+        counts AS (
+          SELECT kind, CAST(SUM(frames) AS BIGINT) AS n_frames
+          FROM media GROUP BY kind),
+        tot AS (SELECT CAST(SUM(n_frames) AS BIGINT) AS n_total FROM counts),
+        shares AS (
+          SELECT kind, n_frames,
+            (5000 * n_frames) // n_total AS base,
+            5000 * n_frames - ((5000 * n_frames) // n_total) * n_total AS rem
+          FROM counts, tot),
+        lo AS (SELECT 5000 - CAST(SUM(base) AS BIGINT) AS l FROM shares),
+        ranked AS (
+          SELECT kind, n_frames, base, rem,
+            CAST(row_number() OVER (ORDER BY rem DESC, kind) AS BIGINT) AS pri
+          FROM shares)
+        SELECT kind, n_frames, base,
+          base + CASE WHEN pri <= l THEN 1 ELSE 0 END AS alloc
+        FROM ranked, lo
+        ORDER BY kind"""))
   )
 }
