@@ -1023,8 +1023,9 @@ object DedupQueries {
     // Before committing to a near-dup threshold, a pipeline asks what
     // each setting would REMOVE. For every SimHash Hamming threshold
     // h = 0..8: how many candidate pairs qualify, and how many distinct
-    // documents a keep-smallest-id rule would drop. One pairs pass
-    // (banded at scale — d5's discipline), thresholds EXPLODE from each
+    // documents a keep-smallest-id rule would drop. One BANDED pairs
+    // pass (16 2-bit slices: exact for Hamming ≤ 8 < 16 by pigeonhole,
+    // bucket-local join — d5's discipline), thresholds EXPLODE from each
     // pair (9 small rows per pair), distinct-removed is one
     // count(DISTINCT) per threshold — the whole curve from one scan of
     // the pair set, no per-threshold re-runs.
@@ -1032,9 +1033,9 @@ object DedupQueries {
       "d19_dedup_yield_curve",
       (s, dir) => {
         import s.implicits._
-        val pairs = graft.dedup.SimHash.hammingPairs(
+        val pairs = graft.dedup.SimHash.bandedHammingPairs(
           graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text"),
-          maxHamming = 8)
+          maxHamming = 8, bands = 16)
         pairs
           .withColumn("h", explode(expr("sequence(hamming, 8)")))
           .groupBy($"h")
@@ -1079,9 +1080,9 @@ object DedupQueries {
       "d20_neardup_source_matrix",
       (s, dir) => {
         import s.implicits._
-        val pairs = graft.dedup.SimHash.hammingPairs(
+        val pairs = graft.dedup.SimHash.bandedHammingPairs(
           graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text"),
-          maxHamming = 8)
+          maxHamming = 8, bands = 16)
         val src = Tables.documents(s, dir).select($"doc_id", $"source")
         pairs
           .withColumn("oa", $"a" % 1000000L)

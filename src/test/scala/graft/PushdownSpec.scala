@@ -296,7 +296,9 @@ class PushdownSpec extends AnyFunSuite {
         "x45_token_fertility", "x47_padding_efficiency",
         "a18_compaction_plan", "a19_partition_skew", "d18_containment",
         "s10_lateness_audit", "m9_av_align", "q34_vpin",
-        "q35_realized_vol", "x48_stratified_sample", "x49_vocab_growth")) {
+        "q35_realized_vol", "x48_stratified_sample", "x49_vocab_growth",
+        "q36_pair_spread_z", "q37_intraday_seasonality", "q38_roll_spread",
+        "d19_dedup_yield_curve", "d20_neardup_source_matrix")) {
       val q = graft.core.Registry.allQueries.find(_.name == name).get
       val plan = q.build(spark, "/root/testdata/sf0.001")
         .queryExecution.explainString(SimpleMode)
