@@ -1905,6 +1905,60 @@ object Analytics {
           CASE WHEN n * sxy - sx * sy >= 0 THEN CAST(0 AS DOUBLE)
                ELSE 2.0 * sqrt(CAST(-(n * sxy - sx * sy) AS DOUBLE)
                     / CAST(n * n AS DOUBLE)) / 100.0 END AS spread
-        FROM g ORDER BY user_id"""))
+        FROM g ORDER BY user_id""")),
+
+    // ── Q39: overnight gap vs intraday range ──────────────────────────
+    // The gap-trader's screen: how much of each day's move happens
+    // BETWEEN sessions (prev close → open) vs within (high − low).
+    // Day bars carry open AND close via the q4 struct-min/max trick
+    // (no per-day sort); gap, range, and their milli-ratio stay
+    // integer cents end to end. One (user_id) exchange.
+    GraftQuery(
+      "q39_overnight_gap",
+      (s, dir) => {
+        import s.implicits._
+        val tev = struct($"ms", $"event_id", $"c")
+        val wb = Window.partitionBy($"user_id").orderBy($"bar")
+        Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"))
+          .withColumn("bar", expr("ms div 86400000"))
+          .groupBy($"user_id", $"bar")
+          .agg(max($"c").as("hi"), min($"c").as("lo"),
+            min(tev).getField("c").as("open"),
+            max(tev).getField("c").as("close"))
+          .withColumn("prev_close", lag($"close", 1).over(wb))
+          .where($"prev_close".isNotNull)
+          .select($"user_id", $"bar",
+            ($"open" - $"prev_close").as("gap_c"),
+            ($"hi" - $"lo").as("range_c"),
+            when($"hi" === $"lo", lit(0L))
+              .otherwise(expr("(abs(open - prev_close) * 1000) div (hi - lo)"))
+              .as("gap_over_range_x1000"))
+          .orderBy($"user_id", $"bar")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id < 5),
+        bars AS (
+          SELECT user_id, ms // 86400000 AS bar,
+            MAX(c) AS hi, MIN(c) AS lo,
+            (min(struct_pack(a := ms, b := event_id, c := c))).c AS open,
+            (max(struct_pack(a := ms, b := event_id, c := c))).c AS close
+          FROM e GROUP BY 1, 2),
+        lagd AS (
+          SELECT user_id, bar, hi, lo, open,
+            lag(close) OVER (PARTITION BY user_id ORDER BY bar) AS prev_close
+          FROM bars)
+        SELECT user_id, bar,
+          open - prev_close AS gap_c,
+          hi - lo AS range_c,
+          CASE WHEN hi = lo THEN 0
+               ELSE (abs(open - prev_close) * 1000) // (hi - lo) END
+            AS gap_over_range_x1000
+        FROM lagd WHERE prev_close IS NOT NULL
+        ORDER BY user_id, bar"""))
   )
 }

@@ -2245,6 +2245,64 @@ object TextQueries {
         FROM j
         WINDOW w AS (ORDER BY checkpoint
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        ORDER BY checkpoint"""))
+        ORDER BY checkpoint""")),
+
+    // ── corpus drift detection (chi-square over hashed vocabulary) ────
+    // Did the second half of the corpus drift from the first? The
+    // monitoring check a continuously-ingesting pipeline runs per
+    // snapshot: token distributions over 64 hash buckets, halves split
+    // by doc_id, and a chi-square-style distance. Transcendental-free
+    // (no PSI logs) and float-free: each half's bucket share is
+    // quantized to integer ppm FIRST (bounding every product below
+    // 10¹² at ANY corpus size — raw o·N cross-products would overflow
+    // a long on a hot bucket), then the contribution (Δppm)²/p₀ is one
+    // integer div — associative and engine-identical. Shape: one
+    // token scan → one 64-row groupBy; the halves comparison is count
+    // arithmetic on the same exchange.
+    GraftQuery(
+      "x53_drift_chi2",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", explode(lowerTokens($"text")).as("t"))
+          .withColumn("b", graft.functions.HashFunctions.md5Long($"t") % 64)
+          .withColumn("half", ($"doc_id" % 2L).cast("long"))
+        val buckets = toks.groupBy($"b")
+          .agg(sum(when($"half" === 0L, 1L).otherwise(0L)).cast("long").as("o0"),
+            sum(when($"half" === 1L, 1L).otherwise(0L)).cast("long").as("o1"))
+        val tot = buckets.agg(sum($"o0").cast("long").as("n0"),
+          sum($"o1").cast("long").as("n1"))
+        buckets.crossJoin(broadcast(tot))
+          .withColumn("p0", expr("(o0 * 1000000) div n0"))
+          .withColumn("p1", expr("(o1 * 1000000) div n1"))
+          .withColumn("contrib_u",
+            expr("((p1 - p0) * (p1 - p0)) div greatest(p0, CAST(1 AS BIGINT))"))
+          .select($"b", $"o0", $"o1", $"p0", $"p1", $"contrib_u")
+          .orderBy($"b")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 64 AS b,
+            doc_id % 2 AS half
+          FROM (SELECT doc_id,
+              unnest(regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+')) AS t
+            FROM documents)),
+        buckets AS (
+          SELECT b,
+            CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o0,
+            CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o1
+          FROM toks GROUP BY b),
+        tot AS (
+          SELECT CAST(SUM(o0) AS BIGINT) AS n0, CAST(SUM(o1) AS BIGINT) AS n1
+          FROM buckets)
+        SELECT b, o0, o1,
+          (o0 * 1000000) // n0 AS p0,
+          (o1 * 1000000) // n1 AS p1,
+          (((o1 * 1000000) // n1 - (o0 * 1000000) // n0)
+            * ((o1 * 1000000) // n1 - (o0 * 1000000) // n0))
+            // greatest((o0 * 1000000) // n0, 1) AS contrib_u
+        FROM buckets, tot
+        ORDER BY b"""))
   )
 }
