@@ -1959,6 +1959,83 @@ object Analytics {
                ELSE (abs(open - prev_close) * 1000) // (hi - lo) END
             AS gap_over_range_x1000
         FROM lagd WHERE prev_close IS NOT NULL
-        ORDER BY user_id, bar"""))
+        ORDER BY user_id, bar""")),
+
+    // ── Q41: autocorrelation function (lags 1..5, one join) ───────────
+    // The ACF a mean-reversion desk fits first. A window-lag per k
+    // would cost 5 window passes; the scale shape is ONE equi-join:
+    // every return EXPLODES its (rn + k, k) forward targets and joins
+    // the base series on (user, rn) — the q14/q25 kernel trick with the
+    // lag as a join key. Per (user, lag): Pearson numerator and both
+    // variance radicands ride exact integer sufficient statistics
+    // (basis-point returns keep products ≪ 2⁶³); the correlation is
+    // one divide over one sqrt·sqrt at render.
+    GraftQuery(
+      "q41_acf",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+        val base = Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"))
+          .withColumn("pc", lag($"c", 1).over(w))
+          .where($"pc".isNotNull && $"pc" =!= 0L)
+          .withColumn("r", expr("((c - pc) * 10000) div pc"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .select($"user_id", $"rn", $"r")
+        val fwd = base
+          .withColumn("k", explode(expr("sequence(1, 5)")))
+          .select($"user_id", ($"rn" + $"k").as("rn"), $"k", $"r".as("rk"))
+        base.join(fwd, Seq("user_id", "rn"))
+          .groupBy($"user_id", $"k")
+          .agg(count(lit(1)).as("n"),
+            sum($"r" * $"rk").cast("long").as("sxy"),
+            sum($"r").cast("long").as("sx"), sum($"rk").cast("long").as("sy"),
+            sum($"r" * $"r").cast("long").as("sxx"),
+            sum($"rk" * $"rk").cast("long").as("syy"))
+          .withColumn("num", $"n" * $"sxy" - $"sx" * $"sy")
+          .withColumn("vx", $"n" * $"sxx" - $"sx" * $"sx")
+          .withColumn("vy", $"n" * $"syy" - $"sy" * $"sy")
+          .select($"user_id", $"k", $"n", $"num",
+            when($"vx" <= 0L || $"vy" <= 0L, lit(0.0))
+              .otherwise($"num".cast("double")
+                / (sqrt($"vx".cast("double")) * sqrt($"vy".cast("double"))))
+              .as("acf"))
+          .orderBy($"user_id", $"k")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id < 5),
+        d AS (
+          SELECT user_id, ms, event_id, c,
+            lag(c) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS pc
+          FROM e),
+        base AS (
+          SELECT user_id,
+            CAST(row_number() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS BIGINT) AS rn,
+            ((c - pc) * 10000) // pc AS r
+          FROM d WHERE pc IS NOT NULL AND pc <> 0),
+        fwd AS (
+          SELECT user_id, rn + k AS rn, k, r AS rk
+          FROM (SELECT user_id, rn, r, unnest(generate_series(1, 5)) AS k FROM base)),
+        j AS (
+          SELECT b.user_id AS user_id, f.k AS k, b.r AS r, f.rk AS rk
+          FROM base b JOIN fwd f ON b.user_id = f.user_id AND b.rn = f.rn),
+        g AS (
+          SELECT user_id, k, COUNT(*) AS n,
+            CAST(SUM(r * rk) AS BIGINT) AS sxy,
+            CAST(SUM(r) AS BIGINT) AS sx, CAST(SUM(rk) AS BIGINT) AS sy,
+            CAST(SUM(r * r) AS BIGINT) AS sxx,
+            CAST(SUM(rk * rk) AS BIGINT) AS syy
+          FROM j GROUP BY 1, 2)
+        SELECT user_id, k, n, n * sxy - sx * sy AS num,
+          CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+               THEN CAST(0 AS DOUBLE)
+               ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS acf
+        FROM g ORDER BY user_id, k"""))
   )
 }

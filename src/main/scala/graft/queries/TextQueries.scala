@@ -2303,6 +2303,71 @@ object TextQueries {
             * ((o1 * 1000000) // n1 - (o0 * 1000000) // n0))
             // greatest((o0 * 1000000) // n0, 1) AS contrib_u
         FROM buckets, tot
-        ORDER BY b"""))
+        ORDER BY b""")),
+
+    // ── collocation mining (log-free association ratio) ───────────────
+    // Which word pairs co-occur far beyond chance — the phrase-mining
+    // pass that feeds tokenizer merges and stopword lists. True PMI
+    // needs log(P(xy)/(P(x)P(y))); the house transcendental rule keeps
+    // the RATIO as an exact integer: assoc_x1000 = (c_xy·N·1000) div
+    // (c_x·c_y) — monotone in PMI, so ranking and thresholds are
+    // unchanged. Counts come from ONE bigram scan joined to the
+    // broadcast-sized unigram table twice; min-count 25 prunes the
+    // noise tail before the join. Top-50 by ratio via rank-limit
+    // (WindowGroupLimit), tie-broken on the pair text.
+    GraftQuery(
+      "x54_collocations",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", lowerTokens($"text").as("t"))
+        val uni = toks.select(explode($"t").as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("cw"))
+        val tot = uni.agg(sum($"cw").cast("long").as("n"))
+        val bi = toks.where(size($"t") >= 2).select(
+            explode(transform(sequence(lit(1), size($"t") - 1),
+              i => struct(element_at($"t", i).as("w1"),
+                element_at($"t", i + 1).as("w2")))).as("p"))
+          .select($"p.w1".as("w1"), $"p.w2".as("w2"))
+          .groupBy($"w1", $"w2").agg(count(lit(1)).as("cxy"))
+          .where($"cxy" >= 25L)
+        val W = org.apache.spark.sql.expressions.Window
+        bi.join(broadcast(uni.select($"w".as("w1"), $"cw".as("c1"))), "w1")
+          .join(broadcast(uni.select($"w".as("w2"), $"cw".as("c2"))), "w2")
+          .crossJoin(broadcast(tot))
+          .withColumn("assoc_x1000", expr("(cxy * n * 1000) div (c1 * c2)"))
+          .withColumn("rk", row_number().over(
+            W.orderBy($"assoc_x1000".desc, $"w1", $"w2")))
+          .where($"rk" <= 50)
+          .select($"w1", $"w2", $"cxy", $"c1", $"c2", $"assoc_x1000")
+          .orderBy($"assoc_x1000".desc, $"w1", $"w2")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM documents),
+        uni AS (
+          SELECT w, COUNT(*) AS cw FROM (
+            SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM uni),
+        bi AS (
+          SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS cxy
+          FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                FROM toks WHERE len(t) >= 2)
+          GROUP BY 1, 2 HAVING COUNT(*) >= 25),
+        scored AS (
+          SELECT w1, w2, cxy, u1.cw AS c1, u2.cw AS c2,
+            (cxy * n * 1000) // (u1.cw * u2.cw) AS assoc_x1000
+          FROM bi
+          JOIN uni u1 ON u1.w = w1
+          JOIN uni u2 ON u2.w = w2
+          CROSS JOIN tot),
+        ranked AS (
+          SELECT *, row_number() OVER (ORDER BY assoc_x1000 DESC, w1, w2) AS rk
+          FROM scored)
+        SELECT w1, w2, cxy, c1, c2, assoc_x1000
+        FROM ranked WHERE rk <= 50
+        ORDER BY assoc_x1000 DESC, w1, w2"""))
   )
 }
