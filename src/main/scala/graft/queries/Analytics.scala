@@ -2036,6 +2036,77 @@ object Analytics {
                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END AS acf
-        FROM g ORDER BY user_id, k"""))
+        FROM g ORDER BY user_id, k""")),
+
+    // ── Q42: Kyle's lambda (price impact per signed volume) ───────────
+    // The adverse-selection slope every execution model calibrates:
+    // regress price change on signed volume; λ = cov(Δp, q·v)/var(q·v).
+    // Tick-rule signs (q16 carry-forward), the q19 volume proxy, and
+    // the regression slope from exact integer sufficient statistics —
+    // numerator and denominator are n·Σxy − Σx·Σy forms, one divide at
+    // render (λ in cents per unit volume, ×10⁶ for scale). One per-key
+    // window pass + one groupBy on the same exchange.
+    GraftQuery(
+      "q42_kyle_lambda",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+        Tables.events(s, dir).filter($"user_id" < 5)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            cents($"value").as("c"), ($"event_id" % 97L + 1L).as("v"))
+          .withColumn("dp", $"c" - lag($"c", 1).over(w))
+          .withColumn("sgn0",
+            when($"dp" > 0L, 1L).when($"dp" < 0L, -1L).otherwise(lit(null)))
+          .withColumn("sign", last($"sgn0", ignoreNulls = true).over(wRun))
+          .where($"dp".isNotNull && $"sign".isNotNull)
+          .withColumn("qv", $"sign" * $"v")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n"),
+            sum($"dp" * $"qv").cast("long").as("sxy"),
+            sum($"dp").cast("long").as("sx"),
+            sum($"qv").cast("long").as("sy"),
+            sum($"qv" * $"qv").cast("long").as("syy"))
+          .withColumn("num", $"n" * $"sxy" - $"sx" * $"sy")
+          .withColumn("den", $"n" * $"syy" - $"sy" * $"sy")
+          .select($"user_id", $"n", $"num", $"den",
+            when($"den" <= 0L, lit(0.0))
+              .otherwise($"num".cast("double") * 1000000.0
+                / $"den".cast("double")).as("lambda_x1e6"))
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS c,
+            event_id % 97 + 1 AS v
+          FROM events WHERE user_id < 5),
+        d AS (
+          SELECT user_id, ms, event_id, v,
+            c - lag(c) OVER w AS dp
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        sg AS (
+          SELECT user_id, dp, v,
+            last_value(CASE WHEN dp > 0 THEN 1
+                            WHEN dp < 0 THEN -1 END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ms, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sign
+          FROM d),
+        q AS (
+          SELECT user_id, dp, sign * v AS qv
+          FROM sg WHERE dp IS NOT NULL AND sign IS NOT NULL),
+        g AS (
+          SELECT user_id, COUNT(*) AS n,
+            CAST(SUM(dp * qv) AS BIGINT) AS sxy,
+            CAST(SUM(dp) AS BIGINT) AS sx,
+            CAST(SUM(qv) AS BIGINT) AS sy,
+            CAST(SUM(qv * qv) AS BIGINT) AS syy
+          FROM q GROUP BY user_id)
+        SELECT user_id, n, n * sxy - sx * sy AS num,
+          n * syy - sy * sy AS den,
+          CASE WHEN n * syy - sy * sy <= 0 THEN CAST(0 AS DOUBLE)
+               ELSE CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
+                    / CAST(n * syy - sy * sy AS DOUBLE) END AS lambda_x1e6
+        FROM g ORDER BY user_id"""))
   )
 }

@@ -454,6 +454,76 @@ object WritePath {
         SELECT part, rows,
           (rows * 1000) // total AS share_x1000,
           (rows * nparts * 1000) // total AS over_mean_x1000
-        FROM t ORDER BY part"""))
+        FROM t ORDER BY part""")),
+
+    // ── CDC batch squash (net-effect compaction) ──────────────────────
+    // a16 APPLIES a change stream; this COMPACTS one before shipping:
+    // N changes per key collapse to the single net operation a
+    // downstream applier needs. The classification is pure window
+    // arithmetic on (first, last) change per key: a key whose last op
+    // is delete nets to 'delete' — unless it was ALSO created inside
+    // the batch (first op insert), in which case it nets to NOTHING
+    // and ships as 'drop'; otherwise insert-first keys net to 'insert'
+    // and the rest to 'update' carrying the last payload. One key
+    // exchange, O(1) window state; the squash ratio is the audit
+    // column. Synthesized ops: event_type error→delete, signup→insert
+    // (a key whose first batch event is a signup is created inside the
+    // batch), else update — the signup/error mix guarantees all four
+    // net classes are exercised.
+    GraftQuery(
+      "a21_cdc_squash",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+        val wAll = Window.partitionBy($"user_id")
+        Tables.events(s, dir).filter($"user_id" < 50)
+          .select($"user_id", tsMillis($"ts").as("ms"), $"event_id",
+            when($"event_type" === "error", "delete")
+              .when($"event_type" === "signup", "insert")
+              .otherwise("update").as("op"),
+            cents($"value").as("payload_c"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_changes", count(lit(1)).over(wAll).cast("long"))
+          .withColumn("born_op", first($"op").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("last_rn", max($"rn").over(wAll))
+          .where($"rn" === $"last_rn")
+          .withColumn("born_in_batch", ($"born_op" === "insert").cast("int"))
+          .select($"user_id",
+            when($"op" === "delete" && $"born_in_batch" === 1, "drop")
+              .when($"op" === "delete", "delete")
+              .when($"born_in_batch" === 1, "insert")
+              .otherwise("update").as("net_op"),
+            when($"op" === "delete", lit(null).cast("long"))
+              .otherwise($"payload_c").as("net_payload_c"),
+            $"n_changes")
+          .orderBy($"user_id")
+      },
+      Some("""
+        WITH ch AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            CASE WHEN event_type = 'error' THEN 'delete'
+                 WHEN event_type = 'signup' THEN 'insert'
+                 ELSE 'update' END AS op,
+            CAST(round(value * 100) AS BIGINT) AS payload_c
+          FROM events WHERE user_id < 50),
+        r1 AS (
+          SELECT *,
+            row_number() OVER w AS rn,
+            COUNT(*) OVER (PARTITION BY user_id) AS n_changes,
+            first_value(op) OVER (PARTITION BY user_id ORDER BY ms, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS born_op
+          FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        ranked AS (
+          SELECT *, MAX(rn) OVER (PARTITION BY user_id) AS last_rn FROM r1)
+        SELECT user_id,
+          CASE WHEN op = 'delete' AND born_op = 'insert' THEN 'drop'
+               WHEN op = 'delete' THEN 'delete'
+               WHEN born_op = 'insert' THEN 'insert'
+               ELSE 'update' END AS net_op,
+          CASE WHEN op = 'delete' THEN NULL ELSE payload_c END AS net_payload_c,
+          CAST(n_changes AS BIGINT) AS n_changes
+        FROM ranked WHERE rn = last_rn
+        ORDER BY user_id"""))
   )
 }
