@@ -298,7 +298,9 @@ class PushdownSpec extends AnyFunSuite {
         "s10_lateness_audit", "m9_av_align", "q34_vpin",
         "q35_realized_vol", "x48_stratified_sample", "x49_vocab_growth",
         "q36_pair_spread_z", "q37_intraday_seasonality", "q38_roll_spread",
-        "d19_dedup_yield_curve", "d20_neardup_source_matrix")) {
+        "d19_dedup_yield_curve", "d20_neardup_source_matrix",
+        "q39_overnight_gap", "q41_acf", "q42_kyle_lambda",
+        "a21_cdc_squash", "e24_grouping_sets")) {
       val q = graft.core.Registry.allQueries.find(_.name == name).get
       val plan = q.build(spark, "/root/testdata/sf0.001")
         .queryExecution.explainString(SimpleMode)
