@@ -2368,6 +2368,114 @@ object TextQueries {
           FROM scored)
         SELECT w1, w2, cxy, c1, c2, assoc_x1000
         FROM ranked WHERE rk <= 50
-        ORDER BY assoc_x1000 DESC, w1, w2"""))
+        ORDER BY assoc_x1000 DESC, w1, w2""")),
+
+    // ── dataset card (the datasheet row a corpus ships with) ──────────
+    // One row summarizing what a consumer is about to train on: sizes,
+    // source/lang fan-out, exact-dup rate, and quality-score moments.
+    // Float quality scores are QUANTIZED per doc to integer micro-units
+    // before summing (floor of identical doubles → identical longs →
+    // associative sum; a raw float SUM would be shuffle-order-
+    // sensitive). Everything is ONE aggregate over ONE scan — count,
+    // sum, count(DISTINCT md5) — the e13 profiler discipline.
+    GraftQuery(
+      "x55_dataset_card",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id", $"source", $"lang", $"n_chars",
+            fingerprint($"text").as("fp"),
+            tokenCount($"text").cast("long").as("n_toks"),
+            floor(qualityScore($"text", $"n_chars") * 1000000.0)
+              .cast("long").as("q_u"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_toks").cast("long").as("n_tokens"),
+            sum($"n_chars").cast("long").as("n_chars"),
+            countDistinct($"source").as("n_sources"),
+            countDistinct($"lang").as("n_langs"),
+            countDistinct($"fp").as("n_unique"),
+            sum($"q_u").cast("long").as("sum_q_u"),
+            min($"q_u").as("min_q_u"), max($"q_u").as("max_q_u"))
+          .select($"n_docs", $"n_tokens", $"n_chars", $"n_sources",
+            $"n_langs",
+            expr("((n_docs - n_unique) * 1000) div n_docs").as("dup_x1000"),
+            expr("sum_q_u div n_docs").as("mean_q_u"),
+            $"min_q_u", $"max_q_u")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, source, lang, n_chars,
+            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+            CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_toks,
+            CAST(floor((
+              (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.5
+              + (CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE)
+                 / (CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS DOUBLE) + 1.0)) * 0.5
+              - (CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.25
+            ) * 1000000.0) AS BIGINT) AS q_u
+          FROM documents),
+        g AS (
+          SELECT COUNT(*) AS n_docs,
+            CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+            CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+            COUNT(DISTINCT source) AS n_sources,
+            COUNT(DISTINCT lang) AS n_langs,
+            COUNT(DISTINCT fp) AS n_unique,
+            CAST(SUM(q_u) AS BIGINT) AS sum_q_u,
+            MIN(q_u) AS min_q_u, MAX(q_u) AS max_q_u
+          FROM d)
+        SELECT n_docs, n_tokens, n_chars, n_sources, n_langs,
+          ((n_docs - n_unique) * 1000) // n_docs AS dup_x1000,
+          sum_q_u // n_docs AS mean_q_u,
+          min_q_u, max_q_u
+        FROM g""")),
+
+    // ── quality-filter threshold sweep (x2's yield curve) ─────────────
+    // d19 asks "how aggressive should DEDUP be"; this asks the same of
+    // the quality filter: survivors and surviving token mass at every
+    // candidate threshold, from one scoring pass with thresholds
+    // EXPLODED per doc — never one re-scan per setting. Scores are
+    // micro-unit integers (identical doubles floor identically), so
+    // the comparison and sums are engine-exact.
+    GraftQuery(
+      "x56_quality_sweep",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            tokenCount($"text").cast("long").as("n_toks"),
+            floor(qualityScore($"text", $"n_chars") * 1000000.0)
+              .cast("long").as("q_u"))
+          .withColumn("thr_u", explode(expr(
+            "transform(sequence(30, 60, 5), t -> CAST(t * 10000 AS BIGINT))")))
+          .groupBy($"thr_u")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"q_u" >= $"thr_u", 1L).otherwise(0L)).cast("long").as("n_keep"),
+            sum(when($"q_u" >= $"thr_u", $"n_toks").otherwise(0L)).cast("long").as("toks_keep"))
+          .select($"thr_u", $"n_keep",
+            expr("(n_keep * 1000) div n_docs").as("keep_x1000"), $"toks_keep")
+          .orderBy($"thr_u")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_toks,
+            CAST(floor((
+              (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.5
+              + (CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE)
+                 / (CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS DOUBLE) + 1.0)) * 0.5
+              - (CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.25
+            ) * 1000000.0) AS BIGINT) AS q_u
+          FROM documents),
+        sw AS (
+          SELECT doc_id, n_toks, q_u, CAST(t * 10000 AS BIGINT) AS thr_u
+          FROM d, (SELECT unnest(generate_series(30, 60, 5)) AS t)),
+        g AS (
+          SELECT thr_u, COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN q_u >= thr_u THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+            CAST(SUM(CASE WHEN q_u >= thr_u THEN n_toks ELSE 0 END) AS BIGINT) AS toks_keep
+          FROM sw GROUP BY thr_u)
+        SELECT thr_u, n_keep, (n_keep * 1000) // n_docs AS keep_x1000, toks_keep
+        FROM g ORDER BY thr_u"""))
   )
 }
