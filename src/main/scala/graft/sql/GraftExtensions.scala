@@ -160,7 +160,16 @@ object GraftFunctions {
         .toAggregateExpression()),
     (FunctionIdentifier("graft_hll_estimate"),
       info("graft_hll_estimate", "graft_hll_estimate(registers) - cardinality estimate from a graft_hll_registers array (one double division; registers stay integer-exact)"),
-      sqlFn(graft.functions.AggFunctions.hllEstimateSql("__arg0", 64))))
+      sqlFn(graft.functions.AggFunctions.hllEstimateSql("__arg0", 64))),
+    (FunctionIdentifier("graft_sign_word"),
+      info("graft_sign_word", "graft_sign_word(vec, lo) - 32-bit sign-bit word of float-vector dims [lo+1, lo+32]; two words binary-quantize a 64-dim embedding (similarity.TopK.binaryTopK)"),
+      sqlFnText("aggregate(transform(sequence(0, 31), " +
+        "i -> IF(try_element_at(__arg0, i + CAST(__arg1 AS INT) + 1) > 0, " +
+        "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+        "CAST(0 AS BIGINT), (a, b) -> a + b)")),
+    (FunctionIdentifier("graft_hamming"),
+      info("graft_hamming", "graft_hamming(a, b) - Hamming distance between two sign-bit words (popcount of xor)"),
+      sqlFn("bit_count(__arg0 ^ __arg1)")))
 
   private def litInt(e: Expression): Int = {
     require(e.foldable, s"argument must be a literal: $e")

@@ -148,6 +148,18 @@ class SqlExtensionsSpec extends AnyFunSuite {
     assert(viaSql == viaApi)
   }
 
+  test("graft_sign_word + graft_hamming match the TopK binary-quant words") {
+    val row = spark.sql(
+      """SELECT
+        |  graft_sign_word(array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT), CAST(2.0 AS FLOAT)), 0) AS w,
+        |  graft_hamming(CAST(5 AS BIGINT), CAST(3 AS BIGINT)) AS h
+        |""".stripMargin).head()
+    // dims 1 and 3 positive -> bits 0 and 2 -> 0b101 = 5
+    assert(row.getLong(0) == 5L)
+    // 5 xor 3 = 6 -> two bits
+    assert(row.getInt(1) == 2 || row.getLong(1) == 2L)
+  }
+
   test("graft_zorder_key matches the Layout Column algebra") {
     GraftFunctions.registerAll(spark)
     import spark.implicits._
