@@ -965,5 +965,58 @@ object ExtendedSql {
           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        ORDER BY g_rf, g_ls, rf, ls"""))
+        ORDER BY g_rf, g_ls, rf, ls""")),
+
+    // ── point-in-time correct enrichment (feature-store join) ─────────
+    // THE leakage rule of training-data construction: a fact may only
+    // see feature values that existed AT its event time — a plain
+    // latest-value join leaks the future into the past. The dim here
+    // is each user's SCD2-style attribute history (value at every
+    // signup event); purchases enrich with the version valid at
+    // purchase time via the union-tag + running-last as-of shape (q6's
+    // discipline — ONE (user) exchange, O(1) running state, never a
+    // range join). Pre-signup purchases honestly emit NULL. Oracle
+    // cross-checks against DuckDB's NATIVE ASOF JOIN.
+    GraftQuery(
+      "e25_pit_enrich",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir).filter($"user_id" < 20)
+        val dim = ev.filter($"event_type" === "signup")
+          .select($"user_id", Portable.tsMillis($"ts").as("vms"),
+            cents($"value").as("attr_c"))
+          .groupBy($"user_id", $"vms").agg(max($"attr_c").as("attr_c"))
+        val fact = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id", Portable.tsMillis($"ts").as("fms"),
+            cents($"value").as("purchase_c"))
+        val tagged = dim.select($"user_id", $"vms".as("ms"), lit(0).as("is_f"),
+            $"attr_c", lit(null).cast("long").as("event_id"),
+            lit(null).cast("long").as("purchase_c"))
+          .unionByName(fact.select($"user_id", $"fms".as("ms"), lit(1).as("is_f"),
+            lit(null).cast("long").as("attr_c"), $"event_id", $"purchase_c"))
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ms", $"is_f", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        tagged
+          .withColumn("pit_attr_c", last($"attr_c", ignoreNulls = true).over(w))
+          .where($"is_f" === 1)
+          .select($"user_id", $"event_id", $"ms".as("purchase_ms"),
+            $"purchase_c", $"pit_attr_c")
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""
+        WITH dim AS (
+          SELECT user_id, epoch_ms(ts) AS vms,
+            MAX(CAST(round(value * 100) AS BIGINT)) AS attr_c
+          FROM events WHERE user_id < 20 AND event_type = 'signup'
+          GROUP BY 1, 2),
+        fact AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS fms,
+            CAST(round(value * 100) AS BIGINT) AS purchase_c
+          FROM events WHERE user_id < 20 AND event_type = 'purchase')
+        SELECT f.user_id, f.event_id, f.fms AS purchase_ms,
+          f.purchase_c, d.attr_c AS pit_attr_c
+        FROM fact f ASOF LEFT JOIN dim d
+          ON f.user_id = d.user_id AND f.fms >= d.vms
+        ORDER BY f.user_id, f.event_id"""))
   )}
