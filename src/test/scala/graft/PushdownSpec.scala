@@ -300,7 +300,8 @@ class PushdownSpec extends AnyFunSuite {
         "q36_pair_spread_z", "q37_intraday_seasonality", "q38_roll_spread",
         "d19_dedup_yield_curve", "d20_neardup_source_matrix",
         "q39_overnight_gap", "q41_acf", "q42_kyle_lambda",
-        "a21_cdc_squash", "e24_grouping_sets")) {
+        "a21_cdc_squash", "e24_grouping_sets", "e25_pit_enrich",
+        "x56_quality_sweep")) {
       val q = graft.core.Registry.allQueries.find(_.name == name).get
       val plan = q.build(spark, "/root/testdata/sf0.001")
         .queryExecution.explainString(SimpleMode)
