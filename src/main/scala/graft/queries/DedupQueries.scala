@@ -234,8 +234,8 @@ object DedupQueries {
       Some("""
         WITH pairs AS (
           SELECT doc_id,
-            regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS ta,
-            regexp_extract_all(trim(regexp_replace(lower(text || ' extra appended tail tokens here'), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS tb
+            regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS ta,
+            regexp_extract_all(trim(regexp_replace(lower(text || ' extra appended tail tokens here'), '\\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS tb
           FROM documents WHERE doc_id % 5 = 0),
         sha AS (
           SELECT doc_id, list_distinct(list(CASE WHEN len(ta) < 5 THEN array_to_string(ta, ' ')
@@ -1121,6 +1121,84 @@ object DedupQueries {
           JOIN documents sa ON sa.doc_id = oa
           JOIN documents sb ON sb.doc_id = ob)
         SELECT s1, s2, COUNT(*) AS n_pairs, COUNT(DISTINCT oa) AS n_docs_a
-        FROM lab GROUP BY 1, 2 ORDER BY s1, s2"""))
+        FROM lab GROUP BY 1, 2 ORDER BY s1, s2""")),
+
+    // ── b-bit minhash accuracy audit (Li & König 2010) ────────────────
+    // Storing only the LOWEST BIT of each minhash shrinks the signature
+    // 32× — at the price of chance agreement: an unrelated pair still
+    // matches each bit with p=1/2, so the unbiased estimate is
+    // 2·(agree_rate − 1/2). This audit compares, per original/variant
+    // pair: the full 16-perm estimate, the 1-bit estimate, and the true
+    // Jaccard — integer agreement counts cross the engine boundary, the
+    // two estimates are one divide each. The measurement that justifies
+    // (or rejects) signature compression before a 100 TB dedup run.
+    GraftQuery(
+      "d21_bbit_minhash",
+      (s, dir) => {
+        import s.implicits._
+        val sigs = graft.dedup.MinHashLsh
+          .signatureMatrix(corpusWithNearDups(s, dir), "doc_id", "text", 16, 5)
+        val a = sigs.filter($"id" % 5 === 0 && $"id" < 1000000L)
+          .select($"id".as("doc_id"), $"sigs".as("siga"))
+        val b = sigs.filter($"id" >= 1000000L)
+          .select(($"id" - 1000000L).as("doc_id"), $"sigs".as("sigb"))
+        val truth = Tables.documents(s, dir).filter($"doc_id" % 5 === 0)
+          .withColumn("ta", tokens(normalized($"text")))
+          .withColumn("tb", tokens(normalized(
+            concat($"text", lit(" extra appended tail tokens here")))))
+          .withColumn("shA", array_distinct(shingles($"ta")))
+          .withColumn("shB", array_distinct(shingles($"tb")))
+          .select($"doc_id",
+            (size(array_intersect($"shA", $"shB")).cast("double") /
+              size(array_union($"shA", $"shB")).cast("double")).as("true_jaccard"))
+        a.join(b, Seq("doc_id")).join(truth, Seq("doc_id"))
+          .select($"doc_id",
+            size(filter(zip_with($"siga", $"sigb", (x, y) => x === y), p => p))
+              .as("n_eq_full"),
+            size(filter(zip_with($"siga", $"sigb",
+              (x, y) => (x % 2) === (y % 2)), p => p)).as("n_eq_1bit"),
+            $"true_jaccard")
+          .withColumn("est_full", $"n_eq_full".cast("double") / 16.0)
+          .withColumn("est_1bit",
+            lit(2.0) * ($"n_eq_1bit".cast("double") / 16.0 - lit(0.5)))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH $pairsCte,
+        agree AS (
+          SELECT a.doc_id,
+            COUNT(CASE WHEN a.sig = b.sig THEN 1 END) AS n_eq_full,
+            COUNT(CASE WHEN a.sig % 2 = b.sig % 2 THEN 1 END) AS n_eq_1bit
+          FROM sigs a JOIN sigs b
+            ON b.doc_id = a.doc_id + 1000000 AND a.seed = b.seed
+          WHERE a.doc_id % 5 = 0 AND a.doc_id < 1000000
+          GROUP BY a.doc_id),
+        toks2 AS (
+          SELECT doc_id,
+            regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS ta,
+            regexp_extract_all(trim(regexp_replace(lower(text || ' extra appended tail tokens here'), '\\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS tb
+          FROM documents WHERE doc_id % 5 = 0),
+        sha AS (
+          SELECT doc_id, list_distinct(list(CASE WHEN len(ta) < 5 THEN array_to_string(ta, ' ')
+            ELSE array_to_string(ta[i:i+4], ' ') END)) AS sa
+          FROM (SELECT doc_id, ta, unnest(generate_series(1, greatest(len(ta) - 4, 1))) AS i FROM toks2)
+          GROUP BY doc_id),
+        shb AS (
+          SELECT doc_id, list_distinct(list(CASE WHEN len(tb) < 5 THEN array_to_string(tb, ' ')
+            ELSE array_to_string(tb[i:i+4], ' ') END)) AS sb
+          FROM (SELECT doc_id, tb, unnest(generate_series(1, greatest(len(tb) - 4, 1))) AS i FROM toks2)
+          GROUP BY doc_id),
+        truth AS (
+          SELECT a.doc_id AS doc_id,
+            CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE) AS true_jaccard
+          FROM sha a JOIN shb b ON a.doc_id = b.doc_id)
+        SELECT g.doc_id,
+          CAST(n_eq_full AS INT) AS n_eq_full,
+          CAST(n_eq_1bit AS INT) AS n_eq_1bit,
+          t.true_jaccard,
+          CAST(n_eq_full AS DOUBLE) / 16.0 AS est_full,
+          2.0 * (CAST(n_eq_1bit AS DOUBLE) / 16.0 - 0.5) AS est_1bit
+        FROM agree g JOIN truth t ON g.doc_id = t.doc_id
+        ORDER BY g.doc_id"""))
   )
 }

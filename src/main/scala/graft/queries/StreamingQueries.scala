@@ -409,6 +409,54 @@ object StreamingQueries {
           FROM flags GROUP BY user_id)
         SELECT user_id, n_events, n_late, worst_lag_ms,
           (n_late * 1000) // n_events AS late_x1000
-        FROM g ORDER BY user_id"""))
+        FROM g ORDER BY user_id""")),
+
+    // ── watermark-delay sweep (s10's yield curve) ─────────────────────
+    // s10 audits ONE delay; picking it needs the whole curve: for each
+    // candidate delay (1/5/10/30/60 min), what fraction of the feed
+    // would arrive late? One arrival-order running-max pass computes
+    // the clock's high-water mark; delays EXPLODE per event (the
+    // d19/x56 sweep discipline — never one replay per setting), and
+    // each setting's drop rate is one integer ratio. The operational
+    // answer: the smallest delay whose drop rate is tolerable.
+    GraftQuery(
+      "s11_watermark_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val wArr = org.apache.spark.sql.expressions.Window
+          .orderBy($"arr_ms", $"event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        Tables.events(s, dir).filter($"user_id" < 20)
+          .select($"user_id", $"event_id", Portable.tsMillis($"ts").as("ms"))
+          .withColumn("arr_ms",
+            $"ms" + (($"event_id" * 1103515245L + 12345L) % 7207L) * 1000L)
+          .withColumn("hwm", coalesce(max($"ms").over(wArr), lit(0L)))
+          .withColumn("delay_min", explode(expr("array(1, 5, 10, 30, 60)")))
+          .groupBy($"delay_min")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when($"ms" < $"hwm" - $"delay_min" * 60000L, 1L).otherwise(0L))
+              .cast("long").as("n_late"))
+          .select($"delay_min", $"n_events", $"n_late",
+            expr("(n_late * 1000) div n_events").as("late_x1000"))
+          .orderBy($"delay_min")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ms,
+            epoch_ms(ts) + ((event_id * 1103515245 + 12345) % 7207) * 1000 AS arr_ms
+          FROM events WHERE user_id < 20),
+        wm AS (
+          SELECT event_id, ms,
+            COALESCE(MAX(ms) OVER (ORDER BY arr_ms, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS hwm
+          FROM e),
+        sw AS (
+          SELECT ms, hwm, unnest([1, 5, 10, 30, 60]) AS delay_min
+          FROM wm)
+        SELECT delay_min, COUNT(*) AS n_events,
+          CAST(SUM(CASE WHEN ms < hwm - delay_min * 60000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+          (CAST(SUM(CASE WHEN ms < hwm - delay_min * 60000 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+            // COUNT(*) AS late_x1000
+        FROM sw GROUP BY delay_min ORDER BY delay_min"""))
   )
 }
