@@ -1018,5 +1018,76 @@ object ExtendedSql {
           f.purchase_c, d.attr_c AS pit_attr_c
         FROM fact f ASOF LEFT JOIN dim d
           ON f.user_id = d.user_id AND f.fms >= d.vms
-        ORDER BY f.user_id, f.event_id"""))
+        ORDER BY f.user_id, f.event_id""")),
+
+    // ── session attribution: first-touch vs last-touch ────────────────
+    // The marketing-warehouse classic on top of e22's sessions: each
+    // purchase credits (a) the FIRST click of its session and (b) the
+    // LAST click at-or-before it. Sessions are gaps-and-islands with a
+    // 48-hour break — scaled to this feed's cadence (~a day between a
+    // user's events; a 30-min web-session gap would make every session
+    // a singleton and the attribution vacuous); touches are
+    // IGNORE-NULLS window picks
+    // inside the (user, session) partition — every stage rides ONE
+    // (user_id) exchange, O(1) window state, and click-less purchases
+    // honestly emit -1 for both touches.
+    GraftQuery(
+      "e26_attribution",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+        val base = Tables.events(s, dir).filter($"user_id" < 20)
+          .filter($"event_type".isin("click", "purchase"))
+          .select($"user_id", Portable.tsMillis($"ts").as("ms"), $"event_id",
+            $"event_type".as("et"), cents($"value").as("c"))
+          .withColumn("brk",
+            when(($"ms" - lag($"ms", 1).over(w)) > 172800000L
+              || lag($"ms", 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("sess", sum($"brk").over(wRun))
+        val ws = Window.partitionBy($"user_id", $"sess")
+          .orderBy($"ms", $"event_id")
+        val wsRun = ws.rowsBetween(Window.unboundedPreceding, 0)
+        base
+          .withColumn("ft_click", first(when($"et" === "click", $"event_id"),
+            ignoreNulls = true).over(wsRun))
+          .withColumn("lt_click", last(when($"et" === "click", $"event_id"),
+            ignoreNulls = true).over(wsRun))
+          .where($"et" === "purchase")
+          .select($"user_id", $"sess", $"event_id".as("purchase_id"),
+            $"c".as("revenue_c"),
+            coalesce($"ft_click", lit(-1L)).as("first_touch"),
+            coalesce($"lt_click", lit(-1L)).as("last_touch"))
+          .orderBy($"user_id", $"purchase_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms, event_id,
+            event_type AS et, CAST(round(value * 100) AS BIGINT) AS c
+          FROM events
+          WHERE user_id < 20 AND event_type IN ('click', 'purchase')),
+        b AS (
+          SELECT *,
+            CASE WHEN ms - lag(ms) OVER w > 172800000
+                   OR lag(ms) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        sess AS (
+          SELECT *,
+            CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+          FROM b),
+        touched AS (
+          SELECT *,
+            first_value(CASE WHEN et = 'click' THEN event_id END IGNORE NULLS)
+              OVER ws AS ft_click,
+            last_value(CASE WHEN et = 'click' THEN event_id END IGNORE NULLS)
+              OVER ws AS lt_click
+          FROM sess
+          WINDOW ws AS (PARTITION BY user_id, sess ORDER BY ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT user_id, sess, event_id AS purchase_id, c AS revenue_c,
+          COALESCE(ft_click, -1) AS first_touch,
+          COALESCE(lt_click, -1) AS last_touch
+        FROM touched WHERE et = 'purchase'
+        ORDER BY user_id, purchase_id"""))
   )}
