@@ -1199,6 +1199,39 @@ object DedupQueries {
           CAST(n_eq_full AS DOUBLE) / 16.0 AS est_full,
           2.0 * (CAST(n_eq_1bit AS DOUBLE) / 16.0 - 0.5) AS est_1bit
         FROM agree g JOIN truth t ON g.doc_id = t.doc_id
-        ORDER BY g.doc_id"""))
+        ORDER BY g.doc_id""")),
+
+    // ── duplicate-cluster size distribution (power-law audit) ─────────
+    // Dedup economics in one table: how many clusters of each size, and
+    // what fraction of documents each size class would remove (size − 1
+    // per cluster survive-one). Web-scale corpora show heavy-tailed
+    // cluster sizes — this is the audit that predicts dedup yield and
+    // flags boilerplate explosions. Two tiny groupBys over d6's member
+    // labels; the oracle replays the same reachability fixpoint
+    // recursively.
+    GraftQuery(
+      "d22_cluster_sizes",
+      (s, dir) => {
+        import s.implicits._
+        graft.dedup.MinHashLsh
+          .memberLabels(graft.dedup.MinHashLsh
+            .candidatePairs(corpusWithNearDups(s, dir), "doc_id", "text"))
+          .groupBy($"label").agg(count(lit(1)).as("sz"))
+          .groupBy($"sz")
+          .agg(count(lit(1)).as("n_clusters"),
+            (sum($"sz") - count(lit(1))).cast("long").as("n_removable"))
+          .orderBy($"sz")
+      },
+      Some(s"""WITH RECURSIVE $pairsCte,
+        edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+        reach(id, r) AS (
+          SELECT a AS id, a AS r FROM edges
+          UNION
+          SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+        labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+        cl AS (SELECT label, COUNT(*) AS sz FROM labels GROUP BY label)
+        SELECT sz, COUNT(*) AS n_clusters,
+          CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_removable
+        FROM cl GROUP BY sz ORDER BY sz"""))
   )
 }
