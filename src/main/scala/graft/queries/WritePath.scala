@@ -524,6 +524,54 @@ object WritePath {
           CASE WHEN op = 'delete' THEN NULL ELSE payload_c END AS net_payload_c,
           CAST(n_changes AS BIGINT) AS n_changes
         FROM ranked WHERE rn = last_rn
-        ORDER BY user_id"""))
+        ORDER BY user_id""")),
+
+    // ── snapshot retention planning (vacuum policy simulation) ────────
+    // Which TableLog snapshots survive a "keep 7 dailies + weekly
+    // heads + the month anchor" policy — computed BEFORE vacuum runs,
+    // so the expiry list is reviewable (the a18/a19 table-ops
+    // discipline: plan from metadata, never touch data). Snapshot days
+    // derive from the events clock; weeks are integer epoch-day
+    // sevenths, so every rule is a rank or min over a tiny version
+    // axis — no date-function portability hazards anywhere.
+    GraftQuery(
+      "a22_retention_plan",
+      (s, dir) => {
+        import s.implicits._
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+        val days = Tables.events(s, dir)
+          .select((Portable.tsMillis($"ts") / 86400000L).cast("long").as("day"))
+          .distinct()
+        days
+          .withColumn("week", expr("day div 7"))
+          .withColumn("rn_recent", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy($"day".desc)).cast("long"))
+          .withColumn("rn_in_week", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"week").orderBy($"day".desc)).cast("long"))
+          .withColumn("min_day", min($"day").over(wAll))
+          .select($"day", $"week",
+            ($"rn_recent" <= 7L).cast("int").as("keep_daily"),
+            ($"rn_in_week" === 1L).cast("int").as("keep_weekly"),
+            ($"day" === $"min_day").cast("int").as("keep_anchor"))
+          .withColumn("expire",
+            (($"keep_daily" + $"keep_weekly" + $"keep_anchor") === 0).cast("int"))
+          .orderBy($"day")
+      },
+      Some("""
+        WITH days AS (
+          SELECT DISTINCT epoch_ms(ts) // 86400000 AS day FROM events),
+        r AS (
+          SELECT day, day // 7 AS week,
+            CAST(row_number() OVER (ORDER BY day DESC) AS BIGINT) AS rn_recent,
+            CAST(row_number() OVER (PARTITION BY day // 7 ORDER BY day DESC) AS BIGINT) AS rn_in_week,
+            MIN(day) OVER () AS min_day
+          FROM days)
+        SELECT day, week,
+          CAST(rn_recent <= 7 AS INT) AS keep_daily,
+          CAST(rn_in_week = 1 AS INT) AS keep_weekly,
+          CAST(day = min_day AS INT) AS keep_anchor,
+          CAST(rn_recent > 7 AND rn_in_week <> 1 AND day <> min_day AS INT) AS expire
+        FROM r ORDER BY day"""))
   )
 }
