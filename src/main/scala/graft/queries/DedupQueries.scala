@@ -1232,6 +1232,86 @@ object DedupQueries {
         cl AS (SELECT label, COUNT(*) AS sz FROM labels GROUP BY label)
         SELECT sz, COUNT(*) AS n_clusters,
           CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_removable
-        FROM cl GROUP BY sz ORDER BY sz"""))
+        FROM cl GROUP BY sz ORDER BY sz""")),
+
+    // ── dedup precision/recall curve vs ground truth ──────────────────
+    // d19 counts what each SimHash threshold REMOVES; this grades what
+    // it gets RIGHT. Labeled evaluation pairs: positives = each
+    // original with its tail-extended variant (true near-dups by
+    // construction); negatives = consecutive original documents
+    // (distinct word-salad, near-zero overlap). For every Hamming
+    // threshold: TP/FP/FN and integer milli precision/recall — the
+    // operating-point table a pipeline reads before committing a
+    // threshold. One signature pass, one broadcast-label join,
+    // thresholds exploded once.
+    GraftQuery(
+      "d23_dedup_pr_curve",
+      (s, dir) => {
+        import s.implicits._
+        val sigs = graft.dedup.SimHash
+          .signatures(corpusWithNearDups(s, dir), "doc_id", "text")
+          .select($"id", $"simhash")
+        val docs = Tables.documents(s, dir).select($"doc_id")
+        val pos = docs.filter($"doc_id" % 5 === 0)
+          .select($"doc_id".as("a"), ($"doc_id" + 1000000L).as("b"),
+            lit(1L).as("label"))
+        val neg = docs.select($"doc_id".as("a"), ($"doc_id" + 1L).as("b"),
+            lit(0L).as("label"))
+          .join(docs.select($"doc_id".as("b")), "b")
+        val pairs = pos.unionByName(neg)
+          .join(sigs.select($"id".as("a"), $"simhash".as("siga")), "a")
+          .join(sigs.select($"id".as("b"), $"simhash".as("sigb")), "b")
+          .withColumn("ham", expr("bit_count(siga ^ sigb)"))
+        pairs
+          .withColumn("h", explode(expr("sequence(0, 8)")))
+          .groupBy($"h")
+          .agg(
+            sum(when($"label" === 1L && $"ham" <= $"h", 1L).otherwise(0L))
+              .cast("long").as("tp"),
+            sum(when($"label" === 0L && $"ham" <= $"h", 1L).otherwise(0L))
+              .cast("long").as("fp"),
+            sum(when($"label" === 1L && $"ham" > $"h", 1L).otherwise(0L))
+              .cast("long").as("fn"))
+          .select($"h", $"tp", $"fp", $"fn",
+            expr("(tp * 1000) div greatest(tp + fp, CAST(1 AS BIGINT))").as("precision_x1000"),
+            expr("(tp * 1000) div greatest(tp + fn, CAST(1 AS BIGINT))").as("recall_x1000"))
+          .orderBy($"h")
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text || ' extra appended tail tokens here' AS text
+          FROM documents WHERE doc_id % 5 = 0),
+        toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9]+')) AS tok
+          FROM corpus),
+        hashed AS (
+          SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+        sigs AS (
+          SELECT doc_id, CAST($simhashAggSql AS BIGINT) AS sig
+          FROM hashed GROUP BY doc_id),
+        pos AS (
+          SELECT doc_id AS a, doc_id + 1000000 AS b, 1 AS label
+          FROM documents WHERE doc_id % 5 = 0),
+        neg AS (
+          SELECT d1.doc_id AS a, d1.doc_id + 1 AS b, 0 AS label
+          FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1),
+        pairs AS (
+          SELECT p.a, p.b, p.label, bit_count(xor(sa.sig, sb.sig)) AS ham
+          FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg) p
+          JOIN sigs sa ON sa.doc_id = p.a
+          JOIN sigs sb ON sb.doc_id = p.b),
+        sw AS (SELECT *, unnest(generate_series(0, 8)) AS h FROM pairs),
+        g AS (
+          SELECT h,
+            CAST(SUM(CASE WHEN label = 1 AND ham <= h THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(SUM(CASE WHEN label = 0 AND ham <= h THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(SUM(CASE WHEN label = 1 AND ham > h THEN 1 ELSE 0 END) AS BIGINT) AS fn
+          FROM sw GROUP BY h)
+        SELECT h, tp, fp, fn,
+          (tp * 1000) // greatest(tp + fp, 1) AS precision_x1000,
+          (tp * 1000) // greatest(tp + fn, 1) AS recall_x1000
+        FROM g ORDER BY h"""))
   )
 }
