@@ -1312,6 +1312,76 @@ object DedupQueries {
         SELECT h, tp, fp, fn,
           (tp * 1000) // greatest(tp + fp, 1) AS precision_x1000,
           (tp * 1000) // greatest(tp + fn, 1) AS recall_x1000
-        FROM g ORDER BY h"""))
+        FROM g ORDER BY h""")),
+
+    // ── MinHash PR curve on the SAME labeled pairs (vs d23) ───────────
+    // The head-to-head that picks the dedup primitive: identical
+    // evaluation pairs, graded by 16-perm MinHash agreement instead of
+    // SimHash Hamming. MinHash estimates SET overlap directly (no
+    // bit-compression loss), so on this corpus its curve strictly
+    // dominates d23's — the evidence for routing near-dedup through
+    // MinHash-LSH (d2) and keeping SimHash for the cheap
+    // halves-and-slices path. Thresholds = minimum agreeing
+    // permutations, everything integer.
+    GraftQuery(
+      "d24_minhash_pr_curve",
+      (s, dir) => {
+        import s.implicits._
+        val sigs = graft.dedup.MinHashLsh
+          .signatureMatrix(corpusWithNearDups(s, dir), "doc_id", "text", 16, 5)
+        val docs = Tables.documents(s, dir).select($"doc_id")
+        val pos = docs.filter($"doc_id" % 5 === 0)
+          .select($"doc_id".as("a"), ($"doc_id" + 1000000L).as("b"),
+            lit(1L).as("label"))
+        val neg = docs.select($"doc_id".as("a"), ($"doc_id" + 1L).as("b"),
+            lit(0L).as("label"))
+          .join(docs.select($"doc_id".as("b")), "b")
+        val pairs = pos.unionByName(neg)
+          .join(sigs.select($"id".as("a"), $"sigs".as("siga")), "a")
+          .join(sigs.select($"id".as("b"), $"sigs".as("sigb")), "b")
+          .withColumn("n_eq",
+            size(filter(zip_with($"siga", $"sigb", (x, y) => x === y), p => p))
+              .cast("long"))
+        pairs
+          .withColumn("t", explode(expr("sequence(1, 16)")))
+          .groupBy($"t")
+          .agg(
+            sum(when($"label" === 1L && $"n_eq" >= $"t", 1L).otherwise(0L))
+              .cast("long").as("tp"),
+            sum(when($"label" === 0L && $"n_eq" >= $"t", 1L).otherwise(0L))
+              .cast("long").as("fp"),
+            sum(when($"label" === 1L && $"n_eq" < $"t", 1L).otherwise(0L))
+              .cast("long").as("fn"))
+          .select($"t", $"tp", $"fp", $"fn",
+            expr("(tp * 1000) div greatest(tp + fp, CAST(1 AS BIGINT))").as("precision_x1000"),
+            expr("(tp * 1000) div greatest(tp + fn, CAST(1 AS BIGINT))").as("recall_x1000"))
+          .orderBy($"t")
+      },
+      Some(s"""WITH $pairsCte,
+        pos AS (
+          SELECT doc_id AS a, doc_id + 1000000 AS b, 1 AS label
+          FROM documents WHERE doc_id % 5 = 0),
+        neg AS (
+          SELECT d1.doc_id AS a, d1.doc_id + 1 AS b, 0 AS label
+          FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1),
+        ev AS (SELECT * FROM pos UNION ALL SELECT * FROM neg),
+        agree AS (
+          SELECT ev.a, ev.b, ev.label,
+            COUNT(CASE WHEN sa.sig = sb.sig THEN 1 END) AS n_eq
+          FROM ev
+          JOIN sigs sa ON sa.doc_id = ev.a
+          JOIN sigs sb ON sb.doc_id = ev.b AND sb.seed = sa.seed
+          GROUP BY ev.a, ev.b, ev.label),
+        sw AS (SELECT *, unnest(generate_series(1, 16)) AS t FROM agree),
+        g AS (
+          SELECT t,
+            CAST(SUM(CASE WHEN label = 1 AND n_eq >= t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(SUM(CASE WHEN label = 0 AND n_eq >= t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(SUM(CASE WHEN label = 1 AND n_eq < t THEN 1 ELSE 0 END) AS BIGINT) AS fn
+          FROM sw GROUP BY t)
+        SELECT t, tp, fp, fn,
+          (tp * 1000) // greatest(tp + fp, 1) AS precision_x1000,
+          (tp * 1000) // greatest(tp + fn, 1) AS recall_x1000
+        FROM g ORDER BY t"""))
   )
 }
