@@ -302,7 +302,8 @@ class PushdownSpec extends AnyFunSuite {
         "q39_overnight_gap", "q41_acf", "q42_kyle_lambda",
         "a21_cdc_squash", "e24_grouping_sets", "e25_pit_enrich",
         "x56_quality_sweep", "e26_attribution", "d22_cluster_sizes",
-        "a22_retention_plan", "s11_watermark_sweep", "d21_bbit_minhash")) {
+        "a22_retention_plan", "s11_watermark_sweep", "d21_bbit_minhash",
+        "d23_dedup_pr_curve", "d24_minhash_pr_curve")) {
       val q = graft.core.Registry.allQueries.find(_.name == name).get
       val plan = q.build(spark, "/root/testdata/sf0.001")
         .queryExecution.explainString(SimpleMode)
