@@ -23,6 +23,10 @@ object DedupQueries {
   /** Corpus with synthesized near-duplicates: every 5th doc re-appears
     * (id + 1000000) with a few extra tokens appended — no natural dups
     * exist in the testdata. */
+  /** Package-visible for x58's effective-size audit. */
+  private[queries] def nearDupCorpus(s: SparkSession, dir: String): DataFrame =
+    corpusWithNearDups(s, dir)
+
   private def corpusWithNearDups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Single-scan synthesis (multiplicity explode), not a union of two
@@ -47,7 +51,8 @@ object DedupQueries {
 
   /** Shared oracle CTE chain producing the d2 LSH candidate pairs
     * (also the base graph for d6's connected components). */
-  private val pairsCte =
+  /** Package-visible: x58's oracle replays the same LSH pair pipeline. */
+  private[queries] val pairsCte =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL

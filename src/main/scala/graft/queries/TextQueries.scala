@@ -2476,6 +2476,57 @@ object TextQueries {
             CAST(SUM(CASE WHEN q_u >= thr_u THEN n_toks ELSE 0 END) AS BIGINT) AS toks_keep
           FROM sw GROUP BY thr_u)
         SELECT thr_u, n_keep, (n_keep * 1000) // n_docs AS keep_x1000, toks_keep
-        FROM g ORDER BY thr_u"""))
+        FROM g ORDER BY thr_u""")),
+
+    // ── effective dataset size after near-dedup ───────────────────────
+    // The number a budget meeting asks for: of the corpus's raw token
+    // mass, how much SURVIVES survive-one near-dedup? Cluster labels
+    // come from the d6 component pass over the synthesized near-dup
+    // corpus; survivors = docs that are not a non-keeper; one row
+    // reports raw vs effective docs/tokens and the integer milli
+    // shrink. Labels join back as a broadcast of the (small) non-keeper
+    // set — the corpus never rescans.
+    GraftQuery(
+      "x58_effective_size",
+      (s, dir) => {
+        import s.implicits._
+        val corpus = graft.queries.DedupQueries.nearDupCorpus(s, dir)
+          .select($"doc_id", tokenCount($"text").cast("long").as("n_toks"))
+        val labels = graft.dedup.MinHashLsh
+          .memberLabels(graft.dedup.MinHashLsh
+            .candidatePairs(graft.queries.DedupQueries.nearDupCorpus(s, dir),
+              "doc_id", "text"))
+        val nonKeepers = labels.filter($"label" =!= $"id")
+          .select($"id".as("doc_id"), lit(1).as("drop"))
+        corpus.join(broadcast(nonKeepers), Seq("doc_id"), "left")
+          .agg(count(lit(1)).as("n_docs_raw"),
+            sum($"n_toks").cast("long").as("toks_raw"),
+            sum(when($"drop".isNull, 1L).otherwise(0L)).cast("long").as("n_docs_eff"),
+            sum(when($"drop".isNull, $"n_toks").otherwise(0L)).cast("long").as("toks_eff"))
+          .select($"n_docs_raw", $"toks_raw", $"n_docs_eff", $"toks_eff",
+            expr("((toks_raw - toks_eff) * 1000) div toks_raw").as("shrink_x1000"))
+      },
+      Some(s"""WITH RECURSIVE ${DedupQueries.pairsCte},
+        edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+        reach(id, r) AS (
+          SELECT a AS id, a AS r FROM edges
+          UNION
+          SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+        labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+        nonk AS (SELECT id FROM labels WHERE label <> id),
+        ct AS (
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_toks,
+            CASE WHEN nonk.id IS NULL THEN 1 ELSE 0 END AS keep
+          FROM corpus LEFT JOIN nonk ON corpus.doc_id = nonk.id),
+        g AS (
+          SELECT COUNT(*) AS n_docs_raw,
+            CAST(SUM(n_toks) AS BIGINT) AS toks_raw,
+            CAST(SUM(keep) AS BIGINT) AS n_docs_eff,
+            CAST(SUM(CASE WHEN keep = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS toks_eff
+          FROM ct)
+        SELECT n_docs_raw, toks_raw, n_docs_eff, toks_eff,
+          ((toks_raw - toks_eff) * 1000) // toks_raw AS shrink_x1000
+        FROM g"""))
   )
 }
