@@ -7,6 +7,7 @@ Dev tooling only — the shipped library is the Scala code under src/.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -83,7 +84,19 @@ def main() -> int:
     # in-memory budget and die with "Out of Memory Error". Give the
     # oracle headroom and a spill path so the gate measures value
     # equality, not the oracle's memory ceiling.
-    con.execute("SET memory_limit='24GB'")
+    # Cap derived from the host (override with GRAFT_DUCKDB_MEMLIMIT):
+    # min(24GB, 80% of MemAvailable) keeps the oracle inside RAM so an
+    # over-budget query dies with DuckDB's clean OOM error instead of
+    # thrashing or OOM-killing the gate on smaller machines.
+    memlimit = os.environ.get("GRAFT_DUCKDB_MEMLIMIT")
+    if not memlimit:
+        try:
+            kb = next(int(l.split()[1]) for l in open("/proc/meminfo")
+                      if l.startswith("MemAvailable:"))
+            memlimit = f"{min(24.0, kb * 0.8 / 1048576):.1f}GB"
+        except (OSError, StopIteration):
+            memlimit = "24GB"
+    con.execute(f"SET memory_limit='{memlimit}'")
     con.execute("SET temp_directory='/tmp/duckdb_verify_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

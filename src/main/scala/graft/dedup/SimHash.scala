@@ -1,30 +1,37 @@
 package graft.dedup
 
 import graft.functions.HashFunctions.md5Long
-import graft.functions.TextFunctions.tokens
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** SimHash near-duplicate signatures (Charikar): 32-bit signs of the
-  * per-bit weight sums over the distinct-token hash set.
+/** SimHash near-duplicate signatures (Charikar): 60-bit signs of the
+  * per-bit weight sums over the distinct-token hash set. 60 bits uses
+  * every bit of the portable md5-derived token hash (15 hex chars —
+  * the widest value both Spark and the DuckDB oracle can parse into a
+  * signed BIGINT), and divides evenly into the 10 six-bit blocks the
+  * banded pair search keys on.
   *
-  * Shuffle shape: the 32 bit-counters are 32 aggregates of ONE
+  * Shuffle shape: the 60 bit-counters are 60 aggregates of ONE
   * `groupBy(id)` over the exploded tokens — map-side partial aggregation
   * collapses each partition to one row per doc, and the shuffle carries
-  * |docs|×32 longs. (The naive form crossJoins tokens × 32 bit indices —
-  * a 32× row blow-up before the shuffle — the same anti-pattern
+  * |docs|×60 longs. (The naive form crossJoins tokens × 60 bit indices —
+  * a 60× row blow-up before the shuffle — the same anti-pattern
   * [[MinHashLsh.signatureMatrix]] avoids for its permutations.)
   */
 object SimHash {
+
+  /** Signature width in bits; matches the 60 usable bits of
+    * [[graft.functions.HashFunctions.md5Long]]. */
+  val SigBits: Int = 60
 
   /** (id, simhash BIGINT) — bit b set iff more distinct tokens have h's
     * bit b set than clear. */
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ones = (0 until 32).map(b =>
+    val ones = (0 until SigBits).map(b =>
       sum(expr(s"shiftright(h, $b) & 1")).as(s"c$b"))
-    val sig = (0 until 32).map(b =>
+    val sig = (0 until SigBits).map(b =>
       when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     docs
@@ -49,35 +56,46 @@ object SimHash {
       .select(col("a"), col("b"), col("hamming"))
   }
 
-  /** Hamming pairs at corpus scale (the Manku/Jain/Sarma web-dedup
-    * scheme): split each signature into `bands` bit-slices, bucket on
-    * (band index, slice value), compare only within buckets, then verify
-    * the full distance. By pigeonhole, any pair with hamming <
-    * `bands` agrees on at least one slice — so for `maxHamming` <
-    * `bands` this returns EXACTLY the pairs of [[hammingPairs]]
-    * (SimHashSpec asserts it), while the join stays bucket-local: the
-    * shuffle key is the slice, never the cross product. */
-  /** `maxBucket` bounds the per-(band, slice) bucket size: oversized
-    * buckets (mass-identical signatures — boilerplate) are excluded from
-    * BOTH join sides via a broadcast anti-join on the tiny oversized-key
-    * list, so one hot slice value cannot explode the O(|bucket|²) join
-    * fan-out. Pairs whose only agreeing slice is oversized are dropped —
-    * the exactness guarantee then holds for the retained buckets only —
-    * and each excluded bucket bumps the session's
+  /** Hamming pairs at corpus scale — the Manku/Jain/Sarma web-dedup
+    * scheme generalized to block-PAIR keys. The signature is split into
+    * `blocks` equal bit-blocks; by pigeonhole a pair with hamming ≤
+    * `blocks − 2` agrees on at least TWO whole blocks, hence on at least
+    * one of the C(blocks, 2) ordered block pairs — so bucketing each doc
+    * under every (block-pair id, concat of the two block values) key and
+    * comparing only within buckets returns EXACTLY the pairs of
+    * [[hammingPairs]] (SimHashSpec asserts it).
+    *
+    * The two-block key is what makes the buckets non-degenerate: a
+    * single 6-bit slice has 64 distinct values (buckets average N/64 —
+    * the round-5 advisor showed a 2-bit variant collapsing to N/4 and
+    * tripping the bucket cap at ~40k docs), while a 12-bit block-pair
+    * key has 4096 values, so buckets average N/4096 and the cap does not
+    * bind until ~40M docs per bucket-key collision class. Fan-out is
+    * C(blocks,2)=45 rows per doc — constant, not O(N²).
+    *
+    * `maxBucket` still bounds the per-key bucket: oversized buckets
+    * (mass-identical signatures — boilerplate) are excluded from BOTH
+    * join sides via a broadcast anti-join on the tiny oversized-key
+    * list. Pairs whose only agreeing block pair is oversized are
+    * dropped — the exactness guarantee then holds for the retained
+    * buckets only — and each excluded bucket bumps the session's
     * `graft.lsh.droppedBuckets` accumulator
     * ([[graft.dedup.DedupMetrics.droppedBuckets]]), so a capped run is
     * never silent. Callers should cache `sigs` (it is consumed three
     * times). */
-  def bandedHammingPairs(sigs: DataFrame, maxHamming: Int, bands: Int = 4,
-      bits: Int = 32, maxBucket: Int = MinHashLsh.DefaultMaxBucket): DataFrame = {
-    require(maxHamming < bands,
-      s"banding is exact only for maxHamming < bands (got $maxHamming >= $bands)")
-    val width = bits / bands
+  def bandedHammingPairs(sigs: DataFrame, maxHamming: Int, blocks: Int = 10,
+      bits: Int = SigBits, maxBucket: Int = MinHashLsh.DefaultMaxBucket): DataFrame = {
+    require(maxHamming <= blocks - 2,
+      s"block-pair banding is exact only for maxHamming <= blocks - 2 " +
+        s"(got maxHamming=$maxHamming, blocks=$blocks)")
+    require(bits % blocks == 0, s"bits=$bits must divide into blocks=$blocks")
+    val width = bits / blocks
     val mask = (1L << width) - 1
+    val keys = for { i <- 0 until blocks; j <- (i + 1) until blocks } yield
+      expr(s"((shiftright(simhash, ${i * width}) & $mask) << $width)" +
+        s" | (shiftright(simhash, ${j * width}) & $mask)")
     val sliced = sigs.select(col("id"), col("simhash"),
-      posexplode(array((0 until bands).map(i =>
-        expr(s"shiftright(simhash, ${i * width}) & $mask")): _*))
-        .as(Seq("band", "slice")))
+      posexplode(array(keys: _*)).as(Seq("band", "slice")))
     // the counting tap rides the (tiny, broadcast) oversized side: every
     // excluded bucket evaluates it once during the broadcast build
     val oversized = sliced.groupBy(col("band"), col("slice"))

@@ -81,11 +81,11 @@ object DedupQueries {
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
       |  WHERE a.doc_id < b.doc_id)""".stripMargin
 
-  /** The 32 SimHash bit-counters as explicit aggregates of ONE GROUP BY —
-    * the same shape the Spark side runs (no 32× series cross join; the
-    * oracle then scales with the corpus, not 32× it). */
+  /** The 60 SimHash bit-counters as explicit aggregates of ONE GROUP BY —
+    * the same shape the Spark side runs (no 60× series cross join; the
+    * oracle then scales with the corpus, not 60× it). */
   private val simhashAggSql: String =
-    (0 until 32).map(b =>
+    (0 until graft.dedup.SimHash.SigBits).map(b =>
       s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) > 0 THEN CAST(1 AS BIGINT) << $b ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
 
@@ -163,7 +163,7 @@ object DedupQueries {
           SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id)
         SELECT id, MIN(r) AS keeper FROM reach GROUP BY id ORDER BY id""")),
 
-    // ── SimHash: 32-bit signature over the distinct-token set ──────────
+    // ── SimHash: 60-bit signature over the distinct-token set ─────────
     GraftQuery(
       "d3_simhash",
       (s, dir) => {
@@ -184,9 +184,9 @@ object DedupQueries {
 
     // ── SimHash near-dup pairs via Hamming distance ────────────────────
     // signatures over the near-dup corpus; pairs with ≤8 differing bits
-    // of 32. bit_count(xor) is portable (Spark bit_count / DuckDB
+    // of 60. bit_count(xor) is portable (Spark bit_count / DuckDB
     // bit_count+xor). At scale the O(n²) self-join is replaced by
-    // banding on 16-bit signature halves — same trick as d2's LSH.
+    // block-pair banding (d19/d20) — same trick as d2's LSH.
     GraftQuery(
       "d5_simhash_hamming_pairs",
       (s, dir) => {
@@ -239,8 +239,8 @@ object DedupQueries {
       Some("""
         WITH pairs AS (
           SELECT doc_id,
-            regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS ta,
-            regexp_extract_all(trim(regexp_replace(lower(text || ' extra appended tail tokens here'), '\\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS tb
+            regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS ta,
+            regexp_extract_all(trim(regexp_replace(lower(text || ' extra appended tail tokens here'), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS tb
           FROM documents WHERE doc_id % 5 = 0),
         sha AS (
           SELECT doc_id, list_distinct(list(CASE WHEN len(ta) < 5 THEN array_to_string(ta, ' ')
@@ -1029,8 +1029,8 @@ object DedupQueries {
     // each setting would REMOVE. For every SimHash Hamming threshold
     // h = 0..8: how many candidate pairs qualify, and how many distinct
     // documents a keep-smallest-id rule would drop. One BANDED pairs
-    // pass (16 2-bit slices: exact for Hamming ≤ 8 < 16 by pigeonhole,
-    // bucket-local join — d5's discipline), thresholds EXPLODE from each
+    // pass (45 12-bit block-pair keys: exact for Hamming ≤ 8 = blocks−2
+    // by pigeonhole, bucket-local join), thresholds EXPLODE from each
     // pair (9 small rows per pair), distinct-removed is one
     // count(DISTINCT) per threshold — the whole curve from one scan of
     // the pair set, no per-threshold re-runs.
@@ -1040,7 +1040,7 @@ object DedupQueries {
         import s.implicits._
         val pairs = graft.dedup.SimHash.bandedHammingPairs(
           graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text"),
-          maxHamming = 8, bands = 16)
+          maxHamming = 8)
         pairs
           .withColumn("h", explode(expr("sequence(hamming, 8)")))
           .groupBy($"h")
@@ -1087,7 +1087,7 @@ object DedupQueries {
         import s.implicits._
         val pairs = graft.dedup.SimHash.bandedHammingPairs(
           graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text"),
-          maxHamming = 8, bands = 16)
+          maxHamming = 8)
         val src = Tables.documents(s, dir).select($"doc_id", $"source")
         pairs
           .withColumn("oa", $"a" % 1000000L)

@@ -374,7 +374,7 @@ object StreamingQueries {
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
         Tables.events(s, dir).filter($"user_id" < 20)
           .select($"user_id", $"event_id", Portable.tsMillis($"ts").as("ms"))
-          .withColumn("arr_ms", $"ms" + (($"event_id" * 1103515245L + 12345L) % 7207L) * 1000L)
+          .withColumn("arr_ms", $"ms" + ((($"event_id" % 7207L) * 1103515245L + 12345L) % 7207L) * 1000L)
           .withColumn("wm",
             coalesce(max($"ms").over(wArr), lit(0L)) - 600000L)
           .withColumn("late", ($"ms" < $"wm").cast("long"))
@@ -390,7 +390,7 @@ object StreamingQueries {
       Some("""
         WITH e AS (
           SELECT user_id, event_id, epoch_ms(ts) AS ms,
-            epoch_ms(ts) + ((event_id * 1103515245 + 12345) % 7207) * 1000 AS arr_ms
+            epoch_ms(ts) + (((event_id % 7207) * 1103515245 + 12345) % 7207) * 1000 AS arr_ms
           FROM events WHERE user_id < 20),
         wm AS (
           SELECT user_id, event_id, ms,
@@ -429,7 +429,7 @@ object StreamingQueries {
         Tables.events(s, dir).filter($"user_id" < 20)
           .select($"user_id", $"event_id", Portable.tsMillis($"ts").as("ms"))
           .withColumn("arr_ms",
-            $"ms" + (($"event_id" * 1103515245L + 12345L) % 7207L) * 1000L)
+            $"ms" + ((($"event_id" % 7207L) * 1103515245L + 12345L) % 7207L) * 1000L)
           .withColumn("hwm", coalesce(max($"ms").over(wArr), lit(0L)))
           .withColumn("delay_min", explode(expr("array(1, 5, 10, 30, 60)")))
           .groupBy($"delay_min")
@@ -443,7 +443,7 @@ object StreamingQueries {
       Some("""
         WITH e AS (
           SELECT user_id, event_id, epoch_ms(ts) AS ms,
-            epoch_ms(ts) + ((event_id * 1103515245 + 12345) % 7207) * 1000 AS arr_ms
+            epoch_ms(ts) + (((event_id % 7207) * 1103515245 + 12345) % 7207) * 1000 AS arr_ms
           FROM events WHERE user_id < 20),
         wm AS (
           SELECT event_id, ms,

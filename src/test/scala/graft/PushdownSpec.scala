@@ -300,7 +300,7 @@ class PushdownSpec extends AnyFunSuite {
         "q36_pair_spread_z", "q37_intraday_seasonality", "q38_roll_spread",
         "d19_dedup_yield_curve", "d20_neardup_source_matrix",
         "q39_overnight_gap", "q41_acf", "q42_kyle_lambda",
-        "a21_cdc_squash", "e24_grouping_sets", "e25_pit_enrich",
+        "a21_cdc_squash", "e25_pit_enrich",
         "x56_quality_sweep", "e26_attribution", "d22_cluster_sizes",
         "a22_retention_plan", "s11_watermark_sweep", "d21_bbit_minhash",
         "d23_dedup_pr_curve", "d24_minhash_pr_curve")) {

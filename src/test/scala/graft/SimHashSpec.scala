@@ -5,7 +5,8 @@ import graft.dedup.SimHash
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Banded simhash pair search must equal the exact O(n²) form whenever
-  * maxHamming < bands (the pigeonhole exactness condition). */
+  * maxHamming <= blocks − 2 (the block-pair pigeonhole exactness
+  * condition). */
 class SimHashSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
@@ -21,7 +22,7 @@ class SimHashSpec extends AnyFunSuite {
     try {
       val exact = SimHash.hammingPairs(sigs, 3)
         .as[(Long, Long, Int)].collect().toSet
-      val banded = SimHash.bandedHammingPairs(sigs, 3, bands = 4)
+      val banded = SimHash.bandedHammingPairs(sigs, 3, blocks = 5)
         .as[(Long, Long, Int)].collect().toSet
       assert(exact.nonEmpty, "near-dup corpus must yield some close pairs")
       assert(banded == exact)
@@ -32,6 +33,6 @@ class SimHashSpec extends AnyFunSuite {
     import spark.implicits._
     val sigs = Seq((1L, 7L), (2L, 8L)).toDF("id", "simhash")
     assertThrows[IllegalArgumentException](
-      SimHash.bandedHammingPairs(sigs, 8, bands = 4))
+      SimHash.bandedHammingPairs(sigs, 8, blocks = 4))
   }
 }
