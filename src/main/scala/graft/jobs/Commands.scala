@@ -46,6 +46,40 @@ object Commands {
     StockStore.upsert(spark, root, cmd.dataType, typed, Exchanges.tz(cmd.exchange))
   }
 
+  /** Run a historical ingest for MANY tickers in one job via the DSv2
+    * Batch source ([[graft.sources.rest.RestSourceProvider]]): one input
+    * partition per (ticker, `sliceDays` window), fetched on the
+    * EXECUTORS — the parallel path SURVEY §7.3 promises, closing the
+    * driver-side serial fetch loop the reference runs
+    * (eodhd_historical_service.py:110-158). All tickers share one
+    * transform+merge, so the store commit is one transaction, not N.
+    */
+  def runHistoricalBatch(spark: SparkSession, root: String,
+      tickers: Seq[String], exchange: String, interval: String,
+      start: String, end: String, apiToken: String,
+      baseUrl: String = "https://eodhd.com/api", sliceDays: Int = 0,
+      timeoutMs: Int = 30000, maxRetries: Int = 3,
+      retryBackoffMs: Long = 250): StockStore.UpsertStats = {
+    require(tickers.nonEmpty, "at least one ticker")
+    // Validates interval/dates at plan time, same as the single-ticker path.
+    val cmd = HistoricalCommand(tickers.head, exchange, interval, start, end)
+    val raw = spark.read.format("graft.sources.rest.RestSourceProvider")
+      .option("tickers", tickers.mkString(","))
+      .option("exchange", exchange).option("interval", interval)
+      .option("start", start).option("end", end)
+      .option("apiToken", apiToken).option("baseUrl", baseUrl)
+      .option("sliceDays", sliceDays.toString)
+      .option("timeoutMs", timeoutMs.toString)
+      .option("maxRetries", maxRetries.toString)
+      .option("retryBackoffMs", retryBackoffMs.toString)
+      .load()
+    val typed = cmd.dataType match {
+      case HistoricalInterday => EodhdTransform.interdayBars(raw, interval)
+      case _ => EodhdTransform.intradayBars(raw, interval)
+    }
+    StockStore.upsert(spark, root, cmd.dataType, typed, Exchanges.tz(exchange))
+  }
+
   /** Run a bounded streaming ingest (the reference's `start_stream` with
     * its duration gate — eodhd_streaming_service.py:149-153): WS-source
     * frames → transform → versioned store, stopped after `durationSec`.

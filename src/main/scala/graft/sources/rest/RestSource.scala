@@ -1,0 +1,167 @@
+package graft.sources.rest
+
+import graft.jobs.Commands.HistoricalCommand
+import graft.model.HistoricalInterday
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.time.format.DateTimeFormatter
+import java.time.{LocalDate, LocalDateTime}
+import java.util.Collections
+
+/** DSv2 **Batch** REST source (SURVEY §7.3 "DSv2 Batch later for parallel
+  * multi-ticker pulls"): one [[InputPartition]] per (ticker, time-slice),
+  * so a 500-ticker backfill fans its HTTP fetches across ALL executor
+  * cores instead of serializing on the driver the way the reference's
+  * fetch loop does (reference:
+  * src/stockops/data/historical/eodhd_historical_service.py:110-158 —
+  * one blocking `requests.get` per command).
+  *
+  * Output schema matches the `fetchPage` seam that
+  * [[graft.jobs.Commands.runHistorical]] builds driver-side — `raw STRING,
+  * ticker STRING`, one provider JSON object per row — so the SAME
+  * transform+upsert path consumes either. Parsing stays in
+  * [[graft.transform.EodhdTransform]] (T1/T9 drop malformed rows).
+  *
+  * Options: `tickers` (comma-separated), `exchange`, `interval`, `start`,
+  * `end` (interday ISO dates; intraday "yyyy-MM-dd HH:mm" exchange wall
+  * time), `apiToken`, `baseUrl`, `sliceDays` (0 = one slice per ticker),
+  * `timeoutMs`, `maxRetries`, `retryBackoffMs`.
+  *
+  * Slice boundaries: the provider treats from/to as inclusive, so interday
+  * slices step whole days ([d, d+k-1], next d+k) and intraday slices end
+  * one minute before the next slice's start. Any residual boundary
+  * duplicate is eliminated by the store's A3 exact-dup/versioned upsert,
+  * so correctness never depends on the provider's boundary convention.
+  *
+  * At 100 TB scale this is the ingest shape that matters: fetch bandwidth
+  * scales with the cluster, retries/backoff are per-partition (one slow
+  * ticker doesn't head-of-line-block the rest), and a failed slice is
+  * retried by Spark task retry without refetching the whole backfill.
+  */
+final class RestSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-rest"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = RestSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new RestTable(RestSource.Conf(new CaseInsensitiveStringMap(properties)))
+}
+
+private[rest] object RestSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("raw", StringType, nullable = false),
+    StructField("ticker", StringType, nullable = false)))
+
+  private val wallFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm")
+
+  final case class Conf(
+      tickers: Seq[String], exchange: String, interval: String,
+      start: String, end: String, apiToken: String, baseUrl: String,
+      sliceDays: Int, timeoutMs: Int, maxRetries: Int, retryBackoffMs: Long)
+      extends Serializable {
+    def client: EodhdRestClient =
+      new EodhdRestClient(apiToken, baseUrl, timeoutMs, maxRetries, retryBackoffMs)
+  }
+
+  object Conf {
+    def apply(o: CaseInsensitiveStringMap): Conf = {
+      def req(k: String): String = {
+        val v = o.get(k)
+        require(v != null && v.nonEmpty, s"graft-rest: missing required option '$k'")
+        v
+      }
+      Conf(
+        tickers = req("tickers").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        exchange = req("exchange"), interval = req("interval"),
+        start = req("start"), end = req("end"), apiToken = req("apiToken"),
+        baseUrl = o.getOrDefault("baseUrl", "https://eodhd.com/api"),
+        sliceDays = o.getInt("sliceDays", 0),
+        timeoutMs = o.getInt("timeoutMs", 30000),
+        maxRetries = o.getInt("maxRetries", 3),
+        retryBackoffMs = o.getLong("retryBackoffMs", 250L))
+    }
+  }
+
+  /** (start, end) windows covering [conf.start, conf.end]; validates the
+    * range format eagerly (planning time) so a bad date fails the job
+    * before any task launches. */
+  def slices(conf: Conf): Seq[(String, String)] = {
+    val probe = HistoricalCommand(conf.tickers.head, conf.exchange, conf.interval, conf.start, conf.end)
+    if (conf.sliceDays <= 0) return Seq((conf.start, conf.end))
+    if (probe.dataType == HistoricalInterday) {
+      val d0 = LocalDate.parse(conf.start)
+      val d1 = LocalDate.parse(conf.end)
+      Iterator.iterate(d0)(_.plusDays(conf.sliceDays.toLong)).takeWhile(!_.isAfter(d1)).map { s =>
+        val e = s.plusDays(conf.sliceDays.toLong - 1)
+        (s.toString, (if (e.isAfter(d1)) d1 else e).toString)
+      }.toSeq
+    } else {
+      val t0 = LocalDateTime.parse(conf.start, wallFmt)
+      val t1 = LocalDateTime.parse(conf.end, wallFmt)
+      Iterator.iterate(t0)(_.plusDays(conf.sliceDays.toLong)).takeWhile(!_.isAfter(t1)).map { s =>
+        val e = s.plusDays(conf.sliceDays.toLong).minusMinutes(1)
+        (s.format(wallFmt), (if (e.isAfter(t1)) t1 else e).format(wallFmt))
+      }.toSeq
+    }
+  }
+}
+
+private[rest] final class RestTable(conf: RestSource.Conf) extends Table with SupportsRead {
+  override def name(): String =
+    s"graft-rest(${conf.tickers.mkString(",")}.${conf.exchange} ${conf.interval} ${conf.start}..${conf.end})"
+  override def schema(): StructType = RestSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Collections.singleton(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = RestSource.Schema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        val out = for {
+          t <- conf.tickers
+          (s, e) <- RestSource.slices(conf)
+        } yield RestInputPartition(t, s, e): InputPartition
+        out.toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new RestReaderFactory(conf)
+    }
+}
+
+private[rest] final case class RestInputPartition(
+    ticker: String, start: String, end: String) extends InputPartition
+
+private[rest] final class RestReaderFactory(conf: RestSource.Conf)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[RestInputPartition]
+    new PartitionReader[InternalRow] {
+      private var rows: Iterator[String] = _
+      private var current: InternalRow = _
+      private val tickerUtf8 = UTF8String.fromString(part.ticker)
+
+      override def next(): Boolean = {
+        if (rows == null) {
+          // Fetch happens here, on the EXECUTOR — client retries/backoff
+          // are per-slice; a hard failure becomes a task failure and rides
+          // Spark's task retry.
+          val cmd = HistoricalCommand(part.ticker, conf.exchange, conf.interval, part.start, part.end)
+          rows = conf.client.fetchPage(cmd).iterator
+        }
+        if (rows.hasNext) {
+          current = InternalRow(UTF8String.fromString(rows.next()), tickerUtf8)
+          true
+        } else false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft.tools
+
+import graft.core.Registry
+import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+
+/** Empirical scale-sweep runner: times registry queries at an arbitrary
+  * data dir (sf0.1 vs the synthesized sf1) so 10x scaling ratios are
+  * measured, not argued from plan shape.
+  *
+  * Usage:
+  *   sbt "runMain graft.tools.ScaleSweep <dir> [passes] [timeoutSec] [name...]"
+  * With no names, runs the whole registry. Each query runs in its own job
+  * group; a query exceeding the timeout has its jobs cancelled and is
+  * recorded as "timeout" instead of wedging the sweep. Prints one JSON
+  * line per query and a final summary line.
+  */
+object ScaleSweep {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val passes = if (args.length > 1) args(1).toInt else 1
+    val timeoutSec = if (args.length > 2) args(2).toLong else 180L
+    val names = args.drop(3).toSet
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val qs = Registry.allQueries.filter(q => names.isEmpty || names(q.name))
+    val pool = Executors.newSingleThreadExecutor()
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Either[String, Double])]
+
+    qs.foreach { q =>
+      var best: Option[Double] = None
+      var failure: Option[String] = None
+      var pass = 0
+      while (pass < passes && failure.isEmpty) {
+        val fut = pool.submit(new java.util.concurrent.Callable[Double] {
+          def call(): Double = {
+            spark.sparkContext.setJobGroup(q.name, q.name, interruptOnCancel = true)
+            val t0 = System.nanoTime()
+            q.build(spark, dir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+        })
+        try {
+          val sec = fut.get(timeoutSec, TimeUnit.SECONDS)
+          best = Some(best.fold(sec)(math.min(_, sec)))
+        } catch {
+          case _: TimeoutException =>
+            spark.sparkContext.cancelJobGroup(q.name)
+            fut.cancel(true)
+            failure = Some("timeout")
+          case e: Throwable =>
+            failure = Some(Option(e.getCause).getOrElse(e).getMessage.take(200).replace("\"", "'").replace("\n", " "))
+        }
+        pass += 1
+      }
+      val entry = failure.toLeft(best.get)
+      results += ((q.name, entry))
+      entry match {
+        case Right(sec) => println(f"""{"query":"${q.name}","sec":$sec%.3f}""")
+        case Left(err)  => println(s"""{"query":"${q.name}","error":"$err"}""")
+      }
+    }
+    pool.shutdownNow()
+
+    val ok = results.collect { case (_, Right(s)) => s }
+    val bad = results.collect { case (n, Left(e)) => s""""$n":"$e"""" }
+    println(s"""{"metric":"sweep_total","value":${ok.sum},"unit":"sec","queries_ok":${ok.size},"queries_failed":${bad.size},"failed":{${bad.mkString(",")}},"dir":"$dir"}""")
+    spark.stop()
+  }
+}

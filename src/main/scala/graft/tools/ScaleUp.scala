@@ -1,0 +1,129 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes an sf1-equivalent dataset (~10x sf0.1) for the empirical
+  * scale sweep, WITHOUT touching the read-only driver testdata.
+  *
+  * Construction goals (so a 10x run measures *scaling*, not a different
+  * workload):
+  *   - TPC-H facts/dims replicate with disjoint key spaces per replica
+  *     (orderkey/custkey/partkey/suppkey shifted by a stride larger than
+  *     the sf0.1 max), so join fan-out per key is UNCHANGED and join
+  *     outputs scale exactly linearly. Dates are kept as-is so time-range
+  *     predicates select 10x the rows at the same selectivity.
+  *   - `documents`: replica i>0 rewrites every token t -> "t·i" (a
+  *     bijection on the token alphabet). Within-replica shingle/Jaccard
+  *     structure is exactly the original's; cross-replica overlap is zero.
+  *     Dup pairs therefore scale exactly 10x — any super-linear growth in
+  *     d2/d5 is an algorithmic blowup, not a data artifact.
+  *   - `embeddings`: replica i applies a deterministic per-dimension sign
+  *     flip (one pattern per replica). Sign flips are orthogonal maps, so
+  *     all within-replica dot products / cosines are bit-preserved and the
+  *     ANN cluster structure replicates; cross-replica vectors decorrelate.
+  *   - `region`/`nation` stay fixed (dims in TPC-H don't scale).
+  *
+  * Run: sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 data/sf1 10"
+  */
+object ScaleUp {
+  // Strides chosen > any sf1 key so replica key spaces never collide.
+  private val OrderStride = 10000000L
+  private val CustStride  = 1000000L
+  private val PartStride  = 1000000L
+  private val SuppStride  = 100000L
+  private val EventStride = 10000000L
+  private val UserStride  = 1000000L
+  private val DocStride   = 1000000L
+  private val VecStride   = 1000000L
+
+  /** One scan -> R replicas via an exploded replica column. */
+  private def replicate(df: DataFrame, r: Int): DataFrame =
+    df.withColumn("rep", explode(lit((0 until r).toArray)))
+
+  private def shifted(c: String, stride: Long) =
+    (col(c) + col("rep").cast("long") * stride).as(c)
+
+  def main(args: Array[String]): Unit = {
+    val in  = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "data/sf1"
+    val r   = if (args.length > 2) args(2).toInt else 10
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def rd(t: String) = spark.read.parquet(s"$in/$t.parquet")
+    def wr(df: DataFrame, t: String, files: Int): Unit =
+      df.drop("rep").repartition(files).write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    wr(replicate(rd("lineitem"), r).select(
+      shifted("l_orderkey", OrderStride), shifted("l_partkey", PartStride),
+      shifted("l_suppkey", SuppStride), col("l_linenumber"), col("l_quantity"),
+      col("l_extendedprice"), col("l_discount"), col("l_tax"),
+      col("l_returnflag"), col("l_linestatus"), col("l_shipdate"), col("rep")),
+      "lineitem", 32)
+
+    wr(replicate(rd("orders"), r).select(
+      shifted("o_orderkey", OrderStride), shifted("o_custkey", CustStride),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority"), col("rep")), "orders", 16)
+
+    wr(replicate(rd("customer"), r).select(
+      shifted("c_custkey", CustStride),
+      when(col("rep") === 0, col("c_name"))
+        .otherwise(concat(col("c_name"), lit("#r"), col("rep"))).as("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"), col("rep")),
+      "customer", 4)
+
+    wr(replicate(rd("supplier"), r).select(
+      shifted("s_suppkey", SuppStride),
+      when(col("rep") === 0, col("s_name"))
+        .otherwise(concat(col("s_name"), lit("#r"), col("rep"))).as("s_name"),
+      col("s_nationkey"), col("s_acctbal"), col("rep")), "supplier", 1)
+
+    wr(replicate(rd("part"), r).select(
+      shifted("p_partkey", PartStride),
+      when(col("rep") === 0, col("p_name"))
+        .otherwise(concat(col("p_name"), lit("#r"), col("rep"))).as("p_name"),
+      col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"),
+      col("rep")), "part", 2)
+
+    rd("region").write.mode("overwrite").parquet(s"$out/region.parquet")
+    rd("nation").write.mode("overwrite").parquet(s"$out/nation.parquet")
+
+    wr(replicate(rd("events"), r).select(
+      shifted("event_id", EventStride), col("ts"),
+      shifted("user_id", UserStride), col("event_type"), col("value"),
+      col("props"), col("rep")), "events", 8)
+
+    // documents: token-alphabet bijection per replica (middle-dot cannot
+    // appear in the synthetic corpus, so "t·i" never collides with a real
+    // token and tokenizers that split on \s keep 1:1 token identity).
+    wr(replicate(rd("documents"), r).select(
+      shifted("doc_id", DocStride),
+      when(col("rep") === 0, col("text"))
+        .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1·"), col("rep").cast("string")))).as("text"),
+      col("lang"), col("source"), col("n_chars"), col("rep")), "documents", 8)
+
+    // embeddings: orthogonal per-replica sign flip — sign(i, dim) from a
+    // cheap integer mix; replica 0 keeps the exact original floats.
+    val signFlip = transform(col("embedding"), (x, j) =>
+      when(col("rep") === 0, x).otherwise(
+        x * when(pmod(hash(col("rep") * 131071 + j), lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f))))
+    wr(replicate(rd("embeddings"), r).select(
+      shifted("vec_id", VecStride), signFlip.as("embedding"), col("label"),
+      col("rep")), "embeddings", 4)
+
+    // Quick audit line per table.
+    Seq("lineitem", "orders", "customer", "supplier", "part", "events",
+      "documents", "embeddings").foreach { t =>
+      println(s"[scaleup] $t rows=${spark.read.parquet(s"$out/$t.parquet").count()}")
+    }
+    spark.stop()
+  }
+}

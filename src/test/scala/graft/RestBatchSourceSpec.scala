@@ -1,0 +1,148 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.jobs.Commands
+import graft.model.HistoricalIntraday
+import graft.store.StockStore
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, Executors, TimeUnit}
+
+/** DSv2 Batch REST source (S1/S2 parallel path): one InputPartition per
+  * (ticker, slice), fetches running CONCURRENTLY on executor threads —
+  * the SURVEY §7.3 "parallel multi-ticker pulls" seam that replaces the
+  * reference's driver-side serial loop
+  * (eodhd_historical_service.py:110-158). The stub server gates its
+  * responses on a 4-way rendezvous, so the concurrency assertion is
+  * deterministic: a serial fetcher can never have 4 requests in flight.
+  */
+class RestBatchSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** Stub server WITH a thread pool (the JDK default executor dispatches
+    * sequentially, which would serialize requests server-side and mask a
+    * serial client). */
+  private def withServer(handler: HttpExchange => Unit)(f: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val pool = Executors.newCachedThreadPool()
+    server.setExecutor(pool)
+    server.createContext("/api", (ex: HttpExchange) => handler(ex))
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/api")
+    finally { server.stop(0); pool.shutdownNow() }
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private val intradayPage =
+    """[{"timestamp": 1751463000, "gmtoffset": 0, "datetime": "2025-07-02 13:30:00",
+      |  "open": 617.23999, "high": 618.71997, "low": 616.609985, "close": 618.599975, "volume": 11824245},
+      | {"timestamp": 1751466600, "gmtoffset": 0, "datetime": "2025-07-02 14:30:00",
+      |  "open": 618.60, "high": 619.00, "low": 618.00, "close": 618.90, "volume": 500}]""".stripMargin
+
+  private def readBatch(base: String, tickers: Seq[String], interval: String,
+      start: String, end: String, sliceDays: Int = 0) =
+    spark.read.format("graft.sources.rest.RestSourceProvider")
+      .option("tickers", tickers.mkString(","))
+      .option("exchange", "US").option("interval", interval)
+      .option("start", start).option("end", end)
+      .option("apiToken", "T").option("baseUrl", base)
+      .option("sliceDays", sliceDays.toString)
+      .option("retryBackoffMs", "10")
+      .load()
+
+  test("8 tickers fetch concurrently: one partition each, 4-way rendezvous observed") {
+    val tickers = (1 to 8).map(i => s"T$i")
+    val inflight = new AtomicInteger(0)
+    val maxInflight = new AtomicInteger(0)
+    val rendezvous = new CountDownLatch(4)
+    withServer { ex =>
+      val now = inflight.incrementAndGet()
+      maxInflight.accumulateAndGet(now, (a: Int, b: Int) => math.max(a, b))
+      rendezvous.countDown()
+      // Hold until 4 requests are simultaneously in flight (a serial
+      // fetcher times out here and fails the max-inflight assert below).
+      rendezvous.await(15, TimeUnit.SECONDS)
+      respond(ex, 200, intradayPage)
+      inflight.decrementAndGet()
+    } { base =>
+      val df = readBatch(base, tickers, "1h", "2025-07-01 09:30", "2025-08-01 16:00")
+      assert(df.rdd.getNumPartitions == 8, "one InputPartition per ticker")
+      val perTicker = df.groupBy("ticker").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(perTicker == tickers.map(_ -> 2L).toMap)
+      assert(maxInflight.get >= 4,
+        s"expected >=4 concurrent fetches, saw ${maxInflight.get} — source is fetching serially")
+    }
+  }
+
+  test("sliceDays splits interday range into inclusive windows, one request each") {
+    val seen = new ConcurrentLinkedQueue[String]()
+    withServer { ex =>
+      seen.add(ex.getRequestURI.toString)
+      respond(ex, 200, """[{"x": 1}]""")
+    } { base =>
+      val df = readBatch(base, Seq("SPY"), "d", "2024-01-01", "2024-01-10", sliceDays = 4)
+      assert(df.rdd.getNumPartitions == 3)
+      assert(df.count() == 3)
+      val fromTo = seen.toArray(Array.empty[String]).map { uri =>
+        val q = uri.dropWhile(_ != '?').drop(1).split("&").map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+        (q("from"), q("to"))
+      }.sortBy(_._1)
+      assert(fromTo.toSeq == Seq(
+        ("2024-01-01", "2024-01-04"), ("2024-01-05", "2024-01-08"), ("2024-01-09", "2024-01-10")))
+    }
+  }
+
+  test("sliceDays on intraday ends each window one minute before the next start") {
+    val seen = new ConcurrentLinkedQueue[String]()
+    withServer { ex =>
+      seen.add(ex.getRequestURI.toString)
+      respond(ex, 200, "[]")
+    } { base =>
+      val df = readBatch(base, Seq("SPY"), "1h", "2025-07-01 09:30", "2025-07-03 09:30", sliceDays = 1)
+      assert(df.count() == 0)
+      // 2025-07-01 09:30 New York = 13:30 UTC = 1751376600; +1d-1m = 1751462940
+      val fromTo = seen.toArray(Array.empty[String]).map { uri =>
+        val q = uri.dropWhile(_ != '?').drop(1).split("&").map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+        (q("from").toLong, q("to").toLong)
+      }.sortBy(_._1)
+      assert(fromTo.toSeq == Seq(
+        (1751376600L, 1751462940L), (1751463000L, 1751549340L), (1751549400L, 1751549400L)))
+    }
+  }
+
+  test("runHistoricalBatch: multi-ticker fetch -> transform -> one store commit") {
+    val root = SparkTestSession.tempDir("rest-batch-e2e")
+    val tickers = Seq("AAA", "BBB", "CCC", "DDD")
+    withServer(ex => respond(ex, 200, intradayPage)) { base =>
+      val stats = Commands.runHistoricalBatch(spark, root, tickers, "US", "1h",
+        "2025-07-01 09:30", "2025-08-01 16:00", apiToken = "T", baseUrl = base)
+      assert(stats.written == 8, s"$stats")
+      val stored = StockStore.table(spark, root, HistoricalIntraday)
+      assert(stored.count() == 8)
+      assert(stored.select("ticker").distinct().count() == 4)
+    }
+  }
+
+  test("a failing slice fails the job (task retries exhausted), not silently drops") {
+    withServer { ex =>
+      if (ex.getRequestURI.toString.contains("BAD")) respond(ex, 404, "no")
+      else respond(ex, 200, intradayPage)
+    } { base =>
+      val df = readBatch(base, Seq("OK1", "BAD", "OK2"), "1h", "2025-07-01 09:30", "2025-08-01 16:00")
+      val e = intercept[Exception] { df.count() }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(_.getMessage != null), e.toString)
+    }
+  }
+}
