@@ -196,29 +196,24 @@ object MinHashLsh {
     * the shingle/md5 CPU across the cluster when the input is a few
     * large files; a stream's micro-batch is already narrow.)
     *
-    * Staged projections: each lambda consumes an ATTRIBUTE (`__toks`,
-    * `__hs`, `__sigs`), never a nested expression — higher-order
-    * functions are CodegenFallback, so an expression argument would
-    * re-evaluate once per lambda element (the [[shinglesOfTokens]]
-    * scaladoc trap). Output: input columns + `bsig` array<string>
-    * (element b = band b's digest). */
+    * Runs as ONE fused kernel ([[graft.functions.expressions
+    * .RowBandSigsExpr]]) rather than staged higher-order-function
+    * columns: HOF lambdas defeat both engine safeguards at once —
+    * CollapseProject counts a lambda-embedded attribute reference as a
+    * single use and inlines the aliased shingle pipeline into the seed
+    * lambda (re-evaluated per iteration), and InferFiltersFromGenerate
+    * pushes a `size(...)` guard containing the whole inlined tree into
+    * the parquet scan. The sf0.1 scale sweep measured the staged form
+    * at ~26 s for 1.7k rows (130 inlined copies in the plan); the
+    * kernel runs it as a single codegen call. Output: input columns +
+    * `bsig` array<string> (element b = band b's digest). */
   def withRowBandSigs(docs: DataFrame, textCol: String,
-      bands: Int = 4, rowsPerBand: Int = 4, shingleWidth: Int = 5): DataFrame = {
-    val keep = docs.columns.map(col)
-    docs
-      .withColumn("__toks", graft.functions.TextFunctions.lowerTokens(col(textCol)))
-      .withColumn("__hs",
-        transform(array_distinct(shinglesOfTokens(col("__toks"), shingleWidth)),
-          sh => md5Long(sh) % P))
-      .withColumn("__sigs",
-        transform(sequence(lit(0), lit(bands * rowsPerBand - 1)),
-          i => array_min(transform(col("__hs"), h => perm(h, i)))))
-      .select(keep :+ transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => md5(array_join(transform(
-          slice(col("__sigs"), b * rowsPerBand + 1, lit(rowsPerBand)),
-          s => s.cast("string")), ","))).as("bsig"): _*)
-  }
+      bands: Int = 4, rowsPerBand: Int = 4, shingleWidth: Int = 5): DataFrame =
+    docs.withColumn("bsig",
+      org.apache.spark.sql.graftbridge.GraftBridge.column(
+        graft.functions.expressions.RowBandSigsExpr(
+          org.apache.spark.sql.graftbridge.GraftBridge.expression(col(textCol)),
+          bands, rowsPerBand, shingleWidth)))
 
   /** Drop diagnostic: the (band, band_sig, n_members) of buckets the cap
     * would drop — run it when tuning `maxBucket` or auditing what a

@@ -56,6 +56,42 @@ object SimHash {
       .select(col("a"), col("b"), col("hamming"))
   }
 
+  /** Hamming pairs for the DENSE regime — evaluation sweeps at loose
+    * radii (d19/d20 run Hamming ≤ 8 of 60 over a single-domain corpus
+    * where the TRUE pair set is ~17% of all pairs). Banding is wrong
+    * there: correlated signatures collapse its buckets (the sf0.1 scale
+    * sweep measured 57.8M banded candidates for 18M brute comparisons,
+    * plus output-expansion skew — 16-18 s), and candidates grow ~N² with
+    * none of the sparse-regime pruning banding exists for. This form
+    * compares DISTINCT signatures instead: groupBy(simhash) (D ≤ N
+    * groups), broadcast theta-join over the D² /2 sig pairs (bit_count
+    * is per-row codegen, perfectly distributed, no bucket skew), then
+    * expand each qualifying sig pair back to its doc-ID pairs — work is
+    * O(D²) compares + O(true pairs) output, both inherent to a dense
+    * evaluation. Identical-signature groups contribute their internal
+    * pairs at hamming 0. Exact — same contract as [[hammingPairs]].
+    * The broadcast bounds D: use [[bandedHammingPairs]] for the sparse
+    * production radii where D is corpus-scale but matches are rare. */
+  def densePairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val g = sigs.groupBy(col("simhash")).agg(collect_list(col("id")).as("ids"))
+    val cross = g.select(col("simhash").as("sig_a"), col("ids").as("ids_a"))
+      .join(broadcast(g.select(col("simhash").as("sig_b"), col("ids").as("ids_b"))),
+        col("sig_a") < col("sig_b"))
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .where(col("hamming") <= maxHamming)
+      .select(explode(col("ids_a")).as("x"), col("ids_b"), col("hamming"))
+      .select(col("x"), explode(col("ids_b")).as("y"), col("hamming"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"), col("hamming"))
+    val intra = g.where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(least(x, y).as("a"), greatest(x, y).as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        lit(0).as("hamming")) // int, matching bit_count's type above
+    cross.unionByName(intra)
+  }
+
   /** Hamming pairs at corpus scale — the Manku/Jain/Sarma web-dedup
     * scheme generalized to block-PAIR keys. The signature is split into
     * `blocks` equal bit-blocks; by pigeonhole a pair with hamming ≤
@@ -105,10 +141,14 @@ object SimHash {
     val pruned = sliced.join(broadcast(oversized), Seq("band", "slice"), "left_anti")
     val a = pruned.select(col("band"), col("slice"), col("id").as("a"), col("simhash").as("sig_a"))
     val b = pruned.select(col("band"), col("slice"), col("id").as("b"), col("simhash").as("sig_b"))
+    // Hamming filter BEFORE the dedup shuffle: bit_count is per-row
+    // arithmetic inside the join's codegen stage, so the (potentially
+    // millions-deep, correlated-signature) candidate stream shrinks to
+    // true pairs before anything is exchanged — the sf0.1 sweep measured
+    // the filter-after-distinct order at 18-20 s vs ~2 s for this one.
     a.join(b, Seq("band", "slice")).where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sig_a"), col("sig_b")).distinct()
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .where(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming"))
+      .select(col("a"), col("b"), col("hamming")).distinct()
   }
 }

@@ -106,6 +106,18 @@ object TextFunctions {
       sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
       j => array_min(slice(grams, j, lit(w)))))
 
+  /** The whole winnowing pipeline (normalize → char-`k`-gram md5 hashes
+    * → `w`-window minima → first-occurrence distinct) as ONE fused
+    * kernel — bit-identical to
+    * `winnowFromGrams(charGramHashes(normalized(text), k), w)` but with
+    * a single normalize pass per row (the staged form's lambda inlining
+    * re-normalizes per gram — see [[graft.functions.expressions
+    * .WinnowExpr]]). Input is RAW text. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      graft.functions.expressions.WinnowExpr(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(text), k, w))
+
   /** PII patterns (emails, NANP-style phone numbers, IPv4 literals).
     * Deliberately lookaround-free so Java regex (Spark) and RE2 (DuckDB)
     * match identically; `\b` is the shared ASCII word boundary. */

@@ -1,0 +1,129 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.charset.StandardCharsets
+
+/** The WHOLE per-row MinHash band-signature pipeline (tokenize → word
+  * shingles → md5-prefix hash → affine-permutation minima → per-band md5
+  * digests) as ONE fused kernel: text in, `array<string>` of `bands`
+  * digests out. Bit-identical to the staged column-algebra form
+  * ([[graft.dedup.MinHashLsh.bandSignatures]]'s arithmetic — same
+  * [[GraftHash.md5Prefix60]] base hash mod P, same `(2i+1)·h + i·12582917
+  * mod P` family, same comma-joined decimal md5 digest), asserted by
+  * StreamingSpec/DedupLibSpec equivalence tests.
+  *
+  * Why a kernel and not column algebra: the row-local form needs the
+  * shingle-hash array consumed by 16 permutation minima inside nested
+  * higher-order functions. HOF lambdas defeat BOTH engine safeguards at
+  * once — CollapseProject counts a lambda-embedded attribute as ONE
+  * reference, so the aliased shingle computation is inlined into the
+  * seed lambda and re-evaluated per iteration, and
+  * InferFiltersFromGenerate pushes a `size(...)` guard containing the
+  * whole inlined tree into the parquet scan. The sf0.1 scale sweep
+  * measured the column-algebra form at ~26 s for 1.7k rows (the plan
+  * held 130 inlined copies of the shingle pipeline); this kernel runs
+  * the same rows in well under a second and stays inside whole-stage
+  * codegen as a single opaque call. */
+case class RowBandSigsExpr(child: Expression, bands: Int, rowsPerBand: Int,
+    shingleWidth: Int) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    GraftMinHash.rowBandSigs(input.asInstanceOf[UTF8String],
+      bands, rowsPerBand, shingleWidth)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.GraftMinHash.rowBandSigs($c, $bands, $rowsPerBand, $shingleWidth)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object GraftMinHash {
+  private val P = 2147483647L
+
+  /** See [[RowBandSigsExpr]]. One imperative pass; the only allocations
+    * are the token array from the shared tokenizer kernel and one byte
+    * buffer per shingle join. */
+  def rowBandSigs(s: UTF8String, bands: Int, rowsPerBand: Int,
+      shingleWidth: Int): ArrayData = {
+    val toks = GraftText.lowerAlnumTokens(s) // parity with lowerTokens()
+    val n = toks.numElements()
+    val nPerms = bands * rowsPerBand
+    val mins = Array.fill(nPerms)(Long.MaxValue)
+
+    def feed(shingle: UTF8String): Unit = {
+      val h = GraftHash.md5Prefix60(shingle) % P
+      var i = 0
+      while (i < nPerms) {
+        val v = ((i * 2 + 1).toLong * h + i.toLong * 12582917L) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+
+    if (n < shingleWidth) {
+      // one shingle: all tokens space-joined ("" for an empty text) —
+      // matches shinglesOfTokens' short-document branch
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < n) {
+        if (i > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i).toString)
+        i += 1
+      }
+      feed(UTF8String.fromString(sb.toString))
+    } else {
+      var start = 0
+      while (start + shingleWidth <= n) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < shingleWidth) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks.getUTF8String(start + j).toString)
+          j += 1
+        }
+        feed(UTF8String.fromString(sb.toString))
+        start += 1
+      }
+    }
+
+    // per-band digest: md5 hex of the comma-joined decimal minima —
+    // byte-identical to md5(array_join(transform(slice(...), string), ","))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder
+      var r = 0
+      while (r < rowsPerBand) {
+        if (r > 0) sb.append(',')
+        sb.append(mins(b * rowsPerBand + r))
+        r += 1
+      }
+      md.reset()
+      val digest = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+      val hex = new Array[Byte](32)
+      var k = 0
+      while (k < 16) {
+        val v = digest(k) & 0xff
+        hex(2 * k) = Character.forDigit(v >>> 4, 16).toByte
+        hex(2 * k + 1) = Character.forDigit(v & 0xf, 16).toByte
+        k += 1
+      }
+      out(b) = UTF8String.fromBytes(hex)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing fingerprints (Schleimer/Wilkerson/Aiken) as ONE fused
+  * kernel: raw text → normalize → rolling char-`k`-gram md5-prefix
+  * hashes → per-`w`-window minima → first-occurrence-distinct LONG
+  * array. Bit-identical to the staged column form
+  * `winnowFromGrams(charGramHashes(normalized(text), k), w)` (x5's
+  * oracle pins the values) — but immune to the HOF lambda-inlining trap:
+  * the staged form's `normalized(text)` is referenced once syntactically
+  * inside the gram lambda, so CollapseProject inlines it and the
+  * normalize pass re-runs once PER GRAM (~|text| times per row). One
+  * kernel call keeps the whole pipeline at O(|text|·w) with a single
+  * normalize. */
+case class WinnowExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k > 0 && w > 0)
+
+  override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    GraftWinnow.fingerprints(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.GraftWinnow.fingerprints($c, $k, $w)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object GraftWinnow {
+  /** See [[WinnowExpr]]. Gram i (1-based) = normText.substr(i, k) for
+    * i in 1..max(len-k+1, 1) — the short-text branch yields one
+    * shorter-than-k gram, matching `charGramHashes`. Window j =
+    * grams[j..j+w-1] for j in 1..max(m-w+1, 1) (one all-gram window
+    * when m < w), matching `winnowFromGrams`'s slice semantics. */
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  def fingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val norm = GraftText.normalizeAscii(text) // ASCII: bytes == chars
+    val bytes = norm.getBytes                 // ONE copy; grams digest in place
+    val len = bytes.length
+    val m = math.max(len - k + 1, 1)
+    val hs = new Array[Long](m)
+    val md = digests.get()
+    var i = 0
+    while (i < m) {
+      md.reset()
+      md.update(bytes, i, math.min(k, len - i))
+      val d = md.digest()
+      hs(i) = ((d(0) & 0xffL) << 56 | (d(1) & 0xffL) << 48 |
+        (d(2) & 0xffL) << 40 | (d(3) & 0xffL) << 32 |
+        (d(4) & 0xffL) << 24 | (d(5) & 0xffL) << 16 |
+        (d(6) & 0xffL) << 8 | (d(7) & 0xffL)) >>> 4
+      i += 1
+    }
+    val nw = math.max(m - w + 1, 1)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new java.util.ArrayList[Any]()
+    var j = 0
+    while (j < nw) {
+      var mn = hs(j)
+      var t = j + 1
+      val end = math.min(j + w, m)
+      while (t < end) { if (hs(t) < mn) mn = hs(t); t += 1 }
+      if (seen.add(mn)) out.add(mn)
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

@@ -170,49 +170,34 @@ object Multimodal {
   }
 
   /** All media pairs within `maxDistance` Hamming bits of each other on
-    * the [[aHashHalves]] signature — image near-dup detection with the
-    * LSH-style scale shape: 8 byte-bands per signature, ONE
-    * groupBy(band, value) with size-capped buckets
-    * ([[graft.functions.expressions.CappedLongCollectSet]]; drops are
-    * audible via the dedup accumulator), in-bucket pair explode, then an
-    * exact Hamming filter. For `maxDistance` < 8 the result is EXACT by
-    * pigeonhole — d flipped bits touch at most d of the 8 bands, so any
-    * qualifying pair still shares a band and is generated. Never an
-    * all-pairs join: bucket collisions bound the candidate set. */
+    * the [[aHashHalves]] signature — image near-dup detection riding the
+    * SAME Manku block-pair banding as the SimHash plane
+    * ([[graft.dedup.SimHash.bandedHammingPairs]]): halves combine into
+    * one 64-bit word, 8 eight-bit blocks, C(8,2)=28 block-pair keys of
+    * 16 bits. EXACT for `maxDistance` ≤ 6 (= blocks − 2) by pigeonhole,
+    * and — unlike the earlier single-slice byte bands — immune to
+    * low-entropy signatures: a skewed single byte shared by the whole
+    * corpus put EVERYONE in one bucket (the sf0.1 scale sweep measured
+    * that as a 155 s in-row pair explosion), while a 16-bit two-block
+    * key needs BOTH blocks equal, keeping buckets near N/65536.
+    * Oversized buckets are still capped + counted, never silently
+    * exploded. The signature frame is cached — banding consumes it
+    * three times and the aHash column algebra is the expensive part. */
   def phashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDistance: Int = 4,
       maxBucket: Int = graft.dedup.MinHashLsh.DefaultMaxBucket): DataFrame = {
-    require(maxDistance >= 0 && maxDistance < 8,
-      s"the 8-band pigeonhole guarantee needs 0 <= maxDistance < 8, got $maxDistance")
-    val spark = docs.sparkSession
+    require(maxDistance >= 0 && maxDistance <= 6,
+      s"8-block pair banding is exact only for 0 <= maxDistance <= 6, got $maxDistance")
     val sigs = docs
       .where(length(col(textCol)) >= 1)
       .select(col(idCol).cast("long").as("id"), aHashHalves(col(textCol)).as("h"))
-      .select(col("id"), col("h.h0").as("h0"), col("h.h1").as("h1"))
-    val p256 = array(lit(1L), lit(256L), lit(65536L), lit(16777216L))
-    def bandsOf(h: org.apache.spark.sql.Column) =
-      transform(sequence(lit(0), lit(3)),
-        k => pmod(floor(h / element_at(p256, k + 1)).cast("long"), lit(256L)))
-    val banded = sigs.select(col("id"),
-      posexplode(concat(bandsOf(col("h0")), bandsOf(col("h1")))).as(Seq("band", "band_val")))
-    val pairs = banded
-      .groupBy(col("band"), col("band_val"))
-      .agg(graft.functions.AggFunctions.collectSetCapped(col("id"), maxBucket,
-        Some(graft.dedup.DedupMetrics.droppedBuckets(spark))).as("ids"))
-      .where(col("ids").isNotNull && size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
-    val sa = sigs.select(col("id").as("a"), col("h0").as("a0"), col("h1").as("a1"))
-    val sb = sigs.select(col("id").as("b"), col("h0").as("b0"), col("h1").as("b1"))
-    pairs.join(sa, "a").join(sb, "b")
-      .withColumn("dist",
-        bit_count(col("a0").bitwiseXOR(col("b0"))) +
-          bit_count(col("a1").bitwiseXOR(col("b1"))))
-      .where(col("dist") <= maxDistance)
-      .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
+      .select(col("id"),
+        col("h.h0").bitwiseOR(shiftleft(col("h.h1"), 32)).as("simhash"))
+      .cache()
+    graft.dedup.SimHash
+      .bandedHammingPairs(sigs, maxDistance, blocks = 8, bits = 64,
+        maxBucket = maxBucket)
+      .select(col("a"), col("b"), col("hamming").cast("long").as("dist"))
   }
 
   /** Exact + near-duplicate detection over media: exact via content hash

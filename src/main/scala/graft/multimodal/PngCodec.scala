@@ -1,0 +1,112 @@
+package graft.multimodal
+
+import graft.multimodal.Multimodal.{DecodedMedia, ResizedMedia}
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** REAL image codec for the [[Multimodal]] decode/resize seam —
+  * `javax.imageio` PNG, pure JVM, no native deps, so real pixel bytes
+  * flow through the SAME partition-batched plumbing the stubs exercise.
+  * PNG is lossless: an encode→decode roundtrip preserves the raster
+  * exactly, which is what makes the m11/m12 oracle checks possible (the
+  * oracle recomputes the decoded pixels analytically from the generator
+  * formula — any codec bug breaks the equality).
+  *
+  * Non-PNG payloads fall back to the deterministic stub (the container
+  * ships no other codecs), so a mixed-modality table still decodes
+  * batch-for-batch — the production shape for "decode what you can,
+  * fingerprint the rest".
+  */
+object PngCodec {
+
+  // ImageIO's default ImageInputStream cache is FILE-backed — one temp
+  // file per encode/decode call. In-memory payloads never want that.
+  ImageIO.setUseCache(false)
+
+  /** Encode a `w`×`h` grayscale raster (row-major pixel function, values
+    * 0-255) as real PNG bytes. */
+  def encodeGray(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, px(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Decode any ImageIO-supported payload to a row-major grayscale
+    * raster; None when the bytes are not a decodable image (caller falls
+    * back to the stub). Multi-band images average their bands, so gray
+    * PNGs roundtrip exactly and RGB still yields a deterministic
+    * luminance proxy. */
+  def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val bands = raster.getNumBands
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var s = 0
+            var b = 0
+            while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+            px(y * w + x) = s / bands
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, px)
+      }
+    } catch { case _: Exception => None }
+
+  /** Batch decoder for [[Multimodal.decodeFeatures]]: real pixels when
+    * the payload decodes, stub fallback otherwise. Feature i is the
+    * nearest-neighbor grid sample px(⌊i·n/dims⌋)/256 — same grid the
+    * stub resizer uses, so downstream similarity ops are codec-agnostic. */
+  def imageIoDecodeBatch(dims: Int)(
+      batch: Seq[(Long, String, Array[Byte])]): Seq[DecodedMedia] =
+    batch.map { case (id, kind, bytes) =>
+      decodeGray(bytes) match {
+        case Some((_, _, px)) =>
+          val n = px.length
+          val feats = Array.tabulate(dims)(i => px((i.toLong * n / dims).toInt) / 256f)
+          DecodedMedia(id, kind, feats, "imageio/png-v1")
+        case None => Multimodal.stubDecodeBatch(dims)(Seq((id, kind, bytes))).head
+      }
+    }
+
+  /** Batch resizer for [[Multimodal.resizeMedia]]: decode, nearest-
+    * neighbor resample the RASTER (out(x,y) = px(⌊x·w/tw⌋, ⌊y·h/th⌋) —
+    * exact and platform-independent, unlike Graphics2D filtering), emit
+    * the gray bytes row-major. Non-images fall back to the byte stub. */
+  def imageIoResizeBatch(tw: Int, th: Int)(
+      batch: Seq[(Long, String, Array[Byte])]): Seq[ResizedMedia] =
+    batch.map { case (id, kind, bytes) =>
+      decodeGray(bytes) match {
+        case Some((w, h, px)) =>
+          val out = new Array[Byte](tw * th)
+          var y = 0
+          while (y < th) {
+            val sy = (y.toLong * h / th).toInt
+            var x = 0
+            while (x < tw) {
+              out(y * tw + x) = px(sy * w + (x.toLong * w / tw).toInt).toByte
+              x += 1
+            }
+            y += 1
+          }
+          ResizedMedia(id, kind, out, bytes.length)
+        case None => Multimodal.stubResizeBatch(tw * th)(Seq((id, kind, bytes))).head
+      }
+    }
+}

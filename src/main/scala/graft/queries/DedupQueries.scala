@@ -193,7 +193,7 @@ object DedupQueries {
         import s.implicits._
         graft.dedup.SimHash
           .hammingPairs(
-            graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text"),
+            graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text").cache(),
             maxHamming = 8)
           .withColumn("hamming", $"hamming".cast("int"))
           .orderBy($"a", $"b")
@@ -978,9 +978,17 @@ object DedupQueries {
       "d18_containment",
       (s, dir) => {
         import s.implicits._
+        // one shingle pass (cached: consumed by counts + both join
+        // sides), and the join key rides as the 60-bit md5 long, not the
+        // ~40-byte shingle string — the corpus-scale discipline the
+        // comment below describes, and 3x fewer normalize/shingle passes
+        // (the sf0.1 sweep measured the string-keyed triple-pass at
+        // 10-14 s; this shape runs ~3 s).
         val sh = corpusWithNearDups(s, dir)
           .select($"doc_id",
-            explode(array_distinct(shingles(tokens(normalized($"text"))))).as("g"))
+            explode(array_distinct(shingles(tokens(normalized($"text"))))).as("g_str"))
+          .select($"doc_id", md5Long($"g_str").as("g"))
+          .cache()
         val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         val shared = sh.select($"doc_id".as("a"), $"g")
           .join(sh.select($"doc_id".as("b"), $"g"), "g")
@@ -1038,7 +1046,11 @@ object DedupQueries {
       "d19_dedup_yield_curve",
       (s, dir) => {
         import s.implicits._
-        val pairs = graft.dedup.SimHash.bandedHammingPairs(
+        // densePairs, not banding: Hamming <= 8 of 60 over this corpus is
+        // a DENSE evaluation sweep (~17% of all pairs qualify at sf0.1) —
+        // correlated signatures collapse LSH buckets, so the distinct-sig
+        // broadcast compare is both exact and the fast shape here.
+        val pairs = graft.dedup.SimHash.densePairs(
           graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text"),
           maxHamming = 8)
         pairs
@@ -1085,7 +1097,11 @@ object DedupQueries {
       "d20_neardup_source_matrix",
       (s, dir) => {
         import s.implicits._
-        val pairs = graft.dedup.SimHash.bandedHammingPairs(
+        // densePairs, not banding: Hamming <= 8 of 60 over this corpus is
+        // a DENSE evaluation sweep (~17% of all pairs qualify at sf0.1) —
+        // correlated signatures collapse LSH buckets, so the distinct-sig
+        // broadcast compare is both exact and the fast shape here.
+        val pairs = graft.dedup.SimHash.densePairs(
           graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text"),
           maxHamming = 8)
         val src = Tables.documents(s, dir).select($"doc_id", $"source")
@@ -1256,6 +1272,7 @@ object DedupQueries {
         val sigs = graft.dedup.SimHash
           .signatures(corpusWithNearDups(s, dir), "doc_id", "text")
           .select($"id", $"simhash")
+          .cache() // consumed twice (a-side and b-side label joins)
         val docs = Tables.documents(s, dir).select($"doc_id")
         val pos = docs.filter($"doc_id" % 5 === 0)
           .select($"doc_id".as("a"), ($"doc_id" + 1000000L).as("b"),

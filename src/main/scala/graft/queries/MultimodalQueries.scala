@@ -413,6 +413,71 @@ object MultimodalQueries {
         SELECT kind, n_frames, base,
           base + CASE WHEN pri <= l THEN 1 ELSE 0 END AS alloc
         FROM ranked, lo
-        ORDER BY kind"""))
+        ORDER BY kind""")),
+
+    // ── REAL codec: PNG encode → javax.imageio decode roundtrip ───────
+    // Real image bytes through the decode seam (no stub): each doc_id
+    // becomes a 16×16 grayscale PNG with pixel(x,y) = (id·31+7x+13y)%256,
+    // encoded by ImageIO on the EXECUTORS, decoded back by
+    // PngCodec.imageIoDecodeBatch through the same partition-batched seam
+    // the stub uses. PNG is lossless, so the decoded nearest-neighbor
+    // features must equal the generator formula — which the oracle
+    // recomputes analytically. The decoder tag in the output proves the
+    // real-codec path ran (a fallback to the stub hash-mismatches).
+    GraftQuery(
+      "m11_png_decode_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).select($"doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            (id, "image",
+              graft.multimodal.PngCodec.encodeGray(16, 16,
+                (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt))
+          }).toDF("media_id", "kind", "bytes")
+        Multimodal.decodeFeatures(media, dims = 16)(
+          graft.multimodal.PngCodec.imageIoDecodeBatch(16))
+          .toDF()
+          // feature i samples px(16i) = raster(x=0, y=i): exact k/256
+          // floats, so ×256 roundtrips to the integer pixel value
+          .select($"media_id", $"decoder",
+            aggregate($"feature", lit(0L),
+              (a, x) => a + (x * 256f).cast("long")).as("px_units"))
+          .orderBy($"media_id")
+      },
+      Some("""
+        SELECT doc_id AS media_id, 'imageio/png-v1' AS decoder,
+          CAST(SUM((doc_id * 31 + 13 * g.i) % 256) AS BIGINT) AS px_units
+        FROM documents, generate_series(0, 15) AS g(i)
+        GROUP BY doc_id ORDER BY media_id""")),
+
+    // ── REAL codec: decode + raster resize (16×16 → 8×8 NN) ───────────
+    // Same real-PNG construction (pixels in printable-ASCII range so the
+    // oracle can rebuild the resized payload as a string and match the
+    // content hash byte-for-byte): decode the raster, nearest-neighbor
+    // resample out(x,y) = px(2x, 2y), emit gray bytes row-major.
+    GraftQuery(
+      "m12_png_resize_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).select($"doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            (id, "image",
+              graft.multimodal.PngCodec.encodeGray(16, 16,
+                (x, y) => ((id * 31 + x * 7 + y * 13) % 95 + 32).toInt))
+          }).toDF("media_id", "kind", "bytes")
+        Multimodal.resizeMedia(media, targetLen = 64)(
+          graft.multimodal.PngCodec.imageIoResizeBatch(8, 8))
+          .toDF()
+          .select($"media_id", length($"bytes").as("resized_len"),
+            md5($"bytes").as("content_hash"))
+          .orderBy($"media_id")
+      },
+      Some("""
+        SELECT doc_id AS media_id, 64 AS resized_len,
+          md5(array_to_string(flatten(list_transform(generate_series(0, 7),
+            y -> list_transform(generate_series(0, 7),
+              x -> chr(CAST((doc_id * 31 + 14 * x + 26 * y) % 95 + 32 AS INT))))),
+            '')) AS content_hash
+        FROM documents ORDER BY media_id"""))
   )
 }

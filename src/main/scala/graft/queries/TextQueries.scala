@@ -101,17 +101,14 @@ object TextQueries {
 
     // ── winnowing fingerprints (rolling char-8-gram hashes, window 4) ──
     // The MOSS scheme: per-doc distinct minima of each 4-window of the
-    // rolling gram hashes. Gram hashes are materialized into a column
-    // before the window step (HOF lambdas re-evaluate expression args
-    // per element — see TextFunctions.charGramHashes).
+    // rolling gram hashes, as one fused kernel (the staged HOF form
+    // re-normalized once per gram via lambda inlining — see WinnowExpr).
     GraftQuery(
       "x5_winnow_fingerprint",
       (s, dir) => {
         import s.implicits._
         Tables.documents(s, dir)
-          .withColumn("nt", normalized($"text"))
-          .withColumn("grams", charGramHashes($"nt", 8))
-          .withColumn("fps", winnowFromGrams($"grams", 4))
+          .withColumn("fps", winnowFingerprints($"text", 8, 4))
           .select($"doc_id",
             size($"fps").as("n_fp"),
             array_min($"fps").as("min_fp"),

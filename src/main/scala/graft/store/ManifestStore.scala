@@ -81,4 +81,19 @@ object ManifestStore {
     private val keyLocks =
       new java.util.concurrent.ConcurrentHashMap[String, Object]()
   }
+
+  /** The REAL object-store binding: one `PUT` with `If-None-Match: *`
+    * against an [[ObjectStoreFileSystem]] endpoint — atomicity is the
+    * STORE's, not a JVM lock's. 412 = lost the race. This is the
+    * implementation a `graftos://` (or any S3-compatible conditional-
+    * write endpoint behind the same FS client) table root uses; raced
+    * end-to-end in ObjectStoreFsSpec. */
+  object HttpConditionalPut extends ManifestStore {
+    def putIfAbsent(fs: FileSystem, path: Path, bytes: Array[Byte]): Boolean =
+      fs match {
+        case os: ObjectStoreFileSystem => os.conditionalPut(path, bytes)
+        case other => throw new UnsupportedOperationException(
+          s"HttpConditionalPut needs an ObjectStoreFileSystem, got ${other.getClass.getName}")
+      }
+  }
 }

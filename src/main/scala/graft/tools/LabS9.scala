@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch profiler (dev-only). */
+object LabS9 {
+  def main(args: Array[String]): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[lab] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
+    }
+
+    val docs = graft.core.Tables.documents(spark, dir)
+    for (pass <- 1 to 2) {
+      println(s"--- pass $pass")
+      time("kernel only") {
+        docs.select(graft.functions.TextFunctions.winnowFingerprints($"text", 8, 4).as("fps"))
+          .select(size($"fps").as("n")).agg(sum($"n")).collect(); 1L
+      }
+      time("kernel+3refs") {
+        docs.select($"doc_id",
+          size(graft.functions.TextFunctions.winnowFingerprints($"text", 8, 4)).as("n_fp"))
+          .agg(sum($"n_fp")).collect(); 1L
+      }
+      time("full x5") {
+        graft.core.Registry.allQueries.find(_.name == "x5_winnow_fingerprint")
+          .get.build(spark, dir).write.format("noop").mode("overwrite").save(); 1L
+      }
+    }
+    spark.stop()
+  }
+}

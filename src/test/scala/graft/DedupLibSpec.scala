@@ -155,6 +155,23 @@ class DedupLibSpec extends AnyFunSuite {
     assert(out(2)._1 > 1 && out(2)._2 >= 1 && out(2)._2 <= out(2)._1)
   }
 
+  test("fused winnow kernel == staged charGramHashes+winnowFromGrams") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"text").unionAll(Seq("", "abc", "ab cd ef gh").toDF("text"))
+    val staged = docs
+      .withColumn("nt", normalized($"text"))
+      .withColumn("grams", charGramHashes($"nt", 8))
+      .select(winnowFromGrams($"grams", 4).as("fps"))
+      .as[Seq[Long]].collect()
+    val fused = docs.select(winnowFingerprints($"text", 8, 4).as("fps"))
+      .as[Seq[Long]].collect()
+    assert(staged.length == fused.length)
+    staged.zip(fused).zipWithIndex.foreach { case ((s, f), i) =>
+      assert(s == f, s"row $i: staged=$s fused=$f")
+    }
+  }
+
   test("tokenChunks: full coverage, overlap, and degenerate inputs") {
     import spark.implicits._
     def chunksOf(words: Int, n: Int, stride: Int): List[Seq[String]] = {

@@ -1,0 +1,77 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+
+/** In-process object store serving the wire API
+  * [[graft.store.ObjectStoreFileSystem]] speaks. The point of this
+  * emulator over the POSIX stub: conditional-put atomicity lives
+  * SERVER-side (`ConcurrentHashMap.putIfAbsent` at request-handling
+  * time, requests on a real thread pool), so racing publishers exercise
+  * the store's contract — exactly one 201 per key, losers get 412 with
+  * the winner's object untouched — not a client-side JVM lock.
+  */
+final class ObjectStoreServer {
+  private val objects = new ConcurrentHashMap[String, Array[Byte]]()
+  private val pool = Executors.newCachedThreadPool()
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.setExecutor(pool)
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.start()
+
+  def port: Int = server.getAddress.getPort
+  def endpointAuthority: String = s"127.0.0.1:$port"
+  def objectCount: Int = objects.size()
+  def stop(): Unit = { server.stop(0); pool.shutdownNow() }
+
+  private def respond(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+    ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
+    if (body.nonEmpty) ex.getResponseBody.write(body)
+    ex.close()
+  }
+
+  private def handle(ex: HttpExchange): Unit = {
+    val rawPath = ex.getRequestURI.getRawPath
+    val k = URLDecoder.decode(rawPath.stripPrefix("/"), "UTF-8")
+    val query = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    ex.getRequestMethod match {
+      case "PUT" =>
+        val body = ex.getRequestBody.readAllBytes()
+        val createOnly = "*" == ex.getRequestHeaders.getFirst("If-None-Match")
+        if (createOnly) {
+          // THE atomic conditional put: one winner per key, store-side.
+          if (objects.putIfAbsent(k, body) == null) respond(ex, 201, Array.empty)
+          else respond(ex, 412, Array.empty)
+        } else { objects.put(k, body); respond(ex, 200, Array.empty) }
+      case "GET" if k.isEmpty =>
+        val prefix = query.split("&").collectFirst {
+          case q if q.startsWith("prefix=") => URLDecoder.decode(q.drop(7), "UTF-8")
+        }.getOrElse("")
+        val listing = new StringBuilder
+        objects.forEach { (key, bytes) =>
+          if (key.startsWith(prefix)) listing.append(key).append('\t').append(bytes.length).append('\n')
+        }
+        respond(ex, 200, listing.toString.getBytes(StandardCharsets.UTF_8))
+      case "GET" =>
+        objects.get(k) match {
+          case null => respond(ex, 404, Array.empty)
+          case bytes => respond(ex, 200, bytes)
+        }
+      case "HEAD" =>
+        objects.get(k) match {
+          case null => respond(ex, 404, Array.empty)
+          case bytes =>
+            ex.getResponseHeaders.set("Content-Length", bytes.length.toString)
+            ex.sendResponseHeaders(200, -1)
+            ex.close()
+        }
+      case "DELETE" =>
+        if (objects.remove(k) != null) respond(ex, 204, Array.empty)
+        else respond(ex, 404, Array.empty)
+      case m => respond(ex, 405, s"bad method $m".getBytes(StandardCharsets.UTF_8))
+    }
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.multimodal.{Multimodal, PngCodec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real javax.imageio PNG codec behind the multimodal seam: lossless
+  * roundtrip, nearest-neighbor raster resize, and the stub fallback for
+  * undecodable payloads. */
+class PngCodecSpec extends AnyFunSuite {
+
+  test("PNG encode -> decode roundtrips the raster exactly (lossless)") {
+    val bytes = PngCodec.encodeGray(16, 16, (x, y) => (x * 7 + y * 13) % 256)
+    // real PNG magic
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+    val Some((w, h, px)) = PngCodec.decodeGray(bytes)
+    assert(w == 16 && h == 16)
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(px(y * 16 + x) == (x * 7 + y * 13) % 256, s"pixel ($x,$y)")
+  }
+
+  test("imageIoDecodeBatch: real features from pixels; stub fallback for non-images") {
+    val png = PngCodec.encodeGray(16, 16, (x, y) => (x + y) % 256)
+    val out = PngCodec.imageIoDecodeBatch(16)(Seq(
+      (1L, "image", png), (2L, "audio", "not an image".getBytes)))
+    assert(out.head.decoder == "imageio/png-v1")
+    // feature i = px(16*i)/256 = raster(0, i)/256 = i/256
+    for (i <- 0 until 16) assert(out.head.feature(i) == i / 256f)
+    assert(out(1).decoder == "stub/md5-v1", "non-image must fall back to the stub")
+    assert(out(1).feature sameElements
+      Multimodal.stubDecodeBatch(16)(Seq((2L, "audio", "not an image".getBytes))).head.feature)
+  }
+
+  test("imageIoResizeBatch: decoded 16x16 -> 8x8 nearest neighbor, row-major bytes") {
+    val png = PngCodec.encodeGray(16, 16, (x, y) => (x * 3 + y * 5) % 120)
+    val out = PngCodec.imageIoResizeBatch(8, 8)(Seq((7L, "image", png))).head
+    assert(out.bytes.length == 64 && out.orig_len == png.length)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(out.bytes(y * 8 + x) == ((2 * x * 3 + 2 * y * 5) % 120).toByte, s"($x,$y)")
+  }
+}

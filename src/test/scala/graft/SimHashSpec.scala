@@ -29,6 +29,29 @@ class SimHashSpec extends AnyFunSuite {
     } finally sigs.unpersist()
   }
 
+  test("densePairs == exact pairs, including identical-signature groups") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // exact copies land identical signatures -> exercises the intra-group
+    // branch; tail-extended variants exercise the cross-sig branch
+    val corpus = docs.select($"doc_id", $"text")
+      .unionAll(docs.filter($"doc_id" % 5 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          org.apache.spark.sql.functions.concat($"text",
+            org.apache.spark.sql.functions.lit(" tail")).as("text")))
+      .unionAll(docs.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+    val sigs = SimHash.signatures(corpus, "doc_id", "text").cache()
+    try {
+      val exact = SimHash.hammingPairs(sigs, 8)
+        .as[(Long, Long, Int)].collect().toSet
+      val dense = SimHash.densePairs(sigs, 8)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(exact.exists(_._3 == 0), "exact copies must pair at hamming 0")
+      assert(dense == exact)
+    } finally sigs.unpersist()
+  }
+
   test("banding refuses thresholds it cannot serve exactly") {
     import spark.implicits._
     val sigs = Seq((1L, 7L), (2L, 8L)).toDF("id", "simhash")
