@@ -52,12 +52,41 @@ object MinHashLsh {
   /** MinHash signature matrix: one row per id with all `numHashes` min
     * permuted hashes as an `array<long>` (element i = seed i).
     *
-    * Single shuffle: the 16 mins are computed as 16 aggregates of ONE
-    * `groupBy(id)`, so partial (map-side) aggregation collapses each
-    * partition to one row per doc before anything moves — at 100 TB the
-    * shuffle carries |docs|×numHashes longs, not |shingles|×numHashes
-    * rows (the naive seed-crossJoin shape, 16× the corpus). */
+    * Computed by the fused row-local kernel
+    * ([[graft.functions.expressions.RowMinSigsExpr]]): tokenize →
+    * shingle → md5 → permutation minima as ONE codegen call per
+    * document, after a repartition on id that spreads the CPU-heavy
+    * shingle/md5 work across the cluster even when the input is a few
+    * large files. No per-shingle row expansion, no aggregate — the only
+    * exchange carries raw documents. Bit-identical to the staged
+    * explode/groupBy form ([[signatureMatrixStaged]], kept as the
+    * spec-asserted arithmetic reference): min over the shingle multiset
+    * equals min over the distinct set. Null texts are filtered to match
+    * the staged form's explode-drop. */
   def signatureMatrix(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, shingleWidth: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    docs
+      .where(col(textCol).isNotNull)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+        col(idCol))
+      .select(col(idCol).as("id"),
+        org.apache.spark.sql.graftbridge.GraftBridge.column(
+          graft.functions.expressions.RowMinSigsExpr(
+            org.apache.spark.sql.graftbridge.GraftBridge.expression(col(textCol)),
+            numHashes, shingleWidth)).as("sigs"))
+  }
+
+  /** The staged column-algebra signature matrix: explode distinct
+    * shingles → md5 → `numHashes` min aggregates of ONE `groupBy(id)`
+    * (partial aggregation collapses each partition to one row per doc
+    * before the exchange — which is elided anyway, because the
+    * repartition below pre-partitions on the same key). This is the
+    * arithmetic REFERENCE form — it mirrors the DuckDB oracle SQL shape
+    * step for step and DedupLibSpec asserts the fused
+    * [[signatureMatrix]] kernel reproduces it bit-for-bit. Production
+    * paths use the fused form. */
+  private[graft] def signatureMatrixStaged(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, shingleWidth: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

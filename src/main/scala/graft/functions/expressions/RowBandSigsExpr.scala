@@ -49,17 +49,45 @@ case class RowBandSigsExpr(child: Expression, bands: Int, rowsPerBand: Int,
     copy(child = c)
 }
 
+/** The per-row MinHash SIGNATURE kernel: text in, `array<long>` of
+  * `numHashes` permutation minima out — the fused form of
+  * [[graft.dedup.MinHashLsh.signatureMatrixStaged]]'s explode → md5 →
+  * 16-min-aggregate column pipeline (bit-identical arithmetic; min over a
+  * multiset equals min over the distinct set, so skipping the staged
+  * form's `array_distinct` changes nothing). Batch builders select this
+  * per row after a repartition instead of paying per-shingle row
+  * expansion plus a 16-buffer hash aggregate. */
+case class RowMinSigsExpr(child: Expression, numHashes: Int,
+    shingleWidth: Int) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(GraftMinHash.rowMins(
+      input.asInstanceOf[UTF8String], numHashes, shingleWidth))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.expressions.GraftMinHash.rowMins($c, $numHashes, $shingleWidth))")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object GraftMinHash {
   private val P = 2147483647L
 
-  /** See [[RowBandSigsExpr]]. One imperative pass; the only allocations
-    * are the token array from the shared tokenizer kernel and one byte
-    * buffer per shingle join. */
-  def rowBandSigs(s: UTF8String, bands: Int, rowsPerBand: Int,
-      shingleWidth: Int): ArrayData = {
+  /** The `numHashes` affine-permutation minima over a row's word-shingle
+    * hashes: tokenize → `shingleWidth`-gram shingles → md5-prefix base
+    * hash mod P → `(2i+1)·h + i·12582917 mod P` minima, one imperative
+    * pass. Shared by [[RowMinSigsExpr]] (raw minima) and
+    * [[RowBandSigsExpr]] (band digests). */
+  def rowMins(s: UTF8String, nPerms: Int, shingleWidth: Int): Array[Long] = {
     val toks = GraftText.lowerAlnumTokens(s) // parity with lowerTokens()
     val n = toks.numElements()
-    val nPerms = bands * rowsPerBand
     val mins = Array.fill(nPerms)(Long.MaxValue)
 
     def feed(shingle: UTF8String): Unit = {
@@ -97,6 +125,15 @@ object GraftMinHash {
         start += 1
       }
     }
+    mins
+  }
+
+  /** See [[RowBandSigsExpr]]. One imperative pass; the only allocations
+    * are the token array from the shared tokenizer kernel and one byte
+    * buffer per shingle join. */
+  def rowBandSigs(s: UTF8String, bands: Int, rowsPerBand: Int,
+      shingleWidth: Int): ArrayData = {
+    val mins = rowMins(s, bands * rowsPerBand, shingleWidth)
 
     // per-band digest: md5 hex of the comma-joined decimal minima —
     // byte-identical to md5(array_join(transform(slice(...), string), ","))

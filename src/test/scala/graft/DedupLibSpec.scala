@@ -20,6 +20,31 @@ class DedupLibSpec extends AnyFunSuite {
     assert(clusters == List((1L, Seq(1L, 2L, 3L), 1L), (7L, Seq(7L, 9L), 7L)))
   }
 
+  test("fused RowMinSigsExpr signatureMatrix == staged explode/groupBy form") {
+    import spark.implicits._
+    // Edge shapes on purpose: empty text, single token, exactly
+    // shingleWidth tokens, long text, repeated shingles (multiset vs
+    // distinct-set min equivalence), mixed case + punctuation.
+    val docs = Seq(
+      (1L, ""),
+      (2L, "one"),
+      (3L, "a b c d e"),
+      (4L, "The quick brown Fox jumps over the lazy dog again and again and again!"),
+      (5L, "x y z x y z x y z x y z x y z"),
+      (6L, "Punct,uation; splits...tokens 123 mixed UPPER lower")).toDF("doc_id", "text")
+    val fused = MinHashLsh.signatureMatrix(docs, "doc_id", "text")
+      .as[(Long, Seq[Long])].collect().toMap
+    val staged = MinHashLsh.signatureMatrixStaged(docs, "doc_id", "text")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fused == staged)
+    // and at a non-default width/hash count
+    val fused2 = MinHashLsh.signatureMatrix(docs, "doc_id", "text", 8, 3)
+      .as[(Long, Seq[Long])].collect().toMap
+    val staged2 = MinHashLsh.signatureMatrixStaged(docs, "doc_id", "text", 8, 3)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fused2 == staged2)
+  }
+
   test("bucket cap: a 10k-copy boilerplate doc cannot explode candidate pairs") {
     import spark.implicits._
     // 10,000 verbatim copies of one doc (one degenerate LSH bucket per
