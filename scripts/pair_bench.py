@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Same-session Spark-vs-DuckDB pair timing for one or more queries.
+
+DuckDB side: runs the oracle SQL from a Verify outDir's oracle_sql.json
+against the parquet tables at <sfDir>, min-of-N wall time.
+Spark side is measured separately (Bench / ScaleSweep); this script only
+produces the DuckDB half so the pair is quoted from the same host state.
+
+Usage:
+    python3 scripts/pair_bench.py <sfDir> <outDir> [query ...]
+Dev tooling only — the shipped library is the Scala code under src/.
+"""
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+PASSES = 3
+
+
+def main() -> None:
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:]
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+    if not names:
+        names = sorted(oracle)
+    con = duckdb.connect()
+    con.execute(f"SET threads={os.cpu_count()}")
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+                if os.path.isdir(p) else
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    total = 0.0
+    for name in names:
+        if name not in oracle:
+            print(f'{{"query":"{name}","error":"no oracle sql"}}')
+            continue
+        best = None
+        for _ in range(PASSES):
+            t0 = time.time()
+            con.execute(oracle[name]).fetchall()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        total += best
+        print(f'{{"query":"{name}","duckdb_sec":{best:.3f}}}')
+    print(f'{{"metric":"duckdb_total","value":{total:.3f},"unit":"sec","queries":{len(names)}}}')
+
+
+if __name__ == "__main__":
+    main()

@@ -78,7 +78,27 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Streaming envelope figure (VERDICT r5 #5): the batch set says
+    // nothing about the reference's actual operating mode — a streaming
+    // writer bounded by 500-msg drains and <=10 s latency (BASELINE.md
+    // rows 1-2). One rate-controlled run through the REAL path
+    // (WsSource WAL -> transform -> versioned upsert) reports rows/s and
+    // worst-row latency percentiles next to the batch numbers. `value`
+    // stays the batch total (the driver's tracked metric); stream
+    // figures ride as extra keys. SPARK_GRAFT_STREAM=0 skips.
+    val stream =
+      if (sys.env.getOrElse("SPARK_GRAFT_STREAM", "1") == "0") ""
+      else try {
+        val r = StreamBench.run(spark,
+          rate = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "5000").toInt,
+          durationS = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "12").toInt)
+        f""","stream":{"rows":${r.rows},"rows_per_s":${r.rowsPerS}%.0f,"p50_latency_s":${r.p50S}%.2f,"p95_latency_s":${r.p95S}%.2f,"max_latency_s":${r.maxS}%.2f,"batches":${r.batches}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench-stream] ${e.getMessage}"); ""
+      }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$stream,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

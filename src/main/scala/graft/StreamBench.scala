@@ -1,0 +1,130 @@
+package graft
+
+import graft.sources.ws.{FrameFeed, WsFeeds}
+import graft.store.StockStore
+import graft.model.{Exchanges, Streaming}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+import scala.collection.mutable.ArrayBuffer
+
+/** Streaming throughput/latency benchmark: a rate-controlled synthetic
+  * trade feed through the REAL ingest path — WsSource WAL pump →
+  * micro-batch admission → EodhdTransform → StockStore versioned upsert —
+  * reporting rows/s and end-to-end latency percentiles.
+  *
+  * "End-to-end" is measured per micro-batch as `commit wall-clock − the
+  * batch's oldest frame generation wall-clock` (each frame embeds its
+  * generation time as the tick's `t` field), i.e. the WORST row of every
+  * batch: WAL append + trigger wait + transform + upsert commit, the same
+  * span the reference's envelope bounds (BASELINE.md: 500-msg drains,
+  * ≤10 s buffer poll latency — reference writer.py:31-34).
+  *
+  * The run is sized for a bench sidecar, not a soak: `rate` frames/s for
+  * `durationS` seconds, then drain-to-empty. Throughput = total stored
+  * rows / (last commit − first frame) — i.e. including drain, so a
+  * falling-behind pipeline cannot hide backlog.
+  */
+object StreamBench {
+  final case class Result(rows: Long, wallS: Double, rowsPerS: Double,
+      p50S: Double, p95S: Double, maxS: Double, batches: Int)
+
+  def run(spark: SparkSession, rate: Int = 5000, durationS: Int = 12,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): Result = {
+    val tmp = Files.createTempDirectory("graft-streambench")
+    val total = rate.toLong * durationS
+    val tickers = Array("SPY", "VOO", "QQQ", "IWM")
+
+    @volatile var firstFrameMs = 0L
+    WsFeeds.register("streambench", () => new FrameFeed {
+      private var produced = 0L
+      private var startMs = 0L
+      override def connect(): Unit = {
+        startMs = System.currentTimeMillis()
+        firstFrameMs = startMs
+      }
+      override def poll(): Seq[String] = {
+        val now = System.currentTimeMillis()
+        val due = math.min((now - startMs) * rate / 1000, total)
+        val out = (produced until due).map { i =>
+          val tk = tickers((i % tickers.length).toInt)
+          // t = generation wall-clock -> becomes the tick timestamp the
+          // latency aggregate below reads back
+          s"""{"s": "$tk", "p": ${100 + (i % 500) / 100.0}, "v": ${1 + i % 9}, "t": $now}"""
+        }
+        produced = due
+        out
+      }
+      override def close(): Unit = ()
+    })
+
+    val frames = spark.readStream
+      .format("graft.sources.ws.WsSourceProvider")
+      .option("walDir", tmp.resolve("wal").toString)
+      .option("feed", "streambench")
+      .load()
+      .select(col("raw"))
+
+    val ticks = graft.streaming.StreamIngest.transformFrames(frames, "trades")
+    val root = tmp.resolve("store").toString
+    val latencies = ArrayBuffer.empty[Double]
+    @volatile var storedRows = 0L
+    @volatile var lastCommitMs = 0L
+
+    val q = ticks.writeStream
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.cache()
+          try {
+            StockStore.upsert(b.sparkSession, root, Streaming, b,
+              Exchanges.tz("US"), collectCounts = false)
+            val now = System.currentTimeMillis()
+            // one tiny agg on the cached batch: oldest frame + row count
+            val r = b.agg(min(col("timestamp")).cast("double"), count(lit(1))).head()
+            latencies.synchronized { latencies += now / 1000.0 - r.getDouble(0) }
+            storedRows += r.getLong(1)
+            lastCommitMs = now
+          } finally b.unpersist()
+        }
+        ()
+      }
+      .start()
+
+    // run until every generated frame is stored (or a hard timeout —
+    // 6x nominal duration means the pipeline fell hopelessly behind)
+    val deadline = System.currentTimeMillis() + durationS * 6000L
+    while (storedRows < total && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    q.stop(); q.awaitTermination()
+
+    val lat = latencies.sorted
+    def pct(p: Double): Double =
+      if (lat.isEmpty) Double.NaN
+      else lat(math.min(lat.length - 1, (p * lat.length).toInt))
+    val wallS = (lastCommitMs - firstFrameMs) / 1000.0
+    Result(storedRows, wallS, storedRows / wallS, pct(0.50), pct(0.95),
+      if (lat.isEmpty) Double.NaN else lat.last, lat.length)
+  }
+
+  /** Standalone entry: `run_main.sh graft.StreamBench [rate] [durationS]`. */
+  def main(args: Array[String]): Unit = {
+    val rate = if (args.length > 0) args(0).toInt else 5000
+    val durationS = if (args.length > 1) args(1).toInt else 12
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, rate, durationS)
+    println(f"""{"metric":"stream_ingest","rows":${r.rows},"wall_s":${r.wallS}%.2f,"rows_per_s":${r.rowsPerS}%.0f,"p50_latency_s":${r.p50S}%.2f,"p95_latency_s":${r.p95S}%.2f,"max_latency_s":${r.maxS}%.2f,"batches":${r.batches}}""")
+    spark.stop()
+  }
+}
