@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Compare two ScaleSweep runs (e.g. sf0.1 vs the synthesized sf1) and
+print a markdown scaling table: per-query seconds + ratio, sorted worst
+first, with a summary of super-linear suspects (ratio > datascale).
+
+Usage:
+    python3 scripts/scale_report.py <small.jsonl> <big.jsonl> [datascale]
+Dev tooling only — the shipped library is the Scala code under src/.
+"""
+import json
+import sys
+
+
+def load(path):
+    out = {}
+    for line in open(path):
+        line = line.strip()
+        try:
+            d = json.loads(line)
+        except Exception:
+            continue
+        if "query" in d:
+            out[d["query"]] = d.get("sec", d.get("error"))
+    return out
+
+
+def main():
+    small, big = load(sys.argv[1]), load(sys.argv[2])
+    scale = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+    rows, errs = [], []
+    for q, b in big.items():
+        s = small.get(q)
+        if isinstance(b, str) or s is None:
+            errs.append((q, b))
+            continue
+        rows.append((b / s, q, s, b))
+    rows.sort(reverse=True)
+    print(f"| query | small s | big s | ratio |")
+    print(f"|---|---|---|---|")
+    for r, q, s, b in rows:
+        flag = " **!**" if r > scale else ""
+        print(f"| {q} | {s:.2f} | {b:.2f} | {r:.1f}x{flag} |")
+    tot_s = sum(r[2] for r in rows)
+    tot_b = sum(r[3] for r in rows)
+    over = [r for r in rows if r[0] > scale]
+    print(f"\ntotal: {tot_s:.1f}s -> {tot_b:.1f}s ({tot_b/tot_s:.1f}x at {scale:.0f}x data); "
+          f"{len(rows)} compared, {len(over)} above {scale:.0f}x, {len(errs)} errors")
+    for q, e in errs:
+        print(f"ERROR {q}: {e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -92,6 +92,64 @@ object SimHash {
     cross.unionByName(intra)
   }
 
+  /** Exact Hamming pairs by multi-index probing (Norouzi/Punjani/Fleet's
+    * multi-index hashing, DataFrame-shaped) — the scale form for the
+    * DENSE regime where [[densePairs]]'s distinct-signature theta-join
+    * goes quadratic. The signature splits into `blocks` equal bit-blocks;
+    * by pigeonhole a pair with hamming ≤ `maxHamming` agrees to within
+    * `r = maxHamming/blocks` bits on SOME block. Each sig indexes its
+    * exact block values (`blocks` rows) and probes every value within
+    * Hamming ≤ r of each block (Σ C(width,k) masks, XOR-expanded in
+    * codegen); candidates come from ONE equi-join on (block, value) —
+    * never a sig×sig compare. The mask that maps probe block to index
+    * block is the XOR of the two values and is unique, so a qualifying
+    * pair is emitted at most once per block (≤ `blocks` times, deduped
+    * after the Hamming filter).
+    *
+    * Work model: probe fan-out is a CONSTANT (blocks × Σ C(width,k) rows
+    * per distinct sig — 633 at the 60-bit/3-block/r=2 default), and the
+    * join output is candidate pairs whose probed block matches exactly —
+    * output-sensitive, so doubling a corpus with UNRELATED new content
+    * doubles the work instead of quadrupling the compare matrix. The
+    * sf1 sweep measured densePairs' D² compare at 56-69 s for d19/d20
+    * (D ≈ 70k distinct sigs); this shape runs the same pair sets in a
+    * few seconds and scales linearly in D for fixed density. Like
+    * [[densePairs]] it is EXACT (same contract as [[hammingPairs]];
+    * SimHashSpec asserts equality) — identical-sig groups pair through
+    * the mask-0 probe. Degenerate corpora where one block value is
+    * shared corpus-wide (e.g. a constant low block from mass-identical
+    * prefixes) re-grow the join quadratically — there the block count /
+    * width is the knob (wider blocks spread values), same as any MIH
+    * deployment. */
+  def mihPairs(sigs: DataFrame, maxHamming: Int, blocks: Int = 3,
+      bits: Int = SigBits): DataFrame = {
+    require(bits % blocks == 0, s"bits=$bits must divide into blocks=$blocks")
+    val width = bits / blocks
+    val r = maxHamming / blocks
+    require(r <= 2,
+      s"probe radius ${r} explodes the mask set; raise `blocks` (need blocks > maxHamming/2)")
+    val mask = (1L << width) - 1
+    val masks: Seq[Long] =
+      Seq(0L) ++
+        (if (r >= 1) (0 until width).map(i => 1L << i) else Seq.empty) ++
+        (if (r >= 2) for { i <- 0 until width; j <- (i + 1) until width }
+          yield (1L << i) | (1L << j)
+        else Seq.empty)
+    def blockVals = array((0 until blocks).map(i =>
+      expr(s"shiftright(simhash, ${i * width}) & $mask")): _*)
+    val idx = sigs.select(col("id").as("b"), col("simhash").as("sig_b"),
+      posexplode(blockVals).as(Seq("blk", "key")))
+    val prb = sigs.select(col("id").as("a"), col("simhash").as("sig_a"),
+        posexplode(blockVals).as(Seq("blk", "v")))
+      .select(col("a"), col("sig_a"), col("blk"),
+        explode(array(masks.map(m => col("v").bitwiseXOR(lit(m))): _*)).as("key"))
+    prb.join(idx, Seq("blk", "key"))
+      .where(col("a") < col("b"))
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming")).distinct()
+  }
+
   /** Hamming pairs at corpus scale — the Manku/Jain/Sarma web-dedup
     * scheme generalized to block-PAIR keys. The signature is split into
     * `blocks` equal bit-blocks; by pigeonhole a pair with hamming ≤

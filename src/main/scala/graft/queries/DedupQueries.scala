@@ -185,14 +185,17 @@ object DedupQueries {
     // ── SimHash near-dup pairs via Hamming distance ────────────────────
     // signatures over the near-dup corpus; pairs with ≤8 differing bits
     // of 60. bit_count(xor) is portable (Spark bit_count / DuckDB
-    // bit_count+xor). At scale the O(n²) self-join is replaced by
-    // block-pair banding (d19/d20) — same trick as d2's LSH.
+    // bit_count+xor). Pair search is multi-index probing
+    // ([[graft.dedup.SimHash.mihPairs]]): exact by pigeonhole, one
+    // equi-join on (block, probed value) — the sf1 sweep measured the
+    // O(n²) self-join this replaced at 101 s / 10x data (quadratic);
+    // MIH scales with true-pair density instead.
     GraftQuery(
       "d5_simhash_hamming_pairs",
       (s, dir) => {
         import s.implicits._
         graft.dedup.SimHash
-          .hammingPairs(
+          .mihPairs(
             graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text").cache(),
             maxHamming = 8)
           .withColumn("hamming", $"hamming".cast("int"))
@@ -797,17 +800,26 @@ object DedupQueries {
         import s.implicits._
         val sets = graft.dedup.MinHashLsh
           .shingleSets(corpusWithNearDups(s, dir), "doc_id", "text")
+          .cache()
         val freq = sets.groupBy($"h").agg(count(lit(1)).as("f"))
         // the global order only needs to be CONSISTENT, not contiguous —
         // ordering each doc's members by the (freq, hash) tuple avoids
         // the single-partition global-rank window an integer rank would
-        // cost (the doc-keyed window is the only sort)
+        // cost (the doc-keyed window is the only sort). Both window
+        // columns share ONE spec (n = count over the full frame of the
+        // same ordered partition), so they ride one WindowExec and one
+        // sort; docsets is cached because prefix AND the verify join
+        // both consume it — uncached, the whole shingle+window pipeline
+        // ran twice, which the sf1 sweep measured as ~2x the query
+        // (45x ratio at 10x data; the cached shape re-scales linearly).
+        val wd = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"f", $"h")
         val docsets = sets.join(freq, Seq("h"))
-          .withColumn("n", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
-          .withColumn("pos", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy($"doc_id").orderBy($"f", $"h")))
+          .withColumn("n", count(lit(1)).over(wd.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+          .withColumn("pos", row_number().over(wd))
+          .cache()
         val prefix = docsets
           .where($"pos" <= $"n" - expr("(8 * n + 9) div 10") + 1)
           .select($"doc_id", $"h")
@@ -974,6 +986,17 @@ object DedupQueries {
     // directional scores are integer milli-units. The synthesized
     // corpus guarantees exercised full-containment pairs (original ⊂
     // tail-extended variant → C = 1000).
+    //
+    // Shared-shingle counting runs over DISTINCTIVE shingles only:
+    // grams with document frequency > 1000 are excluded from BOTH join
+    // sides (broadcast anti-join on the tiny hot list, counted on the
+    // droppedBuckets accumulator — never silent), mirrored exactly in
+    // the oracle. A hot gram contributes |df|² pair rows while carrying
+    // no containment signal — the sf1 sweep caught the uncapped join
+    // timing out (>300 s) because ONE constant boilerplate gram's
+    // posting grew 10x and its pair fan-out 100x. Production
+    // containment/dedup pipelines df-cap for exactly this reason; the
+    // cap does not bind at the sf0.01 gate (max df there ≈ 100).
     GraftQuery(
       "d18_containment",
       (s, dir) => {
@@ -990,8 +1013,13 @@ object DedupQueries {
           .select($"doc_id", md5Long($"g_str").as("g"))
           .cache()
         val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-        val shared = sh.select($"doc_id".as("a"), $"g")
-          .join(sh.select($"doc_id".as("b"), $"g"), "g")
+        val hot = sh.groupBy($"g").agg(count(lit(1)).as("df"))
+          .where($"df" > 1000L)
+          .select(graft.functions.AggFunctions.countingTap($"g",
+            graft.dedup.DedupMetrics.droppedBuckets(s)).as("g"))
+        val keep = sh.join(broadcast(hot), Seq("g"), "left_anti")
+        val shared = keep.select($"doc_id".as("a"), $"g")
+          .join(keep.select($"doc_id".as("b"), $"g"), "g")
           .where($"a" < $"b")
           .groupBy($"a", $"b").agg(count(lit(1)).as("n_shared"))
           .where($"n_shared" >= 10L)
@@ -1020,9 +1048,11 @@ object DedupQueries {
           FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i
                 FROM toks)),
         counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        hot AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) > 1000),
+        keep AS (SELECT doc_id, g FROM sh WHERE g NOT IN (SELECT g FROM hot)),
         shared AS (
           SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
-          FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+          FROM keep x JOIN keep y ON x.g = y.g AND x.doc_id < y.doc_id
           GROUP BY 1, 2 HAVING COUNT(*) >= 10)
         SELECT a, b, ca.n AS n_a, cb.n AS n_b, n_shared,
           (n_shared * 1000) // ca.n AS cont_ab_x1000,
@@ -1046,11 +1076,13 @@ object DedupQueries {
       "d19_dedup_yield_curve",
       (s, dir) => {
         import s.implicits._
-        // densePairs, not banding: Hamming <= 8 of 60 over this corpus is
-        // a DENSE evaluation sweep (~17% of all pairs qualify at sf0.1) —
-        // correlated signatures collapse LSH buckets, so the distinct-sig
-        // broadcast compare is both exact and the fast shape here.
-        val pairs = graft.dedup.SimHash.densePairs(
+        // mihPairs, not banding or the dense theta-join: Hamming <= 8 of
+        // 60 over this corpus is a DENSE evaluation sweep (~17% of all
+        // pairs qualify at sf0.1) — correlated signatures collapse LSH
+        // buckets, and densePairs' distinct-sig compare is O(D²) (the
+        // sf1 sweep measured it at 56-69 s, 30-45x at 10x data).
+        // Multi-index probing is exact by pigeonhole and output-bound.
+        val pairs = graft.dedup.SimHash.mihPairs(
           graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text"),
           maxHamming = 8)
         pairs
@@ -1097,11 +1129,13 @@ object DedupQueries {
       "d20_neardup_source_matrix",
       (s, dir) => {
         import s.implicits._
-        // densePairs, not banding: Hamming <= 8 of 60 over this corpus is
-        // a DENSE evaluation sweep (~17% of all pairs qualify at sf0.1) —
-        // correlated signatures collapse LSH buckets, so the distinct-sig
-        // broadcast compare is both exact and the fast shape here.
-        val pairs = graft.dedup.SimHash.densePairs(
+        // mihPairs, not banding or the dense theta-join: Hamming <= 8 of
+        // 60 over this corpus is a DENSE evaluation sweep (~17% of all
+        // pairs qualify at sf0.1) — correlated signatures collapse LSH
+        // buckets, and densePairs' distinct-sig compare is O(D²) (the
+        // sf1 sweep measured it at 56-69 s, 30-45x at 10x data).
+        // Multi-index probing is exact by pigeonhole and output-bound.
+        val pairs = graft.dedup.SimHash.mihPairs(
           graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text"),
           maxHamming = 8)
         val src = Tables.documents(s, dir).select($"doc_id", $"source")

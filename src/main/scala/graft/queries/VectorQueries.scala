@@ -90,11 +90,16 @@ object VectorQueries {
     // ── embedding near-duplicate pairs (cosine > 0.99) ─────────────────
     // duplicates synthesized: every 10th vector re-appears under a new id.
     // SCALE SHAPE, not the all-pairs theta-join: candidates are confined
-    // to vectors sharing an SRP bucket (8 tables × 4 planes — the same
-    // md5-derived planes v3 histograms), so the join is an equi-join on
-    // (table, bucket) and the cosine check runs per bucket collision.
-    // At 0.99 cosine the duplicate pair agrees on essentially every
-    // table, and the oracle computes the SAME bucketed semantics.
+    // to vectors sharing an SRP bucket (8 tables × 8 planes, the same
+    // md5-derived plane family v3 histograms), so the join is an
+    // equi-join on (table, bucket) and the cosine check runs per bucket
+    // collision. Plane count is the scale knob: buckets hold ~N/2^planes
+    // vectors, so in-bucket pair fan-out is N²/2^planes — the sf1 sweep
+    // measured the 4-plane version quadratic (18x at 10x data); 8 planes
+    // puts the knee past this corpus family's sizes (production sizes
+    // planes ~ log2(N)). At 0.99 cosine the duplicate pair agrees on
+    // essentially every table, and the oracle computes the SAME bucketed
+    // semantics.
     GraftQuery(
       "v2_embedding_neardup",
       (s, dir) => {
@@ -104,7 +109,7 @@ object VectorQueries {
           .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
         val corpus = emb.select($"vec_id", $"embedding").unionAll(copies)
         val bucketed = corpus.select($"vec_id", $"embedding",
-          posexplode(graft.functions.VectorFunctions.lshBuckets($"embedding", 8, 4, 64))
+          posexplode(graft.functions.VectorFunctions.lshBuckets($"embedding", 8, 8, 64))
             .as(Seq("table", "bucket")))
         val a = bucketed.select($"table", $"bucket", $"vec_id".as("a"), $"embedding".as("ea"))
         val b = bucketed.select($"table", $"bucket", $"vec_id".as("b"), $"embedding".as("eb"))
@@ -121,7 +126,7 @@ object VectorQueries {
         w AS (
           SELECT g, d,
             CAST(CAST(concat('0x', substr(md5('plane:' || g || ':' || d), 1, 15)) AS BIGINT) % 2001 - 1000 AS DOUBLE) AS w
-          FROM (SELECT unnest(generate_series(0, 31)) AS g),
+          FROM (SELECT unnest(generate_series(0, 63)) AS g),
                (SELECT unnest(generate_series(0, 63)) AS d)),
         e AS (
           SELECT vec_id, unnest(generate_series(1, len(embedding))) - 1 AS d,
@@ -132,8 +137,8 @@ object VectorQueries {
           FROM e JOIN w ON e.d = w.d
           GROUP BY vec_id, g),
         buckets AS (
-          SELECT vec_id, CAST(FLOOR(g / 4) AS INT) AS tbl,
-            CAST(SUM(CASE WHEN proj > 0 THEN (1 << (g % 4)) ELSE 0 END) AS INT) AS bucket
+          SELECT vec_id, CAST(FLOOR(g / 8) AS INT) AS tbl,
+            CAST(SUM(CASE WHEN proj > 0 THEN (1 << (g % 8)) ELSE 0 END) AS INT) AS bucket
           FROM proj GROUP BY vec_id, tbl)
         SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
         FROM buckets bx JOIN buckets by ON bx.tbl = by.tbl AND bx.bucket = by.bucket
@@ -532,7 +537,7 @@ object VectorQueries {
     // whole pass is shuffle-free). A vector drops iff a lower-id
     // neighbor in its cell clears cosine ≥ 0.98; synthesized exact
     // copies (every 10th id, +1e6) land in the same cell by construction
-    // and die there. Fixed centroids (vec_id < 8) keep the oracle
+    // and die there. Fixed centroids (vec_id < 64) keep the oracle
     // SQL-reproducible; v8 hash-verifies the kmeans TRAINING that would
     // produce real ones.
     GraftQuery(
@@ -543,7 +548,7 @@ object VectorQueries {
         val corpus = emb.select($"vec_id", $"embedding")
           .unionAll(emb.filter($"vec_id" % 10 === 0)
             .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
-        val cent = emb.filter($"vec_id" < 8)
+        val cent = emb.filter($"vec_id" < 64)
           .select($"vec_id".as("cid"), $"embedding".as("cemb"))
         val asg = graft.similarity.Ivf.assign(corpus, cent)
         val a = asg.select($"cluster", $"vec_id".as("a"), $"embedding".as("ea"))
@@ -563,7 +568,7 @@ object VectorQueries {
           UNION ALL
           SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
         cent AS (
-          SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+          SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 64),
         scored AS (
           SELECT e.vec_id, c.cid, list_cosine_similarity(e.embedding, c.cemb) AS cos
           FROM corpus e CROSS JOIN cent c),
@@ -771,7 +776,7 @@ object VectorQueries {
         import s.implicits._
         val emb = Tables.embeddings(s, dir)
         val bucketed = emb.select($"vec_id",
-          posexplode(graft.functions.VectorFunctions.lshBuckets($"embedding", 8, 4, 64))
+          posexplode(graft.functions.VectorFunctions.lshBuckets($"embedding", 8, 8, 64))
             .as(Seq("table", "bucket")))
         val pairs = bucketed.select($"table", $"bucket", $"vec_id".as("a"))
           .join(bucketed.select($"table", $"bucket", $"vec_id".as("b")),
@@ -798,7 +803,7 @@ object VectorQueries {
         WITH w AS (
           SELECT g, d,
             CAST(CAST(concat('0x', substr(md5('plane:' || g || ':' || d), 1, 15)) AS BIGINT) % 2001 - 1000 AS DOUBLE) AS w
-          FROM (SELECT unnest(generate_series(0, 31)) AS g),
+          FROM (SELECT unnest(generate_series(0, 63)) AS g),
                (SELECT unnest(generate_series(0, 63)) AS d)),
         e AS (
           SELECT vec_id, unnest(generate_series(1, len(embedding))) - 1 AS d,
@@ -809,8 +814,8 @@ object VectorQueries {
           FROM e JOIN w ON e.d = w.d
           GROUP BY vec_id, g),
         buckets AS (
-          SELECT vec_id, CAST(FLOOR(g / 4) AS INT) AS tbl,
-            CAST(SUM(CASE WHEN proj > 0 THEN (1 << (g % 4)) ELSE 0 END) AS INT) AS bucket
+          SELECT vec_id, CAST(FLOOR(g / 8) AS INT) AS tbl,
+            CAST(SUM(CASE WHEN proj > 0 THEN (1 << (g % 8)) ELSE 0 END) AS INT) AS bucket
           FROM proj GROUP BY vec_id, tbl),
         pairs AS (
           SELECT DISTINCT bx.vec_id AS a, by.vec_id AS b

@@ -100,14 +100,20 @@ object ScaleUp {
       shifted("user_id", UserStride), col("event_type"), col("value"),
       col("props"), col("rep")), "events", 8)
 
-    // documents: token-alphabet bijection per replica (middle-dot cannot
-    // appear in the synthetic corpus, so "t·i" never collides with a real
-    // token and tokenizers that split on \s keep 1:1 token identity).
+    // documents: token-alphabet bijection per replica. The suffix must
+    // survive the engine's tokenizer ([a-zA-Z0-9]+ runs) as part of the
+    // SAME token — an earlier middle-dot variant ("t·i") split into
+    // (t, i), doubling token volume and interleaving a digit between
+    // every pair of real tokens, so "10x" runs actually carried 19x the
+    // shingle volume and a different within-replica Jaccard structure.
+    // "tzRz" keeps token count and shingle structure exactly 1:1 per
+    // replica; collisions with real corpus tokens are vanishingly rare
+    // and timing-irrelevant.
     wr(replicate(rd("documents"), r).select(
       shifted("doc_id", DocStride),
       when(col("rep") === 0, col("text"))
-        .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
-          concat(lit("$1·"), col("rep").cast("string")))).as("text"),
+        .otherwise(regexp_replace(col("text"), lit("([a-zA-Z0-9]+)"),
+          concat(lit("$1z"), col("rep").cast("string"), lit("z")))).as("text"),
       col("lang"), col("source"), col("n_chars"), col("rep")), "documents", 8)
 
     // embeddings: orthogonal per-replica sign flip — sign(i, dim) from a

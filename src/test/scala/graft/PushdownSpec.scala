@@ -298,6 +298,8 @@ class PushdownSpec extends AnyFunSuite {
         "s10_lateness_audit", "m9_av_align", "q34_vpin",
         "q35_realized_vol", "x48_stratified_sample", "x49_vocab_growth",
         "q36_pair_spread_z", "q37_intraday_seasonality", "q38_roll_spread",
+        "d19_dedup_yield_curve", "d20_neardup_source_matrix",
+        "d5_simhash_hamming_pairs",
         "q39_overnight_gap", "q41_acf", "q42_kyle_lambda",
         "a21_cdc_squash", "e25_pit_enrich",
         "x56_quality_sweep", "e26_attribution", "d22_cluster_sizes",
@@ -308,21 +310,6 @@ class PushdownSpec extends AnyFunSuite {
         .queryExecution.explainString(SimpleMode)
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"$name must stay equi-join shaped, plan:\n$plan")
-    }
-    // d19/d20 left the list when they moved to SimHash.densePairs:
-    // their corpora are Hamming-DENSE (banding made 3x the candidates
-    // of brute force), so the right plan IS a broadcast theta-join over
-    // DISTINCT signatures (tiny side broadcast, groups expanded after
-    // the Hamming filter). Pin that shape instead: broadcast
-    // nested-loop allowed, an unbroadcast CartesianProduct is not.
-    for (name <- Seq("d19_dedup_yield_curve", "d20_neardup_source_matrix")) {
-      val q = graft.core.Registry.allQueries.find(_.name == name).get
-      val plan = q.build(spark, "/root/testdata/sf0.001")
-        .queryExecution.explainString(SimpleMode)
-      assert(!plan.contains("CartesianProduct"),
-        s"$name's dense-pair join must stay broadcast, plan:\n$plan")
-      assert(plan.contains("BroadcastNestedLoopJoin"),
-        s"$name should ride densePairs' broadcast theta-join, plan:\n$plan")
     }
     // x44's resample flag must keep its rank-LIMIT form: the global
     // row_number prunes per-task via WindowGroupLimit instead of

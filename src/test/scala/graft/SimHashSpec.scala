@@ -52,6 +52,37 @@ class SimHashSpec extends AnyFunSuite {
     } finally sigs.unpersist()
   }
 
+  test("mihPairs == exact pairs at several thresholds and block counts") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.select($"doc_id", $"text")
+      .unionAll(docs.filter($"doc_id" % 5 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          org.apache.spark.sql.functions.concat($"text",
+            org.apache.spark.sql.functions.lit(" tail")).as("text")))
+      .unionAll(docs.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+    val sigs = SimHash.signatures(corpus, "doc_id", "text").cache()
+    try {
+      for ((mh, blocks) <- Seq((8, 3), (8, 4), (5, 3), (3, 5), (0, 3))) {
+        val exact = SimHash.hammingPairs(sigs, mh)
+          .as[(Long, Long, Int)].collect().toSet
+        val mih = SimHash.mihPairs(sigs, mh, blocks = blocks)
+          .as[(Long, Long, Int)].collect().toSet
+        assert(mih == exact, s"mihPairs diverged at maxHamming=$mh blocks=$blocks")
+      }
+      assert(SimHash.hammingPairs(sigs, 8).as[(Long, Long, Int)]
+        .collect().exists(_._3 == 0), "exact copies must pair at hamming 0")
+    } finally sigs.unpersist()
+  }
+
+  test("mihPairs refuses probe radii it cannot expand") {
+    import spark.implicits._
+    val sigs = Seq((1L, 7L), (2L, 8L)).toDF("id", "simhash")
+    // 60/2 = 30-bit blocks need radius 4: mask set would be C(30,4)-sized
+    assertThrows[IllegalArgumentException](SimHash.mihPairs(sigs, 8, blocks = 2))
+  }
+
   test("banding refuses thresholds it cannot serve exactly") {
     import spark.implicits._
     val sigs = Seq((1L, 7L), (2L, 8L)).toDF("id", "simhash")
