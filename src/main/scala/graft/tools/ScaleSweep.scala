@@ -65,6 +65,11 @@ object ScaleSweep {
         }
         pass += 1
       }
+      // Queries that cache (d15/d18/memberLabels/...) would otherwise
+      // leak blocks into every later measurement — the first sweep run
+      // measured a plain groupBy at 22x its isolated time purely from
+      // neighboring queries' cache/GC pressure.
+      spark.catalog.clearCache()
       val entry = failure.toLeft(best.get)
       results += ((q.name, entry))
       entry match {
