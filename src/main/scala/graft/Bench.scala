@@ -87,16 +87,20 @@ object Bench {
     // worst-row latency percentiles next to the batch numbers. `value`
     // stays the batch total (the driver's tracked metric); stream
     // figures ride as extra keys. SPARK_GRAFT_STREAM=0 skips.
+    def streamJson(mode: String): String = try {
+      val r = StreamBench.run(spark,
+        rate = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "5000").toInt,
+        durationS = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "12").toInt,
+        mode = mode)
+      f"""{"rows":${r.rows},"rows_per_s":${r.rowsPerS}%.0f,"p50_latency_s":${r.p50S}%.2f,"p95_latency_s":${r.p95S}%.2f,"max_latency_s":${r.maxS}%.2f,"batches":${r.batches}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench-stream] $mode: ${e.getMessage}"); "null"
+    }
     val stream =
       if (sys.env.getOrElse("SPARK_GRAFT_STREAM", "1") == "0") ""
-      else try {
-        val r = StreamBench.run(spark,
-          rate = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "5000").toInt,
-          durationS = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "12").toInt)
-        f""","stream":{"rows":${r.rows},"rows_per_s":${r.rowsPerS}%.0f,"p50_latency_s":${r.p50S}%.2f,"p95_latency_s":${r.p95S}%.2f,"max_latency_s":${r.maxS}%.2f,"batches":${r.batches}}"""
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench-stream] ${e.getMessage}"); ""
-      }
+      // upsert = reference-parity sink (merge-bound); stateful = the
+      // scale path (in-state dedup/version + blind append)
+      else s""","stream_upsert":${streamJson("upsert")},"stream_stateful":${streamJson("stateful")}"""
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$stream,"sf":"$sfDir"}""")
     spark.stop()

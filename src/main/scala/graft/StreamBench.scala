@@ -31,7 +31,21 @@ object StreamBench {
   final case class Result(rows: Long, wallS: Double, rowsPerS: Double,
       p50S: Double, p95S: Double, maxS: Double, batches: Int)
 
+  /** `mode = "upsert"`: the reference-parity sink — every micro-batch
+    * runs the full versioned StockStore merge (read-back anti-join,
+    * version window, manifest commit). Strongest semantics, but each
+    * trigger pays the multi-job merge (~5-7 s in local mode), so
+    * latency is merge-bound, not volume-bound.
+    *
+    * `mode = "stateful"`: the SCALE path — exact-dup drop + version
+    * assignment happen in-stream ([[graft.streaming.StreamIngest
+    * .statefulVersionedTrades]]: state-store keyed by (ticker, ts),
+    * event-time timeout eviction), and the sink is a blind append (no
+    * read-back). This is the shape that holds the reference's ≤10 s
+    * envelope at cluster scale; the batch upsert remains the late-data
+    * / replay reconciliation path (A13). */
   def run(spark: SparkSession, rate: Int = 5000, durationS: Int = 12,
+      mode: String = "upsert",
       trigger: Trigger = Trigger.ProcessingTime("1 second")): Result = {
     val tmp = Files.createTempDirectory("graft-streambench")
     val total = rate.toLong * durationS
@@ -73,26 +87,44 @@ object StreamBench {
     @volatile var storedRows = 0L
     @volatile var lastCommitMs = 0L
 
-    val q = ticks.writeStream
+    def sinkBatch(batch: DataFrame, store: DataFrame => Unit): Unit =
+      if (!batch.isEmpty) {
+        val b = batch.cache()
+        try {
+          store(b)
+          val now = System.currentTimeMillis()
+          // one tiny agg on the cached batch: oldest frame + row count
+          val r = b.agg(min(col("timestamp")).cast("double"), count(lit(1))).head()
+          latencies.synchronized { latencies += now / 1000.0 - r.getDouble(0) }
+          storedRows += r.getLong(1)
+          lastCommitMs = now
+        } finally b.unpersist()
+      }
+
+    // Micro-batches are ~5k rows: 32-wide shuffles mean 32 state-store
+    // commits + 32 tasks per trigger of mostly-empty partitions. 8 is
+    // plenty for bench volume; a real deployment sizes this to
+    // state-store throughput, not CPU count. Restored after the run.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = mode match {
+      case "upsert" => ticks.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          sinkBatch(batch, b => StockStore.upsert(b.sparkSession, root, Streaming, b,
+            Exchanges.tz("US"), collectCounts = false))
+        }
+      case "stateful" =>
+        graft.streaming.StreamIngest.statefulVersionedTrades(ticks)
+          .toDF().writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            sinkBatch(batch, _.write.mode("append").parquet(root))
+          }
+      case other => throw new IllegalArgumentException(s"unknown mode: $other")
+    }
+    val q = stream
       .option("checkpointLocation", tmp.resolve("ckpt").toString)
       .trigger(trigger)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val b = batch.cache()
-          try {
-            StockStore.upsert(b.sparkSession, root, Streaming, b,
-              Exchanges.tz("US"), collectCounts = false)
-            val now = System.currentTimeMillis()
-            // one tiny agg on the cached batch: oldest frame + row count
-            val r = b.agg(min(col("timestamp")).cast("double"), count(lit(1))).head()
-            latencies.synchronized { latencies += now / 1000.0 - r.getDouble(0) }
-            storedRows += r.getLong(1)
-            lastCommitMs = now
-          } finally b.unpersist()
-        }
-        ()
-      }
       .start()
 
     // run until every generated frame is stored (or a hard timeout —
@@ -101,6 +133,7 @@ object StreamBench {
     while (storedRows < total && System.currentTimeMillis() < deadline)
       Thread.sleep(200)
     q.stop(); q.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
 
     val lat = latencies.sorted
     def pct(p: Double): Double =
@@ -111,10 +144,11 @@ object StreamBench {
       if (lat.isEmpty) Double.NaN else lat.last, lat.length)
   }
 
-  /** Standalone entry: `run_main.sh graft.StreamBench [rate] [durationS]`. */
+  /** Standalone entry: `run_main.sh graft.StreamBench [rate] [durationS] [mode]`. */
   def main(args: Array[String]): Unit = {
     val rate = if (args.length > 0) args(0).toInt else 5000
     val durationS = if (args.length > 1) args(1).toInt else 12
+    val mode = if (args.length > 2) args(2) else "upsert"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -123,8 +157,8 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = run(spark, rate, durationS)
-    println(f"""{"metric":"stream_ingest","rows":${r.rows},"wall_s":${r.wallS}%.2f,"rows_per_s":${r.rowsPerS}%.0f,"p50_latency_s":${r.p50S}%.2f,"p95_latency_s":${r.p95S}%.2f,"max_latency_s":${r.maxS}%.2f,"batches":${r.batches}}""")
+    val r = run(spark, rate, durationS, mode)
+    println(f"""{"metric":"stream_ingest","mode":"$mode","rows":${r.rows},"wall_s":${r.wallS}%.2f,"rows_per_s":${r.rowsPerS}%.0f,"p50_latency_s":${r.p50S}%.2f,"p95_latency_s":${r.p95S}%.2f,"max_latency_s":${r.maxS}%.2f,"batches":${r.batches}}""")
     spark.stop()
   }
 }

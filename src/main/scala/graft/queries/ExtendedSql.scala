@@ -749,6 +749,11 @@ object ExtendedSql {
     // replaces it when groups stop fitting a sort), then a broadcast
     // join of a GROUP-sized bounds table against the fact scan.
     GraftQuery(
+      // Exact-index bounds share e6's scale caveat: the per-group window
+      // sort parallelizes only across groups (3 return flags), so wall
+      // time grows ~n log n per group — the exact-audit form. At 100 TB
+      // the bounds come from approx_percentile (or a distinct-value
+      // cumulative-count pass); the clamp/aggregate stages are flat.
       "e21_winsorize",
       (s, dir) => {
         import s.implicits._

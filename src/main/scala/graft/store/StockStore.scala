@@ -168,11 +168,44 @@ object StockStore {
     val deduped = dedupObs.map(o => dedupedRaw.observe(o, count(lit(1)).as("n")))
       .getOrElse(dedupedRaw).cache()
 
+    // T7 partition geometry, needed both for the pruned read-back below
+    // and for the output layout stamping further down.
+    val eventTs = dt match {
+      case HistoricalInterday => col(dt.tsCol).cast("timestamp")
+      case _ => col(dt.tsCol)
+    }
+    val (py, pmo, pda) = TimeFunctions.localCalendarParts(eventTs, exchangeTz)
+    val partCols = dt match {
+      case HistoricalInterday => Seq("ticker", "y")
+      case HistoricalIntraday => Seq("ticker", "y", "m")
+      case Streaming => Seq("ticker", "y", "m", "d")
+    }
+
     // Existing rows for just the touched index keys (left-semi keeps the
-    // probe proportional to the batch; partition pruning on ticker
-    // applies before the join at scale).
-    val existingRaw = readOrEmpty(spark, root, dt,
+    // probe proportional to the batch). The SCAN is additionally pruned
+    // to the batch's own partition tuples: an index key's store rows can
+    // only live in the partition its event time maps to (same local-
+    // calendar stamping both sides), so reading any other partition is
+    // pure waste — and for a streaming sink the read-back would
+    // otherwise grow with STORE size, not batch size, putting every
+    // micro-batch's latency on an upward ramp. The tuple collect is one
+    // tiny driver action against the cached batch (bounded by
+    // tickers × calendar units touched); batches touching more than 4096
+    // partitions (a full-history backfill) skip pruning and scan as
+    // before.
+    val touched = deduped
+      .select(col("ticker"), py.as("y"), pmo.as("m"), pda.as("d"))
+      .select(partCols.map(col): _*).distinct().limit(4097).collect()
+    val partitionPrune: Option[Column] =
+      if (touched.length > 4096 || touched.isEmpty) None
+      else Some(concat_ws("", partCols.map(c => col(c).cast("string")): _*)
+        .isin(touched.map(r => partCols.indices.map(i => String.valueOf(r.get(i)))
+          .mkString("")): _*))
+    val existingRaw0 = readOrEmpty(spark, root, dt,
       deduped.withColumn("version", lit(1)).schema)
+    val existingRaw = partitionPrune
+      .filter(_ => existingRaw0.columns.contains(partCols.last))
+      .map(existingRaw0.where).getOrElse(existingRaw0)
     // align to this batch's payload set: a column the store has never
     // seen reads as null on the existing side (null-backfill), and a
     // stored dynamic column absent from this batch is simply not compared
@@ -216,17 +249,8 @@ object StockStore {
       .getOrElse(versionedRaw)
 
     // T7: exchange-local calendar partition columns from event time
-    val eventTs = dt match {
-      case HistoricalInterday => col(dt.tsCol).cast("timestamp")
-      case _ => col(dt.tsCol)
-    }
-    val (y, m, d) = TimeFunctions.localCalendarParts(eventTs, exchangeTz)
-    val partCols = dt match {
-      case HistoricalInterday => Seq("ticker", "y")
-      case HistoricalIntraday => Seq("ticker", "y", "m")
-      case Streaming => Seq("ticker", "y", "m", "d")
-    }
-    val out = versioned.withColumn("y", y).withColumn("m", m).withColumn("d", d)
+    // (eventTs/partCols defined with the pruned read-back above)
+    val out = versioned.withColumn("y", py).withColumn("m", pmo).withColumn("d", pda)
       .select((idxCols ++ payloadCols ++ Seq("version") ++ partCols.drop(1)).distinct.map(col): _*)
 
     // ALL stats counts must run before the data append below: the append
