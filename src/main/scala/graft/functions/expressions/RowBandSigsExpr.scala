@@ -90,7 +90,13 @@ object GraftMinHash {
     val n = toks.numElements()
     val mins = Array.fill(nPerms)(Long.MaxValue)
 
-    def feed(shingle: UTF8String): Unit = {
+    // Exact-dedup repeated shingles before hashing (byte-equality set,
+    // murmur bucket hash): min is unaffected by multiplicity, so this is
+    // free semantically, and repetitive documents skip the md5 — the
+    // expensive step — for every repeated window. Mirrors the staged
+    // form's array_distinct.
+    val seen = new java.util.HashSet[UTF8String]()
+    def feed(shingle: UTF8String): Unit = if (seen.add(shingle)) {
       val h = GraftHash.md5Prefix60(shingle) % P
       var i = 0
       while (i < nPerms) {
