@@ -128,8 +128,10 @@ object StreamBench {
       .start()
 
     // run until every generated frame is stored (or a hard timeout —
-    // 6x nominal duration means the pipeline fell hopelessly behind)
-    val deadline = System.currentTimeMillis() + durationS * 6000L
+    // 6x nominal duration plus a fixed 60 s means the pipeline fell
+    // hopelessly behind; the fixed headroom covers first-run codegen /
+    // state-store warm-up, which at short durations dwarfs the run)
+    val deadline = System.currentTimeMillis() + durationS * 6000L + 60000L
     while (storedRows < total && System.currentTimeMillis() < deadline)
       Thread.sleep(200)
     q.stop(); q.awaitTermination()
