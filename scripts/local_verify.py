@@ -74,9 +74,7 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
-def main() -> int:
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+def connect(sf_dir: str):
     con = duckdb.connect()
     # The v-family oracles are deliberately all-pairs (the oracle states
     # the SEMANTICS; our engine, not the oracle, carries the scale
@@ -100,6 +98,12 @@ def main() -> int:
     con.execute("SET temp_directory='/tmp/duckdb_verify_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def main() -> int:
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
@@ -107,7 +111,16 @@ def main() -> int:
             continue
         try:
             got = canon(pd.read_parquet(f"{out_dir}/{name}"))
-            exp = canon(con.sql(sql).df())
+            # Fresh connection per query: DuckDB holds allocator state
+            # across queries in one connection, and a heavyweight oracle
+            # late in the alphabet then dies with a spurious
+            # "Out of Memory Error" that isolation never reproduces
+            # (observed: v13 flaking only in full-gate runs at sf0.1).
+            con = connect(sf_dir)
+            try:
+                exp = canon(con.sql(sql).df())
+            finally:
+                con.close()
         except Exception as e:
             print(f"FAIL {name}: load error: {e}")
             n_fail += 1

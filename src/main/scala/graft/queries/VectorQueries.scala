@@ -136,7 +136,7 @@ object VectorQueries {
           SELECT vec_id, g, SUM(v * w.w ORDER BY e.d) AS proj
           FROM e JOIN w ON e.d = w.d
           GROUP BY vec_id, g),
-        buckets AS (
+        buckets AS MATERIALIZED (
           SELECT vec_id, CAST(FLOOR(g / 8) AS INT) AS tbl,
             CAST(SUM(CASE WHEN proj > 0 THEN (1 << (g % 8)) ELSE 0 END) AS INT) AS bucket
           FROM proj GROUP BY vec_id, tbl)
@@ -813,7 +813,7 @@ object VectorQueries {
           SELECT vec_id, g, SUM(v * w.w ORDER BY e.d) AS proj
           FROM e JOIN w ON e.d = w.d
           GROUP BY vec_id, g),
-        buckets AS (
+        buckets AS MATERIALIZED (
           SELECT vec_id, CAST(FLOOR(g / 8) AS INT) AS tbl,
             CAST(SUM(CASE WHEN proj > 0 THEN (1 << (g % 8)) ELSE 0 END) AS INT) AS bucket
           FROM proj GROUP BY vec_id, tbl),
@@ -828,7 +828,7 @@ object VectorQueries {
           FROM pairs p
           JOIN embeddings x ON x.vec_id = p.a
           JOIN embeddings y ON y.vec_id = p.b),
-        knn AS (
+        knn AS MATERIALIZED (
           SELECT a, b, rank FROM (
             SELECT a, b,
               row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rank
