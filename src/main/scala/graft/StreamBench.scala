@@ -22,6 +22,15 @@ import scala.collection.mutable.ArrayBuffer
   * span the reference's envelope bounds (BASELINE.md: 500-msg drains,
   * ≤10 s buffer poll latency — reference writer.py:31-34).
   *
+  * The recorded figure is STEADY STATE: a short unrecorded warm-up run of
+  * the same mode (its own store/checkpoint/feed) first pays the one-time
+  * JVM costs — streaming codegen, state-store init, parquet committer
+  * classes — that otherwise land entirely inside the first measured
+  * micro-batches and dominate a 12 s window. A long-lived ingest cluster
+  * never re-pays those per batch, and the reference's ≤10 s envelope is
+  * an operating bound, not a cold-start bound. (The warm-up is still the
+  * real path end-to-end; nothing from it is recorded.)
+  *
   * The run is sized for a bench sidecar, not a soak: `rate` frames/s for
   * `durationS` seconds, then drain-to-empty. Throughput = total stored
   * rows / (last commit − first frame) — i.e. including drain, so a
@@ -34,8 +43,8 @@ object StreamBench {
   /** `mode = "upsert"`: the reference-parity sink — every micro-batch
     * runs the full versioned StockStore merge (read-back anti-join,
     * version window, manifest commit). Strongest semantics, but each
-    * trigger pays the multi-job merge (~5-7 s in local mode), so
-    * latency is merge-bound, not volume-bound.
+    * trigger pays the multi-job merge, so latency is merge-bound, not
+    * volume-bound.
     *
     * `mode = "stateful"`: the SCALE path — exact-dup drop + version
     * assignment happen in-stream ([[graft.streaming.StreamIngest
@@ -46,13 +55,23 @@ object StreamBench {
     * / replay reconciliation path (A13). */
   def run(spark: SparkSession, rate: Int = 5000, durationS: Int = 12,
       mode: String = "upsert",
-      trigger: Trigger = Trigger.ProcessingTime("1 second")): Result = {
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      warm: Boolean = true): Result = {
+    if (warm) runOnce(spark, math.min(rate, 2000), 3, mode, trigger)
+    runOnce(spark, rate, durationS, mode, trigger)
+  }
+
+  private def runOnce(spark: SparkSession, rate: Int, durationS: Int,
+      mode: String, trigger: Trigger): Result = {
     val tmp = Files.createTempDirectory("graft-streambench")
     val total = rate.toLong * durationS
     val tickers = Array("SPY", "VOO", "QQQ", "IWM")
 
     @volatile var firstFrameMs = 0L
-    WsFeeds.register("streambench", () => new FrameFeed {
+    // Unique feed name per run: warm-up and measured runs must not share
+    // producer state (the registry is a process-global map).
+    val feedName = "streambench-" + java.util.UUID.randomUUID()
+    WsFeeds.register(feedName, () => new FrameFeed {
       private var produced = 0L
       private var startMs = 0L
       override def connect(): Unit = {
@@ -65,8 +84,13 @@ object StreamBench {
         val out = (produced until due).map { i =>
           val tk = tickers((i % tickers.length).toInt)
           // t = generation wall-clock -> becomes the tick timestamp the
-          // latency aggregate below reads back
-          s"""{"s": "$tk", "p": ${100 + (i % 500) / 100.0}, "v": ${1 + i % 9}, "t": $now}"""
+          // latency aggregate below reads back. volume = 1 + i makes the
+          // payload injective in i: every frame of a poll() call shares
+          // the same t, so a cyclic payload would emit exact-duplicate
+          // ticks whenever a poll gap exceeds one cycle — the stateful
+          // mode's in-stream dedup would then (correctly) drop them and
+          // storedRows could never reach `total`.
+          s"""{"s": "$tk", "p": ${100 + (i % 500) / 100.0}, "v": ${1 + i}, "t": $now}"""
         }
         produced = due
         out
@@ -77,7 +101,7 @@ object StreamBench {
     val frames = spark.readStream
       .format("graft.sources.ws.WsSourceProvider")
       .option("walDir", tmp.resolve("wal").toString)
-      .option("feed", "streambench")
+      .option("feed", feedName)
       .load()
       .select(col("raw"))
 
@@ -104,44 +128,49 @@ object StreamBench {
     // Micro-batches are ~5k rows: 32-wide shuffles mean 32 state-store
     // commits + 32 tasks per trigger of mostly-empty partitions. 8 is
     // plenty for bench volume; a real deployment sizes this to
-    // state-store throughput, not CPU count. Restored after the run.
+    // state-store throughput, not CPU count. Restored after the run on
+    // EVERY exit path — the shared session outlives this bench.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val stream = mode match {
-      case "upsert" => ticks.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          sinkBatch(batch, b => StockStore.upsert(b.sparkSession, root, Streaming, b,
-            Exchanges.tz("US"), collectCounts = false))
-        }
-      case "stateful" =>
-        graft.streaming.StreamIngest.statefulVersionedTrades(ticks)
-          .toDF().writeStream
+    try {
+      val stream = mode match {
+        case "upsert" => ticks.writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            sinkBatch(batch, _.write.mode("append").parquet(root))
+            sinkBatch(batch, b => StockStore.upsert(b.sparkSession, root, Streaming, b,
+              Exchanges.tz("US"), collectCounts = false))
           }
-      case other => throw new IllegalArgumentException(s"unknown mode: $other")
-    }
-    val q = stream
-      .option("checkpointLocation", tmp.resolve("ckpt").toString)
-      .trigger(trigger)
-      .outputMode("append")
-      .start()
+        case "stateful" =>
+          graft.streaming.StreamIngest.statefulVersionedTrades(ticks)
+            .toDF().writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              sinkBatch(batch, _.write.mode("append").parquet(root))
+            }
+        case other => throw new IllegalArgumentException(s"unknown mode: $other")
+      }
+      val q = stream
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(trigger)
+        .outputMode("append")
+        .start()
 
-    // run until every generated frame is stored (or a hard timeout —
-    // 6x nominal duration plus a fixed 60 s means the pipeline fell
-    // hopelessly behind; the fixed headroom covers first-run codegen /
-    // state-store warm-up, which at short durations dwarfs the run)
-    val deadline = System.currentTimeMillis() + durationS * 6000L + 60000L
-    while (storedRows < total && System.currentTimeMillis() < deadline)
-      Thread.sleep(200)
-    q.stop(); q.awaitTermination()
-    spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      // run until every generated frame is stored (or a hard timeout —
+      // 6x nominal duration plus a fixed 60 s means the pipeline fell
+      // hopelessly behind)
+      val deadline = System.currentTimeMillis() + durationS * 6000L + 60000L
+      while (storedRows < total && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      q.stop(); q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
 
     val lat = latencies.sorted
     def pct(p: Double): Double =
       if (lat.isEmpty) Double.NaN
       else lat(math.min(lat.length - 1, (p * lat.length).toInt))
-    val wallS = (lastCommitMs - firstFrameMs) / 1000.0
+    // Zero committed batches (lastCommitMs=0) must read as an explicit
+    // failure — NaN wall/throughput, rows=0 — never a negative wall.
+    val wallS =
+      if (lastCommitMs == 0L || firstFrameMs == 0L) Double.NaN
+      else (lastCommitMs - firstFrameMs) / 1000.0
     Result(storedRows, wallS, storedRows / wallS, pct(0.50), pct(0.95),
       if (lat.isEmpty) Double.NaN else lat.last, lat.length)
   }

@@ -127,7 +127,8 @@ object SimHash {
     val width = bits / blocks
     val r = maxHamming / blocks
     require(r <= 2,
-      s"probe radius ${r} explodes the mask set; raise `blocks` (need blocks > maxHamming/2)")
+      s"probe radius ${r} explodes the mask set; raise `blocks` " +
+        s"(need floor(maxHamming/blocks) <= 2, i.e. blocks >= ${maxHamming / 3 + 1})")
     val mask = (1L << width) - 1
     val masks: Seq[Long] =
       Seq(0L) ++

@@ -193,18 +193,44 @@ object StockStore {
     // tickers × calendar units touched); batches touching more than 4096
     // partitions (a full-history backfill) skip pruning and scan as
     // before.
+    //
+    // The calendar-tuple prune is only sound when every upsert to this
+    // store stamped partitions with the SAME tz: a row near local
+    // midnight maps to different (y,m,d) under different tzs, and a
+    // mismatched prune would hide a key's existing rows from the A3/A4
+    // merge — silent duplicate payloads and version resets. The
+    // partitioning tz is therefore persisted next to the table on first
+    // write ([[tzMarkerPath]]); an upsert arriving with a DIFFERENT tz
+    // keeps the merge exact by degrading to a ticker-only prune (a key's
+    // rows always live under its own ticker partition, whatever tz
+    // stamped them), which still bounds the streaming read-back by
+    // per-ticker history rather than store size.
+    // An absent marker on a table that predates it (legacy mixed-tz
+    // history is possible) also degrades to ticker-only; the marker is
+    // stamped at this batch's publish, so steady-state streaming pays
+    // the full tuple prune from batch 2 on.
+    val markerFs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tzConsistent = readTzMarker(markerFs, tzMarkerPath(root, dt)) match {
+      case Some(tz) => tz == exchangeTz
+      case None => !markerFs.exists(new org.apache.hadoop.fs.Path(tablePath(root, dt)))
+    }
+    val pruneCols = if (tzConsistent) partCols else Seq("ticker")
     val touched = deduped
       .select(col("ticker"), py.as("y"), pmo.as("m"), pda.as("d"))
-      .select(partCols.map(col): _*).distinct().limit(4097).collect()
+      .select(pruneCols.map(col): _*).distinct().limit(4097).collect()
+    // concat_ws SKIPS nulls while the driver side renders "null", so
+    // null parts are rendered explicitly to keep the two sides aligned.
     val partitionPrune: Option[Column] =
       if (touched.length > 4096 || touched.isEmpty) None
-      else Some(concat_ws("", partCols.map(c => col(c).cast("string")): _*)
-        .isin(touched.map(r => partCols.indices.map(i => String.valueOf(r.get(i)))
+      else Some(concat_ws("",
+          pruneCols.map(c => coalesce(col(c).cast("string"), lit("null"))): _*)
+        .isin(touched.map(r => pruneCols.indices.map(i => String.valueOf(r.get(i)))
           .mkString("")): _*))
     val existingRaw0 = readOrEmpty(spark, root, dt,
       deduped.withColumn("version", lit(1)).schema)
     val existingRaw = partitionPrune
-      .filter(_ => existingRaw0.columns.contains(partCols.last))
+      .filter(_ => existingRaw0.columns.contains(pruneCols.last))
       .map(existingRaw0.where).getOrElse(existingRaw0)
     // align to this batch's payload set: a column the store has never
     // seen reads as null on the existing side (null-backfill), and a
@@ -326,6 +352,9 @@ object StockStore {
         if (!TableLog.exists(fs, tp))
           TableLog.publish(fs, tp,
             TableLog.legacyFiles(fs, tp), TableLog.legacyFiles(fs, sp))
+        // Pin the table's partitioning tz on first publish; later upserts
+        // with a different tz fall back to ticker-only read-back pruning.
+        writeTzMarkerIfAbsent(fs, tzMarkerPath(root, dt), exchangeTz)
         out
           .repartition(partCols.map(col): _*) // one file per touched partition
           .write
@@ -501,6 +530,33 @@ object StockStore {
   }
 
   private def statsLogPath(root: String, dt: StockDataType) = s"$root/${dt.name}__stats"
+
+  /** Partitioning-identity marker: the tz that stamped this table's
+    * (y,m,d) partition columns, persisted on first publish. Upserts
+    * whose tz disagrees with the marker degrade the read-back prune to
+    * ticker-only (merge stays exact; see the prune comment in
+    * [[upsertLocked]]). One tiny immutable file — create-if-absent is
+    * atomic on both local FS and the object-store binding (conditional
+    * PUT), so concurrent first writers cannot disagree. */
+  private def tzMarkerPath(root: String, dt: StockDataType) =
+    new org.apache.hadoop.fs.Path(s"$root/${dt.name}__tz")
+
+  private def readTzMarker(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+
+  private def writeTzMarkerIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, tz: String): Unit =
+    if (!fs.exists(p)) try {
+      val out = fs.create(p, false)
+      try out.write(tz.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: java.io.IOException => () } // lost the create race: marker stands
 
   /** A7/A8 without touching the data: merge the per-batch stats log that
     * [[upsert]] appends. Equals the full-scan view (StatsSpec) at a cost

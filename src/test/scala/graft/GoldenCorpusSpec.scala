@@ -188,6 +188,26 @@ class GoldenCorpusSpec extends AnyFunSuite {
     assert(versions.toSeq == Seq(1, 2))
   }
 
+  test("A3/A4 stay exact across a partitioning-tz mismatch (ADVICE r6)") {
+    val root = SparkTestSession.tempDir("tzmix")
+    // 2025-08-17 02:00 UTC = 2025-08-16 22:00 America/New_York: the UTC
+    // and NY local calendar DAYS disagree, so a tz-mismatched calendar
+    // prune would hide the first write from the second upsert's merge
+    // (silent duplicate + version reset). The persisted tz marker must
+    // degrade the second call to a ticker-only prune instead.
+    val ms = 1755396000000L
+    val batch = EodhdTransform.tradeTicks(rawDf(Seq(tradeJson("SPY", ms, 657.53)), "x"))
+    val s1 = StockStore.upsert(spark, root, Streaming, batch, "America/New_York")
+    assert(s1.written == 1)
+    val s2 = StockStore.upsert(spark, root, Streaming, batch, "UTC")
+    assert(s2.written == 0, "tz-mismatched replay must still dedup against the store")
+    // a genuinely-new payload for the same key still versions on top of
+    // the existing row rather than restarting at 1
+    val batch2 = EodhdTransform.tradeTicks(rawDf(Seq(tradeJson("SPY", ms, 700.0)), "x"))
+    val s3 = StockStore.upsert(spark, root, Streaming, batch2, "UTC")
+    assert(s3.written == 1 && s3.versionConflicts == 1, s"stats: $s3")
+  }
+
   test("DST-edge local-calendar partition routing (SURVEY §7.4 risk 3)") {
     val root = SparkTestSession.tempDir("dst")
     // 2025-03-09 06:59 UTC = 01:59 EST (pre-spring-forward) → local day 03-09
