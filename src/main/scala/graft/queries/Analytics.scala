@@ -247,6 +247,57 @@ object Analytics {
           COUNT(*) AS n_ticks
         FROM d GROUP BY day ORDER BY day""")),
 
+    // ── TWAP at scale: bucketed lead with boundary stitch ─────────────
+    // q8's per-day lead window sorts each day's full tick set in ONE
+    // partition — correct, but the documented exact-sort audit form. This
+    // variant computes the SAME dt (hence a bit-identical TWAP) with
+    // bounded sorts: ticks bucket into hour cells, `lead` runs per
+    // (day, bucket) — sort bound = one hour of ticks — and each bucket's
+    // LAST tick stitches to the next non-empty bucket's first tick via a
+    // bucket-level lookup (≤24 rows per day, a trivially small window)
+    // instead of a day-wide total order. dt depends only on the
+    // neighbor's timestamp, never on tie order, so the stitched dt equals
+    // the day-window dt exactly — which is why the oracle IS q8's simple
+    // window form: this is the 100 TB shape of the same query, not an
+    // approximation.
+    GraftQuery(
+      "q43_twap_bucketed",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select(date_format($"ts", "yyyy-MM-dd").as("day"),
+            tsMillis($"ts").as("tms"), $"event_id", cents($"value").as("cents"))
+          .withColumn("bkt", ($"tms" / lit(3600000L)).cast("long"))
+        val wB = Window.partitionBy($"day", $"bkt").orderBy($"tms", $"event_id")
+        // first tick per non-empty bucket, then each bucket's successor
+        val wDay = Window.partitionBy($"day").orderBy($"bkt")
+        val bNext = e.groupBy($"day", $"bkt").agg(min($"tms").as("first_tms"))
+          .withColumn("next_first", lead($"first_tms", 1).over(wDay))
+          .select($"day", $"bkt", $"next_first")
+        e.withColumn("lead_in", lead($"tms", 1).over(wB))
+          .join(bNext, Seq("day", "bkt"))
+          .withColumn("dt", coalesce($"lead_in", $"next_first") - $"tms")
+          .groupBy($"day")
+          .agg(
+            (graft.functions.AggFunctions.sumScaled128($"cents" * $"dt")
+              .cast("double") / sum($"dt").cast("double") / 100.0).as("twap"),
+            count(lit(1)).as("n_ticks"))
+          .orderBy($"day")
+      },
+      Some("""
+        WITH e AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, epoch_ms(ts) AS tms, event_id,
+            CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        d AS (
+          SELECT day, cents,
+            lead(tms) OVER (PARTITION BY day ORDER BY tms, event_id) - tms AS dt
+          FROM e)
+        SELECT day,
+          CAST(SUM(cents * dt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE) / 100.0 AS twap,
+          COUNT(*) AS n_ticks
+        FROM d GROUP BY day ORDER BY day""")),
+
     // ── Q-family: VWAP (volume-weighted average price) ─────────────────
     // TWAP's sibling with the event's size (props.k) as the weight. One
     // map-side-partial groupBy(day) — NO window, cheaper than q8 (no

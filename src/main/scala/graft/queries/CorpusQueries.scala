@@ -388,9 +388,9 @@ object CorpusQueries {
 
     // ── quality-score calibration against language-ID agreement ────────
     // Is the quality score predictive? Docs rank into deciles by
-    // score (ntile over a total order — corpus-stats query; at 100 TB
-    // the same calibration runs on a sample or via the e6 rank-index
-    // method) and each decile reports its language-ID agreement rate:
+    // score (ntile over a total order — corpus-stats query; x59 below
+    // is the 100 TB form of the same calibration, bounds from a
+    // sample) and each decile reports its language-ID agreement rate:
     // a well-calibrated score shows monotone agreement. min/max score
     // per decile bound the bucket for downstream threshold picking.
     GraftQuery(
@@ -438,6 +438,104 @@ object CorpusQueries {
           SELECT doc_id, q, CASE WHEN predicted = lang THEN 1 ELSE 0 END AS m,
             ntile(10) OVER (ORDER BY q, doc_id) AS decile
           FROM pred)
+        SELECT decile, COUNT(*) AS n,
+          CAST(SUM(m) AS BIGINT) AS n_lang_match,
+          MIN(q) AS min_q, MAX(q) AS max_q
+        FROM t GROUP BY decile ORDER BY decile""")),
+
+    // ── x43 at scale: decile calibration from sampled boundaries ──────
+    // x43's ntile is a corpus-wide total order — the exact-audit form.
+    // THIS is the promised 100 TB downgrade, in code: decile BOUNDARIES
+    // come from a 1-in-8 deterministic sample (md5 of doc_id — the same
+    // replayable-sampling idiom as x17's splits; engine-specific
+    // approx_percentile sketches would never hash-match an oracle),
+    // ranked with the e6 fixed-index trick over the sample's small sort,
+    // then every doc buckets via a broadcast 9-boundary when-chain — one
+    // scan, no global window. Deciles are approximately equal-sized (the
+    // sample's quantiles, not the corpus's); for threshold calibration
+    // that is the operative semantics. QuantileDowngradeSpec asserts the
+    // bucket populations stay within tolerance of N/10.
+    GraftQuery(
+      "x59_quality_calibration_sampled",
+      (s, dir) => {
+        import s.implicits._
+        val scored = Tables.documents(s, dir)
+          .select($"doc_id", $"lang",
+            qualityScore($"text", $"n_chars").as("q"),
+            (langId($"text") === $"lang").as("m"),
+            graft.functions.HashFunctions.md5Long(
+              concat(lit("cal:"), $"doc_id")).as("h"))
+        val wS = Window.orderBy($"q")
+        val bounds = scored.filter(pmod($"h", lit(8L)) === 0L)
+          .withColumn("rn", row_number().over(wS).cast("long"))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+          .groupBy()
+          .agg(
+            max(when($"rn" === expr("(cnt * 1) div 10"), $"q")).as("b1"),
+            (2 to 9).map(k =>
+              max(when($"rn" === expr(s"(cnt * $k) div 10"), $"q")).as(s"b$k")): _*)
+        val bucketed = scored.crossJoin(broadcast(bounds))
+          .withColumn("decile",
+            (1 to 9).foldLeft(lit(null).cast("int")) { (acc, k) =>
+              coalesce(acc, when($"q" <= col(s"b$k"), lit(k)))
+            })
+          .withColumn("decile", coalesce($"decile", lit(10)))
+        bucketed
+          .groupBy($"decile")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"m", 1L).otherwise(0L)).as("n_lang_match"),
+            min($"q").as("min_q"), max($"q").as("max_q"))
+          .orderBy($"decile")
+      },
+      Some("""
+        WITH qs AS (
+          SELECT doc_id, lang,
+            (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.5
+              + (CAST(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|it)\b')) AS DOUBLE)
+                 / (CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS DOUBLE) + 1.0)) * 0.5
+              - (CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.25
+              AS q,
+            len(regexp_extract_all(lower(text), '\b(the|and|of|is|was)\b')) AS s_en,
+            len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS s_de,
+            len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b')) AS s_fr,
+            len(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b')) AS s_es,
+            len(regexp_extract_all(lower(text), '\b(de|shi|le|zai|you)\b')) AS s_zh,
+            CAST(concat('0x', substr(md5('cal:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM documents),
+        pred AS (
+          SELECT doc_id, lang, q, h,
+            CASE
+              WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) AND greatest(s_en, s_de, s_fr, s_es, s_zh) > 0 THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) AND greatest(s_en, s_de, s_fr, s_es, s_zh) > 0 THEN 'de'
+              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) AND greatest(s_en, s_de, s_fr, s_es, s_zh) > 0 THEN 'fr'
+              WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) AND greatest(s_en, s_de, s_fr, s_es, s_zh) > 0 THEN 'es'
+              WHEN s_zh = greatest(s_en, s_de, s_fr, s_es, s_zh) AND greatest(s_en, s_de, s_fr, s_es, s_zh) > 0 THEN 'zh'
+              ELSE 'und' END AS predicted
+          FROM qs),
+        r AS (
+          SELECT q,
+            CAST(row_number() OVER (ORDER BY q) AS BIGINT) AS rn,
+            COUNT(*) OVER () AS cnt
+          FROM pred WHERE h % 8 = 0),
+        b AS (
+          SELECT
+            MAX(CASE WHEN rn = (cnt * 1) // 10 THEN q END) AS b1,
+            MAX(CASE WHEN rn = (cnt * 2) // 10 THEN q END) AS b2,
+            MAX(CASE WHEN rn = (cnt * 3) // 10 THEN q END) AS b3,
+            MAX(CASE WHEN rn = (cnt * 4) // 10 THEN q END) AS b4,
+            MAX(CASE WHEN rn = (cnt * 5) // 10 THEN q END) AS b5,
+            MAX(CASE WHEN rn = (cnt * 6) // 10 THEN q END) AS b6,
+            MAX(CASE WHEN rn = (cnt * 7) // 10 THEN q END) AS b7,
+            MAX(CASE WHEN rn = (cnt * 8) // 10 THEN q END) AS b8,
+            MAX(CASE WHEN rn = (cnt * 9) // 10 THEN q END) AS b9
+          FROM r),
+        t AS (
+          SELECT doc_id, q, CASE WHEN predicted = lang THEN 1 ELSE 0 END AS m,
+            CASE WHEN q <= b1 THEN 1 WHEN q <= b2 THEN 2 WHEN q <= b3 THEN 3
+                 WHEN q <= b4 THEN 4 WHEN q <= b5 THEN 5 WHEN q <= b6 THEN 6
+                 WHEN q <= b7 THEN 7 WHEN q <= b8 THEN 8 WHEN q <= b9 THEN 9
+                 ELSE 10 END AS decile
+          FROM pred CROSS JOIN b)
         SELECT decile, COUNT(*) AS n,
           CAST(SUM(m) AS BIGINT) AS n_lang_match,
           MIN(q) AS min_q, MAX(q) AS max_q

@@ -131,8 +131,9 @@ object ExtendedSql {
     // `value` don't matter: the value at a fixed sorted index is the
     // same under any tie order. Scale shape: the window partitions by
     // event_type (per-group sort, no global order), and at 100 TB the
-    // same statistic usually downgrades to approx_percentile — this is
-    // the exact-audit form run per partition-slice.
+    // same statistic downgrades to sampled bounds — e27 is that
+    // downgrade in code; this is the exact-audit form run per
+    // partition-slice.
     GraftQuery(
       "e6_exact_quantiles",
       (s, dir) => {
@@ -752,8 +753,8 @@ object ExtendedSql {
       // Exact-index bounds share e6's scale caveat: the per-group window
       // sort parallelizes only across groups (3 return flags), so wall
       // time grows ~n log n per group — the exact-audit form. At 100 TB
-      // the bounds come from approx_percentile (or a distinct-value
-      // cumulative-count pass); the clamp/aggregate stages are flat.
+      // the bounds come from a deterministic sample — e27 below IS
+      // that downgrade in code; the clamp/aggregate stages are flat.
       "e21_winsorize",
       (s, dir) => {
         import s.implicits._
@@ -794,6 +795,71 @@ object ExtendedSql {
             MAX(CASE WHEN rn = CAST(FLOOR((cnt - 1) * 0.95) AS BIGINT) + 1 THEN pc END) AS hi
           FROM r GROUP BY rf)
         SELECT li.rf AS rf, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN pc < lo OR pc > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+          CAST(SUM(GREATEST(LEAST(pc, hi), lo)) AS DOUBLE) / 100.0 AS winsorized_sum
+        FROM li JOIN b ON li.rf = b.rf
+        GROUP BY li.rf ORDER BY li.rf""")),
+
+    // ── winsorization at scale: bounds from a deterministic sample ─────
+    // e21's per-group exact bounds pay one window sort per group — the
+    // exact-audit form. THIS is the promised 100 TB downgrade, in code:
+    // p05/p95 come from a 1-in-16 deterministic sample (md5 of the row
+    // key — replayable on any engine, unlike engine-specific
+    // approx_percentile sketches), ranked with the same e6 index trick
+    // but over a sort 16× smaller; the clamp/aggregate stages are
+    // unchanged and flat. Sampled bounds ride along as audit columns —
+    // QuantileDowngradeSpec asserts they sit within the exact
+    // [p02,p08]/[p92,p98] value bands of the full data. The sample rate
+    // is a constant knob: at 100 TB the same plan samples 1-in-10⁴ and
+    // the bounds sort is corpus/10⁴.
+    GraftQuery(
+      "e27_winsorize_sampled",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+          .select($"l_returnflag".as("rf"), cents($"l_extendedprice").as("pc"),
+            graft.functions.HashFunctions.md5Long(
+              concat(lit("ws:"), $"l_orderkey", lit(":"), $"l_linenumber")).as("h"))
+        val w = Window.partitionBy($"rf").orderBy($"pc")
+        def at(q: Double): org.apache.spark.sql.Column =
+          (floor(($"cnt" - 1) * lit(q)) + 1).cast("long")
+        val bounds = li.filter(pmod($"h", lit(16L)) === 0L)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"rf")))
+          .groupBy($"rf")
+          .agg(
+            max(when($"rn" === at(0.05), $"pc")).as("lo"),
+            max(when($"rn" === at(0.95), $"pc")).as("hi"))
+        li.join(broadcast(bounds), "rf")
+          .select($"rf", $"lo", $"hi",
+            greatest(least($"pc", $"hi"), $"lo").as("wc"),
+            ($"pc" < $"lo" || $"pc" > $"hi").cast("long").as("clip"))
+          .groupBy($"rf")
+          .agg(count(lit(1)).as("n"),
+            max($"lo").as("lo_cents"), max($"hi").as("hi_cents"),
+            sum($"clip").as("n_clipped"),
+            (sum($"wc") / 100.0).as("winsorized_sum"))
+          .orderBy($"rf")
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_returnflag AS rf,
+            CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc,
+            CAST(concat('0x', substr(md5('ws:' || CAST(l_orderkey AS VARCHAR)
+              || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM lineitem),
+        r AS (
+          SELECT rf, pc,
+            CAST(row_number() OVER (PARTITION BY rf ORDER BY pc) AS BIGINT) AS rn,
+            COUNT(*) OVER (PARTITION BY rf) AS cnt
+          FROM li WHERE h % 16 = 0),
+        b AS (
+          SELECT rf,
+            MAX(CASE WHEN rn = CAST(FLOOR((cnt - 1) * 0.05) AS BIGINT) + 1 THEN pc END) AS lo,
+            MAX(CASE WHEN rn = CAST(FLOOR((cnt - 1) * 0.95) AS BIGINT) + 1 THEN pc END) AS hi
+          FROM r GROUP BY rf)
+        SELECT li.rf AS rf, COUNT(*) AS n,
+          MAX(lo) AS lo_cents, MAX(hi) AS hi_cents,
           CAST(SUM(CASE WHEN pc < lo OR pc > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
           CAST(SUM(GREATEST(LEAST(pc, hi), lo)) AS DOUBLE) / 100.0 AS winsorized_sum
         FROM li JOIN b ON li.rf = b.rf

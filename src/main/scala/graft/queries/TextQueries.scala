@@ -2012,7 +2012,8 @@ object TextQueries {
     // sees the full difficulty mix while within-stratum order stays
     // easy→hard. Quartile bounds are exact (the e6 rank trick — and,
     // as there, the exact global rank is the audit form: at corpus
-    // scale the bounds downgrade to approx_percentile, the strata and
+    // scale the bounds come from a sample — x60 below IS that
+    // downgrade in code — and the strata and
     // interleave below are unchanged); position = rank·4 + stratum is
     // pure integer arithmetic. The per-stratum windows bound their
     // sort partitions to corpus/4, and the position column IS the
@@ -2077,6 +2078,109 @@ object TextQueries {
         SELECT doc_id, stratum, rank_in_stratum,
           rank_in_stratum * 4 + stratum AS curriculum_pos
         FROM ranked ORDER BY doc_id""")),
+
+    // ── x46 at scale: quartile bounds from a deterministic sample ─────
+    // x46's bounds ride a corpus-wide rank — the exact-audit form. THIS
+    // is the promised 100 TB downgrade, in code: the n_chars quartile
+    // BOUNDS come from a 1-in-8 md5(doc_id) sample (replayable on any
+    // engine), ranked over the sample's small sort; stratification, the
+    // per-stratum rank windows (each bounded to ~corpus/4), and the
+    // round-robin interleave are byte-identical to x46. Strata are
+    // approximately equal-sized (the sample's quartiles) — for
+    // difficulty mixing that is the operative semantics.
+    GraftQuery(
+      "x60_curriculum_sampled",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", $"n_chars", tokenCount($"text").cast("long").as("n_toks"),
+            graft.functions.HashFunctions.md5Long(
+              concat(lit("cur:"), $"doc_id")).as("h"))
+        val wS = org.apache.spark.sql.expressions.Window.orderBy($"n_chars")
+        val bounds = docs.filter(pmod($"h", lit(8L)) === 0L)
+          .withColumn("rn", row_number().over(wS).cast("long"))
+          .withColumn("cnt", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+          .groupBy()
+          .agg(
+            max(when($"rn" === expr("(cnt * 1) div 4"), $"n_chars")).as("q1"),
+            max(when($"rn" === expr("(cnt * 2) div 4"), $"n_chars")).as("q2"),
+            max(when($"rn" === expr("(cnt * 3) div 4"), $"n_chars")).as("q3"))
+        val strat = docs.crossJoin(broadcast(bounds))
+          .withColumn("stratum",
+            when($"n_chars" <= $"q1", lit(0L))
+              .when($"n_chars" <= $"q2", lit(1L))
+              .when($"n_chars" <= $"q3", lit(2L)).otherwise(lit(3L)))
+        val wR = org.apache.spark.sql.expressions.Window
+          .partitionBy($"stratum").orderBy($"n_toks", $"doc_id")
+        strat
+          .withColumn("rank_in_stratum", row_number().over(wR).cast("long") - 1L)
+          .select($"doc_id", $"stratum", $"rank_in_stratum",
+            ($"rank_in_stratum" * 4L + $"stratum").as("curriculum_pos"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT doc_id, n_chars,
+            CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_toks,
+            CAST(concat('0x', substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM documents),
+        r AS (
+          SELECT n_chars,
+            CAST(row_number() OVER (ORDER BY n_chars) AS BIGINT) AS rn,
+            COUNT(*) OVER () AS cnt
+          FROM docs WHERE h % 8 = 0),
+        b AS (
+          SELECT
+            MAX(CASE WHEN rn = (cnt * 1) // 4 THEN n_chars END) AS q1,
+            MAX(CASE WHEN rn = (cnt * 2) // 4 THEN n_chars END) AS q2,
+            MAX(CASE WHEN rn = (cnt * 3) // 4 THEN n_chars END) AS q3
+          FROM r),
+        strat AS (
+          SELECT doc_id, n_toks,
+            CASE WHEN n_chars <= q1 THEN 0
+                 WHEN n_chars <= q2 THEN 1
+                 WHEN n_chars <= q3 THEN 2 ELSE 3 END AS stratum
+          FROM docs CROSS JOIN b),
+        ranked AS (
+          SELECT doc_id, stratum,
+            CAST(row_number() OVER (PARTITION BY stratum
+              ORDER BY n_toks, doc_id) AS BIGINT) - 1 AS rank_in_stratum
+          FROM strat)
+        SELECT doc_id, stratum, rank_in_stratum,
+          rank_in_stratum * 4 + stratum AS curriculum_pos
+        FROM ranked ORDER BY doc_id""")),
+
+    // ── x6 at scale: corpus token statistics, no per-doc total order ──
+    // x6 emits every doc's counts under a corpus-wide ORDER BY — fine as
+    // the audit form, but the 100 TB product of token accounting is the
+    // per-language aggregate: one map-side-combinable groupBy over the
+    // same per-row token kernels, output = one row per language. No
+    // window, no global sort anywhere in the plan.
+    GraftQuery(
+      "x61_token_count_stats",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"lang",
+            wsTokenCount($"text").cast("long").as("n_ws"),
+            bpeTokenCount($"text").cast("long").as("n_bpe"))
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_ws").as("sum_ws"), sum($"n_bpe").as("sum_bpe"),
+            min($"n_bpe").as("min_bpe"), max($"n_bpe").as("max_bpe"))
+          .orderBy($"lang")
+      },
+      Some("""
+        WITH t AS (
+          SELECT lang,
+            CAST(len(regexp_extract_all(text, '[^\s]+')) AS BIGINT) AS n_ws,
+            CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_ws) AS BIGINT) AS sum_ws, CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe,
+          MIN(n_bpe) AS min_bpe, MAX(n_bpe) AS max_bpe
+        FROM t GROUP BY lang ORDER BY lang""")),
 
     // ── padding-efficiency audit (why length-bucketed batching) ───────
     // The measurement that justifies x33: build 8-doc batches two ways

@@ -355,4 +355,36 @@ class PushdownSpec extends AnyFunSuite {
     val fired = after - before
     assert(fired <= 18, s"x7 build fired $fired jobs, expected <= 18")
   }
+
+  test("approx-downgrade plans: sampled bounds broadcast; no global window in the hot path") {
+    import org.apache.spark.sql.execution.SimpleMode
+    // e27/x60: the sampled bounds table must reach the clamp/stratify
+    // scan as a BROADCAST (shuffling 100 TB of facts against a 1-3 row
+    // bounds frame would be absurd); x59's when-chain rides the same
+    // shape via its crossJoin(broadcast). q43: the stitch lookup must be
+    // a key-partitioned equi plan, never a cartesian.
+    for (name <- Seq("e27_winsorize_sampled", "x60_curriculum_sampled")) {
+      val q = graft.core.Registry.allQueries.find(_.name == name).get
+      val plan = q.build(spark, "/root/testdata/sf0.001")
+        .queryExecution.explainString(SimpleMode)
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+        s"$name bounds must broadcast, plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must not shuffle-cartesian, plan:\n$plan")
+    }
+    val q43 = graft.core.Registry.allQueries.find(_.name == "q43_twap_bucketed").get
+    val p43 = q43.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(SimpleMode)
+    assert(!p43.contains("CartesianProduct") && !p43.contains("BroadcastNestedLoopJoin"),
+      s"q43 must stay equi-join shaped, plan:\n$p43")
+    // and every window it runs is (day, bkt)- or day-partitioned — a
+    // window with an EMPTY partition spec would be the global sort this
+    // query exists to avoid
+    val windows = q43.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"q43 windows must all be partitioned: ${windows.map(_.partitionSpec)}")
+  }
 }

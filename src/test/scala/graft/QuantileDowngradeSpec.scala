@@ -1,0 +1,77 @@
+package graft
+
+import graft.core.{Registry, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The approx-downgrade contract: the sampled-quantile scale forms
+  * (e27/x59/x60) must land close to their exact audit siblings
+  * (e21/x43/x46). Cross-engine value equality is the oracle gate's job;
+  * THIS spec pins approximation QUALITY — sampled bounds sit inside a
+  * quantile band of the full data, sampled buckets stay near-uniform.
+  * q43 needs no tolerance check: it is bit-exact vs q8 by construction
+  * (same oracle SQL), asserted here too as the cheapest equality.
+  */
+class QuantileDowngradeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  private def build(name: String) =
+    Registry.allQueries.find(_.name == name)
+      .getOrElse(fail(s"$name not registered")).build(spark, dir)
+
+  test("q43 bucketed TWAP equals q8's day-window TWAP exactly") {
+    val exact = build("q8_twap").collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val bucketed = build("q43_twap_bucketed").collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(bucketed.sorted.toSeq == exact.sorted.toSeq)
+  }
+
+  test("e27 sampled winsorize bounds sit inside the exact [p02,p08]/[p92,p98] bands") {
+    import spark.implicits._
+    val out = build("e27_winsorize_sampled")
+      .select($"rf", $"lo_cents", $"hi_cents").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("rf"),
+        (floor($"l_extendedprice" * 100 + 0.5)).cast("long").as("pc"))
+      .cache()
+    try out.foreach { case (rf, (lo, hi)) =>
+      val g = li.filter($"rf" === rf)
+      val n = g.count().toDouble
+      val fracBelowLo = g.filter($"pc" < lo).count() / n
+      val fracBelowHi = g.filter($"pc" <= hi).count() / n
+      assert(fracBelowLo >= 0.01 && fracBelowLo <= 0.10,
+        s"$rf: sampled p05 bound at true quantile $fracBelowLo")
+      assert(fracBelowHi >= 0.90 && fracBelowHi <= 0.99,
+        s"$rf: sampled p95 bound at true quantile $fracBelowHi")
+    } finally li.unpersist()
+  }
+
+  test("x59 sampled deciles stay near-uniform") {
+    val counts = build("x59_quality_calibration_sampled")
+      .select("n").collect().map(_.getLong(0))
+    val total = counts.sum.toDouble
+    assert(counts.length == 10)
+    counts.foreach { c =>
+      // 1-in-8 sample over ~500 docs: generous band, but a broken
+      // bucketing (all mass in one decile) fails loudly
+      assert(c / total >= 0.03 && c / total <= 0.25,
+        s"decile share ${c / total} outside [0.03, 0.25]: ${counts.toSeq}")
+    }
+  }
+
+  test("x60 sampled strata stay near-uniform and positions stay a permutation") {
+    val rows = build("x60_curriculum_sampled")
+      .select("stratum", "curriculum_pos").collect()
+    val n = rows.length.toDouble
+    val byStratum = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byStratum.keySet == Set(0L, 1L, 2L, 3L))
+    byStratum.values.foreach { c =>
+      assert(c / n >= 0.15 && c / n <= 0.35, s"stratum share ${c / n}: $byStratum")
+    }
+    // interleave invariant: positions are distinct (stratum-local ranks
+    // never collide across the *4+stratum encoding)
+    val pos = rows.map(_.getLong(1))
+    assert(pos.distinct.length == pos.length)
+  }
+}
