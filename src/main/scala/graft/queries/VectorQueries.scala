@@ -761,22 +761,34 @@ object VectorQueries {
     // ── mutual-kNN graph over LSH-bucketed candidates ─────────────────
     // The backbone structure for NN-descent, graph clustering, and
     // graph-based semantic dedup: each node's top-3 neighbors by cosine
-    // among its SRP-bucket mates (v2's 8×4 tables — candidate pairs are
-    // an equi-join on (table, bucket), never all-pairs), then an edge
-    // survives only if it is MUTUAL (a ∈ knn(b) AND b ∈ knn(a)) — the
-    // standard symmetrization that prunes hub artifacts. Pairs dedupe
-    // BEFORE the cosine (a pair can collide in several tables), the
-    // per-node rank is a WindowGroupLimit top-k, and mutuality is a
-    // self-equi-join of the k·n edge list on the reversed key — every
-    // stage is bounded by candidates, not n². Oracle replays the same
-    // bucketed semantics.
+    // among its SRP-bucket mates (candidate pairs are an equi-join on
+    // (table, bucket), never all-pairs), then an edge survives only if
+    // it is MUTUAL (a ∈ knn(b) AND b ∈ knn(a)) — the standard
+    // symmetrization that prunes hub artifacts. Pairs dedupe BEFORE the
+    // cosine (a pair can collide in several tables), the per-node rank
+    // is a WindowGroupLimit top-k, and mutuality is a self-equi-join of
+    // the k·n edge list on the reversed key — every stage is bounded by
+    // candidates, not n².
+    //
+    // GEOMETRY GROWS WITH N: a fixed plane count makes candidate volume
+    // ~n²/2^planes — quadratic once n outgrows the bucket space (the
+    // r6 sweep measured 24× wall at 10× data). Planes per table are
+    // therefore derived from the corpus count as the smallest k ≥ 8
+    // with 2^k·8 ≥ n (i.e. expected bucket occupancy ≤ 8), which holds
+    // candidate volume ~8n at every scale. Pure integer derivation — no
+    // float log2 whose last-ulp could disagree across engines — and the
+    // oracle derives the SAME k from the same COUNT(*), so both engines
+    // always run the identical geometry (the v2/v10 mirrored-derivation
+    // idiom). The count is one metadata-cheap driver action.
     GraftQuery(
       "v13_mutual_knn_graph",
       (s, dir) => {
         import s.implicits._
         val emb = Tables.embeddings(s, dir)
+        val n = emb.count()
+        val np = (8 to 24).find(k => (1L << k) * 8L >= n).getOrElse(24)
         val bucketed = emb.select($"vec_id",
-          posexplode(graft.functions.VectorFunctions.lshBuckets($"embedding", 8, 8, 64))
+          posexplode(graft.functions.VectorFunctions.lshBuckets($"embedding", 8, np, 64))
             .as(Seq("table", "bucket")))
         val pairs = bucketed.select($"table", $"bucket", $"vec_id".as("a"))
           .join(bucketed.select($"table", $"bucket", $"vec_id".as("b")),
@@ -800,10 +812,15 @@ object VectorQueries {
           .orderBy($"a", $"b")
       },
       Some("""
-        WITH w AS (
+        WITH np AS (
+          SELECT MIN(k) AS np
+          FROM (SELECT unnest(generate_series(8, 24)) AS k),
+               (SELECT COUNT(*) AS n FROM embeddings)
+          WHERE (1::BIGINT << k) * 8 >= n),
+        w AS (
           SELECT g, d,
             CAST(CAST(concat('0x', substr(md5('plane:' || g || ':' || d), 1, 15)) AS BIGINT) % 2001 - 1000 AS DOUBLE) AS w
-          FROM (SELECT unnest(generate_series(0, 63)) AS g),
+          FROM (SELECT unnest(generate_series(0, 8 * (SELECT np FROM np) - 1)) AS g),
                (SELECT unnest(generate_series(0, 63)) AS d)),
         e AS (
           SELECT vec_id, unnest(generate_series(1, len(embedding))) - 1 AS d,
@@ -814,9 +831,9 @@ object VectorQueries {
           FROM e JOIN w ON e.d = w.d
           GROUP BY vec_id, g),
         buckets AS MATERIALIZED (
-          SELECT vec_id, CAST(FLOOR(g / 8) AS INT) AS tbl,
-            CAST(SUM(CASE WHEN proj > 0 THEN (1 << (g % 8)) ELSE 0 END) AS INT) AS bucket
-          FROM proj GROUP BY vec_id, tbl),
+          SELECT vec_id, CAST(FLOOR(g / np.np) AS INT) AS tbl,
+            CAST(SUM(CASE WHEN proj > 0 THEN (1 << (g % np.np)) ELSE 0 END) AS INT) AS bucket
+          FROM proj, np GROUP BY vec_id, tbl),
         pairs AS (
           SELECT DISTINCT bx.vec_id AS a, by.vec_id AS b
           FROM buckets bx JOIN buckets by
