@@ -1,0 +1,29 @@
+package graft.multimodal
+
+/** Stored JPEG fixtures for the real-codec decode oracle (m13).
+  *
+  * JPEG is lossy, so — unlike the PNG roundtrips m11/m12 — an oracle
+  * cannot recompute decode(encode(f)) from the generator formula f. The
+  * check that IS possible: decode a FIXED byte payload and compare
+  * against its known raster. These three 16×16 grayscale images
+  * (gradient `(x*8+y*4)%256`, 4-px checkerboard 40/200, radial
+  * `min(255, hypot(x-8,y-8)*20)`) were encoded ONCE with the same
+  * `javax.imageio` JPEG writer this container ships, and their decoded
+  * grid samples recorded in the m13 oracle as literals. Any change in
+  * the decode path — band averaging, sample grid, batch plumbing —
+  * breaks the equality. The bytes are real JFIF payloads (SOI/DQT/DHT/
+  * SOS markers), so the full entropy-decode + IDCT path runs.
+  */
+object JpegFixtures {
+  /** 16×16 gray gradient, (x*8 + y*4) % 256. */
+  val gradient: String =
+    "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRofHh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/wAALCAAQABABAREA/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/9oACAEBAAA/APKdHs/u8V6Bo9n93iuf0ez+7xXoGj2f3eK//9k="
+
+  /** 16×16 checkerboard, 4-px cells, values 40/200. */
+  val checker: String =
+    "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRofHh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/wAALCAAQABABAREA/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/9oACAEBAAA/AK//ACSf/qK/2l/2w8vy/wDvrOfM9sY96P8Akk//AFFf7S/7YeX5f/fWc+Z7Yx70f8kn/wCor/aX/bDy/L/76znzPbGPej/kk/8A1Ff7S/7YeX5f/fWc+Z7Yx71//9k="
+
+  /** 16×16 radial ramp, min(255, hypot(x-8, y-8)·20). */
+  val radial: String =
+    "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRofHh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/wAALCAAQABABAREA/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/9oACAEBAAA/AJ/FXiqS1lclyMGqfhvxc91OuJCRn1o8XeG5bqRxtODVHwt4Wls5lAQgA1//2Q=="
+}

@@ -80,7 +80,7 @@ object PngCodec {
         case Some((_, _, px)) =>
           val n = px.length
           val feats = Array.tabulate(dims)(i => px((i.toLong * n / dims).toInt) / 256f)
-          DecodedMedia(id, kind, feats, "imageio/png-v1")
+          DecodedMedia(id, kind, feats, "imageio/v1")
         case None => Multimodal.stubDecodeBatch(dims)(Seq((id, kind, bytes))).head
       }
     }

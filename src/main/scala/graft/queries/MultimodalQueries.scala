@@ -445,7 +445,7 @@ object MultimodalQueries {
           .orderBy($"media_id")
       },
       Some("""
-        SELECT doc_id AS media_id, 'imageio/png-v1' AS decoder,
+        SELECT doc_id AS media_id, 'imageio/v1' AS decoder,
           CAST(SUM((doc_id * 31 + 13 * g.i) % 256) AS BIGINT) AS px_units
         FROM documents, generate_series(0, 15) AS g(i)
         GROUP BY doc_id ORDER BY media_id""")),
@@ -478,6 +478,49 @@ object MultimodalQueries {
             y -> list_transform(generate_series(0, 7),
               x -> chr(CAST((doc_id * 31 + 14 * x + 26 * y) % 95 + 32 AS INT))))),
             '')) AS content_hash
-        FROM documents ORDER BY media_id"""))
+        FROM documents ORDER BY media_id""")),
+
+    // ── REAL codec: JPEG decode from stored fixtures ──────────────────
+    // JPEG is lossy, so no oracle can recompute decode(encode(f)) from
+    // the generator formula the way m11/m12 do for PNG. What IS
+    // checkable: decoding FIXED real JFIF payloads ([[graft.multimodal
+    // .JpegFixtures]] — full entropy-decode + IDCT path, same ImageIO
+    // the codec seam uses) must reproduce their recorded rasters. The
+    // query pushes the fixture bytes through the SAME batched seam as
+    // every other modality (decodeFeatures → imageIoDecodeBatch), grid-
+    // samples the feature vector back to integer pixel units (feature
+    // k/256 ×256 is exact), and the oracle pins all 48 sampled pixels
+    // as literals recorded from the authoritative decode. Scale shape:
+    // the seam is mapPartitions-batched; three rows exercise it the
+    // same way 3 billion would partition-for-partition.
+    GraftQuery(
+      "m13_jpeg_decode_fixture",
+      (s, dir) => {
+        import s.implicits._
+        val media = Seq(
+          (1L, graft.multimodal.JpegFixtures.gradient),
+          (2L, graft.multimodal.JpegFixtures.checker),
+          (3L, graft.multimodal.JpegFixtures.radial))
+          .toDF("media_id", "b64")
+          .select($"media_id", lit("image").as("kind"), unbase64($"b64").as("bytes"))
+        Multimodal.decodeFeatures(media, dims = 16)(
+          graft.multimodal.PngCodec.imageIoDecodeBatch(16))
+          .toDF()
+          .select($"media_id", posexplode($"feature").as(Seq("i", "f")))
+          .select($"media_id", $"i", ($"f" * 256f).cast("int").as("px"))
+          .orderBy($"media_id", $"i")
+      },
+      Some("""
+        SELECT CAST(media_id AS BIGINT) AS media_id, CAST(i AS INT) AS i,
+          CAST(px AS INT) AS px
+        FROM (VALUES
+            (1,0,1),(1,1,4),(1,2,9),(1,3,13),(1,4,16),(1,5,21),(1,6,25),(1,7,28),
+            (1,8,33),(1,9,36),(1,10,41),(1,11,45),(1,12,48),(1,13,53),(1,14,57),(1,15,60),
+            (2,0,37),(2,1,49),(2,2,30),(2,3,42),(2,4,198),(2,5,210),(2,6,191),(2,7,203),
+            (2,8,37),(2,9,49),(2,10,30),(2,11,42),(2,12,198),(2,13,210),(2,14,191),(2,15,203),
+            (3,0,225),(3,1,213),(3,2,199),(3,3,188),(3,4,178),(3,5,169),(3,6,165),(3,7,165),
+            (3,8,158),(3,9,160),(3,10,164),(3,11,172),(3,12,178),(3,13,185),(3,14,197),(3,15,207)
+          ) t(media_id, i, px)
+        ORDER BY media_id, i"""))
   )
 }

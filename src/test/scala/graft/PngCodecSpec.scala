@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.{Multimodal, PngCodec}
+import graft.multimodal.{JpegFixtures, Multimodal, PngCodec}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Real javax.imageio PNG codec behind the multimodal seam: lossless
@@ -22,12 +22,32 @@ class PngCodecSpec extends AnyFunSuite {
     val png = PngCodec.encodeGray(16, 16, (x, y) => (x + y) % 256)
     val out = PngCodec.imageIoDecodeBatch(16)(Seq(
       (1L, "image", png), (2L, "audio", "not an image".getBytes)))
-    assert(out.head.decoder == "imageio/png-v1")
+    assert(out.head.decoder == "imageio/v1")
     // feature i = px(16*i)/256 = raster(0, i)/256 = i/256
     for (i <- 0 until 16) assert(out.head.feature(i) == i / 256f)
     assert(out(1).decoder == "stub/md5-v1", "non-image must fall back to the stub")
     assert(out(1).feature sameElements
       Multimodal.stubDecodeBatch(16)(Seq((2L, "audio", "not an image".getBytes))).head.feature)
+  }
+
+  test("JPEG fixtures decode through the same seam to their recorded rasters") {
+    // the m13 oracle pins these 48 grid samples as SQL literals; this
+    // spec pins the JVM side directly so a codec-path change fails in
+    // CI before the oracle gate sees it
+    val expected = Map(
+      1L -> Seq(1, 4, 9, 13, 16, 21, 25, 28, 33, 36, 41, 45, 48, 53, 57, 60),
+      2L -> Seq(37, 49, 30, 42, 198, 210, 191, 203, 37, 49, 30, 42, 198, 210, 191, 203),
+      3L -> Seq(225, 213, 199, 188, 178, 169, 165, 165, 158, 160, 164, 172, 178, 185, 197, 207))
+    val b64 = java.util.Base64.getDecoder
+    val out = PngCodec.imageIoDecodeBatch(16)(Seq(
+      (1L, "image", b64.decode(JpegFixtures.gradient)),
+      (2L, "image", b64.decode(JpegFixtures.checker)),
+      (3L, "image", b64.decode(JpegFixtures.radial))))
+    out.foreach { d =>
+      assert(d.decoder == "imageio/v1", s"fixture ${d.media_id} must hit the real codec")
+      val px = d.feature.map(f => (f * 256f).toInt).toSeq
+      assert(px == expected(d.media_id), s"fixture ${d.media_id}: $px")
+    }
   }
 
   test("imageIoResizeBatch: decoded 16x16 -> 8x8 nearest neighbor, row-major bytes") {
