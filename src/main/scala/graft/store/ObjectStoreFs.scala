@@ -16,8 +16,11 @@ import java.nio.charset.StandardCharsets
   * prefix listing, non-atomic copy+delete rename) instead of the POSIX
   * emulation in [[ManifestStore.ConditionalPutStub]].
   *
-  * Wire API (what S3/GCS/Azure all provide, minus auth/signing — an
-  * `Authorization` header seam covers unsigned or token endpoints):
+  * Wire API (what S3/GCS/Azure all provide). Auth: per-request HMAC
+  * signing (`fs.graftos.access.key`/`.secret.key` →
+  * `GRAFT-HMAC-SHA256 id:sig` over method/target/date, the SigV4 shape
+  * reduced to this API) or a static `fs.graftos.auth.header` for
+  * bearer-token endpoints; unauthenticated when neither is set:
   *   - `PUT /key` (+ `If-None-Match: *` for create-only; 412 = lost race)
   *   - `GET /key` → 200 bytes | 404
   *   - `HEAD /key` → 200 + Content-Length | 404
@@ -44,6 +47,7 @@ final class ObjectStoreFileSystem extends FileSystem {
   private var fsUri: URI = _
   private var workDir: Path = new Path("/")
   private var authHeader: Option[String] = None
+  private var signer: Option[(String, javax.crypto.spec.SecretKeySpec)] = None
 
   override def initialize(name: URI, conf: Configuration): Unit = {
     super.initialize(name, conf)
@@ -51,6 +55,16 @@ final class ObjectStoreFileSystem extends FileSystem {
     fsUri = URI.create(s"graftos://${name.getAuthority}")
     endpoint = s"http://${name.getAuthority}"
     authHeader = Option(conf.get("fs.graftos.auth.header")).filter(_.nonEmpty)
+    // HMAC request signing (fs.graftos.access.key / .secret.key): every
+    // request carries `Authorization: GRAFT-HMAC-SHA256 <id>:<hex sig>`
+    // over (method, request-target, x-graft-date) — the S3-SigV4 shape
+    // reduced to what this wire API needs. Takes precedence over the
+    // static auth.header seam (bearer-token endpoints).
+    signer = for {
+      a <- Option(conf.get("fs.graftos.access.key")).filter(_.nonEmpty)
+      s <- Option(conf.get("fs.graftos.secret.key")).filter(_.nonEmpty)
+    } yield (a, new javax.crypto.spec.SecretKeySpec(
+      s.getBytes(StandardCharsets.UTF_8), "HmacSHA256"))
   }
 
   override def getScheme: String = "graftos"
@@ -63,19 +77,33 @@ final class ObjectStoreFileSystem extends FileSystem {
     p.stripPrefix("/")
   }
 
-  private def conn(method: String, url: String): HttpURLConnection = {
-    val c = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+  /** `target` is the request-target as sent on the wire (`/key` or
+    * `/?prefix=...`) — the exact string the server verifies, so there is
+    * no canonicalization step to disagree on. */
+  private def conn(method: String, target: String): HttpURLConnection = {
+    val c = URI.create(endpoint + target).toURL.openConnection().asInstanceOf[HttpURLConnection]
     c.setRequestMethod(method)
     c.setConnectTimeout(15000)
     c.setReadTimeout(30000)
-    authHeader.foreach(c.setRequestProperty("Authorization", _))
+    signer match {
+      case Some((access, keySpec)) =>
+        val ts = System.currentTimeMillis().toString
+        val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+        mac.init(keySpec)
+        val sig = mac.doFinal(s"$method\n$target\n$ts".getBytes(StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        c.setRequestProperty("x-graft-date", ts)
+        c.setRequestProperty("Authorization", s"GRAFT-HMAC-SHA256 $access:$sig")
+      case None =>
+        authHeader.foreach(c.setRequestProperty("Authorization", _))
+    }
     c
   }
 
   /** PUT bytes at `k`; `ifNoneMatch` adds the conditional header. Returns
     * false iff the precondition failed (412 — object already exists). */
   private[store] def put(k: String, bytes: Array[Byte], ifNoneMatch: Boolean): Boolean = {
-    val c = conn("PUT", s"$endpoint/$k")
+    val c = conn("PUT", s"/$k")
     try {
       if (ifNoneMatch) c.setRequestProperty("If-None-Match", "*")
       c.setDoOutput(true)
@@ -91,7 +119,7 @@ final class ObjectStoreFileSystem extends FileSystem {
   }
 
   private def getBytes(k: String): Option[Array[Byte]] = {
-    val c = conn("GET", s"$endpoint/$k")
+    val c = conn("GET", s"/$k")
     try c.getResponseCode match {
       case 200 => Some(c.getInputStream.readAllBytes())
       case 404 => None
@@ -100,7 +128,7 @@ final class ObjectStoreFileSystem extends FileSystem {
   }
 
   private def headLen(k: String): Option[Long] = {
-    val c = conn("HEAD", s"$endpoint/$k")
+    val c = conn("HEAD", s"/$k")
     try c.getResponseCode match {
       case 200 => Some(c.getHeaderFieldLong("Content-Length", 0L))
       case 404 => None
@@ -110,7 +138,7 @@ final class ObjectStoreFileSystem extends FileSystem {
 
   /** All (key, size) under a prefix — the store's flat ListObjects. */
   private def listPrefix(prefix: String): Seq[(String, Long)] = {
-    val c = conn("GET", s"$endpoint/?prefix=${URLEncoder.encode(prefix, "UTF-8")}")
+    val c = conn("GET", s"/?prefix=${URLEncoder.encode(prefix, "UTF-8")}")
     try c.getResponseCode match {
       case 200 =>
         new String(c.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
@@ -157,7 +185,7 @@ final class ObjectStoreFileSystem extends FileSystem {
   }
 
   private def del(k: String): Boolean = {
-    val c = conn("DELETE", s"$endpoint/$k")
+    val c = conn("DELETE", s"/$k")
     try c.getResponseCode match {
       case 200 | 204 => true
       case 404 => false

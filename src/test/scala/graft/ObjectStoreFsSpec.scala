@@ -98,6 +98,66 @@ class ObjectStoreFsSpec extends AnyFunSuite {
     }
   }
 
+  private def withSignedStore(f: (FileSystem, String) => Unit): Unit = {
+    val server = new ObjectStoreServer(credentials = Map("graft-ci" -> "s3cr3t-key"))
+    try {
+      val conf = new Configuration()
+      ObjectStoreFileSystem.register(conf)
+      conf.set("fs.graftos.access.key", "graft-ci")
+      conf.set("fs.graftos.secret.key", "s3cr3t-key")
+      val root = s"graftos://${server.endpointAuthority}"
+      // newInstance: the FileSystem cache keys on (scheme, authority) and
+      // would otherwise hand a signed test an unsigned cached client
+      val fs = FileSystem.newInstance(URI.create(root + "/"), conf)
+      try f(fs, root) finally fs.close()
+    } finally server.stop()
+  }
+
+  test("HMAC auth: unsigned and wrong-secret clients get 401; nothing is stored") {
+    val server = new ObjectStoreServer(credentials = Map("graft-ci" -> "s3cr3t-key"))
+    try {
+      val root = s"graftos://${server.endpointAuthority}"
+      val confU = new Configuration(); ObjectStoreFileSystem.register(confU)
+      val fsU = FileSystem.newInstance(URI.create(root + "/"), confU)
+      intercept[java.io.IOException] { write(fsU, new Path(s"$root/t/x"), "nope") }
+      intercept[java.io.IOException] { fsU.listStatus(new Path(s"$root/t")) }
+      fsU.close()
+      val confW = new Configuration(); ObjectStoreFileSystem.register(confW)
+      confW.set("fs.graftos.access.key", "graft-ci")
+      confW.set("fs.graftos.secret.key", "wr0ng")
+      val fsW = FileSystem.newInstance(URI.create(root + "/"), confW)
+      intercept[java.io.IOException] { write(fsW, new Path(s"$root/t/x"), "nope") }
+      fsW.close()
+      assert(server.objectCount == 0, "rejected requests must not mutate the store")
+    } finally server.stop()
+  }
+
+  test("HMAC auth: signed client drives the full FS surface and the TableLog race") {
+    withSignedStore { (fs, root) =>
+      val p = new Path(s"$root/t/a.parquet")
+      write(fs, p, "hello")
+      assert(read(fs, p) == "hello")
+      assert(fs.listStatus(new Path(s"$root/t")).length == 1)
+      // conditional put still atomic under auth: create-only loses race
+      intercept[java.io.IOException] { write(fs, p, "clobber") }
+      assert(read(fs, p) == "hello")
+      // the 16-publisher manifest race, every request signed
+      val tp = new Path(s"$root/log")
+      val n = 16
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        (0 until n).map { i =>
+          pool.submit(new Runnable {
+            def run(): Unit = TableLog.publish(fs, tp, Seq(s"file-$i.parquet"), Nil,
+              store = ManifestStore.HttpConditionalPut)
+          })
+        }.foreach(_.get())
+      } finally pool.shutdown()
+      val commits = TableLog.commits(fs, tp)
+      assert(commits.size == n && commits.map(_.id).distinct.size == n)
+    }
+  }
+
   test("16 publishers race TableLog.publish over the object store: all commits survive") {
     withStore { (fs, root) =>
       val tp = new Path(s"$root/t")

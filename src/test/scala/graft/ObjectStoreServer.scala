@@ -14,7 +14,13 @@ import java.util.concurrent.{ConcurrentHashMap, Executors}
   * the store's contract — exactly one 201 per key, losers get 412 with
   * the winner's object untouched — not a client-side JVM lock.
   */
-final class ObjectStoreServer {
+final class ObjectStoreServer(
+    // Auth mode: when a (accessKey -> secret) map is given, every request
+    // must carry a valid GRAFT-HMAC-SHA256 signature over
+    // (method, request-target, x-graft-date) within the skew window —
+    // unsigned/forged/stale requests get 401 and touch nothing.
+    credentials: Map[String, String] = Map.empty,
+    maxSkewMs: Long = 300000L) {
   private val objects = new ConcurrentHashMap[String, Array[Byte]]()
   private val pool = Executors.newCachedThreadPool()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -33,7 +39,33 @@ final class ObjectStoreServer {
     ex.close()
   }
 
+  /** Server-side signature check, mirroring the client's derivation on
+    * the wire strings only — shared constants, no shared code. */
+  private def authorized(ex: HttpExchange): Boolean = {
+    if (credentials.isEmpty) return true
+    val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(return false)
+    val date = Option(ex.getRequestHeaders.getFirst("x-graft-date")).getOrElse(return false)
+    val ts = date.toLongOption.getOrElse(return false)
+    if (math.abs(System.currentTimeMillis() - ts) > maxSkewMs) return false
+    if (!auth.startsWith("GRAFT-HMAC-SHA256 ")) return false
+    val idSig = auth.stripPrefix("GRAFT-HMAC-SHA256 ").split(":", 2)
+    if (idSig.length != 2) return false
+    val secret = credentials.getOrElse(idSig(0), return false)
+    val target = ex.getRequestURI.getRawPath +
+      Option(ex.getRequestURI.getRawQuery).map("?" + _).getOrElse("")
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      secret.getBytes(StandardCharsets.UTF_8), "HmacSHA256"))
+    val expect = mac.doFinal(
+      s"${ex.getRequestMethod}\n$target\n$date".getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    // constant-time compare — a timing oracle here would leak the sig
+    java.security.MessageDigest.isEqual(
+      expect.getBytes(StandardCharsets.UTF_8), idSig(1).getBytes(StandardCharsets.UTF_8))
+  }
+
   private def handle(ex: HttpExchange): Unit = {
+    if (!authorized(ex)) { respond(ex, 401, Array.empty); return }
     val rawPath = ex.getRequestURI.getRawPath
     val k = URLDecoder.decode(rawPath.stripPrefix("/"), "UTF-8")
     val query = Option(ex.getRequestURI.getRawQuery).getOrElse("")
