@@ -217,15 +217,30 @@ object Analytics {
     // weighted sum through the 128-bit SumScaled128 aggregate (cents×ms
     // products overflow a single long at large SF), one double division
     // at the end — bit-identical across engines, shuffle-order-proof.
+    // SCALE SHAPE: the consecutive-tick dt comes from per-(day, hour)
+    // bucket lead windows stitched at bucket boundaries via a bucket-
+    // level lookup (≤24 rows/day) — sort partitions bound to one hour
+    // of ticks, never a day-wide total order. The stitch is EXACT (dt
+    // depends only on the neighbor timestamp, not tie order), so the
+    // oracle stays the simple day-window form; q43 below runs that
+    // naive window as the in-engine audit twin.
     GraftQuery(
       "q8_twap",
       (s, dir) => {
         import s.implicits._
-        val w = Window.partitionBy($"day").orderBy($"tms", $"event_id")
-        Tables.events(s, dir)
+        val e = Tables.events(s, dir)
           .select(date_format($"ts", "yyyy-MM-dd").as("day"),
             tsMillis($"ts").as("tms"), $"event_id", cents($"value").as("cents"))
-          .withColumn("dt", lead($"tms", 1).over(w) - $"tms")
+          .withColumn("bkt", ($"tms" / lit(3600000L)).cast("long"))
+        val wB = Window.partitionBy($"day", $"bkt").orderBy($"tms", $"event_id")
+        // first tick per non-empty bucket, then each bucket's successor
+        val wDay = Window.partitionBy($"day").orderBy($"bkt")
+        val bNext = e.groupBy($"day", $"bkt").agg(min($"tms").as("first_tms"))
+          .withColumn("next_first", lead($"first_tms", 1).over(wDay))
+          .select($"day", $"bkt", $"next_first")
+        e.withColumn("lead_in", lead($"tms", 1).over(wB))
+          .join(bNext, Seq("day", "bkt"))
+          .withColumn("dt", coalesce($"lead_in", $"next_first") - $"tms")
           .groupBy($"day")
           .agg(
             (graft.functions.AggFunctions.sumScaled128($"cents" * $"dt")
@@ -247,36 +262,21 @@ object Analytics {
           COUNT(*) AS n_ticks
         FROM d GROUP BY day ORDER BY day""")),
 
-    // ── TWAP at scale: bucketed lead with boundary stitch ─────────────
-    // q8's per-day lead window sorts each day's full tick set in ONE
-    // partition — correct, but the documented exact-sort audit form. This
-    // variant computes the SAME dt (hence a bit-identical TWAP) with
-    // bounded sorts: ticks bucket into hour cells, `lead` runs per
-    // (day, bucket) — sort bound = one hour of ticks — and each bucket's
-    // LAST tick stitches to the next non-empty bucket's first tick via a
-    // bucket-level lookup (≤24 rows per day, a trivially small window)
-    // instead of a day-wide total order. dt depends only on the
-    // neighbor's timestamp, never on tie order, so the stitched dt equals
-    // the day-window dt exactly — which is why the oracle IS q8's simple
-    // window form: this is the 100 TB shape of the same query, not an
-    // approximation.
+    // ── TWAP audit twin: the naive day-window form ──────────────────
+    // The same TWAP as q8 via a single per-day lead window — one sort
+    // partition per DAY, the exact-audit form q8's bucketed stitch is
+    // checked against (QuantileDowngradeSpec asserts bit-equality; both
+    // share one oracle). Kept as a registry query so the equivalence is
+    // itself driver-verified at every SF.
     GraftQuery(
-      "q43_twap_bucketed",
+      "q43_twap_window_audit",
       (s, dir) => {
         import s.implicits._
-        val e = Tables.events(s, dir)
+        val w = Window.partitionBy($"day").orderBy($"tms", $"event_id")
+        Tables.events(s, dir)
           .select(date_format($"ts", "yyyy-MM-dd").as("day"),
             tsMillis($"ts").as("tms"), $"event_id", cents($"value").as("cents"))
-          .withColumn("bkt", ($"tms" / lit(3600000L)).cast("long"))
-        val wB = Window.partitionBy($"day", $"bkt").orderBy($"tms", $"event_id")
-        // first tick per non-empty bucket, then each bucket's successor
-        val wDay = Window.partitionBy($"day").orderBy($"bkt")
-        val bNext = e.groupBy($"day", $"bkt").agg(min($"tms").as("first_tms"))
-          .withColumn("next_first", lead($"first_tms", 1).over(wDay))
-          .select($"day", $"bkt", $"next_first")
-        e.withColumn("lead_in", lead($"tms", 1).over(wB))
-          .join(bNext, Seq("day", "bkt"))
-          .withColumn("dt", coalesce($"lead_in", $"next_first") - $"tms")
+          .withColumn("dt", lead($"tms", 1).over(w) - $"tms")
           .groupBy($"day")
           .agg(
             (graft.functions.AggFunctions.sumScaled128($"cents" * $"dt")

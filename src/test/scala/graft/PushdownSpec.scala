@@ -57,17 +57,24 @@ class PushdownSpec extends AnyFunSuite {
       s"unused columns must prune from the scan, got: $readSchema")
   }
 
-  test("q8 twap: one window exchange on day, pruned scan") {
-    // the lead window and the groupBy share the day-hash partitioning, so
-    // the plan needs exactly ONE exchange before the final sort (AQE may
-    // add coalesces but not a second hash repartition on day)
+  test("q8 twap (bucketed stitch): all windows partitioned, bounded exchanges, pruned scan") {
+    // q8's lead now runs per (day, hour-bucket) with a day-level bucket
+    // stitch: every window must carry a partition spec (an empty spec
+    // would be the day-wide sort the bucketing exists to avoid), the
+    // whole plan stays within a handful of key exchanges, and the scan
+    // still prunes to the four needed columns
     val q = graft.core.Registry.allQueries.find(_.name == "q8_twap").get
-    val plan = q.build(spark, "/root/testdata/sf0.001")
-      .queryExecution.explainString(SimpleMode)
+    val df = q.build(spark, "/root/testdata/sf0.001")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"q8 windows must all be partitioned: ${windows.map(_.partitionSpec)}")
+    val plan = df.queryExecution.explainString(SimpleMode)
     val hashExchanges = plan.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning"))
-    assert(hashExchanges == 1,
-      s"window + groupBy must reuse one day-hash exchange, got $hashExchanges:\n$plan")
+    assert(hashExchanges <= 4,
+      s"bucketed twap must stay within 4 key exchanges, got $hashExchanges:\n$plan")
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!readSchema.contains("props") && !readSchema.contains("event_type"),
       s"unused columns must prune from the scan, got: $readSchema")
@@ -372,19 +379,12 @@ class PushdownSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"),
         s"$name must not shuffle-cartesian, plan:\n$plan")
     }
-    val q43 = graft.core.Registry.allQueries.find(_.name == "q43_twap_bucketed").get
-    val p43 = q43.build(spark, "/root/testdata/sf0.001")
+    // q8's bucketed stitch must stay an equi plan (its window pins live
+    // in the dedicated q8 test above)
+    val q8 = graft.core.Registry.allQueries.find(_.name == "q8_twap").get
+    val p8 = q8.build(spark, "/root/testdata/sf0.001")
       .queryExecution.explainString(SimpleMode)
-    assert(!p43.contains("CartesianProduct") && !p43.contains("BroadcastNestedLoopJoin"),
-      s"q43 must stay equi-join shaped, plan:\n$p43")
-    // and every window it runs is (day, bkt)- or day-partitioned — a
-    // window with an EMPTY partition spec would be the global sort this
-    // query exists to avoid
-    val windows = q43.build(spark, "/root/testdata/sf0.001")
-      .queryExecution.optimizedPlan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
-      }
-    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
-      s"q43 windows must all be partitioned: ${windows.map(_.partitionSpec)}")
+    assert(!p8.contains("CartesianProduct") && !p8.contains("BroadcastNestedLoopJoin"),
+      s"q8 must stay equi-join shaped, plan:\n$p8")
   }
 }

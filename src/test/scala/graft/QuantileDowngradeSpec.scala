@@ -9,8 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * (e21/x43/x46). Cross-engine value equality is the oracle gate's job;
   * THIS spec pins approximation QUALITY — sampled bounds sit inside a
   * quantile band of the full data, sampled buckets stay near-uniform.
-  * q43 needs no tolerance check: it is bit-exact vs q8 by construction
-  * (same oracle SQL), asserted here too as the cheapest equality.
+  * q8's bucketed stitch needs no tolerance: it is bit-exact vs the q43
+  * day-window audit by construction (same oracle SQL), asserted here.
   */
 class QuantileDowngradeSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -20,10 +20,10 @@ class QuantileDowngradeSpec extends AnyFunSuite {
     Registry.allQueries.find(_.name == name)
       .getOrElse(fail(s"$name not registered")).build(spark, dir)
 
-  test("q43 bucketed TWAP equals q8's day-window TWAP exactly") {
+  test("q8 bucketed TWAP equals the q43 day-window audit exactly") {
     val exact = build("q8_twap").collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
-    val bucketed = build("q43_twap_bucketed").collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
-    assert(bucketed.sorted.toSeq == exact.sorted.toSeq)
+    val audit = build("q43_twap_window_audit").collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(audit.sorted.toSeq == exact.sorted.toSeq)
   }
 
   test("e27 sampled winsorize bounds sit inside the exact [p02,p08]/[p92,p98] bands") {
