@@ -1,0 +1,112 @@
+package graft.multimodal
+
+import graft.multimodal.Multimodal.DecodedMedia
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** REAL audio codec for the [[Multimodal]] decode seam — RIFF/WAVE
+  * PCM-16, parsed directly (the container is a public, fully-specified
+  * byte layout; no native deps), so real audio bytes flow through the
+  * SAME partition-batched plumbing as the image codecs. PCM is
+  * lossless: an encode→decode roundtrip preserves every sample exactly,
+  * which is what makes the m14 oracle possible (the oracle recomputes
+  * the decoded samples analytically from the generator formula — any
+  * parser bug breaks the equality).
+  *
+  * Non-WAV payloads fall back to the deterministic stub, mirroring the
+  * image path's "decode what you can, fingerprint the rest".
+  */
+object WavCodec {
+
+  /** Encode 16-bit mono PCM as a canonical 44-byte-header WAVE payload. */
+  def encodePcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                 // PCM
+      .putShort(1)                 // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)      // byte rate
+      .putShort(2)                 // block align
+      .putShort(16)                // bits/sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Decode a RIFF/WAVE payload to (sampleRate, samples). PCM-16 only;
+    * multi-channel frames average their channels (the audio analog of
+    * the image codec's band averaging). None for anything that is not a
+    * well-formed PCM-16 WAV — the caller falls back to the stub. Chunk
+    * walk, not fixed offsets: real-world WAVs carry LIST/fact chunks
+    * before data. */
+  def decodePcm16(bytes: Array[Byte]): Option[(Int, Array[Int])] =
+    try {
+      if (bytes.length < 44) return None
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def tag4(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+      }
+      if (tag4() != "RIFF") return None
+      buf.getInt // riff size (trust the buffer bound instead)
+      if (tag4() != "WAVE") return None
+      var sampleRate = -1
+      var channels = -1
+      var bits = -1
+      var data: Array[Byte] = null
+      while (buf.remaining() >= 8 && data == null) {
+        val id = tag4()
+        val len = buf.getInt
+        if (len < 0 || len > buf.remaining()) return None
+        id match {
+          case "fmt " =>
+            val fmtEnd = buf.position() + len
+            val audioFormat = buf.getShort
+            channels = buf.getShort.toInt
+            sampleRate = buf.getInt
+            buf.getInt; buf.getShort // byte rate, block align
+            bits = buf.getShort.toInt
+            if (audioFormat != 1) return None // PCM only
+            buf.position(fmtEnd + (len & 1))
+          case "data" =>
+            data = new Array[Byte](len)
+            buf.get(data)
+          case _ =>
+            buf.position(buf.position() + len + (len & 1)) // skip + pad
+        }
+      }
+      if (sampleRate <= 0 || channels <= 0 || bits != 16 || data == null) return None
+      val d = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+      val frames = data.length / (2 * channels)
+      val out = new Array[Int](frames)
+      var i = 0
+      while (i < frames) {
+        var s = 0
+        var c = 0
+        while (c < channels) { s += d.getShort.toInt; c += 1 }
+        out(i) = s / channels
+        i += 1
+      }
+      Some((sampleRate, out))
+    } catch { case _: Exception => None }
+
+  /** Batch decoder for [[Multimodal.decodeFeatures]]: real samples when
+    * the payload parses as PCM-16 WAV, stub fallback otherwise. Feature
+    * i grid-samples the stream at ⌊i·n/dims⌋ and normalizes by 2¹⁵ —
+    * sample/32768 is exact in a float, so the oracle can multiply back
+    * to the integer sample. */
+  def wavDecodeBatch(dims: Int)(
+      batch: Seq[(Long, String, Array[Byte])]): Seq[DecodedMedia] =
+    batch.map { case (id, kind, bytes) =>
+      decodePcm16(bytes) match {
+        case Some((_, samples)) if samples.nonEmpty =>
+          val n = samples.length
+          val feats = Array.tabulate(dims)(i =>
+            samples((i.toLong * n / dims).toInt) / 32768f)
+          DecodedMedia(id, kind, feats, "wav/pcm16-v1")
+        case _ => Multimodal.stubDecodeBatch(dims)(Seq((id, kind, bytes))).head
+      }
+    }
+}

@@ -521,6 +521,39 @@ object MultimodalQueries {
             (3,0,225),(3,1,213),(3,2,199),(3,3,188),(3,4,178),(3,5,169),(3,6,165),(3,7,165),
             (3,8,158),(3,9,160),(3,10,164),(3,11,172),(3,12,178),(3,13,185),(3,14,197),(3,15,207)
           ) t(media_id, i, px)
-        ORDER BY media_id, i"""))
+        ORDER BY media_id, i""")),
+
+    // ── REAL codec: RIFF/WAVE PCM-16 decode roundtrip ─────────────────
+    // The audio analog of m11: PCM is lossless, so encode→decode through
+    // the real container parser ([[graft.multimodal.WavCodec]] — chunk
+    // walk, little-endian frames, channel averaging) preserves every
+    // sample, and the oracle recomputes the decoded grid samples
+    // analytically from the generator formula. One 256-sample clip per
+    // document rides the SAME batched seam as the image codecs; feature
+    // k = sample(16k)/2¹⁵ is exact in a float, so ×2¹⁵ roundtrips to the
+    // integer amplitude the SQL sums.
+    GraftQuery(
+      "m14_wav_decode_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).select($"doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val samples = Array.tabulate(256)(t =>
+              (((id * 31 + t * 7) % 65536) - 32768).toShort)
+            (id, "audio", graft.multimodal.WavCodec.encodePcm16(8000, samples))
+          }).toDF("media_id", "kind", "bytes")
+        Multimodal.decodeFeatures(media, dims = 16)(
+          graft.multimodal.WavCodec.wavDecodeBatch(16))
+          .toDF()
+          .select($"media_id", $"decoder",
+            aggregate($"feature", lit(0L),
+              (a, x) => a + (x * 32768f).cast("long")).as("amp_units"))
+          .orderBy($"media_id")
+      },
+      Some("""
+        SELECT doc_id AS media_id, 'wav/pcm16-v1' AS decoder,
+          CAST(SUM((doc_id * 31 + 112 * g.i) % 65536 - 32768) AS BIGINT) AS amp_units
+        FROM documents, generate_series(0, 15) AS g(i)
+        GROUP BY doc_id ORDER BY media_id"""))
   )
 }

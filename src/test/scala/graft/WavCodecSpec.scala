@@ -1,0 +1,71 @@
+package graft
+
+import graft.multimodal.{Multimodal, WavCodec}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Real RIFF/WAVE PCM-16 codec behind the multimodal seam: lossless
+  * roundtrip, chunk-walk robustness, channel averaging, stub fallback. */
+class WavCodecSpec extends AnyFunSuite {
+
+  test("PCM-16 encode -> decode roundtrips every sample exactly (lossless)") {
+    val samples = Array.tabulate(300)(t => (((t * 7919) % 65536) - 32768).toShort)
+    val bytes = WavCodec.encodePcm16(44100, samples)
+    val Some((rate, out)) = WavCodec.decodePcm16(bytes)
+    assert(rate == 44100 && out.length == 300)
+    assert(out.toSeq == samples.map(_.toInt).toSeq)
+  }
+
+  test("chunk walk skips unknown chunks before data (real-world WAV layout)") {
+    val samples = Array.tabulate(32)(t => (t * 100).toShort)
+    val plain = WavCodec.encodePcm16(8000, samples)
+    // splice a LIST chunk (odd length -> exercises the pad byte) between
+    // fmt and data
+    val listBody = "INFOIART".getBytes("US-ASCII") :+ 0x58.toByte // 9 bytes, odd
+    val spliced = ByteBuffer.allocate(plain.length + 8 + listBody.length + 1)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    spliced.put(plain, 0, 36)                 // RIFF..fmt chunk
+    spliced.put("LIST".getBytes("US-ASCII")).putInt(listBody.length)
+    spliced.put(listBody).put(0.toByte)       // pad to even
+    spliced.put(plain, 36, plain.length - 36) // data chunk
+    val Some((_, out)) = WavCodec.decodePcm16(spliced.array())
+    assert(out.toSeq == samples.map(_.toInt).toSeq)
+  }
+
+  test("stereo frames average their channels (the image band-average analog)") {
+    // hand-build a 2-channel data chunk: frames (100, 200), (-300, 100)
+    val mono = WavCodec.encodePcm16(8000, Array[Short]())
+    val buf = ByteBuffer.allocate(44 + 8).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(mono, 0, 22)       // through audioFormat
+    buf.putShort(2)            // channels = 2 (overwrite mono)
+    buf.putInt(8000).putInt(32000).putShort(4).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(8)
+    Seq(100, 200, -300, 100).foreach(v => buf.putShort(v.toShort))
+    val Some((_, out)) = WavCodec.decodePcm16(buf.array())
+    assert(out.toSeq == Seq(150, -100))
+  }
+
+  test("wavDecodeBatch: real features from samples; stub fallback for non-audio") {
+    val wav = WavCodec.encodePcm16(8000,
+      Array.tabulate(256)(t => (t * 128 - 16384).toShort))
+    val out = WavCodec.wavDecodeBatch(16)(Seq(
+      (1L, "audio", wav), (2L, "image", "not audio".getBytes)))
+    assert(out.head.decoder == "wav/pcm16-v1")
+    // feature i samples t = 16 i: (16i*128 - 16384)/32768
+    for (i <- 0 until 16)
+      assert(out.head.feature(i) == (i * 16 * 128 - 16384) / 32768f)
+    assert(out(1).decoder == "stub/md5-v1")
+    assert(out(1).feature sameElements
+      Multimodal.stubDecodeBatch(16)(Seq((2L, "image", "not audio".getBytes))).head.feature)
+  }
+
+  test("garbage, truncated, and non-PCM payloads are rejected, not mis-parsed") {
+    assert(WavCodec.decodePcm16("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(WavCodec.decodePcm16(Array.fill[Byte](100)(0x41)).isEmpty)
+    val good = WavCodec.encodePcm16(8000, Array.tabulate(32)(_.toShort))
+    assert(WavCodec.decodePcm16(good.take(50)).isEmpty, "truncated data chunk")
+    val nonPcm = good.clone(); nonPcm(20) = 3 // audioFormat = IEEE float
+    assert(WavCodec.decodePcm16(nonPcm).isEmpty)
+  }
+}
