@@ -78,6 +78,19 @@ object Multimodal {
       .mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
   }
 
+  /** Content-sniffing dispatcher: image (ImageIO — PNG/JPEG/...) first,
+    * then RIFF/WAVE PCM, then the stub fingerprint — the production
+    * "decode what you can" shape for a MIXED-modality table, where the
+    * kind column is advisory and the bytes decide. Row-local, so a batch
+    * of interleaved modalities partitions exactly like a uniform one. */
+  def autoDecodeBatch(dims: Int)(
+      batch: Seq[(Long, String, Array[Byte])]): Seq[DecodedMedia] =
+    batch.map { row =>
+      val img = PngCodec.imageIoDecodeBatch(dims)(Seq(row)).head
+      if (img.decoder != "stub/md5-v1") img
+      else WavCodec.wavDecodeBatch(dims)(Seq(row)).head
+    }
+
   /** STUB decoder: deterministic fake features from the payload hash.
     * A real implementation decodes pixels/samples here. */
   def stubDecodeBatch(dims: Int)(batch: Seq[(Long, String, Array[Byte])]): Seq[DecodedMedia] =

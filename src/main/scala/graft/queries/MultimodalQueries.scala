@@ -554,6 +554,53 @@ object MultimodalQueries {
         SELECT doc_id AS media_id, 'wav/pcm16-v1' AS decoder,
           CAST(SUM((doc_id * 31 + 112 * g.i) % 65536 - 32768) AS BIGINT) AS amp_units
         FROM documents, generate_series(0, 15) AS g(i)
-        GROUP BY doc_id ORDER BY media_id"""))
+        GROUP BY doc_id ORDER BY media_id""")),
+
+    // ── mixed-modality dispatch: one pipeline, bytes decide ───────────
+    // The production mixed-table shape: a third of the rows carry real
+    // PNG, a third real WAV, a third opaque text bytes, all through ONE
+    // decodeFeatures pass with the content-sniffing dispatcher
+    // ([[Multimodal.autoDecodeBatch]] — image, then RIFF, then stub).
+    // The oracle recomputes each row's decoder AND its decoded units
+    // analytically (PNG/PCM are lossless; the stub branch contributes
+    // its tag with units pinned to 0 — its md5-float features are
+    // deliberately not SQL-recomputable, that is the fingerprint's
+    // job). Proves per-row dispatch correctness, not just per-kind.
+    GraftQuery(
+      "m15_mixed_modality_dispatch",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).select($"doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val bytes = (id % 3) match {
+              case 0 => graft.multimodal.PngCodec.encodeGray(16, 16,
+                (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+              case 1 => graft.multimodal.WavCodec.encodePcm16(8000,
+                Array.tabulate(256)(t => (((id * 31 + t * 7) % 65536) - 32768).toShort))
+              case _ => s"opaque payload $id".getBytes("UTF-8")
+            }
+            (id, "mixed", bytes)
+          }).toDF("media_id", "kind", "bytes")
+        Multimodal.decodeFeatures(media, dims = 16)(
+          Multimodal.autoDecodeBatch(16))
+          .toDF()
+          .select($"media_id", $"decoder",
+            when($"decoder" === "stub/md5-v1", lit(0L))
+              .otherwise(aggregate($"feature", lit(0L),
+                (a, x) => a + (x * 32768f).cast("long"))).as("units"))
+          .orderBy($"media_id")
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+          CASE doc_id % 3 WHEN 0 THEN 'imageio/v1'
+                          WHEN 1 THEN 'wav/pcm16-v1'
+                          ELSE 'stub/md5-v1' END AS decoder,
+          CASE doc_id % 3
+            WHEN 0 THEN (SELECT CAST(SUM(((doc_id * 31 + 13 * g.i) % 256) * 128) AS BIGINT)
+                         FROM generate_series(0, 15) AS g(i))
+            WHEN 1 THEN (SELECT CAST(SUM((doc_id * 31 + 112 * g.i) % 65536 - 32768) AS BIGINT)
+                         FROM generate_series(0, 15) AS g(i))
+            ELSE 0 END AS units
+        FROM documents ORDER BY media_id"""))
   )
 }
