@@ -70,6 +70,14 @@ object ScaleSweep {
       // measured a plain groupBy at 22x its isolated time purely from
       // neighboring queries' cache/GC pressure.
       spark.catalog.clearCache()
+      // Spark's ContextCleaner reclaims dead broadcasts/shuffles via
+      // WEAK REFERENCES — nothing is freed until the driver GCs, and a
+      // 96 GB heap under a 221-query sweep may never trigger one on its
+      // own (Spark ships spark.cleaner.periodicGC.interval=30min for
+      // exactly this). Without the nudge, late queries ran 8-30x their
+      // isolated time (d10 65 s vs 2.2 s alone) on accumulated block
+      // state; one explicit GC per query is noise next to sweep wall.
+      System.gc()
       val entry = failure.toLeft(best.get)
       results += ((q.name, entry))
       entry match {
