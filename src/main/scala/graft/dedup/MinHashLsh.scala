@@ -55,10 +55,14 @@ object MinHashLsh {
     * Computed by the fused row-local kernel
     * ([[graft.functions.expressions.RowMinSigsExpr]]): tokenize →
     * shingle → md5 → permutation minima as ONE codegen call per
-    * document, after a repartition on id that spreads the CPU-heavy
-    * shingle/md5 work across the cluster even when the input is a few
-    * large files. No per-shingle row expansion, no aggregate — the only
-    * exchange carries raw documents. Bit-identical to the staged
+    * document, directly on the scan partitioning — NO exchange at all.
+    * The staged form needed a repartition(id) ahead of its groupBy; the
+    * fused kernel is row-local, so scan splits
+    * (spark.sql.files.maxPartitionBytes) already spread the CPU at any
+    * corpus size. (The one corpus this gives up on: a handful of huge
+    * UNSPLITTABLE files, e.g. gzip text — repartition upstream before
+    * calling in that case.) Measured: dropping the exchange cut d2
+    * 0.73→0.61 s at sf0.1, neutral at sf1. Bit-identical to the staged
     * explode/groupBy form ([[signatureMatrixStaged]], kept as the
     * spec-asserted arithmetic reference): min over the shingle multiset
     * equals min over the distinct set. Null texts are filtered to match
@@ -68,8 +72,6 @@ object MinHashLsh {
     val spark = docs.sparkSession
     docs
       .where(col(textCol).isNotNull)
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions", "200").toInt,
-        col(idCol))
       .select(col(idCol).as("id"),
         org.apache.spark.sql.graftbridge.GraftBridge.column(
           graft.functions.expressions.RowMinSigsExpr(

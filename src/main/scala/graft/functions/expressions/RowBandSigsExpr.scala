@@ -106,28 +106,39 @@ object GraftMinHash {
       }
     }
 
+    // Shingles assemble DIRECTLY as UTF-8 bytes (token bytes + 0x20
+    // separators): tokens are already UTF-8, so the StringBuilder round
+    // trip (UTF-16 chars → String → re-encode) would be three copies per
+    // shingle for byte-identical output. fromBytes wraps the buffer
+    // without copying, and md5Prefix60's getBytes sees a full-array
+    // UTF8String so it also returns it uncopied — one allocation per
+    // DISTINCT shingle, zero per repeated one (the set probe uses it
+    // either way).
+    def joined(start: Int, width: Int): UTF8String = {
+      var len = if (width > 0) width - 1 else 0
+      var j = 0
+      while (j < width) { len += toks.getUTF8String(start + j).numBytes(); j += 1 }
+      val buf = new Array[Byte](len)
+      var off = 0
+      j = 0
+      while (j < width) {
+        if (j > 0) { buf(off) = ' '; off += 1 }
+        val t = toks.getUTF8String(start + j)
+        t.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off)
+        off += t.numBytes()
+        j += 1
+      }
+      UTF8String.fromBytes(buf)
+    }
+
     if (n < shingleWidth) {
       // one shingle: all tokens space-joined ("" for an empty text) —
       // matches shinglesOfTokens' short-document branch
-      val sb = new java.lang.StringBuilder
-      var i = 0
-      while (i < n) {
-        if (i > 0) sb.append(' ')
-        sb.append(toks.getUTF8String(i).toString)
-        i += 1
-      }
-      feed(UTF8String.fromString(sb.toString))
+      feed(joined(0, n))
     } else {
       var start = 0
       while (start + shingleWidth <= n) {
-        val sb = new java.lang.StringBuilder
-        var j = 0
-        while (j < shingleWidth) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks.getUTF8String(start + j).toString)
-          j += 1
-        }
-        feed(UTF8String.fromString(sb.toString))
+        feed(joined(start, shingleWidth))
         start += 1
       }
     }

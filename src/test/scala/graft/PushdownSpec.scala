@@ -198,30 +198,32 @@ class PushdownSpec extends AnyFunSuite {
       s"Q5 shape must stay equi-joins end to end, plan:\n$plan")
   }
 
-  test("d2 bench shape: exactly 3 hash exchanges + 1 presentation sort") {
-    // The LSH pair pipeline's contract (MinHashLsh scaladoc): ONE pinned
-    // repartition(id) whose partitioning the signature groupBy reuses,
-    // ONE bucket groupBy(band, band_sig), ONE distinct — any fourth hash
-    // exchange means a reuse broke (the r4 bench drift suspect class).
+  test("d2 bench shape: exactly 2 hash exchanges + 1 presentation sort") {
+    // The LSH pair pipeline's contract (MinHashLsh scaladoc): the fused
+    // signature kernel runs on the SCAN partitioning (no repartition —
+    // round 7 dropped it), then ONE bucket groupBy(band, band_sig) and
+    // ONE distinct — any third hash exchange means the exchange-free
+    // signature stage regressed (the r4 bench drift suspect class).
     val q = graft.core.Registry.allQueries.find(_.name == "d2_minhash_lsh_pairs").get
     val plan = q.build(spark, "/root/testdata/sf0.001")
       .queryExecution.explainString(SimpleMode)
     val hash = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     val range = plan.linesIterator.count(_.contains("Exchange rangepartitioning"))
-    assert(hash == 3, s"d2 must keep exactly 3 hash exchanges, got $hash:\n$plan")
+    assert(hash == 2, s"d2 must keep exactly 2 hash exchanges, got $hash:\n$plan")
     assert(range == 1, s"d2 must keep exactly 1 output sort, got $range:\n$plan")
   }
 
-  test("x7's pair pipeline shape: 2 hash exchanges (repartition reused by sig groupBy)") {
-    // rawCandidatePairs = repartition(id) [reused by the 16-min groupBy]
-    // + groupBy(band, band_sig); a third exchange means the signature
-    // aggregation stopped riding the pinned partitioning.
+  test("x7's pair pipeline shape: 1 hash exchange (signatures ride the scan partitioning)") {
+    // rawCandidatePairs = fused row-local signatures on the SCAN
+    // partitioning (round 7 dropped the repartition the staged groupBy
+    // needed) + ONE groupBy(band, band_sig); a second exchange means the
+    // exchange-free signature stage regressed.
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = graft.dedup.MinHashLsh.rawCandidatePairs(docs, "doc_id", "text")
       .queryExecution.explainString(SimpleMode)
     val hash = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(hash == 2,
-      s"pair pipeline must keep exactly 2 hash exchanges, got $hash:\n$plan")
+    assert(hash == 1,
+      s"pair pipeline must keep exactly 1 hash exchange, got $hash:\n$plan")
   }
 
   test("m7 phash pairs: banded equi-join only — no cartesian, no broadcast theta") {
