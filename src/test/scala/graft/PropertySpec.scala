@@ -217,4 +217,41 @@ object GraftProperties extends Properties("graft") {
         got == refRank(pairs, iters = 2, scale = 1000000000000L)
       }
     }
+  // ── round-7 components ─────────────────────────────────────────────
+
+  private val pcmGen: Gen[(Int, List[Short])] = for {
+    rate <- Gen.oneOf(8000, 16000, 44100)
+    n <- Gen.choose(0, 300)
+    xs <- Gen.listOfN(n, Gen.choose(Short.MinValue, Short.MaxValue))
+  } yield (rate, xs)
+
+  property("WAV PCM-16 encode/decode roundtrips every sample at any rate/length") =
+    Prop.forAll(pcmGen) { case (rate, xs) =>
+      val bytes = graft.multimodal.WavCodec.encodePcm16(rate, xs.toArray)
+      graft.multimodal.WavCodec.decodePcm16(bytes) match {
+        case Some((r, out)) => r == rate && out.toSeq == xs.map(_.toInt)
+        case None => false
+      }
+    }
+
+  private val tzGen = Gen.oneOf(
+    "UTC", "America/New_York", "Europe/London", "Asia/Tokyo", "Australia/Sydney")
+  // timestamps clustered around midnights so tz pairs actually disagree
+  // on the local calendar day
+  private val edgeTsGen = for {
+    dayMs <- Gen.choose(0L, 3L).map(baseMs + _ * 86400000L)
+    off <- Gen.choose(-2L, 2L).map(_ * 3600000L)
+  } yield dayMs + off
+
+  property("upsert replay dedups under ANY tz pair (near-midnight event times)") =
+    Prop.forAll(tzGen, tzGen, Gen.listOfN(3, edgeTsGen)) { (tz1, tz2, tss) =>
+      import spark.implicits._
+      val root = SparkTestSession.tempDir("proptz")
+      val batch = tss.distinct.map(ms =>
+          ("SPY", new java.sql.Timestamp(ms), 100.5, 7L))
+        .toDF("ticker", "timestamp", "price", "volume")
+      val s1 = StockStore.upsert(spark, root, Streaming, batch, tz1)
+      val s2 = StockStore.upsert(spark, root, Streaming, batch, tz2)
+      s1.written == tss.distinct.size && s2.written == 0L
+    }
 }
