@@ -104,6 +104,38 @@ object Multimodal {
       DecodedMedia(id, kind, feats, "stub/md5-v1")
     }
 
+  /** Partition-batched video frame sampling — same pluggable seam as
+    * [[decodeFeatures]], but the codec emits one row per SAMPLED frame
+    * (unsampled frames never materialize; decode and thinning happen in
+    * one pass over the clip bytes). Downstream per-frame feature math
+    * stays in Spark column algebra over the luma array. */
+  def decodeFrames(media: DataFrame, everyK: Int = 4, batchSize: Int = 64)(
+      frameBatch: Seq[(Long, String, Array[Byte])] => Seq[Y4mCodec.DecodedFrame] =
+        Y4mCodec.frameSampleBatch(everyK)): Dataset[Y4mCodec.DecodedFrame] = {
+    import media.sparkSession.implicits._
+    media.select("media_id", "kind", "bytes")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(frameBatch))
+  }
+
+  /** One decoded audio clip with its full sample stream (channel-averaged
+    * ints) — the shape feature extractors consume. */
+  final case class DecodedSamples(media_id: Long, kind: String,
+      sample_rate: Int, samples: Array[Int], decoder: String)
+
+  /** Partition-batched full-sample audio decode: unlike [[decodeFeatures]]
+    * (fixed-dims grid sample), this exposes the whole PCM stream as an
+    * array column so feature extraction (energy, zero-crossings, peaks)
+    * runs as codegen'd Spark array algebra, not inside the codec. */
+  def decodeSamples(media: DataFrame, batchSize: Int = 64)(
+      sampleBatch: Seq[(Long, String, Array[Byte])] => Seq[DecodedSamples] =
+        WavCodec.wavSamplesBatch): Dataset[DecodedSamples] = {
+    import media.sparkSession.implicits._
+    media.select("media_id", "kind", "bytes")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(sampleBatch))
+  }
+
   final case class ResizedMedia(media_id: Long, kind: String,
       bytes: Array[Byte], orig_len: Int)
 

@@ -92,6 +92,21 @@ object WavCodec {
       Some((sampleRate, out))
     } catch { case _: Exception => None }
 
+  /** Batch decoder for [[Multimodal.decodeSamples]]: the FULL channel-
+    * averaged PCM stream per clip. Non-WAV payloads emit an empty sample
+    * array tagged with the stub decoder (feature math downstream treats
+    * them as silent — one row, zero contribution). */
+  def wavSamplesBatch(
+      batch: Seq[(Long, String, Array[Byte])]): Seq[Multimodal.DecodedSamples] =
+    batch.map { case (id, kind, bytes) =>
+      decodePcm16(bytes) match {
+        case Some((rate, samples)) =>
+          Multimodal.DecodedSamples(id, kind, rate, samples, "wav/pcm16-v1")
+        case None =>
+          Multimodal.DecodedSamples(id, kind, 0, Array.empty, "stub/md5-v1")
+      }
+    }
+
   /** Batch decoder for [[Multimodal.decodeFeatures]]: real samples when
     * the payload parses as PCM-16 WAV, stub fallback otherwise. Feature
     * i grid-samples the stream at ⌊i·n/dims⌋ and normalizes by 2¹⁵ —

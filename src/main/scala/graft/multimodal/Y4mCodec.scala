@@ -1,0 +1,128 @@
+package graft.multimodal
+
+/** REAL video codec for the [[Multimodal]] seam — YUV4MPEG2 ("Y4M"),
+  * the uncompressed planar-YUV interchange container every public video
+  * toolchain (ffmpeg, mjpegtools, x264) reads and writes. The format is
+  * a plain-text stream header (`YUV4MPEG2 W.. H.. F.. ...`) followed by
+  * `FRAME`-delimited raw planes, so it parses in pure JVM code with no
+  * native deps — which makes it the video analog of [[WavCodec]]: raw
+  * planes are lossless, an encode→decode roundtrip preserves every luma
+  * byte, and an oracle can recompute decoded pixels analytically from
+  * the generator formula.
+  *
+  * Scope: C420 (the Y4M default; chroma subsampled 2×2) and Cmono
+  * (luma-only) colorspaces, luma-plane decode — matching the image
+  * codecs' grayscale focus. Frame sampling (every-k) happens INSIDE the
+  * batched decode so unsampled frames never materialize as rows; at
+  * 100 TB the decode seam is the only place that sees full clips, and
+  * it streams them one batch of rows at a time.
+  */
+object Y4mCodec {
+
+  /** One decoded, sampled video frame. `luma` is the full Y plane
+    * (row-major, 0–255 ints) — downstream feature math stays in Spark
+    * column algebra. */
+  final case class DecodedFrame(media_id: Long, kind: String, frame_idx: Int,
+      width: Int, height: Int, luma: Array[Int], decoder: String)
+
+  /** Encode luma frames as a Y4M clip. C420 writes flat-gray chroma
+    * planes (0x80 = no color); Cmono writes luma only. `fps` is the
+    * F<num>:<den> rate — metadata only for our purposes, but required
+    * by the format. */
+  def encodeLuma(width: Int, height: Int, lumaFrames: Seq[Array[Int]],
+      fpsNum: Int = 25, fpsDen: Int = 1, colorspace: String = "C420"): Array[Byte] = {
+    require(colorspace == "C420" || colorspace == "Cmono", s"unsupported $colorspace")
+    require(colorspace == "Cmono" || (width % 2 == 0 && height % 2 == 0),
+      "C420 needs even dimensions")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 $colorspace\n"
+      .getBytes("US-ASCII"))
+    val chromaLen = if (colorspace == "C420") (width / 2) * (height / 2) else 0
+    val chroma = Array.fill(chromaLen)(0x80.toByte)
+    lumaFrames.foreach { y =>
+      require(y.length == width * height, "luma plane size mismatch")
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      val plane = new Array[Byte](y.length)
+      var i = 0
+      while (i < y.length) { plane(i) = (y(i) & 0xff).toByte; i += 1 }
+      out.write(plane)
+      out.write(chroma) // U
+      out.write(chroma) // V
+    }
+    out.toByteArray
+  }
+
+  /** Decode a Y4M clip's luma planes. None for anything that is not a
+    * well-formed C420/Cmono Y4M — callers fall back to the stub, same
+    * contract as the other codecs. Tolerates per-frame parameters after
+    * the FRAME tag (the spec allows them; we skip to the newline). */
+  def decodeLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Array[Int]])] =
+    try {
+      val magic = "YUV4MPEG2 "
+      if (bytes.length < magic.length ||
+          new String(bytes, 0, magic.length, "US-ASCII") != magic) return None
+      var pos = bytes.indexOf('\n'.toByte)
+      if (pos < 0) return None
+      val header = new String(bytes, 0, pos, "US-ASCII")
+      pos += 1
+      var width = -1
+      var height = -1
+      var colorspace = "C420" // the spec's default when C is absent
+      header.split(' ').drop(1).foreach { p =>
+        if (p.nonEmpty) p.charAt(0) match {
+          case 'W' => width = p.substring(1).toInt
+          case 'H' => height = p.substring(1).toInt
+          case 'C' => colorspace = p
+          case _ => // F/I/A/X params: metadata we don't need
+        }
+      }
+      if (width <= 0 || height <= 0) return None
+      val chromaLen = colorspace match {
+        case "Cmono" => 0
+        case c if c.startsWith("C420") => (width / 2) * (height / 2)
+        case _ => return None
+      }
+      val lumaLen = width * height
+      val frames = Array.newBuilder[Array[Int]]
+      while (pos < bytes.length) {
+        // FRAME[ params]\n
+        if (pos + 5 > bytes.length ||
+            new String(bytes, pos, 5, "US-ASCII") != "FRAME") return None
+        var nl = pos + 5
+        while (nl < bytes.length && bytes(nl) != '\n'.toByte) nl += 1
+        if (nl >= bytes.length) return None
+        pos = nl + 1
+        if (pos + lumaLen + 2 * chromaLen > bytes.length) return None
+        val y = new Array[Int](lumaLen)
+        var i = 0
+        while (i < lumaLen) { y(i) = bytes(pos + i) & 0xff; i += 1 }
+        frames += y
+        pos += lumaLen + 2 * chromaLen
+      }
+      val fs = frames.result()
+      if (fs.isEmpty) None else Some((width, height, fs))
+    } catch { case _: Exception => None }
+
+  /** Batch frame-sampler for the decode seam: parse the clip, keep every
+    * `everyK`-th frame (frame 0 always). Non-Y4M payloads emit a single
+    * stub-fingerprint row (frame_idx −1, luma from the md5 stub grid) so
+    * mixed tables keep one-row-minimum accounting, mirroring
+    * [[Multimodal.autoDecodeBatch]]'s decode-what-you-can shape. */
+  def frameSampleBatch(everyK: Int)(
+      batch: Seq[(Long, String, Array[Byte])]): Seq[DecodedFrame] = {
+    require(everyK > 0, "need everyK > 0")
+    batch.flatMap { case (id, kind, bytes) =>
+      decodeLuma(bytes) match {
+        case Some((w, h, frames)) =>
+          frames.indices.collect {
+            case f if f % everyK == 0 =>
+              DecodedFrame(id, kind, f, w, h, frames(f), "y4m/luma-v1")
+          }
+        case None =>
+          val stub = Multimodal.stubDecodeBatch(16)(Seq((id, kind, bytes))).head
+          Seq(DecodedFrame(id, kind, -1, 0, 0,
+            stub.feature.map(f => ((f + 1f) * 128f).toInt), "stub/md5-v1"))
+      }
+    }
+  }
+}

@@ -601,6 +601,85 @@ object MultimodalQueries {
             WHEN 1 THEN (SELECT CAST(SUM((doc_id * 31 + 112 * g.i) % 65536 - 32768) AS BIGINT)
                          FROM generate_series(0, 15) AS g(i))
             ELSE 0 END AS units
-        FROM documents ORDER BY media_id"""))
+        FROM documents ORDER BY media_id""")),
+
+    // ── REAL audio feature extraction over the full PCM stream ────────
+    // The production audio-quality shape: decode once ([[Multimodal
+    // .decodeSamples]] exposes the whole channel-averaged stream as an
+    // array column), then compute energy / zero-crossings / peak as
+    // codegen'd Spark ARRAY ALGEBRA — `aggregate`/`zip_with`/`slice` per
+    // row, NO shuffle anywhere (the final sort is oracle determinism
+    // only). All three features are exact integers, so the oracle
+    // recomputes them from the m14 generator formula; sign changes use
+    // the (v≥0)≠(prev≥0) convention on both sides.
+    GraftQuery(
+      "m16_audio_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).select($"doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val samples = Array.tabulate(256)(t =>
+              (((id * 31 + t * 7) % 65536) - 32768).toShort)
+            (id, "audio", graft.multimodal.WavCodec.encodePcm16(8000, samples))
+          }).toDF("media_id", "kind", "bytes")
+        Multimodal.decodeSamples(media)()
+          .toDF()
+          .select(
+            $"media_id",
+            aggregate($"samples", lit(0L),
+              (a, x) => a + x.cast("long") * x.cast("long")).as("energy_units"),
+            array_max(transform($"samples", x => abs(x))).cast("long").as("peak"),
+            aggregate(
+              zip_with(
+                slice($"samples", 1, 255), slice($"samples", 2, 255),
+                (a, b) => ((a >= 0) =!= (b >= 0)).cast("long")),
+              lit(0L), (acc, x) => acc + x).as("zero_crossings"))
+          .orderBy($"media_id")
+      },
+      Some("""
+        WITH s AS (
+          SELECT doc_id, g.i AS t,
+            (doc_id * 31 + g.i * 7) % 65536 - 32768 AS v
+          FROM documents, generate_series(0, 255) AS g(i))
+        SELECT doc_id AS media_id,
+          CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy_units,
+          CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+          CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM (SELECT *, LAG(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv FROM s)
+        GROUP BY doc_id ORDER BY media_id""")),
+
+    // ── REAL video container: Y4M frame sampling ──────────────────────
+    // YUV4MPEG2 is the public uncompressed interchange format (ffmpeg/
+    // mjpegtools); raw planes are lossless, so the [[graft.multimodal
+    // .Y4mCodec]] chunk-walking parser is oracle-checkable like PNG/PCM.
+    // Every doc carries a 6-frame 8×8 C420 clip; the batched seam
+    // decodes AND thins to every-2nd frame in one pass (unsampled frames
+    // never become rows — the 100 TB property), then per-frame luma
+    // accounting is one row-local `aggregate`.
+    GraftQuery(
+      "m17_y4m_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).select($"doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val frames = Seq.tabulate(6)(f =>
+              Array.tabulate(64)(i => ((id * 31 + f * 17 + i * 5) % 256).toInt))
+            (id, "video", graft.multimodal.Y4mCodec.encodeLuma(8, 8, frames))
+          }).toDF("media_id", "kind", "bytes")
+        Multimodal.decodeFrames(media, everyK = 2)()
+          .toDF()
+          .select($"media_id", $"frame_idx".cast("long").as("frame_idx"),
+            $"decoder",
+            aggregate($"luma", lit(0L), (a, x) => a + x).as("luma_units"))
+          .orderBy($"media_id", $"frame_idx")
+      },
+      Some("""
+        SELECT doc_id AS media_id, CAST(f.fi AS BIGINT) AS frame_idx,
+          'y4m/luma-v1' AS decoder,
+          CAST(SUM((doc_id * 31 + f.fi * 17 + g.i * 5) % 256) AS BIGINT) AS luma_units
+        FROM documents, (VALUES (0), (2), (4)) AS f(fi),
+          generate_series(0, 63) AS g(i)
+        GROUP BY doc_id, f.fi ORDER BY media_id, frame_idx"""))
   )
 }

@@ -1,0 +1,92 @@
+package graft
+
+import graft.multimodal.Y4mCodec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real YUV4MPEG2 codec behind the multimodal seam: lossless luma
+  * roundtrip for both supported colorspaces, header tolerance, frame
+  * thinning inside the batched decode, stub fallback. */
+class Y4mCodecSpec extends AnyFunSuite {
+
+  private def clip(frames: Int, w: Int = 8, h: Int = 8): Seq[Array[Int]] =
+    Seq.tabulate(frames)(f => Array.tabulate(w * h)(i => (f * 37 + i * 11) % 256))
+
+  test("C420 encode -> decode roundtrips every luma byte (lossless)") {
+    val frames = clip(5)
+    val bytes = Y4mCodec.encodeLuma(8, 8, frames)
+    val Some((w, h, out)) = Y4mCodec.decodeLuma(bytes)
+    assert(w == 8 && h == 8 && out.length == 5)
+    for (f <- 0 until 5) assert(out(f).toSeq == frames(f).toSeq)
+  }
+
+  test("Cmono clips (no chroma planes) roundtrip too, odd dims allowed") {
+    val frames = Seq.tabulate(3)(f => Array.tabulate(7 * 5)(i => (f + i * 3) % 256))
+    val bytes = Y4mCodec.encodeLuma(7, 5, frames, colorspace = "Cmono")
+    val Some((w, h, out)) = Y4mCodec.decodeLuma(bytes)
+    assert(w == 7 && h == 5 && out.length == 3)
+    for (f <- 0 until 3) assert(out(f).toSeq == frames(f).toSeq)
+  }
+
+  test("header param order is free and unknown X params are skipped") {
+    val frames = clip(2, 4, 4)
+    val canonical = Y4mCodec.encodeLuma(4, 4, frames)
+    val headerEnd = canonical.indexOf('\n'.toByte)
+    val rest = canonical.drop(headerEnd + 1)
+    val reordered = "YUV4MPEG2 C420 XYSCSS=420 F30:1 H4 W4 A1:1 Ip\n"
+      .getBytes("US-ASCII") ++ rest
+    val Some((w, h, out)) = Y4mCodec.decodeLuma(reordered)
+    assert(w == 4 && h == 4 && out.length == 2)
+    assert(out(1).toSeq == frames(1).toSeq)
+  }
+
+  test("per-frame params after the FRAME tag are tolerated") {
+    val frames = clip(1, 4, 4)
+    val bytes = Y4mCodec.encodeLuma(4, 4, frames)
+    val s = new String(bytes.takeWhile(_ != 'F'), "US-ASCII") // through header newline is unsafe; rebuild
+    val headerEnd = bytes.indexOf('\n'.toByte)
+    val planes = bytes.drop(headerEnd + 1 + "FRAME\n".length)
+    val withParams = (new String(bytes, 0, headerEnd + 1, "US-ASCII") + "FRAME Ip X=1\n")
+      .getBytes("US-ASCII") ++ planes
+    assert(s.startsWith("YUV4MPEG2"))
+    val Some((_, _, out)) = Y4mCodec.decodeLuma(withParams)
+    assert(out.head.toSeq == frames.head.toSeq)
+  }
+
+  test("malformed payloads return None (truncated planes, bad magic, no frames)") {
+    val good = Y4mCodec.encodeLuma(8, 8, clip(2))
+    assert(Y4mCodec.decodeLuma(good.dropRight(3)).isEmpty)   // truncated V plane
+    assert(Y4mCodec.decodeLuma("JUNK".getBytes).isEmpty)
+    assert(Y4mCodec.decodeLuma(good.take(good.indexOf('\n'.toByte) + 1)).isEmpty)
+    assert(Y4mCodec.decodeLuma(
+      "YUV4MPEG2 W0 H8 C420\nFRAME\n".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("frameSampleBatch thins to every-k inside the decode; stub fallback rows") {
+    val bytes = Y4mCodec.encodeLuma(8, 8, clip(7))
+    val out = Y4mCodec.frameSampleBatch(3)(Seq(
+      (1L, "video", bytes), (2L, "video", "not a clip".getBytes)))
+    val sampled = out.filter(_.media_id == 1L)
+    assert(sampled.map(_.frame_idx) == Seq(0, 3, 6))
+    assert(sampled.forall(_.decoder == "y4m/luma-v1"))
+    assert(sampled(1).luma.toSeq == clip(7)(3).toSeq)
+    val stub = out.filter(_.media_id == 2L)
+    assert(stub.map(_.frame_idx) == Seq(-1) && stub.head.decoder == "stub/md5-v1")
+  }
+
+  test("roundtrip property: random sizes/frame counts/colorspaces") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 25) {
+      val mono = rnd.nextBoolean()
+      val (w, h) =
+        if (mono) (1 + rnd.nextInt(12), 1 + rnd.nextInt(12))
+        else (2 * (1 + rnd.nextInt(6)), 2 * (1 + rnd.nextInt(6)))
+      val n = 1 + rnd.nextInt(6)
+      val frames = Seq.fill(n)(Array.fill(w * h)(rnd.nextInt(256)))
+      val bytes = Y4mCodec.encodeLuma(w, h, frames,
+        colorspace = if (mono) "Cmono" else "C420")
+      val Some((dw, dh, out)) = Y4mCodec.decodeLuma(bytes)
+      assert(dw == w && dh == h && out.length == n)
+      for (f <- 0 until n) assert(out(f).toSeq == frames(f).toSeq)
+    }
+  }
+}
