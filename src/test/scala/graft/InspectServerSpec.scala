@@ -1,0 +1,110 @@
+package graft
+
+import graft.model.Streaming
+import graft.store.StockStore
+import graft.tools.InspectServer
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** S11 inspection server: the read-only HTTP surface over a store root
+  * (reference: the dockerized sqlitebrowser service,
+  * docker-compose.yml:263-272). Asserts the five endpoint families and
+  * the read-only guard on /sql. */
+class InspectServerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def seeded(): String = {
+    import spark.implicits._
+    val root = SparkTestSession.tempDir("inspect")
+    val t0 = 1757623532000L
+    val df = (0 until 20).map(i =>
+      (if (i % 2 == 0) "SPY" else "VOO",
+        new java.sql.Timestamp(t0 + i * 1000), 100.0 + i, 2L))
+      .toDF("ticker", "timestamp", "price", "volume")
+    StockStore.upsert(spark, root, Streaming, df)
+    root
+  }
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val client = HttpClient.newHttpClient()
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def withServer[A](root: String)(f: Int => A): A = {
+    val server = InspectServer.start(spark, root, port = 0)
+    try f(server.getAddress.getPort)
+    finally server.stop(0)
+  }
+
+  test("index, tables, schema, stats, commits, rows endpoints") {
+    val root = seeded()
+    withServer(root) { port =>
+      val (ic, ihtml) = get(port, "/")
+      assert(ic == 200 && ihtml.contains("streaming") && ihtml.contains("graft store inspector"))
+
+      val (tc, tjson) = get(port, "/tables")
+      assert(tc == 200 && tjson.contains("\"name\":\"streaming\"") &&
+        tjson.contains("\"rows\":20"), tjson)
+
+      val (sc, schema) = get(port, "/table/streaming/schema")
+      assert(sc == 200 && schema.contains("\"price\"") && schema.contains("struct"))
+
+      val (stc, stats) = get(port, "/table/streaming/stats")
+      assert(stc == 200 && stats.contains("\"SPY\"") && stats.contains("\"row_count\":10"), stats)
+
+      val (cc, commits) = get(port, "/table/streaming/commits")
+      assert(cc == 200 && commits.matches("\\[\\d+(,\\d+)*\\]"), commits)
+
+      val (rc, rows) = get(port, "/table/streaming?limit=5&ticker=SPY")
+      assert(rc == 200, rows)
+      val objs = rows.stripPrefix("[").stripSuffix("]").split("\\},\\{")
+      assert(objs.length == 5 && rows.contains("\"SPY\"") && !rows.contains("\"VOO\""), rows)
+
+      // time travel: the last commit id pins the current snapshot
+      val id = commits.stripPrefix("[").stripSuffix("]").split(",").last.toLong
+      val (pc, pinned) = get(port, s"/table/streaming?commit=$id&limit=1000")
+      assert(pc == 200 && pinned.split("\\},\\{").length == 20, pinned)
+    }
+  }
+
+  test("ad-hoc /sql runs SELECTs over table and stats views") {
+    val root = seeded()
+    withServer(root) { port =>
+      val q = java.net.URLEncoder.encode(
+        "SELECT ticker, count(*) AS n FROM streaming GROUP BY ticker ORDER BY ticker", "UTF-8")
+      val (c, body) = get(port, s"/sql?q=$q")
+      assert(c == 200 && body.contains("\"SPY\"") && body.contains("\"n\":10"), body)
+
+      val qs = java.net.URLEncoder.encode(
+        "SELECT ticker, row_count FROM streaming__stats ORDER BY ticker", "UTF-8")
+      val (c2, body2) = get(port, s"/sql?q=$qs")
+      assert(c2 == 200 && body2.contains("\"row_count\":10"), body2)
+    }
+  }
+
+  test("/sql rejects non-query statements; bad requests are 4xx not 5xx") {
+    val root = seeded()
+    withServer(root) { port =>
+      def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+      for (stmt <- Seq(
+          "DROP TABLE streaming",
+          "INSERT INTO streaming VALUES ('X', now(), 1.0, 1)",
+          "CREATE TABLE t AS SELECT 1",
+          "SET spark.sql.shuffle.partitions=1")) {
+        val (c, body) = get(port, s"/sql?q=${enc(stmt)}")
+        assert(c == 400 && body.contains("rejected"), s"$stmt -> $c $body")
+      }
+      assert(get(port, "/sql")._1 == 400)
+      assert(get(port, "/table/nosuch")._1 == 404)
+      assert(get(port, "/nosuch")._1 == 404)
+      // malformed SQL surfaces as 400 with the parser message
+      val (mc, mbody) = get(port, s"/sql?q=${enc("SELEC 1")}")
+      assert(mc == 400, mbody)
+    }
+  }
+}
