@@ -819,7 +819,24 @@ object DedupQueries {
             org.apache.spark.sql.expressions.Window.unboundedPreceding,
             org.apache.spark.sql.expressions.Window.unboundedFollowing)))
           .withColumn("pos", row_number().over(wd))
-          .cache()
+          // localCheckpoint, NOT cache: four downstream branches
+          // (prefix self-join sides + both verify member sides)
+          // reference this intermediate, and two of them are EAGER
+          // broadcast subqueries. With cache(), those broadcast jobs
+          // recomputed the whole shingle pipeline instead of reading
+          // the cached blocks (one cold run burned 701 s of executor
+          // time across 32 tasks; wall swung 19-49 s vs ~10 s honest),
+          // and an eager pre-count did not stop it. Truncating the
+          // lineage makes recompute IMPOSSIBLE: every consumer reads
+          // the materialized blocks or fails loudly. Cluster caveat:
+          // checkpoint blocks are not fault-tolerant to executor loss
+          // (a lost block fails the job rather than recomputing) —
+          // the right trade for a deterministic-cost batch operator.
+          .localCheckpoint(true)
+        // sets' cache served its purpose inside the checkpoint job
+        // (freq + the join both consumed it); lineage is truncated, so
+        // releasing it cannot invalidate anything downstream.
+        sets.unpersist(false)
         val prefix = docsets
           .where($"pos" <= $"n" - expr("(8 * n + 9) div 10") + 1)
           .select($"doc_id", $"h")

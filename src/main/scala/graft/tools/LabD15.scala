@@ -1,0 +1,103 @@
+package graft.tools
+
+import graft.core.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Lab probe: stage-by-stage timing of the d15 prefix-filter join to
+  * localize its cold-run cost (the min-of-N sweep hid it behind the
+  * in-query cache). Dev tooling only. */
+object LabD15 {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("LAB_CACHED_REPART", "false"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val ms = for {a <- i.completionTime; b <- i.submissionTime} yield a - b
+        if (ms.exists(_ > 300)) {
+          val tm = i.taskMetrics
+          println(f"[stage] id=${i.stageId}%-4d tasks=${i.numTasks}%-4d ${ms.get / 1000.0}%7.2f s  run=${tm.executorRunTime / 1000.0}%7.2f s cpu=${tm.executorCpuTime / 1e9}%7.2f s gc=${tm.jvmGCTime / 1000.0}%6.2f s  ${i.name.take(60)}")
+          println("[stage-rdds] " + i.rddInfos.map(r => s"${r.id}:${r.name}").mkString(" "))
+        }
+      }
+    })
+
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[lab] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    if (sys.env.get("LAB_REGISTRY").contains("1")) {
+      val q = graft.core.Registry.allQueries.find(_.name == "d15_prefix_filter_join").get
+      t("registry d15 cold (noop)") {
+        q.build(spark, dir).write.format("noop").mode("overwrite").save()
+      }
+      spark.stop(); return
+    }
+
+    val docs = Tables.documents(spark, dir)
+    val variants = filter(
+      array(
+        struct(lit(0L).as("off"), lit(false).as("tail")),
+        struct(lit(1000000L).as("off"), lit(true).as("tail"))),
+      v => (v("off") === 0L) || ($"doc_id" % 5 === 0))
+    val corpus = docs.select($"doc_id", $"text", explode(variants).as("v"))
+      .select(($"doc_id" + $"v.off").as("doc_id"),
+        when($"v.tail", concat($"text", lit(" extra appended tail tokens here")))
+          .otherwise($"text").as("text"))
+
+    val sets = graft.dedup.MinHashLsh.shingleSets(corpus, "doc_id", "text").cache()
+    t("sets materialize (count)") { println("  rows=" + sets.count()) }
+
+    val freq = sets.groupBy($"h").agg(count(lit(1)).as("f"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"f", $"h")
+    val docsets = sets.join(freq, Seq("h"))
+      .withColumn("n", count(lit(1)).over(wd.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .withColumn("pos", row_number().over(wd))
+      .cache()
+    t("docsets materialize (count)") { println("  rows=" + docsets.count()) }
+
+    val prefix = docsets
+      .where($"pos" <= $"n" - expr("(8 * n + 9) div 10") + 1)
+      .select($"doc_id", $"h")
+    t("prefix count") { println("  rows=" + prefix.count()) }
+    val cand = prefix.as("p1").join(prefix.as("p2"), Seq("h"))
+      .where($"p1.doc_id" < $"p2.doc_id")
+      .select($"p1.doc_id".as("a"), $"p2.doc_id".as("b"))
+      .distinct()
+    t("candidates") { println("  rows=" + cand.count()) }
+    val members = docsets.select($"doc_id", $"h", $"n")
+    val candC = cand.cache()
+    t("cand cache") { println("  rows=" + candC.count()) }
+    val j1 = candC
+      .join(members.select($"doc_id".as("a"), $"h", $"n".as("n_a")), Seq("a"))
+    t("join1 (on a)") { println("  rows=" + j1.count()) }
+    val inter = j1
+      .join(members.select($"doc_id".as("b"), $"h", $"n".as("n_b")), Seq("b", "h"))
+      .groupBy($"a", $"b", $"n_a", $"n_b")
+      .agg(count(lit(1)).as("n_inter"))
+    t("join2 + agg") { println("  rows=" + inter.count()) }
+    println(inter.queryExecution.executedPlan.toString.linesIterator
+      .map(_.take(200)).mkString("\n"))
+    spark.stop()
+  }
+}

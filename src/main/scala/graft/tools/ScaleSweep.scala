@@ -63,21 +63,25 @@ object ScaleSweep {
           case e: Throwable =>
             failure = Some(Option(e.getCause).getOrElse(e).getMessage.take(200).replace("\"", "'").replace("\n", " "))
         }
+        // Clear BETWEEN passes, not only between queries: a query that
+        // caches internally (d3/d15/d18/d23/...) would otherwise serve
+        // pass 2 from pass 1's blocks, and min-of-N silently records
+        // the WARM time — the r07 sweep recorded d15 at 0.68 s where
+        // its cold build costs ~9 s. Every pass now measures cold.
+        //
+        // The clearCache also stops blocks leaking into later queries
+        // (first sweep measured a plain groupBy at 22x isolated time
+        // from neighbors' cache/GC pressure), and the GC is required
+        // because Spark's ContextCleaner reclaims dead broadcasts/
+        // shuffles via WEAK references — on a 96 GB heap a 200+-query
+        // sweep may never GC on its own (Spark ships
+        // spark.cleaner.periodicGC.interval=30min for exactly this);
+        // without it, late queries ran 8-30x isolated time (d10 65 s
+        // in-sweep vs 2.2 s alone) on accumulated block state.
+        spark.catalog.clearCache()
+        System.gc()
         pass += 1
       }
-      // Queries that cache (d15/d18/memberLabels/...) would otherwise
-      // leak blocks into every later measurement — the first sweep run
-      // measured a plain groupBy at 22x its isolated time purely from
-      // neighboring queries' cache/GC pressure.
-      spark.catalog.clearCache()
-      // Spark's ContextCleaner reclaims dead broadcasts/shuffles via
-      // WEAK REFERENCES — nothing is freed until the driver GCs, and a
-      // 96 GB heap under a 221-query sweep may never trigger one on its
-      // own (Spark ships spark.cleaner.periodicGC.interval=30min for
-      // exactly this). Without the nudge, late queries ran 8-30x their
-      // isolated time (d10 65 s vs 2.2 s alone) on accumulated block
-      // state; one explicit GC per query is noise next to sweep wall.
-      System.gc()
       val entry = failure.toLeft(best.get)
       results += ((q.name, entry))
       entry match {
