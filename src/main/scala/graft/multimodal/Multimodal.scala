@@ -199,19 +199,31 @@ object Multimodal {
     * a fold (weight doubles each step), so the whole signature stays
     * inside whole-stage codegen with no UDF. */
   def aHashHalves(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    def half(pxSlice: org.apache.spark.sql.Column, mean: org.apache.spark.sql.Column) =
+    val len = length(text)
+    // products stay far below 2^53, so the double division is exact
+    val px = transform(sequence(lit(0), lit(63)),
+      i => ascii(substr(text, floor(i * len / 64).cast("int") + 1, lit(1))))
+    aHashHalvesOfPx(px, floor(aggregate(px, lit(0L), (a, x) => a + x) / 64).cast("long"))
+  }
+
+  /** The fold over an ALREADY-BOUND pixel array + mean. Callers on a hot
+    * path must bind `px`/`mean` as real output columns first (see
+    * [[phashPairs]]): referenced inline, `mean` re-evaluates its whole
+    * 64-element aggregate for EVERY compared element and `px` re-inlines
+    * its substr chain into each reference — a multiplicative expression
+    * blowup that measured ~60 s for 80k signatures at sf0.1 vs ~2 s
+    * staged. [[aHashHalves]] keeps the single-Column convenience form
+    * for tests/one-off use. */
+  def aHashHalvesOfPx(px: org.apache.spark.sql.Column,
+      mean: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def half(pxSlice: org.apache.spark.sql.Column) =
       aggregate(pxSlice,
         struct(lit(0L).as("s"), lit(1L).as("w")),
         (acc, x) => struct(
           (acc.getField("s") + when(x >= mean, acc.getField("w")).otherwise(0L)).as("s"),
           (acc.getField("w") * 2).as("w")),
         acc => acc.getField("s"))
-    val len = length(text)
-    // products stay far below 2^53, so the double division is exact
-    val px = transform(sequence(lit(0), lit(63)),
-      i => ascii(substr(text, floor(i * len / 64).cast("int") + 1, lit(1))))
-    val mean = floor(aggregate(px, lit(0L), (a, x) => a + x) / 64).cast("long")
-    struct(half(slice(px, 1, 32), mean).as("h0"), half(slice(px, 33, 32), mean).as("h1"))
+    struct(half(slice(px, 1, 32)).as("h0"), half(slice(px, 33, 32)).as("h1"))
   }
 
   /** All media pairs within `maxDistance` Hamming bits of each other on
@@ -233,12 +245,31 @@ object Multimodal {
       maxBucket: Int = graft.dedup.MinHashLsh.DefaultMaxBucket): DataFrame = {
     require(maxDistance >= 0 && maxDistance <= 6,
       s"8-block pair banding is exact only for 0 <= maxDistance <= 6, got $maxDistance")
+    // px and mean bind as REAL columns between projections: inlined (the
+    // aHashHalves convenience form), mean's 64-element aggregate
+    // re-evaluates per compared element and px's substr chain re-inlines
+    // per reference — measured ~60 s for 80k signatures vs ~2 s staged.
+    val len = length(col(textCol))
     val sigs = docs
       .where(length(col(textCol)) >= 1)
-      .select(col(idCol).cast("long").as("id"), aHashHalves(col(textCol)).as("h"))
+      .select(col(idCol).cast("long").as("id"),
+        transform(sequence(lit(0), lit(63)),
+          i => ascii(substr(col(textCol), floor(i * len / 64).cast("int") + 1, lit(1))))
+          .as("px"))
+      .withColumn("mean",
+        floor(aggregate(col("px"), lit(0L), (a, x) => a + x) / 64).cast("long"))
+      .withColumn("h", aHashHalvesOfPx(col("px"), col("mean")))
       .select(col("id"),
         col("h.h0").bitwiseOR(shiftleft(col("h.h1"), 32)).as("simhash"))
-      .cache()
+      // localCheckpoint, not cache: the signature set feeds an EAGER
+      // broadcast subquery (the oversized-bucket anti-join build) plus
+      // both self-join sides; run cold, the broadcast job raced the
+      // unmaterialized cache and recomputed the aHash pipeline per
+      // branch (measured 61 s cold vs ~1 s warm at sf0.1 — the d15
+      // pathology). Truncating lineage pins one materialization; the
+      // signature set is ~16 bytes/media, so the pinned footprint is
+      // negligible at any corpus size.
+      .localCheckpoint(true)
     graft.dedup.SimHash
       .bandedHammingPairs(sigs, maxDistance, blocks = 8, bits = 64,
         maxBucket = maxBucket)
