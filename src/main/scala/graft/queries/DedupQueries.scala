@@ -1024,11 +1024,16 @@ object DedupQueries {
         // comment below describes, and 3x fewer normalize/shingle passes
         // (the sf0.1 sweep measured the string-keyed triple-pass at
         // 10-14 s; this shape runs ~3 s).
+        // localCheckpoint, not cache (the d15 lesson): counts, the hot
+        // list (an EAGER broadcast subquery), and both anti-join sides
+        // all consume this — lineage truncation pins one materialization
+        // so the broadcast job can never race the cold cache into a
+        // recompute.
         val sh = corpusWithNearDups(s, dir)
           .select($"doc_id",
             explode(array_distinct(shingles(tokens(normalized($"text"))))).as("g_str"))
           .select($"doc_id", md5Long($"g_str").as("g"))
-          .cache()
+          .localCheckpoint(true)
         val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         val hot = sh.groupBy($"g").agg(count(lit(1)).as("df"))
           .where($"df" > 1000L)
