@@ -240,17 +240,17 @@ object Multimodal {
     * Oversized buckets are still capped + counted, never silently
     * exploded. The signature frame is cached — banding consumes it
     * three times and the aHash column algebra is the expensive part. */
-  def phashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxDistance: Int = 4,
-      maxBucket: Int = graft.dedup.MinHashLsh.DefaultMaxBucket): DataFrame = {
-    require(maxDistance >= 0 && maxDistance <= 6,
-      s"8-block pair banding is exact only for 0 <= maxDistance <= 6, got $maxDistance")
-    // px and mean bind as REAL columns between projections: inlined (the
-    // aHashHalves convenience form), mean's 64-element aggregate
-    // re-evaluates per compared element and px's substr chain re-inlines
-    // per reference — measured ~60 s for 80k signatures vs ~2 s staged.
+  /** The staged signature plan: px and mean bind as REAL columns
+    * between projections. Inlined (the aHashHalves convenience form),
+    * mean's 64-element aggregate re-evaluates per compared element and
+    * px's substr chain re-inlines per reference — measured ~60 s for
+    * 80k signatures vs ~2 s staged (Catalyst does not CSE through
+    * higher-order-function lambdas). Exposed so the plan shape is
+    * CI-pinned (PushdownSpec) against re-inlining. */
+  def phashSignatures(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val len = length(col(textCol))
-    val sigs = docs
+    docs
       .where(length(col(textCol)) >= 1)
       .select(col(idCol).cast("long").as("id"),
         transform(sequence(lit(0), lit(63)),
@@ -261,6 +261,14 @@ object Multimodal {
       .withColumn("h", aHashHalvesOfPx(col("px"), col("mean")))
       .select(col("id"),
         col("h.h0").bitwiseOR(shiftleft(col("h.h1"), 32)).as("simhash"))
+  }
+
+  def phashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDistance: Int = 4,
+      maxBucket: Int = graft.dedup.MinHashLsh.DefaultMaxBucket): DataFrame = {
+    require(maxDistance >= 0 && maxDistance <= 6,
+      s"8-block pair banding is exact only for 0 <= maxDistance <= 6, got $maxDistance")
+    val sigs = phashSignatures(docs, idCol, textCol)
       // localCheckpoint, not cache: the signature set feeds an EAGER
       // broadcast subquery (the oversized-bucket anti-join build) plus
       // both self-join sides; run cold, the broadcast job raced the

@@ -234,6 +234,28 @@ class PushdownSpec extends AnyFunSuite {
       s"phash near-dup must stay a banded equi-join, plan:\n$plan")
   }
 
+  test("m7 aHash signature: px/mean bound once, never re-inlined per reference") {
+    // The convenience single-Column form re-inlines the pixel transform
+    // into mean + both halves (Catalyst does not CSE through
+    // higher-order-function lambdas) — a multiplicative blowup that
+    // measured 61 s for 80k signatures at sf0.1. The staged plan must
+    // carry exactly ONE pixel-sampling transform.
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = graft.multimodal.Multimodal
+      .phashSignatures(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    // one ascii(substr(...)) lambda = one pixel-sampling transform; the
+    // inlined form re-materializes it inside mean and both halves (3+)
+    val px = "ascii\\(".r.findAllIn(plan).length
+    assert(px == 1,
+      s"staged aHash must compute the pixel array exactly once, found $px:\n${plan.take(2000)}")
+    // mean's aggregate must be its own bound column, not nested inside
+    // the half folds: exactly 3 aggregates total (mean + two halves)
+    val aggs = "aggregate\\(".r.findAllIn(plan).length
+    assert(aggs == 3,
+      s"staged aHash must carry exactly 3 aggregates (mean + 2 halves), found $aggs:\n${plan.take(2000)}")
+  }
+
   test("x26 scrub: bench grams broadcast; no corpus re-join") {
     val q = graft.core.Registry.allQueries.find(_.name == "x26_decontaminate_scrub").get
     val plan = q.build(spark, "/root/testdata/sf0.001")
