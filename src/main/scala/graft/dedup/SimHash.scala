@@ -25,8 +25,31 @@ object SimHash {
   val SigBits: Int = 60
 
   /** (id, simhash BIGINT) — bit b set iff more distinct tokens have h's
-    * bit b set than clear. */
-  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * bit b set than clear.
+    *
+    * Computed by the fused row-local kernel
+    * ([[graft.functions.expressions.RowSimHashExpr]]): tokenize →
+    * distinct → md5 → 60-bit majority vote as ONE codegen call per
+    * document, directly on the scan partitioning — no per-token row
+    * expansion, no 61-buffer aggregate, no exchange. Bit-identical to
+    * [[signaturesStaged]] (kept as the spec-asserted arithmetic
+    * reference); a token-free document returns the kernel's -1 sentinel
+    * and is filtered, matching the staged explode emitting no row. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        org.apache.spark.sql.graftbridge.GraftBridge.column(
+          graft.functions.expressions.RowSimHashExpr(
+            org.apache.spark.sql.graftbridge.GraftBridge.expression(col(textCol)),
+            SigBits)).as("simhash"))
+      .where(col("simhash") =!= -1L)
+
+  /** The staged explode → md5Long → 60-sum-aggregate form — the
+    * arithmetic reference [[signatures]]' kernel is spec-asserted
+    * bit-identical to. Shuffle shape (why it was the original design):
+    * map-side partial aggregation collapses each partition to one row
+    * per doc, so the exchange carries |docs|×61 longs. */
+  def signaturesStaged(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ones = (0 until SigBits).map(b =>
@@ -138,9 +161,18 @@ object SimHash {
         else Seq.empty)
     def blockVals = array((0 until blocks).map(i =>
       expr(s"shiftright(simhash, ${i * width}) & $mask")): _*)
-    val idx = sigs.select(col("id").as("b"), col("simhash").as("sig_b"),
+    // Spread the (tiny: id + one long per doc) signature set to full
+    // shuffle width before the probe/index explodes: the fused kernel
+    // leaves sigs on the SCAN partitioning — one or two splits for a
+    // small-file corpus — and the ~(1+w+C(w,2))x probe explode below
+    // would run on those few tasks (measured: d5 26 s narrow vs 8 s
+    // spread at sf0.1). One exchange of n longs, reused by both sides.
+    val spread = sigs.repartition(
+      sigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+      col("id"))
+    val idx = spread.select(col("id").as("b"), col("simhash").as("sig_b"),
       posexplode(blockVals).as(Seq("blk", "key")))
-    val prb = sigs.select(col("id").as("a"), col("simhash").as("sig_a"),
+    val prb = spread.select(col("id").as("a"), col("simhash").as("sig_a"),
         posexplode(blockVals).as(Seq("blk", "v")))
       .select(col("a"), col("sig_a"), col("blk"),
         explode(array(masks.map(m => col("v").bitwiseXOR(lit(m))): _*)).as("key"))
@@ -200,7 +232,12 @@ object SimHash {
     val keys = for { i <- 0 until blocks; j <- (i + 1) until blocks } yield
       expr(s"((shiftright(simhash, ${i * width}) & $mask) << $width)" +
         s" | (shiftright(simhash, ${j * width}) & $mask)")
-    val sliced = sigs.select(col("id"), col("simhash"),
+    // same narrow-scan hazard as mihPairs: spread the tiny signature
+    // set to full width before the C(blocks,2)x slice explode
+    val spread = sigs.repartition(
+      sigs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+      col("id"))
+    val sliced = spread.select(col("id"), col("simhash"),
       posexplode(array(keys: _*)).as(Seq("band", "slice")))
     // the counting tap rides the (tiny, broadcast) oversized side: every
     // excluded bucket evaluates it once during the broadcast build

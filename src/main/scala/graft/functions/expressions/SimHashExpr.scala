@@ -1,0 +1,79 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The WHOLE per-row SimHash signature (tokenize → distinct → md5-prefix
+  * hash → 60-bit majority vote) as ONE fused kernel: text in, BIGINT
+  * signature out. Bit-identical to the staged explode → md5Long →
+  * 60-sum-aggregate form ([[graft.dedup.SimHash.signaturesStaged]]),
+  * asserted by SimHashSpec's equivalence test.
+  *
+  * Why a kernel: the staged form pays a per-TOKEN row expansion plus a
+  * 61-buffer hash aggregate and its exchange; the vote is row-local, so
+  * none of that is needed — the signature computes in one imperative
+  * pass on the scan partitioning, inside whole-stage codegen (same
+  * reasoning as [[RowMinSigsExpr]] for the MinHash plane).
+  *
+  * Returns -1 for a token-free text: the staged explode emits NO row for
+  * such documents, so callers filter the sentinel to keep presence
+  * semantics identical (-1 cannot collide with a real signature — only
+  * bits 0..59 can be set, so every real signature is non-negative). */
+case class RowSimHashExpr(child: Expression, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(bits > 0 && bits <= 60, s"md5Prefix60 carries 60 usable bits, got $bits")
+
+  override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    GraftSimHash.rowSimHash(input.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.GraftSimHash.rowSimHash($c, $bits)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object GraftSimHash {
+
+  /** One imperative pass: distinct lowercase-alnum tokens (byte-equality
+    * set, mirroring the staged `array_distinct`), 60-bit counters over
+    * [[GraftHash.md5Prefix60]] token hashes, majority vote with the
+    * staged form's strict `2·count > n` tie-break (a tie votes 0). */
+  def rowSimHash(s: UTF8String, bits: Int): Long = {
+    val toks = GraftText.lowerAlnumTokens(s)
+    val n = toks.numElements()
+    val counts = new Array[Int](bits)
+    val seen = new java.util.HashSet[UTF8String]()
+    var distinct = 0
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (seen.add(t)) {
+        distinct += 1
+        val h = GraftHash.md5Prefix60(t)
+        var b = 0
+        while (b < bits) {
+          counts(b) += ((h >>> b) & 1L).toInt
+          b += 1
+        }
+      }
+      i += 1
+    }
+    if (distinct == 0) return -1L
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (2L * counts(b) > distinct) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+}

@@ -196,7 +196,13 @@ object DedupQueries {
         import s.implicits._
         graft.dedup.SimHash
           .mihPairs(
-            graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text").cache(),
+            // localCheckpoint: the fused signature kernel has no
+            // exchange for ReusedExchange to share, so mihPairs' probe
+            // and index branches would each re-run the whole kernel
+            // scan (measured 26 s vs 7.5 s pinned at sf0.1); the pinned
+            // set is one long per doc.
+            graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text")
+              .localCheckpoint(true),
             maxHamming = 8)
           .withColumn("hamming", $"hamming".cast("int"))
           .orderBy($"a", $"b")
@@ -1105,7 +1111,10 @@ object DedupQueries {
         // sf1 sweep measured it at 56-69 s, 30-45x at 10x data).
         // Multi-index probing is exact by pigeonhole and output-bound.
         val pairs = graft.dedup.SimHash.mihPairs(
-          graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text"),
+          // pinned for the same reason as d5: the kernel form has no
+          // reusable exchange, so each mihPairs branch re-runs it
+          graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text")
+            .localCheckpoint(true),
           maxHamming = 8)
         pairs
           .withColumn("h", explode(expr("sequence(hamming, 8)")))
@@ -1158,7 +1167,10 @@ object DedupQueries {
         // sf1 sweep measured it at 56-69 s, 30-45x at 10x data).
         // Multi-index probing is exact by pigeonhole and output-bound.
         val pairs = graft.dedup.SimHash.mihPairs(
-          graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text"),
+          // pinned for the same reason as d5: the kernel form has no
+          // reusable exchange, so each mihPairs branch re-runs it
+          graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text")
+            .localCheckpoint(true),
           maxHamming = 8)
         val src = Tables.documents(s, dir).select($"doc_id", $"source")
         pairs
@@ -1328,7 +1340,7 @@ object DedupQueries {
         val sigs = graft.dedup.SimHash
           .signatures(corpusWithNearDups(s, dir), "doc_id", "text")
           .select($"id", $"simhash")
-          .cache() // consumed twice (a-side and b-side label joins)
+          .localCheckpoint(true) // consumed twice (a/b-side label joins)
         val docs = Tables.documents(s, dir).select($"doc_id")
         val pos = docs.filter($"doc_id" % 5 === 0)
           .select($"doc_id".as("a"), ($"doc_id" + 1000000L).as("b"),

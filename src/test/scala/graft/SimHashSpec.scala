@@ -89,4 +89,34 @@ class SimHashSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       SimHash.bandedHammingPairs(sigs, 8, blocks = 4))
   }
+
+  test("fused kernel signatures == staged form, bit for bit (incl. presence)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // real corpus + adversarial edges: empty text, whitespace/punct-only
+    // (token-free -> must be ABSENT from both), single token, repeated
+    // token (distinct collapses), mixed case (tokenizer parity), a
+    // near-tie vote (2 tokens -> every bit ties unless both hashes
+    // agree -> strict > tie-break exercised)
+    val edges = Seq(
+      (9000001L, ""), (9000002L, "   \t. ,;!"), (9000003L, "one"),
+      (9000004L, "dup dup dup DUP"), (9000005L, "Mixed CASE Tokens"),
+      (9000006L, "alpha beta"), (9000007L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val corpus = docs.select($"doc_id", $"text").unionAll(edges)
+    val kernel = SimHash.signatures(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val staged = SimHash.signaturesStaged(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(kernel.size == staged.size && kernel == staged,
+      s"kernel and staged signature maps must match exactly " +
+        s"(kernel ${kernel.size} rows, staged ${staged.size})")
+    // presence semantics: token-free docs absent, everything else present
+    assert(!kernel.contains(9000001L) && !kernel.contains(9000002L))
+    assert(kernel.contains(9000003L) && kernel.contains(9000007L))
+    // distinct collapse: the repeated-token doc equals its single-token sig
+    assert(kernel(9000004L) ==
+      SimHash.signatures(Seq((1L, "dup")).toDF("doc_id", "text"),
+        "doc_id", "text").as[(Long, Long)].collect().head._2)
+  }
 }
