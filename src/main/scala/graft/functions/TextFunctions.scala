@@ -41,6 +41,17 @@ object TextFunctions {
       graft.functions.expressions.NormalizeAsciiExpr(
         org.apache.spark.sql.graftbridge.GraftBridge.expression(text)))
 
+  /** Unicode NFC normalization (UAX #15) — the encoding-canonicalization
+    * step ahead of any byte-identity dedup: composed "á" and decomposed
+    * "a"+combining-acute render identically but hash apart. ASCII input
+    * (always NFC) returns without allocating, so at corpus scale this
+    * costs one byte scan per row. No Spark built-in materializes
+    * normalized text; DuckDB's `nfc_normalize` is the oracle twin. */
+  def nfcNormalized(text: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      graft.functions.expressions.NfcNormalizeExpr(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(text)))
+
   /** One-pass profile struct over the text (alpha/punct/token/stopword/
     * language-marker counts); shared by [[qualityScore]] and [[langId]]
     * via codegen subexpression elimination. */

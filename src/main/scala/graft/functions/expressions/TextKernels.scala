@@ -155,6 +155,29 @@ object GraftText {
   val profileSchema: StructType = StructType(
     Seq("alpha", "punct", "ntok", "stop", "en", "de", "fr", "es", "zh")
       .map(StructField(_, IntegerType, nullable = false)))
+
+  /** Unicode NFC normalization with an allocation-free ASCII fast path.
+    * Spark 4 ships UTF-8 VALIDITY functions (`validate_utf8` family) and
+    * normalizes inside collation COMPARISONS, but exposes no function that
+    * materializes normalized text — which web-corpus cleaning needs before
+    * any byte-identity dedup (composed "á" and decomposed "a"+U+0301 hash
+    * apart while rendering identically). Pure-ASCII input is NFC by
+    * construction and returns the input object after a byte scan (the
+    * dominant case at corpus scale: zero allocation); non-ASCII input pays
+    * `Normalizer.isNormalized` first so already-NFC text never reallocates
+    * either. Matches DuckDB's `nfc_normalize` (both implement UAX #15). */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    while (i < n && (s.getByte(i) & 0x80) == 0) i += 1
+    if (i == n) s
+    else {
+      val str = s.toString
+      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    }
+  }
 }
 
 /** `trim(regexp_replace(lower(s), "\\s+", " "))` as one fused pass. */
@@ -180,6 +203,20 @@ case class LowerAlnumTokensExpr(child: Expression)
     GraftText.lowerAlnumTokens(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.expressions.GraftText.lowerAlnumTokens($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Unicode NFC normalization (see [[GraftText.nfcNormalize]]) — no Spark
+  * built-in materializes normalized text. */
+case class NfcNormalizeExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    GraftText.nfcNormalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expressions.GraftText.nfcNormalize($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -2587,6 +2587,43 @@ object TextQueries {
     // reports raw vs effective docs/tokens and the integer milli
     // shrink. Labels join back as a broadcast of the (small) non-keeper
     // set — the corpus never rescans.
+    // ── Unicode NFC normalization (encoding canonicalization) ─────────
+    // The cleaning step ahead of byte-identity dedup: mixed-encoding web
+    // scrapes emit the same rendered text in composed and decomposed
+    // forms, which fingerprint apart until normalized. The synthetic
+    // corpus is ASCII (already NFC), so the query FABRICATES the
+    // decomposed input it exists to clean — every 'a' gains a combining
+    // acute (U+0301), the NFC-decomposed form of 'á' — with the identical
+    // injection in the oracle, then both engines normalize (Spark: the
+    // NfcNormalizeExpr codegen kernel; DuckDB: nfc_normalize) and the
+    // normalized TEXT itself is hash-compared. Scale shape: pure per-row
+    // map, no exchange beyond the output sort; the kernel's ASCII fast
+    // path makes the no-op case allocation-free.
+    GraftQuery(
+      "x62_nfc_normalize",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            // replacement = "a" + U+0301 combining acute (decomposed 'á'),
+            // written as an escape so no tool can re-compose the literal
+            regexp_replace($"text", "a", "a\u0301").as("dirty"))
+          .select($"doc_id", length($"dirty").as("n_dirty"),
+            nfcNormalized($"dirty").as("norm_text"))
+          .withColumn("n_norm", length($"norm_text"))
+          .withColumn("n_composed", $"n_dirty" - $"n_norm")
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS dirty
+          FROM documents),
+        n AS (SELECT doc_id, dirty, nfc_normalize(dirty) AS norm_text FROM d)
+        SELECT doc_id, length(dirty) AS n_dirty, norm_text,
+          length(norm_text) AS n_norm,
+          length(dirty) - length(norm_text) AS n_composed
+        FROM n ORDER BY doc_id""")),
+
     GraftQuery(
       "x58_effective_size",
       (s, dir) => {

@@ -320,4 +320,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     val c2 = chunks.filter(_._1 == 2L)
     assert(c2.length == 1 && c2.head._3.isEmpty)
   }
+
+  test("nfcNormalized: composes decomposed sequences, identity on NFC text") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.nfcNormalized
+    val composedA = "á" // á, the NFC form of "a"+U+0301
+    val rows = Seq(
+      ("ascii", "plain ascii stays put"),
+      ("decomp", "ca" + "́" + "fe"), // a + combining acute
+      ("composed", "c" + composedA + "fe"), // already NFC
+      ("mixed", "áé" + composedA),
+      ("empty", ""))
+      .toDF("k", "s")
+      .select($"k", nfcNormalized($"s").as("n"), length($"s").as("lpre"),
+        length(nfcNormalized($"s")).as("lpost"))
+      .collect().map(r => r.getString(0) -> (r.getString(1),
+        r.getInt(2), r.getInt(3))).toMap
+    assert(rows("ascii") == (("plain ascii stays put", 21, 21)))
+    assert(rows("decomp") == (("c" + composedA + "fe", 5, 4)))
+    assert(rows("composed") == (("c" + composedA + "fe", 4, 4)))
+    assert(rows("mixed")._1 == composedA + "é" + composedA)
+    assert(rows("empty") == (("", 0, 0)))
+    // agrees with java.text.Normalizer on every corpus doc post-injection
+    // (the x62 query shape), including the null row path
+    val docs = graft.core.Tables.documents(spark, dir).limit(50)
+      .select(regexp_replace($"text", "e", "é").as("s"))
+    val mismatch = docs.select($"s", nfcNormalized($"s").as("n")).collect()
+      .count { r =>
+        java.text.Normalizer.normalize(r.getString(0),
+          java.text.Normalizer.Form.NFC) != r.getString(1)
+      }
+    assert(mismatch == 0)
+  }
 }
