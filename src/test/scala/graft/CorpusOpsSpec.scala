@@ -352,4 +352,26 @@ class CorpusOpsSpec extends AnyFunSuite {
       }
     assert(mismatch == 0)
   }
+
+  test("nfcNormalize kernel: randomized agreement with java.text.Normalizer") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val kernel = graft.functions.expressions.GraftText.nfcNormalize _
+    // pure-JVM check, no Spark session: the fast paths (ASCII passthrough,
+    // isNormalized skip) must never skip a needed normalization. Alphabet
+    // mixes ASCII, precomposed accents, combining marks, Hangul jamo
+    // (compose to syllables under NFC), and an astral-plane emoji.
+    val pieces = Array("a", "Z", "9", " ", "é", "é",
+      "́", "Å", "Å", "가", "가",
+      "😀", "Á̧")
+    val rnd = new scala.util.Random(62)
+    (0 until 2000).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(12))(pieces(rnd.nextInt(pieces.length))).mkString
+      val got = kernel(UTF8String.fromString(s)).toString
+      val want = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      assert(got == want, s"mismatch on ${s.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+    // ASCII fast path returns the INPUT OBJECT (zero allocation contract)
+    val ascii = UTF8String.fromString("plain ascii")
+    assert(kernel(ascii) eq ascii)
+  }
 }
