@@ -27,7 +27,15 @@ object PngCodec {
 
   /** Encode a `w`×`h` grayscale raster (row-major pixel function, values
     * 0-255) as real PNG bytes. */
-  def encodeGray(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+  def encodeGray(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] =
+    encodeGray(w, h, px, "png")
+
+  /** Format-parameterized variant: the JDK ships png/bmp/gif writers and
+    * ALL THREE are exact for an 8-bit grayscale raster (BMP stores the
+    * samples raw, GIF's 256-entry palette covers every gray level), so an
+    * encode→decode roundtrip oracle holds for any of them. */
+  def encodeGray(w: Int, h: Int, px: (Int, Int) => Int,
+      format: String): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     var y = 0
@@ -37,7 +45,7 @@ object PngCodec {
       y += 1
     }
     val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
+    require(ImageIO.write(img, format, out), s"no ImageIO writer for $format")
     out.toByteArray
   }
 

@@ -680,6 +680,46 @@ object MultimodalQueries {
           CAST(SUM((doc_id * 31 + f.fi * 17 + g.i * 5) % 256) AS BIGINT) AS luma_units
         FROM documents, (VALUES (0), (2), (4)) AS f(fi),
           generate_series(0, 63) AS g(i)
-        GROUP BY doc_id, f.fi ORDER BY media_id, frame_idx"""))
+        GROUP BY doc_id, f.fi ORDER BY media_id, frame_idx""")),
+
+    // ── REAL codecs: mixed PNG/BMP/GIF through ONE content-sniffed pass ─
+    // The production shape for a heterogeneous image corpus: each doc_id
+    // encodes the SAME 16×16 grayscale raster (m11's generator formula)
+    // in a format chosen by id%3 — PNG, BMP, or GIF, all JDK-shipped and
+    // all EXACT for 8-bit grayscale — and a single decodeFeatures pass
+    // content-sniffs every payload (ImageIO.read dispatches on magic
+    // bytes; no per-format branches in the plan). Losslessness makes the
+    // m11 oracle formula hold for every row regardless of format, and the
+    // decoder tag pins that the REAL codec path ran for all three (a stub
+    // fallback on any format hash-mismatches). Scale shape: one
+    // mapPartitions-batched seam pass, format mix irrelevant to the plan.
+    GraftQuery(
+      "m18_mixed_lossless_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).select($"doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val fmt = (id % 3) match {
+              case 0 => "png"; case 1 => "bmp"; case _ => "gif"
+            }
+            (id, fmt, graft.multimodal.PngCodec.encodeGray(16, 16,
+              (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt, fmt))
+          }).toDF("media_id", "kind", "bytes")
+        Multimodal.decodeFeatures(media, dims = 16)(
+          graft.multimodal.PngCodec.imageIoDecodeBatch(16))
+          .toDF()
+          .select($"media_id", $"kind".as("fmt"), $"decoder",
+            aggregate($"feature", lit(0L),
+              (a, x) => a + (x * 256f).cast("long")).as("px_units"))
+          .orderBy($"media_id")
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+            ELSE 'gif' END AS fmt,
+          'imageio/v1' AS decoder,
+          CAST(SUM((doc_id * 31 + 13 * g.i) % 256) AS BIGINT) AS px_units
+        FROM documents, generate_series(0, 15) AS g(i)
+        GROUP BY doc_id ORDER BY media_id"""))
   )
 }

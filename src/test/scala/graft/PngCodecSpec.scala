@@ -18,6 +18,24 @@ class PngCodecSpec extends AnyFunSuite {
       assert(px(y * 16 + x) == (x * 7 + y * 13) % 256, s"pixel ($x,$y)")
   }
 
+  test("BMP and GIF encode -> decode roundtrip exactly; magic bytes prove the format") {
+    for (fmt <- Seq("bmp", "gif")) {
+      val bytes = PngCodec.encodeGray(16, 16, (x, y) => (x * 7 + y * 13) % 256, fmt)
+      fmt match {
+        case "bmp" => assert(bytes(0) == 'B' && bytes(1) == 'M')
+        case "gif" => assert(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+      }
+      val Some((w, h, px)) = PngCodec.decodeGray(bytes)
+      assert(w == 16 && h == 16)
+      for (y <- 0 until 16; x <- 0 until 16)
+        assert(px(y * 16 + x) == (x * 7 + y * 13) % 256, s"$fmt pixel ($x,$y)")
+    }
+    // unknown format fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      PngCodec.encodeGray(4, 4, (_, _) => 0, "webp")
+    }
+  }
+
   test("imageIoDecodeBatch: real features from pixels; stub fallback for non-images") {
     val png = PngCodec.encodeGray(16, 16, (x, y) => (x + y) % 256)
     val out = PngCodec.imageIoDecodeBatch(16)(Seq(
