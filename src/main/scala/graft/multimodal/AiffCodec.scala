@@ -1,0 +1,142 @@
+package graft.multimodal
+
+import graft.multimodal.Multimodal.DecodedMedia
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** REAL audio codec #2 for the [[Multimodal]] decode seam — AIFF
+  * (big-endian IFF container) PCM-16, parsed directly like
+  * [[WavCodec]]'s RIFF walk. AIFF is the other container a mixed audio
+  * corpus actually contains (Apple-ecosystem exports), and it differs
+  * from WAV in every way that can hide a parser bug: byte order
+  * (big-endian throughout, including the samples), chunk layout
+  * (COMM/SSND vs fmt/data, SSND carrying an offset+blockSize preamble),
+  * and the sample rate stored as an 80-bit IEEE 754 EXTENDED float —
+  * encoded/decoded here exactly for integral rates, no floating-point
+  * rounding in the path. PCM losslessness makes the m19 oracle analytic,
+  * same as m14's.
+  *
+  * Reference behavior spec: the multimodal ingestion surface of
+  * /root/reference (workflows/media, stubbed in the reference's tests);
+  * container layout from the public AIFF-1.3 specification.
+  */
+object AiffCodec {
+
+  /** 80-bit extended-precision encode of a positive integral sample
+    * rate: 16-bit excess-16383 exponent + 64-bit explicit-leading-one
+    * mantissa. Exact for any rate < 2³¹. */
+  private def extended(rate: Int): Array[Byte] = {
+    val nlz = Integer.numberOfLeadingZeros(rate)
+    val exp = 16383 + 31 - nlz
+    val mant = rate.toLong << (32 + nlz)
+    val b = ByteBuffer.allocate(10).order(ByteOrder.BIG_ENDIAN)
+    b.putShort(exp.toShort).putLong(mant)
+    b.array()
+  }
+
+  /** Inverse of [[extended]]; -1 for anything non-integral or out of
+    * range (callers treat that as malformed). */
+  private def extendedToInt(b: ByteBuffer): Int = {
+    val exp = b.getShort & 0x7fff
+    val mant = b.getLong
+    val shift = 63 - (exp - 16383)
+    if (shift < 0 || shift > 63 || (shift > 0 && (mant << (64 - shift)) != 0L)) -1
+    else {
+      val r = mant >>> shift
+      if (r > Int.MaxValue) -1 else r.toInt
+    }
+  }
+
+  /** Encode 16-bit mono PCM as a canonical AIFF payload
+    * (FORM/AIFF + COMM + SSND, zero offset/blockSize). */
+  def encodePcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    // FORM(12) + COMM(8+18) + SSND(8+8+data)
+    val buf = ByteBuffer.allocate(12 + 26 + 16 + dataLen).order(ByteOrder.BIG_ENDIAN)
+    buf.put("FORM".getBytes("US-ASCII")).putInt(4 + 26 + 16 + dataLen)
+      .put("AIFF".getBytes("US-ASCII"))
+    buf.put("COMM".getBytes("US-ASCII")).putInt(18)
+      .putShort(1)                    // channels
+      .putInt(samples.length)         // numSampleFrames
+      .putShort(16)                   // sampleSize bits
+      .put(extended(sampleRate))
+    buf.put("SSND".getBytes("US-ASCII")).putInt(8 + dataLen)
+      .putInt(0).putInt(0)            // offset, blockSize
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Decode an AIFF payload to (sampleRate, channel-averaged samples).
+    * PCM-16 only; chunk walk with IFF even-padding, COMM/SSND in either
+    * order, unknown chunks skipped. None for anything malformed — the
+    * caller falls back to the stub. */
+  def decodePcm16(bytes: Array[Byte]): Option[(Int, Array[Int])] =
+    try {
+      if (bytes.length < 12) return None
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+      def tag4(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+      }
+      if (tag4() != "FORM") return None
+      buf.getInt // form size (trust the buffer bound)
+      if (tag4() != "AIFF") return None
+      var sampleRate = -1
+      var channels = -1
+      var bits = -1
+      var data: Array[Byte] = null
+      while (buf.remaining() >= 8 && (data == null || sampleRate < 0)) {
+        val id = tag4()
+        val len = buf.getInt
+        if (len < 0 || len > buf.remaining()) return None
+        id match {
+          case "COMM" =>
+            val end = buf.position() + len
+            channels = buf.getShort.toInt
+            buf.getInt // numSampleFrames (trust SSND's actual length)
+            bits = buf.getShort.toInt
+            sampleRate = extendedToInt(buf)
+            buf.position(end + (len & 1))
+          case "SSND" =>
+            val end = buf.position() + len
+            val offset = buf.getInt
+            buf.getInt // blockSize
+            if (offset < 0 || offset > len - 8) return None
+            buf.position(buf.position() + offset)
+            data = new Array[Byte](len - 8 - offset)
+            buf.get(data)
+            buf.position(end + (len & 1))
+          case _ =>
+            buf.position(buf.position() + len + (len & 1)) // skip + pad
+        }
+      }
+      if (sampleRate <= 0 || channels <= 0 || bits != 16 || data == null) return None
+      val d = ByteBuffer.wrap(data).order(ByteOrder.BIG_ENDIAN)
+      val frames = data.length / (2 * channels)
+      val out = new Array[Int](frames)
+      var i = 0
+      while (i < frames) {
+        var s = 0
+        var c = 0
+        while (c < channels) { s += d.getShort.toInt; c += 1 }
+        out(i) = s / channels
+        i += 1
+      }
+      Some((sampleRate, out))
+    } catch { case _: Exception => None }
+
+  /** Batch decoder for [[Multimodal.decodeFeatures]] — same grid-sample
+    * normalization as [[WavCodec.wavDecodeBatch]] (sample/32768 is exact
+    * in a float, so the oracle multiplies back to integer units). */
+  def aiffDecodeBatch(dims: Int)(
+      batch: Seq[(Long, String, Array[Byte])]): Seq[DecodedMedia] =
+    batch.map { case (id, kind, bytes) =>
+      decodePcm16(bytes) match {
+        case Some((_, samples)) if samples.nonEmpty =>
+          val n = samples.length
+          val feats = Array.tabulate(dims)(i =>
+            samples((i.toLong * n / dims).toInt) / 32768f)
+          DecodedMedia(id, kind, feats, "aiff/pcm16-v1")
+        case _ => Multimodal.stubDecodeBatch(dims)(Seq((id, kind, bytes))).head
+      }
+    }
+}

@@ -88,7 +88,11 @@ object Multimodal {
     batch.map { row =>
       val img = PngCodec.imageIoDecodeBatch(dims)(Seq(row)).head
       if (img.decoder != "stub/md5-v1") img
-      else WavCodec.wavDecodeBatch(dims)(Seq(row)).head
+      else {
+        val wav = WavCodec.wavDecodeBatch(dims)(Seq(row)).head
+        if (wav.decoder != "stub/md5-v1") wav
+        else AiffCodec.aiffDecodeBatch(dims)(Seq(row)).head
+      }
     }
 
   /** STUB decoder: deterministic fake features from the payload hash.

@@ -556,6 +556,38 @@ object MultimodalQueries {
         FROM documents, generate_series(0, 15) AS g(i)
         GROUP BY doc_id ORDER BY media_id""")),
 
+    // ── REAL codec: AIFF (big-endian IFF) decode roundtrip ────────────
+    // The second audio container a mixed corpus actually holds. AIFF
+    // inverts every byte-level convention WAV set (big-endian samples,
+    // COMM/SSND chunks, an 80-bit extended-float sample rate), so a
+    // shared-code parser bug can't pass both m14 and this. Same lossless
+    // PCM-16 construction and grid-sample oracle as m14; the
+    // aiff/pcm16-v1 decoder tag proves the AIFF parser ran (WAV or stub
+    // fallback hash-mismatches).
+    GraftQuery(
+      "m19_aiff_decode_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).select($"doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val samples = Array.tabulate(256)(t =>
+              (((id * 31 + t * 7) % 65536) - 32768).toShort)
+            (id, "audio", graft.multimodal.AiffCodec.encodePcm16(8000, samples))
+          }).toDF("media_id", "kind", "bytes")
+        Multimodal.decodeFeatures(media, dims = 16)(
+          graft.multimodal.AiffCodec.aiffDecodeBatch(16))
+          .toDF()
+          .select($"media_id", $"decoder",
+            aggregate($"feature", lit(0L),
+              (a, x) => a + (x * 32768f).cast("long")).as("amp_units"))
+          .orderBy($"media_id")
+      },
+      Some("""
+        SELECT doc_id AS media_id, 'aiff/pcm16-v1' AS decoder,
+          CAST(SUM((doc_id * 31 + 112 * g.i) % 65536 - 32768) AS BIGINT) AS amp_units
+        FROM documents, generate_series(0, 15) AS g(i)
+        GROUP BY doc_id ORDER BY media_id""")),
+
     // ── mixed-modality dispatch: one pipeline, bytes decide ───────────
     // The production mixed-table shape: a third of the rows carry real
     // PNG, a third real WAV, a third opaque text bytes, all through ONE

@@ -1,0 +1,92 @@
+package graft
+
+import graft.multimodal.{AiffCodec, Multimodal}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Real AIFF PCM-16 codec behind the multimodal seam: lossless roundtrip,
+  * the 80-bit extended-float sample rate, IFF chunk-walk robustness,
+  * big-endian stereo averaging, stub fallback, and the auto-dispatch
+  * chain picking AIFF after image/WAV both decline. */
+class AiffCodecSpec extends AnyFunSuite {
+
+  test("PCM-16 encode -> decode roundtrips every sample exactly (lossless)") {
+    val samples = Array.tabulate(300)(t => (((t * 7919) % 65536) - 32768).toShort)
+    val bytes = AiffCodec.encodePcm16(44100, samples)
+    assert(new String(bytes, 0, 4, "US-ASCII") == "FORM")
+    assert(new String(bytes, 8, 4, "US-ASCII") == "AIFF")
+    val Some((rate, out)) = AiffCodec.decodePcm16(bytes)
+    assert(rate == 44100 && out.length == 300)
+    assert(out.toSeq == samples.map(_.toInt).toSeq)
+  }
+
+  test("80-bit extended sample rate is exact across the audio range") {
+    for (rate <- Seq(1, 8000, 11025, 22050, 44100, 48000, 96000, 192000, Int.MaxValue)) {
+      val Some((r, _)) = AiffCodec.decodePcm16(AiffCodec.encodePcm16(rate, Array(1.toShort)))
+      assert(r == rate, s"rate $rate roundtripped as $r")
+    }
+  }
+
+  test("chunk walk skips unknown chunks and honors SSND offset") {
+    val samples = Array.tabulate(32)(t => (t * 100).toShort)
+    val plain = AiffCodec.encodePcm16(8000, samples)
+    // splice an ANNO chunk (odd length -> exercises the IFF pad byte)
+    // between the AIFF tag and COMM, and give SSND a 4-byte offset
+    val anno = "note!".getBytes("US-ASCII") // 5 bytes, odd
+    val out = ByteBuffer.allocate(plain.length + 8 + anno.length + 1 + 4)
+      .order(ByteOrder.BIG_ENDIAN)
+    out.put(plain, 0, 12) // FORM + size + AIFF
+    out.put("ANNO".getBytes("US-ASCII")).putInt(anno.length).put(anno).put(0.toByte)
+    out.put(plain, 12, 26) // COMM chunk verbatim
+    out.put("SSND".getBytes("US-ASCII")).putInt(8 + 4 + samples.length * 2)
+      .putInt(4).putInt(0) // offset=4, blockSize=0
+      .putInt(0xDEADBEEF)  // 4 junk offset bytes the decoder must skip
+    samples.foreach(out.putShort)
+    val spliced = out.array()
+    // fix the FORM size field to the new payload length
+    ByteBuffer.wrap(spliced).order(ByteOrder.BIG_ENDIAN).putInt(4, spliced.length - 8)
+    val Some((rate, decoded)) = AiffCodec.decodePcm16(spliced)
+    assert(rate == 8000)
+    assert(decoded.toSeq == samples.map(_.toInt).toSeq)
+  }
+
+  test("stereo frames average their channels, big-endian") {
+    val mono = AiffCodec.encodePcm16(8000, Array.tabulate(4)(t => (t * 1000).toShort))
+    // hand-build a 2-channel variant: L = t*1000, R = t*1000 + 200
+    val buf = ByteBuffer.allocate(12 + 26 + 16 + 16).order(ByteOrder.BIG_ENDIAN)
+    buf.put(mono, 0, 12 + 8) // FORM..COMM header+len
+    buf.putShort(2).putInt(4).putShort(16).put(mono, 12 + 8 + 8, 10) // chans=2, frames, bits, rate
+    buf.put("SSND".getBytes("US-ASCII")).putInt(8 + 16).putInt(0).putInt(0)
+    for (t <- 0 until 4) { buf.putShort((t * 1000).toShort); buf.putShort((t * 1000 + 200).toShort) }
+    val bytes = buf.array()
+    ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN).putInt(4, bytes.length - 8)
+    val Some((_, out)) = AiffCodec.decodePcm16(bytes)
+    assert(out.toSeq == Seq(100, 1100, 2100, 3100))
+  }
+
+  test("garbage, truncated, WAV, and non-PCM-16 payloads are rejected") {
+    assert(AiffCodec.decodePcm16("not audio at all".getBytes("UTF-8")).isEmpty)
+    val good = AiffCodec.encodePcm16(8000, Array.tabulate(16)(_.toShort))
+    assert(AiffCodec.decodePcm16(good.take(20)).isEmpty)
+    // a WAV payload must NOT parse as AIFF (and vice versa is covered by
+    // WavCodecSpec's reject test feeding it arbitrary non-RIFF bytes)
+    val wav = graft.multimodal.WavCodec.encodePcm16(8000, Array.tabulate(16)(_.toShort))
+    assert(AiffCodec.decodePcm16(wav).isEmpty)
+    // 8-bit sampleSize -> rejected
+    val eight = good.clone()
+    ByteBuffer.wrap(eight).order(ByteOrder.BIG_ENDIAN).putShort(12 + 8 + 6, 8.toShort)
+    assert(AiffCodec.decodePcm16(eight).isEmpty)
+  }
+
+  test("autoDecodeBatch dispatches AIFF after image and WAV decline") {
+    val aiff = AiffCodec.encodePcm16(8000, Array.tabulate(64)(t => (t * 100).toShort))
+    val png = graft.multimodal.PngCodec.encodeGray(4, 4, (x, y) => x + y)
+    val rows = Seq((1L, "audio", aiff), (2L, "image", png),
+      (3L, "text", "opaque".getBytes("UTF-8")))
+    val decoded = Multimodal.autoDecodeBatch(8)(rows).map(d => d.media_id -> d.decoder).toMap
+    assert(decoded(1L) == "aiff/pcm16-v1")
+    assert(decoded(2L) == "imageio/v1")
+    assert(decoded(3L) == "stub/md5-v1")
+  }
+}
