@@ -52,6 +52,15 @@ object TextFunctions {
       graft.functions.expressions.NfcNormalizeExpr(
         org.apache.spark.sql.graftbridge.GraftBridge.expression(text)))
 
+  /** Unicode NFKC compatibility normalization — [[nfcNormalized]] plus
+    * compatibility folding (ligature ﬁ→fi, fullwidth Ａ→A, superscript
+    * ²→2): the canonical-key form dedup pipelines fold to before
+    * hashing, where visually-equivalent spellings must collide. */
+  def nfkcNormalized(text: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      graft.functions.expressions.NfkcNormalizeExpr(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(text)))
+
   /** One-pass profile struct over the text (alpha/punct/token/stopword/
     * language-marker counts); shared by [[qualityScore]] and [[langId]]
     * via codegen subexpression elimination. */

@@ -166,16 +166,26 @@ object GraftText {
     * dominant case at corpus scale: zero allocation); non-ASCII input pays
     * `Normalizer.isNormalized` first so already-NFC text never reallocates
     * either. Matches DuckDB's `nfc_normalize` (both implement UAX #15). */
-  def nfcNormalize(s: UTF8String): UTF8String = {
+  def nfcNormalize(s: UTF8String): UTF8String =
+    unicodeNormalize(s, java.text.Normalizer.Form.NFC)
+
+  /** NFKC — NFC plus COMPATIBILITY folding (ligature ﬁ→fi, fullwidth
+    * Ａ→A, superscript ²→2, …): the canonical-key form dedup pipelines
+    * fold to before hashing, where visually-equivalent spellings must
+    * collide. Same fast paths as NFC (ASCII is NFKC-invariant). */
+  def nfkcNormalize(s: UTF8String): UTF8String =
+    unicodeNormalize(s, java.text.Normalizer.Form.NFKC)
+
+  private def unicodeNormalize(s: UTF8String,
+      form: java.text.Normalizer.Form): UTF8String = {
     val n = s.numBytes()
     var i = 0
     while (i < n && (s.getByte(i) & 0x80) == 0) i += 1
     if (i == n) s
     else {
       val str = s.toString
-      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
-      else UTF8String.fromString(
-        java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+      if (java.text.Normalizer.isNormalized(str, form)) s
+      else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
     }
   }
 }
@@ -217,6 +227,20 @@ case class NfcNormalizeExpr(child: Expression)
     GraftText.nfcNormalize(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.expressions.GraftText.nfcNormalize($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Unicode NFKC compatibility normalization (see
+  * [[GraftText.nfkcNormalize]]). */
+case class NfkcNormalizeExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    GraftText.nfkcNormalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expressions.GraftText.nfkcNormalize($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -2624,6 +2624,40 @@ object TextQueries {
           length(dirty) - length(norm_text) AS n_composed
         FROM n ORDER BY doc_id""")),
 
+    // ── Unicode NFKC compatibility fold (canonical dedup keys) ────────
+    // The step ABOVE x62's NFC: dedup pipelines fold visually-equivalent
+    // spellings (ligature ﬁ, fullwidth Ａ, superscript ²) into one
+    // canonical key before hashing. DuckDB has no NFKC function, so the
+    // oracle is the IDENTITY under controlled injection: the query
+    // replaces 'fi'→U+FB01, '2'→U+00B2, 'A'→U+FF21 in the ASCII corpus
+    // (same replaces in the oracle), then Spark's NFKC kernel must
+    // reconstruct the ORIGINAL text byte-for-byte — the oracle simply
+    // emits `text`, and the hash compare does the rest. n_dirty proves
+    // the injection actually changed the payload (ligatures shorten it).
+    // Scale shape: pure per-row map, like x62.
+    GraftQuery(
+      "x63_nfkc_fold_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val dirty = regexp_replace(regexp_replace(regexp_replace(
+          $"text", "fi", "ﬁ"), "2", "²"), "A", "Ａ")
+        Tables.documents(s, dir)
+          .select($"doc_id", dirty.as("dirty"))
+          .select($"doc_id", length($"dirty").as("n_dirty"),
+            nfkcNormalized($"dirty").as("norm_text"))
+          .withColumn("n_norm", length($"norm_text"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text,
+            replace(replace(replace(text, 'fi', chr(64257)),
+              '2', chr(178)), 'A', chr(65313)) AS dirty
+          FROM documents)
+        SELECT doc_id, length(dirty) AS n_dirty, text AS norm_text,
+          length(text) AS n_norm
+        FROM d ORDER BY doc_id""")),
+
     GraftQuery(
       "x58_effective_size",
       (s, dir) => {

@@ -374,4 +374,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     val ascii = UTF8String.fromString("plain ascii")
     assert(kernel(ascii) eq ascii)
   }
+
+  test("nfkcNormalize kernel: compatibility folds, NFC composition, ASCII identity") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = graft.functions.expressions.GraftText.nfkcNormalize _
+    def n(s: String) = k(UTF8String.fromString(s)).toString
+    assert(n("ﬁle ²Ａ") == "file 2A") // ligature, superscript, fullwidth
+    assert(n("e" + "́") == "é")        // NFKC includes NFC composition
+    // delegate agreement on a compat sampler (vulgar fraction, roman
+    // numeral, squared unit, no-break space)
+    for (s <- Seq("½", "Ⅻ", "㎡", "a b"))
+      assert(n(s) == java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.NFKC), s.map(c => f"\\u${c.toInt}%04x").mkString)
+    val ascii = UTF8String.fromString("already canonical")
+    assert(k(ascii) eq ascii)
+  }
 }
