@@ -61,6 +61,16 @@ object TextFunctions {
       graft.functions.expressions.NfkcNormalizeExpr(
         org.apache.spark.sql.graftbridge.GraftBridge.expression(text)))
 
+  /** NFKC_Casefold (Unicode `NFKC_CF`, via the ICU Spark already ships
+    * for collations): compatibility fold + FULL case fold — the
+    * canonical dedup-key transform where "Straße"/"STRASSE", Kelvin-sign
+    * K/k, and ﬁle/FILE must all collide. [[nfkcNormalized]] preserves
+    * case; this is the key-building form. */
+  def nfkcCasefolded(text: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      graft.functions.expressions.NfkcCasefoldExpr(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(text)))
+
   /** One-pass profile struct over the text (alpha/punct/token/stopword/
     * language-marker counts); shared by [[qualityScore]] and [[langId]]
     * via codegen subexpression elimination. */

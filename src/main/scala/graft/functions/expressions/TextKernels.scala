@@ -188,6 +188,38 @@ object GraftText {
       else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
     }
   }
+
+  // ICU's Normalizer2 instances are immutable and thread-safe; Spark 4
+  // already ships icu4j for collations, so this adds no dependency.
+  private lazy val nfkcCf = com.ibm.icu.text.Normalizer2.getNFKCCasefoldInstance
+
+  /** NFKC_Casefold (UAX #31 / Unicode `NFKC_CF`): compatibility fold +
+    * full case fold in one pass — THE canonical dedup-key transform
+    * ("Straße" → "strasse", Kelvin sign → k, ﬁ → fi, Ａ → a). ASCII fast
+    * paths: already-folded text returns the input object; ASCII with
+    * uppercase folds byte-wise (casefold == lowercase on ASCII) without
+    * touching ICU. */
+  def nfkcCasefold(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    var hasUpper = false
+    var ascii = true
+    while (i < n && ascii) {
+      val b = s.getByte(i)
+      if ((b & 0x80) != 0) ascii = false
+      else {
+        if (b >= 'A' && b <= 'Z') hasUpper = true
+        i += 1
+      }
+    }
+    if (ascii && !hasUpper) s
+    else if (ascii) {
+      val out = new Array[Byte](n)
+      var j = 0
+      while (j < n) { out(j) = lowerByte(s.getByte(j)); j += 1 }
+      UTF8String.fromBytes(out)
+    } else UTF8String.fromString(nfkcCf.normalize(s.toString))
+  }
 }
 
 /** `trim(regexp_replace(lower(s), "\\s+", " "))` as one fused pass. */
@@ -241,6 +273,20 @@ case class NfkcNormalizeExpr(child: Expression)
     GraftText.nfkcNormalize(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.expressions.GraftText.nfkcNormalize($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** NFKC_Casefold canonical-key transform (see
+  * [[GraftText.nfkcCasefold]]). */
+case class NfkcCasefoldExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    GraftText.nfkcCasefold(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expressions.GraftText.nfkcCasefold($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

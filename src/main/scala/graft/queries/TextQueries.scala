@@ -2658,6 +2658,41 @@ object TextQueries {
           length(text) AS n_norm
         FROM d ORDER BY doc_id""")),
 
+    // ── NFKC_Casefold canonical dedup keys ─────────────────────────────
+    // x63's NFKC preserves case; real dedup keys also case-fold
+    // ("STRASSE"/"Straße" must collide). The kernel runs ICU's
+    // NFKC_Casefold (compat fold + FULL case fold, the Unicode NFKC_CF
+    // transform). Oracle, again by controlled injection: replace
+    // 'K'→U+212A (Kelvin sign), 'S'→U+017F (long s), 'fi'→U+FB01
+    // (ligature) — three characters whose CASEFOLD (not just compat
+    // decomposition) is the ASCII lowercase of what they replaced — and
+    // the folded text must then equal `lower(text)` exactly, which
+    // DuckDB computes natively. Scale shape: per-row map; the ASCII
+    // fast path folds upper-case bytes without touching ICU.
+    GraftQuery(
+      "x64_casefold_key",
+      (s, dir) => {
+        import s.implicits._
+        val dirty = regexp_replace(regexp_replace(regexp_replace(
+          $"text", "K", "K"), "S", "ſ"), "fi", "ﬁ")
+        Tables.documents(s, dir)
+          .select($"doc_id", dirty.as("dirty"))
+          .select($"doc_id", length($"dirty").as("n_dirty"),
+            nfkcCasefolded($"dirty").as("key_text"))
+          .withColumn("n_key", length($"key_text"))
+          .withColumn("key_hash", md5($"key_text"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text,
+            replace(replace(replace(text, 'K', chr(8490)),
+              'S', chr(383)), 'fi', chr(64257)) AS dirty
+          FROM documents)
+        SELECT doc_id, length(dirty) AS n_dirty, lower(text) AS key_text,
+          length(text) AS n_key, md5(lower(text)) AS key_hash
+        FROM d ORDER BY doc_id""")),
+
     GraftQuery(
       "x58_effective_size",
       (s, dir) => {

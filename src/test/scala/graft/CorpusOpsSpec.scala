@@ -389,4 +389,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     val ascii = UTF8String.fromString("already canonical")
     assert(k(ascii) eq ascii)
   }
+
+  test("nfkcCasefold kernel: full fold, ASCII byte path, folded-identity") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = graft.functions.expressions.GraftText.nfkcCasefold _
+    def f(s: String) = k(UTF8String.fromString(s)).toString
+    assert(f("Straße") == "strasse")       // ß full-folds to ss (NOT lowercase)
+    assert(f("K") == "k")                  // Kelvin sign
+    assert(f("ſ") == "s")                  // long s
+    assert(f("ﬁLE Ａ") == "file a")        // ligature + fullwidth + case
+    assert(f("MiXeD 42!") == "mixed 42!")  // pure-ASCII byte path
+    // already-folded ASCII returns the INPUT OBJECT (zero allocation)
+    val folded = UTF8String.fromString("nothing to do 99")
+    assert(k(folded) eq folded)
+    // agreement with ICU's own transform on mixed samples
+    val icu = com.ibm.icu.text.Normalizer2.getNFKCCasefoldInstance
+    for (s <- Seq("Ⅻ½㎡", "ÅNGSTRÖM", "ẞig", "ΣΙΓΜΑΣ"))
+      assert(f(s) == icu.normalize(s), s.map(c => f"\\u${c.toInt}%04x").mkString)
+  }
 }
