@@ -411,4 +411,25 @@ class PushdownSpec extends AnyFunSuite {
     assert(!p8.contains("CartesianProduct") && !p8.contains("BroadcastNestedLoopJoin"),
       s"q8 must stay equi-join shaped, plan:\n$p8")
   }
+
+  test("normalization/codec queries stay map-only: ONE exchange (the output sort)") {
+    import org.apache.spark.sql.execution.SimpleMode
+    // x62/x63/x64 and the codec roundtrips m18/m19 are pure per-row
+    // transforms: the ONLY exchange their plans may contain is the final
+    // presentation sort's range partitioning. A second exchange means
+    // someone added a shuffle to a 100 TB map — fail CI, not the cluster.
+    for (name <- Seq("x62_nfc_normalize", "x63_nfkc_fold_roundtrip",
+        "x64_casefold_key", "m18_mixed_lossless_roundtrip",
+        "m19_aiff_decode_roundtrip")) {
+      val q = graft.core.Registry.allQueries.find(_.name == name).get
+      val plan = q.build(spark, "/root/testdata/sf0.001")
+        .queryExecution.explainString(SimpleMode)
+      val exchanges = "(?m)^.*Exchange .*$".r.findAllIn(plan).size
+      assert(exchanges == 1, s"$name must have exactly the sort exchange, plan:\n$plan")
+      assert(plan.contains("rangepartitioning"),
+        s"$name's one exchange must be the output sort, plan:\n$plan")
+      assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+        s"$name must not join or aggregate, plan:\n$plan")
+    }
+  }
 }
