@@ -79,6 +79,26 @@ class AiffCodecSpec extends AnyFunSuite {
     assert(AiffCodec.decodePcm16(eight).isEmpty)
   }
 
+  test("randomized roundtrip sweep, both audio containers, edge samples included") {
+    val rnd = new scala.util.Random(19)
+    val rates = Array(8000, 11025, 16000, 22050, 44100, 48000, 96000)
+    for (_ <- 0 until 200) {
+      val n = 1 + rnd.nextInt(400)
+      val rate = rates(rnd.nextInt(rates.length))
+      val samples = Array.tabulate(n) { i =>
+        // force the extremes into every clip so sign handling can't hide
+        if (i == 0) Short.MinValue
+        else if (i == n - 1) Short.MaxValue
+        else rnd.nextInt(65536).toShort
+      }
+      val Some((ar, aOut)) = AiffCodec.decodePcm16(AiffCodec.encodePcm16(rate, samples))
+      assert(ar == rate && aOut.toSeq == samples.map(_.toInt).toSeq, s"aiff n=$n rate=$rate")
+      val Some((wr, wOut)) = graft.multimodal.WavCodec.decodePcm16(
+        graft.multimodal.WavCodec.encodePcm16(rate, samples))
+      assert(wr == rate && wOut.toSeq == samples.map(_.toInt).toSeq, s"wav n=$n rate=$rate")
+    }
+  }
+
   test("autoDecodeBatch dispatches AIFF after image and WAV decline") {
     val aiff = AiffCodec.encodePcm16(8000, Array.tabulate(64)(t => (t * 100).toShort))
     val png = graft.multimodal.PngCodec.encodeGray(4, 4, (x, y) => x + y)
