@@ -169,7 +169,16 @@ object GraftFunctions {
         "CAST(0 AS BIGINT), (a, b) -> a + b)")),
     (FunctionIdentifier("graft_hamming"),
       info("graft_hamming", "graft_hamming(a, b) - Hamming distance between two sign-bit words (popcount of xor)"),
-      sqlFn("bit_count(__arg0 ^ __arg1)")))
+      sqlFn("bit_count(__arg0 ^ __arg1)")),
+    (FunctionIdentifier("graft_nfc_normalize"),
+      info("graft_nfc_normalize", "graft_nfc_normalize(text) - Unicode NFC normalization (UAX #15; allocation-free on ASCII) - encoding identity before byte-identity dedup"),
+      es => graft.functions.expressions.NfcNormalizeExpr(es.head)),
+    (FunctionIdentifier("graft_nfkc_normalize"),
+      info("graft_nfkc_normalize", "graft_nfkc_normalize(text) - Unicode NFKC compatibility normalization (ligature/fullwidth/superscript folds, case preserved)"),
+      es => graft.functions.expressions.NfkcNormalizeExpr(es.head)),
+    (FunctionIdentifier("graft_casefold"),
+      info("graft_casefold", "graft_casefold(text) - Unicode NFKC_Casefold canonical dedup key (compat fold + FULL case fold: Strasse-eszett->strasse, Kelvin->k)"),
+      es => graft.functions.expressions.NfkcCasefoldExpr(es.head)))
 
   private def litInt(e: Expression): Int = {
     require(e.foldable, s"argument must be a literal: $e")

@@ -171,6 +171,28 @@ class SqlExtensionsSpec extends AnyFunSuite {
     assert(viaSql == viaCol)
   }
 
+  test("normalization SQL functions match the Column kernels") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    // decomposed e+combining-acute, ligature fi, Kelvin sign — built from
+    // code points so no tooling can re-compose the source literals
+    val dirty = "caf" + new String(Character.toChars(0x65)) +
+      new String(Character.toChars(0x301)) + " " +
+      new String(Character.toChars(0xFB01)) + "LE " +
+      new String(Character.toChars(0x212A))
+    val r = spark.sql(s"SELECT graft_nfc_normalize('$dirty') AS nfc, " +
+      s"graft_nfkc_normalize('$dirty') AS nfkc, graft_casefold('$dirty') AS cf")
+      .head()
+    val viaCols = Seq(dirty).toDF("t").select(
+      graft.functions.TextFunctions.nfcNormalized($"t"),
+      graft.functions.TextFunctions.nfkcNormalized($"t"),
+      graft.functions.TextFunctions.nfkcCasefolded($"t")).head()
+    assert(r.getString(0) == viaCols.getString(0))
+    assert(r.getString(1) == viaCols.getString(1))
+    assert(r.getString(2) == viaCols.getString(2))
+    assert(r.getString(2) == "caf" + new String(Character.toChars(0xE9)) + " file k")
+  }
+
   test("extensions class wires the same function list") {
     // The injectFunction path needs a fresh session; here we assert the
     // registration list itself is well-formed (names unique, builders run).
