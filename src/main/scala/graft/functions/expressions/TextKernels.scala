@@ -218,7 +218,13 @@ object GraftText {
       var j = 0
       while (j < n) { out(j) = lowerByte(s.getByte(j)); j += 1 }
       UTF8String.fromBytes(out)
-    } else UTF8String.fromString(nfkcCf.normalize(s.toString))
+    } else {
+      // Same zero-alloc contract as unicodeNormalize: already-folded
+      // non-ASCII text returns the input object without renormalizing.
+      val str = s.toString
+      if (nfkcCf.isNormalized(str)) s
+      else UTF8String.fromString(nfkcCf.normalize(str))
+    }
   }
 }
 

@@ -37,7 +37,9 @@ object AiffCodec {
   /** Inverse of [[extended]]; -1 for anything non-integral or out of
     * range (callers treat that as malformed). */
   private def extendedToInt(b: ByteBuffer): Int = {
-    val exp = b.getShort & 0x7fff
+    val raw = b.getShort
+    if ((raw & 0x8000) != 0) { b.getLong; return -1 } // negative rate = malformed
+    val exp = raw & 0x7fff
     val mant = b.getLong
     val shift = 63 - (exp - 16383)
     if (shift < 0 || shift > 63 || (shift > 0 && (mant << (64 - shift)) != 0L)) -1
@@ -84,18 +86,23 @@ object AiffCodec {
       var channels = -1
       var bits = -1
       var data: Array[Byte] = null
+      // A final odd-length chunk whose writer omitted the IFF pad byte is
+      // common in the wild; clamping the post-chunk seek keeps it parseable.
+      def seekPast(end: Int, len: Int): Unit =
+        buf.position(math.min(end + (len & 1), buf.limit()))
       while (buf.remaining() >= 8 && (data == null || sampleRate < 0)) {
         val id = tag4()
         val len = buf.getInt
         if (len < 0 || len > buf.remaining()) return None
         id match {
           case "COMM" =>
+            if (len < 18) return None // channels+frames+bits+80-bit rate
             val end = buf.position() + len
             channels = buf.getShort.toInt
             buf.getInt // numSampleFrames (trust SSND's actual length)
             bits = buf.getShort.toInt
             sampleRate = extendedToInt(buf)
-            buf.position(end + (len & 1))
+            seekPast(end, len)
           case "SSND" =>
             val end = buf.position() + len
             val offset = buf.getInt
@@ -104,9 +111,9 @@ object AiffCodec {
             buf.position(buf.position() + offset)
             data = new Array[Byte](len - 8 - offset)
             buf.get(data)
-            buf.position(end + (len & 1))
+            seekPast(end, len)
           case _ =>
-            buf.position(buf.position() + len + (len & 1)) // skip + pad
+            seekPast(buf.position() + len, len) // skip + pad
         }
       }
       if (sampleRate <= 0 || channels <= 0 || bits != 16 || data == null) return None

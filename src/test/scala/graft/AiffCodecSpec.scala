@@ -99,6 +99,44 @@ class AiffCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("odd-length final chunk missing its IFF pad byte still parses") {
+    // Common in the wild: the writer pads the SSND data oddly and omits
+    // the trailing pad byte. The post-chunk seek must clamp, not throw.
+    val samples = Array.tabulate(10)(t => (t * 300).toShort)
+    val dataLen = samples.length * 2
+    val buf = ByteBuffer.allocate(12 + 26 + 16 + dataLen + 1).order(ByteOrder.BIG_ENDIAN)
+    buf.put("FORM".getBytes("US-ASCII")).putInt(4 + 26 + 17 + dataLen)
+      .put("AIFF".getBytes("US-ASCII"))
+    val good = AiffCodec.encodePcm16(8000, samples)
+    buf.put(good, 12, 26)                          // COMM verbatim
+    buf.put("SSND".getBytes("US-ASCII")).putInt(8 + dataLen + 1) // ODD length
+      .putInt(0).putInt(0)
+    samples.foreach(buf.putShort)
+    buf.put(0x7f.toByte)                           // odd trailing byte, NO pad
+    val Some((rate, out)) = AiffCodec.decodePcm16(buf.array())
+    assert(rate == 8000)
+    assert(out.toSeq == samples.map(_.toInt).toSeq)
+  }
+
+  test("negative 80-bit extended sample rate is rejected, not sign-stripped") {
+    val bytes = AiffCodec.encodePcm16(44100, Array.tabulate(8)(_.toShort))
+    bytes(12 + 8 + 8) = (bytes(12 + 8 + 8) | 0x80).toByte // sign bit of the rate exponent
+    assert(AiffCodec.decodePcm16(bytes).isEmpty)
+  }
+
+  test("short COMM chunk (< 18 bytes) is rejected, not read past") {
+    val good = AiffCodec.encodePcm16(8000, Array.tabulate(8)(_.toShort))
+    // shrink COMM's declared length to 6: the old parser read channels/
+    // frames/bits/rate into the following chunk's bytes
+    val buf = ByteBuffer.allocate(good.length - 12).order(ByteOrder.BIG_ENDIAN)
+    buf.put(good, 0, 12)
+    buf.put("COMM".getBytes("US-ASCII")).putInt(6).put(good, 12 + 8, 6)
+    buf.put(good, 12 + 26, good.length - 12 - 26) // SSND verbatim
+    val spliced = java.util.Arrays.copyOf(buf.array(), buf.position())
+    ByteBuffer.wrap(spliced).order(ByteOrder.BIG_ENDIAN).putInt(4, spliced.length - 8)
+    assert(AiffCodec.decodePcm16(spliced).isEmpty)
+  }
+
   test("autoDecodeBatch dispatches AIFF after image and WAV decline") {
     val aiff = AiffCodec.encodePcm16(8000, Array.tabulate(64)(t => (t * 100).toShort))
     val png = graft.multimodal.PngCodec.encodeGray(4, 4, (x, y) => x + y)

@@ -402,6 +402,10 @@ class CorpusOpsSpec extends AnyFunSuite {
     // already-folded ASCII returns the INPUT OBJECT (zero allocation)
     val folded = UTF8String.fromString("nothing to do 99")
     assert(k(folded) eq folded)
+    // already-folded NON-ASCII also returns the input object (the ICU
+    // isNormalized pre-check, matching unicodeNormalize's contract)
+    val foldedUni = UTF8String.fromString("café über straße".replace("ß", "ss"))
+    assert(k(foldedUni) eq foldedUni)
     // agreement with ICU's own transform on mixed samples
     val icu = com.ibm.icu.text.Normalizer2.getNFKCCasefoldInstance
     for (s <- Seq("Ⅻ½㎡", "ÅNGSTRÖM", "ẞig", "ΣΙΓΜΑΣ"))
