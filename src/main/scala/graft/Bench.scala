@@ -88,6 +88,12 @@ object Bench {
     // stays the batch total (the driver's tracked metric); stream
     // figures ride as extra keys. SPARK_GRAFT_STREAM=0 skips.
     def streamJson(mode: String): String = try {
+      // Settle before each mode: the batch passes (and the previous
+      // stream mode's 60k-row churn) leave the heap/page cache hot in a
+      // way that lands entirely inside the first measured micro-batches
+      // (BENCH_r07: stateful fell behind into a 2-batch/19.5 s shape
+      // right after the upsert run, vs 13 batches/1.7 s quiet-host).
+      spark.catalog.clearCache(); System.gc(); Thread.sleep(3000)
       val r = StreamBench.run(spark,
         rate = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "5000").toInt,
         durationS = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "12").toInt,

@@ -57,7 +57,17 @@ object StreamBench {
       mode: String = "upsert",
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       warm: Boolean = true): Result = {
-    if (warm) runOnce(spark, math.min(rate, 2000), 3, mode, trigger)
+    if (warm) {
+      // Warm at the FULL rate so the measured run's batch sizes (and
+      // their codegen/state-store shapes) are exactly what got JIT'd —
+      // a 2k/s warm-up leaves the 5k-row batch path cold.
+      runOnce(spark, rate, 3, mode, trigger)
+      // Host state trails heavy runs (see verify skill): give the JVM a
+      // GC + settle window so the warm-up's churn doesn't bleed into the
+      // first measured micro-batches.
+      System.gc()
+      Thread.sleep(2000)
+    }
     runOnce(spark, rate, durationS, mode, trigger)
   }
 
@@ -98,10 +108,23 @@ object StreamBench {
       override def close(): Unit = ()
     })
 
-    val frames = spark.readStream
+    val reader = spark.readStream
       .format("graft.sources.ws.WsSourceProvider")
       .option("walDir", tmp.resolve("wal").toString)
       .option("feed", feedName)
+    // Admission control (S7), STATEFUL MODE ONLY: cap catch-up batches at
+    // 2x the nominal per-trigger volume. Steady state (~rate rows/batch at
+    // a 1 s trigger) is unconstrained; on a contended host this turns "one
+    // mega-batch carrying the whole backlog" (BENCH_r07's 2-batch
+    // degenerate shape) into bounded batches that drain incrementally —
+    // stateful per-batch cost is ~volume-proportional, so bounding volume
+    // bounds latency. The upsert merge is the opposite: its per-trigger
+    // cost is dominated by the FIXED multi-job merge plan, so fewer,
+    // bigger catch-up batches amortize it (capping upsert was measured at
+    // p95 11.3 s vs 5.1 s uncapped at the same 5k/s).
+    val frames = (if (mode == "stateful")
+        reader.option("maxFramesPerBatch", (2 * rate).toString)
+      else reader)
       .load()
       .select(col("raw"))
 
@@ -111,19 +134,22 @@ object StreamBench {
     @volatile var storedRows = 0L
     @volatile var lastCommitMs = 0L
 
-    def sinkBatch(batch: DataFrame, store: DataFrame => Unit): Unit =
-      if (!batch.isEmpty) {
-        val b = batch.cache()
-        try {
+    def sinkBatch(batch: DataFrame, store: DataFrame => Unit): Unit = {
+      val b = batch.cache()
+      try {
+        // one tiny agg on the cached batch: oldest frame + row count —
+        // doubles as the emptiness probe, so each trigger pays exactly
+        // two jobs (agg + store) instead of three (isEmpty/agg/store)
+        val r = b.agg(min(col("timestamp")).cast("double"), count(lit(1))).head()
+        if (r.getLong(1) > 0) {
           store(b)
           val now = System.currentTimeMillis()
-          // one tiny agg on the cached batch: oldest frame + row count
-          val r = b.agg(min(col("timestamp")).cast("double"), count(lit(1))).head()
           latencies.synchronized { latencies += now / 1000.0 - r.getDouble(0) }
           storedRows += r.getLong(1)
           lastCommitMs = now
-        } finally b.unpersist()
-      }
+        }
+      } finally b.unpersist()
+    }
 
     // Micro-batches are ~5k rows: 32-wide shuffles mean 32 state-store
     // commits + 32 tasks per trigger of mostly-empty partitions. 8 is
