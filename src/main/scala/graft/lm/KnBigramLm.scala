@@ -1,0 +1,106 @@
+package graft.lm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interpolated Kneser-Ney bigram language model over the corpus token
+  * stream — the CCNet-style perplexity quality filter: train an n-gram LM
+  * on a trusted slice, score every document, and gate on per-doc bits.
+  * (Reference analog: the quality-filter stage the training-data plane
+  * feeds; see `/root/reference` README pipeline discussion. The LM itself
+  * is standard Chen & Goodman 1998 interpolated KN with absolute
+  * discount D = 0.75.)
+  *
+  * Everything is EXACT INTEGER arithmetic so the DuckDB oracle hash-matches:
+  * with discount D = 3/4, every per-bigram probability is the rational
+  *
+  *   seen bigram:     p = (4·c12 − 3)/(4·c1) + (3·n1p)/(4·c1) · Pc(w2)
+  *   unseen, ctx seen: p = (3·n1p)/(4·c1) · Pc(w2)
+  *   unseen context:  p = Pc(w2)
+  *
+  * with the smoothed continuation distribution
+  *
+  *   Pc(w2) = (ncont(w2) + 1) / (NT + V)
+  *
+  * where c12 = bigram count, c1 = context count, n1p = |{w2 : c(w1,w2)>0}|,
+  * ncont = |{w1 : c(w1,w2)>0}|, NT = total bigram types, V = vocab size
+  * (distinct continuations). Σ_{w2∈vocab} Pc(w2) = (NT + V)/(NT + V) = 1,
+  * so p(·|w1) is a proper distribution — KnLmSpec asserts this exactly in
+  * rational arithmetic. num/den stay within BIGINT far past sf10
+  * (num ≲ 4·c12·(NT+V) ≈ 1e13 at sf1).
+  *
+  * The per-bigram surprisal is quantized the way x25 quantizes Shannon
+  * surprisal: bits = floor-log2(den) − floor-log2(num) via the
+  * `length(bin(x))` identity — exact integers, portable to DuckDB.
+  *
+  * 100 TB shape: the count tables are VOCABULARY-sized (unigram tables
+  * broadcast; the bigram table is an equi-join at corpus-linear cost with
+  * map-side-combined construction), the score pass is one corpus-linear
+  * stream with no windows and no self-joins, and the per-doc rollup is a
+  * map-side-combinable aggregation.
+  */
+object KnBigramLm {
+
+  /** (doc_id, w1, w2) bigram stream over the canonical lowercased alnum
+    * tokenizer. Docs with fewer than 2 tokens contribute nothing (and the
+    * `size >= 2` guard keeps `sequence` ascending). */
+  def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = graft.functions.TextFunctions.lowerTokens(col(textCol))
+    docs
+      .select(col(idCol).as("doc_id"), t.as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+  }
+
+  /** Count tables of the KN model, from a TRAINING bigram stream.
+    * All four frames derive from one map-side-combined groupBy. */
+  final case class Model(c12: DataFrame, ctx: DataFrame, cont: DataFrame, scal: DataFrame)
+
+  def train(trainBigrams: DataFrame): Model = {
+    val c12 = trainBigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val ctx = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).cast("long").as("c1"), count(lit(1)).as("n1p"))
+    val cont = c12.groupBy(col("w2"))
+      .agg(count(lit(1)).as("ncont"))
+    // NT = Σ ncont = total bigram types; V = |vocab| = distinct continuations.
+    val scal = cont.agg(sum(col("ncont")).cast("long").as("nt"),
+      count(lit(1)).as("v"))
+    Model(c12, ctx, cont, scal)
+  }
+
+  /** Score a bigram stream against the model: appends exact-rational
+    * `num`/`den` (p = num/den), the quantized `bits` surprisal, and the
+    * `unseen` flag. Unigram-keyed tables broadcast (vocab-sized even at
+    * 100 TB); the bigram table joins by (w1, w2) — corpus-linear. */
+  def score(bg: DataFrame, m: Model): DataFrame =
+    bg.join(m.c12, Seq("w1", "w2"), "left")
+      .join(broadcast(m.ctx), Seq("w1"), "left")
+      .join(broadcast(m.cont), Seq("w2"), "left")
+      .crossJoin(broadcast(m.scal))
+      .withColumn("pc_num", coalesce(col("ncont"), lit(0L)) + 1L)
+      .withColumn("ntv", col("nt") + col("v"))
+      .withColumn("num",
+        when(col("c12").isNotNull,
+          (col("c12") * 4 - 3) * col("ntv") + lit(3L) * col("n1p") * col("pc_num"))
+          .when(col("c1").isNotNull, lit(3L) * col("n1p") * col("pc_num"))
+          .otherwise(col("pc_num")))
+      .withColumn("den",
+        when(col("c1").isNotNull, lit(4L) * col("c1") * col("ntv"))
+          .otherwise(col("ntv")))
+      .withColumn("bits", (length(bin(col("den"))) - length(bin(col("num")))).cast("long"))
+      .withColumn("unseen", when(col("c12").isNull, 1L).otherwise(0L))
+
+  /** Per-document perplexity rollup: bigram count, unseen-bigram count,
+    * total quantized bits, and the integer-centi average. */
+  def perDoc(scored: DataFrame): DataFrame =
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("unseen")).cast("long").as("n_unseen"),
+        sum(col("bits")).cast("long").as("kn_bits_q"))
+      .withColumn("avg_bits_x100", expr("(kn_bits_q * 100) div n_bigrams"))
+}

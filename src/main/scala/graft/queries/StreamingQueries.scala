@@ -457,6 +457,90 @@ object StreamingQueries {
           CAST(SUM(CASE WHEN ms < hwm - delay_min * 60000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
           (CAST(SUM(CASE WHEN ms < hwm - delay_min * 60000 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
             // COUNT(*) AS late_x1000
-        FROM sw GROUP BY delay_min ORDER BY delay_min"""))
+        FROM sw GROUP BY delay_min ORDER BY delay_min""")),
+
+    // ── streaming corpus admission gate (LM quality at the ingest door) ─
+    // Batch projection of StreamIngest.qualityGate: a frozen Kneser-Ney
+    // bigram LM (trained on the trusted doc_id%10<8 slice — x65's model,
+    // exact-integer rational arithmetic throughout) scores every arriving
+    // document, and the admission report rolls up per source: how much of
+    // each feed clears the perplexity bar. Per-doc scores join the doc
+    // metadata on doc_id (both |docs|-sized — NOT a corpus-token join)
+    // and the rollup is map-side combinable. The live micro-batch form
+    // (foreachBatch, LM static across triggers) runs in StreamingSpec.
+    GraftQuery(
+      "s12_stream_quality_gate",
+      (s, dir) => {
+        import s.implicits._
+        // The arriving feed = the real corpus plus a 'junkfeed' source of
+        // reversed text — garbage tokens the LM has never seen, so the
+        // gate must reject ALL of it at any SF, while the 505-centibit
+        // bar (the sf0.01 corpus median) splits the real sources.
+        val base = Tables.documents(s, dir).select($"doc_id", $"source", $"text")
+        val docs = base.unionAll(base.filter($"doc_id" % 9 === 0)
+          .select(($"doc_id" + 5000000L).as("doc_id"),
+            lit("junkfeed").as("source"), reverse($"text").as("text")))
+        val bg = graft.lm.KnBigramLm.bigrams(docs, "doc_id", "text")
+        val m = graft.lm.KnBigramLm.train(
+          bg.filter($"doc_id" % 10 < 8 && $"doc_id" < 5000000L))
+        val perDoc = graft.lm.KnBigramLm.perDoc(graft.lm.KnBigramLm.score(bg, m))
+        perDoc
+          .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+          .withColumn("admit",
+            when($"avg_bits_x100" <= 505L, 1L).otherwise(0L))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"admit").cast("long").as("n_admitted"),
+            sum(lit(1L) - $"admit").cast("long").as("n_rejected"),
+            sum($"n_unseen").cast("long").as("unseen_bigrams"))
+          .withColumn("admit_x1000", expr("(n_admitted * 1000) div n_docs"))
+          .orderBy($"source")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + 5000000, 'junkfeed' AS source, reverse(text)
+          FROM documents WHERE doc_id % 9 = 0),
+        toks AS (
+          SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM corpus),
+        bg AS (
+          SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                FROM toks WHERE len(t) >= 2)),
+        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg
+                WHERE doc_id % 10 < 8 AND doc_id < 5000000 GROUP BY w1, w2),
+        ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n1p FROM c12 GROUP BY w1),
+        cont AS (SELECT w2, COUNT(*) AS ncont FROM c12 GROUP BY w2),
+        scal AS (SELECT CAST(SUM(ncont) AS BIGINT) AS nt, COUNT(*) AS v FROM cont),
+        scored AS (
+          SELECT bg.doc_id, c12.c12, ctx.c1, ctx.n1p,
+            COALESCE(cont.ncont, 0) + 1 AS pc_num, scal.nt + scal.v AS ntv
+          FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN ctx USING (w1)
+            LEFT JOIN cont USING (w2) CROSS JOIN scal),
+        b AS (
+          SELECT doc_id,
+            CASE WHEN c12 IS NOT NULL THEN (c12 * 4 - 3) * ntv + 3 * n1p * pc_num
+                 WHEN c1 IS NOT NULL THEN 3 * n1p * pc_num
+                 ELSE pc_num END AS num,
+            CASE WHEN c1 IS NOT NULL THEN 4 * c1 * ntv ELSE ntv END AS den,
+            CASE WHEN c12 IS NULL THEN 1 ELSE 0 END AS unseen
+          FROM scored),
+        pd AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+            CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+            (CAST(SUM(length(bin(den)) - length(bin(num))) AS BIGINT) * 100) // COUNT(*) AS avg_bits_x100
+          FROM b GROUP BY doc_id),
+        j AS (
+          SELECT pd.*, d.source,
+            CASE WHEN avg_bits_x100 <= 505 THEN 1 ELSE 0 END AS admit
+          FROM pd JOIN corpus d USING (doc_id))
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(admit) AS BIGINT) AS n_admitted,
+          CAST(SUM(1 - admit) AS BIGINT) AS n_rejected,
+          CAST(SUM(n_unseen) AS BIGINT) AS unseen_bigrams,
+          (CAST(SUM(admit) AS BIGINT) * 1000) // COUNT(*) AS admit_x1000
+        FROM j GROUP BY source ORDER BY source"""))
   )
 }

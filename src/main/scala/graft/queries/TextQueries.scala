@@ -2693,6 +2693,120 @@ object TextQueries {
           length(text) AS n_key, md5(lower(text)) AS key_hash
         FROM d ORDER BY doc_id""")),
 
+    // ── Kneser-Ney bigram perplexity filter (CCNet-style) ─────────────
+    // The canonical LM quality gate: train an interpolated KN bigram LM
+    // (D = 3/4) on a trusted slice (doc_id % 10 < 8), score EVERY doc —
+    // including held-out ones, which exercise the unseen-bigram backoff
+    // and unseen-context paths — and roll up per-doc quantized bits.
+    // All arithmetic is exact-integer rational (see graft.lm.KnBigramLm
+    // scaladoc for the closed forms); surprisal quantizes via the
+    // length(bin(x)) floor-log2 identity x25 established. Scale shape:
+    // two corpus-linear passes (train counts, score stream) — the LM
+    // tables are vocab-sized, unigram tables broadcast, the bigram-count
+    // join is the only corpus-side exchange besides the final
+    // map-side-combinable per-doc rollup.
+    GraftQuery(
+      "x65_kn_perplexity",
+      (s, dir) => {
+        import s.implicits._
+        val bg = graft.lm.KnBigramLm.bigrams(
+          Tables.documents(s, dir), "doc_id", "text")
+        val m = graft.lm.KnBigramLm.train(bg.filter($"doc_id" % 10 < 8))
+        graft.lm.KnBigramLm.perDoc(graft.lm.KnBigramLm.score(bg, m))
+          .withColumn("held_out", ($"doc_id" % 10 >= 8).cast("int"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM documents),
+        bg AS (
+          SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                FROM toks WHERE len(t) >= 2)),
+        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg WHERE doc_id % 10 < 8 GROUP BY w1, w2),
+        ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n1p FROM c12 GROUP BY w1),
+        cont AS (SELECT w2, COUNT(*) AS ncont FROM c12 GROUP BY w2),
+        scal AS (SELECT CAST(SUM(ncont) AS BIGINT) AS nt, COUNT(*) AS v FROM cont),
+        scored AS (
+          SELECT bg.doc_id, c12.c12, ctx.c1, ctx.n1p,
+            COALESCE(cont.ncont, 0) + 1 AS pc_num, scal.nt + scal.v AS ntv
+          FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN ctx USING (w1)
+            LEFT JOIN cont USING (w2) CROSS JOIN scal),
+        b AS (
+          SELECT doc_id,
+            CASE WHEN c12 IS NOT NULL THEN (c12 * 4 - 3) * ntv + 3 * n1p * pc_num
+                 WHEN c1 IS NOT NULL THEN 3 * n1p * pc_num
+                 ELSE pc_num END AS num,
+            CASE WHEN c1 IS NOT NULL THEN 4 * c1 * ntv ELSE ntv END AS den,
+            CASE WHEN c12 IS NULL THEN 1 ELSE 0 END AS unseen
+          FROM scored)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+          CAST(SUM(length(bin(den)) - length(bin(num))) AS BIGINT) AS kn_bits_q,
+          (CAST(SUM(length(bin(den)) - length(bin(num))) AS BIGINT) * 100) // COUNT(*) AS avg_bits_x100,
+          CAST(doc_id % 10 >= 8 AS INT) AS held_out
+        FROM b GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── Unicode script histogram + homoglyph-spoof detection ──────────
+    // Per-document script-class census (Latin/Cyrillic/Greek/digit/other)
+    // — the spoofed-text and wrong-language signal CCNet-style cleaners
+    // gate on: genuine Russian text is MOSTLY Cyrillic, while spam that
+    // sprinkles Cyrillic 'о' homoglyphs inside Latin words shows both
+    // scripts at once. The ASCII corpus gets controlled injection
+    // (doc_id%3: 'o'→U+043E Cyrillic о; doc_id%5: 'e'→U+03B5 Greek ε),
+    // so all four script-mix states occur. Spark counts via
+    // regexp_count with Java script properties; the oracle uses RE2's —
+    // same classes on every injected codepoint. Scale shape: pure
+    // per-row map, one exchange (the output sort).
+    GraftQuery(
+      "x66_script_histogram",
+      (s, dir) => {
+        import s.implicits._
+        val d1 = when($"doc_id" % 3 === 0,
+          regexp_replace($"text", "o", "о")).otherwise($"text")
+        val dirty = when($"doc_id" % 5 === 0,
+          regexp_replace(d1, "e", "ε")).otherwise(d1)
+        Tables.documents(s, dir)
+          .select($"doc_id", dirty.as("t"))
+          .select($"doc_id",
+            length($"t").as("n_chars_t"),
+            regexp_count($"t", lit("\\p{IsLatin}")).as("n_latin"),
+            regexp_count($"t", lit("\\p{IsCyrillic}")).as("n_cyrillic"),
+            regexp_count($"t", lit("\\p{IsGreek}")).as("n_greek"),
+            regexp_count($"t", lit("[0-9]")).as("n_digit"))
+          .withColumn("n_other",
+            $"n_chars_t" - $"n_latin" - $"n_cyrillic" - $"n_greek" - $"n_digit")
+          .withColumn("dominant",
+            when($"n_latin" >= greatest($"n_cyrillic", $"n_greek"), lit("latin"))
+              .when($"n_cyrillic" >= $"n_greek", lit("cyrillic"))
+              .otherwise(lit("greek")))
+          .withColumn("has_homoglyph",
+            ($"n_cyrillic" > 0 && $"n_latin" > 0).cast("int"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 5 = 0 THEN replace(t1, 'e', chr(949)) ELSE t1 END AS t
+          FROM (SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN replace(text, 'o', chr(1086)) ELSE text END AS t1
+                FROM documents)),
+        c AS (
+          SELECT doc_id, length(t) AS n_chars_t,
+            len(regexp_extract_all(t, '\p{Latin}')) AS n_latin,
+            len(regexp_extract_all(t, '\p{Cyrillic}')) AS n_cyrillic,
+            len(regexp_extract_all(t, '\p{Greek}')) AS n_greek,
+            len(regexp_extract_all(t, '[0-9]')) AS n_digit
+          FROM d)
+        SELECT doc_id, n_chars_t, n_latin, n_cyrillic, n_greek, n_digit,
+          n_chars_t - n_latin - n_cyrillic - n_greek - n_digit AS n_other,
+          CASE WHEN n_latin >= greatest(n_cyrillic, n_greek) THEN 'latin'
+               WHEN n_cyrillic >= n_greek THEN 'cyrillic'
+               ELSE 'greek' END AS dominant,
+          CAST(n_cyrillic > 0 AND n_latin > 0 AS INT) AS has_homoglyph
+        FROM c ORDER BY doc_id""")),
+
     GraftQuery(
       "x58_effective_size",
       (s, dir) => {

@@ -169,6 +169,36 @@ object StreamIngest {
       : DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), condition, joinType)
 
+  /** Streaming corpus admission control: score each micro-batch of
+    * documents against a FROZEN Kneser-Ney LM ([[graft.lm.KnBigramLm]])
+    * and route pass/fail through the supplied sinks — the online face of
+    * the x65/s12 quality gate, where a crawler firehose is admitted into
+    * the training corpus only if its LM fit clears the bar.
+    *
+    * Shape: `foreachBatch`, because the score is PER-DOCUMENT (bigram
+    * rollup within one doc) — no cross-batch state is ever needed, so
+    * paying for a streaming aggregation's state store would be waste.
+    * Inside the batch the plan is x65's: corpus-linear bigram stream,
+    * broadcast unigram tables, equi-join on the bigram table. The LM
+    * frames are built ONCE outside and cached by the caller; Spark
+    * re-uses them across triggers (static side of a stream-batch join).
+    *
+    * @param gateBitsX100 admit iff avg_bits_x100 <= this threshold
+    */
+  def qualityGate(docs: DataFrame, model: graft.lm.KnBigramLm.Model,
+      gateBitsX100: Long)(
+      onBatch: (DataFrame, DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        import org.apache.spark.sql.functions._
+        val scored = graft.lm.KnBigramLm.perDoc(graft.lm.KnBigramLm.score(
+          graft.lm.KnBigramLm.bigrams(batch, "doc_id", "text"), model))
+        val admitted = scored.filter(col("avg_bits_x100") <= gateBitsX100)
+        val rejected = scored.filter(col("avg_bits_x100") > gateBitsX100)
+        onBatch(admitted, rejected, id)
+    }
+
   /** Watermarked tumbling-window OHLC over a live tick stream — the
     * streaming face of SessionAnalytics.sessionOhlc. Late data beyond the
     * watermark is dropped by the state store; the reference instead

@@ -1,0 +1,89 @@
+package graft
+
+import graft.lm.KnBigramLm
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algorithmic contracts of the interpolated Kneser-Ney bigram LM (x65).
+  * The sf-scale value check is the DuckDB oracle; these pin the MODEL
+  * math on a micro corpus: the smoothed distribution must be PROPER
+  * (sums to exactly 1 over the vocab, in rational arithmetic), the
+  * closed-form num/den must match hand computation, and the three
+  * scoring branches (seen / backoff / unseen-context) must all fire. */
+class KnLmSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // Train corpus: "a b a b a c" + "b a b d" (both fully in the train
+  // slice: ids 0 and 1). Bigram tokens: (a,b)x2 (b,a)x2 (a,c) | (b,a)...
+  // laid out below in the hand table.
+  private def model() = {
+    import spark.implicits._
+    val docs = Seq((0L, "a b a b a c"), (1L, "b a b d")).toDF("doc_id", "text")
+    KnBigramLm.train(KnBigramLm.bigrams(docs, "doc_id", "text"))
+  }
+
+  test("count tables match the hand-derived values") {
+    import spark.implicits._
+    val m = model()
+    // bigram stream: doc0 = ab ba ab ba ac ; doc1 = ba ab bd
+    val c12 = m.c12.as[(String, String, Long)].collect().toSet
+    assert(c12 == Set(("a", "b", 3L), ("b", "a", 3L), ("a", "c", 1L), ("b", "d", 1L)))
+    val ctx = m.ctx.as[(String, Long, Long)].collect().toSet
+    assert(ctx == Set(("a", 4L, 2L), ("b", 4L, 2L)))
+    val cont = m.cont.as[(String, Long)].collect().toSet
+    assert(cont == Set(("b", 1L), ("a", 1L), ("c", 1L), ("d", 1L)))
+    val (nt, v) = m.scal.as[(Long, Long)].collect().head
+    assert(nt == 4L && v == 4L) // 4 bigram types, vocab {a,b,c,d}
+  }
+
+  test("p(.|w1) sums to exactly 1 over the vocab for every seen context (rational)") {
+    import spark.implicits._
+    val m = model()
+    val vocab = m.cont.select($"w2").collect().map(_.getString(0))
+    val contexts = m.ctx.select($"w1").collect().map(_.getString(0))
+    val probe = contexts.flatMap(w1 => vocab.map(w2 => (0L, w1, w2)))
+      .toSeq.toDF("doc_id", "w1", "w2")
+    val scored = KnBigramLm.score(probe, m)
+      .select($"w1", $"num".cast("long"), $"den".cast("long"))
+      .as[(String, Long, Long)].collect()
+    scored.groupBy(_._1).foreach { case (w1, rows) =>
+      // Σ num_i/den_i == 1 exactly: common den is 4*c1*ntv for all rows
+      // of a seen context, so Σ num_i must equal den.
+      val dens = rows.map(_._3).distinct
+      assert(dens.length == 1, s"ctx $w1: mixed denominators $dens")
+      assert(rows.map(r => BigInt(r._2)).sum == BigInt(dens.head),
+        s"ctx $w1: Σp != 1")
+    }
+  }
+
+  test("hand-checked closed forms: seen, backoff, and unseen-context branches") {
+    import spark.implicits._
+    val m = model()
+    val probe = Seq(
+      (0L, "a", "b"), // seen:    c12=3 c1=4 n1p=2 ncont(b)=1 ntv=8
+      (0L, "a", "d"), // backoff: ctx a seen, (a,d) unseen, ncont(d)=1
+      (0L, "z", "a")  // unseen context entirely
+    ).toDF("doc_id", "w1", "w2")
+    val got = KnBigramLm.score(probe, m)
+      .select($"w1", $"w2", $"num".cast("long"), $"den".cast("long"), $"unseen")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // seen: num = (4*3-3)*8 + 3*2*(1+1) = 72+12 = 84 ; den = 4*4*8 = 128
+    assert(got(("a", "b")) == ((84L, 128L, 0L)))
+    // backoff: num = 3*n1p*(ncont+1) = 3*2*2 = 12 ; den = 128 ; unseen
+    assert(got(("a", "d")) == ((12L, 128L, 1L)))
+    // unseen ctx: num = ncont(a)+1 = 2 ; den = ntv = 8
+    assert(got(("z", "a")) == ((2L, 8L, 1L)))
+  }
+
+  test("perDoc: in-domain text scores fewer bits than out-of-domain text") {
+    import spark.implicits._
+    val m = model()
+    val probeDocs = Seq((10L, "a b a b"), (11L, "x y z w")).toDF("doc_id", "text")
+    val got = KnBigramLm.perDoc(
+      KnBigramLm.score(KnBigramLm.bigrams(probeDocs, "doc_id", "text"), m))
+      .select($"doc_id", $"avg_bits_x100").as[(Long, Long)].collect().toMap
+    assert(got(10L) < got(11L),
+      s"in-domain ${got(10L)} should beat out-of-domain ${got(11L)}")
+  }
+}

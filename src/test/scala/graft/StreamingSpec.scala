@@ -168,6 +168,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming LM quality gate: frozen KN model admits in-domain, rejects junk") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Freeze the LM on a tiny trusted corpus (KnLmSpec's hand corpus);
+    // the stream then carries one in-domain doc (avg 100 centibits) and
+    // one out-of-domain doc (avg 300) per KnLmSpec's hand computation.
+    val trusted = Seq((0L, "a b a b a c"), (1L, "b a b d")).toDF("doc_id", "text")
+    val model = graft.lm.KnBigramLm.train(
+      graft.lm.KnBigramLm.bigrams(trusted, "doc_id", "text"))
+    val admitted = scala.collection.mutable.Set.empty[Long]
+    val rejected = scala.collection.mutable.Set.empty[Long]
+    val source = MemoryStream[(Long, String)]
+    val docs = source.toDF().toDF("doc_id", "text")
+    val q = StreamIngest.qualityGate(docs, model, gateBitsX100 = 200L) {
+      (adm, rej, _) =>
+        admitted ++= adm.select("doc_id").collect().map(_.getLong(0))
+        rejected ++= rej.select("doc_id").collect().map(_.getLong(0))
+    }.start()
+    try {
+      source.addData((10L, "a b a b"), (11L, "x y z w"))
+      q.processAllAvailable()
+      source.addData((12L, "b a b a c"))
+      q.processAllAvailable()
+      assert(admitted.toSet == Set(10L, 12L), s"admitted=$admitted")
+      assert(rejected.toSet == Set(11L), s"rejected=$rejected")
+    } finally q.stop()
+  }
+
   test("streaming leaderboard: update-mode counts, rank re-derived per batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
