@@ -61,8 +61,16 @@ object KnBigramLm {
   final case class Model(c12: DataFrame, ctx: DataFrame, cont: DataFrame, scal: DataFrame)
 
   def train(trainBigrams: DataFrame): Model = {
+    // Training IS an action: pin the bigram-count table eagerly so the
+    // four consumers (ctx/cont/scal derivations + the score-side probe
+    // join) read one materialization instead of re-running the corpus
+    // tokenize+agg per consumer — eager broadcast subqueries otherwise
+    // race and recompute the whole upstream (see verify-skill round-7
+    // lesson; same fix as d15). The table is vocab²-bounded, orders of
+    // magnitude smaller than the corpus, so pinning is cheap at any SF.
     val c12 = trainBigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
     val ctx = c12.groupBy(col("w1"))
       .agg(sum(col("c12")).cast("long").as("c1"), count(lit(1)).as("n1p"))
     val cont = c12.groupBy(col("w2"))
