@@ -2807,6 +2807,85 @@ object TextQueries {
           CAST(n_cyrillic > 0 AND n_latin > 0 AS INT) AS has_homoglyph
         FROM c ORDER BY doc_id""")),
 
+    // ── perplexity-pruning yield curve (x65's operational sweep) ──────
+    // Before pruning a corpus at "drop everything above N centibits"
+    // (the perplexity-filter move of CCNet and the when-less-is-more
+    // pruning literature), measure the whole yield curve: for each
+    // candidate bar, how many docs and how much token mass survive.
+    // ONE scoring pass (the d19/x56 sweep discipline — thresholds
+    // EXPLODE per doc, never one rescoring per setting); the per-doc
+    // score table is |docs|-sized, so the explode is 9·|docs| rows into
+    // a map-side-combinable rollup. Token mass rides the same pass as
+    // n_bigrams+1 (exact for the alnum tokenizer on ≥2-token docs).
+    GraftQuery(
+      "x67_ppl_prune_curve",
+      (s, dir) => {
+        import s.implicits._
+        val bg = graft.lm.KnBigramLm.bigrams(
+          Tables.documents(s, dir), "doc_id", "text")
+        val m = graft.lm.KnBigramLm.train(bg.filter($"doc_id" % 10 < 8))
+        // |docs|-sized, consumed twice (denominator agg + threshold
+        // sweep): pin it so the corpus-linear scoring pass runs once.
+        val perDoc = graft.lm.KnBigramLm
+          .perDoc(graft.lm.KnBigramLm.score(bg, m))
+          .localCheckpoint(true)
+        val total = perDoc.agg(count(lit(1)).as("n_all"),
+          sum($"n_bigrams" + 1).cast("long").as("toks_all"))
+        perDoc
+          .withColumn("bar",
+            explode(expr("array(400, 450, 475, 500, 525, 550, 600, 700, 1000)")))
+          .filter($"avg_bits_x100" <= $"bar")
+          .groupBy($"bar")
+          .agg(count(lit(1)).as("n_kept"),
+            sum($"n_bigrams" + 1).cast("long").as("toks_kept"))
+          .crossJoin(broadcast(total))
+          .select($"bar", $"n_kept", $"toks_kept",
+            expr("(n_kept * 1000) div n_all").as("doc_yield_x1000"),
+            expr("(toks_kept * 1000) div toks_all").as("tok_yield_x1000"))
+          .orderBy($"bar")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM documents),
+        bg AS (
+          SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                FROM toks WHERE len(t) >= 2)),
+        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg WHERE doc_id % 10 < 8 GROUP BY w1, w2),
+        ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n1p FROM c12 GROUP BY w1),
+        cont AS (SELECT w2, COUNT(*) AS ncont FROM c12 GROUP BY w2),
+        scal AS (SELECT CAST(SUM(ncont) AS BIGINT) AS nt, COUNT(*) AS v FROM cont),
+        scored AS (
+          SELECT bg.doc_id, c12.c12, ctx.c1, ctx.n1p,
+            COALESCE(cont.ncont, 0) + 1 AS pc_num, scal.nt + scal.v AS ntv
+          FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN ctx USING (w1)
+            LEFT JOIN cont USING (w2) CROSS JOIN scal),
+        b AS (
+          SELECT doc_id,
+            CASE WHEN c12 IS NOT NULL THEN (c12 * 4 - 3) * ntv + 3 * n1p * pc_num
+                 WHEN c1 IS NOT NULL THEN 3 * n1p * pc_num
+                 ELSE pc_num END AS num,
+            CASE WHEN c1 IS NOT NULL THEN 4 * c1 * ntv ELSE ntv END AS den
+          FROM scored),
+        pd AS (
+          SELECT doc_id, COUNT(*) AS n_bigrams,
+            (CAST(SUM(length(bin(den)) - length(bin(num))) AS BIGINT) * 100) // COUNT(*) AS avg_bits_x100
+          FROM b GROUP BY doc_id),
+        tot AS (
+          SELECT COUNT(*) AS n_all, CAST(SUM(n_bigrams + 1) AS BIGINT) AS toks_all
+          FROM pd),
+        sw AS (
+          SELECT doc_id, n_bigrams, avg_bits_x100, unnest([400, 450, 475, 500, 525, 550, 600, 700, 1000]) AS bar
+          FROM pd)
+        SELECT bar, COUNT(*) AS n_kept,
+          CAST(SUM(n_bigrams + 1) AS BIGINT) AS toks_kept,
+          (COUNT(*) * 1000) // tot.n_all AS doc_yield_x1000,
+          (CAST(SUM(n_bigrams + 1) AS BIGINT) * 1000) // tot.toks_all AS tok_yield_x1000
+        FROM sw CROSS JOIN tot
+        WHERE avg_bits_x100 <= bar
+        GROUP BY bar, tot.n_all, tot.toks_all ORDER BY bar""")),
+
     GraftQuery(
       "x58_effective_size",
       (s, dir) => {

@@ -76,6 +76,25 @@ class KnLmSpec extends AnyFunSuite {
     assert(got(("z", "a")) == ((2L, 8L, 1L)))
   }
 
+  test("count tables are mergeable: train(A ∪ B) == re-agg(train(A).c12 ∪ train(B).c12)") {
+    import spark.implicits._
+    // Incremental corpus refresh: bigram counts merge by addition, so a
+    // new batch folds into a frozen model WITHOUT rescanning the corpus
+    // (the d8/x18/x20 mergeability discipline, for the LM plane).
+    val a = Seq((0L, "a b a b a c")).toDF("doc_id", "text")
+    val b = Seq((1L, "b a b d")).toDF("doc_id", "text")
+    val full = KnBigramLm.train(KnBigramLm.bigrams(
+      a.unionAll(b), "doc_id", "text"))
+    val merged = KnBigramLm.train(KnBigramLm.bigrams(a, "doc_id", "text")
+      .unionAll(KnBigramLm.bigrams(b, "doc_id", "text")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(full.c12) == rows(merged.c12))
+    assert(rows(full.ctx) == rows(merged.ctx))
+    assert(rows(full.cont) == rows(merged.cont))
+    assert(rows(full.scal) == rows(merged.scal))
+  }
+
   test("perDoc: in-domain text scores fewer bits than out-of-domain text") {
     import spark.implicits._
     val m = model()
