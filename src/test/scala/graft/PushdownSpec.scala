@@ -431,5 +431,33 @@ class PushdownSpec extends AnyFunSuite {
       assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
         s"$name must not join or aggregate, plan:\n$plan")
     }
+    // x66 is per-row too (script census with injected homoglyphs)
+    val q66 = graft.core.Registry.allQueries.find(_.name == "x66_script_histogram").get
+    val p66 = q66.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(SimpleMode)
+    assert("(?m)^.*Exchange .*$".r.findAllIn(p66).size == 1 &&
+      !p66.contains("Join") && !p66.contains("HashAggregate"),
+      s"x66 must stay map-only, plan:\n$p66")
+  }
+
+  test("KN LM family stays equi-join shaped: no cartesian, no window, dims broadcast") {
+    import org.apache.spark.sql.execution.SimpleMode
+    // x65/s12/x67: the LM score pass is corpus-linear — bigram-count
+    // probe via equi-join, unigram tables via broadcast, per-doc rollup
+    // via hash aggregation. A window or cartesian here is a 100 TB
+    // scale-killer; the one allowed nested-loop is the single-row
+    // scalars frame's broadcast cross join.
+    for (name <- Seq("x65_kn_perplexity", "s12_stream_quality_gate",
+        "x67_ppl_prune_curve")) {
+      val q = graft.core.Registry.allQueries.find(_.name == name).get
+      val plan = q.build(spark, "/root/testdata/sf0.001")
+        .queryExecution.explainString(SimpleMode)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must not cartesian, plan:\n$plan")
+      assert(!plan.contains("Window"),
+        s"$name must not window, plan:\n$plan")
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+        s"$name unigram tables must broadcast, plan:\n$plan")
+    }
   }
 }
