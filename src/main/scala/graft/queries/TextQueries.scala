@@ -2886,6 +2886,70 @@ object TextQueries {
         WHERE avg_bits_x100 <= bar
         GROUP BY bar, tot.n_all, tot.toks_all ORDER BY bar""")),
 
+    // ── BM25 ranked retrieval (x22's missing other half) ──────────────
+    // x22 is boolean-AND TF; real curation retrieval (mining eval-set
+    // neighbors, dedup candidate triage, quality spot-checks) ranks with
+    // BM25. With k1 = 6/5 and b = 3/4 every per-(doc,term) component is
+    // an exact integer rational once avgdl substitutes as T/N:
+    //   tf-part  = 44·tf·T / (20·tf·T + 6·T + 18·dl·N)
+    //   idf_q    = floor-log2((2N+2) div (2df+1))  (length(bin) identity)
+    //   score    = Σ idf_q · floor(1e6 · tf-part)      [integer ppm]
+    // OR semantics over the query terms (the retrieval shape), top-20 by
+    // score. Scale shape: postings are term-filtered BEFORE any shuffle
+    // (corpus scan → isin filter), doc lengths join |docs|-sized, the
+    // scalars broadcast, and the top-k is TakeOrderedAndProject — no
+    // global sort materializes.
+    GraftQuery(
+      "x68_bm25_retrieval",
+      (s, dir) => {
+        import s.implicits._
+        val terms = Seq("data", "query", "model")
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", lowerTokens($"text").as("t"))
+          .select($"doc_id", $"t", size($"t").cast("long").as("dl"))
+        // scalars: N docs, T total tokens
+        val scal = docs.agg(count(lit(1)).as("n"),
+          sum($"dl").cast("long").as("tt"))
+        val postings = docs
+          .select($"doc_id", $"dl", explode($"t").as("tok"))
+          .where($"tok".isin(terms: _*))
+          .groupBy($"doc_id", $"dl", $"tok").agg(count(lit(1)).as("tf"))
+        val df = postings.groupBy($"tok")
+          .agg(count(lit(1)).as("df"))
+        postings
+          .join(broadcast(df), Seq("tok"))
+          .crossJoin(broadcast(scal))
+          .withColumn("idf_q",
+            length(bin(expr("(2 * n + 2) div (2 * df + 1)"))).cast("long"))
+          .withColumn("part_ppm",
+            expr("(44 * tf * tt * 1000000) div (20 * tf * tt + 6 * tt + 18 * dl * n)"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_terms"),
+            sum($"idf_q" * $"part_ppm").cast("long").as("bm25_ppm"))
+          .orderBy($"bm25_ppm".desc, $"doc_id").limit(20)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM documents),
+        dl AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM d),
+        scal AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS tt FROM dl),
+        p AS (
+          SELECT doc_id, dl, tok, COUNT(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(t) AS tok FROM dl)
+          WHERE tok IN ('data', 'query', 'model')
+          GROUP BY doc_id, dl, tok),
+        dft AS (SELECT tok, COUNT(*) AS df FROM p GROUP BY tok),
+        scored AS (
+          SELECT p.doc_id,
+            CAST(length(bin((2 * scal.n + 2) // (2 * dft.df + 1))) AS BIGINT) AS idf_q,
+            (44 * p.tf * scal.tt * 1000000) // (20 * p.tf * scal.tt + 6 * scal.tt + 18 * p.dl * scal.n) AS part_ppm
+          FROM p JOIN dft USING (tok) CROSS JOIN scal)
+        SELECT doc_id, COUNT(*) AS n_terms,
+          CAST(SUM(idf_q * part_ppm) AS BIGINT) AS bm25_ppm
+        FROM scored GROUP BY doc_id
+        ORDER BY bm25_ppm DESC, doc_id LIMIT 20""")),
+
     GraftQuery(
       "x58_effective_size",
       (s, dir) => {
