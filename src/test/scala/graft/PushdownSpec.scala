@@ -459,5 +459,15 @@ class PushdownSpec extends AnyFunSuite {
       assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
         s"$name unigram tables must broadcast, plan:\n$plan")
     }
+    // x68: ranked retrieval's top-k must be TakeOrderedAndProject (a
+    // per-partition heap + driver merge), never a global sort; the df
+    // and scalar tables must broadcast.
+    val q68 = graft.core.Registry.allQueries.find(_.name == "x68_bm25_retrieval").get
+    val p68 = q68.build(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(SimpleMode)
+    assert(p68.contains("TakeOrderedAndProject"),
+      s"x68 top-k must be TakeOrdered, plan:\n$p68")
+    assert(!p68.contains("CartesianProduct") && p68.contains("BroadcastHashJoin"),
+      s"x68 must broadcast df/scalars, plan:\n$p68")
   }
 }
