@@ -81,6 +81,26 @@ object KnBigramLm {
     Model(c12, ctx, cont, scal)
   }
 
+  /** Persist a trained model: four parquet tables under one root. The
+    * production shape for [[graft.streaming.StreamIngest.qualityGate]] —
+    * train once on the trusted slice, freeze to disk, and every later
+    * scoring session (or stream restart) loads the same model instead of
+    * rescanning the training corpus. Count tables are vocab-bounded, so
+    * this is small even when the training corpus was 100 TB. */
+  def save(m: Model, root: String): Unit = {
+    m.c12.write.mode("overwrite").parquet(s"$root/c12.parquet")
+    m.ctx.write.mode("overwrite").parquet(s"$root/ctx.parquet")
+    m.cont.write.mode("overwrite").parquet(s"$root/cont.parquet")
+    m.scal.write.mode("overwrite").parquet(s"$root/scal.parquet")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, root: String): Model =
+    Model(
+      spark.read.parquet(s"$root/c12.parquet"),
+      spark.read.parquet(s"$root/ctx.parquet"),
+      spark.read.parquet(s"$root/cont.parquet"),
+      spark.read.parquet(s"$root/scal.parquet"))
+
   /** Score a bigram stream against the model: appends exact-rational
     * `num`/`den` (p = num/den), the quantized `bits` surprisal, and the
     * `unseen` flag. Unigram-keyed tables broadcast (vocab-sized even at

@@ -95,6 +95,20 @@ class KnLmSpec extends AnyFunSuite {
     assert(rows(full.scal) == rows(merged.scal))
   }
 
+  test("save/load roundtrip: the frozen model scores identically") {
+    import spark.implicits._
+    val m = model()
+    val root = SparkTestSession.tempDir("knlm")
+    KnBigramLm.save(m, root)
+    val loaded = KnBigramLm.load(spark, root)
+    val probe = Seq((0L, "a", "b"), (0L, "a", "d"), (0L, "z", "a"))
+      .toDF("doc_id", "w1", "w2")
+    def scored(mm: KnBigramLm.Model) = KnBigramLm.score(probe, mm)
+      .select($"w1", $"w2", $"num".cast("long"), $"den".cast("long"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(scored(loaded) == scored(m))
+  }
+
   test("perDoc: in-domain text scores fewer bits than out-of-domain text") {
     import spark.implicits._
     val m = model()
