@@ -1,0 +1,229 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** REAL video codec for the [[Multimodal]] seam — AVI (RIFF form `AVI `),
+  * the other container every public toolchain emits, carrying
+  * uncompressed 8-bit palettized DIB frames (`00db` chunks, fourcc
+  * `DIB `). Completes the container matrix next to [[Y4mCodec]]:
+  * Y4M is a text-headed TOP-DOWN unpadded plane stream, AVI is a
+  * binary-chunked BOTTOM-UP stream whose rows pad to 4-byte DWORD
+  * boundaries and whose pixels indirect through a palette — a shared
+  * parser bug cannot pass both containers' analytic oracles.
+  * (Reference analog: the multimodal decode seam of the builder brief;
+  * container layout per the public MSDN 'AVI RIFF File Reference'.)
+  *
+  * Scope: single 'vids' stream, BI_RGB (uncompressed) 8 bpp with a
+  * 256-entry palette, `00db` frame chunks, JUNK/unknown chunks skipped
+  * anywhere (writers pad with JUNK for CD-sector alignment), positive
+  * biHeight (bottom-up, the format default) AND negative (top-down)
+  * both handled. Anything else — compressed `00dc` frames, 24 bpp,
+  * missing headers — returns None and falls to the stub, the same
+  * loud-fallback contract as the other codecs.
+  */
+object AviCodec {
+
+  /** Encode grayscale frames (row-major, top-down, 0–255 ints) as an
+    * AVI with identity-gray palette DIB frames, hdrl/strl headers, a
+    * JUNK pad chunk, and an idx1 index — the structure real muxers
+    * emit. */
+  def encodeGray8(width: Int, height: Int, frames: Seq[Array[Int]],
+      fps: Int = 25): Array[Byte] = {
+    require(width > 0 && height > 0 && frames.nonEmpty, "need frames")
+    frames.foreach(f => require(f.length == width * height, "frame size mismatch"))
+    val stride = (width + 3) & ~3
+    val frameBytes = stride * height
+
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1 // RIFF chunks pad to even length
+      val b = ByteBuffer.allocate(8 + body.length + pad).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(tag.getBytes("US-ASCII")).putInt(body.length).put(body)
+      b.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("LIST".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put(kind.getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+
+    val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(1000000 / fps).putInt(frameBytes * fps).putInt(0)
+      .putInt(0x10 /* AVIF_HASINDEX */).putInt(frames.length).putInt(0)
+      .putInt(1).putInt(frameBytes).putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+
+    val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    strh.put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(fps) // dwScale / dwRate
+      .putInt(0).putInt(frames.length).putInt(frameBytes)
+      .putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+
+    val strf = ByteBuffer.allocate(40 + 256 * 4).order(ByteOrder.LITTLE_ENDIAN)
+    strf.putInt(40).putInt(width).putInt(height) // positive = bottom-up
+      .putShort(1).putShort(8).putInt(0 /* BI_RGB */).putInt(frameBytes)
+      .putInt(0).putInt(0).putInt(256).putInt(0)
+    (0 until 256).foreach { g => // RGBQUAD: blue, green, red, reserved
+      strf.put(g.toByte).put(g.toByte).put(g.toByte).put(0.toByte)
+    }
+
+    val hdrl = list("hdrl", chunk("avih", avih.array()) ++
+      list("strl", chunk("strh", strh.array()) ++ chunk("strf", strf.array())))
+
+    // frames: bottom-up rows, each padded to the DWORD stride
+    val frameChunks = frames.map { f =>
+      val body = new Array[Byte](frameBytes)
+      var row = 0
+      while (row < height) {
+        val srcRow = height - 1 - row // bottom-up
+        var x = 0
+        while (x < width) {
+          body(row * stride + x) = (f(srcRow * width + x) & 0xff).toByte
+          x += 1
+        }
+        row += 1
+      }
+      chunk("00db", body)
+    }
+    val movi = list("movi", frameChunks.reduce(_ ++ _))
+
+    // idx1: offsets relative to the start of the movi list's data
+    val idx = ByteBuffer.allocate(16 * frames.length).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 4 // after the 'movi' form tag
+    frameChunks.foreach { fc =>
+      idx.put("00db".getBytes("US-ASCII")).putInt(0x10).putInt(off)
+        .putInt(fc.length - 8)
+      off += fc.length
+    }
+
+    val junk = chunk("JUNK", new Array[Byte](12)) // alignment pad, real muxers emit these
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ junk ++ movi ++
+      chunk("idx1", idx.array())
+    val out = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    out.array()
+  }
+
+  /** Decode an AVI's 8-bpp DIB frames to top-down row-major luma via the
+    * palette ((r+g+b)/3 integer average). None for anything outside the
+    * documented scope. */
+  def decodeGray8(bytes: Array[Byte]): Option[(Int, Int, Array[Array[Int]])] =
+    try {
+      if (bytes.length < 24) return None
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def tag4(): String = {
+        val t = new Array[Byte](4); buf.get(t); new String(t, "US-ASCII")
+      }
+      if (tag4() != "RIFF") return None
+      val riffSize = buf.getInt // bounds the walk: trailing garbage is not chunks
+      if (tag4() != "AVI ") return None
+      val riffEnd = math.min(bytes.length.toLong, 8L + (riffSize.toLong & 0xffffffffL)).toInt
+
+      var width = -1
+      var height = -1
+      var topDown = false
+      var palette: Array[Int] = null
+      val frames = Array.newBuilder[Array[Int]]
+
+      def parseStrf(end: Int): Boolean = {
+        if (buf.remaining() < 40) return false
+        val biSize = buf.getInt
+        if (biSize < 40) return false
+        width = buf.getInt
+        height = buf.getInt
+        if (height < 0) { topDown = true; height = -height }
+        buf.getShort // planes
+        val bpp = buf.getShort
+        val compression = buf.getInt
+        if (bpp != 8 || compression != 0 || width <= 0 || height <= 0) return false
+        buf.getInt; buf.getInt; buf.getInt // sizeImage, xppm, yppm
+        val clrUsed = buf.getInt
+        buf.getInt // clrImportant
+        buf.position(buf.position() + (biSize - 40)) // biSize extensions
+        val n = if (clrUsed == 0) 256 else clrUsed
+        if (buf.remaining() < n * 4) return false
+        palette = Array.tabulate(n) { _ =>
+          val b = buf.get() & 0xff; val g = buf.get() & 0xff
+          val r = buf.get() & 0xff; buf.get()
+          (r + g + b) / 3
+        }
+        buf.position(end)
+        true
+      }
+
+      def parseFrame(len: Int): Boolean = {
+        if (width <= 0 || palette == null) return false
+        val stride = (width + 3) & ~3
+        if (len < stride * height) return false
+        val f = new Array[Int](width * height)
+        var row = 0
+        val base = buf.position()
+        while (row < height) {
+          val dstRow = if (topDown) row else height - 1 - row
+          var x = 0
+          while (x < width) {
+            val idx = bytes(base + row * stride + x) & 0xff
+            f(dstRow * width + x) = if (idx < palette.length) palette(idx) else 0
+            x += 1
+          }
+          row += 1
+        }
+        frames += f
+        true
+      }
+
+      // chunk walk; LIST bodies recurse, JUNK/unknown skip, 00dc rejects
+      def walk(end: Int): Boolean = {
+        while (buf.position() + 8 <= end) {
+          val tag = tag4()
+          val len = buf.getInt
+          val next = buf.position() + len + (len & 1)
+          if (len < 0 || buf.position() + len > end) return false
+          tag match {
+            case "LIST" =>
+              val kind = tag4()
+              if (kind == "hdrl" || kind == "strl" || kind == "movi" ||
+                  kind == "rec ") {
+                if (!walk(next)) return false
+              }
+              buf.position(next)
+            case "strf" =>
+              if (!parseStrf(next)) return false
+            case "00db" =>
+              if (!parseFrame(len)) return false
+              buf.position(next)
+            case "00dc" => return false // compressed frames: out of scope, fall to stub
+            case _ => // avih/strh/JUNK/idx1/unknown: headers we don't need
+              buf.position(math.min(next, end))
+          }
+        }
+        true
+      }
+      if (!walk(riffEnd)) return None
+      val fs = frames.result()
+      if (width <= 0 || fs.isEmpty) None else Some((width, height, fs))
+    } catch { case _: Exception => None }
+
+  /** Batch frame-sampler for [[Multimodal.decodeFrames]] — AVI twin of
+    * [[Y4mCodec.frameSampleBatch]]: keep every `everyK`-th frame,
+    * non-AVI payloads emit the one-row stub fingerprint. */
+  def frameSampleBatch(everyK: Int)(
+      batch: Seq[(Long, String, Array[Byte])]): Seq[Y4mCodec.DecodedFrame] = {
+    require(everyK > 0, "need everyK > 0")
+    batch.flatMap { case (id, kind, bytes) =>
+      decodeGray8(bytes) match {
+        case Some((w, h, frames)) =>
+          frames.indices.collect {
+            case f if f % everyK == 0 =>
+              Y4mCodec.DecodedFrame(id, kind, f, w, h, frames(f), "avi/dib8-v1")
+          }
+        case None =>
+          val stub = Multimodal.stubDecodeBatch(16)(Seq((id, kind, bytes))).head
+          Seq(Y4mCodec.DecodedFrame(id, kind, -1, 0, 0,
+            stub.feature.map(f => ((f + 1f) * 128f).toInt), "stub/md5-v1"))
+      }
+    }
+  }
+}

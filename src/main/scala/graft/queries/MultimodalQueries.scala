@@ -714,6 +714,41 @@ object MultimodalQueries {
           generate_series(0, 63) AS g(i)
         GROUP BY doc_id, f.fi ORDER BY media_id, frame_idx""")),
 
+    // ── REAL video container #2: AVI/DIB-8 frame sampling ─────────────
+    // The binary-chunked twin of m17's Y4M: AVI stores rows BOTTOM-UP
+    // with DWORD stride padding and pixels indirect through a palette —
+    // width 6 (stride 8) exercises the pad on every row, so a parser
+    // that ignores either convention hash-mismatches immediately.
+    // DIB frames are lossless, so the oracle recomputes sampled-frame
+    // luma analytically from the generator formula, exactly like m17.
+    // Scale shape: one mapPartitions-batched seam pass; every-k
+    // sampling inside the decode so unsampled frames never become rows.
+    GraftQuery(
+      "m20_avi_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).select($"doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val frames = Seq.tabulate(5)(f =>
+              Array.tabulate(30)(i => ((id * 31 + f * 17 + i * 5) % 256).toInt))
+            (id, "video", graft.multimodal.AviCodec.encodeGray8(6, 5, frames))
+          }).toDF("media_id", "kind", "bytes")
+        Multimodal.decodeFrames(media, everyK = 2)(
+          graft.multimodal.AviCodec.frameSampleBatch(2))
+          .toDF()
+          .select($"media_id", $"frame_idx".cast("long").as("frame_idx"),
+            $"decoder",
+            aggregate($"luma", lit(0L), (a, x) => a + x).as("luma_units"))
+          .orderBy($"media_id", $"frame_idx")
+      },
+      Some("""
+        SELECT doc_id AS media_id, CAST(f.fi AS BIGINT) AS frame_idx,
+          'avi/dib8-v1' AS decoder,
+          CAST(SUM((doc_id * 31 + f.fi * 17 + g.i * 5) % 256) AS BIGINT) AS luma_units
+        FROM documents, (VALUES (0), (2), (4)) AS f(fi),
+          generate_series(0, 29) AS g(i)
+        GROUP BY doc_id, f.fi ORDER BY media_id, frame_idx""")),
+
     // ── REAL codecs: mixed PNG/BMP/GIF through ONE content-sniffed pass ─
     // The production shape for a heterogeneous image corpus: each doc_id
     // encodes the SAME 16×16 grayscale raster (m11's generator formula)

@@ -1,0 +1,32 @@
+package graft.tools
+/** Scratch stage-timing probe for the AVI codec (LabD15 pattern). */
+object LabAvi {
+  def main(args: Array[String]): Unit = {
+    def avi(n: Int): Long = {
+      val t0 = System.nanoTime()
+      var id = 0
+      while (id < n) {
+        val frames = Seq.tabulate(5)(f =>
+          Array.tabulate(30)(i => ((id * 31 + f * 17 + i * 5) % 256)))
+        val b = graft.multimodal.AviCodec.encodeGray8(6, 5, frames)
+        graft.multimodal.AviCodec.decodeGray8(b).get
+        id += 1
+      }
+      (System.nanoTime() - t0) / 1000000
+    }
+    def y4m(n: Int): Long = {
+      val t0 = System.nanoTime()
+      var id = 0
+      while (id < n) {
+        val frames = Seq.tabulate(5)(f =>
+          Array.tabulate(30)(i => ((id * 31 + f * 17 + i * 5) % 256)))
+        val b = graft.multimodal.Y4mCodec.encodeLuma(6, 5, frames, colorspace = "Cmono")
+        graft.multimodal.Y4mCodec.decodeLuma(b).get
+        id += 1
+      }
+      (System.nanoTime() - t0) / 1000000
+    }
+    println(s"avi warm=${avi(10000)} run50k=${avi(50000)}")
+    println(s"y4m warm=${y4m(10000)} run50k=${y4m(50000)}")
+  }
+}

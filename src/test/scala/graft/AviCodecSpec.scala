@@ -1,0 +1,83 @@
+package graft
+
+import graft.multimodal.{AviCodec, WavCodec, Y4mCodec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algorithmic contracts of the AVI/DIB-8 container ([[AviCodec]]):
+  * bottom-up row order and DWORD stride padding are where a naive
+  * parser silently corrupts pixels, so the roundtrips use widths that
+  * exercise the pad and asymmetric frames that catch a flip. */
+class AviCodecSpec extends AnyFunSuite {
+
+  private def frame(w: Int, h: Int, seed: Int) =
+    Array.tabulate(w * h)(i => (seed * 31 + i * 5) % 256)
+
+  test("roundtrip: width%4 != 0 exercises stride padding; rows come back top-down") {
+    val frames = Seq(frame(6, 4, 1), frame(6, 4, 2), frame(6, 4, 3))
+    val bytes = AviCodec.encodeGray8(6, 4, frames)
+    val Some((w, h, got)) = AviCodec.decodeGray8(bytes)
+    assert(w == 6 && h == 4 && got.length == 3)
+    got.zip(frames).foreach { case (g, f) => assert(g.toSeq == f.toSeq) }
+  }
+
+  test("asymmetric frame catches a bottom-up flip bug") {
+    // top row all 10s, bottom row all 200s: a parser that forgets the
+    // bottom-up flip returns them swapped
+    val f = Array.tabulate(4 * 2)(i => if (i < 4) 10 else 200)
+    val Some((_, _, got)) = AviCodec.decodeGray8(AviCodec.encodeGray8(4, 2, Seq(f)))
+    assert(got.head.toSeq == f.toSeq)
+  }
+
+  test("negative biHeight (top-down DIB) decodes too") {
+    val f = frame(4, 4, 7)
+    val bytes = AviCodec.encodeGray8(4, 4, Seq(f))
+    // flip the sign of biHeight inside strf AND re-flip the stored rows:
+    // find strf, biHeight is at strf body offset 8
+    val idx = indexOfTag(bytes, "strf") + 8 + 8
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(idx, -bb.getInt(idx))
+    val Some((_, _, got)) = AviCodec.decodeGray8(bytes)
+    // stored rows are bottom-up from the encoder; a top-down reader sees
+    // them reversed
+    assert(got.head.toSeq == f.grouped(4).toSeq.reverse.flatten.map(_.toInt))
+  }
+
+  test("every-k sampler keeps frame 0 and every k-th; non-AVI falls to stub") {
+    val frames = Seq.tabulate(5)(s => frame(4, 4, s))
+    val bytes = AviCodec.encodeGray8(4, 4, frames)
+    val rows = AviCodec.frameSampleBatch(2)(Seq((9L, "video", bytes)))
+    assert(rows.map(_.frame_idx) == Seq(0, 2, 4))
+    assert(rows.forall(_.decoder == "avi/dib8-v1"))
+    val stub = AviCodec.frameSampleBatch(2)(Seq((9L, "video", Array[Byte](1, 2, 3))))
+    assert(stub.map(_.frame_idx) == Seq(-1) && stub.head.decoder == "stub/md5-v1")
+  }
+
+  test("reject matrix: WAV bytes, Y4M bytes, truncated AVI, compressed 00dc") {
+    val wav = WavCodec.encodePcm16(8000, Array.tabulate(64)(_.toShort))
+    assert(AviCodec.decodeGray8(wav).isEmpty)
+    val y4m = Y4mCodec.encodeLuma(4, 4, Seq(Array.fill(16)(1)))
+    assert(AviCodec.decodeGray8(y4m).isEmpty)
+    val ok = AviCodec.encodeGray8(4, 4, Seq(frame(4, 4, 1)))
+    assert(AviCodec.decodeGray8(ok.take(ok.length / 2)).isEmpty)
+    // rewrite the frame tag 00db -> 00dc: compressed frames must reject
+    val dc = ok.clone()
+    val fi = indexOfTag(dc, "00db")
+    dc(fi + 3) = 'c'.toByte
+    assert(AviCodec.decodeGray8(dc).isEmpty)
+    // cross-container: the WAV parser must reject AVI (both are RIFF)
+    assert(WavCodec.decodePcm16(ok).isEmpty)
+  }
+
+  test("JUNK chunks anywhere are skipped (encoder emits one before movi)") {
+    val bytes = AviCodec.encodeGray8(4, 4, Seq(frame(4, 4, 5)))
+    assert(indexOfTag(bytes, "JUNK") > 0) // structure really contains it
+    assert(AviCodec.decodeGray8(bytes).nonEmpty)
+  }
+
+  private def indexOfTag(bytes: Array[Byte], tag: String): Int = {
+    val t = tag.getBytes("US-ASCII")
+    bytes.indices.find(i => i + 4 <= bytes.length &&
+      bytes(i) == t(0) && bytes(i + 1) == t(1) &&
+      bytes(i + 2) == t(2) && bytes(i + 3) == t(3)).getOrElse(-1)
+  }
+}
