@@ -71,6 +71,15 @@ object TextFunctions {
       graft.functions.expressions.NfkcCasefoldExpr(
         org.apache.spark.sql.graftbridge.GraftBridge.expression(text)))
 
+  /** One-pass Unicode script census struct (latin/cyrillic/greek/digit
+    * codepoint counts) — the x66 homoglyph/spoof signal in a single
+    * byte scan instead of one regexp pass per script class; ASCII input
+    * classifies bytes directly with zero allocation. */
+  def scriptCensus(text: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftBridge.column(
+      graft.functions.expressions.ScriptCensusExpr(
+        org.apache.spark.sql.graftbridge.GraftBridge.expression(text)))
+
   /** One-pass profile struct over the text (alpha/punct/token/stopword/
     * language-marker counts); shared by [[qualityScore]] and [[langId]]
     * via codegen subexpression elimination. */

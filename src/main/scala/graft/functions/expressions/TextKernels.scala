@@ -156,6 +156,50 @@ object GraftText {
     Seq("alpha", "punct", "ntok", "stop", "en", "de", "fr", "es", "zh")
       .map(StructField(_, IntegerType, nullable = false)))
 
+  /** One-pass Unicode script census: codepoint counts for Latin,
+    * Cyrillic, Greek scripts and ASCII digits (everything else =
+    * length − the four). Equals the per-class regexp_count forms
+    * (`\p{IsLatin}` etc. — Java's Is<Script> IS the script property,
+    * Character.UnicodeScript) but in ONE scan instead of one regex pass
+    * per class. ASCII-only input never allocates: bytes classify
+    * directly; any non-ASCII byte falls to a codepoint walk. */
+  def scriptCensus(s: UTF8String): InternalRow = {
+    val n = s.numBytes()
+    var latin = 0; var cyr = 0; var greek = 0; var digit = 0
+    var ascii = true
+    var i = 0
+    while (ascii && i < n) {
+      val b = s.getByte(i)
+      if (b < 0) ascii = false
+      else {
+        if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) latin += 1
+        else if (b >= '0' && b <= '9') digit += 1
+        i += 1
+      }
+    }
+    if (!ascii) {
+      latin = 0; cyr = 0; greek = 0; digit = 0
+      val str = s.toString
+      var j = 0
+      while (j < str.length) {
+        val cp = str.codePointAt(j)
+        if (cp >= '0' && cp <= '9') digit += 1
+        else {
+          val sc = Character.UnicodeScript.of(cp)
+          if (sc eq Character.UnicodeScript.LATIN) latin += 1
+          else if (sc eq Character.UnicodeScript.CYRILLIC) cyr += 1
+          else if (sc eq Character.UnicodeScript.GREEK) greek += 1
+        }
+        j += Character.charCount(cp)
+      }
+    }
+    new GenericInternalRow(Array[Any](latin, cyr, greek, digit))
+  }
+
+  val scriptSchema: StructType = StructType(
+    Seq("latin", "cyrillic", "greek", "digit")
+      .map(StructField(_, IntegerType, nullable = false)))
+
   /** Unicode NFC normalization with an allocation-free ASCII fast path.
     * Spark 4 ships UTF-8 VALIDITY functions (`validate_utf8` family) and
     * normalizes inside collation COMPARISONS, but exposes no function that
@@ -299,6 +343,18 @@ case class NfkcCasefoldExpr(child: Expression)
 /** One-pass text profile struct (see [[GraftText.profile]]); subexpression
   * elimination shares a single evaluation across the quality-score and
   * language-ID consumers in the same projection. */
+case class ScriptCensusExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType = GraftText.scriptSchema
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    GraftText.scriptCensus(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expressions.GraftText.scriptCensus($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class TextProfileExpr(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[GraftBridge.AbstractType] = Seq(StringType)

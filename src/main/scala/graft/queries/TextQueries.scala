@@ -2755,10 +2755,12 @@ object TextQueries {
     // sprinkles Cyrillic 'о' homoglyphs inside Latin words shows both
     // scripts at once. The ASCII corpus gets controlled injection
     // (doc_id%3: 'o'→U+043E Cyrillic о; doc_id%5: 'e'→U+03B5 Greek ε),
-    // so all four script-mix states occur. Spark counts via
-    // regexp_count with Java script properties; the oracle uses RE2's —
-    // same classes on every injected codepoint. Scale shape: pure
-    // per-row map, one exchange (the output sort).
+    // so all four script-mix states occur. Spark counts via the
+    // one-pass scriptCensus kernel (ONE byte scan; ASCII classifies
+    // without allocating — Character.UnicodeScript == Java regex's
+    // \p{Is<Script>}); the oracle uses RE2's script classes — same on
+    // every injected codepoint. Scale shape: pure per-row map, one
+    // exchange (the output sort).
     GraftQuery(
       "x66_script_histogram",
       (s, dir) => {
@@ -2769,12 +2771,13 @@ object TextQueries {
           regexp_replace(d1, "e", "ε")).otherwise(d1)
         Tables.documents(s, dir)
           .select($"doc_id", dirty.as("t"))
+          .withColumn("sc", scriptCensus($"t"))
           .select($"doc_id",
             length($"t").as("n_chars_t"),
-            regexp_count($"t", lit("\\p{IsLatin}")).as("n_latin"),
-            regexp_count($"t", lit("\\p{IsCyrillic}")).as("n_cyrillic"),
-            regexp_count($"t", lit("\\p{IsGreek}")).as("n_greek"),
-            regexp_count($"t", lit("[0-9]")).as("n_digit"))
+            $"sc.latin".as("n_latin"),
+            $"sc.cyrillic".as("n_cyrillic"),
+            $"sc.greek".as("n_greek"),
+            $"sc.digit".as("n_digit"))
           .withColumn("n_other",
             $"n_chars_t" - $"n_latin" - $"n_cyrillic" - $"n_greek" - $"n_digit")
           .withColumn("dominant",

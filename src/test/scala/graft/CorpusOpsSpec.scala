@@ -375,6 +375,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kernel(ascii) eq ascii)
   }
 
+  test("scriptCensus kernel: randomized agreement with Java regex script classes") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // kernel counts must equal the regexp_count forms it replaced —
+    // \p{IsLatin}/\p{IsCyrillic}/\p{IsGreek}/[0-9] — on mixed-script
+    // text including supplementary codepoints (Deseret = astral Latin...
+    // actually script DESERET; 𝐀 MATHEMATICAL BOLD A is script Common,
+    // so the astral pieces exercise charCount, not the Latin count).
+    val pats = Seq("\\p{IsLatin}", "\\p{IsCyrillic}", "\\p{IsGreek}", "[0-9]")
+      .map(java.util.regex.Pattern.compile)
+    val pieces = Array("a", "Z", "9", " ", ".", "о", "е", "Д", "ε", "Ω",
+      "é", "ß", "ж", "α", "中", "😀", "𝐀")
+    val rnd = new scala.util.Random(66)
+    (0 until 2000).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(16))(pieces(rnd.nextInt(pieces.length))).mkString
+      val row = graft.functions.expressions.GraftText
+        .scriptCensus(UTF8String.fromString(s))
+      val want = pats.map { p =>
+        val m = p.matcher(s); var c = 0; while (m.find()) c += 1; c
+      }
+      val got = (0 until 4).map(row.getInt)
+      assert(got == want, s"mismatch on ${s.map(c => f"\\u${c.toInt}%04x").mkString}: got $got want $want")
+    }
+  }
+
   test("nfkcNormalize kernel: compatibility folds, NFC composition, ASCII identity") {
     import org.apache.spark.unsafe.types.UTF8String
     val k = graft.functions.expressions.GraftText.nfkcNormalize _
