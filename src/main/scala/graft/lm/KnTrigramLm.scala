@@ -1,0 +1,110 @@
+package graft.lm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interpolated Kneser-Ney TRIGRAM LM — [[KnBigramLm]]'s higher-order
+  * sibling (Chen & Goodman 1998), with proper continuation counts at
+  * both lower levels:
+  *
+  *   p3(w3|w1w2) = (c123 − D)/c12 + D·n3(w1w2)/c12 · p2(w3|w2)
+  *   p2(w3|w2)   = (t23 − D)/t2•  + D·m2(w2)/t2•  · p1(w3)
+  *   p1(w3)      = (tc3(w3) + 1)/(TT + V)
+  *
+  * where t23 = |{w1 : c(w1w2w3)>0}| (bigram TYPE counts — the KN
+  * insight: lower orders count contexts, not tokens), tc3 = |{w2 :
+  * t23>0}|, TT = Σ tc3, V = |vocab|; D = 3/4 throughout, and each
+  * lower level smooths to a proper distribution (KnLmSpec's Σp = 1
+  * proof carries: KnTrigramLmSpec asserts it exactly in rationals).
+  *
+  * Arithmetic: num/den are exact rationals whose level-3 products can
+  * reach ~4·c12·4·t2•·(TT+V) ≈ 10¹⁹ at large SF — past BIGINT — so both
+  * engines compute them in 38-digit exact decimals (Spark DECIMAL(38,0),
+  * DuckDB HUGEINT), and the surprisal quantizes from the QUOTIENT
+  * `den div num` (≤ TT+V ≈ vocab scale, always BIGINT-safe):
+  * bits = length(bin(den div num)) = floor(log2(1/p)) + 1.
+  *
+  * 100 TB shape: identical to the bigram plane — count tables are
+  * vocab-bounded (the trigram table joins corpus-linearly; everything
+  * keyed by ≤2 grams broadcasts), one corpus-linear score pass,
+  * map-side-combinable rollup. The count tables pin eagerly, train IS
+  * an action.
+  */
+object KnTrigramLm {
+
+  /** (doc_id, w1, w2, w3) trigram stream; docs with <3 tokens drop. */
+  def trigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = graft.functions.TextFunctions.lowerTokens(col(textCol))
+    docs
+      .select(col(idCol).as("doc_id"), t.as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2"),
+          element_at(col("t"), i + 2).as("w3")))).as("tg"))
+      .select(col("doc_id"), col("tg.w1"), col("tg.w2"), col("tg.w3"))
+  }
+
+  final case class Model(c123: DataFrame, ctx12: DataFrame, t23: DataFrame,
+      ctx2: DataFrame, tc3: DataFrame, scal: DataFrame)
+
+  def train(trainTrigrams: DataFrame): Model = {
+    // one materialization feeds all five derived tables (the d15/c12 pin)
+    val c123 = trainTrigrams.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123"))
+      .localCheckpoint(true)
+    val ctx12 = c123.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c123")).cast("long").as("c12"), count(lit(1)).as("n3"))
+    val t23 = c123.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("t23"))
+      .localCheckpoint(true)
+    val ctx2 = t23.groupBy(col("w2"))
+      .agg(sum(col("t23")).cast("long").as("t2s"), count(lit(1)).as("m2"))
+    val tc3 = t23.groupBy(col("w3"))
+      .agg(count(lit(1)).as("tc3"))
+    val scal = tc3.agg(sum(col("tc3")).cast("long").as("tt"),
+      count(lit(1)).as("v"))
+    Model(c123, ctx12, t23, ctx2, tc3, scal)
+  }
+
+  /** Appends exact num3/den3 (DECIMAL(38,0)), the quantized `bits`, and
+    * the `unseen` flag (trigram unseen). */
+  def score(tg: DataFrame, m: Model): DataFrame =
+    tg.join(m.c123, Seq("w1", "w2", "w3"), "left")
+      .join(m.ctx12, Seq("w1", "w2"), "left")
+      .join(m.t23, Seq("w2", "w3"), "left")
+      .join(broadcast(m.ctx2), Seq("w2"), "left")
+      .join(broadcast(m.tc3), Seq("w3"), "left")
+      .crossJoin(broadcast(m.scal))
+      .withColumn("p1n", coalesce(col("tc3"), lit(0L)) + 1L)
+      .withColumn("p1d", col("tt") + col("v"))
+      // level 2 (decimal from here up: products reach ~1e19 at scale)
+      .withColumn("num2", expr(
+        """CAST(CASE
+             WHEN t23 IS NOT NULL THEN (4 * t23 - 3) * p1d + 3 * m2 * p1n
+             WHEN t2s IS NOT NULL THEN 3 * m2 * p1n
+             ELSE p1n END AS DECIMAL(38,0))"""))
+      .withColumn("den2", expr(
+        """CAST(CASE WHEN t2s IS NOT NULL THEN 4 * t2s * p1d
+             ELSE p1d END AS DECIMAL(38,0))"""))
+      // level 3
+      .withColumn("num3", expr(
+        """CASE
+             WHEN c123 IS NOT NULL THEN CAST(4 * c123 - 3 AS DECIMAL(38,0)) * den2 + CAST(3 * n3 AS DECIMAL(38,0)) * num2
+             WHEN c12 IS NOT NULL THEN CAST(3 * n3 AS DECIMAL(38,0)) * num2
+             ELSE num2 END"""))
+      .withColumn("den3", expr(
+        """CASE WHEN c12 IS NOT NULL THEN CAST(4 * c12 AS DECIMAL(38,0)) * den2
+             ELSE den2 END"""))
+      .withColumn("bits",
+        length(bin(expr("CAST(den3 DIV num3 AS BIGINT)"))).cast("long"))
+      .withColumn("unseen", when(col("c123").isNull, 1L).otherwise(0L))
+
+  def perDoc(scored: DataFrame): DataFrame =
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("unseen")).cast("long").as("n_unseen"),
+        sum(col("bits")).cast("long").as("kn3_bits_q"))
+      .withColumn("avg_bits_x100", expr("(kn3_bits_q * 100) div n_trigrams"))
+}

@@ -2953,6 +2953,75 @@ object TextQueries {
         FROM scored GROUP BY doc_id
         ORDER BY bm25_ppm DESC, doc_id LIMIT 20""")),
 
+    // ── trigram Kneser-Ney perplexity (x65's higher-order form) ───────
+    // Proper KN at three levels: token counts at the top, CONTINUATION
+    // (type) counts below — see graft.lm.KnTrigramLm scaladoc for the
+    // closed forms and the DECIMAL(38)/HUGEINT + quotient-quantization
+    // arithmetic that keeps the oracle exact past BIGINT. Same
+    // train/held-out split as x65; the two scores disagree per doc
+    // (longer context = sharper model), which is the point: rank-order
+    // stability between them is itself a curation diagnostic.
+    GraftQuery(
+      "x69_kn_trigram_perplexity",
+      (s, dir) => {
+        import s.implicits._
+        val tg = graft.lm.KnTrigramLm.trigrams(
+          Tables.documents(s, dir), "doc_id", "text")
+        val m = graft.lm.KnTrigramLm.train(tg.filter($"doc_id" % 10 < 8))
+        graft.lm.KnTrigramLm.perDoc(graft.lm.KnTrigramLm.score(tg, m))
+          .withColumn("held_out", ($"doc_id" % 10 >= 8).cast("int"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM documents),
+        tg AS (
+          SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                FROM toks WHERE len(t) >= 3)),
+        c123 AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM tg WHERE doc_id % 10 < 8 GROUP BY w1, w2, w3),
+        ctx12 AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12, COUNT(*) AS n3 FROM c123 GROUP BY w1, w2),
+        t23 AS (SELECT w2, w3, COUNT(*) AS t23 FROM c123 GROUP BY w2, w3),
+        ctx2 AS (SELECT w2, CAST(SUM(t23) AS BIGINT) AS t2s, COUNT(*) AS m2 FROM t23 GROUP BY w2),
+        tc3 AS (SELECT w3, COUNT(*) AS tc3 FROM t23 GROUP BY w3),
+        scal AS (SELECT CAST(SUM(tc3) AS BIGINT) AS tt, COUNT(*) AS v FROM tc3),
+        j AS (
+          SELECT tg.doc_id, c123.c123, ctx12.c12, ctx12.n3, t23.t23,
+            ctx2.t2s, ctx2.m2,
+            COALESCE(tc3.tc3, 0) + 1 AS p1n, scal.tt + scal.v AS p1d
+          FROM tg LEFT JOIN c123 USING (w1, w2, w3)
+            LEFT JOIN ctx12 USING (w1, w2)
+            LEFT JOIN t23 USING (w2, w3)
+            LEFT JOIN ctx2 USING (w2)
+            LEFT JOIN tc3 USING (w3)
+            CROSS JOIN scal),
+        l2 AS (
+          SELECT doc_id, c123, c12, n3,
+            CAST(CASE
+              WHEN t23 IS NOT NULL THEN (4 * t23 - 3) * p1d + 3 * m2 * p1n
+              WHEN t2s IS NOT NULL THEN 3 * m2 * p1n
+              ELSE p1n END AS HUGEINT) AS num2,
+            CAST(CASE WHEN t2s IS NOT NULL THEN 4 * t2s * p1d
+              ELSE p1d END AS HUGEINT) AS den2
+          FROM j),
+        l3 AS (
+          SELECT doc_id,
+            CASE
+              WHEN c123 IS NOT NULL THEN CAST(4 * c123 - 3 AS HUGEINT) * den2 + CAST(3 * n3 AS HUGEINT) * num2
+              WHEN c12 IS NOT NULL THEN CAST(3 * n3 AS HUGEINT) * num2
+              ELSE num2 END AS num3,
+            CASE WHEN c12 IS NOT NULL THEN CAST(4 * c12 AS HUGEINT) * den2
+              ELSE den2 END AS den3,
+            CASE WHEN c123 IS NULL THEN 1 ELSE 0 END AS unseen
+          FROM l2)
+        SELECT doc_id, COUNT(*) AS n_trigrams,
+          CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+          CAST(SUM(length(bin(CAST(den3 // num3 AS BIGINT)))) AS BIGINT) AS kn3_bits_q,
+          (CAST(SUM(length(bin(CAST(den3 // num3 AS BIGINT)))) AS BIGINT) * 100) // COUNT(*) AS avg_bits_x100,
+          CAST(doc_id % 10 >= 8 AS INT) AS held_out
+        FROM l3 GROUP BY doc_id ORDER BY doc_id""")),
+
     GraftQuery(
       "x58_effective_size",
       (s, dir) => {

@@ -1,0 +1,88 @@
+package graft
+
+import graft.lm.KnTrigramLm
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algorithmic contracts of the trigram KN LM (x69): continuation-count
+  * tables, closed-form num/den on every branch, and the proper-
+  * distribution proof (Σ over vocab of p3(.|w1w2) = 1 exactly, in
+  * rationals) for fully-seen contexts. */
+class KnTrigramLmSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // doc0 "a b a b a c" → trigrams: aba bab aba bac
+  // doc1 "b a b d"     → trigrams: bab abd
+  private def model() = {
+    import spark.implicits._
+    val docs = Seq((0L, "a b a b a c"), (1L, "b a b d")).toDF("doc_id", "text")
+    KnTrigramLm.train(KnTrigramLm.trigrams(docs, "doc_id", "text"))
+  }
+
+  test("count tables match hand derivation") {
+    import spark.implicits._
+    val m = model()
+    // c123: aba=2, bab=2, bac=1, abd=1
+    assert(m.c123.as[(String, String, String, Long)].collect().toSet ==
+      Set(("a", "b", "a", 2L), ("b", "a", "b", 2L), ("b", "a", "c", 1L), ("a", "b", "d", 1L)))
+    // ctx12: (a,b): c12=3, n3=2 ; (b,a): c12=3, n3=2
+    assert(m.ctx12.as[(String, String, Long, Long)].collect().toSet ==
+      Set(("a", "b", 3L, 2L), ("b", "a", 3L, 2L)))
+    // t23 (distinct w1 per (w2,w3)): (b,a)=1 (b,d)=1 (a,b)=1 (a,c)=1
+    assert(m.t23.as[(String, String, Long)].collect().toSet ==
+      Set(("b", "a", 1L), ("b", "d", 1L), ("a", "b", 1L), ("a", "c", 1L)))
+    // ctx2: b: t2s=2 m2=2 ; a: t2s=2 m2=2
+    assert(m.ctx2.as[(String, Long, Long)].collect().toSet ==
+      Set(("b", 2L, 2L), ("a", 2L, 2L)))
+    // tc3: a=1 d=1 b=1 c=1 ; TT=4 V=4
+    assert(m.tc3.as[(String, Long)].collect().toSet ==
+      Set(("a", 1L), ("d", 1L), ("b", 1L), ("c", 1L)))
+    val (tt, v) = m.scal.as[(Long, Long)].collect().head
+    assert(tt == 4L && v == 4L)
+  }
+
+  test("closed forms: seen / mid-backoff / low-backoff / unseen-context branches") {
+    import spark.implicits._
+    val m = model()
+    val probe = Seq(
+      (0L, "a", "b", "a"), // fully seen: c123=2 c12=3 n3=2 t23(b,a)=1 t2s=2 m2=2 tc3(a)=1
+      (0L, "a", "b", "b"), // trigram unseen, mid (b,b) unseen, ctx2(b) seen, tc3(b)=1
+      (0L, "a", "b", "z"), // w3 totally unseen: tc3 null
+      (0L, "z", "q", "a")  // everything unseen below p1
+    ).toDF("doc_id", "w1", "w2", "w3")
+    val got = KnTrigramLm.score(probe, m)
+      .selectExpr("w1", "w2", "w3", "CAST(num3 AS LONG)", "CAST(den3 AS LONG)", "bits")
+      .as[(String, String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> (r._4, r._5, r._6)).toMap
+    // p1d = 8. (a,b,a): num2 = (4·1−3)·8 + 3·2·2 = 20 ; den2 = 4·2·8 = 64
+    //   num3 = (4·2−3)·64 + 3·2·20 = 320+120 = 440 ; den3 = 4·3·64 = 768
+    //   bits = len(bin(768 div 440)) = len(bin(1)) = 1
+    assert(got(("a", "b", "a")) == ((440L, 768L, 1L)))
+    // (a,b,b): t23 null, t2s(b)=2 → num2 = 3·2·2 = 12, den2 = 64
+    //   c123 null, c12(a,b)=3 → num3 = 3·2·12 = 72 ; den3 = 768
+    //   bits = len(bin(768 div 72)) = len(bin(10)) = 4
+    assert(got(("a", "b", "b")) == ((72L, 768L, 4L)))
+    // (a,b,z): tc3 null → p1n=1 ; num2 = 3·2·1 = 6 ; num3 = 3·2·6 = 36
+    assert(got(("a", "b", "z")) == ((36L, 768L, 5L)))
+    // (z,q,a): w2=q unseen → num2 = p1n = 2, den2 = 8 ; c12 null → num3=2 den3=8
+    assert(got(("z", "q", "a")) == ((2L, 8L, 3L)))
+  }
+
+  test("p3(.|w1w2) sums to exactly 1 over the vocab for fully-seen contexts") {
+    import spark.implicits._
+    val m = model()
+    val vocab = m.tc3.select($"w3").collect().map(_.getString(0))
+    val contexts = m.ctx12.select($"w1", $"w2").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val probe = contexts.flatMap { case (w1, w2) =>
+      vocab.map(w3 => (0L, w1, w2, w3)) }.toSeq.toDF("doc_id", "w1", "w2", "w3")
+    val rows = KnTrigramLm.score(probe, m)
+      .selectExpr("w1", "w2", "CAST(num3 AS DECIMAL(38,0))", "CAST(den3 AS DECIMAL(38,0))")
+      .as[(String, String, java.math.BigDecimal, java.math.BigDecimal)].collect()
+    rows.groupBy(r => (r._1, r._2)).foreach { case (ctx, rs) =>
+      val dens = rs.map(r => BigInt(r._4.toBigInteger)).distinct
+      assert(dens.length == 1, s"ctx $ctx mixed dens")
+      val sum = rs.map(r => BigInt(r._3.toBigInteger)).sum
+      assert(sum == dens.head, s"ctx $ctx: Σnum = $sum != den ${dens.head}")
+    }
+  }
+}

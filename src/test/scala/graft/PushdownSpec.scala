@@ -448,7 +448,7 @@ class PushdownSpec extends AnyFunSuite {
     // scale-killer; the one allowed nested-loop is the single-row
     // scalars frame's broadcast cross join.
     for (name <- Seq("x65_kn_perplexity", "s12_stream_quality_gate",
-        "x67_ppl_prune_curve")) {
+        "x67_ppl_prune_curve", "x69_kn_trigram_perplexity")) {
       val q = graft.core.Registry.allQueries.find(_.name == name).get
       val plan = q.build(spark, "/root/testdata/sf0.001")
         .queryExecution.explainString(SimpleMode)
