@@ -3022,6 +3022,101 @@ object TextQueries {
           CAST(doc_id % 10 >= 8 AS INT) AS held_out
         FROM l3 GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ── domain-shift matrix: per-source LMs cross-scoring all sources ──
+    // The data-mixing diagnostic: train x65's KN bigram LM PER SOURCE
+    // (count tables keyed by source — one aggregation pass, not one
+    // training job per source), then score a deterministic hash-sample
+    // of each source's docs (doc_id%7==3, the x59 sampling discipline —
+    // the matrix needs relative cross-entropies, not the full corpus)
+    // against EVERY source's model. Probe bigrams cross the broadcast
+    // source list (the |sources|× fan-out IS the matrix's honest cost,
+    // and it rides the sample, not the corpus), count tables join by
+    // (train_src, gram) — corpus-linear × |sources|. Low avg_bits on
+    // the diagonal = self-fit; off-diagonal asymmetries are the mixture
+    // designer's signal. Same exact-rational arithmetic as x65
+    // (graft.lm.KnBigramLm scaladoc), per-source NT/V.
+    GraftQuery(
+      "x70_domain_shift_matrix",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"text")
+        val toks = docs.select($"doc_id", $"source", lowerTokens($"text").as("t"))
+          .where(size($"t") >= 2)
+        val bg = toks.select($"source", $"doc_id", explode(transform(
+            sequence(lit(1), size($"t") - 1),
+            i => struct(element_at($"t", i).as("w1"),
+              element_at($"t", i + 1).as("w2")))).as("b"))
+          .select($"source", $"doc_id", $"b.w1", $"b.w2")
+        val c12s = bg.groupBy($"source".as("train_src"), $"w1", $"w2")
+          .agg(count(lit(1)).as("c12"))
+          .localCheckpoint(true)
+        val ctxs = c12s.groupBy($"train_src", $"w1")
+          .agg(sum($"c12").cast("long").as("c1"), count(lit(1)).as("n1p"))
+        val conts = c12s.groupBy($"train_src", $"w2")
+          .agg(count(lit(1)).as("ncont"))
+        val scals = conts.groupBy($"train_src")
+          .agg(sum($"ncont").cast("long").as("nt"), count(lit(1)).as("v"))
+        val srcs = docs.select($"source".as("train_src")).distinct()
+        val probe = bg.filter($"doc_id" % 7 === 3)
+          .select($"source".as("score_src"), $"w1", $"w2")
+          .crossJoin(broadcast(srcs))
+        probe
+          .join(c12s, Seq("train_src", "w1", "w2"), "left")
+          .join(ctxs, Seq("train_src", "w1"), "left")
+          .join(conts, Seq("train_src", "w2"), "left")
+          .join(broadcast(scals), Seq("train_src"))
+          .withColumn("pc_num", coalesce($"ncont", lit(0L)) + 1L)
+          .withColumn("ntv", $"nt" + $"v")
+          .withColumn("num",
+            when($"c12".isNotNull,
+              ($"c12" * 4 - 3) * $"ntv" + lit(3L) * $"n1p" * $"pc_num")
+              .when($"c1".isNotNull, lit(3L) * $"n1p" * $"pc_num")
+              .otherwise($"pc_num"))
+          .withColumn("den",
+            when($"c1".isNotNull, lit(4L) * $"c1" * $"ntv").otherwise($"ntv"))
+          .groupBy($"score_src", $"train_src")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(length(bin($"den")) - length(bin($"num"))).cast("long").as("bits_q"))
+          .withColumn("avg_bits_x100", expr("(bits_q * 100) div n_bigrams"))
+          .orderBy($"score_src", $"train_src")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM documents),
+        bg AS (
+          SELECT source, doc_id, t[i] AS w1, t[i+1] AS w2
+          FROM (SELECT doc_id, source, t, unnest(generate_series(1, len(t) - 1)) AS i
+                FROM toks WHERE len(t) >= 2)),
+        c12s AS (SELECT source AS train_src, w1, w2, COUNT(*) AS c12 FROM bg GROUP BY source, w1, w2),
+        ctxs AS (SELECT train_src, w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n1p FROM c12s GROUP BY train_src, w1),
+        conts AS (SELECT train_src, w2, COUNT(*) AS ncont FROM c12s GROUP BY train_src, w2),
+        scals AS (SELECT train_src, CAST(SUM(ncont) AS BIGINT) AS nt, COUNT(*) AS v FROM conts GROUP BY train_src),
+        srcs AS (SELECT DISTINCT source AS train_src FROM documents),
+        probe AS (
+          SELECT bg.source AS score_src, srcs.train_src, bg.w1, bg.w2
+          FROM bg CROSS JOIN srcs WHERE bg.doc_id % 7 = 3),
+        j AS (
+          SELECT p.score_src, p.train_src, c12s.c12, ctxs.c1, ctxs.n1p,
+            COALESCE(conts.ncont, 0) + 1 AS pc_num, scals.nt + scals.v AS ntv
+          FROM probe p
+          LEFT JOIN c12s USING (train_src, w1, w2)
+          LEFT JOIN ctxs USING (train_src, w1)
+          LEFT JOIN conts USING (train_src, w2)
+          JOIN scals USING (train_src)),
+        b AS (
+          SELECT score_src, train_src,
+            CASE WHEN c12 IS NOT NULL THEN (c12 * 4 - 3) * ntv + 3 * n1p * pc_num
+                 WHEN c1 IS NOT NULL THEN 3 * n1p * pc_num
+                 ELSE pc_num END AS num,
+            CASE WHEN c1 IS NOT NULL THEN 4 * c1 * ntv ELSE ntv END AS den
+          FROM j)
+        SELECT score_src, train_src, COUNT(*) AS n_bigrams,
+          CAST(SUM(length(bin(den)) - length(bin(num))) AS BIGINT) AS bits_q,
+          (CAST(SUM(length(bin(den)) - length(bin(num))) AS BIGINT) * 100) // COUNT(*) AS avg_bits_x100
+        FROM b GROUP BY score_src, train_src
+        ORDER BY score_src, train_src""")),
+
     GraftQuery(
       "x58_effective_size",
       (s, dir) => {
