@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   * reach ~4·c12·4·t2•·(TT+V) ≈ 10¹⁹ at large SF — past BIGINT — so both
   * engines compute them in 38-digit exact decimals (Spark DECIMAL(38,0),
   * DuckDB HUGEINT), and the surprisal quantizes from the QUOTIENT
-  * `den div num` (≤ TT+V ≈ vocab scale, always BIGINT-safe):
+  * `den div num` = floor(1/p). That quotient is BIGINT-safe, but NOT
+  * because it is ≤ TT+V: 1/p can reach ~(16/9)·c12·t2•·(TT+V). It stays
+  * under 2^63 because den3 ≤ ~1e19 by the precision budget above while
+  * num3 ≥ 9 whenever c123 is seen (the (4·t23−3)·... term ≥ 9 and the
+  * unseen fallbacks shrink den3 in step), so den3/num3 < 2^63.
   * bits = length(bin(den div num)) = floor(log2(1/p)) + 1.
   *
   * 100 TB shape: identical to the bigram plane — count tables are

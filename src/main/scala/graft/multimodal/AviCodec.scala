@@ -141,6 +141,10 @@ object AviCodec {
         buf.getInt; buf.getInt; buf.getInt // sizeImage, xppm, yppm
         val clrUsed = buf.getInt
         buf.getInt // clrImportant
+        // 8-bpp palettes hold at most 256 entries; a negative count is a
+        // malformed header, not "empty palette" — reject so it falls to
+        // the stub path like other out-of-scope inputs
+        if (clrUsed < 0 || clrUsed > 256) return false
         buf.position(buf.position() + (biSize - 40)) // biSize extensions
         val n = if (clrUsed == 0) 256 else clrUsed
         if (buf.remaining() < n * 4) return false

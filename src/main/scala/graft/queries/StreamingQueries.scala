@@ -476,13 +476,18 @@ object StreamingQueries {
         // reversed text — garbage tokens the LM has never seen, so the
         // gate must reject ALL of it at any SF, while the 505-centibit
         // bar (the sf0.01 corpus median) splits the real sources.
+        // junkfeed ids live in the NEGATIVE namespace (-doc_id - 1) so
+        // they can never collide with real non-negative ids at any SF —
+        // a fixed positive offset would alias once the corpus grows past
+        // it, duplicating keys in the admission join and silently
+        // excluding real docs from training
         val base = Tables.documents(s, dir).select($"doc_id", $"source", $"text")
         val docs = base.unionAll(base.filter($"doc_id" % 9 === 0)
-          .select(($"doc_id" + 5000000L).as("doc_id"),
+          .select((-$"doc_id" - 1L).as("doc_id"),
             lit("junkfeed").as("source"), reverse($"text").as("text")))
         val bg = graft.lm.KnBigramLm.bigrams(docs, "doc_id", "text")
         val m = graft.lm.KnBigramLm.train(
-          bg.filter($"doc_id" % 10 < 8 && $"doc_id" < 5000000L))
+          bg.filter($"doc_id" % 10 < 8 && $"doc_id" >= 0L))
         val perDoc = graft.lm.KnBigramLm.perDoc(graft.lm.KnBigramLm.score(bg, m))
         perDoc
           .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
@@ -500,7 +505,7 @@ object StreamingQueries {
         WITH corpus AS (
           SELECT doc_id, source, text FROM documents
           UNION ALL
-          SELECT doc_id + 5000000, 'junkfeed' AS source, reverse(text)
+          SELECT -doc_id - 1, 'junkfeed' AS source, reverse(text)
           FROM documents WHERE doc_id % 9 = 0),
         toks AS (
           SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
@@ -510,7 +515,7 @@ object StreamingQueries {
           FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
                 FROM toks WHERE len(t) >= 2)),
         c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg
-                WHERE doc_id % 10 < 8 AND doc_id < 5000000 GROUP BY w1, w2),
+                WHERE doc_id % 10 < 8 AND doc_id >= 0 GROUP BY w1, w2),
         ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n1p FROM c12 GROUP BY w1),
         cont AS (SELECT w2, COUNT(*) AS ncont FROM c12 GROUP BY w2),
         scal AS (SELECT CAST(SUM(ncont) AS BIGINT) AS nt, COUNT(*) AS v FROM cont),

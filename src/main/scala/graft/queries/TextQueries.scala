@@ -2924,8 +2924,13 @@ object TextQueries {
           .crossJoin(broadcast(scal))
           .withColumn("idf_q",
             length(bin(expr("(2 * n + 2) div (2 * df + 1)"))).cast("long"))
+          // DECIMAL(38,0)/HUGEINT intermediates: 44*tf*tt*1e6 passes
+          // Int64 once tf*tt > ~2.1e11 (plausible at sf100+); the
+          // quotient itself is ≤ 2.2e6, so `div`'s LongType result is
+          // always safe — same discipline as x69's level-3 products
           .withColumn("part_ppm",
-            expr("(44 * tf * tt * 1000000) div (20 * tf * tt + 6 * tt + 18 * dl * n)"))
+            expr("(CAST(44 AS DECIMAL(38,0)) * tf * tt * 1000000) div " +
+              "(CAST(20 AS DECIMAL(38,0)) * tf * tt + 6 * tt + 18 * dl * n)"))
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_terms"),
             sum($"idf_q" * $"part_ppm").cast("long").as("bm25_ppm"))
@@ -2946,7 +2951,7 @@ object TextQueries {
         scored AS (
           SELECT p.doc_id,
             CAST(length(bin((2 * scal.n + 2) // (2 * dft.df + 1))) AS BIGINT) AS idf_q,
-            (44 * p.tf * scal.tt * 1000000) // (20 * p.tf * scal.tt + 6 * scal.tt + 18 * p.dl * scal.n) AS part_ppm
+            CAST((44::HUGEINT * p.tf * scal.tt * 1000000) // (20::HUGEINT * p.tf * scal.tt + 6::HUGEINT * scal.tt + 18::HUGEINT * p.dl * scal.n) AS BIGINT) AS part_ppm
           FROM p JOIN dft USING (tok) CROSS JOIN scal)
         SELECT doc_id, COUNT(*) AS n_terms,
           CAST(SUM(idf_q * part_ppm) AS BIGINT) AS bm25_ppm

@@ -183,6 +183,12 @@ object StreamIngest {
     * frames are built ONCE outside and cached by the caller; Spark
     * re-uses them across triggers (static side of a stream-batch join).
     *
+    * Admission control never loses rows: documents with <2 tokens have
+    * no bigrams to score, so the per-doc scores LEFT-join back onto the
+    * batch's doc_ids and unscorable docs fail closed into the rejected
+    * sink (null score columns, n_bigrams = 0) — a gate that can't score
+    * a document must still route it.
+    *
     * @param gateBitsX100 admit iff avg_bits_x100 <= this threshold
     */
   def qualityGate(docs: DataFrame, model: graft.lm.KnBigramLm.Model,
@@ -194,8 +200,14 @@ object StreamIngest {
         import org.apache.spark.sql.functions._
         val scored = graft.lm.KnBigramLm.perDoc(graft.lm.KnBigramLm.score(
           graft.lm.KnBigramLm.bigrams(batch, "doc_id", "text"), model))
-        val admitted = scored.filter(col("avg_bits_x100") <= gateBitsX100)
-        val rejected = scored.filter(col("avg_bits_x100") > gateBitsX100)
+        // route EVERY batch doc: unscorable (<2 tokens → no bigrams)
+        // docs carry a null score and fail closed below
+        val all = batch.select(col("doc_id")).dropDuplicates("doc_id")
+          .join(scored, Seq("doc_id"), "left")
+        val admitted = all.filter(
+          col("avg_bits_x100").isNotNull && col("avg_bits_x100") <= gateBitsX100)
+        val rejected = all.filter(
+          col("avg_bits_x100").isNull || col("avg_bits_x100") > gateBitsX100)
         onBatch(admitted, rejected, id)
     }
 

@@ -66,6 +66,16 @@ class AviCodecSpec extends AnyFunSuite {
     assert(AviCodec.decodeGray8(dc).isEmpty)
     // cross-container: the WAV parser must reject AVI (both are RIFF)
     assert(WavCodec.decodePcm16(ok).isEmpty)
+    // malformed biClrUsed: negative must reject (a naive `== 0 ? 256`
+    // check reads a negative as an empty palette and decodes all-zero),
+    // and > 256 is impossible for 8-bpp
+    for (bad <- Seq(-1, -2147483648, 257)) {
+      val neg = ok.clone()
+      val cu = indexOfTag(neg, "strf") + 8 + 32 // biClrUsed offset in BITMAPINFOHEADER
+      java.nio.ByteBuffer.wrap(neg).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(cu, bad)
+      assert(AviCodec.decodeGray8(neg).isEmpty, s"biClrUsed=$bad must reject")
+    }
   }
 
   test("JUNK chunks anywhere are skipped (encoder emits one before movi)") {

@@ -189,10 +189,11 @@ class StreamingSpec extends AnyFunSuite {
     try {
       source.addData((10L, "a b a b"), (11L, "x y z w"))
       q.processAllAvailable()
-      source.addData((12L, "b a b a c"))
+      // doc 13 has <2 tokens → no bigrams → unscorable → fails closed
+      source.addData((12L, "b a b a c"), (13L, "a"))
       q.processAllAvailable()
       assert(admitted.toSet == Set(10L, 12L), s"admitted=$admitted")
-      assert(rejected.toSet == Set(11L), s"rejected=$rejected")
+      assert(rejected.toSet == Set(11L, 13L), s"rejected=$rejected")
     } finally q.stop()
   }
 
