@@ -194,6 +194,36 @@ object SimHash {
       .select(col("a"), col("b"), col("hamming"))
   }
 
+  /** [[mihPairs]] under an OUTPUT BUDGET: at most `maxPartners` pairs
+    * per lower id `a` (the `maxPartners` smallest partners `b`, each
+    * with its hamming), plus the exact partner count `n_partners` so a
+    * truncated row is never silent — `n_partners` > `maxPartners` says
+    * exactly how much was dropped, and the result equals [[mihPairs]]
+    * whenever every doc is under budget.
+    *
+    * Why this exists: the pair enumeration is OUTPUT-LINEAR — on a
+    * duplication-heavy crawl the true pair set itself grows with the
+    * corpus (the sf10 sweep measured d5 at 303 s because the answer was
+    * ~100× bigger), so an uncapped enumeration at 100 TB emits an
+    * unbounded answer no downstream consumer wants whole. The cap is a
+    * [[graft.functions.expressions.MinKByKey]] aggregate, NOT a
+    * row_number window: aggregate state is ≤ `maxPartners` entries per
+    * doc in every partial buffer, so map-side combine bounds what the
+    * shuffle carries — a window formulation would shuffle and sort the
+    * entire unbounded enumeration first. Input pairs are distinct by
+    * construction (mihPairs emits each qualifying pair exactly once),
+    * satisfying MinKByKey's key-distinct contract. */
+  def mihPairsCapped(sigs: DataFrame, maxHamming: Int, maxPartners: Int,
+      blocks: Int = 3, bits: Int = SigBits): DataFrame =
+    mihPairs(sigs, maxHamming, blocks, bits)
+      .groupBy(col("a"))
+      .agg(graft.functions.AggFunctions.minKByKey(
+        col("b"), col("hamming").cast("long"), maxPartners).as("mk"))
+      .select(col("a"), col("mk.seen").as("n_partners"),
+        explode(col("mk.entries")).as("e"))
+      .select(col("a"), col("e.k").as("b"),
+        col("e.v").cast("int").as("hamming"), col("n_partners"))
+
   /** Hamming pairs at corpus scale — the Manku/Jain/Sarma web-dedup
     * scheme generalized to block-PAIR keys. The signature is split into
     * `blocks` equal bit-blocks; by pigeonhole a pair with hamming ≤

@@ -26,6 +26,16 @@ object AggFunctions {
         GraftBridge.expression(c), cap, dropCounter)
         .toAggregateExpression())
 
+  /** Bounded top-K collect: the K smallest `key`s (each with `payload`)
+    * plus an exact row count, as `struct(entries array<struct<k,v>>,
+    * seen bigint)` — the output-budget primitive for capped pair/posting
+    * enumerations; see [[graft.functions.expressions.MinKByKey]]. */
+  def minKByKey(key: Column, payload: Column, k: Int): Column =
+    GraftBridge.column(
+      graft.functions.expressions.MinKByKey(
+        GraftBridge.expression(key), GraftBridge.expression(payload), k)
+        .toAggregateExpression())
+
   /** Identity tap that counts evaluated rows into `acc` — see
     * [[graft.functions.expressions.AccumulateRowCount]]. */
   def countingTap(c: Column, acc: org.apache.spark.util.LongAccumulator): Column =

@@ -1,0 +1,126 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+import java.nio.ByteBuffer
+
+/** Bounded top-K collect: keeps the K SMALLEST long keys (with a long
+  * payload each) seen by the group, plus an exact count of ALL input
+  * rows — the output-budget primitive for the output-linear enumerations
+  * (capped pair lists, capped posting lists).
+  *
+  * Evaluates to `struct(entries: array<struct<k,v>> ascending by k,
+  * seen: bigint)`. `seen` is exact over every input row while `entries`
+  * is capped, so truncation is always visible (`seen > size(entries)`)
+  * and the result is EXACT whenever the group is under budget — the
+  * same capped-with-diagnostic discipline as [[CappedLongCollectSet]]'s
+  * NULL+accumulator and d18's droppedBuckets, but per-group columnar.
+  *
+  * Scale shape — this is the point: aggregate state is ≤ K entries per
+  * group in EVERY partial buffer, so map-side combine bounds what the
+  * shuffle carries to K pairs + one count per (group, map task),
+  * regardless of how many million partners a degenerate boilerplate
+  * document has. The window-function formulation (`row_number() ≤ K`)
+  * gets the same answer but shuffles the ENTIRE unbounded enumeration
+  * to sort it; this shape never materializes more than K per buffer.
+  *
+  * Contract: input rows must be key-distinct within the group (both
+  * call sites feed pre-deduped streams); duplicate keys would double
+  * count `seen` — the buffer cannot detect them once trimmed to K.
+  */
+case class MinKByKey(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MinKByKey.Buffer] with BinaryLike[Expression] {
+
+  require(k > 0, "k must be positive")
+
+  private val entryType = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("v", LongType, nullable = false)))
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("entries", ArrayType(entryType, containsNull = false), nullable = false),
+    StructField("seen", LongType, nullable = false)))
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): MinKByKey.Buffer =
+    new MinKByKey.Buffer(new java.util.TreeMap[java.lang.Long, java.lang.Long](), 0L)
+
+  override def update(buf: MinKByKey.Buffer, input: InternalRow): MinKByKey.Buffer = {
+    val kv = left.eval(input)
+    val pv = right.eval(input)
+    if (kv != null) {
+      buf.seen += 1L
+      val key = kv.asInstanceOf[Long]
+      if (buf.map.size < k || key < buf.map.lastKey()) {
+        buf.map.put(key, if (pv == null) 0L else pv.asInstanceOf[Long])
+        if (buf.map.size > k) buf.map.pollLastEntry()
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: MinKByKey.Buffer, other: MinKByKey.Buffer): MinKByKey.Buffer = {
+    buf.seen += other.seen
+    val it = other.map.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (buf.map.size < k || e.getKey < buf.map.lastKey()) {
+        buf.map.put(e.getKey, e.getValue)
+        if (buf.map.size > k) buf.map.pollLastEntry()
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: MinKByKey.Buffer): Any = {
+    val rows = new Array[Any](buf.map.size)
+    val it = buf.map.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      rows(i) = new GenericInternalRow(Array[Any](e.getKey.longValue(), e.getValue.longValue()))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](new GenericArrayData(rows), buf.seen))
+  }
+
+  override def serialize(buf: MinKByKey.Buffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + 4 + 16 * buf.map.size)
+    bb.putLong(buf.seen)
+    bb.putInt(buf.map.size)
+    val it = buf.map.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); bb.putLong(e.getKey); bb.putLong(e.getValue) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MinKByKey.Buffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val seen = bb.getLong
+    val n = bb.getInt
+    val map = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+    var i = 0
+    while (i < n) { map.put(bb.getLong, bb.getLong); i += 1 }
+    new MinKByKey.Buffer(map, seen)
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): MinKByKey =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MinKByKey =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinKByKey =
+    copy(left = l, right = r)
+}
+
+object MinKByKey {
+  final class Buffer(val map: java.util.TreeMap[java.lang.Long, java.lang.Long], var seen: Long)
+}

@@ -23,26 +23,29 @@ object CorpusQueries {
     // list is CAPPED (first 64 doc_ids in id order) the way real
     // index shards cap hot postings — df stays exact over ALL docs
     // while the stored list is bounded, so a stop-word-like term
-    // cannot produce an unbounded row. Scale shape: one distinct over
-    // (term, doc_id) [map-side combined], one row_number window per
-    // term key for the cap, one groupBy(term) — all on the same
-    // term-hash exchange; output is vocabulary-sized, not corpus-sized.
+    // cannot produce an unbounded row, and n_dropped says exactly how
+    // much each hot posting was truncated. Scale shape: one distinct
+    // over (term, doc_id) [map-side combined], then ONE bounded
+    // aggregate (MinKByKey) whose partial state is <= 64 ids per term
+    // per map task — the cap bounds the SHUFFLE, not just the output;
+    // the row_number-window formulation this replaced shuffled and
+    // sorted the full corpus-sized posting stream first. Output is
+    // vocabulary-sized, not corpus-sized.
     GraftQuery(
       "x36_inverted_index",
       (s, dir) => {
         import s.implicits._
-        val terms = Tables.documents(s, dir)
+        Tables.documents(s, dir)
           .select($"doc_id", explode(lowerTokens($"text")).as("term"))
           .filter(length($"term") >= 3)
           .distinct()
-        val ranked = terms.withColumn("rn",
-          row_number().over(Window.partitionBy($"term").orderBy($"doc_id")))
-        ranked.groupBy($"term")
-          .agg(
-            count(lit(1)).as("df"),
-            array_join(
-              transform(array_sort(collect_list(when($"rn" <= 64, $"doc_id"))),
-                _.cast("string")), ",").as("postings"))
+          .groupBy($"term")
+          .agg(graft.functions.AggFunctions.minKByKey($"doc_id", lit(0L), 64).as("mk"))
+          .select($"term",
+            $"mk.seen".as("df"),
+            array_join(transform($"mk.entries",
+              e => e.getField("k").cast("string")), ",").as("postings"),
+            greatest($"mk.seen" - 64L, lit(0L)).as("n_dropped"))
           .orderBy($"term")
       },
       Some("""
@@ -56,7 +59,8 @@ object CorpusQueries {
               FROM t)
         SELECT term, COUNT(*) AS df,
           string_agg(CASE WHEN rn <= 64 THEN CAST(doc_id AS VARCHAR) END,
-                     ',' ORDER BY doc_id) AS postings
+                     ',' ORDER BY doc_id) AS postings,
+          CAST(greatest(COUNT(*) - 64, 0) AS BIGINT) AS n_dropped
         FROM r GROUP BY term ORDER BY term""")),
 
     // ── markup / boilerplate strip ─────────────────────────────────────

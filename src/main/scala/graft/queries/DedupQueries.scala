@@ -226,6 +226,55 @@ object DedupQueries {
         WHERE bit_count(xor(a.sig, b.sig)) <= 8
         ORDER BY a, b""")),
 
+    // ── d5 under an output budget ──────────────────────────────────────
+    // The production form of the pair enumeration for duplication-heavy
+    // corpora: d5's answer is OUTPUT-LINEAR (a boilerplate-heavy 100 TB
+    // crawl makes the true-pair set itself unboundedly large — the sf10
+    // sweep read d5 at 303 s because the answer was ~100x bigger), so
+    // this variant emits at most 2 partners per lower id, chosen
+    // deterministically (smallest ids), with the EXACT partner count
+    // n_partners alongside so truncation is never silent. The cap is a
+    // map-side-combinable bounded aggregate (MinKByKey) — the shuffle
+    // carries <= cap entries + one count per (doc, map task) instead of
+    // the whole enumeration; equal to d5 wherever n_partners <= cap.
+    GraftQuery(
+      "d25_simhash_pairs_capped",
+      (s, dir) => {
+        import s.implicits._
+        graft.dedup.SimHash
+          .mihPairsCapped(
+            graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text")
+              .localCheckpoint(true),
+            maxHamming = 8, maxPartners = 2)
+          .orderBy($"a", $"b")
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text || ' extra appended tail tokens here' AS text
+          FROM documents WHERE doc_id % 5 = 0),
+        toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9]+')) AS tok
+          FROM corpus),
+        hashed AS (
+          SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+        sigs AS (
+          SELECT doc_id, CAST($simhashAggSql AS BIGINT) AS sig
+          FROM hashed GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS a, b.doc_id AS b,
+            CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sig, b.sig)) <= 8),
+        ranked AS (
+          SELECT a, b, hamming,
+            row_number() OVER (PARTITION BY a ORDER BY b) AS rn,
+            CAST(COUNT(*) OVER (PARTITION BY a) AS BIGINT) AS n_partners
+          FROM pairs)
+        SELECT a, b, hamming, n_partners FROM ranked
+        WHERE rn <= 2 ORDER BY a, b""")),
+
     // ── n-gram Jaccard similarity: original vs near-dup copy ──────────
     GraftQuery(
       "d4_ngram_jaccard",

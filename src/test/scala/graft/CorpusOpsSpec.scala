@@ -135,6 +135,37 @@ class CorpusOpsSpec extends AnyFunSuite {
       "sharded-and-added cells must equal whole-corpus cells")
   }
 
+  test("MinKByKey: smallest-K entries + exact seen across forced partial merges") {
+    import spark.implicits._
+    // 1000 key-distinct rows per group, scattered over 16 partitions so
+    // update/merge/serialize all run; payload = key * 7 must ride along
+    // (i * odd) mod 100000 is injective over i < 1000, so keys are
+    // distinct within each group (MinKByKey's input contract)
+    val rows = for (g <- 0 until 3; i <- 0 until 1000)
+      yield (g.toLong, (i * 2654435761L) % 100000L)
+    val df = rows.map { case (g, k) => (g, k, k * 7L) }
+      .toDF("g", "k", "v").repartition(16)
+    val got = df.groupBy($"g")
+      .agg(graft.functions.AggFunctions.minKByKey($"k", $"v", 5).as("mk"))
+      .select($"g", $"mk.seen".as("seen"),
+        transform($"mk.entries", e => e.getField("k")).as("keys"),
+        transform($"mk.entries", e => e.getField("v")).as("vals"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2), r.getSeq[Long](3))).sortBy(_._1)
+    val distinctKeys = rows.filter(_._1 == 0L).map(_._2).sorted
+    got.foreach { case (_, seen, keys, vals) =>
+      assert(seen == distinctKeys.size, "seen must count every input row")
+      assert(keys == distinctKeys.take(5), "entries must be the 5 smallest keys, ascending")
+      assert(vals == keys.map(_ * 7L), "payload must stay attached to its key")
+    }
+    // under-budget group: exact, seen == size(entries)
+    val small = Seq((1L, 9L, 90L), (1L, 3L, 30L)).toDF("g", "k", "v")
+      .groupBy($"g")
+      .agg(graft.functions.AggFunctions.minKByKey($"k", $"v", 5).as("mk"))
+      .select($"mk.seen", size($"mk.entries")).collect().head
+    assert(small.getLong(0) == 2L && small.getInt(1) == 2)
+  }
+
   test("KMV sketches merge by min-k of the union (distinct-safe)") {
     import spark.implicits._
     def hashes(docs: org.apache.spark.sql.DataFrame) = docs

@@ -76,6 +76,45 @@ class SimHashSpec extends AnyFunSuite {
     } finally sigs.unpersist()
   }
 
+  test("mihPairsCapped: equals mihPairs under budget, keeps smallest partners over it") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.select($"doc_id", $"text")
+      .unionAll(docs.filter($"doc_id" % 5 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          org.apache.spark.sql.functions.concat($"text",
+            org.apache.spark.sql.functions.lit(" tail")).as("text")))
+      .unionAll(docs.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+    val sigs = SimHash.signatures(corpus, "doc_id", "text").cache()
+    try {
+      val exact = SimHash.mihPairs(sigs, 8)
+        .as[(Long, Long, Int)].collect().toSet
+      // reference capping: per a, the maxPartners smallest b + true count
+      def capRef(cap: Int) = {
+        val byA = exact.groupBy(_._1)
+        byA.flatMap { case (a, ps) =>
+          ps.toSeq.sortBy(_._2).take(cap)
+            .map(p => (a, p._2, p._3, ps.size.toLong))
+        }.toSet
+      }
+      for (cap <- Seq(1, 2, 1000000)) {
+        val got = SimHash.mihPairsCapped(sigs, 8, maxPartners = cap)
+          .as[(Long, Long, Int, Long)].collect().toSet
+        assert(got == capRef(cap), s"capped diverged at maxPartners=$cap")
+      }
+      // under an effectively-infinite budget the pair set IS mihPairs
+      val uncapped = SimHash.mihPairsCapped(sigs, 8, maxPartners = 1000000)
+        .as[(Long, Long, Int, Long)].collect().toSet
+      assert(uncapped.map(t => (t._1, t._2, t._3)) == exact)
+      // truncation is visible: some doc must exceed a cap of 1 here
+      val capped1 = SimHash.mihPairsCapped(sigs, 8, maxPartners = 1)
+        .as[(Long, Long, Int, Long)].collect()
+      assert(capped1.exists(_._4 > 1L),
+        "near-dup corpus must have a doc with >1 partner to exercise truncation")
+    } finally sigs.unpersist()
+  }
+
   test("mihPairs refuses probe radii it cannot expand") {
     import spark.implicits._
     val sigs = Seq((1L, 7L), (2L, 8L)).toDF("id", "simhash")
