@@ -15,6 +15,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bounded-buffer TypedImperativeAggregates (MinKByKey, HLL, capped
+      // collect) keep <= K entries per group, so the ObjectHashAggregate
+      // 128-key sort fallback only costs (measured: d25 48 s -> 11.6 s
+      // at sf1); on a cluster, set this in the job conf the same way
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJHASH_FALLBACK", "2097152"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -31,9 +31,37 @@ object ScaleSweep {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJHASH_FALLBACK", "2097152"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Host-health pre-gate: time the fixed reference workload (h2 at the
+    // synthesized sf1) before and after the sweep. Round-8 taught that
+    // host state drifts in multi-hour windows (same-commit h2-at-sf1
+    // read 1.20 s in a good window and 6.3-6.8 s in a degraded one), so
+    // any sweep artifact without a probe is untrustworthy as an
+    // absolute. 3 s is the decision bound: good windows cluster ~1.2 s,
+    // degraded ones >= 6 s. Probe rows land in the same jsonl as the
+    // measurements they qualify.
+    def hostProbe(): Option[Double] = {
+      val probeDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "data/sf1")
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(probeDir))) None
+      else Registry.allQueries.find(_.name == "h2_star_join_broadcast").map { q =>
+        val secs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          q.build(spark, probeDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        spark.catalog.clearCache(); System.gc()
+        secs.min
+      }
+    }
+    def hostState(sec: Option[Double]): String =
+      sec.fold("unknown")(s => if (s < 3.0) "good" else "degraded")
+    val probeStart = hostProbe()
+    println(f"""{"probe":"h2_sf1_start","sec":${probeStart.getOrElse(-1.0)}%.3f,"host":"${hostState(probeStart)}"}""")
 
     val qs = Registry.allQueries.filter(q => names.isEmpty || names(q.name))
     val pool = Executors.newSingleThreadExecutor()
@@ -91,9 +119,12 @@ object ScaleSweep {
     }
     pool.shutdownNow()
 
+    val probeEnd = hostProbe()
+    println(f"""{"probe":"h2_sf1_end","sec":${probeEnd.getOrElse(-1.0)}%.3f,"host":"${hostState(probeEnd)}"}""")
+
     val ok = results.collect { case (_, Right(s)) => s }
     val bad = results.collect { case (n, Left(e)) => s""""$n":"$e"""" }
-    println(s"""{"metric":"sweep_total","value":${ok.sum},"unit":"sec","queries_ok":${ok.size},"queries_failed":${bad.size},"failed":{${bad.mkString(",")}},"dir":"$dir"}""")
+    println(f"""{"metric":"sweep_total","value":${ok.sum},"unit":"sec","queries_ok":${ok.size},"queries_failed":${bad.size},"failed":{${bad.mkString(",")}},"dir":"$dir","probe_start_sec":${probeStart.getOrElse(-1.0)}%.3f,"probe_end_sec":${probeEnd.getOrElse(-1.0)}%.3f,"host_start":"${hostState(probeStart)}","host_end":"${hostState(probeEnd)}"}""")
     spark.stop()
   }
 }
