@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable quantile sketch — the fourth member of the sketch family
+  * (CMS x18 / KMV x20 / HLL x27), giving the quantile downgrades
+  * (e27/x59/x60) the shard/epoch mergeability a fixed-rate md5 sample
+  * lacks: a fixed rate must be chosen before the corpus size is known,
+  * while this sketch keeps a CONSTANT-size state per group that merges
+  * exactly.
+  *
+  * Design: a bottom-k-by-hash uniform sample. Each row carries a
+  * deterministic 60-bit tag ([[HashFunctions.md5Long]] of its unique
+  * row key); the sketch keeps the k rows with the SMALLEST tags (via
+  * [[expressions.MinKByKey]]) plus the exact row count. Because md5
+  * tags are uniform, the kept rows are a uniform sample of the group,
+  * so the sample's order statistics estimate the group's quantiles
+  * with rank error O(1/sqrt(k)) (Hoeffding on the empirical CDF).
+  *
+  * Why bottom-k rather than KLL/GK compaction:
+  *   - EXACT merge identity: min-k of a union is the min-k of the
+  *     shards' min-k's, so merge(build(A), build(B)) == build(A ∪ B)
+  *     bit-for-bit — KLL's randomized compaction only merges up to
+  *     error bounds, and epoch/shard merges are the entire point here.
+  *   - Deterministic and order-insensitive: the kept set depends only
+  *     on the data (md5 tags), never on row order, partitioning, or a
+  *     seed — so a DuckDB oracle replays it exactly, the same way the
+  *     CMS/KMV/HLL oracles replay theirs.
+  *   - The price is space: rank error ε needs k ~ 1/ε² samples where
+  *     KLL needs ~(1/ε)·sqrt(log 1/ε). At k=1024 (ε ≈ 3%) the state is
+  *     16 KB per group — negligible against the exactness of merge.
+  *
+  * 100 TB shape: one aggregation pass, map-side combinable with ≤ k
+  * entries per partial buffer (see MinKByKey's scale note and the
+  * ObjectHashAggregate fallback-threshold requirement); sketches are
+  * group-keyed rows that merge across shards, epochs, or streaming
+  * micro-batches with [[merge]] — no re-scan of history, ever.
+  */
+object QuantileSketch {
+
+  /** Aggregate column: sketch of `value` tagged by `hashKey` (use
+    * [[HashFunctions.md5Long]] of a unique row key). Evaluates to
+    * `struct(entries array<struct<k,v>>, seen bigint)`. */
+  def sketchAgg(hashKey: Column, value: Column, k: Int): Column =
+    AggFunctions.minKByKey(hashKey, value, k)
+
+  /** The sketch's sample values, ascending — feed to [[quantile]]. */
+  def sortedSample(sketch: Column): Column =
+    array_sort(transform(sketch.getField("entries"), e => e.getField("v")))
+
+  /** The q-th quantile estimate from a [[sortedSample]] column: the
+    * value at sorted index ⌊(k−1)·q⌋+1 — the same discrete (actual-row,
+    * no interpolation) convention as e6's exact form, so an
+    * under-budget group (seen <= k) returns the EXACT quantile. */
+  def quantile(sorted: Column, q: Double): Column =
+    element_at(sorted, (floor((size(sorted) - 1) * lit(q)) + 1).cast("int"))
+
+  /** Merge per-shard sketches back to one sketch per group — exact:
+    * the merged sketch equals the sketch built over the union of the
+    * shards' inputs. `df` holds one row per (group, shard) with the
+    * sketch in `skCol`; both aggregations are group-keyed and tiny. */
+  def merge(df: DataFrame, groupCols: Seq[String], skCol: String, k: Int): DataFrame = {
+    val g = groupCols.map(col)
+    val seen = df.groupBy(g: _*)
+      .agg(sum(col(s"$skCol.seen")).as("_seen"))
+    val entries = df
+      .select(g :+ explode(col(s"$skCol.entries")).as("_e"): _*)
+      .groupBy(g: _*)
+      .agg(AggFunctions.minKByKey(col("_e.k"), col("_e.v"), k).as("_mk"))
+    entries.join(seen, groupCols)
+      .select(g :+ struct(col("_mk.entries").as("entries"),
+        col("_seen").as("seen")).as(skCol): _*)
+  }
+}

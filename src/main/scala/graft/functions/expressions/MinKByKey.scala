@@ -29,9 +29,13 @@ import java.nio.ByteBuffer
   * gets the same answer but shuffles the ENTIRE unbounded enumeration
   * to sort it; this shape never materializes more than K per buffer.
   *
-  * Contract: input rows must be key-distinct within the group (both
-  * call sites feed pre-deduped streams); duplicate keys would double
-  * count `seen` — the buffer cannot detect them once trimmed to K.
+  * Contract: input rows should be key-distinct within the group (the
+  * pair/posting call sites feed pre-deduped streams); duplicate keys
+  * would double count `seen` — the buffer cannot detect them once
+  * trimmed to K. When duplicates DO occur (e.g. a rare hash collision
+  * in the quantile-sketch call site), the kept payload is the MINIMUM
+  * over the key's payloads — deterministic under any row order or
+  * partitioning, never insertion-order-dependent.
   *
   * Deployment note: TypedImperativeAggregates run under
   * ObjectHashAggregate, whose default
@@ -70,13 +74,20 @@ case class MinKByKey(
     val pv = right.eval(input)
     if (kv != null) {
       buf.seen += 1L
-      val key = kv.asInstanceOf[Long]
-      if (buf.map.size < k || key < buf.map.lastKey()) {
-        buf.map.put(key, if (pv == null) 0L else pv.asInstanceOf[Long])
-        if (buf.map.size > k) buf.map.pollLastEntry()
-      }
+      insert(buf, kv.asInstanceOf[Long], if (pv == null) 0L else pv.asInstanceOf[Long])
     }
     buf
+  }
+
+  // min-payload on duplicate keys keeps the result order-insensitive
+  private def insert(buf: MinKByKey.Buffer, key: Long, payload: Long): Unit = {
+    val existing = buf.map.get(key)
+    if (existing != null) {
+      if (payload < existing) buf.map.put(key, payload)
+    } else if (buf.map.size < k || key < buf.map.lastKey()) {
+      buf.map.put(key, payload)
+      if (buf.map.size > k) buf.map.pollLastEntry()
+    }
   }
 
   override def merge(buf: MinKByKey.Buffer, other: MinKByKey.Buffer): MinKByKey.Buffer = {
@@ -84,10 +95,7 @@ case class MinKByKey(
     val it = other.map.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (buf.map.size < k || e.getKey < buf.map.lastKey()) {
-        buf.map.put(e.getKey, e.getValue)
-        if (buf.map.size > k) buf.map.pollLastEntry()
-      }
+      insert(buf, e.getKey, e.getValue)
     }
     buf
   }

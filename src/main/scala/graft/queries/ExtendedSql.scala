@@ -163,6 +163,61 @@ object ExtendedSql {
           MAX(CASE WHEN rn = CAST(FLOOR((cnt - 1) * 0.99) AS BIGINT) + 1 THEN value END) AS p99
         FROM r GROUP BY event_type ORDER BY event_type""")),
 
+    // ── mergeable quantile sketch (the fourth sketch: e6's 100 TB form) ─
+    // Bottom-k-by-md5 uniform sample per group
+    // ([[graft.functions.QuantileSketch]]): constant 1024-entry state
+    // per event_type that merges EXACTLY across shards/epochs (min-k of
+    // a union == min-k of the shards' min-k's — the identity
+    // QuantileSketchSpec proves), where the e27/x59/x60 fixed-rate md5
+    // downgrades must pick their rate before the corpus size is known.
+    // n stays exact; quantiles come from the sample's order statistics
+    // (rank error ~1/sqrt(k) ≈ 3%); groups under budget (seen <= k)
+    // return e6's EXACT discrete quantiles. Values are scaled to exact
+    // integer cents (DECIMAL(12,2)*100) so the hash compare is
+    // float-free. One map-side-combinable aggregation pass, <= k
+    // entries per partial buffer.
+    GraftQuery(
+      "x71_quantile_sketch",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.{HashFunctions, QuantileSketch}
+        val tagged = Tables.events(s, dir).select($"event_type",
+          HashFunctions.md5Long($"event_id".cast("string")).as("h"),
+          (dec2($"value") * 100).cast("long").as("cents"))
+        tagged.groupBy($"event_type")
+          .agg(QuantileSketch.sketchAgg($"h", $"cents", 1024).as("sk"))
+          .select($"event_type", $"sk.seen".as("n"),
+            size($"sk.entries").cast("long").as("sample_k"),
+            QuantileSketch.sortedSample($"sk").as("sv"))
+          .select($"event_type", $"n", $"sample_k",
+            QuantileSketch.quantile($"sv", 0.5).as("p50_x100"),
+            QuantileSketch.quantile($"sv", 0.9).as("p90_x100"),
+            QuantileSketch.quantile($"sv", 0.99).as("p99_x100"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        WITH h AS (
+          SELECT event_type,
+            CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+            CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+          FROM events),
+        n AS (SELECT event_type, COUNT(*) AS n FROM h GROUP BY event_type),
+        d AS (SELECT event_type, h, MIN(cents) AS cents FROM h GROUP BY event_type, h),
+        r AS (SELECT event_type, cents,
+                row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+              FROM d),
+        k AS (SELECT event_type, cents FROM r WHERE rn <= 1024),
+        s AS (SELECT event_type, cents,
+                CAST(row_number() OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS vr,
+                CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS kk
+              FROM k)
+        SELECT s.event_type, n.n, MAX(s.kk) AS sample_k,
+          MAX(CASE WHEN vr = CAST(FLOOR((kk - 1) * 0.5) AS BIGINT) + 1 THEN cents END) AS p50_x100,
+          MAX(CASE WHEN vr = CAST(FLOOR((kk - 1) * 0.9) AS BIGINT) + 1 THEN cents END) AS p90_x100,
+          MAX(CASE WHEN vr = CAST(FLOOR((kk - 1) * 0.99) AS BIGINT) + 1 THEN cents END) AS p99_x100
+        FROM s JOIN n USING (event_type)
+        GROUP BY s.event_type, n.n ORDER BY s.event_type""")),
+
     // ── range join via bucketing (no cross/theta join) ─────────────────
     // "Events within ±5 min of each other per user" is a RANGE join —
     // naively a per-user theta join. The scale form: bucket time into

@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.{HashFunctions, QuantileSketch}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of the bottom-k quantile sketch: EXACT shard-merge
+  * identity (merge(build(A), build(B)) == build(A ∪ B) bit-for-bit —
+  * the property KLL's randomized compaction cannot give), exactness
+  * for under-budget groups, and the rank-error bound of the sampled
+  * estimates against exact quantiles. */
+class QuantileSketchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def tagged(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("g"),
+      HashFunctions.md5Long(col("id").cast("string")).as("h"),
+      col("v"))
+
+  private def build(df: org.apache.spark.sql.DataFrame, k: Int) =
+    tagged(df).groupBy(col("g"))
+      .agg(QuantileSketch.sketchAgg(col("h"), col("v"), k).as("sk"))
+
+  private def collectSketches(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("g"), col("sk.seen"),
+        transform(col("sk.entries"), e => e.getField("k")).as("ks"),
+        transform(col("sk.entries"), e => e.getField("v")).as("vs"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Long](2), r.getSeq[Long](3))))
+      .toMap
+
+  test("merge(build(A), build(B)) == build(A ∪ B), bit for bit") {
+    import spark.implicits._
+    val rows = (0 until 5000).map(i => (i.toLong % 3, i.toLong, (i * 37L) % 1000))
+    val all = rows.toDF("g", "id", "v")
+    val whole = collectSketches(build(all, 64))
+    val shards = build(all.filter($"id" % 2 === 0), 64)
+      .unionByName(build(all.filter($"id" % 2 =!= 0), 64))
+    val merged = collectSketches(
+      QuantileSketch.merge(shards, Seq("g"), "sk", 64))
+    assert(merged == whole,
+      "merged shard sketches must equal the whole-corpus sketch exactly")
+  }
+
+  test("under-budget groups return EXACT discrete quantiles") {
+    import spark.implicits._
+    // 100 rows < k=1024: the sample IS the population
+    val rows = (0 until 100).map(i => (0L, i.toLong, ((i * 613L) % 997L)))
+    val got = build(rows.toDF("g", "id", "v"), 1024)
+      .select(QuantileSketch.sortedSample($"sk").as("sv"))
+      .select(QuantileSketch.quantile($"sv", 0.5).as("p50"),
+        QuantileSketch.quantile($"sv", 0.9).as("p90"),
+        QuantileSketch.quantile($"sv", 0.99).as("p99"))
+      .collect().head
+    val sorted = rows.map(_._3).sorted
+    def exact(q: Double) = sorted((math.floor((sorted.size - 1) * q)).toInt)
+    assert(got.getLong(0) == exact(0.5) && got.getLong(1) == exact(0.9) &&
+      got.getLong(2) == exact(0.99))
+  }
+
+  test("rank error of sampled quantiles stays within the 1/sqrt(k) regime") {
+    import spark.implicits._
+    // 50k rows, k=256: sample is 0.5% of the population. The sketch is
+    // deterministic (md5 tags), so the observed rank errors are fixed;
+    // the bound below is ~4 sigma of the Hoeffding rank deviation
+    // sqrt(q(1-q)/k) — failure would mean the sampling broke, not luck.
+    val n = 50000
+    val k = 256
+    val rows = (0 until n).map(i => (0L, i.toLong, (i * 2654435761L) % 1000000L))
+    val sv = build(rows.toDF("g", "id", "v"), k)
+      .select(QuantileSketch.sortedSample($"sk").as("sv"))
+    val got = sv.select(
+        QuantileSketch.quantile($"sv", 0.5).as("p50"),
+        QuantileSketch.quantile($"sv", 0.9).as("p90"),
+        QuantileSketch.quantile($"sv", 0.99).as("p99"))
+      .collect().head
+    val sorted = rows.map(_._3).sorted
+    for ((q, est) <- Seq(0.5 -> got.getLong(0), 0.9 -> got.getLong(1),
+        0.99 -> got.getLong(2))) {
+      // rank of the estimate in the true population
+      val rank = sorted.count(_ <= est).toDouble / n
+      val bound = 4.0 * math.sqrt(q * (1 - q) / k) + 1.0 / k
+      assert(math.abs(rank - q) <= bound,
+        s"q=$q: estimated value has population rank $rank, bound ±$bound")
+    }
+  }
+}
