@@ -20,8 +20,34 @@ import java.nio.{ByteBuffer, ByteOrder}
   * both handled. Anything else — compressed `00dc` frames, 24 bpp,
   * missing headers — returns None and falls to the stub, the same
   * loud-fallback contract as the other codecs.
+  *
+  * MJPEG (`00dc` chunks whose bodies are whole JFIF payloads,
+  * biCompression fourcc 'MJPG') is the lossy sibling handled by the
+  * SEPARATE [[decodeMjpeg]]/[[mjpegFrameSampleBatch]] path, which runs
+  * each frame through the same `javax.imageio` JPEG decoder as the
+  * still-image m13 fixtures. The two decoders reject each other's
+  * frame kind — [[decodeGray8]] refuses `00dc`, [[decodeMjpeg]]
+  * refuses `00db` — so a DIB/MJPEG confusion falls loudly to the stub
+  * instead of mis-decoding.
   */
 object AviCodec {
+
+  private def riffChunk(tag: String, body: Array[Byte]): Array[Byte] = {
+    val pad = body.length & 1 // RIFF chunks pad to even length
+    val b = ByteBuffer.allocate(8 + body.length + pad).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(tag.getBytes("US-ASCII")).putInt(body.length).put(body)
+    b.array()
+  }
+  private def riffList(kind: String, body: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("LIST".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put(kind.getBytes("US-ASCII")).put(body)
+    b.array()
+  }
+
+  /** 'MJPG' as the little-endian biCompression dword. */
+  private val MjpgFourcc: Int =
+    'M'.toInt | ('J'.toInt << 8) | ('P'.toInt << 16) | ('G'.toInt << 24)
 
   /** Encode grayscale frames (row-major, top-down, 0–255 ints) as an
     * AVI with identity-gray palette DIB frames, hdrl/strl headers, a
@@ -34,18 +60,8 @@ object AviCodec {
     val stride = (width + 3) & ~3
     val frameBytes = stride * height
 
-    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
-      val pad = body.length & 1 // RIFF chunks pad to even length
-      val b = ByteBuffer.allocate(8 + body.length + pad).order(ByteOrder.LITTLE_ENDIAN)
-      b.put(tag.getBytes("US-ASCII")).putInt(body.length).put(body)
-      b.array()
-    }
-    def list(kind: String, body: Array[Byte]): Array[Byte] = {
-      val b = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
-      b.put("LIST".getBytes("US-ASCII")).putInt(4 + body.length)
-        .put(kind.getBytes("US-ASCII")).put(body)
-      b.array()
-    }
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = riffChunk(tag, body)
+    def list(kind: String, body: Array[Byte]): Array[Byte] = riffList(kind, body)
 
     val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
     avih.putInt(1000000 / fps).putInt(frameBytes * fps).putInt(0)
@@ -222,6 +238,161 @@ object AviCodec {
           frames.indices.collect {
             case f if f % everyK == 0 =>
               Y4mCodec.DecodedFrame(id, kind, f, w, h, frames(f), "avi/dib8-v1")
+          }
+        case None =>
+          val stub = Multimodal.stubDecodeBatch(16)(Seq((id, kind, bytes))).head
+          Seq(Y4mCodec.DecodedFrame(id, kind, -1, 0, 0,
+            stub.feature.map(f => ((f + 1f) * 128f).toInt), "stub/md5-v1"))
+      }
+    }
+  }
+
+  /** Encode pre-compressed JFIF payloads as an AVI/MJPEG: same RIFF
+    * structure as [[encodeGray8]] but fccHandler/biCompression 'MJPG',
+    * 24 bpp, no palette, and each frame a `00dc` chunk holding the
+    * whole JPEG — the layout every MJPEG muxer emits. The JPEGs are
+    * stored verbatim (the container never re-encodes), so fixture
+    * payloads stay bit-identical through a mux/demux cycle. */
+  def encodeMjpeg(width: Int, height: Int, jpegFrames: Seq[Array[Byte]],
+      fps: Int = 25): Array[Byte] = {
+    require(width > 0 && height > 0 && jpegFrames.nonEmpty, "need frames")
+    val maxBytes = jpegFrames.map(_.length).max
+
+    val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(1000000 / fps).putInt(maxBytes * fps).putInt(0)
+      .putInt(0x10 /* AVIF_HASINDEX */).putInt(jpegFrames.length).putInt(0)
+      .putInt(1).putInt(maxBytes).putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+
+    val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    strh.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(fps)
+      .putInt(0).putInt(jpegFrames.length).putInt(maxBytes)
+      .putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+
+    val strf = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+    strf.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24).putInt(MjpgFourcc).putInt(maxBytes)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+
+    val hdrl = riffList("hdrl", riffChunk("avih", avih.array()) ++
+      riffList("strl", riffChunk("strh", strh.array()) ++ riffChunk("strf", strf.array())))
+    val frameChunks = jpegFrames.map(j => riffChunk("00dc", j))
+    val movi = riffList("movi", frameChunks.reduce(_ ++ _))
+
+    val idx = ByteBuffer.allocate(16 * jpegFrames.length).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 4
+    frameChunks.foreach { fc =>
+      idx.put("00dc".getBytes("US-ASCII")).putInt(0x10).putInt(off)
+        .putInt(fc.length - 8)
+      off += fc.length
+    }
+    val junk = riffChunk("JUNK", new Array[Byte](12))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ junk ++ movi ++
+      riffChunk("idx1", idx.array())
+    val out = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    out.array()
+  }
+
+  /** Decode an AVI/MJPEG's sampled frames to top-down gray rasters via
+    * the shared `javax.imageio` JPEG path ([[PngCodec.decodeGray]] —
+    * the same entropy-decode + IDCT the m13 fixtures pin). Returns
+    * (width, height, (frame_idx, luma) for every `everyK`-th frame);
+    * only sampled frames pay the JPEG decode. None for anything
+    * outside scope — including uncompressed `00db` frames (the DIB
+    * decoder's kind), wrong-fourcc headers, and frames whose decoded
+    * size contradicts the header. */
+  def decodeMjpeg(bytes: Array[Byte], everyK: Int = 1)
+      : Option[(Int, Int, Seq[(Int, Array[Int])])] =
+    try {
+      require(everyK > 0, "need everyK > 0")
+      if (bytes.length < 24) return None
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def tag4(): String = {
+        val t = new Array[Byte](4); buf.get(t); new String(t, "US-ASCII")
+      }
+      if (tag4() != "RIFF") return None
+      val riffSize = buf.getInt
+      if (tag4() != "AVI ") return None
+      val riffEnd = math.min(bytes.length.toLong, 8L + (riffSize.toLong & 0xffffffffL)).toInt
+
+      var width = -1
+      var height = -1
+      var frameIdx = 0
+      val frames = Seq.newBuilder[(Int, Array[Int])]
+
+      def parseStrf(end: Int): Boolean = {
+        if (buf.remaining() < 40) return false
+        val biSize = buf.getInt
+        if (biSize < 40) return false
+        width = buf.getInt
+        height = math.abs(buf.getInt) // JPEG orientation is self-contained
+        buf.getShort // planes
+        buf.getShort // bpp: MJPEG writers put 24, some put 0 — not load-bearing
+        val compression = buf.getInt
+        if (compression != MjpgFourcc || width <= 0 || height <= 0) return false
+        buf.position(end)
+        true
+      }
+
+      def parseFrame(len: Int): Boolean = {
+        if (width <= 0) return false
+        val sampled = frameIdx % everyK == 0
+        frameIdx += 1
+        if (!sampled) return true
+        val jpeg = java.util.Arrays.copyOfRange(bytes, buf.position(), buf.position() + len)
+        PngCodec.decodeGray(jpeg) match {
+          case Some((w, h, px)) if w == width && h == height =>
+            frames += ((frameIdx - 1, px)); true
+          case _ => false // undecodable or size contradicts the header
+        }
+      }
+
+      def walk(end: Int): Boolean = {
+        while (buf.position() + 8 <= end) {
+          val tag = tag4()
+          val len = buf.getInt
+          val next = buf.position() + len + (len & 1)
+          if (len < 0 || buf.position() + len > end) return false
+          tag match {
+            case "LIST" =>
+              val kind = tag4()
+              if (kind == "hdrl" || kind == "strl" || kind == "movi" ||
+                  kind == "rec ") {
+                if (!walk(next)) return false
+              }
+              buf.position(next)
+            case "strf" =>
+              if (!parseStrf(next)) return false
+            case "00dc" =>
+              if (!parseFrame(len)) return false
+              buf.position(next)
+            case "00db" => return false // uncompressed DIB: the OTHER decoder's kind
+            case _ =>
+              buf.position(math.min(next, end))
+          }
+        }
+        true
+      }
+      if (!walk(riffEnd)) return None
+      val fs = frames.result()
+      if (width <= 0 || fs.isEmpty) None else Some((width, height, fs))
+    } catch { case _: Exception => None }
+
+  /** Batch frame-sampler for [[Multimodal.decodeFrames]], MJPEG form:
+    * every `everyK`-th frame through the real JPEG decoder; non-MJPEG
+    * payloads (including DIB-8 AVIs) emit the one-row stub. */
+  def mjpegFrameSampleBatch(everyK: Int)(
+      batch: Seq[(Long, String, Array[Byte])]): Seq[Y4mCodec.DecodedFrame] = {
+    require(everyK > 0, "need everyK > 0")
+    batch.flatMap { case (id, kind, bytes) =>
+      decodeMjpeg(bytes, everyK) match {
+        case Some((w, h, frames)) =>
+          frames.map { case (f, luma) =>
+            Y4mCodec.DecodedFrame(id, kind, f, w, h, luma, "avi/mjpeg-v1")
           }
         case None =>
           val stub = Multimodal.stubDecodeBatch(16)(Seq((id, kind, bytes))).head

@@ -749,6 +749,45 @@ object MultimodalQueries {
           generate_series(0, 29) AS g(i)
         GROUP BY doc_id, f.fi ORDER BY media_id, frame_idx""")),
 
+    // ── REAL video container #3: AVI/MJPEG frame sampling ─────────────
+    // The LOSSY video path: `00dc` chunks carrying whole JFIF payloads
+    // through the same javax.imageio JPEG decoder the m13 still-image
+    // fixtures pin. Lossy codecs can't generator-roundtrip, so — m13's
+    // discipline at container scale — every doc carries the SAME
+    // three-fixture MJPEG clip (muxed once, closure-shipped) and the
+    // oracle pins the decoded frame luma sums as literals
+    // (graft.tools.LabMjpeg recomputes them): gradient 23040,
+    // checker 30720, radial 31363; every-2nd sampling keeps frames
+    // 0 and 2, and only sampled frames pay the JPEG decode. The
+    // decoder tag pins that the real entropy-decode + IDCT ran (a DIB
+    // confusion or stub fallback hash-mismatches). Scale shape: one
+    // mapPartitions-batched seam pass, same as m17/m20.
+    GraftQuery(
+      "m21_avi_mjpeg_sample",
+      (s, dir) => {
+        import s.implicits._
+        val dec = java.util.Base64.getDecoder
+        val clip = graft.multimodal.AviCodec.encodeMjpeg(16, 16,
+          Seq(graft.multimodal.JpegFixtures.gradient,
+            graft.multimodal.JpegFixtures.checker,
+            graft.multimodal.JpegFixtures.radial).map(dec.decode))
+        val media = Tables.documents(s, dir).select($"doc_id").as[Long]
+          .mapPartitions(_.map(id => (id, "video", clip)))
+          .toDF("media_id", "kind", "bytes")
+        Multimodal.decodeFrames(media, everyK = 2)(
+          graft.multimodal.AviCodec.mjpegFrameSampleBatch(2))
+          .toDF()
+          .select($"media_id", $"frame_idx".cast("long").as("frame_idx"),
+            $"decoder",
+            aggregate($"luma", lit(0L), (a, x) => a + x).as("luma_units"))
+          .orderBy($"media_id", $"frame_idx")
+      },
+      Some("""
+        SELECT doc_id AS media_id, CAST(f.fi AS BIGINT) AS frame_idx,
+          'avi/mjpeg-v1' AS decoder, CAST(f.s AS BIGINT) AS luma_units
+        FROM documents, (VALUES (0, 23040), (2, 31363)) AS f(fi, s)
+        ORDER BY media_id, frame_idx""")),
+
     // ── REAL codecs: mixed PNG/BMP/GIF through ONE content-sniffed pass ─
     // The production shape for a heterogeneous image corpus: each doc_id
     // encodes the SAME 16×16 grayscale raster (m11's generator formula)

@@ -1,0 +1,29 @@
+package graft.tools
+
+import graft.multimodal.{AviCodec, JpegFixtures}
+
+/** Fixture-pinning probe for the MJPEG container path (m21): muxes the
+  * three stored JFIF fixtures into one AVI/MJPEG, demuxes through
+  * [[AviCodec.decodeMjpeg]], and prints each frame's luma sum — the
+  * literals the m21 oracle pins. Run once per fixture change:
+  *   scripts/run_main.sh graft.tools.LabMjpeg
+  */
+object LabMjpeg {
+  def main(args: Array[String]): Unit = {
+    val dec = java.util.Base64.getDecoder
+    val jpegs = Seq(JpegFixtures.gradient, JpegFixtures.checker, JpegFixtures.radial)
+      .map(dec.decode)
+    val avi = AviCodec.encodeMjpeg(16, 16, jpegs)
+    println(s"container bytes: ${avi.length}")
+    for (k <- Seq(1, 2)) {
+      AviCodec.decodeMjpeg(avi, k) match {
+        case Some((w, h, frames)) =>
+          println(s"everyK=$k -> ${w}x$h, ${frames.size} frames")
+          frames.foreach { case (i, luma) =>
+            println(s"  frame $i lumaSum=${luma.map(_.toLong).sum}")
+          }
+        case None => println(s"everyK=$k -> DECODE FAILED")
+      }
+    }
+  }
+}

@@ -78,6 +78,42 @@ class AviCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("MJPEG: fixtures mux/demux through the real JPEG path; sampling; rejects") {
+    val dec = java.util.Base64.getDecoder
+    val jpegs = Seq(graft.multimodal.JpegFixtures.gradient,
+      graft.multimodal.JpegFixtures.checker,
+      graft.multimodal.JpegFixtures.radial).map(dec.decode)
+    val avi = AviCodec.encodeMjpeg(16, 16, jpegs)
+    // demuxed frames must equal decoding each stored JPEG directly —
+    // the container stores payloads verbatim, the decode path is shared
+    val Some((w, h, frames)) = AviCodec.decodeMjpeg(avi)
+    assert(w == 16 && h == 16 && frames.map(_._1) == Seq(0, 1, 2))
+    frames.zip(jpegs).foreach { case ((_, luma), j) =>
+      val Some((_, _, direct)) = graft.multimodal.PngCodec.decodeGray(j)
+      assert(luma.toSeq == direct.toSeq)
+    }
+    // every-k sampling only decodes sampled frames
+    val Some((_, _, sampled)) = AviCodec.decodeMjpeg(avi, everyK = 2)
+    assert(sampled.map(_._1) == Seq(0, 2))
+    // confusion both ways: the DIB decoder refuses MJPEG, and vice versa
+    assert(AviCodec.decodeGray8(avi).isEmpty)
+    val dib = AviCodec.encodeGray8(4, 4, Seq(frame(4, 4, 1)))
+    assert(AviCodec.decodeMjpeg(dib).isEmpty)
+    // and the usual reject matrix: non-RIFF, truncation, garbage frame
+    assert(AviCodec.decodeMjpeg(Array[Byte](1, 2, 3)).isEmpty)
+    assert(AviCodec.decodeMjpeg(avi.take(avi.length / 2)).isEmpty)
+    val bad = avi.clone()
+    val fi = indexOfTag(bad, "00dc")
+    bad(fi + 8) = 0 // corrupt the JPEG SOI marker: frame must not decode
+    assert(AviCodec.decodeMjpeg(bad).isEmpty)
+    // batch seam: decoder tag + stub fallback for the DIB payload
+    val rows = AviCodec.mjpegFrameSampleBatch(2)(
+      Seq((1L, "video", avi), (2L, "video", dib)))
+    assert(rows.filter(_.media_id == 1L).map(_.frame_idx) == Seq(0, 2))
+    assert(rows.filter(_.media_id == 1L).forall(_.decoder == "avi/mjpeg-v1"))
+    assert(rows.filter(_.media_id == 2L).map(_.decoder) == Seq("stub/md5-v1"))
+  }
+
   test("JUNK chunks anywhere are skipped (encoder emits one before movi)") {
     val bytes = AviCodec.encodeGray8(4, 4, Seq(frame(4, 4, 5)))
     assert(indexOfTag(bytes, "JUNK") > 0) // structure really contains it
