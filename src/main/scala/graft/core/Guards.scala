@@ -1,0 +1,40 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Fail-fast size gates for the EXACT-audit query forms.
+  *
+  * The registry deliberately keeps exact forms (corpus-wide total-order
+  * windows: q43, e21, e6, x43, x46) next to their production downgrades
+  * (bucketed q8, sampled e27/x59/x60, sketched x71) so the downgrades
+  * are auditable at test SFs. The discipline "run the twin at scale"
+  * used to depend on the user picking the right query name; this gate
+  * makes it self-enforcing — an exact form launched over more input
+  * rows than `spark.graft.exactAuditMaxRows` fails fast, naming its
+  * twin, instead of paying a corpus-wide sort at 100 TB.
+  *
+  * The default bound (1e8 rows) never binds at the test SFs (sf0.1 is
+  * ~10⁶ rows), so oracle runs are unaffected; a corpus-scale run trips
+  * it immediately. Set the conf higher to run an exact audit anyway,
+  * or to -1 to disable the gate (and its count) entirely.
+  */
+object Guards {
+  val ConfKey = "spark.graft.exactAuditMaxRows"
+  val DefaultMaxRows: Long = 100000000L
+
+  /** Pass `input` through unchanged after asserting it is under the
+    * configured bound; the count is one column-pruned aggregation —
+    * trivial next to the corpus-wide sort it protects against. */
+  def exactAudit(input: DataFrame, twinQuery: String): DataFrame = {
+    val bound = input.sparkSession.conf
+      .get(ConfKey, DefaultMaxRows.toString).toLong
+    if (bound >= 0L) {
+      val n = input.count()
+      if (n > bound) throw new IllegalStateException(
+        s"exact-audit form over $n input rows exceeds $ConfKey=$bound; " +
+          s"run its production twin '$twinQuery' at corpus scale, or raise " +
+          "the conf to force the exact form")
+    }
+    input
+  }
+}

@@ -273,7 +273,9 @@ object Analytics {
       (s, dir) => {
         import s.implicits._
         val w = Window.partitionBy($"day").orderBy($"tms", $"event_id")
-        Tables.events(s, dir)
+        // size gate: the per-day sort is the exact-AUDIT form — above
+        // the configured bound it fails fast pointing at bucketed q8
+        graft.core.Guards.exactAudit(Tables.events(s, dir), "q8_twap")
           .select(date_format($"ts", "yyyy-MM-dd").as("day"),
             tsMillis($"ts").as("tms"), $"event_id", cents($"value").as("cents"))
           .withColumn("dt", lead($"tms", 1).over(w) - $"tms")

@@ -401,7 +401,8 @@ object CorpusQueries {
       "x43_quality_calibration",
       (s, dir) => {
         import s.implicits._
-        val scored = Tables.documents(s, dir)
+        val scored = graft.core.Guards
+          .exactAudit(Tables.documents(s, dir), "x59_quality_calibration_sampled")
           .select($"doc_id", $"lang",
             qualityScore($"text", $"n_chars").as("q"),
             (langId($"text") === $"lang").as("m"))

@@ -141,7 +141,9 @@ object ExtendedSql {
         val w = Window.partitionBy($"event_type").orderBy($"value")
         def at(q: Double): org.apache.spark.sql.Column =
           (floor(($"cnt" - 1) * lit(q)) + 1).cast("long")
-        Tables.events(s, dir)
+        // size gate: fails fast above the bound, pointing at the
+        // mergeable-sketch twin (graft.core.Guards scaladoc)
+        graft.core.Guards.exactAudit(Tables.events(s, dir), "x71_quantile_sketch")
           .withColumn("rn", row_number().over(w).cast("long"))
           .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"event_type")))
           .groupBy($"event_type")
@@ -813,7 +815,8 @@ object ExtendedSql {
       "e21_winsorize",
       (s, dir) => {
         import s.implicits._
-        val li = Tables.lineitem(s, dir)
+        val li = graft.core.Guards
+          .exactAudit(Tables.lineitem(s, dir), "e27_winsorize_sampled")
           .select($"l_returnflag".as("rf"), cents($"l_extendedprice").as("pc"))
         val w = Window.partitionBy($"rf").orderBy($"pc")
         def at(q: Double): org.apache.spark.sql.Column =

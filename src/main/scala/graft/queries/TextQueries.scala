@@ -2022,7 +2022,8 @@ object TextQueries {
       "x46_curriculum_order",
       (s, dir) => {
         import s.implicits._
-        val docs = Tables.documents(s, dir)
+        val docs = graft.core.Guards
+          .exactAudit(Tables.documents(s, dir), "x60_curriculum_sampled")
           .select($"doc_id", $"n_chars", tokenCount($"text").cast("long").as("n_toks"))
         val wAll = org.apache.spark.sql.expressions.Window
           .orderBy($"n_chars", $"doc_id")

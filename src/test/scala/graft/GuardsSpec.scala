@@ -1,0 +1,51 @@
+package graft
+
+import graft.core.Guards
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The exact-audit size gate: pass-through under the bound, fail-fast
+  * naming the production twin above it, fully off at -1 — so the exact
+  * forms (q43/e6/e21/x43/x46) cannot be launched corpus-wide by
+  * accident while the oracle runs at test SFs stay untouched. */
+class GuardsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def withBound[A](v: String)(body: => A): A = {
+    spark.conf.set(Guards.ConfKey, v)
+    try body finally spark.conf.unset(Guards.ConfKey)
+  }
+
+  test("under the bound: identity pass-through") {
+    import spark.implicits._
+    val df = (1 to 100).toDF("x")
+    val out = withBound("1000")(Guards.exactAudit(df, "twin"))
+    assert(out.collect().map(_.getInt(0)).toSeq == (1 to 100))
+  }
+
+  test("over the bound: fails fast naming the production twin") {
+    import spark.implicits._
+    val df = (1 to 100).toDF("x")
+    val e = intercept[IllegalStateException](
+      withBound("10")(Guards.exactAudit(df, "x71_quantile_sketch")))
+    assert(e.getMessage.contains("x71_quantile_sketch"))
+    assert(e.getMessage.contains(Guards.ConfKey))
+  }
+
+  test("-1 disables the gate (and its count) entirely") {
+    import spark.implicits._
+    val df = (1 to 100).toDF("x")
+    val out = withBound("-1")(Guards.exactAudit(df, "twin"))
+    assert(out.count() == 100)
+  }
+
+  test("default bound does not bind at test SFs; registry wiring names q8") {
+    // default (1e8) leaves the sf0.001 oracle run untouched...
+    val q43 = graft.core.Registry.allQueries
+      .find(_.name == "q43_twap_window_audit").get
+    assert(q43.build(spark, "/root/testdata/sf0.001").count() > 0)
+    // ...and a tight bound trips the gate inside the real query body
+    val e = intercept[IllegalStateException](
+      withBound("10")(q43.build(spark, "/root/testdata/sf0.001")))
+    assert(e.getMessage.contains("q8_twap"))
+  }
+}
