@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.permission.FsPermission
 import org.apache.hadoop.util.Progressable
 
 import java.io.{ByteArrayOutputStream, FileNotFoundException, IOException, OutputStream}
-import java.net.{HttpURLConnection, URI, URLEncoder}
+import java.net.{HttpURLConnection, URI}
 import java.nio.charset.StandardCharsets
 
 /** Hadoop FileSystem client over a flat HTTP object API with S3-shaped
@@ -48,6 +48,7 @@ final class ObjectStoreFileSystem extends FileSystem {
   private var workDir: Path = new Path("/")
   private var authHeader: Option[String] = None
   private var signer: Option[(String, javax.crypto.spec.SecretKeySpec)] = None
+  private var sigv4: Option[(String, String, String)] = None // access, secret, region
 
   override def initialize(name: URI, conf: Configuration): Unit = {
     super.initialize(name, conf)
@@ -55,16 +56,25 @@ final class ObjectStoreFileSystem extends FileSystem {
     fsUri = URI.create(s"graftos://${name.getAuthority}")
     endpoint = s"http://${name.getAuthority}"
     authHeader = Option(conf.get("fs.graftos.auth.header")).filter(_.nonEmpty)
-    // HMAC request signing (fs.graftos.access.key / .secret.key): every
-    // request carries `Authorization: GRAFT-HMAC-SHA256 <id>:<hex sig>`
-    // over (method, request-target, x-graft-date) — the S3-SigV4 shape
-    // reduced to what this wire API needs. Takes precedence over the
-    // static auth.header seam (bearer-token endpoints).
-    signer = for {
-      a <- Option(conf.get("fs.graftos.access.key")).filter(_.nonEmpty)
-      s <- Option(conf.get("fs.graftos.secret.key")).filter(_.nonEmpty)
-    } yield (a, new javax.crypto.spec.SecretKeySpec(
-      s.getBytes(StandardCharsets.UTF_8), "HmacSHA256"))
+    val access = Option(conf.get("fs.graftos.access.key")).filter(_.nonEmpty)
+    val secret = Option(conf.get("fs.graftos.secret.key")).filter(_.nonEmpty)
+    if (conf.get("fs.graftos.auth.mode", "") == "sigv4") {
+      // REAL AWS Signature V4 ([[SigV4]], verified against the published
+      // AWS vectors) — the mode for actual S3-compatible endpoints:
+      // per-request Authorization over the canonical request including
+      // the payload hash (x-amz-content-sha256), scope from
+      // fs.graftos.region (service "s3").
+      sigv4 = for (a <- access; s <- secret)
+        yield (a, s, conf.get("fs.graftos.region", "us-east-1"))
+    } else {
+      // GRAFT-HMAC request signing (the SigV4 shape reduced to this wire
+      // API): `Authorization: GRAFT-HMAC-SHA256 <id>:<hex sig>` over
+      // (method, request-target, x-graft-date). Takes precedence over
+      // the static auth.header seam (bearer-token endpoints).
+      signer = for (a <- access; s <- secret)
+        yield (a, new javax.crypto.spec.SecretKeySpec(
+          s.getBytes(StandardCharsets.UTF_8), "HmacSHA256"))
+    }
   }
 
   override def getScheme: String = "graftos"
@@ -77,16 +87,39 @@ final class ObjectStoreFileSystem extends FileSystem {
     p.stripPrefix("/")
   }
 
+  /** Wire path for an object key — SigV4's uriEncode (slash-preserving)
+    * so the path on the wire IS the canonical URI and there is no
+    * canonicalization step for client and server to disagree on. */
+  private def pathOf(k: String): String = "/" + SigV4.uriEncode(k, encodeSlash = false)
+
   /** `target` is the request-target as sent on the wire (`/key` or
-    * `/?prefix=...`) — the exact string the server verifies, so there is
-    * no canonicalization step to disagree on. */
-  private def conn(method: String, target: String): HttpURLConnection = {
+    * `/?prefix=...`) — the exact string the server verifies. `payload`
+    * participates in SigV4 signing (x-amz-content-sha256); the
+    * GRAFT-HMAC mode signs the request line only. */
+  private def conn(method: String, target: String,
+      payload: Array[Byte] = Array.emptyByteArray): HttpURLConnection = {
     val c = URI.create(endpoint + target).toURL.openConnection().asInstanceOf[HttpURLConnection]
     c.setRequestMethod(method)
     c.setConnectTimeout(15000)
     c.setReadTimeout(30000)
-    signer match {
-      case Some((access, keySpec)) =>
+    (sigv4, signer) match {
+      case (Some((access, secret, region)), _) =>
+        val amzDate = SigV4.amzDateNow()
+        val (path, query) = target.indexOf('?') match {
+          case -1 => (target, "")
+          case i  => (target.substring(0, i), target.substring(i + 1))
+        }
+        val payloadHash = SigV4.sha256Hex(payload)
+        val headers = Seq(
+          "host" -> fsUri.getAuthority, // HttpURLConnection sends it from the URL
+          "x-amz-content-sha256" -> payloadHash,
+          "x-amz-date" -> amzDate)
+        c.setRequestProperty("x-amz-date", amzDate)
+        c.setRequestProperty("x-amz-content-sha256", payloadHash)
+        c.setRequestProperty("Authorization", SigV4.authorization(
+          access, secret, region, "s3", method, path, query, headers,
+          payloadHash, amzDate))
+      case (None, Some((access, keySpec))) =>
         val ts = System.currentTimeMillis().toString
         val mac = javax.crypto.Mac.getInstance("HmacSHA256")
         mac.init(keySpec)
@@ -94,7 +127,7 @@ final class ObjectStoreFileSystem extends FileSystem {
           .map("%02x".format(_)).mkString
         c.setRequestProperty("x-graft-date", ts)
         c.setRequestProperty("Authorization", s"GRAFT-HMAC-SHA256 $access:$sig")
-      case None =>
+      case (None, None) =>
         authHeader.foreach(c.setRequestProperty("Authorization", _))
     }
     c
@@ -103,7 +136,7 @@ final class ObjectStoreFileSystem extends FileSystem {
   /** PUT bytes at `k`; `ifNoneMatch` adds the conditional header. Returns
     * false iff the precondition failed (412 — object already exists). */
   private[store] def put(k: String, bytes: Array[Byte], ifNoneMatch: Boolean): Boolean = {
-    val c = conn("PUT", s"/$k")
+    val c = conn("PUT", pathOf(k), bytes)
     try {
       if (ifNoneMatch) c.setRequestProperty("If-None-Match", "*")
       c.setDoOutput(true)
@@ -119,7 +152,7 @@ final class ObjectStoreFileSystem extends FileSystem {
   }
 
   private def getBytes(k: String): Option[Array[Byte]] = {
-    val c = conn("GET", s"/$k")
+    val c = conn("GET", pathOf(k))
     try c.getResponseCode match {
       case 200 => Some(c.getInputStream.readAllBytes())
       case 404 => None
@@ -128,7 +161,7 @@ final class ObjectStoreFileSystem extends FileSystem {
   }
 
   private def headLen(k: String): Option[Long] = {
-    val c = conn("HEAD", s"/$k")
+    val c = conn("HEAD", pathOf(k))
     try c.getResponseCode match {
       case 200 => Some(c.getHeaderFieldLong("Content-Length", 0L))
       case 404 => None
@@ -138,7 +171,7 @@ final class ObjectStoreFileSystem extends FileSystem {
 
   /** All (key, size) under a prefix — the store's flat ListObjects. */
   private def listPrefix(prefix: String): Seq[(String, Long)] = {
-    val c = conn("GET", s"/?prefix=${URLEncoder.encode(prefix, "UTF-8")}")
+    val c = conn("GET", "/?" + SigV4.canonicalQuery(Seq("prefix" -> prefix)))
     try c.getResponseCode match {
       case 200 =>
         new String(c.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
@@ -185,7 +218,7 @@ final class ObjectStoreFileSystem extends FileSystem {
   }
 
   private def del(k: String): Boolean = {
-    val c = conn("DELETE", s"/$k")
+    val c = conn("DELETE", pathOf(k))
     try c.getResponseCode match {
       case 200 | 204 => true
       case 404 => false

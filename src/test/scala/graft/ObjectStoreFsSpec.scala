@@ -158,6 +158,85 @@ class ObjectStoreFsSpec extends AnyFunSuite {
     }
   }
 
+  test("SigV4 signer matches the published AWS example vectors") {
+    import graft.store.SigV4
+    // the AWS General Reference 20150830 IAM ListUsers example:
+    // documented canonical-request hash, derived signing key, signature
+    val headers = Seq(
+      "content-type" -> "application/x-www-form-urlencoded; charset=utf-8",
+      "host" -> "iam.amazonaws.com",
+      "x-amz-date" -> "20150830T123600Z")
+    val cr = SigV4.canonicalRequest("GET", "/",
+      "Action=ListUsers&Version=2010-05-08", headers, SigV4.EmptyPayloadHash)
+    assert(SigV4.sha256Hex(cr.getBytes(StandardCharsets.UTF_8)) ==
+      "f536975d06c0309214f805bb90ccff089219ecd68b2577efef23edd43b7e1a59")
+    val secret = "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY"
+    assert(SigV4.signingKey(secret, "20150830", "us-east-1", "iam")
+      .map("%02x".format(_)).mkString ==
+      "c4afb1cc5771d871763a393e44b703571b55cc28424d1a5e86da6ed3c154a4b9")
+    val toSign = SigV4.stringToSign("20150830T123600Z",
+      "20150830/us-east-1/iam/aws4_request", cr)
+    assert(SigV4.signature(secret, "20150830", "us-east-1", "iam", toSign) ==
+      "5d672d79c15b13162d9279b0855cfba6789a8edb4c82c400e06b5924a6f2b5d7")
+    // spec uriEncode: unreserved verbatim, slash mode, %XX uppercase
+    assert(SigV4.uriEncode("a/b c~x.y_z-1", encodeSlash = false) == "a/b%20c~x.y_z-1")
+    assert(SigV4.uriEncode("a/b", encodeSlash = true) == "a%2Fb")
+    assert(SigV4.canonicalQuery(Seq("prefix" -> "t/log m")) == "prefix=t%2Flog%20m")
+  }
+
+  test("SigV4 auth: signed client drives the FS surface; forged/tampered get 401") {
+    val server = new ObjectStoreServer(
+      credentials = Map("AKIDGRAFT" -> "sigv4-secret"), sigv4 = true)
+    try {
+      val root = s"graftos://${server.endpointAuthority}"
+      val conf = new Configuration(); ObjectStoreFileSystem.register(conf)
+      conf.set("fs.graftos.auth.mode", "sigv4")
+      conf.set("fs.graftos.access.key", "AKIDGRAFT")
+      conf.set("fs.graftos.secret.key", "sigv4-secret")
+      val fs = FileSystem.newInstance(URI.create(root + "/"), conf)
+      try {
+        val p = new Path(s"$root/t/a.parquet")
+        write(fs, p, "hello-v4")
+        assert(read(fs, p) == "hello-v4")
+        assert(fs.listStatus(new Path(s"$root/t")).length == 1)
+        // conditional put still atomic under sigv4
+        intercept[java.io.IOException] { write(fs, p, "clobber") }
+        assert(read(fs, p) == "hello-v4")
+        assert(fs.delete(p, false))
+        // the manifest race, every request sigv4-signed
+        val tp = new Path(s"$root/log")
+        val n = 16
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+        try {
+          (0 until n).map { i =>
+            pool.submit(new Runnable {
+              def run(): Unit = TableLog.publish(fs, tp, Seq(s"file-$i.parquet"), Nil,
+                store = ManifestStore.HttpConditionalPut)
+            })
+          }.foreach(_.get())
+        } finally pool.shutdown()
+        assert(TableLog.commits(fs, tp).size == n)
+      } finally fs.close()
+      // wrong secret: 401, nothing stored beyond the signed run's objects
+      val before = server.objectCount
+      val confW = new Configuration(); ObjectStoreFileSystem.register(confW)
+      confW.set("fs.graftos.auth.mode", "sigv4")
+      confW.set("fs.graftos.access.key", "AKIDGRAFT")
+      confW.set("fs.graftos.secret.key", "wr0ng")
+      val fsW = FileSystem.newInstance(URI.create(root + "/"), confW)
+      intercept[java.io.IOException] { write(fsW, new Path(s"$root/t/x"), "nope") }
+      fsW.close()
+      // GRAFT-HMAC client against a sigv4 server: also 401
+      val confH = new Configuration(); ObjectStoreFileSystem.register(confH)
+      confH.set("fs.graftos.access.key", "AKIDGRAFT")
+      confH.set("fs.graftos.secret.key", "sigv4-secret")
+      val fsH = FileSystem.newInstance(URI.create(root + "/"), confH)
+      intercept[java.io.IOException] { write(fsH, new Path(s"$root/t/y"), "nope") }
+      fsH.close()
+      assert(server.objectCount == before, "rejected requests must not mutate the store")
+    } finally server.stop()
+  }
+
   test("16 publishers race TableLog.publish over the object store: all commits survive") {
     withStore { (fs, root) =>
       val tp = new Path(s"$root/t")

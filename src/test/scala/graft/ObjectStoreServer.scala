@@ -19,8 +19,12 @@ final class ObjectStoreServer(
     // must carry a valid GRAFT-HMAC-SHA256 signature over
     // (method, request-target, x-graft-date) within the skew window —
     // unsigned/forged/stale requests get 401 and touch nothing.
+    // With sigv4 = true, the server instead verifies REAL AWS Signature
+    // V4 (re-deriving the canonical request from the wire, including the
+    // x-amz-content-sha256 payload hash — so a tampered body also 401s).
     credentials: Map[String, String] = Map.empty,
-    maxSkewMs: Long = 300000L) {
+    maxSkewMs: Long = 300000L,
+    sigv4: Boolean = false) {
   private val objects = new ConcurrentHashMap[String, Array[Byte]]()
   private val pool = Executors.newCachedThreadPool()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -37,6 +41,62 @@ final class ObjectStoreServer(
     ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length.toLong)
     if (body.nonEmpty) ex.getResponseBody.write(body)
     ex.close()
+  }
+
+  /** Server-side SigV4 verification, re-derived from the wire per the
+    * public AWS spec — no code shared with the client's [[SigV4]], so
+    * the two implementations check each other. */
+  private def authorizedSigV4(ex: HttpExchange, body: Array[Byte]): Boolean = {
+    def hdr(n: String) = Option(ex.getRequestHeaders.getFirst(n))
+    val auth = hdr("Authorization").getOrElse(return false)
+    val amzDate = hdr("x-amz-date").getOrElse(return false)
+    val contentSha = hdr("x-amz-content-sha256").getOrElse(return false)
+    // payload integrity: the signed hash must match what arrived
+    val bodySha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(body).map("%02x".format(_)).mkString
+    if (contentSha != bodySha) return false
+    // clock skew on the signed timestamp
+    val ts = try java.time.LocalDateTime.parse(amzDate,
+        java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'"))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      catch { case _: Exception => return false }
+    if (math.abs(System.currentTimeMillis() - ts) > maxSkewMs) return false
+    // Authorization: AWS4-HMAC-SHA256 Credential=id/date/region/service/aws4_request,
+    //   SignedHeaders=a;b;c, Signature=hex
+    val m = ("""AWS4-HMAC-SHA256 Credential=([^/]+)/(\d{8})/([^/]+)/([^/]+)/aws4_request, """ +
+      """SignedHeaders=([^,]+), Signature=([0-9a-f]{64})""").r
+    auth match {
+      case m(id, dateStamp, region, service, signedHeaders, gotSig) =>
+        if (dateStamp != amzDate.take(8)) return false
+        val secret = credentials.getOrElse(id, return false)
+        val headerLines = signedHeaders.split(";").map { n =>
+          val v = if (n == "host")
+            hdr("Host").getOrElse(return false)
+          else hdr(n).getOrElse(return false)
+          s"$n:${v.trim}\n"
+        }.mkString
+        val canonical = ex.getRequestMethod + "\n" +
+          ex.getRequestURI.getRawPath + "\n" +
+          Option(ex.getRequestURI.getRawQuery).getOrElse("") + "\n" +
+          headerLines + "\n" + signedHeaders + "\n" + contentSha
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+        def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+        val toSign = "AWS4-HMAC-SHA256\n" + amzDate + "\n" +
+          s"$dateStamp/$region/$service/aws4_request" + "\n" +
+          hex(sha.digest(canonical.getBytes(StandardCharsets.UTF_8)))
+        def hmac(key: Array[Byte], data: String) = {
+          val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+          mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+          mac.doFinal(data.getBytes(StandardCharsets.UTF_8))
+        }
+        val kSigning = hmac(hmac(hmac(hmac(
+          ("AWS4" + secret).getBytes(StandardCharsets.UTF_8), dateStamp),
+          region), service), "aws4_request")
+        java.security.MessageDigest.isEqual(
+          hex(hmac(kSigning, toSign)).getBytes(StandardCharsets.UTF_8),
+          gotSig.getBytes(StandardCharsets.UTF_8))
+      case _ => false
+    }
   }
 
   /** Server-side signature check, mirroring the client's derivation on
@@ -65,13 +125,17 @@ final class ObjectStoreServer(
   }
 
   private def handle(ex: HttpExchange): Unit = {
-    if (!authorized(ex)) { respond(ex, 401, Array.empty); return }
+    // body first: SigV4 signs the payload hash, so verification needs it
+    val body = ex.getRequestBody.readAllBytes()
+    val ok = if (credentials.isEmpty) true
+      else if (sigv4) authorizedSigV4(ex, body)
+      else authorized(ex)
+    if (!ok) { respond(ex, 401, Array.empty); return }
     val rawPath = ex.getRequestURI.getRawPath
     val k = URLDecoder.decode(rawPath.stripPrefix("/"), "UTF-8")
     val query = Option(ex.getRequestURI.getRawQuery).getOrElse("")
     ex.getRequestMethod match {
       case "PUT" =>
-        val body = ex.getRequestBody.readAllBytes()
         val createOnly = "*" == ex.getRequestHeaders.getFirst("If-None-Match")
         if (createOnly) {
           // THE atomic conditional put: one winner per key, store-side.
