@@ -1,0 +1,128 @@
+package graft.lm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interpolated Kneser-Ney LM at ARBITRARY order n — the
+  * [[KnBigramLm]] (n=2) / [[KnTrigramLm]] (n=3) recursion with the
+  * continuation-count construction parameterized over order
+  * (Chen & Goodman 1998), D = 3/4 at every level:
+  *
+  *   p_k(w|ctx_k) = (C_k − D)/S_k + D·N_k/S_k · p_{k−1}(w|ctx_{k−1})
+  *   p_1(w)       = (tc(w) + 1)/(TT + V)
+  *
+  * where at the top level C_n is the TOKEN count of the n-gram and at
+  * every lower level C_k is the continuation (TYPE) count — the number
+  * of distinct words preceding the k-gram in the level-(k+1) table —
+  * S_k = Σ C_k over the context, and N_k = distinct continuations of
+  * the context. KnNgramLmSpec proves Σ_w p_n(w|ctx) = 1 exactly in
+  * rationals for every order (the same telescoping argument at each
+  * level: Σ(C−D) + D·N = S), and asserts bit-equality with the
+  * hand-written n=2/n=3 siblings.
+  *
+  * Arithmetic: exact num/den rationals in DECIMAL(38,0) (DuckDB
+  * HUGEINT), surprisal quantized from the BIGINT-safe quotient
+  * `den div num` = floor(1/p) — see [[KnTrigramLm]]'s scaladoc for the
+  * bound argument; each extra order multiplies den by 4·S_k, so the
+  * 38-digit budget holds through order 4 at any realistic SF (the
+  * trigram's ~1e19 worst case times a ~1e5 context-sum factor).
+  *
+  * 100 TB shape, per order: the level-n gram table joins
+  * corpus-linearly; every lower-level table is keyed by ≤(n−1)-grams
+  * and shrinks with depth; context tables keyed by a single word (and
+  * the unigram/scalar tables) broadcast. One corpus-linear score pass,
+  * map-side-combinable rollup; count tables pin eagerly (train IS an
+  * action, the d15/c12 lesson).
+  */
+object KnNgramLm {
+
+  private def suffixCols(n: Int, k: Int): Seq[String] =
+    (n - k + 1 to n).map(i => s"w$i")
+  private def ctxCols(n: Int, k: Int): Seq[String] =
+    (n - k + 1 until n).map(i => s"w$i")
+
+  /** (doc_id, w1..wn) gram stream; docs with < n tokens drop. */
+  def ngrams(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"order $n: need n >= 2")
+    val t = graft.functions.TextFunctions.lowerTokens(col(textCol))
+    docs
+      .select(col(idCol).as("doc_id"), t.as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - (n - 1)),
+        i => struct((0 until n).map(j =>
+          element_at(col("t"), i + j).as(s"w${j + 1}")): _*))).as("g"))
+      .select(col("doc_id") +: (1 to n).map(i => col(s"g.w$i")): _*)
+  }
+
+  /** Level k's tables: `gram` keyed by the k-suffix with count `cnt{k}`
+    * (tokens at k=n, continuation types below), `ctx` keyed by the
+    * (k−1)-context with `csum{k}`/`ndist{k}`. */
+  final case class Level(k: Int, gram: DataFrame, ctx: DataFrame)
+  final case class Model(n: Int, levels: Seq[Level], tc: DataFrame, scal: DataFrame)
+
+  def train(grams: DataFrame, n: Int): Model = {
+    require(n >= 2, s"order $n: need n >= 2")
+    val levels = Seq.newBuilder[Level]
+    // top level: token counts; each lower level's gram table is the
+    // TYPE count of the level above (one row per distinct gram there)
+    var gramTable = grams.groupBy(suffixCols(n, n).map(col): _*)
+      .agg(count(lit(1)).as(s"cnt$n"))
+      .localCheckpoint(true) // one materialization feeds every derived table
+    var k = n
+    while (k >= 2) {
+      val ctx = gramTable.groupBy(ctxCols(n, k).map(col): _*)
+        .agg(sum(col(s"cnt$k")).cast("long").as(s"csum$k"),
+          count(lit(1)).as(s"ndist$k"))
+      levels += Level(k, gramTable, ctx)
+      if (k > 2) {
+        gramTable = gramTable.groupBy(suffixCols(n, k - 1).map(col): _*)
+          .agg(count(lit(1)).as(s"cnt${k - 1}"))
+          .localCheckpoint(true)
+      }
+      k -= 1
+    }
+    val t2 = levels.result().last.gram // level-2 type table
+    val tc = t2.groupBy(col(s"w$n")).agg(count(lit(1)).as("tc"))
+    val scal = tc.agg(sum(col("tc")).cast("long").as("tt"), count(lit(1)).as("v"))
+    Model(n, levels.result(), tc, scal)
+  }
+
+  /** Appends exact num{n}/den{n} (DECIMAL(38,0)), the quantized `bits`,
+    * and the `unseen` flag (top-level gram unseen). */
+  def score(grams: DataFrame, m: Model): DataFrame = {
+    val n = m.n
+    var df = grams
+    m.levels.foreach { lvl =>
+      df = df.join(lvl.gram, suffixCols(n, lvl.k), "left")
+      // contexts keyed by one word are vocab-sized: broadcast them
+      val ctxT = if (lvl.k - 1 <= 1) broadcast(lvl.ctx) else lvl.ctx
+      df = df.join(ctxT, ctxCols(n, lvl.k), "left")
+    }
+    df = df.join(broadcast(m.tc), Seq(s"w$n"), "left")
+      .crossJoin(broadcast(m.scal))
+      .withColumn("num1", expr("CAST(coalesce(tc, 0) + 1 AS DECIMAL(38,0))"))
+      .withColumn("den1", expr("CAST(tt + v AS DECIMAL(38,0))"))
+    for (k <- 2 to n) {
+      df = df
+        .withColumn(s"num$k", expr(
+          s"""CASE
+               WHEN cnt$k IS NOT NULL THEN CAST(4 * cnt$k - 3 AS DECIMAL(38,0)) * den${k - 1} + CAST(3 * ndist$k AS DECIMAL(38,0)) * num${k - 1}
+               WHEN csum$k IS NOT NULL THEN CAST(3 * ndist$k AS DECIMAL(38,0)) * num${k - 1}
+               ELSE num${k - 1} END"""))
+        .withColumn(s"den$k", expr(
+          s"""CASE WHEN csum$k IS NOT NULL THEN CAST(4 * csum$k AS DECIMAL(38,0)) * den${k - 1}
+               ELSE den${k - 1} END"""))
+    }
+    df.withColumn("bits",
+        length(bin(expr(s"CAST(den$n DIV num$n AS BIGINT)"))).cast("long"))
+      .withColumn("unseen", when(col(s"cnt$n").isNull, 1L).otherwise(0L))
+  }
+
+  def perDoc(scored: DataFrame): DataFrame =
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("unseen")).cast("long").as("n_unseen"),
+        sum(col("bits")).cast("long").as("kn_bits_q"))
+      .withColumn("avg_bits_x100", expr("(kn_bits_q * 100) div n_grams"))
+}

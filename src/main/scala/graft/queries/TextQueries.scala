@@ -3028,6 +3028,86 @@ object TextQueries {
           CAST(doc_id % 10 >= 8 AS INT) AS held_out
         FROM l3 GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ── 4-gram Kneser-Ney perplexity (the order-n recursion at n=4) ───
+    // graft.lm.KnNgramLm: the x65/x69 recursion parameterized over
+    // order — token counts at the top, continuation (type) counts at
+    // every lower level, D=3/4, exact DECIMAL(38)/HUGEINT rationals,
+    // surprisal quantized from the BIGINT-safe quotient. KnNgramLmSpec
+    // proves Σp=1 per order and bit-equality with the n=2/n=3 siblings;
+    // this query is the order-4 member next to x65 (n=2) and x69 (n=3),
+    // same train/held-out split. Scale shape: the 4-gram table joins
+    // corpus-linearly, everything below is keyed by ≤3-grams and
+    // shrinks with depth; single-word context tables broadcast.
+    GraftQuery(
+      "x72_kn_4gram_perplexity",
+      (s, dir) => {
+        import s.implicits._
+        val g4 = graft.lm.KnNgramLm.ngrams(
+          Tables.documents(s, dir), "doc_id", "text", 4)
+        val m = graft.lm.KnNgramLm.train(g4.filter($"doc_id" % 10 < 8), 4)
+        graft.lm.KnNgramLm.perDoc(graft.lm.KnNgramLm.score(g4, m))
+          .withColumn("held_out", ($"doc_id" % 10 >= 8).cast("int"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM documents),
+        g4 AS (
+          SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, t[i+3] AS w4
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i
+                FROM toks WHERE len(t) >= 4)),
+        c4 AS (SELECT w1, w2, w3, w4, COUNT(*) AS cnt4 FROM g4 WHERE doc_id % 10 < 8 GROUP BY 1, 2, 3, 4),
+        ctx4 AS (SELECT w1, w2, w3, CAST(SUM(cnt4) AS BIGINT) AS csum4, COUNT(*) AS ndist4 FROM c4 GROUP BY 1, 2, 3),
+        t3 AS (SELECT w2, w3, w4, COUNT(*) AS cnt3 FROM c4 GROUP BY 1, 2, 3),
+        ctx3 AS (SELECT w2, w3, CAST(SUM(cnt3) AS BIGINT) AS csum3, COUNT(*) AS ndist3 FROM t3 GROUP BY 1, 2),
+        t2 AS (SELECT w3, w4, COUNT(*) AS cnt2 FROM t3 GROUP BY 1, 2),
+        ctx2 AS (SELECT w3, CAST(SUM(cnt2) AS BIGINT) AS csum2, COUNT(*) AS ndist2 FROM t2 GROUP BY 1),
+        tc AS (SELECT w4, COUNT(*) AS tc FROM t2 GROUP BY 1),
+        scal AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt, COUNT(*) AS v FROM tc),
+        j AS (
+          SELECT g4.doc_id, c4.cnt4, ctx4.csum4, ctx4.ndist4, t3.cnt3,
+            ctx3.csum3, ctx3.ndist3, t2.cnt2, ctx2.csum2, ctx2.ndist2,
+            COALESCE(tc.tc, 0) + 1 AS num1, scal.tt + scal.v AS den1
+          FROM g4 LEFT JOIN c4 USING (w1, w2, w3, w4)
+            LEFT JOIN ctx4 USING (w1, w2, w3)
+            LEFT JOIN t3 USING (w2, w3, w4)
+            LEFT JOIN ctx3 USING (w2, w3)
+            LEFT JOIN t2 USING (w3, w4)
+            LEFT JOIN ctx2 USING (w3)
+            LEFT JOIN tc USING (w4) CROSS JOIN scal),
+        l2 AS (
+          SELECT doc_id, cnt4, csum4, ndist4, cnt3, csum3, ndist3,
+            CAST(CASE
+              WHEN cnt2 IS NOT NULL THEN (4 * cnt2 - 3) * den1 + 3 * ndist2 * num1
+              WHEN csum2 IS NOT NULL THEN 3 * ndist2 * num1
+              ELSE num1 END AS HUGEINT) AS num2,
+            CAST(CASE WHEN csum2 IS NOT NULL THEN 4 * csum2 * den1 ELSE den1 END AS HUGEINT) AS den2
+          FROM j),
+        l3 AS (
+          SELECT doc_id, cnt4, csum4, ndist4,
+            CASE
+              WHEN cnt3 IS NOT NULL THEN CAST(4 * cnt3 - 3 AS HUGEINT) * den2 + CAST(3 * ndist3 AS HUGEINT) * num2
+              WHEN csum3 IS NOT NULL THEN CAST(3 * ndist3 AS HUGEINT) * num2
+              ELSE num2 END AS num3,
+            CASE WHEN csum3 IS NOT NULL THEN CAST(4 * csum3 AS HUGEINT) * den2 ELSE den2 END AS den3
+          FROM l2),
+        l4 AS (
+          SELECT doc_id,
+            CASE
+              WHEN cnt4 IS NOT NULL THEN CAST(4 * cnt4 - 3 AS HUGEINT) * den3 + CAST(3 * ndist4 AS HUGEINT) * num3
+              WHEN csum4 IS NOT NULL THEN CAST(3 * ndist4 AS HUGEINT) * num3
+              ELSE num3 END AS num4,
+            CASE WHEN csum4 IS NOT NULL THEN CAST(4 * csum4 AS HUGEINT) * den3 ELSE den3 END AS den4,
+            CASE WHEN cnt4 IS NULL THEN 1 ELSE 0 END AS unseen
+          FROM l3)
+        SELECT doc_id, COUNT(*) AS n_grams,
+          CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+          CAST(SUM(length(bin(CAST(den4 // num4 AS BIGINT)))) AS BIGINT) AS kn_bits_q,
+          (CAST(SUM(length(bin(CAST(den4 // num4 AS BIGINT)))) AS BIGINT) * 100) // COUNT(*) AS avg_bits_x100,
+          CAST(doc_id % 10 >= 8 AS INT) AS held_out
+        FROM l4 GROUP BY doc_id ORDER BY doc_id""")),
+
     // ── domain-shift matrix: per-source LMs cross-scoring all sources ──
     // The data-mixing diagnostic: train x65's KN bigram LM PER SOURCE
     // (count tables keyed by source — one aggregation pass, not one

@@ -1,0 +1,115 @@
+package graft
+
+import graft.lm.{KnBigramLm, KnNgramLm, KnTrigramLm}
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Order-parameterized KN contracts: the generic recursion reproduces
+  * the hand-written n=2/n=3 models bit-for-bit, the order-4 closed
+  * forms match a hand derivation, and Σ_w p_n(w|ctx) = 1 holds exactly
+  * in rationals at EVERY order — the proper-distribution proof the
+  * order-n construction must preserve level by level. */
+class KnNgramLmSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // doc0 "a b a b a c", doc1 "b a b d" — the KnLmSpec hand corpus
+  private def docs() = {
+    import spark.implicits._
+    Seq((0L, "a b a b a c"), (1L, "b a b d")).toDF("doc_id", "text")
+  }
+
+  test("n=3 reproduces KnTrigramLm num/den bit-for-bit on every branch") {
+    import spark.implicits._
+    val d = docs()
+    val tg3 = KnTrigramLm.trigrams(d, "doc_id", "text")
+    val m3 = KnTrigramLm.train(tg3)
+    val g3 = KnNgramLm.ngrams(d, "doc_id", "text", 3)
+    val mN = KnNgramLm.train(g3, 3)
+    // probe all four branch shapes (KnTrigramLmSpec's probe set)
+    val probe = Seq((0L, "a", "b", "a"), (0L, "a", "b", "b"),
+      (0L, "a", "b", "z"), (0L, "z", "q", "a")).toDF("doc_id", "w1", "w2", "w3")
+    val ref = KnTrigramLm.score(probe, m3)
+      .selectExpr("w1", "w2", "w3", "CAST(num3 AS LONG) AS n", "CAST(den3 AS LONG) AS d", "bits")
+      .as[(String, String, String, Long, Long, Long)].collect().toSet
+    val got = KnNgramLm.score(probe, mN)
+      .selectExpr("w1", "w2", "w3", "CAST(num3 AS LONG) AS n", "CAST(den3 AS LONG) AS d", "bits")
+      .as[(String, String, String, Long, Long, Long)].collect().toSet
+    assert(got == ref)
+  }
+
+  test("n=2 reproduces KnBigramLm's num/den rationals") {
+    import spark.implicits._
+    val d = docs()
+    val m2 = KnBigramLm.train(KnBigramLm.bigrams(d, "doc_id", "text"))
+    val mN = KnNgramLm.train(KnNgramLm.ngrams(d, "doc_id", "text", 2), 2)
+    val probe = Seq((0L, "a", "b"), (0L, "b", "z"), (0L, "z", "a"))
+      .toDF("doc_id", "w1", "w2")
+    val ref = KnBigramLm.score(probe, m2)
+      .selectExpr("w1", "w2", "num", "den")
+      .as[(String, String, Long, Long)].collect().toSet
+    val got = KnNgramLm.score(probe, mN)
+      .selectExpr("w1", "w2", "CAST(num2 AS LONG)", "CAST(den2 AS LONG)")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == ref)
+  }
+
+  test("order-4 closed forms match the hand derivation") {
+    import spark.implicits._
+    val m = KnNgramLm.train(KnNgramLm.ngrams(docs(), "doc_id", "text", 4), 4)
+    // hand tables: c4 {abab,baba,abac,babd}=1; ctx4 (a,b,a)/(b,a,b): csum=2 ndist=2;
+    // t3 {bab,aba,bac,abd}=1; ctx3 (b,a)/(a,b): csum=2 ndist=2;
+    // t2 {ab,ba,ac,bd}=1; ctx2 a/b: csum=2 ndist=2; tc all 1, TT=4 V=4, den1=8
+    val probe = Seq(
+      (0L, "a", "b", "a", "b"), // fully seen
+      (0L, "a", "b", "a", "d"), // unseen at every level, contexts seen
+      (0L, "z", "z", "z", "q")  // nothing seen: num=den1-level
+    ).toDF("doc_id", "w1", "w2", "w3", "w4")
+    val got = KnNgramLm.score(probe, m)
+      .selectExpr("w4", "CAST(num4 AS LONG)", "CAST(den4 AS LONG)", "bits")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // (a,b,a,b): num2=(4-3)*8+3*2*2=20 den2=64; num3=64+3*2*20=184 den3=512;
+    //   num4=512+3*2*184=1616 den4=4096; bits=len(bin(4096 div 1616))=len(bin(2))=2
+    assert(got("b") == ((1616L, 4096L, 2L)))
+    // (a,b,a,d): num2=3*2*2=12 den2=64; num3=3*2*12=72; num4=3*2*72=432;
+    //   bits=len(bin(4096 div 432))=len(bin(9))=4
+    assert(got("d") == ((432L, 4096L, 4L)))
+    // (z,z,z,q): every level falls through: num=p1n=1, den=p1d=8; bits=4
+    assert(got("q") == ((1L, 8L, 4L)))
+  }
+
+  test("Σ_w p_n(w|ctx) = 1 exactly in rationals, for n = 2, 3, 4") {
+    import spark.implicits._
+    val d = docs()
+    for (n <- Seq(2, 3, 4)) {
+      val m = KnNgramLm.train(KnNgramLm.ngrams(d, "doc_id", "text", n), n)
+      val vocab = m.tc.select(col(s"w$n")).collect().map(_.getString(0))
+      // every fully-observed top-level context
+      val ctxNames = (1 until n).map(i => s"w$i")
+      val contexts = m.levels.head.ctx.select(ctxNames.map(col): _*)
+        .collect().map(r => ctxNames.indices.map(r.getString))
+      val rows = contexts.flatMap(ctx => vocab.map(w => (0L, ctx :+ w)))
+      val probe = rows.map { case (id, ws) => Row.fromSeq(id +: ws) }
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType) +:
+        (1 to n).map(i => org.apache.spark.sql.types.StructField(s"w$i",
+          org.apache.spark.sql.types.StringType)))
+      val probeDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(probe.toSeq), schema)
+      val scored = KnNgramLm.score(probeDf, m)
+        .selectExpr(ctxNames :+ s"CAST(num$n AS DECIMAL(38,0)) AS nn" :+
+          s"CAST(den$n AS DECIMAL(38,0)) AS dd": _*)
+        .collect()
+      // row layout: ctx cols at 0..n-2, nn at n-1, dd at n
+      scored.groupBy(r => ctxNames.indices.map(r.getString)).foreach { case (ctx, rs) =>
+        val dens = rs.map(r => BigInt(r.getDecimal(n).toBigInteger)).distinct
+        assert(dens.length == 1, s"n=$n ctx $ctx mixed dens")
+        val sum = rs.map(r => BigInt(r.getDecimal(n - 1).toBigInteger)).sum
+        assert(sum == dens.head, s"n=$n ctx $ctx: Σnum = $sum != den ${dens.head}")
+      }
+    }
+  }
+
+  private def Row = org.apache.spark.sql.Row
+}
