@@ -111,8 +111,9 @@ object Bench {
     val stream =
       if (sys.env.getOrElse("SPARK_GRAFT_STREAM", "1") == "0") ""
       // upsert = reference-parity sink (merge-bound); stateful = the
-      // scale path (in-state dedup/version + blind append)
-      else s""","stream_upsert":${streamJson("upsert")},"stream_stateful":${streamJson("stateful")}"""
+      // scale path (in-state dedup/version + blind append); gate = the
+      // LM admission gate (s12's online face): decisions/s + latency
+      else s""","stream_upsert":${streamJson("upsert")},"stream_stateful":${streamJson("stateful")},"stream_gate":${streamJson("gate")}"""
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$stream,"sf":"$sfDir"}""")
     spark.stop()

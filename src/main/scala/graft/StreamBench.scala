@@ -53,6 +53,13 @@ object StreamBench {
     * read-back). This is the shape that holds the reference's ≤10 s
     * envelope at cluster scale; the batch upsert remains the late-data
     * / replay reconciliation path (A13). */
+  /** `mode = "gate"`: the LM admission gate ([[graft.streaming
+    * .StreamIngest.qualityGate]], s12's online face) — a rate-controlled
+    * synthetic doc feed scored per micro-batch against a FROZEN
+    * Kneser-Ney bigram model (broadcast count tables, static across
+    * triggers) and routed admit/reject. The recorded figure is
+    * admission decisions/s and the decision latency percentiles — the
+    * cost a crawler firehose pays at the corpus door. */
   def run(spark: SparkSession, rate: Int = 5000, durationS: Int = 12,
       mode: String = "upsert",
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
@@ -61,14 +68,97 @@ object StreamBench {
       // Warm at the FULL rate so the measured run's batch sizes (and
       // their codegen/state-store shapes) are exactly what got JIT'd —
       // a 2k/s warm-up leaves the 5k-row batch path cold.
-      runOnce(spark, rate, 3, mode, trigger)
+      if (mode == "gate") runGateOnce(spark, rate, 3, trigger)
+      else runOnce(spark, rate, 3, mode, trigger)
       // Host state trails heavy runs (see verify skill): give the JVM a
       // GC + settle window so the warm-up's churn doesn't bleed into the
       // first measured micro-batches.
       System.gc()
       Thread.sleep(2000)
     }
-    runOnce(spark, rate, durationS, mode, trigger)
+    if (mode == "gate") runGateOnce(spark, rate, durationS, trigger)
+    else runOnce(spark, rate, durationS, mode, trigger)
+  }
+
+  /** Synthetic doc text: 12 tokens over a 400-word vocab, the token
+    * residues a function of the doc's sequence number so the stream's
+    * in-domain docs land ONLY on bigrams the trusted corpus contains;
+    * junk docs draw from a disjoint "zq" vocab (every bigram unseen). */
+  private def docText(seq: org.apache.spark.sql.Column,
+      junk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws(" ", transform(sequence(lit(0), lit(11)), j =>
+      concat(when(junk, lit("zq")).otherwise(lit("w")),
+        pmod(seq * 7 + j * j, lit(400)).cast("string"))))
+
+  private def runGateOnce(spark: SparkSession, rate: Int, durationS: Int,
+      trigger: Trigger): Result = {
+    val tmp = Files.createTempDirectory("graft-streamgate")
+    val total = rate.toLong * durationS
+    // frozen model: trained once, count tables pinned + broadcast — the
+    // static side of every trigger's stream-batch join
+    val trusted = spark.range(4000)
+      .select(col("id").as("doc_id"), docText(col("id"), lit(false)).as("text"))
+    val model = graft.lm.KnBigramLm.train(
+      graft.lm.KnBigramLm.bigrams(trusted, "doc_id", "text"))
+
+    val latencies = ArrayBuffer.empty[Double]
+    @volatile var routedRows = 0L
+    @volatile var admittedRows = 0L
+    @volatile var firstFrameMs = 0L
+    @volatile var lastCommitMs = 0L
+
+    // doc_id encodes the generation wall-clock: (epoch ms << 20) | seq —
+    // the gate's outputs only carry doc_id, so the latency rides in it
+    val docs = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate.toString).load()
+      .select(
+        (shiftleft(unix_millis(col("timestamp")), 20) +
+          pmod(col("value"), lit(1048576L))).as("doc_id"),
+        docText(col("value"), col("value") % 10 === 9).as("text"))
+
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = graft.streaming.StreamIngest.qualityGate(docs, model,
+        gateBitsX100 = 1000L) { (adm, rej, _) =>
+        // one agg per sink: decision count + oldest generation ms
+        def probe(df: DataFrame): (Long, Option[Long]) = {
+          val r = df.agg(count(lit(1)),
+            min(shiftright(col("doc_id"), 20))).head()
+          (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+        }
+        val (na, oa) = probe(adm)
+        val (nr, or_) = probe(rej)
+        if (na + nr > 0) {
+          val now = System.currentTimeMillis()
+          val oldest = Seq(oa, or_).flatten.min
+          latencies.synchronized { latencies += (now - oldest) / 1000.0 }
+          routedRows += na + nr
+          admittedRows += na
+          if (firstFrameMs == 0L) firstFrameMs = oldest
+          lastCommitMs = now
+        }
+      }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(trigger)
+        .start()
+      val deadline = System.currentTimeMillis() + durationS * 6000L + 60000L
+      while (routedRows < total && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      q.stop(); q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+
+    require(admittedRows > 0 && admittedRows < routedRows,
+      s"gate must split the feed (admitted $admittedRows of $routedRows)")
+    val lat = latencies.sorted
+    def pct(p: Double): Double =
+      if (lat.isEmpty) Double.NaN
+      else lat(math.min(lat.length - 1, (p * lat.length).toInt))
+    val wallS =
+      if (lastCommitMs == 0L || firstFrameMs == 0L) Double.NaN
+      else (lastCommitMs - firstFrameMs) / 1000.0
+    Result(routedRows, wallS, routedRows / wallS, pct(0.50), pct(0.95),
+      if (lat.isEmpty) Double.NaN else lat.last, lat.length)
   }
 
   private def runOnce(spark: SparkSession, rate: Int, durationS: Int,

@@ -19,6 +19,15 @@ class StreamBenchSpec extends AnyFunSuite {
     assert(r.p50S <= r.p95S && r.p95S <= r.maxS)
   }
 
+  test("StreamBench drains and reports, mode=gate (LM admission split)") {
+    // gate routes every doc (rows = all decisions) and must SPLIT the
+    // feed — runGateOnce itself asserts 0 < admitted < routed
+    val r = StreamBench.run(spark, rate = 500, durationS = 2, mode = "gate")
+    assert(r.rows == 1000L, s"every doc must be routed admit/reject, got ${r.rows}")
+    assert(r.batches >= 1 && r.wallS > 0 && r.rowsPerS > 0)
+    assert(!r.p95S.isNaN && r.p50S <= r.p95S && r.p95S <= r.maxS)
+  }
+
   test("StreamBench rejects unknown modes") {
     assertThrows[IllegalArgumentException](
       StreamBench.run(spark, rate = 100, durationS = 1, mode = "nope"))
