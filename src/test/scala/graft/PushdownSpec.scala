@@ -470,4 +470,39 @@ class PushdownSpec extends AnyFunSuite {
     assert(!p68.contains("CartesianProduct") && p68.contains("BroadcastHashJoin"),
       s"x68 must broadcast df/scalars, plan:\n$p68")
   }
+
+  test("round-9 additions: bounded aggregates, no windows in the capped/sketch paths") {
+    import org.apache.spark.sql.execution.SimpleMode
+    def planOf(name: String): String = {
+      val q = graft.core.Registry.allQueries.find(_.name == name).get
+      q.build(spark, "/root/testdata/sf0.001").queryExecution.explainString(SimpleMode)
+    }
+    // d25: the output budget must be the bounded AGGREGATE (state <= K
+    // per group, map-side combined), never a row_number window over the
+    // unbounded pair enumeration — the window would shuffle+sort it all
+    val p25 = planOf("d25_simhash_pairs_capped")
+    assert(p25.contains("ObjectHashAggregate") && !p25.contains("Window"),
+      s"d25 cap must be the bounded aggregate, plan:\n$p25")
+    assert(!p25.contains("CartesianProduct"), s"d25 must not cartesian:\n$p25")
+    // x36: same — the posting cap replaced the per-term window sort
+    val p36 = planOf("x36_inverted_index")
+    assert(p36.contains("ObjectHashAggregate") && !p36.contains("Window"),
+      s"x36 postings must cap in the aggregate, plan:\n$p36")
+    // x71: ONE aggregation pass, constant per-group state — no window,
+    // no join (the sketch IS the only pass over events)
+    val p71 = planOf("x71_quantile_sketch")
+    assert(p71.contains("ObjectHashAggregate") && !p71.contains("Window") &&
+      !p71.contains("CartesianProduct"),
+      s"x71 must be one bounded aggregation pass, plan:\n$p71")
+    // x72: the order-4 KN score pass stays equi-join shaped like the
+    // rest of the LM family — single-word context tables broadcast
+    val p72 = planOf("x72_kn_4gram_perplexity")
+    assert(!p72.contains("CartesianProduct") && !p72.contains("Window") &&
+      p72.contains("BroadcastHashJoin"),
+      s"x72 must stay equi-join shaped with broadcast dims, plan:\n$p72")
+    // m21: map-only seam + the presentation sort — no join anywhere
+    val p21 = planOf("m21_avi_mjpeg_sample")
+    assert(!p21.contains("Join") && !p21.contains("CartesianProduct"),
+      s"m21 must stay map-only, plan:\n$p21")
+  }
 }
