@@ -1197,6 +1197,85 @@ object DedupQueries {
           COUNT(DISTINCT b) AS n_docs_removed
         FROM curve GROUP BY h ORDER BY h""")),
 
+    // ── d19's yield curve at 100 TB: HLL-sketched distinct counts ─────
+    // d19's COUNT(DISTINCT b) pays a partial-distinct shuffle of the
+    // (threshold, doc) stream — OUTPUT-LINEAR on a duplication-heavy
+    // corpus (the same growth law as d5's answer). This twin keeps
+    // n_pairs exact (a map-side count) and sketches n_docs_removed with
+    // x27's m=64 HyperLogLog: the groupBy(h, bucket) partials reduce to
+    // ≤ 9·64 CONSTANT-state groups per task, so the shuffle carries a
+    // few hundred rows regardless of corpus duplication, and the
+    // registers merge across shards/epochs by plain MAX. Integer-exact
+    // up to the one final IEEE divide (the x27 discipline), so the
+    // oracle replays it bit-for-bit.
+    GraftQuery(
+      "d26_dedup_yield_sketched",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = graft.dedup.SimHash.mihPairs(
+          graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text")
+            .localCheckpoint(true),
+          maxHamming = 8)
+        pairs
+          .withColumn("h", explode(expr("sequence(hamming, 8)")))
+          .select($"h",
+            graft.functions.HashFunctions.md5Long($"b".cast("string")).as("bh"))
+          .select($"h", expr("bh & 63").as("bucket"), expr("shiftright(bh, 6)").as("w"))
+          .groupBy($"h", $"bucket")
+          .agg(count(lit(1)).as("pn"),
+            max(when($"w" === 0L, lit(55))
+              .otherwise(lit(55) - length(bin($"w")))).as("reg"))
+          .groupBy($"h")
+          .agg(sum($"pn").cast("long").as("n_pairs"),
+            count(lit(1)).as("n_present"),
+            sum(expr("shiftleft(cast(1 as bigint), 55 - reg)")).cast("long").as("num_present"))
+          .select($"h".cast("int").as("h"), $"n_pairs",
+            (lit(64L) - $"n_present").as("n_zero_regs"),
+            ($"num_present" + (lit(64L) - $"n_present") * lit(36028797018963968L))
+              .as("numerator"))
+          .withColumn("est_docs_removed",
+            lit(1.046802484394006e20) / $"numerator".cast("double"))
+          .orderBy($"h")
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text || ' extra appended tail tokens here' AS text
+          FROM documents WHERE doc_id % 5 = 0),
+        toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9]+')) AS tok
+          FROM corpus),
+        hashed AS (
+          SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+        sigs AS (
+          SELECT doc_id, CAST($simhashAggSql AS BIGINT) AS sig
+          FROM hashed GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS a, b.doc_id AS b,
+            bit_count(xor(a.sig, b.sig)) AS hamming
+          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sig, b.sig)) <= 8),
+        curve AS (
+          SELECT unnest(generate_series(hamming, 8)) AS h,
+            CAST(concat('0x', substr(md5(CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) AS bh
+          FROM pairs),
+        regs AS (
+          SELECT h, bh & 63 AS bucket, COUNT(*) AS pn,
+            MAX(CASE WHEN bh >> 6 = 0 THEN 55
+                     ELSE 55 - length(bin(bh >> 6)) END) AS reg
+          FROM curve GROUP BY h, bh & 63),
+        sk AS (
+          SELECT h, CAST(SUM(pn) AS BIGINT) AS n_pairs, COUNT(*) AS n_present,
+            CAST(SUM(1::BIGINT << (55 - reg)) AS BIGINT) AS num_present
+          FROM regs GROUP BY h)
+        SELECT CAST(h AS INT) AS h, n_pairs,
+          64 - n_present AS n_zero_regs,
+          CAST(num_present + (64 - n_present) * 36028797018963968::BIGINT AS BIGINT) AS numerator,
+          1.046802484394006e20
+            / CAST(num_present + (64 - n_present) * 36028797018963968::BIGINT AS DOUBLE) AS est_docs_removed
+        FROM sk ORDER BY h""")),
+
     // ── near-dup source-attribution matrix (x41's fuzzy twin) ─────────
     // x41 maps EXACT copying between sources; this maps NEAR-dup flow:
     // for every source pair, how many SimHash candidate pairs (Hamming
