@@ -141,6 +141,10 @@ object AviCodec {
       var height = -1
       var topDown = false
       var palette: Array[Int] = null
+      // which stream the NEXT strf describes (strh precedes strf in a
+      // strl): an interleaved file's audio strl must not have its
+      // WAVEFORMATEX parsed as a BITMAPINFOHEADER
+      var curStream = "vids"
       val frames = Array.newBuilder[Array[Int]]
 
       def parseStrf(end: Int): Boolean = {
@@ -209,13 +213,17 @@ object AviCodec {
                 if (!walk(next)) return false
               }
               buf.position(next)
+            case "strh" =>
+              curStream = tag4() // fccType: vids / auds / txts ...
+              buf.position(next)
             case "strf" =>
-              if (!parseStrf(next)) return false
+              if (curStream == "vids") { if (!parseStrf(next)) return false }
+              else buf.position(next) // audio/other stream format: not ours
             case "00db" =>
               if (!parseFrame(len)) return false
               buf.position(next)
             case "00dc" => return false // compressed frames: out of scope, fall to stub
-            case _ => // avih/strh/JUNK/idx1/unknown: headers we don't need
+            case _ => // avih/JUNK/idx1/audio 01wb/unknown: not this decoder's
               buf.position(math.min(next, end))
           }
         }
@@ -322,6 +330,7 @@ object AviCodec {
       var width = -1
       var height = -1
       var frameIdx = 0
+      var curStream = "vids" // see decodeGray8: strh gates strf parsing
       val frames = Seq.newBuilder[(Int, Array[Int])]
 
       def parseStrf(end: Int): Boolean = {
@@ -365,8 +374,12 @@ object AviCodec {
                 if (!walk(next)) return false
               }
               buf.position(next)
+            case "strh" =>
+              curStream = tag4()
+              buf.position(next)
             case "strf" =>
-              if (!parseStrf(next)) return false
+              if (curStream == "vids") { if (!parseStrf(next)) return false }
+              else buf.position(next)
             case "00dc" =>
               if (!parseFrame(len)) return false
               buf.position(next)
@@ -381,6 +394,197 @@ object AviCodec {
       val fs = frames.result()
       if (width <= 0 || fs.isEmpty) None else Some((width, height, fs))
     } catch { case _: Exception => None }
+
+  /** Encode an INTERLEAVED audio+video AVI: the DIB-8 video stream of
+    * [[encodeGray8]] plus a mono PCM-16 'auds' stream (WAVEFORMATEX
+    * strf, `01wb` chunks), audio split evenly across frames and
+    * interleaved `00db`/`01wb` the way real muxers lay out movi for
+    * streaming reads. */
+  def encodeGray8WithPcm(width: Int, height: Int, frames: Seq[Array[Int]],
+      sampleRate: Int, samples: Array[Short], fps: Int = 25): Array[Byte] = {
+    require(width > 0 && height > 0 && frames.nonEmpty && samples.nonEmpty, "need A/V")
+    frames.foreach(f => require(f.length == width * height, "frame size mismatch"))
+    val stride = (width + 3) & ~3
+    val frameBytes = stride * height
+
+    val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(1000000 / fps).putInt(frameBytes * fps).putInt(0)
+      .putInt(0x10 | 0x100 /* HASINDEX | ISINTERLEAVED */)
+      .putInt(frames.length).putInt(0)
+      .putInt(2 /* streams */).putInt(frameBytes).putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+
+    val strhV = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    strhV.put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(fps)
+      .putInt(0).putInt(frames.length).putInt(frameBytes)
+      .putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+    val strfV = ByteBuffer.allocate(40 + 256 * 4).order(ByteOrder.LITTLE_ENDIAN)
+    strfV.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(8).putInt(0).putInt(frameBytes)
+      .putInt(0).putInt(0).putInt(256).putInt(0)
+    (0 until 256).foreach { g =>
+      strfV.put(g.toByte).put(g.toByte).put(g.toByte).put(0.toByte)
+    }
+
+    val strhA = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    strhA.put("auds".getBytes("US-ASCII")).putInt(0)
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(sampleRate)
+      .putInt(0).putInt(samples.length).putInt(samples.length * 2)
+      .putInt(-1).putInt(2 /* sampleSize */)
+      .putShort(0).putShort(0).putShort(0).putShort(0)
+    val strfA = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    strfA.putShort(1 /* PCM */).putShort(1 /* mono */)
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2 /* blockAlign */).putShort(16)
+
+    val hdrl = riffList("hdrl", riffChunk("avih", avih.array()) ++
+      riffList("strl", riffChunk("strh", strhV.array()) ++ riffChunk("strf", strfV.array())) ++
+      riffList("strl", riffChunk("strh", strhA.array()) ++ riffChunk("strf", strfA.array())))
+
+    val per = (samples.length + frames.length - 1) / frames.length
+    val avChunks = frames.zipWithIndex.flatMap { case (f, fi) =>
+      val body = new Array[Byte](frameBytes)
+      var row = 0
+      while (row < height) {
+        val srcRow = height - 1 - row
+        var x = 0
+        while (x < width) {
+          body(row * stride + x) = (f(srcRow * width + x) & 0xff).toByte
+          x += 1
+        }
+        row += 1
+      }
+      val lo = fi * per
+      val hi = math.min(samples.length, lo + per)
+      val ab = ByteBuffer.allocate(math.max(0, hi - lo) * 2).order(ByteOrder.LITTLE_ENDIAN)
+      (lo until hi).foreach(i => ab.putShort(samples(i)))
+      Seq(riffChunk("00db", body)) ++
+        (if (hi > lo) Seq(riffChunk("01wb", ab.array())) else Nil)
+    }
+    val movi = riffList("movi", avChunks.reduce(_ ++ _))
+
+    val idx = ByteBuffer.allocate(16 * avChunks.length).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 4
+    avChunks.foreach { fc =>
+      idx.put(java.util.Arrays.copyOfRange(fc, 0, 4)).putInt(0x10).putInt(off)
+        .putInt(fc.length - 8)
+      off += fc.length
+    }
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++
+      riffChunk("JUNK", new Array[Byte](12)) ++ movi ++ riffChunk("idx1", idx.array())
+    val out = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    out.array()
+  }
+
+  /** Decode the mono PCM-16 'auds' stream of an AVI: WAVEFORMATEX strf
+    * gated by the preceding strh's fccType, `01wb` chunk bodies
+    * concatenated as little-endian samples. None for non-AVI, non-PCM
+    * (wFormatTag != 1), non-mono, non-16-bit, or no audio stream. */
+  def decodeAviPcm16(bytes: Array[Byte]): Option[(Int, Array[Short])] =
+    try {
+      if (bytes.length < 24) return None
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      def tag4(): String = {
+        val t = new Array[Byte](4); buf.get(t); new String(t, "US-ASCII")
+      }
+      if (tag4() != "RIFF") return None
+      val riffSize = buf.getInt
+      if (tag4() != "AVI ") return None
+      val riffEnd = math.min(bytes.length.toLong, 8L + (riffSize.toLong & 0xffffffffL)).toInt
+
+      var curStream = "vids"
+      var sampleRate = -1
+      val audio = Seq.newBuilder[Array[Byte]]
+
+      def parseAudioStrf(end: Int): Boolean = {
+        if (buf.remaining() < 16) return false
+        val fmt = buf.getShort
+        val ch = buf.getShort
+        val rate = buf.getInt
+        buf.getInt // avg bytes/s
+        buf.getShort // block align
+        val bits = buf.getShort
+        if (fmt != 1 || ch != 1 || bits != 16 || rate <= 0) return false
+        sampleRate = rate
+        buf.position(end)
+        true
+      }
+
+      def walk(end: Int): Boolean = {
+        while (buf.position() + 8 <= end) {
+          val tag = tag4()
+          val len = buf.getInt
+          val next = buf.position() + len + (len & 1)
+          if (len < 0 || buf.position() + len > end) return false
+          tag match {
+            case "LIST" =>
+              val kind = tag4()
+              if (kind == "hdrl" || kind == "strl" || kind == "movi" ||
+                  kind == "rec ") {
+                if (!walk(next)) return false
+              }
+              buf.position(next)
+            case "strh" =>
+              curStream = tag4()
+              buf.position(next)
+            case "strf" =>
+              if (curStream == "auds") { if (!parseAudioStrf(next)) return false }
+              else buf.position(next)
+            case "01wb" =>
+              if ((len & 1) == 1) return false // PCM-16 chunks are even
+              audio += java.util.Arrays.copyOfRange(bytes, buf.position(), buf.position() + len)
+              buf.position(next)
+            case _ => // video chunks/headers: not this decoder's
+              buf.position(math.min(next, end))
+          }
+        }
+        true
+      }
+      if (!walk(riffEnd)) return None
+      val chunks = audio.result()
+      if (sampleRate <= 0 || chunks.isEmpty) return None
+      val total = chunks.map(_.length).sum / 2
+      val out = new Array[Short](total)
+      var i = 0
+      chunks.foreach { c =>
+        val cb = ByteBuffer.wrap(c).order(ByteOrder.LITTLE_ENDIAN)
+        while (cb.remaining() >= 2) { out(i) = cb.getShort; i += 1 }
+      }
+      Some((sampleRate, out))
+    } catch { case _: Exception => None }
+
+  /** One combined A/V clip row — both streams of an interleaved AVI
+    * decoded in one batch pass (the shape a multimodal pipeline stores
+    * per clip). */
+  final case class AvClipStats(media_id: Long, kind: String,
+      n_frames_sampled: Int, luma_units: Long,
+      sample_rate: Int, n_samples: Int, amp_units: Long, decoder: String)
+
+  /** Batched A/V stats for interleaved AVIs: every `everyK`-th video
+    * frame's luma plus the full PCM stream's L1 energy; anything that
+    * is not a well-formed interleaved DIB-8 + PCM-16 AVI falls to the
+    * stub row. */
+  def avStatsBatch(everyK: Int)(
+      batch: Seq[(Long, String, Array[Byte])]): Seq[AvClipStats] = {
+    require(everyK > 0, "need everyK > 0")
+    batch.map { case (id, kind, bytes) =>
+      (decodeGray8(bytes), decodeAviPcm16(bytes)) match {
+        case (Some((_, _, frames)), Some((rate, samples))) =>
+          val sampled = frames.indices.filter(_ % everyK == 0)
+          AvClipStats(id, kind, sampled.size,
+            sampled.map(f => frames(f).foldLeft(0L)(_ + _)).sum,
+            rate, samples.length,
+            samples.foldLeft(0L)((a, s) => a + math.abs(s.toLong)), "avi/av-v1")
+        case _ =>
+          AvClipStats(id, kind, -1, 0L, 0, 0, 0L, "stub/md5-v1")
+      }
+    }
+  }
 
   /** Batch frame-sampler for [[Multimodal.decodeFrames]], MJPEG form:
     * every `everyK`-th frame through the real JPEG decoder; non-MJPEG

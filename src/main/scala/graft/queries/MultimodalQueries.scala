@@ -788,6 +788,53 @@ object MultimodalQueries {
         FROM documents, (VALUES (0, 23040), (2, 31363)) AS f(fi, s)
         ORDER BY media_id, frame_idx""")),
 
+    // ── REAL video container #4: interleaved audio+video AVI ──────────
+    // The multi-stream form real muxers emit: one RIFF with a 'vids'
+    // DIB-8 strl AND an 'auds' PCM-16 strl (WAVEFORMATEX), movi
+    // interleaving 00db/01wb per frame. Both streams decode in ONE
+    // batched seam pass (AvClipStats: sampled-frame luma + full PCM L1
+    // energy per clip) — the per-clip row a multimodal pipeline stores.
+    // Both codecs are lossless, so the oracle recomputes both stream
+    // stats analytically; stream-aware strf gating (strh fccType) is
+    // what this pins — a parser that reads the audio WAVEFORMATEX as a
+    // BITMAPINFOHEADER dies immediately. Map-only plan, no joins.
+    GraftQuery(
+      "m22_avi_interleaved_stats",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir).select($"doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val frames = Seq.tabulate(3)(f =>
+              Array.tabulate(30)(i => ((id * 31 + f * 17 + i * 5) % 256).toInt))
+            val samples = Array.tabulate(64)(j =>
+              (((id * 13 + j * 7) % 2001) - 1000).toShort)
+            (id, "video",
+              graft.multimodal.AviCodec.encodeGray8WithPcm(6, 5, frames, 8000, samples))
+          }).toDF("media_id", "kind", "bytes")
+        media.as[(Long, String, Array[Byte])]
+          .mapPartitions(_.grouped(64).flatMap(
+            graft.multimodal.AviCodec.avStatsBatch(2)))
+          .toDF()
+          .select($"media_id", $"n_frames_sampled", $"luma_units",
+            $"sample_rate", $"n_samples".cast("long").as("n_samples"),
+            $"amp_units", $"decoder")
+          .orderBy($"media_id")
+      },
+      Some("""
+        WITH v AS (
+          SELECT doc_id, CAST(SUM((doc_id * 31 + f.fi * 17 + g.i * 5) % 256) AS BIGINT) AS luma_units
+          FROM documents, (VALUES (0), (2)) AS f(fi), generate_series(0, 29) AS g(i)
+          GROUP BY doc_id),
+        a AS (
+          SELECT doc_id, CAST(SUM(ABS((doc_id * 13 + j.j * 7) % 2001 - 1000)) AS BIGINT) AS amp_units
+          FROM documents, generate_series(0, 63) AS j(j)
+          GROUP BY doc_id)
+        SELECT v.doc_id AS media_id, CAST(2 AS INT) AS n_frames_sampled,
+          v.luma_units, CAST(8000 AS INT) AS sample_rate,
+          CAST(64 AS BIGINT) AS n_samples, a.amp_units,
+          'avi/av-v1' AS decoder
+        FROM v JOIN a USING (doc_id) ORDER BY media_id""")),
+
     // ── REAL codecs: mixed PNG/BMP/GIF through ONE content-sniffed pass ─
     // The production shape for a heterogeneous image corpus: each doc_id
     // encodes the SAME 16×16 grayscale raster (m11's generator formula)

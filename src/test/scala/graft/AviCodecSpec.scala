@@ -114,6 +114,38 @@ class AviCodecSpec extends AnyFunSuite {
     assert(rows.filter(_.media_id == 2L).map(_.decoder) == Seq("stub/md5-v1"))
   }
 
+  test("interleaved A/V: both streams decode; strf gating; audio rejects") {
+    val frames = Seq(frame(6, 5, 1), frame(6, 5, 2), frame(6, 5, 3))
+    val samples = Array.tabulate(100)(j => ((j * 131) % 2001 - 1000).toShort)
+    val av = AviCodec.encodeGray8WithPcm(6, 5, frames, 8000, samples)
+    // video decodes THROUGH the audio stream (strh-gated strf, 01wb skipped)
+    val Some((w, h, gotV)) = AviCodec.decodeGray8(av)
+    assert(w == 6 && h == 5 && gotV.length == 3)
+    gotV.zip(frames).foreach { case (g, f) => assert(g.toSeq == f.toSeq) }
+    // audio reassembles across the interleaved 01wb chunks, in order
+    val Some((rate, gotA)) = AviCodec.decodeAviPcm16(av)
+    assert(rate == 8000 && gotA.toSeq == samples.toSeq)
+    // combined seam row
+    val st = AviCodec.avStatsBatch(2)(Seq((7L, "video", av))).head
+    assert(st.decoder == "avi/av-v1" && st.n_frames_sampled == 2)
+    assert(st.luma_units == Seq(0, 2).map(f => frames(f).map(_.toLong).sum).sum)
+    assert(st.amp_units == samples.map(s => math.abs(s.toLong)).sum)
+    // rejects: a video-only AVI has no auds stream; non-PCM format tags
+    // reject; a WAV is not an AVI
+    val videoOnly = AviCodec.encodeGray8(6, 5, frames)
+    assert(AviCodec.decodeAviPcm16(videoOnly).isEmpty)
+    assert(AviCodec.avStatsBatch(2)(Seq((1L, "video", videoOnly))).head.decoder == "stub/md5-v1")
+    val badFmt = av.clone()
+    val sa = indexOfTag(badFmt, "auds")
+    // the audio strf follows the auds strh (56-byte body): wFormatTag
+    val strfOff = indexOfTag(java.util.Arrays.copyOfRange(badFmt, sa, badFmt.length), "strf") + sa
+    java.nio.ByteBuffer.wrap(badFmt).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(strfOff + 8, 2.toShort) // wFormatTag = 2 (ADPCM): not PCM
+    assert(AviCodec.decodeAviPcm16(badFmt).isEmpty)
+    assert(AviCodec.decodeAviPcm16(
+      WavCodec.encodePcm16(8000, Array.tabulate(16)(_.toShort))).isEmpty)
+  }
+
   test("JUNK chunks anywhere are skipped (encoder emits one before movi)") {
     val bytes = AviCodec.encodeGray8(4, 4, Seq(frame(4, 4, 5)))
     assert(indexOfTag(bytes, "JUNK") > 0) // structure really contains it
