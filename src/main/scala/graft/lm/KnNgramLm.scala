@@ -119,6 +119,26 @@ object KnNgramLm {
       .withColumn("unseen", when(col(s"cnt$n").isNull, 1L).otherwise(0L))
   }
 
+  /** Persist every level's tables (train once, score forever — the
+    * same contract as the n=2/n=3 siblings). The order is stored in the
+    * layout (`level{k}` / `ctx{k}` dirs), so [[load]] re-derives it. */
+  def save(m: Model, root: String): Unit = {
+    m.levels.foreach { lvl =>
+      lvl.gram.write.mode("overwrite").parquet(s"$root/level${lvl.k}.parquet")
+      lvl.ctx.write.mode("overwrite").parquet(s"$root/ctx${lvl.k}.parquet")
+    }
+    m.tc.write.mode("overwrite").parquet(s"$root/tc.parquet")
+    m.scal.write.mode("overwrite").parquet(s"$root/scal.parquet")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, root: String, n: Int): Model =
+    Model(n,
+      (n to 2 by -1).map(k => Level(k,
+        spark.read.parquet(s"$root/level$k.parquet"),
+        spark.read.parquet(s"$root/ctx$k.parquet"))),
+      spark.read.parquet(s"$root/tc.parquet"),
+      spark.read.parquet(s"$root/scal.parquet"))
+
   def perDoc(scored: DataFrame): DataFrame =
     scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),

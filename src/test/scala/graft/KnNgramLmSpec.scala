@@ -78,6 +78,21 @@ class KnNgramLmSpec extends AnyFunSuite {
     assert(got("q") == ((1L, 8L, 4L)))
   }
 
+  test("save/load roundtrip: a reloaded order-4 model scores identically") {
+    import spark.implicits._
+    val d = docs()
+    val m = KnNgramLm.train(KnNgramLm.ngrams(d, "doc_id", "text", 4), 4)
+    val root = SparkTestSession.tempDir("kn4-model")
+    KnNgramLm.save(m, root)
+    val m2 = KnNgramLm.load(spark, root, 4)
+    val probe = Seq((0L, "a", "b", "a", "b"), (0L, "a", "b", "a", "d"),
+      (0L, "z", "z", "z", "q")).toDF("doc_id", "w1", "w2", "w3", "w4")
+    def res(mm: KnNgramLm.Model) = KnNgramLm.score(probe, mm)
+      .selectExpr("w4", "CAST(num4 AS LONG)", "CAST(den4 AS LONG)", "bits")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(res(m2) == res(m))
+  }
+
   test("Σ_w p_n(w|ctx) = 1 exactly in rationals, for n = 2, 3, 4") {
     import spark.implicits._
     val d = docs()
