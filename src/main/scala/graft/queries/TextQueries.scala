@@ -3108,6 +3108,70 @@ object TextQueries {
           CAST(doc_id % 10 >= 8 AS INT) AS held_out
         FROM l4 GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ── sequence packing: concat-and-chunk into training windows ──────
+    // The step between a cleaned corpus and a training run: concatenate
+    // documents (in deterministic doc_id order) and chunk the token
+    // stream into fixed L=512 context windows — the GPT-style packing
+    // every pretraining pipeline ships (zero padding waste; documents
+    // may straddle window boundaries, which the attention mask handles
+    // downstream). Per (shard, window): docs touching it, docs wholly
+    // inside, exact token count (== L except each shard's last window),
+    // and carried-in continuations. Scale shape: the prefix sum is a
+    // window PARTITIONED BY SHARD (doc_id % 8 here; a 100 TB run shards
+    // by worker/file so each sort partition is node-local — the x46
+    // stratum discipline), then one explode(first..last window) —
+    // ~(n_toks/L + 1) rows per doc — and a map-side-combinable rollup.
+    // No global order exists anywhere.
+    GraftQuery(
+      "x73_sequence_packing",
+      (s, dir) => {
+        import s.implicits._
+        val L = 512L
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"shard").orderBy($"doc_id")
+        Tables.documents(s, dir)
+          .select($"doc_id", ($"doc_id" % 8).as("shard"),
+            tokenCount($"text").cast("long").as("n_toks"))
+          .where($"n_toks" > 0)
+          .withColumn("cum_end", sum($"n_toks").over(w))
+          .withColumn("cum_before", $"cum_end" - $"n_toks")
+          .withColumn("first_bin", expr(s"cum_before div $L"))
+          .withColumn("last_bin", expr(s"(cum_end - 1) div $L"))
+          .withColumn("bin", explode(expr("sequence(first_bin, last_bin)")))
+          .groupBy($"shard", $"bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"first_bin" === $"last_bin", 1L).otherwise(0L))
+              .cast("long").as("n_whole_docs"),
+            sum(least($"cum_end", ($"bin" + 1L) * L) -
+              greatest($"cum_before", $"bin" * L)).cast("long").as("n_tokens"),
+            sum(when($"first_bin" < $"bin", 1L).otherwise(0L))
+              .cast("long").as("n_carried_in"))
+          .orderBy($"shard", $"bin")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+            CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, shard, n_toks,
+            CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum_end
+          FROM d WHERE n_toks > 0),
+        b AS (
+          SELECT shard, n_toks, cum_end, cum_end - n_toks AS cum_before,
+            (cum_end - n_toks) // 512 AS first_bin,
+            (cum_end - 1) // 512 AS last_bin
+          FROM c),
+        e AS (
+          SELECT shard, cum_before, cum_end, first_bin, last_bin,
+            unnest(generate_series(first_bin, last_bin)) AS bin
+          FROM b)
+        SELECT shard, bin, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN first_bin = last_bin THEN 1 ELSE 0 END) AS BIGINT) AS n_whole_docs,
+          CAST(SUM(LEAST(cum_end, (bin + 1) * 512) - GREATEST(cum_before, bin * 512)) AS BIGINT) AS n_tokens,
+          CAST(SUM(CASE WHEN first_bin < bin THEN 1 ELSE 0 END) AS BIGINT) AS n_carried_in
+        FROM e GROUP BY shard, bin ORDER BY shard, bin""")),
+
     // ── domain-shift matrix: per-source LMs cross-scoring all sources ──
     // The data-mixing diagnostic: train x65's KN bigram LM PER SOURCE
     // (count tables keyed by source — one aggregation pass, not one
