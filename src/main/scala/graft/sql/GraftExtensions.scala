@@ -170,6 +170,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_hamming"),
       info("graft_hamming", "graft_hamming(a, b) - Hamming distance between two sign-bit words (popcount of xor)"),
       sqlFn("bit_count(__arg0 ^ __arg1)")),
+    (FunctionIdentifier("graft_min_k"),
+      info("graft_min_k", "graft_min_k(key, payload, k) - AGGREGATE: the k smallest long keys with their payloads plus an exact row count, as struct(entries array<struct<k,v>>, seen) (state <= k per group; the output-budget / bottom-k-sample primitive)"),
+      es => graft.functions.expressions.MinKByKey(es(0), es(1), litInt(es(2)))
+        .toAggregateExpression()),
     (FunctionIdentifier("graft_nfc_normalize"),
       info("graft_nfc_normalize", "graft_nfc_normalize(text) - Unicode NFC normalization (UAX #15; allocation-free on ASCII) - encoding identity before byte-identity dedup"),
       es => graft.functions.expressions.NfcNormalizeExpr(es.head)),

@@ -148,6 +148,24 @@ class SqlExtensionsSpec extends AnyFunSuite {
     assert(viaSql == viaApi)
   }
 
+  test("graft_min_k via SQL == the AggFunctions bounded top-K") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    val rows = Seq((5L, 50L), (1L, 10L), (9L, 90L), (3L, 30L), (7L, 70L))
+    rows.toDF("k", "v").createOrReplaceTempView("mink_in")
+    val viaSql = spark.sql(
+      """SELECT mk.entries AS e, mk.seen AS s
+        |FROM (SELECT graft_min_k(k, v, 3) AS mk FROM mink_in)""".stripMargin)
+      .selectExpr("transform(e, x -> x.k)", "transform(e, x -> x.v)", "s")
+      .as[(Seq[Long], Seq[Long], Long)].head()
+    assert(viaSql == ((Seq(1L, 3L, 5L), Seq(10L, 30L, 50L), 5L)))
+    val viaApi = rows.toDF("k", "v")
+      .agg(graft.functions.AggFunctions.minKByKey($"k", $"v", 3).as("mk"))
+      .selectExpr("transform(mk.entries, x -> x.k)", "transform(mk.entries, x -> x.v)", "mk.seen")
+      .as[(Seq[Long], Seq[Long], Long)].head()
+    assert(viaSql == viaApi)
+  }
+
   test("graft_sign_word + graft_hamming match the TopK binary-quant words") {
     val row = spark.sql(
       """SELECT
