@@ -314,9 +314,9 @@ object AviCodec {
     * decoder's kind), wrong-fourcc headers, and frames whose decoded
     * size contradicts the header. */
   def decodeMjpeg(bytes: Array[Byte], everyK: Int = 1)
-      : Option[(Int, Int, Seq[(Int, Array[Int])])] =
+      : Option[(Int, Int, Seq[(Int, Array[Int])])] = {
+    require(everyK > 0, "need everyK > 0") // caller bug, not a decode failure
     try {
-      require(everyK > 0, "need everyK > 0")
       if (bytes.length < 24) return None
       val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
       def tag4(): String = {
@@ -394,6 +394,7 @@ object AviCodec {
       val fs = frames.result()
       if (width <= 0 || fs.isEmpty) None else Some((width, height, fs))
     } catch { case _: Exception => None }
+  }
 
   /** Encode an INTERLEAVED audio+video AVI: the DIB-8 video stream of
     * [[encodeGray8]] plus a mono PCM-16 'auds' stream (WAVEFORMATEX

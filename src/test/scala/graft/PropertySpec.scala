@@ -234,6 +234,29 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("MinKByKey equals sorted-take-K under any grouping/partitioning") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(0L, 200L)).map(_.distinct.take(40)),
+      Gen.choose(1, 8), Gen.choose(1, 8)) { (keys, k, nPart) =>
+      import spark.implicits._
+      // key-distinct rows (the aggregate's contract), payload tied to key
+      val rows = keys.map(key => (key % 3, key, key * 11L + 1L))
+      val got = rows.toDF("g", "k", "v").repartition(nPart)
+        .groupBy($"g")
+        .agg(graft.functions.AggFunctions.minKByKey($"k", $"v", k).as("mk"))
+        .select($"g", $"mk.seen",
+          expr("transform(mk.entries, e -> e.k)"),
+          expr("transform(mk.entries, e -> e.v)"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2), r.getSeq[Long](3))))
+        .toMap
+      val ref = rows.groupBy(_._1).map { case (g, rs) =>
+        val sorted = rs.map(_._2).sorted.take(k)
+        g -> ((rs.size.toLong, sorted.toSeq, sorted.map(_ * 11L + 1L).toSeq))
+      }
+      got == ref
+    }
+
   private val tzGen = Gen.oneOf(
     "UTC", "America/New_York", "Europe/London", "Asia/Tokyo", "Australia/Sydney")
   // timestamps clustered around midnights so tz pairs actually disagree
