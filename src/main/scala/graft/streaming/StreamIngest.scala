@@ -195,12 +195,32 @@ object StreamIngest {
       gateBitsX100: Long)(
       onBatch: (DataFrame, DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    gateWith(docs, gateBitsX100, onBatch)(batch =>
+      graft.lm.KnBigramLm.perDoc(graft.lm.KnBigramLm.score(
+        graft.lm.KnBigramLm.bigrams(batch, "doc_id", "text"), model)))
+
+  /** [[qualityGate]] scored by a frozen ORDER-N Kneser-Ney model
+    * ([[graft.lm.KnNgramLm]]) — longer context, sharper admission;
+    * docs with < n tokens are unscorable and fail closed. */
+  def qualityGateN(docs: DataFrame, model: graft.lm.KnNgramLm.Model,
+      gateBitsX100: Long)(
+      onBatch: (DataFrame, DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    gateWith(docs, gateBitsX100, onBatch)(batch =>
+      graft.lm.KnNgramLm.perDoc(graft.lm.KnNgramLm.score(
+        graft.lm.KnNgramLm.ngrams(batch, "doc_id", "text", model.n), model)))
+
+  /** Shared admission routing: `perDocScores` must key by doc_id and
+    * carry avg_bits_x100. */
+  private def gateWith(docs: DataFrame, gateBitsX100: Long,
+      onBatch: (DataFrame, DataFrame, Long) => Unit)(
+      perDocScores: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, id: Long) =>
         import org.apache.spark.sql.functions._
-        val scored = graft.lm.KnBigramLm.perDoc(graft.lm.KnBigramLm.score(
-          graft.lm.KnBigramLm.bigrams(batch, "doc_id", "text"), model))
-        // route EVERY batch doc: unscorable (<2 tokens → no bigrams)
+        val scored = perDocScores(batch)
+        // route EVERY batch doc: unscorable (too short for one gram)
         // docs carry a null score and fail closed below. Cached: both
         // sinks read the one scored materialization instead of each
         // re-running the scoring joins (measured p95 4.6 s → the cached

@@ -197,6 +197,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("order-n streaming gate (n=3): trigram model admits in-domain, rejects junk") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val trusted = Seq((0L, "a b a b a c"), (1L, "b a b d")).toDF("doc_id", "text")
+    val model = graft.lm.KnNgramLm.train(
+      graft.lm.KnNgramLm.ngrams(trusted, "doc_id", "text", 3), 3)
+    val admitted = scala.collection.mutable.Set.empty[Long]
+    val rejected = scala.collection.mutable.Set.empty[Long]
+    val source = MemoryStream[(Long, String)]
+    val docs = source.toDF().toDF("doc_id", "text")
+    val q = StreamIngest.qualityGateN(docs, model, gateBitsX100 = 300L) {
+      (adm, rej, _) =>
+        admitted ++= adm.select("doc_id").collect().map(_.getLong(0))
+        rejected ++= rej.select("doc_id").collect().map(_.getLong(0))
+    }.start()
+    try {
+      // 20: all-seen trigrams; 21: junk vocab; 22: <3 tokens (unscorable)
+      source.addData((20L, "a b a b a c"), (21L, "x y z w v"), (22L, "a b"))
+      q.processAllAvailable()
+      assert(admitted.toSet == Set(20L), s"admitted=$admitted")
+      assert(rejected.toSet == Set(21L, 22L), s"rejected=$rejected")
+    } finally q.stop()
+  }
+
   test("streaming leaderboard: update-mode counts, rank re-derived per batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
