@@ -504,5 +504,16 @@ class PushdownSpec extends AnyFunSuite {
     val p21 = planOf("m21_avi_mjpeg_sample")
     assert(!p21.contains("Join") && !p21.contains("CartesianProduct"),
       s"m21 must stay map-only, plan:\n$p21")
+    // x73: the packing prefix sum must be SHARD-partitioned (per-shard
+    // sorts) — an unpartitioned window here is a single-task global
+    // sort of the whole corpus
+    val p73 = planOf("x73_sequence_packing")
+    assert(p73.contains("windowspecdefinition(shard"),
+      s"x73's window must partition by shard, plan:\n$p73")
+    // d26: the distinct-count side must be constant-state registers —
+    // no expand/distinct aggregation over the pair stream
+    val p26 = planOf("d26_dedup_yield_sketched")
+    assert(!p26.contains("Expand") && !p26.contains("Window"),
+      s"d26 must not pay a distinct expand, plan:\n$p26")
   }
 }
