@@ -3108,20 +3108,21 @@ object TextQueries {
           CAST(doc_id % 10 >= 8 AS INT) AS held_out
         FROM l4 GROUP BY doc_id ORDER BY doc_id""")),
 
-    // ── sequence packing: concat-and-chunk into training windows ──────
-    // The step between a cleaned corpus and a training run: concatenate
-    // documents (in deterministic doc_id order) and chunk the token
-    // stream into fixed L=512 context windows — the GPT-style packing
-    // every pretraining pipeline ships (zero padding waste; documents
-    // may straddle window boundaries, which the attention mask handles
-    // downstream). Per (shard, window): docs touching it, docs wholly
-    // inside, exact token count (== L except each shard's last window),
-    // and carried-in continuations. Scale shape: the prefix sum is a
-    // window PARTITIONED BY SHARD (doc_id % 8 here; a 100 TB run shards
-    // by worker/file so each sort partition is node-local — the x46
-    // stratum discipline), then one explode(first..last window) —
-    // ~(n_toks/L + 1) rows per doc — and a map-side-combinable rollup.
-    // No global order exists anywhere.
+    // ── sequence packing: per-WINDOW occupancy rollup ──────────────────
+    // x15's complement: x15 emits the per-DOC packing assignment
+    // (epoch-shuffled start offset, first/last window per doc — what a
+    // loader consults to fetch one document), while this emits the
+    // per-WINDOW view the training job consumes and audits: for each
+    // (shard, L=512 window) the docs touching it, docs wholly inside,
+    // exact token fill (== L except each shard's last window — the
+    // zero-padding invariant is IN the output), and carried-in
+    // boundary-straddling continuations (what the attention mask must
+    // sever). Scale shape: the prefix sum is a window PARTITIONED BY
+    // SHARD (doc_id % 8 here; a 100 TB run shards by worker/file so
+    // each sort partition is node-local — the x46 stratum discipline),
+    // then one explode(first..last window) — ~(n_toks/L + 1) rows per
+    // doc — and a map-side-combinable rollup. No global order exists
+    // anywhere.
     GraftQuery(
       "x73_sequence_packing",
       (s, dir) => {
