@@ -278,6 +278,16 @@ final class ObjectStoreFileSystem extends FileSystem {
     * `PUT` + `If-None-Match: *`, atomicity served by the store. */
   def conditionalPut(f: Path, bytes: Array[Byte]): Boolean =
     put(key(f), bytes, ifNoneMatch = true)
+
+  /** Presigned GET URL for `f` (sigv4 mode only): hand read access to a
+    * client that holds no credentials — the signature travels in the
+    * query string and expires after `expiresSec`. */
+  def presignGet(f: Path, expiresSec: Long): String = {
+    val (access, secret, region) = sigv4.getOrElse(
+      throw new IllegalStateException("presignGet requires fs.graftos.auth.mode=sigv4"))
+    SigV4.presignUrl("http", fsUri.getAuthority, pathOf(key(f)),
+      access, secret, region, "s3", SigV4.amzDateNow(), expiresSec)
+  }
 }
 
 object ObjectStoreFileSystem {

@@ -107,6 +107,36 @@ object SigV4 {
       s"SignedHeaders=${signedHeaderNames(headers)}, Signature=$sig"
   }
 
+  /** Presigned-URL payload marker: query-auth requests don't sign a
+    * body hash. */
+  val UnsignedPayload = "UNSIGNED-PAYLOAD"
+
+  /** Presigned GET/HEAD URL (query-parameter auth, the S3 docs'
+    * "Authenticating Requests: Using Query Parameters" flow): the
+    * credential scope, date, expiry, and signature travel as
+    * X-Amz-* query params, payload UNSIGNED-PAYLOAD, only `host`
+    * signed — so the URL can be handed to a client that holds no
+    * credentials at all. Verified in ObjectStoreFsSpec against the
+    * published S3 example vector (examplebucket/test.txt, 20130524). */
+  def presignUrl(scheme: String, host: String, canonicalUri: String,
+      accessKey: String, secret: String, region: String, service: String,
+      amzDate: String, expiresSec: Long, method: String = "GET"): String = {
+    val dateStamp = amzDate.take(8)
+    val scope = s"$dateStamp/$region/$service/aws4_request"
+    val params = Seq(
+      "X-Amz-Algorithm" -> "AWS4-HMAC-SHA256",
+      "X-Amz-Credential" -> s"$accessKey/$scope",
+      "X-Amz-Date" -> amzDate,
+      "X-Amz-Expires" -> expiresSec.toString,
+      "X-Amz-SignedHeaders" -> "host")
+    val query = canonicalQuery(params)
+    val cr = canonicalRequest(method, canonicalUri, query,
+      Seq("host" -> host), UnsignedPayload)
+    val sig = signature(secret, dateStamp, region, service,
+      stringToSign(amzDate, scope, cr))
+    s"$scheme://$host$canonicalUri?$query&X-Amz-Signature=$sig"
+  }
+
   /** Current UTC timestamp in the ISO8601 basic form SigV4 uses. */
   def amzDateNow(): String =
     java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")

@@ -43,12 +43,71 @@ final class ObjectStoreServer(
     ex.close()
   }
 
+  private def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+  private def hmacRaw(key: Array[Byte], data: String) = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(StandardCharsets.UTF_8))
+  }
+  private def sigv4Key(secret: String, dateStamp: String, region: String,
+      service: String): Array[Byte] =
+    hmacRaw(hmacRaw(hmacRaw(hmacRaw(
+      ("AWS4" + secret).getBytes(StandardCharsets.UTF_8), dateStamp),
+      region), service), "aws4_request")
+
+  /** Presigned-URL (query-parameter) verification: the X-Amz-* params
+    * carry scope/date/expiry/signature, payload is UNSIGNED-PAYLOAD,
+    * only `host` is signed — re-derived from the wire like the header
+    * flow, with an expiry window instead of the skew window. */
+  private def authorizedPresigned(ex: HttpExchange): Boolean = {
+    if (ex.getRequestMethod != "GET" && ex.getRequestMethod != "HEAD") return false
+    val raw = Option(ex.getRequestURI.getRawQuery).getOrElse(return false)
+    val parts = raw.split("&").toSeq
+    def param(n: String) = parts.collectFirst {
+      case p if p.startsWith(n + "=") => p.drop(n.length + 1)
+    }
+    val gotSig = param("X-Amz-Signature").getOrElse(return false)
+    val cred = URLDecoder.decode(param("X-Amz-Credential").getOrElse(return false), "UTF-8")
+    val amzDate = param("X-Amz-Date").getOrElse(return false)
+    val expires = param("X-Amz-Expires").flatMap(_.toLongOption).getOrElse(return false)
+    if (param("X-Amz-SignedHeaders").getOrElse(return false) != "host") return false
+    cred.split("/") match {
+      case Array(id, dateStamp, region, service, "aws4_request") =>
+        if (dateStamp != amzDate.take(8)) return false
+        val secret = credentials.getOrElse(id, return false)
+        val ts = try java.time.LocalDateTime.parse(amzDate,
+            java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'"))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          catch { case _: Exception => return false }
+        val now = System.currentTimeMillis()
+        if (now > ts + expires * 1000L || now < ts - maxSkewMs) return false
+        val canonicalQuery = parts.filterNot(_.startsWith("X-Amz-Signature="))
+          .sorted.mkString("&")
+        val host = Option(ex.getRequestHeaders.getFirst("Host")).getOrElse(return false)
+        val canonical = ex.getRequestMethod + "\n" +
+          ex.getRequestURI.getRawPath + "\n" + canonicalQuery + "\n" +
+          s"host:${host.trim}\n" + "\n" + "host" + "\n" + "UNSIGNED-PAYLOAD"
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+        val toSign = "AWS4-HMAC-SHA256\n" + amzDate + "\n" +
+          s"$dateStamp/$region/$service/aws4_request" + "\n" +
+          hex(sha.digest(canonical.getBytes(StandardCharsets.UTF_8)))
+        java.security.MessageDigest.isEqual(
+          hex(hmacRaw(sigv4Key(secret, dateStamp, region, service), toSign))
+            .getBytes(StandardCharsets.UTF_8),
+          gotSig.getBytes(StandardCharsets.UTF_8))
+      case _ => false
+    }
+  }
+
   /** Server-side SigV4 verification, re-derived from the wire per the
     * public AWS spec — no code shared with the client's [[SigV4]], so
     * the two implementations check each other. */
   private def authorizedSigV4(ex: HttpExchange, body: Array[Byte]): Boolean = {
     def hdr(n: String) = Option(ex.getRequestHeaders.getFirst(n))
-    val auth = hdr("Authorization").getOrElse(return false)
+    val auth = hdr("Authorization") match {
+      case Some(a) => a
+      case None => return authorizedPresigned(ex) // query-parameter flow
+    }
     val amzDate = hdr("x-amz-date").getOrElse(return false)
     val contentSha = hdr("x-amz-content-sha256").getOrElse(return false)
     // payload integrity: the signed hash must match what arrived
