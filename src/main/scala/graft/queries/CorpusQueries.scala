@@ -290,7 +290,7 @@ object CorpusQueries {
     // ── exact-dup source-attribution matrix ────────────────────────────
     // WHICH sources copy from each other: every exact-duplicate pair is
     // attributed to its (source, source) cell. Input synthesizes the
-    // d1 duplication (doc_id%4 copies, +1e6) but lands each copy in a
+    // d1 duplication (doc_id%4 copies, +1e12) but lands each copy in a
     // ROTATED source ((doc_id+7)%20) so the matrix has off-diagonal
     // mass. Scale shape: pair counts come from per-(fingerprint,
     // source) group sizes joined WITHIN a fingerprint — the join is
@@ -304,7 +304,7 @@ object CorpusQueries {
         val docs = Tables.documents(s, dir)
         val doubled = docs.select($"doc_id", $"source", $"text")
           .unionAll(docs.filter($"doc_id" % 4 === 0)
-            .select(($"doc_id" + 1000000L).as("doc_id"),
+            .select(($"doc_id" + 1000000000000L).as("doc_id"),
               concat(lit("src"), (($"doc_id" + 7) % 20).cast("string")).as("source"),
               $"text"))
         val g = doubled
@@ -325,7 +325,7 @@ object CorpusQueries {
         WITH doubled AS (
           SELECT doc_id, source, text FROM documents
           UNION ALL
-          SELECT doc_id + 1000000,
+          SELECT doc_id + 1000000000000,
             'src' || CAST((doc_id + 7) % 20 AS VARCHAR), text
           FROM documents WHERE doc_id % 4 = 0),
         g AS (

@@ -21,7 +21,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object DedupQueries {
 
   /** Corpus with synthesized near-duplicates: every 5th doc re-appears
-    * (id + 1000000) with a few extra tokens appended — no natural dups
+    * (id + 1000000000000) with a few extra tokens appended — no natural dups
     * exist in the testdata. */
   /** Package-visible for x58's effective-size audit. */
   private[queries] def nearDupCorpus(s: SparkSession, dir: String): DataFrame =
@@ -35,7 +35,7 @@ object DedupQueries {
     val variants = filter(
       array(
         struct(lit(0L).as("off"), lit(false).as("tail")),
-        struct(lit(1000000L).as("off"), lit(true).as("tail"))),
+        struct(lit(1000000000000L).as("off"), lit(true).as("tail"))),
       v => (v("off") === 0L) || ($"doc_id" % 5 === 0))
     docs.select($"doc_id", $"text", explode(variants).as("v"))
       .select(($"doc_id" + $"v.off").as("doc_id"),
@@ -46,7 +46,7 @@ object DedupQueries {
   private val corpusSql =
     """SELECT doc_id, text FROM documents
       |UNION ALL
-      |SELECT doc_id + 1000000 AS doc_id, text || ' extra appended tail tokens here' AS text
+      |SELECT doc_id + 1000000000000 AS doc_id, text || ' extra appended tail tokens here' AS text
       |FROM documents WHERE doc_id % 5 = 0""".stripMargin
 
   /** Shared oracle CTE chain producing the d2 LSH candidate pairs
@@ -56,7 +56,7 @@ object DedupQueries {
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id, text || ' extra appended tail tokens here' AS text
+      |  SELECT doc_id + 1000000000000 AS doc_id, text || ' extra appended tail tokens here' AS text
       |  FROM documents WHERE doc_id % 5 = 0),
       |toks AS (
       |  SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
@@ -106,7 +106,7 @@ object DedupQueries {
         val docs = Tables.documents(s, dir)
         val doubled = docs.select($"doc_id", $"source", $"text")
           .unionAll(docs.filter($"doc_id" % 4 === 0)
-            .select(($"doc_id" + 1000000L).as("doc_id"), $"source", $"text"))
+            .select(($"doc_id" + 1000000000000L).as("doc_id"), $"source", $"text"))
         doubled
           .withColumn("fp", fingerprint($"text"))
           .groupBy($"source")
@@ -119,7 +119,7 @@ object DedupQueries {
         WITH doubled AS (
           SELECT doc_id, source, text FROM documents
           UNION ALL
-          SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id % 4 = 0),
+          SELECT doc_id + 1000000000000, source, text FROM documents WHERE doc_id % 4 = 0),
         fp AS (
           SELECT source, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM doubled)
         SELECT source, COUNT(*) AS n_total, COUNT(DISTINCT fp) AS n_unique,
@@ -211,7 +211,7 @@ object DedupQueries {
         WITH corpus AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 1000000 AS doc_id, text || ' extra appended tail tokens here' AS text
+          SELECT doc_id + 1000000000000 AS doc_id, text || ' extra appended tail tokens here' AS text
           FROM documents WHERE doc_id % 5 = 0),
         toks AS (
           SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9]+')) AS tok
@@ -252,7 +252,7 @@ object DedupQueries {
         WITH corpus AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 1000000 AS doc_id, text || ' extra appended tail tokens here' AS text
+          SELECT doc_id + 1000000000000 AS doc_id, text || ' extra appended tail tokens here' AS text
           FROM documents WHERE doc_id % 5 = 0),
         toks AS (
           SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9]+')) AS tok
@@ -601,10 +601,10 @@ object DedupQueries {
         import s.implicits._
         val sigs = graft.dedup.MinHashLsh
           .signatureMatrix(corpusWithNearDups(s, dir), "doc_id", "text", 16, 5)
-        val a = sigs.filter($"id" % 5 === 0 && $"id" < 1000000L)
+        val a = sigs.filter($"id" % 5 === 0 && $"id" < 1000000000000L)
           .select($"id".as("doc_id"), $"sigs".as("siga"))
-        val b = sigs.filter($"id" >= 1000000L)
-          .select(($"id" - 1000000L).as("doc_id"), $"sigs".as("sigb"))
+        val b = sigs.filter($"id" >= 1000000000000L)
+          .select(($"id" - 1000000000000L).as("doc_id"), $"sigs".as("sigb"))
         val truth = Tables.documents(s, dir).filter($"doc_id" % 5 === 0)
           .withColumn("ta", tokens(normalized($"text")))
           .withColumn("tb", tokens(normalized(
@@ -626,8 +626,8 @@ object DedupQueries {
         agree AS (
           SELECT a.doc_id, COUNT(CASE WHEN a.sig = b.sig THEN 1 END) AS n_eq
           FROM sigs a JOIN sigs b
-            ON b.doc_id = a.doc_id + 1000000 AND a.seed = b.seed
-          WHERE a.doc_id % 5 = 0 AND a.doc_id < 1000000
+            ON b.doc_id = a.doc_id + 1000000000000 AND a.seed = b.seed
+          WHERE a.doc_id % 5 = 0 AND a.doc_id < 1000000000000
           GROUP BY a.doc_id),
         pt AS (
           SELECT doc_id,
@@ -1112,7 +1112,7 @@ object DedupQueries {
         WITH corpus AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 1000000 AS doc_id, text || ' extra appended tail tokens here' AS text
+          SELECT doc_id + 1000000000000 AS doc_id, text || ' extra appended tail tokens here' AS text
           FROM documents WHERE doc_id % 5 = 0),
         toks AS (
           SELECT doc_id,
@@ -1176,7 +1176,7 @@ object DedupQueries {
         WITH corpus AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 1000000 AS doc_id, text || ' extra appended tail tokens here' AS text
+          SELECT doc_id + 1000000000000 AS doc_id, text || ' extra appended tail tokens here' AS text
           FROM documents WHERE doc_id % 5 = 0),
         toks AS (
           SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9]+')) AS tok
@@ -1241,7 +1241,7 @@ object DedupQueries {
         WITH corpus AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 1000000 AS doc_id, text || ' extra appended tail tokens here' AS text
+          SELECT doc_id + 1000000000000 AS doc_id, text || ' extra appended tail tokens here' AS text
           FROM documents WHERE doc_id % 5 = 0),
         toks AS (
           SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9]+')) AS tok
@@ -1281,7 +1281,7 @@ object DedupQueries {
     // for every source pair, how many SimHash candidate pairs (Hamming
     // ≤ 8) connect them. Pair counts come straight off the pairs pass
     // joined to a broadcast-sized (doc → source) map — the matrix is a
-    // groupBy over pair labels; the synthesized +1000000 variants fold
+    // groupBy over pair labels; the synthesized +1e12 variants fold
     // back to their origin's source so the diagonal carries the
     // self-duplication signal.
     GraftQuery(
@@ -1302,8 +1302,8 @@ object DedupQueries {
           maxHamming = 8)
         val src = Tables.documents(s, dir).select($"doc_id", $"source")
         pairs
-          .withColumn("oa", $"a" % 1000000L)
-          .withColumn("ob", $"b" % 1000000L)
+          .withColumn("oa", $"a" % 1000000000000L)
+          .withColumn("ob", $"b" % 1000000000000L)
           .join(broadcast(src.select($"doc_id".as("oa"), $"source".as("src_a"))), "oa")
           .join(broadcast(src.select($"doc_id".as("ob"), $"source".as("src_b"))), "ob")
           .withColumn("s1", least($"src_a", $"src_b"))
@@ -1317,7 +1317,7 @@ object DedupQueries {
         WITH corpus AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 1000000 AS doc_id, text || ' extra appended tail tokens here' AS text
+          SELECT doc_id + 1000000000000 AS doc_id, text || ' extra appended tail tokens here' AS text
           FROM documents WHERE doc_id % 5 = 0),
         toks AS (
           SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9]+')) AS tok
@@ -1328,7 +1328,7 @@ object DedupQueries {
           SELECT doc_id, CAST($simhashAggSql AS BIGINT) AS sig
           FROM hashed GROUP BY doc_id),
         pairs AS (
-          SELECT a.doc_id % 1000000 AS oa, b.doc_id % 1000000 AS ob
+          SELECT a.doc_id % 1000000000000 AS oa, b.doc_id % 1000000000000 AS ob
           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.sig, b.sig)) <= 8),
         lab AS (
@@ -1355,10 +1355,10 @@ object DedupQueries {
         import s.implicits._
         val sigs = graft.dedup.MinHashLsh
           .signatureMatrix(corpusWithNearDups(s, dir), "doc_id", "text", 16, 5)
-        val a = sigs.filter($"id" % 5 === 0 && $"id" < 1000000L)
+        val a = sigs.filter($"id" % 5 === 0 && $"id" < 1000000000000L)
           .select($"id".as("doc_id"), $"sigs".as("siga"))
-        val b = sigs.filter($"id" >= 1000000L)
-          .select(($"id" - 1000000L).as("doc_id"), $"sigs".as("sigb"))
+        val b = sigs.filter($"id" >= 1000000000000L)
+          .select(($"id" - 1000000000000L).as("doc_id"), $"sigs".as("sigb"))
         val truth = Tables.documents(s, dir).filter($"doc_id" % 5 === 0)
           .withColumn("ta", tokens(normalized($"text")))
           .withColumn("tb", tokens(normalized(
@@ -1386,8 +1386,8 @@ object DedupQueries {
             COUNT(CASE WHEN a.sig = b.sig THEN 1 END) AS n_eq_full,
             COUNT(CASE WHEN a.sig % 2 = b.sig % 2 THEN 1 END) AS n_eq_1bit
           FROM sigs a JOIN sigs b
-            ON b.doc_id = a.doc_id + 1000000 AND a.seed = b.seed
-          WHERE a.doc_id % 5 = 0 AND a.doc_id < 1000000
+            ON b.doc_id = a.doc_id + 1000000000000 AND a.seed = b.seed
+          WHERE a.doc_id % 5 = 0 AND a.doc_id < 1000000000000
           GROUP BY a.doc_id),
         toks2 AS (
           SELECT doc_id,
@@ -1471,7 +1471,7 @@ object DedupQueries {
           .localCheckpoint(true) // consumed twice (a/b-side label joins)
         val docs = Tables.documents(s, dir).select($"doc_id")
         val pos = docs.filter($"doc_id" % 5 === 0)
-          .select($"doc_id".as("a"), ($"doc_id" + 1000000L).as("b"),
+          .select($"doc_id".as("a"), ($"doc_id" + 1000000000000L).as("b"),
             lit(1L).as("label"))
         val neg = docs.select($"doc_id".as("a"), ($"doc_id" + 1L).as("b"),
             lit(0L).as("label"))
@@ -1499,7 +1499,7 @@ object DedupQueries {
         WITH corpus AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 1000000 AS doc_id, text || ' extra appended tail tokens here' AS text
+          SELECT doc_id + 1000000000000 AS doc_id, text || ' extra appended tail tokens here' AS text
           FROM documents WHERE doc_id % 5 = 0),
         toks AS (
           SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9]+')) AS tok
@@ -1510,7 +1510,7 @@ object DedupQueries {
           SELECT doc_id, CAST($simhashAggSql AS BIGINT) AS sig
           FROM hashed GROUP BY doc_id),
         pos AS (
-          SELECT doc_id AS a, doc_id + 1000000 AS b, 1 AS label
+          SELECT doc_id AS a, doc_id + 1000000000000 AS b, 1 AS label
           FROM documents WHERE doc_id % 5 = 0),
         neg AS (
           SELECT d1.doc_id AS a, d1.doc_id + 1 AS b, 0 AS label
@@ -1549,7 +1549,7 @@ object DedupQueries {
           .signatureMatrix(corpusWithNearDups(s, dir), "doc_id", "text", 16, 5)
         val docs = Tables.documents(s, dir).select($"doc_id")
         val pos = docs.filter($"doc_id" % 5 === 0)
-          .select($"doc_id".as("a"), ($"doc_id" + 1000000L).as("b"),
+          .select($"doc_id".as("a"), ($"doc_id" + 1000000000000L).as("b"),
             lit(1L).as("label"))
         val neg = docs.select($"doc_id".as("a"), ($"doc_id" + 1L).as("b"),
             lit(0L).as("label"))
@@ -1577,7 +1577,7 @@ object DedupQueries {
       },
       Some(s"""WITH $pairsCte,
         pos AS (
-          SELECT doc_id AS a, doc_id + 1000000 AS b, 1 AS label
+          SELECT doc_id AS a, doc_id + 1000000000000 AS b, 1 AS label
           FROM documents WHERE doc_id % 5 = 0),
         neg AS (
           SELECT d1.doc_id AS a, d1.doc_id + 1 AS b, 0 AS label

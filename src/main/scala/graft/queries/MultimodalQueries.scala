@@ -199,7 +199,7 @@ object MultimodalQueries {
     // The image-side near-dedup every multimodal corpus runs: 64-px
     // average hash on the nearest-neighbor resample grid, 8-byte-band
     // bucketing, exact Hamming filter (≤4 bits of 64). Near-dups are
-    // planted by overwriting the first five bytes IN PLACE (+2e6 ids) —
+    // planted by overwriting the first five bytes IN PLACE (+2e12 ids) —
     // a localized pixel edit, the perturbation aHash is built to absorb
     // (an append would shift the whole resample grid: a different
     // image). The Spark side buckets (the 100 TB shape — pigeonhole
@@ -212,10 +212,10 @@ object MultimodalQueries {
         val base = Tables.documents(s, dir)
           .where(length($"text") >= 5).select($"doc_id", $"text")
         val corpus = base.select($"doc_id", $"text", explode(filter(
-          array(lit(0L), lit(2000000L)),
+          array(lit(0L), lit(2000000000000L)),
           off => (off === 0L) || ($"doc_id" % 5 === 0))).as("off"))
           .select(($"doc_id" + $"off").as("doc_id"),
-            when($"off" === 2000000L,
+            when($"off" === 2000000000000L,
               concat(lit("XXXXX"), expr("substring(text, 6)")))
               .otherwise($"text").as("text"))
         Multimodal.phashPairs(corpus, "doc_id", "text", maxDistance = 4)
@@ -225,7 +225,7 @@ object MultimodalQueries {
         WITH corpus AS (
           SELECT doc_id, text FROM documents WHERE length(text) >= 5
           UNION ALL
-          SELECT doc_id + 2000000, 'XXXXX' || substr(text, 6)
+          SELECT doc_id + 2000000000000, 'XXXXX' || substr(text, 6)
           FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 5),
         px AS (
           SELECT doc_id,

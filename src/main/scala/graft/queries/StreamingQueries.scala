@@ -300,10 +300,10 @@ object StreamingQueries {
         val idx = graft.dedup.MinHashLsh.bandSignatures(docs, "doc_id", "text")
           .select($"id".as("corpus_id"), $"band", $"band_sig")
         val stream = docs.filter($"doc_id" % 5 === 0)
-          .select(($"doc_id" + 1000000L).as("doc_id"),
+          .select(($"doc_id" + 1000000000000L).as("doc_id"),
             concat($"text", lit(" extra appended tail tokens here")).as("text"))
           .unionAll(docs.filter($"doc_id" % 7 === 0)
-            .select(($"doc_id" + 3000000L).as("doc_id"), reverse($"text").as("text")))
+            .select(($"doc_id" + 3000000000000L).as("doc_id"), reverse($"text").as("text")))
         val probes = graft.dedup.MinHashLsh.withRowBandSigs(stream, "text")
           .select($"doc_id", posexplode($"bsig").as(Seq("band", "band_sig")))
         probes.join(idx, Seq("band", "band_sig"), "left")
@@ -314,10 +314,10 @@ object StreamingQueries {
       },
       Some("""
         WITH stream_docs AS (
-          SELECT doc_id + 1000000 AS doc_id, text || ' extra appended tail tokens here' AS text
+          SELECT doc_id + 1000000000000 AS doc_id, text || ' extra appended tail tokens here' AS text
           FROM documents WHERE doc_id % 5 = 0
           UNION ALL
-          SELECT doc_id + 3000000 AS doc_id, reverse(text) AS text
+          SELECT doc_id + 3000000000000 AS doc_id, reverse(text) AS text
           FROM documents WHERE doc_id % 7 = 0),
         allx AS (
           SELECT doc_id, text FROM documents
@@ -341,8 +341,8 @@ object StreamingQueries {
           SELECT doc_id, CAST(FLOOR(seed / 4) AS INT) AS band,
             md5(string_agg(CAST(sig AS VARCHAR), ',' ORDER BY seed)) AS band_sig
           FROM sigs GROUP BY doc_id, CAST(FLOOR(seed / 4) AS INT)),
-        probes AS (SELECT * FROM bands WHERE doc_id >= 1000000),
-        idx AS (SELECT * FROM bands WHERE doc_id < 1000000)
+        probes AS (SELECT * FROM bands WHERE doc_id >= 1000000000000),
+        idx AS (SELECT * FROM bands WHERE doc_id < 1000000000000)
         SELECT p.doc_id,
           COALESCE(MIN(i.doc_id), -1) AS first_match,
           COUNT(DISTINCT i.doc_id) AS n_matches

@@ -237,7 +237,7 @@ object TextQueries {
     // Test-set decontamination: flag training docs whose token 8-grams
     // overlap an eval set (here: every 50th doc stands in for the
     // benchmark; every benchmark doc also "leaks" back as a
-    // prefix-quoting doc under +3e6). Scale shape: the benchmark gram
+    // prefix-quoting doc under +3e12). Scale shape: the benchmark gram
     // set is small by construction → broadcast; the corpus side is one
     // tokenize+explode and ONE groupBy(doc_id) — the same cost as any
     // per-doc aggregate. Flag threshold is integer arithmetic
@@ -248,7 +248,7 @@ object TextQueries {
         import s.implicits._
         val docs = Tables.documents(s, dir).select($"doc_id", $"text")
         val leaked = docs.filter($"doc_id" % 50 === 0)
-          .select(($"doc_id" + 3000000L).as("doc_id"),
+          .select(($"doc_id" + 3000000000000L).as("doc_id"),
             concat(lit("novel preface words then "), substring($"text", 1, 250)).as("text"))
         def grams(df: org.apache.spark.sql.DataFrame) = df
           .withColumn("toks", lowerTokens($"text"))
@@ -271,7 +271,7 @@ object TextQueries {
         WITH corpus AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 3000000, 'novel preface words then ' || substr(text, 1, 250)
+          SELECT doc_id + 3000000000000, 'novel preface words then ' || substr(text, 1, 250)
           FROM documents WHERE doc_id % 50 = 0),
         toks AS (
           SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
@@ -284,7 +284,7 @@ object TextQueries {
           FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
                 FROM toks)),
         bench AS (
-          SELECT DISTINCT gh FROM grams WHERE doc_id % 50 = 0 AND doc_id < 3000000),
+          SELECT DISTINCT gh FROM grams WHERE doc_id % 50 = 0 AND doc_id < 3000000000000),
         agg AS (
           SELECT g.doc_id, COUNT(*) AS n_grams,
             CAST(SUM(CASE WHEN b.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
@@ -549,8 +549,8 @@ object TextQueries {
     // filter → language filter → exact dedup (fingerprint) → near-dedup
     // (MinHash-LSH pairs → connected components, drop non-keepers).
     // Input synthesizes both dup kinds: verbatim copies (doc_id%4,
-    // +1e6) die at the exact stage, tail-modified copies (doc_id%5,
-    // +2e6) at the near stage. Output = per-stage survivor counts.
+    // +1e12) die at the exact stage, tail-modified copies (doc_id%5,
+    // +2e12) at the near stage. Output = per-stage survivor counts.
     GraftQuery(
       "x7_training_data_pipeline",
       (s, dir) => {
@@ -562,11 +562,11 @@ object TextQueries {
         val variants = filter(
           array(
             struct(lit(0L).as("off"), lit(false).as("tail")),
-            struct(lit(1000000L).as("off"), lit(false).as("tail")),
-            struct(lit(2000000L).as("off"), lit(true).as("tail"))),
+            struct(lit(1000000000000L).as("off"), lit(false).as("tail")),
+            struct(lit(2000000000000L).as("off"), lit(true).as("tail"))),
           v => (v("off") === 0L) ||
-            (v("off") === 1000000L && $"doc_id" % 4 === 0) ||
-            (v("off") === 2000000L && $"doc_id" % 5 === 0))
+            (v("off") === 1000000000000L && $"doc_id" % 4 === 0) ||
+            (v("off") === 2000000000000L && $"doc_id" % 5 === 0))
         val corpus = base
           .select($"doc_id", $"text", explode(variants).as("v"))
           .select(($"doc_id" + $"v.off").as("doc_id"),
@@ -628,9 +628,9 @@ object TextQueries {
         WITH RECURSIVE corpus AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 4 = 0
+          SELECT doc_id + 1000000000000, text FROM documents WHERE doc_id % 4 = 0
           UNION ALL
-          SELECT doc_id + 2000000, text || ' extra appended tail tokens here'
+          SELECT doc_id + 2000000000000, text || ' extra appended tail tokens here'
           FROM documents WHERE doc_id % 5 = 0),
         q AS (
           SELECT * FROM corpus WHERE
@@ -862,7 +862,7 @@ object TextQueries {
         import s.implicits._
         val docs = Tables.documents(s, dir).select($"doc_id", $"text")
         val leaked = docs.filter($"doc_id" % 50 === 0)
-          .select(($"doc_id" + 3000000L).as("doc_id"),
+          .select(($"doc_id" + 3000000000000L).as("doc_id"),
             concat(lit("novel preface words then "), substring($"text", 1, 250)).as("text"))
         def grams(df: org.apache.spark.sql.DataFrame) = df
           .withColumn("toks", lowerTokens($"text"))
@@ -902,7 +902,7 @@ object TextQueries {
         WITH corpus AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 3000000, 'novel preface words then ' || substr(text, 1, 250)
+          SELECT doc_id + 3000000000000, 'novel preface words then ' || substr(text, 1, 250)
           FROM documents WHERE doc_id % 50 = 0),
         toks AS (
           SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
@@ -915,7 +915,7 @@ object TextQueries {
           FROM (SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
                 FROM toks)),
         bench AS (
-          SELECT DISTINCT gh FROM grams WHERE doc_id % 50 = 0 AND doc_id < 3000000),
+          SELECT DISTINCT gh FROM grams WHERE doc_id % 50 = 0 AND doc_id < 3000000000000),
         bpos AS (
           SELECT ((gh >> (10 * j)) & 1023) AS p
           FROM bench CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j)),
@@ -1239,7 +1239,7 @@ object TextQueries {
         import s.implicits._
         val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"text")
         val leaked = docs.filter($"doc_id" % 50 === 0)
-          .select(($"doc_id" + 3000000L).as("doc_id"), $"source",
+          .select(($"doc_id" + 3000000000000L).as("doc_id"), $"source",
             concat(lit("novel preface words then "), substring($"text", 1, 250)).as("text"))
         def grams(df: org.apache.spark.sql.DataFrame) = df
           .withColumn("toks", lowerTokens($"text"))
@@ -1265,7 +1265,7 @@ object TextQueries {
         WITH corpus AS (
           SELECT doc_id, source, text FROM documents
           UNION ALL
-          SELECT doc_id + 3000000, source, 'novel preface words then ' || substr(text, 1, 250)
+          SELECT doc_id + 3000000000000, source, 'novel preface words then ' || substr(text, 1, 250)
           FROM documents WHERE doc_id % 50 = 0),
         toks AS (
           SELECT doc_id, source, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
@@ -1278,7 +1278,7 @@ object TextQueries {
           FROM (SELECT doc_id, source, t, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
                 FROM toks)),
         bench AS (
-          SELECT DISTINCT gh FROM grams WHERE doc_id % 50 = 0 AND doc_id < 3000000),
+          SELECT DISTINCT gh FROM grams WHERE doc_id % 50 = 0 AND doc_id < 3000000000000),
         flags AS (
           SELECT g.doc_id, g.source, COUNT(*) AS n_grams,
             CAST(SUM(CASE WHEN b.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit

@@ -106,7 +106,7 @@ object VectorQueries {
         import s.implicits._
         val emb = Tables.embeddings(s, dir)
         val copies = emb.filter($"vec_id" % 10 === 0)
-          .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+          .select(($"vec_id" + 1000000000000L).as("vec_id"), $"embedding")
         val corpus = emb.select($"vec_id", $"embedding").unionAll(copies)
         val bucketed = corpus.select($"vec_id", $"embedding",
           posexplode(graft.functions.VectorFunctions.lshBuckets($"embedding", 8, 8, 64))
@@ -122,7 +122,7 @@ object VectorQueries {
         WITH corpus AS (
           SELECT vec_id, embedding FROM embeddings
           UNION ALL
-          SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+          SELECT vec_id + 1000000000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
         w AS (
           SELECT g, d,
             CAST(CAST(concat('0x', substr(md5('plane:' || g || ':' || d), 1, 15)) AS BIGINT) % 2001 - 1000 AS DOUBLE) AS w
@@ -536,7 +536,7 @@ object VectorQueries {
     // shuffle/partition key (store the corpus partitioned by it and the
     // whole pass is shuffle-free). A vector drops iff a lower-id
     // neighbor in its cell clears cosine ≥ 0.98; synthesized exact
-    // copies (every 10th id, +1e6) land in the same cell by construction
+    // copies (every 10th id, +1e12) land in the same cell by construction
     // and die there. Fixed centroids (vec_id < 64) keep the oracle
     // SQL-reproducible; v8 hash-verifies the kmeans TRAINING that would
     // produce real ones.
@@ -547,7 +547,7 @@ object VectorQueries {
         val emb = Tables.embeddings(s, dir)
         val corpus = emb.select($"vec_id", $"embedding")
           .unionAll(emb.filter($"vec_id" % 10 === 0)
-            .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+            .select(($"vec_id" + 1000000000000L).as("vec_id"), $"embedding"))
         val cent = emb.filter($"vec_id" < 64)
           .select($"vec_id".as("cid"), $"embedding".as("cemb"))
         val asg = graft.similarity.Ivf.assign(corpus, cent)
@@ -566,7 +566,7 @@ object VectorQueries {
         WITH corpus AS (
           SELECT vec_id, embedding FROM embeddings
           UNION ALL
-          SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+          SELECT vec_id + 1000000000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
         cent AS (
           SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 64),
         scored AS (

@@ -55,7 +55,7 @@ object LabD15 {
     val variants = filter(
       array(
         struct(lit(0L).as("off"), lit(false).as("tail")),
-        struct(lit(1000000L).as("off"), lit(true).as("tail"))),
+        struct(lit(1000000000000L).as("off"), lit(true).as("tail"))),
       v => (v("off") === 0L) || ($"doc_id" % 5 === 0))
     val corpus = docs.select($"doc_id", $"text", explode(variants).as("v"))
       .select(($"doc_id" + $"v.off").as("doc_id"),

@@ -27,7 +27,12 @@ import org.apache.spark.sql.functions._
   * Run: sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1 data/sf1 10"
   */
 object ScaleUp {
-  // Strides chosen > any sf1 key so replica key spaces never collide.
+  // Strides chosen > any source (sf0.1) key so replica key spaces never
+  // collide. NOTE the contract with the registry's synthetic-id unions:
+  // queries place synthesized variants (near-dup copies, leaked docs,
+  // junk feeds) at +1e12-scale offsets, ABOVE any id this synthesizer
+  // can produce through sf100000 — a +1e6-scale offset would alias
+  // replica ids exactly (replica i of doc k has id i*1e6 + k).
   private val OrderStride = 10000000L
   private val CustStride  = 1000000L
   private val PartStride  = 1000000L

@@ -99,10 +99,10 @@ class CorpusOpsSpec extends AnyFunSuite {
   test("bloom decontamination: no false negatives — every leaked doc flags") {
     val q = graft.core.Registry.allQueries.find(_.name == "x19_bloom_decontaminate").get
     val rows = q.build(spark, dir)
-    // leaked prefix-quoting docs (+3e6) and the eval docs themselves must
+    // leaked prefix-quoting docs (+3e12) and the eval docs themselves must
     // all flag contaminated; bloom false positives can only ADD hits
     val missed = rows.where(
-      (col("doc_id") >= 3000000L || col("doc_id") % 50 === 0) &&
+      (col("doc_id") >= 3000000000000L || col("doc_id") % 50 === 0) &&
         col("contaminated") =!= 1)
     assert(missed.count() == 0)
   }

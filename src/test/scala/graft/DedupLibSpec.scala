@@ -286,7 +286,7 @@ class DedupLibSpec extends AnyFunSuite {
     // prefix shortcut — the theorem says prefix candidates ⊇ these
     val corpus = graft.core.Tables.documents(spark, dir)
     val withDups = corpus.select($"doc_id", $"text").unionAll(
-      corpus.filter($"doc_id" % 5 === 0).select(($"doc_id" + 1000000L).as("doc_id"),
+      corpus.filter($"doc_id" % 5 === 0).select(($"doc_id" + 1000000000000L).as("doc_id"),
         concat($"text", lit(" extra appended tail tokens here")).as("text")))
     val sets = graft.dedup.MinHashLsh.shingleSets(withDups, "doc_id", "text")
     val sizes = sets.groupBy($"doc_id").agg(count(lit(1)).as("n"))
