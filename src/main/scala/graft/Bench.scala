@@ -47,6 +47,32 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Host-health probe (same fixed workload as tools/ScaleSweep): time
+    // h2 at the synthesized sf1 before and after the measured passes and
+    // stamp both into the JSON line. This host drifts through multi-hour
+    // degraded hypervisor windows (same-commit h2-at-sf1 reads ~1.2 s in
+    // a good window, >= 6 s in a degraded one; 3 s is the decision
+    // bound), so a BENCH artifact without its window is untrustworthy as
+    // an absolute — the r9 driver artifact's +24% took a review hour to
+    // disambiguate as host noise. Probe dir missing → "unknown" (the
+    // driver's container has no data/sf1), keys still present.
+    def hostProbe(): Option[Double] = {
+      val probeDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "data/sf1")
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(probeDir))) None
+      else Registry.allQueries.find(_.name == "h2_star_join_broadcast").map { q =>
+        val secs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          q.build(spark, probeDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        spark.catalog.clearCache(); System.gc()
+        secs.min
+      }
+    }
+    def hostState(sec: Option[Double]): String =
+      sec.fold("unknown")(s => if (s < 3.0) "good" else "degraded")
+    val probeStart = hostProbe()
+
     val benchQueries = Registry.allQueries.filter(_.bench)
 
     def runOnce(dir: String): Unit = benchQueries.foreach { q =>
@@ -115,7 +141,9 @@ object Bench {
       // LM admission gate (s12's online face): decisions/s + latency
       else s""","stream_upsert":${streamJson("upsert")},"stream_stateful":${streamJson("stateful")},"stream_gate":${streamJson("gate")}"""
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$stream,"sf":"$sfDir"}""")
+    val probeEnd = hostProbe()
+    val probes = f""","probe_start_sec":${probeStart.getOrElse(-1.0)}%.3f,"probe_end_sec":${probeEnd.getOrElse(-1.0)}%.3f,"host_start":"${hostState(probeStart)}","host_end":"${hostState(probeEnd)}""""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$stream$probes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,6 +17,18 @@ import org.apache.spark.sql.DataFrame
   * ~10⁶ rows), so oracle runs are unaffected; a corpus-scale run trips
   * it immediately. Set the conf higher to run an exact audit anyway,
   * or to -1 to disable the gate (and its count) entirely.
+  *
+  * CONSTRUCTION IS AN ACTION for gated queries: the count() below runs
+  * eagerly when the DataFrame is BUILT, so merely explaining a gated
+  * query (plan-only tooling, a dry-run .explain) executes one
+  * column-pruned input scan, and benchmark timings of the exact forms
+  * include a count pass their production twins don't pay. This is
+  * deliberate: the gate's job is to stop the corpus-wide sort from
+  * LAUNCHING, and a deferred check would need an executor-visible
+  * global row count — which only exists after running the very job
+  * being guarded. Plan-only tooling that must avoid the scan sets the
+  * conf to -1 for the inspection (GuardsSpec pins that path is
+  * count-free).
   */
 object Guards {
   val ConfKey = "spark.graft.exactAuditMaxRows"

@@ -15,11 +15,16 @@ import java.nio.ByteBuffer
   * (capped pair lists, capped posting lists).
   *
   * Evaluates to `struct(entries: array<struct<k,v>> ascending by k,
-  * seen: bigint)`. `seen` is exact over every input row while `entries`
-  * is capped, so truncation is always visible (`seen > size(entries)`)
-  * and the result is EXACT whenever the group is under budget — the
-  * same capped-with-diagnostic discipline as [[CappedLongCollectSet]]'s
-  * NULL+accumulator and d18's droppedBuckets, but per-group columnar.
+  * seen: bigint)`. `seen` is exact over every NON-NULL-KEY input row
+  * while `entries` is capped, so truncation is always visible
+  * (`seen > size(entries)`) and the result is EXACT whenever the group
+  * is under budget — the same capped-with-diagnostic discipline as
+  * [[CappedLongCollectSet]]'s NULL+accumulator and d18's droppedBuckets,
+  * but per-group columnar. Null-key rows are skipped ENTIRELY (neither
+  * kept nor counted — the SQL-aggregate null convention, like count(x));
+  * a call site that needs null-keyed rows visible must coalesce the key
+  * to a sentinel before aggregating. MinKByKeySpec's property pins this
+  * under random partitioning.
   *
   * Scale shape — this is the point: aggregate state is ≤ K entries per
   * group in EVERY partial buffer, so map-side combine bounds what the

@@ -64,8 +64,16 @@ final class ObjectStoreFileSystem extends FileSystem {
       // per-request Authorization over the canonical request including
       // the payload hash (x-amz-content-sha256), scope from
       // fs.graftos.region (service "s3").
+      //
+      // Fail FAST on a missing/empty key: sigv4 was requested, so
+      // silently falling back to the static auth.header (or to fully
+      // unsigned requests) would send a typo'd config's traffic
+      // unauthenticated without any error at initialize time.
       sigv4 = for (a <- access; s <- secret)
         yield (a, s, conf.get("fs.graftos.region", "us-east-1"))
+      if (sigv4.isEmpty) throw new IllegalArgumentException(
+        "fs.graftos.auth.mode=sigv4 requires both fs.graftos.access.key " +
+          "and fs.graftos.secret.key to be set and non-empty")
     } else {
       // GRAFT-HMAC request signing (the SigV4 shape reduced to this wire
       // API): `Authorization: GRAFT-HMAC-SHA256 <id>:<hex sig>` over
@@ -85,6 +93,18 @@ final class ObjectStoreFileSystem extends FileSystem {
   private def key(f: Path): String = {
     val p = makeQualified(f).toUri.getPath
     p.stripPrefix("/")
+  }
+
+  /** Host value as it appears ON THE WIRE: HttpURLConnection drops a
+    * default :80 from the Host header it transmits, so an endpoint
+    * configured with an explicit ':80' must sign the bare host —
+    * server-side SigV4 re-derives the canonical request from the
+    * RECEIVED Host header (the test server and real S3 both do), and
+    * signing 'host:80' against a transmitted 'host' rejects every
+    * request. Non-default ports are transmitted verbatim and sign as-is. */
+  private def wireHost: String = {
+    val a = fsUri.getAuthority
+    if (a.endsWith(":80")) a.dropRight(3) else a
   }
 
   /** Wire path for an object key — SigV4's uriEncode (slash-preserving)
@@ -111,7 +131,7 @@ final class ObjectStoreFileSystem extends FileSystem {
         }
         val payloadHash = SigV4.sha256Hex(payload)
         val headers = Seq(
-          "host" -> fsUri.getAuthority, // HttpURLConnection sends it from the URL
+          "host" -> wireHost, // what HttpURLConnection actually transmits
           "x-amz-content-sha256" -> payloadHash,
           "x-amz-date" -> amzDate)
         c.setRequestProperty("x-amz-date", amzDate)
@@ -285,7 +305,10 @@ final class ObjectStoreFileSystem extends FileSystem {
   def presignGet(f: Path, expiresSec: Long): String = {
     val (access, secret, region) = sigv4.getOrElse(
       throw new IllegalStateException("presignGet requires fs.graftos.auth.mode=sigv4"))
-    SigV4.presignUrl("http", fsUri.getAuthority, pathOf(key(f)),
+    // wireHost, not the raw authority: a ':80' in the URL would be
+    // dropped from the Host header the fetching client transmits, and
+    // the server verifies against the RECEIVED Host (see wireHost)
+    SigV4.presignUrl("http", wireHost, pathOf(key(f)),
       access, secret, region, "s3", SigV4.amzDateNow(), expiresSec)
   }
 }

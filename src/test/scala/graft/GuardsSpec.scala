@@ -38,6 +38,19 @@ class GuardsSpec extends AnyFunSuite {
     assert(out.count() == 100)
   }
 
+  test("construction is an action iff the gate is on (scaladoc contract)") {
+    import spark.implicits._
+    // a DataFrame that fails on ANY execution: with the gate active,
+    // exactAudit's construction-time count must trip it; at -1 the
+    // construction must NOT scan (plan-only tooling's escape hatch)
+    val poison = (1 to 3).toDS().map { i =>
+      sys.error("executed"); i
+    }.toDF("x")
+    intercept[org.apache.spark.SparkException](
+      withBound("1000")(Guards.exactAudit(poison, "twin")))
+    withBound("-1")(Guards.exactAudit(poison, "twin")) // no scan, no throw
+  }
+
   test("default bound does not bind at test SFs; registry wiring names q8") {
     // default (1e8) leaves the sf0.001 oracle run untouched...
     val q43 = graft.core.Registry.allQueries

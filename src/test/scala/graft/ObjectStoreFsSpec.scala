@@ -234,6 +234,18 @@ class ObjectStoreFsSpec extends AnyFunSuite {
       intercept[java.io.IOException] { write(fsH, new Path(s"$root/t/y"), "nope") }
       fsH.close()
       assert(server.objectCount == before, "rejected requests must not mutate the store")
+      // sigv4 requested but a key missing/empty: initialize must fail
+      // fast, never fall back to unsigned requests silently
+      for (broken <- Seq("fs.graftos.access.key", "fs.graftos.secret.key")) {
+        val confB = new Configuration(); ObjectStoreFileSystem.register(confB)
+        confB.set("fs.graftos.auth.mode", "sigv4")
+        confB.set("fs.graftos.access.key", "AKIDGRAFT")
+        confB.set("fs.graftos.secret.key", "sigv4-secret")
+        confB.set(broken, "")
+        val e = intercept[IllegalArgumentException](
+          FileSystem.newInstance(URI.create(root + "/"), confB))
+        assert(e.getMessage.contains("sigv4"), e.getMessage)
+      }
     } finally server.stop()
   }
 

@@ -13,6 +13,14 @@ import java.util.concurrent.{ConcurrentHashMap, Executors}
   * time, requests on a real thread pool), so racing publishers exercise
   * the store's contract — exactly one 201 per key, losers get 412 with
   * the winner's object untouched — not a client-side JVM lock.
+  *
+  * TEST DOUBLE ONLY — not hardened for exposure: handle() buffers the
+  * whole request body in memory BEFORE the authorization check (the
+  * SigV4 payload hash needs the full body, and the simplest correct
+  * verification reads it eagerly), so an unauthenticated client could
+  * allocate unbounded server memory. Fine on a loopback socket inside a
+  * spec; a production-facing server would cap Content-Length and stream
+  * the hash before admitting the body.
   */
 final class ObjectStoreServer(
     // Auth mode: when a (accessKey -> secret) map is given, every request

@@ -237,11 +237,18 @@ object GraftProperties extends Properties("graft") {
   property("MinKByKey equals sorted-take-K under any grouping/partitioning") =
     Prop.forAll(
       Gen.nonEmptyListOf(Gen.choose(0L, 200L)).map(_.distinct.take(40)),
-      Gen.choose(1, 8), Gen.choose(1, 8)) { (keys, k, nPart) =>
+      Gen.choose(1, 8), Gen.choose(1, 8), Gen.choose(0, 5)) { (keys, k, nPart, nNulls) =>
       import spark.implicits._
       // key-distinct rows (the aggregate's contract), payload tied to key
       val rows = keys.map(key => (key % 3, key, key * 11L + 1L))
-      val got = rows.toDF("g", "k", "v").repartition(nPart)
+      // null-key rows are skipped ENTIRELY: neither kept in entries nor
+      // counted in seen (the scaladoc's contract) — mix some into every
+      // group that exists and assert the reference (built WITHOUT them)
+      // still matches exactly
+      val withNulls = rows.map { case (g, key, v) => (g, Option(key), v) } ++
+        rows.map(_._1).distinct.flatMap(g =>
+          Seq.fill(nNulls)((g, Option.empty[Long], -1L)))
+      val got = withNulls.toDF("g", "k", "v").repartition(nPart)
         .groupBy($"g")
         .agg(graft.functions.AggFunctions.minKByKey($"k", $"v", k).as("mk"))
         .select($"g", $"mk.seen",
