@@ -61,14 +61,50 @@ object KnNgramLm {
   final case class Level(k: Int, gram: DataFrame, ctx: DataFrame)
   final case class Model(n: Int, levels: Seq[Level], tc: DataFrame, scal: DataFrame)
 
-  def train(grams: DataFrame, n: Int): Model = {
+  def train(grams: DataFrame, n: Int): Model = train(grams, n, 1L)
+
+  /** Count-threshold pruned training (SRILM-style count cutoff at the
+    * TOP level): only n-grams with token count ≥ `minTopCount` are
+    * retained (1 = unpruned). The cutoff applies to the top level ONLY,
+    * deliberately:
+    *
+    *   - Every lower table derives from the pruned top table, so ALL of
+    *     them are bounded by its size — one knob bounds the whole model.
+    *   - Suffix closure holds by construction (each retained gram's
+    *     suffix IS a row of the next level's type table), so the
+    *     closed-vocab normalization Σ_{w ∈ vocab} p_n(w|ctx) = 1 keeps
+    *     holding EXACTLY: the telescoping Σ(C−D) + D·N = S is table-
+    *     agnostic per level, and closure keeps every retained gram's
+    *     mass inside the vocab sum. An independent cutoff at a lower
+    *     level would break closure (a retained top gram whose suffix
+    *     was pruned leaks its first-term mass outside tc) — measured
+    *     here as a silently-NULL model when a cutoff emptied a middle
+    *     level. KnNgramLmSpec proves the pruned Σp=1 in rationals.
+    *
+    * Pruned-away grams fall to the lower-order interpolation like any
+    * unseen gram.
+    *
+    * 100 TB shape — the point: the order-n gram table is the model's
+    * one corpus-linear term (x72 measured it at 34× per 100× data);
+    * singleton cutoffs make the RETAINED table grow with the number of
+    * REPEATED n-grams instead, which saturates as the corpus outgrows
+    * its novelty. The filter rides the training aggregation (map-side
+    * combine unchanged), before the checkpoint pins anything.
+    */
+  def train(grams: DataFrame, n: Int, minTopCount: Long): Model = {
     require(n >= 2, s"order $n: need n >= 2")
+    require(minTopCount >= 1L, "minTopCount must be >= 1")
     val levels = Seq.newBuilder[Level]
     // top level: token counts; each lower level's gram table is the
     // TYPE count of the level above (one row per distinct gram there)
-    var gramTable = grams.groupBy(suffixCols(n, n).map(col): _*)
+    val top = grams.groupBy(suffixCols(n, n).map(col): _*)
       .agg(count(lit(1)).as(s"cnt$n"))
+    var gramTable = (if (minTopCount <= 1L) top
+      else top.filter(col(s"cnt$n") >= minTopCount))
       .localCheckpoint(true) // one materialization feeds every derived table
+    if (gramTable.isEmpty) throw new IllegalStateException(
+      s"minTopCount=$minTopCount pruned every order-$n gram — an empty " +
+        "model scores everything NULL; lower the cutoff")
     var k = n
     while (k >= 2) {
       val ctx = gramTable.groupBy(ctxCols(n, k).map(col): _*)

@@ -23,8 +23,9 @@ object DedupQueries {
   /** Corpus with synthesized near-duplicates: every 5th doc re-appears
     * (id + 1000000000000) with a few extra tokens appended — no natural dups
     * exist in the testdata. */
-  /** Package-visible for x58's effective-size audit. */
-  private[queries] def nearDupCorpus(s: SparkSession, dir: String): DataFrame =
+  /** Package-visible for x58's effective-size audit and ScaleUpSpec's
+    * synthetic-namespace floor check. */
+  private[graft] def nearDupCorpus(s: SparkSession, dir: String): DataFrame =
     corpusWithNearDups(s, dir)
 
   private def corpusWithNearDups(s: SparkSession, dir: String): DataFrame = {
@@ -1339,6 +1340,95 @@ object DedupQueries {
           JOIN documents sb ON sb.doc_id = ob)
         SELECT s1, s2, COUNT(*) AS n_pairs, COUNT(DISTINCT oa) AS n_docs_a
         FROM lab GROUP BY 1, 2 ORDER BY s1, s2""")),
+
+    // ── d20's matrix at 100 TB: HLL-sketched per-cell distinct docs ───
+    // d20's COUNT(DISTINCT oa) per (s1,s2) cell pays a partial-distinct
+    // shuffle of the whole (cell, doc) stream — doc-linear distinct
+    // state on a duplication-heavy corpus (the d19→d26 growth law,
+    // applied to the matrix). This twin keeps n_pairs exact and
+    // sketches n_docs_a with the same m=64 HyperLogLog discipline as
+    // d26/x27: the groupBy(s1, s2, bucket) partials reduce to
+    // ≤ |cells|·64 CONSTANT-state groups per task (the source alphabet
+    // is 20, so ≤ 210·64 rows total), the shuffle carries registers
+    // instead of doc ids, and cells merge across shards/epochs by
+    // plain MAX. Integer-exact up to the one final IEEE divide, so the
+    // oracle replays it bit-for-bit.
+    GraftQuery(
+      "d27_neardup_matrix_sketched",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = graft.dedup.SimHash.mihPairs(
+          graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text")
+            .localCheckpoint(true),
+          maxHamming = 8)
+        val src = Tables.documents(s, dir).select($"doc_id", $"source")
+        pairs
+          .withColumn("oa", $"a" % 1000000000000L)
+          .withColumn("ob", $"b" % 1000000000000L)
+          .join(broadcast(src.select($"doc_id".as("oa"), $"source".as("src_a"))), "oa")
+          .join(broadcast(src.select($"doc_id".as("ob"), $"source".as("src_b"))), "ob")
+          .select(least($"src_a", $"src_b").as("s1"),
+            greatest($"src_a", $"src_b").as("s2"),
+            graft.functions.HashFunctions.md5Long($"oa".cast("string")).as("bh"))
+          .select($"s1", $"s2", expr("bh & 63").as("bucket"),
+            expr("shiftright(bh, 6)").as("w"))
+          .groupBy($"s1", $"s2", $"bucket")
+          .agg(count(lit(1)).as("pn"),
+            max(when($"w" === 0L, lit(55))
+              .otherwise(lit(55) - length(bin($"w")))).as("reg"))
+          .groupBy($"s1", $"s2")
+          .agg(sum($"pn").cast("long").as("n_pairs"),
+            count(lit(1)).as("n_present"),
+            sum(expr("shiftleft(cast(1 as bigint), 55 - reg)")).cast("long").as("num_present"))
+          .select($"s1", $"s2", $"n_pairs",
+            (lit(64L) - $"n_present").as("n_zero_regs"),
+            ($"num_present" + (lit(64L) - $"n_present") * lit(36028797018963968L))
+              .as("numerator"))
+          .withColumn("est_docs_a",
+            lit(1.046802484394006e20) / $"numerator".cast("double"))
+          .orderBy($"s1", $"s2")
+      },
+      Some(s"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000000000 AS doc_id, text || ' extra appended tail tokens here' AS text
+          FROM documents WHERE doc_id % 5 = 0),
+        toks AS (
+          SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-zA-Z0-9]+')) AS tok
+          FROM corpus),
+        hashed AS (
+          SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+        sigs AS (
+          SELECT doc_id, CAST($simhashAggSql AS BIGINT) AS sig
+          FROM hashed GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id % 1000000000000 AS oa, b.doc_id % 1000000000000 AS ob
+          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sig, b.sig)) <= 8),
+        lab AS (
+          SELECT least(sa.source, sb.source) AS s1,
+            greatest(sa.source, sb.source) AS s2,
+            CAST(concat('0x', substr(md5(CAST(oa AS VARCHAR)), 1, 15)) AS BIGINT) AS bh
+          FROM pairs
+          JOIN documents sa ON sa.doc_id = oa
+          JOIN documents sb ON sb.doc_id = ob),
+        regs AS (
+          SELECT s1, s2, bh & 63 AS bucket, COUNT(*) AS pn,
+            MAX(CASE WHEN bh >> 6 = 0 THEN 55
+                     ELSE 55 - length(bin(bh >> 6)) END) AS reg
+          FROM lab GROUP BY s1, s2, bh & 63),
+        sk AS (
+          SELECT s1, s2, CAST(SUM(pn) AS BIGINT) AS n_pairs,
+            COUNT(*) AS n_present,
+            CAST(SUM(1::BIGINT << (55 - reg)) AS BIGINT) AS num_present
+          FROM regs GROUP BY s1, s2)
+        SELECT s1, s2, n_pairs,
+          64 - n_present AS n_zero_regs,
+          CAST(num_present + (64 - n_present) * 36028797018963968::BIGINT AS BIGINT) AS numerator,
+          1.046802484394006e20
+            / CAST(num_present + (64 - n_present) * 36028797018963968::BIGINT AS DOUBLE) AS est_docs_a
+        FROM sk ORDER BY s1, s2""")),
 
     // ── b-bit minhash accuracy audit (Li & König 2010) ────────────────
     // Storing only the LOWEST BIT of each minhash shrinks the signature

@@ -3173,6 +3173,165 @@ object TextQueries {
           CAST(SUM(CASE WHEN first_bin < bin THEN 1 ELSE 0 END) AS BIGINT) AS n_carried_in
         FROM e GROUP BY shard, bin ORDER BY shard, bin""")),
 
+    // ── count-pruned 4-gram KN (x72's corpus-linear term, cut) ────────
+    // x72's order-4 gram table is the model's one corpus-linear term
+    // (measured 34× at 100× data): the training corpus's NOVEL 4-grams
+    // grow with it forever. An SRILM-style count cutoff at the TOP
+    // level (min count 2 here) makes the retained table grow with
+    // REPEATED n-grams only — which saturates as the corpus outgrows
+    // its novelty — and bounds EVERY lower table too (each derives from
+    // the pruned top table). Σ_w p(w|ctx) = 1 keeps holding exactly:
+    // the cutoff is top-level-only precisely so suffix closure is
+    // preserved (KnNgramLm.train's scaladoc; KnNgramLmSpec proves the
+    // pruned Σp=1 in rationals). Pruned-away grams score through the
+    // lower-order interpolation like any unseen gram. Same split/schema
+    // as x72, so the two are directly comparable per doc. Scale shape:
+    // identical plan to x72 with the corpus-linear join side cut to the
+    // repeated grams; the filter rides the training aggregation
+    // (map-side combine unchanged).
+    GraftQuery(
+      "x74_kn_4gram_pruned",
+      (s, dir) => {
+        import s.implicits._
+        val g4 = graft.lm.KnNgramLm.ngrams(
+          Tables.documents(s, dir), "doc_id", "text", 4)
+        val m = graft.lm.KnNgramLm.train(g4.filter($"doc_id" % 10 < 8), 4, 2L)
+        graft.lm.KnNgramLm.perDoc(graft.lm.KnNgramLm.score(g4, m))
+          .withColumn("held_out", ($"doc_id" % 10 >= 8).cast("int"))
+          .orderBy($"doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM documents),
+        g4 AS (
+          SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, t[i+3] AS w4
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i
+                FROM toks WHERE len(t) >= 4)),
+        c4 AS (SELECT w1, w2, w3, w4, COUNT(*) AS cnt4 FROM g4 WHERE doc_id % 10 < 8 GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2),
+        ctx4 AS (SELECT w1, w2, w3, CAST(SUM(cnt4) AS BIGINT) AS csum4, COUNT(*) AS ndist4 FROM c4 GROUP BY 1, 2, 3),
+        t3 AS (SELECT w2, w3, w4, COUNT(*) AS cnt3 FROM c4 GROUP BY 1, 2, 3),
+        ctx3 AS (SELECT w2, w3, CAST(SUM(cnt3) AS BIGINT) AS csum3, COUNT(*) AS ndist3 FROM t3 GROUP BY 1, 2),
+        t2 AS (SELECT w3, w4, COUNT(*) AS cnt2 FROM t3 GROUP BY 1, 2),
+        ctx2 AS (SELECT w3, CAST(SUM(cnt2) AS BIGINT) AS csum2, COUNT(*) AS ndist2 FROM t2 GROUP BY 1),
+        tc AS (SELECT w4, COUNT(*) AS tc FROM t2 GROUP BY 1),
+        scal AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt, COUNT(*) AS v FROM tc),
+        j AS (
+          SELECT g4.doc_id, c4.cnt4, ctx4.csum4, ctx4.ndist4, t3.cnt3,
+            ctx3.csum3, ctx3.ndist3, t2.cnt2, ctx2.csum2, ctx2.ndist2,
+            COALESCE(tc.tc, 0) + 1 AS num1, scal.tt + scal.v AS den1
+          FROM g4 LEFT JOIN c4 USING (w1, w2, w3, w4)
+            LEFT JOIN ctx4 USING (w1, w2, w3)
+            LEFT JOIN t3 USING (w2, w3, w4)
+            LEFT JOIN ctx3 USING (w2, w3)
+            LEFT JOIN t2 USING (w3, w4)
+            LEFT JOIN ctx2 USING (w3)
+            LEFT JOIN tc USING (w4) CROSS JOIN scal),
+        l2 AS (
+          SELECT doc_id, cnt4, csum4, ndist4, cnt3, csum3, ndist3,
+            CAST(CASE
+              WHEN cnt2 IS NOT NULL THEN (4 * cnt2 - 3) * den1 + 3 * ndist2 * num1
+              WHEN csum2 IS NOT NULL THEN 3 * ndist2 * num1
+              ELSE num1 END AS HUGEINT) AS num2,
+            CAST(CASE WHEN csum2 IS NOT NULL THEN 4 * csum2 * den1 ELSE den1 END AS HUGEINT) AS den2
+          FROM j),
+        l3 AS (
+          SELECT doc_id, cnt4, csum4, ndist4,
+            CASE
+              WHEN cnt3 IS NOT NULL THEN CAST(4 * cnt3 - 3 AS HUGEINT) * den2 + CAST(3 * ndist3 AS HUGEINT) * num2
+              WHEN csum3 IS NOT NULL THEN CAST(3 * ndist3 AS HUGEINT) * num2
+              ELSE num2 END AS num3,
+            CASE WHEN csum3 IS NOT NULL THEN CAST(4 * csum3 AS HUGEINT) * den2 ELSE den2 END AS den3
+          FROM l2),
+        l4 AS (
+          SELECT doc_id,
+            CASE
+              WHEN cnt4 IS NOT NULL THEN CAST(4 * cnt4 - 3 AS HUGEINT) * den3 + CAST(3 * ndist4 AS HUGEINT) * num3
+              WHEN csum4 IS NOT NULL THEN CAST(3 * ndist4 AS HUGEINT) * num3
+              ELSE num3 END AS num4,
+            CASE WHEN csum4 IS NOT NULL THEN CAST(4 * csum4 AS HUGEINT) * den3 ELSE den3 END AS den4,
+            CASE WHEN cnt4 IS NULL THEN 1 ELSE 0 END AS unseen
+          FROM l3)
+        SELECT doc_id, COUNT(*) AS n_grams,
+          CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+          CAST(SUM(length(bin(CAST(den4 // num4 AS BIGINT)))) AS BIGINT) AS kn_bits_q,
+          (CAST(SUM(length(bin(CAST(den4 // num4 AS BIGINT)))) AS BIGINT) * 100) // COUNT(*) AS avg_bits_x100,
+          CAST(doc_id % 10 >= 8 AS INT) AS held_out
+        FROM l4 GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── count-cutoff prune curve for the 4-gram table ─────────────────
+    // Before committing x74's cutoff, measure what each θ would do from
+    // ONE pass (the x67/d19 sweep discipline — thresholds EXPLODE,
+    // never one re-train per setting): per candidate cutoff θ, the
+    // retained 4-gram table size (the model's storage term), retained
+    // train-token mass, and held-out token COVERAGE (share of held-out
+    // 4-gram tokens whose entry survives — what the top level still
+    // answers before falling back). All integer-exact ppm rationals.
+    // Scale shape: one train aggregation + one held-out left join; the
+    // θ explode runs over the |table|-sized count table and the
+    // held-out stream, into map-side-combinable rollups.
+    GraftQuery(
+      "x75_kn_prune_curve",
+      (s, dir) => {
+        import s.implicits._
+        val g4 = graft.lm.KnNgramLm.ngrams(
+          Tables.documents(s, dir), "doc_id", "text", 4)
+          .localCheckpoint(true) // feeds train AND the held-out probe
+        val tr = g4.filter($"doc_id" % 10 < 8)
+          .groupBy($"w1", $"w2", $"w3", $"w4")
+          .agg(count(lit(1)).as("cnt4"))
+          .localCheckpoint(true)
+        val tot = tr.agg(count(lit(1)).as("n_all"),
+          sum($"cnt4").cast("long").as("mass_all"))
+        val sizes = tr
+          .withColumn("theta", explode(expr("array(1, 2, 3, 4, 8)")))
+          .filter($"cnt4" >= $"theta")
+          .groupBy($"theta")
+          .agg(count(lit(1)).as("n_kept"),
+            sum($"cnt4").cast("long").as("mass_kept"))
+        val held = g4.filter($"doc_id" % 10 >= 8)
+          .join(tr, Seq("w1", "w2", "w3", "w4"), "left")
+          .withColumn("theta", explode(expr("array(1, 2, 3, 4, 8)")))
+          .groupBy($"theta")
+          .agg(count(lit(1)).as("n_held"),
+            sum(when($"cnt4" >= $"theta", 1L).otherwise(0L))
+              .cast("long").as("n_held_hit"))
+        sizes.join(held, "theta").crossJoin(broadcast(tot))
+          .select($"theta".cast("int").as("theta"), $"n_kept",
+            expr("(n_kept * 1000000) div n_all").as("grams_keep_ppm"),
+            expr("(mass_kept * 1000000) div mass_all").as("mass_keep_ppm"),
+            $"n_held", $"n_held_hit",
+            expr("(n_held_hit * 1000000) div n_held").as("held_cover_ppm"))
+          .orderBy($"theta")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[a-zA-Z0-9]+') AS t
+          FROM documents),
+        g4 AS (
+          SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3, t[i+3] AS w4
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i
+                FROM toks WHERE len(t) >= 4)),
+        tr AS (SELECT w1, w2, w3, w4, COUNT(*) AS cnt4 FROM g4 WHERE doc_id % 10 < 8 GROUP BY 1, 2, 3, 4),
+        tot AS (SELECT COUNT(*) AS n_all, CAST(SUM(cnt4) AS BIGINT) AS mass_all FROM tr),
+        sz AS (
+          SELECT theta, COUNT(*) AS n_kept, CAST(SUM(cnt4) AS BIGINT) AS mass_kept
+          FROM (SELECT cnt4, unnest([1, 2, 3, 4, 8]) AS theta FROM tr)
+          WHERE cnt4 >= theta GROUP BY theta),
+        hd AS (
+          SELECT theta, COUNT(*) AS n_held,
+            CAST(SUM(CASE WHEN cnt4 >= theta THEN 1 ELSE 0 END) AS BIGINT) AS n_held_hit
+          FROM (SELECT tr.cnt4, unnest([1, 2, 3, 4, 8]) AS theta
+                FROM g4 LEFT JOIN tr USING (w1, w2, w3, w4)
+                WHERE g4.doc_id % 10 >= 8)
+          GROUP BY theta)
+        SELECT CAST(sz.theta AS INT) AS theta, n_kept,
+          (n_kept * 1000000) // tot.n_all AS grams_keep_ppm,
+          (mass_kept * 1000000) // tot.mass_all AS mass_keep_ppm,
+          n_held, n_held_hit,
+          (n_held_hit * 1000000) // n_held AS held_cover_ppm
+        FROM sz JOIN hd USING (theta) CROSS JOIN tot ORDER BY theta""")),
+
     // ── domain-shift matrix: per-source LMs cross-scoring all sources ──
     // The data-mixing diagnostic: train x65's KN bigram LM PER SOURCE
     // (count tables keyed by source — one aggregation pass, not one

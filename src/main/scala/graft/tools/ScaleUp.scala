@@ -42,6 +42,36 @@ object ScaleUp {
   private val DocStride   = 1000000L
   private val VecStride   = 1000000L
 
+  /** The registry's synthetic-id namespace floor: every synthesized
+    * variant id (near-dup copy, leaked doc, junk feed, corrupted media)
+    * lives at or above this, so NO id this synthesizer can produce may
+    * reach it. The ROUNDLOG §9.13 defect class — synthetic ids aliasing
+    * replica ids at 100% on the scaled corpora — is now an ASSERTION,
+    * not an offset convention someone has to remember. */
+  val SyntheticIdFloor: Long = 1000000000000L
+
+  /** Largest id `replicate`+`shifted` can emit for a table. */
+  def maxReplicaId(maxSourceId: Long, stride: Long, replicas: Int): Long =
+    (replicas - 1).toLong * stride + maxSourceId
+
+  /** Fails loudly when a replication would intersect the registry's
+    * synthetic namespaces (or wrap a stride into a neighbor replica's
+    * key space). Called per table before anything is written; the spec
+    * case that would have caught the r6–r8 aliasing lives in
+    * ScaleUpSpec (a +1e6-scale synthetic offset fails this check at
+    * every replica count > 1). */
+  def assertReplicaDomain(table: String, maxSourceId: Long, stride: Long,
+      replicas: Int): Unit = {
+    require(maxSourceId < stride,
+      s"$table: max source id $maxSourceId >= stride $stride — replica " +
+        "key spaces would overlap each other")
+    val top = maxReplicaId(maxSourceId, stride, replicas)
+    require(top < SyntheticIdFloor,
+      s"$table: replica ids reach $top >= synthetic-id floor " +
+        s"$SyntheticIdFloor at replicas=$replicas — the registry's " +
+        "synthesized variants would alias real replica ids (ROUNDLOG §9.13)")
+  }
+
   /** One scan -> R replicas via an exploded replica column. */
   private def replicate(df: DataFrame, r: Int): DataFrame =
     df.withColumn("rep", explode(lit((0 until r).toArray)))
@@ -64,6 +94,24 @@ object ScaleUp {
     def rd(t: String) = spark.read.parquet(s"$in/$t.parquet")
     def wr(df: DataFrame, t: String, files: Int): Unit =
       df.drop("rep").repartition(files).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    // collision-domain gate: every shifted key column's replica domain
+    // must stay below the synthetic-id floor (one tiny agg per table)
+    def gate(t: String, keys: (String, Long)*): Unit = {
+      val maxes = rd(t).agg(max(col(keys.head._1).cast("long")),
+        keys.tail.map(k => max(col(k._1).cast("long"))): _*).head()
+      keys.zipWithIndex.foreach { case ((c, stride), i) =>
+        assertReplicaDomain(s"$t.$c", maxes.getLong(i), stride, r)
+      }
+    }
+    gate("lineitem", "l_orderkey" -> OrderStride, "l_partkey" -> PartStride,
+      "l_suppkey" -> SuppStride)
+    gate("orders", "o_orderkey" -> OrderStride, "o_custkey" -> CustStride)
+    gate("customer", "c_custkey" -> CustStride)
+    gate("supplier", "s_suppkey" -> SuppStride)
+    gate("part", "p_partkey" -> PartStride)
+    gate("events", "event_id" -> EventStride, "user_id" -> UserStride)
+    gate("documents", "doc_id" -> DocStride)
+    gate("embeddings", "vec_id" -> VecStride)
 
     wr(replicate(rd("lineitem"), r).select(
       shifted("l_orderkey", OrderStride), shifted("l_partkey", PartStride),

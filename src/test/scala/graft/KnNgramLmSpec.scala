@@ -93,37 +93,71 @@ class KnNgramLmSpec extends AnyFunSuite {
     assert(res(m2) == res(m))
   }
 
+  /** Σ_w p_n(w|ctx) must equal 1 exactly in rationals for every
+    * fully-observed top-level context, over the model's own vocab. */
+  private def assertSumsToOne(m: KnNgramLm.Model, n: Int): Unit = {
+    val vocab = m.tc.select(col(s"w$n")).collect().map(_.getString(0))
+    val ctxNames = (1 until n).map(i => s"w$i")
+    val contexts = m.levels.head.ctx.select(ctxNames.map(col): _*)
+      .collect().map(r => ctxNames.indices.map(r.getString))
+    val rows = contexts.flatMap(ctx => vocab.map(w => (0L, ctx :+ w)))
+    val probe = rows.map { case (id, ws) => Row.fromSeq(id +: ws) }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType) +:
+      (1 to n).map(i => org.apache.spark.sql.types.StructField(s"w$i",
+        org.apache.spark.sql.types.StringType)))
+    val probeDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(probe.toSeq), schema)
+    val scored = KnNgramLm.score(probeDf, m)
+      .selectExpr(ctxNames :+ s"CAST(num$n AS DECIMAL(38,0)) AS nn" :+
+        s"CAST(den$n AS DECIMAL(38,0)) AS dd": _*)
+      .collect()
+    // row layout: ctx cols at 0..n-2, nn at n-1, dd at n
+    scored.groupBy(r => ctxNames.indices.map(r.getString)).foreach { case (ctx, rs) =>
+      val dens = rs.map(r => BigInt(r.getDecimal(n).toBigInteger)).distinct
+      assert(dens.length == 1, s"n=$n ctx $ctx mixed dens")
+      val sum = rs.map(r => BigInt(r.getDecimal(n - 1).toBigInteger)).sum
+      assert(sum == dens.head, s"n=$n ctx $ctx: Σnum = $sum != den ${dens.head}")
+    }
+  }
+
   test("Σ_w p_n(w|ctx) = 1 exactly in rationals, for n = 2, 3, 4") {
-    import spark.implicits._
     val d = docs()
     for (n <- Seq(2, 3, 4)) {
-      val m = KnNgramLm.train(KnNgramLm.ngrams(d, "doc_id", "text", n), n)
-      val vocab = m.tc.select(col(s"w$n")).collect().map(_.getString(0))
-      // every fully-observed top-level context
-      val ctxNames = (1 until n).map(i => s"w$i")
-      val contexts = m.levels.head.ctx.select(ctxNames.map(col): _*)
-        .collect().map(r => ctxNames.indices.map(r.getString))
-      val rows = contexts.flatMap(ctx => vocab.map(w => (0L, ctx :+ w)))
-      val probe = rows.map { case (id, ws) => Row.fromSeq(id +: ws) }
-      val schema = org.apache.spark.sql.types.StructType(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType) +:
-        (1 to n).map(i => org.apache.spark.sql.types.StructField(s"w$i",
-          org.apache.spark.sql.types.StringType)))
-      val probeDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(probe.toSeq), schema)
-      val scored = KnNgramLm.score(probeDf, m)
-        .selectExpr(ctxNames :+ s"CAST(num$n AS DECIMAL(38,0)) AS nn" :+
-          s"CAST(den$n AS DECIMAL(38,0)) AS dd": _*)
-        .collect()
-      // row layout: ctx cols at 0..n-2, nn at n-1, dd at n
-      scored.groupBy(r => ctxNames.indices.map(r.getString)).foreach { case (ctx, rs) =>
-        val dens = rs.map(r => BigInt(r.getDecimal(n).toBigInteger)).distinct
-        assert(dens.length == 1, s"n=$n ctx $ctx mixed dens")
-        val sum = rs.map(r => BigInt(r.getDecimal(n - 1).toBigInteger)).sum
-        assert(sum == dens.head, s"n=$n ctx $ctx: Σnum = $sum != den ${dens.head}")
-      }
+      assertSumsToOne(KnNgramLm.train(KnNgramLm.ngrams(d, "doc_id", "text", n), n), n)
     }
+  }
+
+  test("count-pruned model: Σ_w p_4(w|ctx) = 1 still holds exactly") {
+    import spark.implicits._
+    // corpus with REPEATED 4-grams so a θ=2 cutoff keeps some and drops
+    // others (the hand corpus is all singletons — pruning it would empty
+    // the model, which train now rejects loudly)
+    val d = Seq(
+      (0L, "a b a b a b a b a c"),
+      (1L, "b a b a b a b d"),
+      (2L, "a b a b a b c d a b")).toDF("doc_id", "text")
+    val g4 = KnNgramLm.ngrams(d, "doc_id", "text", 4)
+    val full = KnNgramLm.train(g4, 4)
+    val m = KnNgramLm.train(g4, 4, 2L)
+    // the cutoff must genuinely prune (else this test is vacuous) while
+    // keeping a non-empty top level; lower tables shrink with it
+    val keptTop = m.levels.head.gram.count()
+    assert(keptTop > 0 && keptTop < full.levels.head.gram.count())
+    assert(m.levels(1).gram.count() < full.levels(1).gram.count())
+    assertSumsToOne(m, 4)
+    // pruned-away grams score through the lower-order fallback, never null
+    val scored = KnNgramLm.perDoc(KnNgramLm.score(g4, m))
+    assert(scored.count() == 3)
+    assert(scored.where(col("kn_bits_q").isNull).count() == 0)
+  }
+
+  test("a cutoff that empties the model fails loudly, never scores NULL") {
+    // the all-singleton hand corpus: θ=2 retains nothing
+    val g4 = KnNgramLm.ngrams(docs(), "doc_id", "text", 4)
+    val e = intercept[IllegalStateException](KnNgramLm.train(g4, 4, 2L))
+    assert(e.getMessage.contains("minTopCount"))
   }
 
   private def Row = org.apache.spark.sql.Row

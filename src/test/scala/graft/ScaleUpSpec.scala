@@ -1,0 +1,56 @@
+package graft
+
+import graft.tools.ScaleUp
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Collision-domain contract between the scale synthesizer and the
+  * registry's synthetic-id namespaces (ROUNDLOG §9.13): replica ids must
+  * never reach the +1e12 floor where queries plant synthesized variants,
+  * and — the case that would have caught the r6–r8 defect — a +1e6-scale
+  * synthetic offset ALIASES replica ids exactly, so the old convention
+  * must fail the assertion at every replica count above 1. */
+class ScaleUpSpec extends AnyFunSuite {
+
+  test("current strides stay under the synthetic floor through sf100000") {
+    // sf0.1 source maxima (documents max doc_id 4999; orderkeys ~6e6)
+    ScaleUp.assertReplicaDomain("documents.doc_id", 4999L, 1000000L, 1000000)
+    ScaleUp.assertReplicaDomain("lineitem.l_orderkey", 6000000L, 10000000L, 99999)
+    // one past the supported range: the gate trips instead of aliasing
+    intercept[IllegalArgumentException](
+      ScaleUp.assertReplicaDomain("documents.doc_id", 4999L, 1000000L, 1000001))
+  }
+
+  test("the r6–r8 defect: a +1e6 synthetic offset aliases replica ids") {
+    // Registry queries used to plant synthesized variants at doc_id+1e6;
+    // replica 1 of doc k is EXACTLY 1e6+k, a 100% collision. The floor
+    // contract makes this class structurally impossible: any namespace
+    // at or below maxReplicaId intersects, only >= SyntheticIdFloor is
+    // safe — and maxReplicaId stays below the floor (previous test).
+    val oldOffset = 1000000L
+    val maxTop = ScaleUp.maxReplicaId(4999L, 1000000L, 10)
+    assert(oldOffset <= maxTop, "the old +1e6 namespace sits inside the replica domain")
+    assert(ScaleUp.SyntheticIdFloor > maxTop)
+    // and a replica-domain overlap (stride too small for the ids) trips
+    intercept[IllegalArgumentException](
+      ScaleUp.assertReplicaDomain("documents.doc_id", 1000001L, 1000000L, 10))
+  }
+
+  test("registry synthetic namespaces all sit at or above the floor") {
+    // greps are brittle in a spec, but the two corpora builders the
+    // dedup/stream planes share are API-visible: their synthesized ids
+    // must be >= the floor. (The full-source audit lives in the round
+    // log; this pins the shared builders.)
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.queries.DedupQueries.nearDupCorpus(spark, dir)
+    val synth = corpus.filter(col("doc_id") >= ScaleUp.SyntheticIdFloor)
+    val orig = corpus.filter(col("doc_id") < ScaleUp.SyntheticIdFloor)
+    assert(synth.count() > 0, "builder must synthesize variants")
+    // fold-back: synthetic % floor lands exactly on original ids
+    val bad = synth.select((col("doc_id") % ScaleUp.SyntheticIdFloor).as("o"))
+      .join(orig.select(col("doc_id").as("o")), Seq("o"), "left_anti").count()
+    assert(bad == 0, "every synthetic id folds back to a real origin")
+  }
+}
