@@ -587,6 +587,101 @@ object AviCodec {
     }
   }
 
+  /** Encode an INTERLEAVED MJPEG+PCM AVI — the most common real-world
+    * AVI shape (lossy video plus audio): m21's `00dc` JFIF chunks and
+    * m22's mono PCM-16 'auds' stream (WAVEFORMATEX strf, `01wb`
+    * chunks) in one container, audio split evenly across frames and
+    * interleaved per frame the way streaming muxers lay out movi. The
+    * JPEGs are stored verbatim (the container never re-encodes). */
+  def encodeMjpegWithPcm(width: Int, height: Int, jpegFrames: Seq[Array[Byte]],
+      sampleRate: Int, samples: Array[Short], fps: Int = 25): Array[Byte] = {
+    require(width > 0 && height > 0 && jpegFrames.nonEmpty && samples.nonEmpty,
+      "need A/V")
+    val maxBytes = jpegFrames.map(_.length).max
+
+    val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(1000000 / fps).putInt(maxBytes * fps).putInt(0)
+      .putInt(0x10 | 0x100 /* HASINDEX | ISINTERLEAVED */)
+      .putInt(jpegFrames.length).putInt(0)
+      .putInt(2 /* streams */).putInt(maxBytes).putInt(width).putInt(height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+
+    val strhV = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    strhV.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(fps)
+      .putInt(0).putInt(jpegFrames.length).putInt(maxBytes)
+      .putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+    val strfV = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+    strfV.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24).putInt(MjpgFourcc).putInt(maxBytes)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+
+    val strhA = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    strhA.put("auds".getBytes("US-ASCII")).putInt(0)
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(sampleRate)
+      .putInt(0).putInt(samples.length).putInt(samples.length * 2)
+      .putInt(-1).putInt(2 /* sampleSize */)
+      .putShort(0).putShort(0).putShort(0).putShort(0)
+    val strfA = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    strfA.putShort(1 /* PCM */).putShort(1 /* mono */)
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2 /* blockAlign */).putShort(16)
+
+    val hdrl = riffList("hdrl", riffChunk("avih", avih.array()) ++
+      riffList("strl", riffChunk("strh", strhV.array()) ++ riffChunk("strf", strfV.array())) ++
+      riffList("strl", riffChunk("strh", strhA.array()) ++ riffChunk("strf", strfA.array())))
+
+    val per = (samples.length + jpegFrames.length - 1) / jpegFrames.length
+    val avChunks = jpegFrames.zipWithIndex.flatMap { case (j, fi) =>
+      val lo = fi * per
+      val hi = math.min(samples.length, lo + per)
+      val ab = ByteBuffer.allocate(math.max(0, hi - lo) * 2).order(ByteOrder.LITTLE_ENDIAN)
+      (lo until hi).foreach(i => ab.putShort(samples(i)))
+      Seq(riffChunk("00dc", j)) ++
+        (if (hi > lo) Seq(riffChunk("01wb", ab.array())) else Nil)
+    }
+    val movi = riffList("movi", avChunks.reduce(_ ++ _))
+
+    val idx = ByteBuffer.allocate(16 * avChunks.length).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 4
+    avChunks.foreach { fc =>
+      idx.put(java.util.Arrays.copyOfRange(fc, 0, 4)).putInt(0x10).putInt(off)
+        .putInt(fc.length - 8)
+      off += fc.length
+    }
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++
+      riffChunk("JUNK", new Array[Byte](12)) ++ movi ++ riffChunk("idx1", idx.array())
+    val out = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    out.array()
+  }
+
+  /** Batched A/V stats for interleaved MJPEG+PCM AVIs (the m23 seam):
+    * every `everyK`-th MJPEG frame through the real JPEG decoder (only
+    * sampled frames pay the entropy-decode + IDCT) plus the full PCM
+    * stream's L1 energy. Anything that is not a well-formed interleaved
+    * MJPEG + PCM-16 AVI — including the DIB-8 interleave (the OTHER
+    * A/V decoder's kind) — falls to the stub row. */
+  def avMjpegStatsBatch(everyK: Int)(
+      batch: Seq[(Long, String, Array[Byte])]): Seq[AvClipStats] = {
+    require(everyK > 0, "need everyK > 0")
+    batch.map { case (id, kind, bytes) =>
+      (decodeMjpeg(bytes, everyK), decodeAviPcm16(bytes)) match {
+        case (Some((_, _, frames)), Some((rate, samples))) =>
+          AvClipStats(id, kind, frames.size,
+            frames.map(_._2.foldLeft(0L)(_ + _)).sum,
+            rate, samples.length,
+            samples.foldLeft(0L)((a, s) => a + math.abs(s.toLong)),
+            "avi/mjpeg-av-v1")
+        case _ =>
+          AvClipStats(id, kind, -1, 0L, 0, 0, 0L, "stub/md5-v1")
+      }
+    }
+  }
+
   /** Batch frame-sampler for [[Multimodal.decodeFrames]], MJPEG form:
     * every `everyK`-th frame through the real JPEG decoder; non-MJPEG
     * payloads (including DIB-8 AVIs) emit the one-row stub. */

@@ -835,6 +835,53 @@ object MultimodalQueries {
           'avi/av-v1' AS decoder
         FROM v JOIN a USING (doc_id) ORDER BY media_id""")),
 
+    // ── REAL video container #5: interleaved MJPEG+PCM AVI ────────────
+    // The most common real-world AVI: LOSSY video plus audio in one
+    // RIFF — m21's `00dc` JFIF chunks and m22's `01wb` PCM-16 stream
+    // interleaved per frame, two strh-gated strls. Completes the
+    // container matrix's last cell (DIB/MJPEG × silent/interleaved).
+    // Video side is fixture-pinned (m21's discipline — lossy can't
+    // generator-roundtrip): every doc carries the same muxed 3-fixture
+    // clip, every-2nd sampling keeps frames 0 and 2, luma literals
+    // 23040 + 31363 = 54403 (graft.tools.LabMjpeg recomputes). Audio is
+    // per-doc analytic like m22 (lossless PCM), so the oracle checks
+    // both streams through one row. Both decodes happen in ONE batched
+    // seam pass; only sampled frames pay the JPEG entropy-decode+IDCT.
+    GraftQuery(
+      "m23_avi_mjpeg_pcm_stats",
+      (s, dir) => {
+        import s.implicits._
+        val dec = java.util.Base64.getDecoder
+        val jpegs = Seq(graft.multimodal.JpegFixtures.gradient,
+          graft.multimodal.JpegFixtures.checker,
+          graft.multimodal.JpegFixtures.radial).map(dec.decode)
+        val media = Tables.documents(s, dir).select($"doc_id").as[Long]
+          .mapPartitions(_.map { id =>
+            val samples = Array.tabulate(64)(j =>
+              (((id * 13 + j * 7) % 2001) - 1000).toShort)
+            (id, "video",
+              graft.multimodal.AviCodec.encodeMjpegWithPcm(16, 16, jpegs, 8000, samples))
+          }).toDF("media_id", "kind", "bytes")
+        media.as[(Long, String, Array[Byte])]
+          .mapPartitions(_.grouped(64).flatMap(
+            graft.multimodal.AviCodec.avMjpegStatsBatch(2)))
+          .toDF()
+          .select($"media_id", $"n_frames_sampled", $"luma_units",
+            $"sample_rate", $"n_samples".cast("long").as("n_samples"),
+            $"amp_units", $"decoder")
+          .orderBy($"media_id")
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id, CAST(SUM(ABS((doc_id * 13 + j.j * 7) % 2001 - 1000)) AS BIGINT) AS amp_units
+          FROM documents, generate_series(0, 63) AS j(j)
+          GROUP BY doc_id)
+        SELECT doc_id AS media_id, CAST(2 AS INT) AS n_frames_sampled,
+          CAST(54403 AS BIGINT) AS luma_units, CAST(8000 AS INT) AS sample_rate,
+          CAST(64 AS BIGINT) AS n_samples, a.amp_units,
+          'avi/mjpeg-av-v1' AS decoder
+        FROM a ORDER BY media_id""")),
+
     // ── REAL codecs: mixed PNG/BMP/GIF through ONE content-sniffed pass ─
     // The production shape for a heterogeneous image corpus: each doc_id
     // encodes the SAME 16×16 grayscale raster (m11's generator formula)

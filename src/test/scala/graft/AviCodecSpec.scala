@@ -146,6 +146,45 @@ class AviCodecSpec extends AnyFunSuite {
       WavCodec.encodePcm16(8000, Array.tabulate(16)(_.toShort))).isEmpty)
   }
 
+  test("interleaved MJPEG+PCM: both streams decode; full cross-kind reject matrix") {
+    val dec = java.util.Base64.getDecoder
+    val jpegs = Seq(graft.multimodal.JpegFixtures.gradient,
+      graft.multimodal.JpegFixtures.checker,
+      graft.multimodal.JpegFixtures.radial).map(dec.decode)
+    val samples = Array.tabulate(64)(j => ((j * 77) % 2001 - 1000).toShort)
+    val av = AviCodec.encodeMjpegWithPcm(16, 16, jpegs, 8000, samples)
+    // MJPEG frames decode THROUGH the interleaved audio (01wb skipped,
+    // auds strf never parsed as BITMAPINFOHEADER)
+    val Some((w, h, frames)) = AviCodec.decodeMjpeg(av, everyK = 2)
+    assert(w == 16 && h == 16 && frames.map(_._1) == Seq(0, 2))
+    frames.zip(Seq(jpegs(0), jpegs(2))).foreach { case ((_, luma), j) =>
+      val Some((_, _, direct)) = graft.multimodal.PngCodec.decodeGray(j)
+      assert(luma.toSeq == direct.toSeq)
+    }
+    // audio reassembles through the interleaved 00dc chunks
+    val Some((rate, gotA)) = AviCodec.decodeAviPcm16(av)
+    assert(rate == 8000 && gotA.toSeq == samples.toSeq)
+    // combined seam row with the pinned fixture luma
+    val st = AviCodec.avMjpegStatsBatch(2)(Seq((9L, "video", av))).head
+    assert(st.decoder == "avi/mjpeg-av-v1" && st.n_frames_sampled == 2)
+    assert(st.luma_units == 23040L + 31363L) // gradient + radial (LabMjpeg)
+    assert(st.amp_units == samples.map(s => math.abs(s.toLong)).sum)
+    // cross-kind rejects: each A/V seam refuses the other's container,
+    // and the DIB decoder refuses the lossy interleave outright
+    val dibAv = AviCodec.encodeGray8WithPcm(6, 5,
+      Seq(frame(6, 5, 1), frame(6, 5, 2)), 8000, samples)
+    assert(AviCodec.decodeGray8(av).isEmpty)
+    assert(AviCodec.decodeMjpeg(dibAv).isEmpty)
+    assert(AviCodec.avMjpegStatsBatch(2)(
+      Seq((1L, "video", dibAv))).head.decoder == "stub/md5-v1")
+    assert(AviCodec.avStatsBatch(2)(
+      Seq((1L, "video", av))).head.decoder == "stub/md5-v1")
+    // video-only MJPEG (no auds stream) falls to the stub row too
+    val videoOnly = AviCodec.encodeMjpeg(16, 16, jpegs)
+    assert(AviCodec.avMjpegStatsBatch(2)(
+      Seq((1L, "video", videoOnly))).head.decoder == "stub/md5-v1")
+  }
+
   test("JUNK chunks anywhere are skipped (encoder emits one before movi)") {
     val bytes = AviCodec.encodeGray8(4, 4, Seq(frame(4, 4, 5)))
     assert(indexOfTag(bytes, "JUNK") > 0) // structure really contains it
