@@ -37,8 +37,14 @@ import scala.collection.mutable.ArrayBuffer
   * falling-behind pipeline cannot hide backlog.
   */
 object StreamBench {
+  /** `perBatch` is the per-micro-batch (latencyS, rows) series in COMMIT
+    * order — empty for the gate mode; the bisect tooling
+    * ([[graft.tools.StreamBisect]]) reads it to separate within-run
+    * growth (per-batch state/merge cost rising batch over batch) from
+    * across-run level shifts (host window). */
   final case class Result(rows: Long, wallS: Double, rowsPerS: Double,
-      p50S: Double, p95S: Double, maxS: Double, batches: Int)
+      p50S: Double, p95S: Double, maxS: Double, batches: Int,
+      perBatch: Seq[(Double, Long)] = Nil)
 
   /** `mode = "upsert"`: the reference-parity sink — every micro-batch
     * runs the full versioned StockStore merge (read-back anti-join,
@@ -63,13 +69,14 @@ object StreamBench {
   def run(spark: SparkSession, rate: Int = 5000, durationS: Int = 12,
       mode: String = "upsert",
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
-      warm: Boolean = true): Result = {
+      warm: Boolean = true,
+      capFrames: Option[Int] = None): Result = {
     if (warm) {
       // Warm at the FULL rate so the measured run's batch sizes (and
       // their codegen/state-store shapes) are exactly what got JIT'd —
       // a 2k/s warm-up leaves the 5k-row batch path cold.
       if (mode == "gate") runGateOnce(spark, rate, 3, trigger)
-      else runOnce(spark, rate, 3, mode, trigger)
+      else runOnce(spark, rate, 3, mode, trigger, capFrames)
       // Host state trails heavy runs (see verify skill): give the JVM a
       // GC + settle window so the warm-up's churn doesn't bleed into the
       // first measured micro-batches.
@@ -77,7 +84,7 @@ object StreamBench {
       Thread.sleep(2000)
     }
     if (mode == "gate") runGateOnce(spark, rate, durationS, trigger)
-    else runOnce(spark, rate, durationS, mode, trigger)
+    else runOnce(spark, rate, durationS, mode, trigger, capFrames)
   }
 
   /** Synthetic doc text: 12 tokens over a 400-word vocab, the token
@@ -162,7 +169,7 @@ object StreamBench {
   }
 
   private def runOnce(spark: SparkSession, rate: Int, durationS: Int,
-      mode: String, trigger: Trigger): Result = {
+      mode: String, trigger: Trigger, capFrames: Option[Int] = None): Result = {
     val tmp = Files.createTempDirectory("graft-streambench")
     val total = rate.toLong * durationS
     val tickers = Array("SPY", "VOO", "QQQ", "IWM")
@@ -212,15 +219,23 @@ object StreamBench {
     // cost is dominated by the FIXED multi-job merge plan, so fewer,
     // bigger catch-up batches amortize it (capping upsert was measured at
     // p95 11.3 s vs 5.1 s uncapped at the same 5k/s).
-    val frames = (if (mode == "stateful")
-        reader.option("maxFramesPerBatch", (2 * rate).toString)
-      else reader)
+    // `capFrames` (bisect tooling) overrides the mode default: a FIXED
+    // per-batch volume makes latency comparable across hosts and rounds
+    // (upsert's uncapped default lets a slow window produce fewer,
+    // bigger batches whose oldest-frame latency is mechanically higher).
+    val frames = (capFrames match {
+        case Some(cap) => reader.option("maxFramesPerBatch", cap.toString)
+        case None if mode == "stateful" =>
+          reader.option("maxFramesPerBatch", (2 * rate).toString)
+        case None => reader
+      })
       .load()
       .select(col("raw"))
 
     val ticks = graft.streaming.StreamIngest.transformFrames(frames, "trades")
     val root = tmp.resolve("store").toString
     val latencies = ArrayBuffer.empty[Double]
+    val batchRecs = ArrayBuffer.empty[(Double, Long)]
     @volatile var storedRows = 0L
     @volatile var lastCommitMs = 0L
 
@@ -234,7 +249,11 @@ object StreamBench {
         if (r.getLong(1) > 0) {
           store(b)
           val now = System.currentTimeMillis()
-          latencies.synchronized { latencies += now / 1000.0 - r.getDouble(0) }
+          val lat = now / 1000.0 - r.getDouble(0)
+          latencies.synchronized {
+            latencies += lat
+            batchRecs += ((lat, r.getLong(1)))
+          }
           storedRows += r.getLong(1)
           lastCommitMs = now
         }
@@ -288,7 +307,7 @@ object StreamBench {
       if (lastCommitMs == 0L || firstFrameMs == 0L) Double.NaN
       else (lastCommitMs - firstFrameMs) / 1000.0
     Result(storedRows, wallS, storedRows / wallS, pct(0.50), pct(0.95),
-      if (lat.isEmpty) Double.NaN else lat.last, lat.length)
+      if (lat.isEmpty) Double.NaN else lat.last, lat.length, batchRecs.toSeq)
   }
 
   /** Standalone entry: `run_main.sh graft.StreamBench [rate] [durationS] [mode]`. */

@@ -36,6 +36,18 @@ object AggFunctions {
         GraftBridge.expression(key), GraftBridge.expression(payload), k)
         .toAggregateExpression())
 
+  /** One-pass KLL-style quantile compactor: O(k) entries of state per
+    * group for rank error O(1/k) — the space-optimal sibling of the
+    * bottom-k sample (exact-merge bottom-k needs k ~ 1/ε²); merge is
+    * error-bounded, not exact. Evaluates to `struct(entries
+    * array<struct<v,w>>, n bigint)`; see
+    * [[graft.functions.expressions.KllCompactor]]. */
+  def kllCompactor(value: Column, k: Int): Column =
+    GraftBridge.column(
+      graft.functions.expressions.KllCompactor(
+        GraftBridge.expression(value), k)
+        .toAggregateExpression())
+
   /** Identity tap that counts evaluated rows into `acc` — see
     * [[graft.functions.expressions.AccumulateRowCount]]. */
   def countingTap(c: Column, acc: org.apache.spark.util.LongAccumulator): Column =

@@ -56,6 +56,26 @@ object QuantileSketch {
   def quantile(sorted: Column, q: Double): Column =
     element_at(sorted, (floor((size(sorted) - 1) * lit(q)) + 1).cast("int"))
 
+  /** The q-th quantile estimate from an [[AggFunctions.kllCompactor]]
+    * result: the smallest sample value whose CUMULATIVE WEIGHT reaches
+    * the discrete target rank ⌊(n−1)·q⌋+1 (the entries are weighted —
+    * level-h survivors stand for 2^h original rows — and arrive sorted
+    * ascending by value, so the weighted prefix sum is the estimated
+    * rank function). Same discrete actual-row convention as [[quantile]]
+    * and e6; a one-fold `aggregate` over O(k) entries per group. */
+  def kllQuantile(sketch: Column, q: Double): Column = {
+    val t = (floor((sketch.getField("n") - 1) * lit(q)) + 1).cast("long")
+    aggregate(
+      sketch.getField("entries"),
+      struct(lit(0L).as("cum"), lit(null).cast("long").as("ans")),
+      (acc, e) => struct(
+        (acc.getField("cum") + e.getField("w")).as("cum"),
+        coalesce(acc.getField("ans"),
+          when(acc.getField("cum") + e.getField("w") >= t, e.getField("v")))
+          .as("ans")),
+      acc => acc.getField("ans"))
+  }
+
   /** Merge per-shard sketches back to one sketch per group — exact:
     * the merged sketch equals the sketch built over the union of the
     * shards' inputs. `df` holds one row per (group, shard) with the

@@ -1,0 +1,222 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+import java.nio.ByteBuffer
+import java.security.MessageDigest
+import scala.collection.mutable.ArrayBuffer
+
+/** One-pass KLL-style quantile compactor (Karnin–Lang–Liberty, FOCS'16)
+  * — the SPACE-OPTIMAL member of the quantile family, next to
+  * [[graft.functions.QuantileSketch]]'s bottom-k uniform sample:
+  * rank error ε needs only k ~ O(1/ε) compactor width here versus the
+  * sample's k ~ 1/ε², at the price of an APPROXIMATE merge (the
+  * bottom-k's merge is a bit-exact identity; this one's is only
+  * error-bounded — which side of that trade a pipeline wants is exactly
+  * the x71-vs-x77 head-to-head in scale/REPORT_r10.md).
+  *
+  * Structure: a ladder of levels, level h holding items of weight 2^h.
+  * New values enter at level 0; when a level exceeds its capacity it is
+  * COMPACTED — sorted, split into adjacent pairs, one survivor per pair
+  * promoted at doubled weight. Pairing by VALUE adjacency is what beats
+  * uniform sampling: each compaction perturbs any rank query by at most
+  * one item of the level's weight, and the leftovers cancel across
+  * compactions instead of accumulating like sampling variance.
+  * Capacities decay geometrically below the top level
+  * (max(⌈k·(2/3)^(top−h)⌉, 8)), so total state is O(k) entries no
+  * matter how many levels grow — the KLL schedule.
+  *
+  * Determinism: the per-compaction coin (keep even or odd positions of
+  * the sorted pairs) is the low bit of the MD5 of the compacted values
+  * — data-derived, never a seeded RNG — so a fixed input order replays
+  * bit-identically. The RESULT still depends on how rows were split
+  * across partial buffers (compaction history follows the merge tree),
+  * which is why the oracle face of this operator is split in two:
+  * x76 runs the CANONICAL level-synchronous form of the same compaction
+  * rule as data-parallel passes (order-insensitive, hash-matched by
+  * DuckDB), and x77 runs THIS aggregate and verifies its rank-error
+  * bound in-plan against the exact quantiles. KllCompactorSpec proves
+  * the merge-error bound empirically under random partitionings.
+  *
+  * Error: each compaction at level h displaces any rank by ≤ 2^h, and
+  * the capacity schedule bounds compaction counts geometrically; the
+  * classical randomized bound is ε = O(1/k) with the 2/3 schedule. The
+  * MD5 coin is not an independent random bit, so the repo claims only
+  * the measured envelope: max rank error ≤ 1.5%·n at k=256 across the
+  * spec's random partitionings and both test tables, asserted at
+  * tol = 5%·n in x77 with margin (the deterministic worst case is
+  * O(log(n/k)/k), ≈3% at k=256 / n=10⁶).
+  *
+  * Weight conservation is EXACT: a compaction of 2j items keeps j at
+  * doubled weight (an odd leftover stays put), so Σ entries.w == n
+  * always — KllCompactorSpec pins it; `n` in the output is the exact
+  * non-null row count.
+  *
+  * Scale shape: aggregate state is O(k) entries per group in every
+  * partial buffer — map-side combine bounds what the shuffle carries
+  * regardless of group size, the same contract as [[MinKByKey]] (and
+  * the same ObjectHashAggregate fallback-threshold deployment note:
+  * the repo's session builders raise it to 2M).
+  *
+  * Null convention: null inputs are skipped entirely (neither kept nor
+  * counted in n) — count(x) semantics, like MinKByKey's null keys.
+  *
+  * Evaluates to `struct(entries: array<struct<v,w>> ascending by (v,w),
+  * n: bigint)`; feed to [[graft.functions.QuantileSketch.kllQuantile]].
+  */
+case class KllCompactor(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllCompactor.Buffer] with UnaryLike[Expression] {
+
+  require(k >= 8, "compactor width k must be at least 8")
+
+  private val entryType = StructType(Seq(
+    StructField("v", LongType, nullable = false),
+    StructField("w", LongType, nullable = false)))
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("entries", ArrayType(entryType, containsNull = false), nullable = false),
+    StructField("n", LongType, nullable = false)))
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): KllCompactor.Buffer =
+    new KllCompactor.Buffer(ArrayBuffer(new ArrayBuffer[Long]()), 0L)
+
+  override def update(buf: KllCompactor.Buffer, input: InternalRow): KllCompactor.Buffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.n += 1L
+      buf.levels(0) += v.asInstanceOf[Long]
+      compactWhileOver(buf)
+    }
+    buf
+  }
+
+  override def merge(buf: KllCompactor.Buffer, other: KllCompactor.Buffer): KllCompactor.Buffer = {
+    buf.n += other.n
+    while (buf.levels.length < other.levels.length) buf.levels += new ArrayBuffer[Long]()
+    var h = 0
+    while (h < other.levels.length) {
+      buf.levels(h) ++= other.levels(h)
+      h += 1
+    }
+    compactWhileOver(buf)
+    buf
+  }
+
+  /** KLL capacity schedule: top level gets k, each level below 2/3 of
+    * the one above, floored at 8 — total state O(k) across all levels. */
+  private def capacity(h: Int, top: Int): Int =
+    math.max(math.ceil(k * math.pow(2.0 / 3.0, (top - h).toDouble)).toInt, 8)
+
+  private def compactWhileOver(buf: KllCompactor.Buffer): Unit = {
+    var changed = true
+    while (changed) {
+      changed = false
+      var h = 0
+      while (h < buf.levels.length) {
+        if (buf.levels(h).length > capacity(h, buf.levels.length - 1)) {
+          compact(buf, h)
+          changed = true
+        }
+        h += 1
+      }
+    }
+  }
+
+  /** Sort level h, promote one survivor per adjacent pair at doubled
+    * weight (coin = MD5 low bit of the compacted contents picks even or
+    * odd positions); an odd leftover — the maximum — stays at level h. */
+  private def compact(buf: KllCompactor.Buffer, h: Int): Unit = {
+    val arr = buf.levels(h).toArray
+    java.util.Arrays.sort(arr)
+    val pairs = arr.length / 2
+    val bb = ByteBuffer.allocate(8 * 2 * pairs)
+    var i = 0
+    while (i < 2 * pairs) { bb.putLong(arr(i)); i += 1 }
+    val coin = MessageDigest.getInstance("MD5").digest(bb.array())(0) & 1
+    buf.levels(h).clear()
+    if (arr.length % 2 == 1) buf.levels(h) += arr(arr.length - 1)
+    if (buf.levels.length == h + 1) buf.levels += new ArrayBuffer[Long]()
+    val up = buf.levels(h + 1)
+    i = coin
+    while (i < 2 * pairs) { up += arr(i); i += 2 }
+  }
+
+  override def eval(buf: KllCompactor.Buffer): Any = {
+    var total = 0
+    var h = 0
+    while (h < buf.levels.length) { total += buf.levels(h).length; h += 1 }
+    val vs = new Array[Long](total)
+    val ws = new Array[Long](total)
+    var j = 0
+    h = 0
+    while (h < buf.levels.length) {
+      val lvl = buf.levels(h)
+      val w = 1L << h
+      var i = 0
+      while (i < lvl.length) { vs(j) = lvl(i); ws(j) = w; j += 1; i += 1 }
+      h += 1
+    }
+    // ascending by (v, w): deterministic given the level contents
+    val idx = (0 until total).sortBy(i => (vs(i), ws(i)))
+    val rows = new Array[Any](total)
+    var r = 0
+    while (r < total) {
+      val i = idx(r)
+      rows(r) = new GenericInternalRow(Array[Any](vs(i), ws(i)))
+      r += 1
+    }
+    new GenericInternalRow(Array[Any](new GenericArrayData(rows), buf.n))
+  }
+
+  override def serialize(buf: KllCompactor.Buffer): Array[Byte] = {
+    var total = 0
+    buf.levels.foreach(total += _.length)
+    val bb = ByteBuffer.allocate(8 + 4 + buf.levels.length * 4 + total * 8)
+    bb.putLong(buf.n)
+    bb.putInt(buf.levels.length)
+    buf.levels.foreach { lvl =>
+      bb.putInt(lvl.length)
+      lvl.foreach(bb.putLong)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KllCompactor.Buffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getLong
+    val nLevels = bb.getInt
+    val levels = new ArrayBuffer[ArrayBuffer[Long]](nLevels)
+    var h = 0
+    while (h < nLevels) {
+      val sz = bb.getInt
+      val lvl = new ArrayBuffer[Long](sz)
+      var i = 0
+      while (i < sz) { lvl += bb.getLong; i += 1 }
+      levels += lvl
+      h += 1
+    }
+    new KllCompactor.Buffer(levels, n)
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): KllCompactor =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllCompactor =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): KllCompactor =
+    copy(child = c)
+}
+
+object KllCompactor {
+  /** levels(h) holds the raw values at weight 2^h; n = exact non-null count. */
+  final class Buffer(val levels: ArrayBuffer[ArrayBuffer[Long]], var n: Long)
+}

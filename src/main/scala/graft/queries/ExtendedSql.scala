@@ -14,6 +14,44 @@ import org.apache.spark.sql.types.DoubleType
 object ExtendedSql {
   import Portable._
 
+  /** Unrolled DuckDB replay of x76's canonical KLL decimation: `rounds`
+    * chained passes over (group, value-cents, md5 tag, weight); each
+    * pass is a per-group identity once the group is ≤ 64 survivors, so
+    * a fixed unroll agrees with the Spark side's data-driven pass count
+    * for any input up to 64·2^rounds rows per group. The per-(group,
+    * pass) coin is the md5 parity both engines compute identically. */
+  private def x76OracleSql(rounds: Int): String = {
+    val passes = (0 until rounds).map { r =>
+      s"""l${r + 1} AS (
+        SELECT g, v, tag, CASE WHEN cnt <= 64 THEN wt ELSE wt * 2 END AS wt
+        FROM (SELECT g, v, tag, wt,
+                COUNT(*) OVER (PARTITION BY g) AS cnt,
+                row_number() OVER (PARTITION BY g ORDER BY v, tag) AS rn
+              FROM l$r)
+        WHERE cnt <= 64 OR rn % 2 =
+          (CAST(concat('0x', substr(md5(g || ':$r'), 1, 1)) AS BIGINT) % 2))"""
+    }.mkString(",\n")
+    s"""
+      WITH l0 AS (
+        SELECT event_type AS g,
+          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+          CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS tag,
+          CAST(1 AS BIGINT) AS wt
+        FROM events),
+      n AS (SELECT g, COUNT(*) AS n FROM l0 GROUP BY g),
+      $passes,
+      s AS (SELECT g, v, wt,
+              CAST(row_number() OVER (PARTITION BY g ORDER BY v, tag) AS BIGINT) AS vr,
+              CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS kk
+            FROM l$rounds)
+      SELECT s.g AS event_type, n.n, MAX(s.kk) AS sample_k, MAX(s.wt) AS weight,
+        MAX(CASE WHEN vr = CAST(FLOOR((kk - 1) * 0.5) AS BIGINT) + 1 THEN v END) AS p50_x100,
+        MAX(CASE WHEN vr = CAST(FLOOR((kk - 1) * 0.9) AS BIGINT) + 1 THEN v END) AS p90_x100,
+        MAX(CASE WHEN vr = CAST(FLOOR((kk - 1) * 0.99) AS BIGINT) + 1 THEN v END) AS p99_x100
+      FROM s JOIN n USING (g)
+      GROUP BY s.g, n.n ORDER BY event_type"""
+  }
+
   def defs: Seq[GraftQuery] = Seq(
 
     // ── ROLLUP subtotals (grouping sets family) ────────────────────────
@@ -219,6 +257,129 @@ object ExtendedSql {
           MAX(CASE WHEN vr = CAST(FLOOR((kk - 1) * 0.99) AS BIGINT) + 1 THEN cents END) AS p99_x100
         FROM s JOIN n USING (event_type)
         GROUP BY s.event_type, n.n ORDER BY s.event_type""")),
+
+    // ── canonical KLL decimation (the compactor rule, oracle-matched) ──
+    // The fifth sketch's CANONICAL face: the same sort-pair-promote
+    // compaction rule as [[graft.functions.expressions.KllCompactor]],
+    // run level-SYNCHRONOUSLY over whole groups — each pass sorts the
+    // group by (value, md5 tag) and keeps alternating positions (coin =
+    // md5 parity of (group, pass), identical arithmetic in both
+    // engines), halving until ≤ k=64 survivors of weight 2^r remain.
+    // Because each pass decimates the SORTED group, any CDF query
+    // moves by at most the pass's weight: Σ 2^i = 2^r − 1 ≈ n/k, plus
+    // one sample step (2^r) of read discretization when a quantile is
+    // read off the k survivors — deterministic ε ≲ 2/k total (measured
+    // ≤ 2.4% at k=64 on sf0.01), where uniform sampling needs k ~ 1/ε²
+    // for the same error (x71's trade — pair-adjacent compaction is
+    // what buys the gap). Deterministic and order-insensitive, so DuckDB replays
+    // it bit-for-bit — this entry proves the compaction rule itself
+    // cross-engine; x77 proves the one-pass production aggregate's
+    // bound. Scale shape: each pass is a per-group window sort over
+    // the SURVIVORS (the corpus pays log₂(n/k) geometrically shrinking
+    // shuffles) — an exact-audit shape; the one-pass O(k)-state
+    // production twin is x77, and the gate below names it.
+    GraftQuery(
+      "x76_kll_decimation",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.HashFunctions
+        val k = 64
+        val base = graft.core.Guards
+          .exactAudit(Tables.events(s, dir), "x77_kll_sketch_bound")
+          .select($"event_type".as("g"),
+            (dec2($"value") * 100).cast("long").as("v"),
+            HashFunctions.md5Long($"event_id".cast("string")).as("tag"))
+        val nDf = base.groupBy($"g").agg(count(lit(1)).as("n"))
+        // passes needed for the LARGEST group under ceil-halving (the
+        // keep-odds coin keeps ⌈c/2⌉) — extra passes are per-group
+        // identities, so the fixed-18-round oracle unroll agrees as
+        // long as rounds ≤ 18 (holds through sf10: 2·10⁶ ≤ 64·2¹⁸).
+        val maxCnt = nDf.agg(max($"n")).head().getLong(0)
+        var rounds = 0
+        var c = maxCnt
+        while (c > k) { c = (c + 1) / 2; rounds += 1 }
+        require(rounds <= 18,
+          s"x76's unrolled oracle covers 18 decimation passes; need $rounds")
+        var cur = base.withColumn("wt", lit(1L))
+        for (r <- 0 until rounds) {
+          val coin = conv(substring(md5(concat($"g", lit(s":$r"))), 1, 1), 16, 10)
+            .cast("long") % 2
+          cur = cur
+            .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"g")))
+            .withColumn("rn", row_number()
+              .over(Window.partitionBy($"g").orderBy($"v", $"tag")).cast("long"))
+            .where($"cnt" <= k || ($"rn" % 2) === coin)
+            .withColumn("wt", when($"cnt" <= k, $"wt").otherwise($"wt" * 2))
+            .drop("cnt", "rn")
+        }
+        def at(q: Double) = (floor(($"kk" - 1) * lit(q)) + 1).cast("long")
+        cur
+          .withColumn("vr", row_number()
+            .over(Window.partitionBy($"g").orderBy($"v", $"tag")).cast("long"))
+          .withColumn("kk", count(lit(1))
+            .over(Window.partitionBy($"g")).cast("long"))
+          .groupBy($"g")
+          .agg(max($"kk").as("sample_k"), max($"wt").as("weight"),
+            max(when($"vr" === at(0.5), $"v")).as("p50_x100"),
+            max(when($"vr" === at(0.9), $"v")).as("p90_x100"),
+            max(when($"vr" === at(0.99), $"v")).as("p99_x100"))
+          .join(nDf, "g")
+          .select($"g".as("event_type"), $"n", $"sample_k", $"weight",
+            $"p50_x100", $"p90_x100", $"p99_x100")
+          .orderBy($"event_type")
+      },
+      Some(x76OracleSql(18))),
+
+    // ── one-pass KLL compactor, rank-error bound verified in-plan ──────
+    // The fifth sketch's PRODUCTION face: one aggregation pass through
+    // [[graft.functions.expressions.KllCompactor]] (O(k)-entry state
+    // per group in every partial buffer, map-side combinable) — the
+    // shape a 100 TB corpus actually runs, where x76's per-pass group
+    // sorts are the gated audit. The compactor's output depends on the
+    // merge tree (its merge is error-BOUNDED, not x71's bit-exact
+    // identity), so no external oracle can replay the entries; what IS
+    // invariant is the contract, and this query verifies it in-plan:
+    // each estimated quantile's true rank band (values <[=] estimate)
+    // must sit within 5%·n of the discrete target rank — ~3× the
+    // measured envelope at k=256 (KllCompactorSpec: ≤1.5% across random
+    // partitionings), so the flags are stable, and the oracle pins them
+    // as literal TRUE next to the exact per-group n.
+    GraftQuery(
+      "x77_kll_sketch_bound",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.{AggFunctions, QuantileSketch}
+        val ev = Tables.events(s, dir)
+          .select($"event_type", (dec2($"value") * 100).cast("long").as("cents"))
+        val sk = ev.groupBy($"event_type")
+          .agg(AggFunctions.kllCompactor($"cents", 256).as("sk"))
+        val est = sk.select($"event_type", $"sk.n".as("n"),
+          explode(array(
+            struct(lit(50L).as("q_pct"), QuantileSketch.kllQuantile($"sk", 0.5).as("est")),
+            struct(lit(90L).as("q_pct"), QuantileSketch.kllQuantile($"sk", 0.9).as("est")),
+            struct(lit(99L).as("q_pct"), QuantileSketch.kllQuantile($"sk", 0.99).as("est"))))
+            .as("e"))
+          .select($"event_type", $"n", $"e.q_pct", $"e.est")
+        // true rank band of each estimate: lo = #values < est (so the
+        // band is [lo+1, hi]); distance from the discrete target rank
+        // to the band is the realized rank error
+        est.join(ev, "event_type")
+          .groupBy($"event_type", $"q_pct", $"n", $"est")
+          .agg(sum(when($"cents" < $"est", 1L).otherwise(0L)).as("lo"),
+            sum(when($"cents" <= $"est", 1L).otherwise(0L)).as("hi"))
+          .withColumn("t", (floor(($"n" - 1) * $"q_pct" / 100) + 1).cast("long"))
+          .withColumn("err",
+            when($"t".between($"lo" + 1, $"hi"), 0L)
+              .otherwise(least(abs($"t" - ($"lo" + 1)), abs($"t" - $"hi"))))
+          .select($"event_type", $"q_pct", $"n",
+            ($"err" * 20 <= $"n").as("within_bound"))
+          .orderBy($"event_type", $"q_pct")
+      },
+      Some("""
+        SELECT event_type, q_pct, COUNT(*) AS n, TRUE AS within_bound
+        FROM events CROSS JOIN (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)),
+          (CAST(99 AS BIGINT))) q(q_pct)
+        GROUP BY event_type, q_pct ORDER BY event_type, q_pct""")),
 
     // ── range join via bucketing (no cross/theta join) ─────────────────
     // "Events within ±5 min of each other per user" is a RANGE join —

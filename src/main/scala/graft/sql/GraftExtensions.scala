@@ -174,6 +174,10 @@ object GraftFunctions {
       info("graft_min_k", "graft_min_k(key, payload, k) - AGGREGATE: the k smallest long keys with their payloads plus an exact row count, as struct(entries array<struct<k,v>>, seen) (state <= k per group; the output-budget / bottom-k-sample primitive)"),
       es => graft.functions.expressions.MinKByKey(es(0), es(1), litInt(es(2)))
         .toAggregateExpression()),
+    (FunctionIdentifier("graft_kll"),
+      info("graft_kll", "graft_kll(value, k) - AGGREGATE: one-pass KLL-style quantile compactor, O(k) entries of state per group for ~1/k rank error, as struct(entries array<struct<v,w>>, n) (merge is error-bounded, not exact - the space-optimal sibling of graft_min_k's bottom-k sample)"),
+      es => graft.functions.expressions.KllCompactor(es(0), litInt(es(1)))
+        .toAggregateExpression()),
     (FunctionIdentifier("graft_nfc_normalize"),
       info("graft_nfc_normalize", "graft_nfc_normalize(text) - Unicode NFC normalization (UAX #15; allocation-free on ASCII) - encoding identity before byte-identity dedup"),
       es => graft.functions.expressions.NfcNormalizeExpr(es.head)),

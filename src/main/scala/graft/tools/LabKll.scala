@@ -1,0 +1,125 @@
+package graft.tools
+
+import graft.functions.{AggFunctions, HashFunctions, QuantileSketch}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Head-to-head harness for the two mergeable quantile sketches on the
+  * real events table (VERDICT r9 task #3's comparison table): x71's
+  * bottom-k-by-md5 uniform sample (exact merge identity, k ~ 1/ε²
+  * space) versus x77's one-pass KLL compactor (error-bounded merge,
+  * O(k) ~ 1/ε space). For each capacity it reports the per-group state
+  * (entries and serialized bytes at 16 B/entry for bottom-k's (k,v)
+  * pairs, 8 B/entry + ladder overhead for KLL's values) and the MAX
+  * rank error over q = 1%..99% against the exact per-group order
+  * statistics — the numbers behind scale/REPORT_r10.md's table.
+  *
+  * Usage: `run_main.sh graft.tools.LabKll [sfDir]`.
+  */
+object LabKll {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_type").as("g"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"),
+        HashFunctions.md5Long(col("event_id").cast("string")).as("h"))
+      .cache()
+
+    // exact per-group sorted values (driver-side ground truth)
+    val exact: Map[String, Array[Long]] = ev
+      .select(col("g"), col("cents"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) => g -> rows.map(_.getLong(1)).sorted }
+
+    /** Max rank error over q = 1%..99%: distance from the discrete
+      * target rank floor((n-1)q)+1 (e6/x71/x77's convention) to the
+      * true rank band of each estimate. `estOf(t)` is the family's own
+      * read convention for target rank t. */
+    def maxErr(vals: Array[Long], estOf: Long => Long): Long = {
+      val n = vals.length.toLong
+      (1 to 99).map { qp =>
+        val t = (n - 1) * qp / 100 + 1
+        val est = estOf(t)
+        val lo = vals.count(_ < est).toLong
+        val hi = vals.count(_ <= est).toLong
+        if (t >= lo + 1 && t <= hi) 0L
+        else math.min(math.abs(t - (lo + 1)), math.abs(t - hi))
+      }.max
+    }
+
+    def report(family: String, k: Int,
+        perGroup: Map[String, (Int, Long => Long)],
+        bytesPerEntry: Int, overheadBytes: Int): Unit = {
+      val rows = perGroup.map { case (g, (nEntries, estOf)) =>
+        val vals = exact(g)
+        val err = maxErr(vals, estOf)
+        (g, nEntries, err, 100.0 * err / vals.length)
+      }
+      val worst = rows.maxBy(_._4)
+      val meanEntries = rows.map(_._2).sum / rows.size
+      println(f"""{"family":"$family","k":$k,"mean_entries":$meanEntries,"state_bytes":${meanEntries * bytesPerEntry + overheadBytes},"worst_err_pct":${worst._4}%.3f,"worst_group":"${worst._1}","worst_err_ranks":${worst._3}}""")
+    }
+
+    // x71 bottom-k: uniform sample by md5 tag, read at the sample's own
+    // discrete order statistic (QuantileSketch.quantile's convention)
+    for (k <- Seq(256, 1024, 4096, 16384)) {
+      val got = ev.groupBy(col("g"))
+        .agg(AggFunctions.minKByKey(col("h"), col("cents"), k).as("sk"))
+        .select(col("g"), col("sk.seen").as("n"),
+          QuantileSketch.sortedSample(col("sk")).as("sv"))
+        .collect()
+        .map { r =>
+          val n = r.getLong(1)
+          val sv = r.getSeq[Long](2).toArray
+          val estOf = (t: Long) => {
+            // t = floor((n-1)q)+1; the sample read is floor((kk-1)q)+1
+            val q = (t - 1).toDouble / math.max(n - 1, 1L)
+            sv(math.floor((sv.length - 1) * q).toInt)
+          }
+          r.getString(0) -> (sv.length, estOf)
+        }.toMap
+      report("bottom_k_x71", k, got, 16, 24)
+    }
+
+    // KLL compactor: weighted-CDF read (QuantileSketch.kllQuantile)
+    for (k <- Seq(64, 128, 256, 512)) {
+      val got = ev.groupBy(col("g"))
+        .agg(AggFunctions.kllCompactor(col("cents"), k).as("sk"))
+        .select(col("g"),
+          transform(col("sk.entries"), e => e.getField("v")).as("vs"),
+          transform(col("sk.entries"), e => e.getField("w")).as("ws"))
+        .collect()
+        .map { r =>
+          val vs = r.getSeq[Long](1).toArray
+          val ws = r.getSeq[Long](2).toArray
+          val estOf = (t: Long) => {
+            var cum = 0L
+            var i = 0
+            var est = vs.last
+            var found = false
+            while (i < vs.length && !found) {
+              cum += ws(i)
+              if (cum >= t) { est = vs(i); found = true }
+              i += 1
+            }
+            est
+          }
+          r.getString(0) -> (vs.length, estOf)
+        }.toMap
+      report("kll_x77", k, got, 8, 48)
+    }
+
+    spark.stop()
+  }
+}

@@ -1,0 +1,87 @@
+package graft.tools
+
+import graft.StreamBench
+import graft.core.Registry
+import org.apache.spark.sql.SparkSession
+
+/** Bisection harness for the stream_upsert p95 creep (VERDICT r9: 3.16 →
+  * 4.14 → 4.83 s across rounds while batch counts fell 9 → 8 → 6).
+  *
+  * The creep has two candidate causes the headline p95 cannot separate:
+  *   (a) HOST WINDOW — a slow window stretches trigger processing, the
+  *       uncapped upsert mode then forms FEWER, BIGGER batches, and the
+  *       oldest-frame latency of a bigger batch is mechanically higher
+  *       (a batch spanning 2 s of feed carries a row ≥ 2 s old before
+  *       any work happens);
+  *   (b) WITHIN-RUN STATE GROWTH — the versioned upsert reads the store
+  *       back every merge, and the store grows batch over batch inside
+  *       a run, so per-batch cost would RISE monotonically even at
+  *       fixed volume.
+  *
+  * This main pins per-batch volume (`maxFramesPerBatch = cap`, removing
+  * the batch-shape confounder), repeats the measured run `reps` times in
+  * one session, stamps the standard h2-at-sf1 host probe around the
+  * block, and prints the PER-BATCH latency series of every run — so (b)
+  * shows as a positive within-run slope reproduced across reps, while
+  * (a) shows as level shifts BETWEEN runs/probes with flat within-run
+  * series. Findings land in scale/REPORT_r10.md.
+  *
+  * Usage: `run_main.sh graft.tools.StreamBisect [rate] [durationS] [cap] [reps]`.
+  */
+object StreamBisect {
+  def main(args: Array[String]): Unit = {
+    val rate = if (args.length > 0) args(0).toInt else 5000
+    val durationS = if (args.length > 1) args(1).toInt else 12
+    val cap = if (args.length > 2) args(2).toInt else 7500
+    val reps = if (args.length > 3) args(3).toInt else 3
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def hostProbe(): Option[Double] = {
+      val probeDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_DIR", "data/sf1")
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(probeDir))) None
+      else Registry.allQueries.find(_.name == "h2_star_join_broadcast").map { q =>
+        val secs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          q.build(spark, probeDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        spark.catalog.clearCache(); System.gc()
+        secs.min
+      }
+    }
+    def hostState(sec: Option[Double]): String =
+      sec.fold("unknown")(s => if (s < 3.0) "good" else "degraded")
+
+    val probeStart = hostProbe()
+    println(f"""{"probe":"h2_sf1_start","sec":${probeStart.getOrElse(-1.0)}%.3f,"host":"${hostState(probeStart)}"}""")
+
+    (1 to reps).foreach { i =>
+      spark.catalog.clearCache(); System.gc(); Thread.sleep(3000)
+      val r = StreamBench.run(spark, rate, durationS, "upsert",
+        capFrames = Some(cap))
+      val lats = r.perBatch.map(_._1)
+      val rows = r.perBatch.map(_._2)
+      val half = lats.length / 2
+      def mean(xs: Seq[Double]): Double =
+        if (xs.isEmpty) Double.NaN else xs.sum / xs.length
+      val firstHalf = mean(lats.take(half))
+      val secondHalf = mean(lats.drop(half))
+      println(s"""{"run":$i,"cap":$cap,"rows":${r.rows},"batches":${r.batches},""" +
+        f""""p50_s":${r.p50S}%.3f,"p95_s":${r.p95S}%.3f,""" +
+        f""""first_half_mean_s":$firstHalf%.3f,"second_half_mean_s":$secondHalf%.3f,""" +
+        s""""per_batch_lat_s":[${lats.map(l => f"$l%.3f").mkString(",")}],""" +
+        s""""per_batch_rows":[${rows.mkString(",")}]}""")
+    }
+
+    val probeEnd = hostProbe()
+    println(f"""{"probe":"h2_sf1_end","sec":${probeEnd.getOrElse(-1.0)}%.3f,"host":"${hostState(probeEnd)}"}""")
+    spark.stop()
+  }
+}

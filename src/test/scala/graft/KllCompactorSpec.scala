@@ -1,0 +1,146 @@
+package graft
+
+import graft.functions.{AggFunctions, QuantileSketch}
+import graft.functions.expressions.KllCompactor
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of the one-pass KLL-style compactor (x77's aggregate):
+  * exact weight conservation (Σ entries.w == n under ANY merge tree),
+  * O(k) state, exactness for groups that never trigger a compaction,
+  * null-skip semantics, serialization roundtrip, and — the
+  * merge-ERROR-BOUND property the bottom-k's exact-merge identity is
+  * traded against — a measured rank-error envelope across adversarially
+  * different partitionings (1, 7 and 32-way, hash and range splits):
+  * every estimated quantile's rank error stays ≤ 1.5%·n at k=256,
+  * giving x77's 5% in-plan assertion its 3× margin. */
+class KllCompactorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val K = 256
+
+  /** (value, weight) entries + exact n per group. */
+  private def collectSketch(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("g"), col("sk.n"),
+        transform(col("sk.entries"), e => e.getField("v")).as("vs"),
+        transform(col("sk.entries"), e => e.getField("w")).as("ws"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Long](2), r.getSeq[Long](3))))
+      .toMap
+
+  private def build(df: org.apache.spark.sql.DataFrame, k: Int = K) =
+    df.groupBy(col("g")).agg(AggFunctions.kllCompactor(col("v"), k).as("sk"))
+
+  /** Max rank error over q = 1%..99% for one group's sketch entries
+    * against the exact sorted values: the distance from the discrete
+    * target rank to the true rank band of the estimated value. */
+  private def maxRankError(vs: Seq[Long], ws: Seq[Long], exact: Array[Long]): Long = {
+    val n = exact.length.toLong
+    (1 to 99).map { qp =>
+      val t = (n - 1) * qp / 100 + 1
+      // smallest entry value whose cumulative weight reaches t
+      var cum = 0L
+      var est = vs.last
+      var i = 0
+      var found = false
+      while (i < vs.length && !found) {
+        cum += ws(i)
+        if (cum >= t) { est = vs(i); found = true }
+        i += 1
+      }
+      val lo = exact.count(_ < est).toLong // band = [lo+1, hi]
+      val hi = exact.count(_ <= est).toLong
+      if (t >= lo + 1 && t <= hi) 0L
+      else math.min(math.abs(t - (lo + 1)), math.abs(t - hi))
+    }.max
+  }
+
+  test("weight conservation and O(k) state under every partitioning") {
+    import spark.implicits._
+    val n = 50000
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until n).map(i => (i.toLong % 2, rnd.nextLong() % 1000000L))
+    val df = rows.toDF("g", "v")
+    for (parts <- Seq(1, 7, 32)) {
+      val sk = collectSketch(build(df.repartition(parts, $"v")))
+      sk.foreach { case (g, (cnt, vs, ws)) =>
+        assert(cnt == n / 2, s"group $g n")
+        assert(ws.sum == cnt,
+          s"group $g: entry weights must sum exactly to n (got ${ws.sum} vs $cnt)")
+        assert(vs.length <= 4 * K,
+          s"group $g: state must stay O(k); got ${vs.length} entries at k=$K")
+      }
+    }
+  }
+
+  test("rank error <= 1.5% of n across 1/7/32-way hash and range splits") {
+    import spark.implicits._
+    val n = 60000
+    val rnd = new scala.util.Random(7)
+    // heavy-tailed values: uniform + a hot cluster + exact ties
+    val vals = Array.tabulate(n) { i =>
+      if (i % 3 == 0) rnd.nextInt(100).toLong
+      else math.abs(rnd.nextLong() % 10000000L)
+    }
+    val df = vals.zipWithIndex.map { case (v, i) => (0L, i.toLong, v) }
+      .toSeq.toDF("g", "id", "v")
+    val exact = vals.sorted
+    val splits = Seq(
+      df.repartition(1),
+      df.repartition(7, col("id")),          // hash split
+      df.repartition(32, col("v")),          // value-clustered split
+      df.repartitionByRange(16, col("id")))  // ordered split
+    splits.foreach { d =>
+      val (cnt, vs, ws) = collectSketch(build(d.drop("id")))(0L)
+      assert(cnt == n)
+      val err = maxRankError(vs, ws, exact)
+      assert(err * 1000 <= 15L * n,
+        s"max rank error $err over n=$n exceeds 1.5% under this partitioning")
+    }
+  }
+
+  test("a group that never compacts returns its exact values at weight 1") {
+    import spark.implicits._
+    val rows = (0 until 100).map(i => (0L, ((i * 613L) % 997L)))
+    val (cnt, vs, ws) = collectSketch(
+      build(rows.toDF("g", "v").repartition(1), k = 1024))(0L)
+    assert(cnt == 100L)
+    assert(ws.forall(_ == 1L))
+    assert(vs.sorted == rows.map(_._2).sorted)
+  }
+
+  test("null values are skipped entirely (count(x) semantics)") {
+    import spark.implicits._
+    val df = Seq[(Long, Option[Long])]((0L, Some(1L)), (0L, None), (0L, Some(3L)))
+      .toDF("g", "v")
+    val (cnt, vs, _) = collectSketch(build(df))(0L)
+    assert(cnt == 2L && vs.sorted == Seq(1L, 3L))
+  }
+
+  test("kllQuantile reads the weighted entries at the discrete rank") {
+    import spark.implicits._
+    // under-budget group: estimates must be EXACT discrete quantiles
+    val rows = (1 to 101).map(i => (0L, i.toLong * 10))
+    val got = build(rows.toDF("g", "v"), k = 256)
+      .select(
+        QuantileSketch.kllQuantile(col("sk"), 0.5).as("p50"),
+        QuantileSketch.kllQuantile(col("sk"), 0.99).as("p99"))
+      .head()
+    assert(got.getLong(0) == 510L && got.getLong(1) == 1000L)
+  }
+
+  test("serialization roundtrips the level ladder bit-for-bit") {
+    val agg = KllCompactor(org.apache.spark.sql.catalyst.expressions.Literal(1L), 64)
+    val buf = agg.createAggregationBuffer()
+    val rnd = new scala.util.Random(3)
+    (0 until 5000).foreach { _ =>
+      buf.n += 1
+      buf.levels(0) += rnd.nextLong() % 100000L
+      // mirror update()'s compaction trigger through the public surface:
+      // serialize/deserialize exercises whatever ladder shape exists
+    }
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.n == buf.n)
+    assert(back.levels.map(_.toSeq) == buf.levels.map(_.toSeq))
+  }
+}

@@ -166,6 +166,25 @@ class SqlExtensionsSpec extends AnyFunSuite {
     assert(viaSql == viaApi)
   }
 
+  test("graft_kll via SQL == the AggFunctions one-pass compactor") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    val rows = (1 to 50).map(i => i.toLong * 10)
+    rows.toDF("v").createOrReplaceTempView("kll_in")
+    val viaSql = spark.sql(
+      """SELECT sk.n AS n, transform(sk.entries, x -> x.v) AS vs,
+        |       transform(sk.entries, x -> x.w) AS ws
+        |FROM (SELECT graft_kll(v, 64) AS sk FROM kll_in)""".stripMargin)
+      .as[(Long, Seq[Long], Seq[Long])].head()
+    // 50 rows < k=64: no compaction — exact values at weight 1
+    assert(viaSql._1 == 50L && viaSql._2.sorted == rows.sorted && viaSql._3.forall(_ == 1L))
+    val viaApi = rows.toDF("v")
+      .agg(graft.functions.AggFunctions.kllCompactor($"v", 64).as("sk"))
+      .selectExpr("sk.n", "transform(sk.entries, x -> x.v)", "transform(sk.entries, x -> x.w)")
+      .as[(Long, Seq[Long], Seq[Long])].head()
+    assert(viaSql == viaApi)
+  }
+
   test("graft_sign_word + graft_hamming match the TopK binary-quant words") {
     val row = spark.sql(
       """SELECT
