@@ -227,11 +227,35 @@ object StockStore {
           pruneCols.map(c => coalesce(col(c).cast("string"), lit("null"))): _*)
         .isin(touched.map(r => pruneCols.indices.map(i => String.valueOf(r.get(i)))
           .mkString("")): _*))
+    // Event-time window prune on the read-back scan, ON TOP of the
+    // partition-tuple prune: a streaming feed lands every micro-batch
+    // in the SAME (ticker, day) partitions, so the tuple prune alone
+    // still re-scans the day's accumulated files each trigger and the
+    // merge cost ramps with store history (measured: fixed 7500-row
+    // batches' per-merge time ~2 s at batch 2 vs ~6 s with an 18 s
+    // spike by batch 8 of one run — scale/REPORT_r10.md bisection).
+    // The event-time column is part of the index key, so any existing
+    // row that can match a batch key carries one of the batch's own ts
+    // values — all inside the batch's [min, max] ts window — and the
+    // window predicate is pushed to parquet, skipping every earlier
+    // file by row-group stats. Batch rows always have non-null index
+    // cols here (keepCond), so min/max are total over the batch and
+    // the prune can never hide a matching row. One extra tiny agg on
+    // the cached batch buys a scan bounded by the batch's time span
+    // instead of the partition's history.
+    val tsWindow: Option[Column] = {
+      val r = deduped.agg(min(col(dt.tsCol)), max(col(dt.tsCol))).head()
+      if (r.isNullAt(0)) None
+      else Some(col(dt.tsCol).between(lit(r.get(0)), lit(r.get(1))))
+    }
     val existingRaw0 = readOrEmpty(spark, root, dt,
       deduped.withColumn("version", lit(1)).schema)
-    val existingRaw = partitionPrune
+    val existingRaw1 = partitionPrune
       .filter(_ => existingRaw0.columns.contains(pruneCols.last))
       .map(existingRaw0.where).getOrElse(existingRaw0)
+    val existingRaw = tsWindow
+      .filter(_ => existingRaw1.columns.contains(dt.tsCol))
+      .map(existingRaw1.where).getOrElse(existingRaw1)
     // align to this batch's payload set: a column the store has never
     // seen reads as null on the existing side (null-backfill), and a
     // stored dynamic column absent from this batch is simply not compared
