@@ -48,6 +48,16 @@ object AggFunctions {
         GraftBridge.expression(value), k)
         .toAggregateExpression())
 
+  /** Roll up STORED [[kllCompactor]] sketch structs (one per shard /
+    * epoch / micro-batch) into one sketch per group without re-scanning
+    * history; merge is error-bounded, not exact — see
+    * [[graft.functions.expressions.KllMerge]]. */
+  def kllMerge(sketch: Column, k: Int): Column =
+    GraftBridge.column(
+      graft.functions.expressions.KllMerge(
+        GraftBridge.expression(sketch), k)
+        .toAggregateExpression())
+
   /** Identity tap that counts evaluated rows into `acc` — see
     * [[graft.functions.expressions.AccumulateRowCount]]. */
   def countingTap(c: Column, acc: org.apache.spark.util.LongAccumulator): Column =

@@ -95,35 +95,48 @@ case class KllCompactor(
     if (v != null) {
       buf.n += 1L
       buf.levels(0) += v.asInstanceOf[Long]
-      compactWhileOver(buf)
+      KllCompactor.compactWhileOver(buf, k)
     }
     buf
   }
 
-  override def merge(buf: KllCompactor.Buffer, other: KllCompactor.Buffer): KllCompactor.Buffer = {
-    buf.n += other.n
-    while (buf.levels.length < other.levels.length) buf.levels += new ArrayBuffer[Long]()
-    var h = 0
-    while (h < other.levels.length) {
-      buf.levels(h) ++= other.levels(h)
-      h += 1
-    }
-    compactWhileOver(buf)
-    buf
-  }
+  override def merge(buf: KllCompactor.Buffer, other: KllCompactor.Buffer): KllCompactor.Buffer =
+    KllCompactor.mergeBuffers(buf, other, k)
+
+  override def eval(buf: KllCompactor.Buffer): Any = KllCompactor.evalBuffer(buf)
+
+  override def serialize(buf: KllCompactor.Buffer): Array[Byte] =
+    KllCompactor.serializeBuffer(buf)
+
+  override def deserialize(bytes: Array[Byte]): KllCompactor.Buffer =
+    KllCompactor.deserializeBuffer(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): KllCompactor =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllCompactor =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): KllCompactor =
+    copy(child = c)
+}
+
+object KllCompactor {
+  /** levels(h) holds the raw values at weight 2^h; n = exact non-null count. */
+  final class Buffer(val levels: ArrayBuffer[ArrayBuffer[Long]], var n: Long)
+
+  def emptyBuffer(): Buffer = new Buffer(ArrayBuffer(new ArrayBuffer[Long]()), 0L)
 
   /** KLL capacity schedule: top level gets k, each level below 2/3 of
     * the one above, floored at 8 — total state O(k) across all levels. */
-  private def capacity(h: Int, top: Int): Int =
+  private def capacity(k: Int, h: Int, top: Int): Int =
     math.max(math.ceil(k * math.pow(2.0 / 3.0, (top - h).toDouble)).toInt, 8)
 
-  private def compactWhileOver(buf: KllCompactor.Buffer): Unit = {
+  def compactWhileOver(buf: Buffer, k: Int): Unit = {
     var changed = true
     while (changed) {
       changed = false
       var h = 0
       while (h < buf.levels.length) {
-        if (buf.levels(h).length > capacity(h, buf.levels.length - 1)) {
+        if (buf.levels(h).length > capacity(k, h, buf.levels.length - 1)) {
           compact(buf, h)
           changed = true
         }
@@ -135,7 +148,7 @@ case class KllCompactor(
   /** Sort level h, promote one survivor per adjacent pair at doubled
     * weight (coin = MD5 low bit of the compacted contents picks even or
     * odd positions); an odd leftover — the maximum — stays at level h. */
-  private def compact(buf: KllCompactor.Buffer, h: Int): Unit = {
+  private def compact(buf: Buffer, h: Int): Unit = {
     val arr = buf.levels(h).toArray
     java.util.Arrays.sort(arr)
     val pairs = arr.length / 2
@@ -151,7 +164,37 @@ case class KllCompactor(
     while (i < 2 * pairs) { up += arr(i); i += 2 }
   }
 
-  override def eval(buf: KllCompactor.Buffer): Any = {
+  def mergeBuffers(buf: Buffer, other: Buffer, k: Int): Buffer = {
+    buf.n += other.n
+    while (buf.levels.length < other.levels.length) buf.levels += new ArrayBuffer[Long]()
+    var h = 0
+    while (h < other.levels.length) {
+      buf.levels(h) ++= other.levels(h)
+      h += 1
+    }
+    compactWhileOver(buf, k)
+    buf
+  }
+
+  /** Rebuild the level ladder from an evaluated sketch's (v, w) entries
+    * — w = 2^h is injective in the level, so the ladder round-trips —
+    * and fold it into `buf`. The inverse of [[evalBuffer]], used by
+    * [[KllMerge]] to merge STORED sketches (shard/epoch rollups). */
+  def absorbEntries(buf: Buffer, n: Long, vs: Array[Long], ws: Array[Long], k: Int): Buffer = {
+    buf.n += n
+    var i = 0
+    while (i < vs.length) {
+      val h = java.lang.Long.numberOfTrailingZeros(ws(i))
+      require(ws(i) == (1L << h), s"entry weight ${ws(i)} is not a power of two")
+      while (buf.levels.length <= h) buf.levels += new ArrayBuffer[Long]()
+      buf.levels(h) += vs(i)
+      i += 1
+    }
+    compactWhileOver(buf, k)
+    buf
+  }
+
+  def evalBuffer(buf: Buffer): Any = {
     var total = 0
     var h = 0
     while (h < buf.levels.length) { total += buf.levels(h).length; h += 1 }
@@ -178,7 +221,7 @@ case class KllCompactor(
     new GenericInternalRow(Array[Any](new GenericArrayData(rows), buf.n))
   }
 
-  override def serialize(buf: KllCompactor.Buffer): Array[Byte] = {
+  def serializeBuffer(buf: Buffer): Array[Byte] = {
     var total = 0
     buf.levels.foreach(total += _.length)
     val bb = ByteBuffer.allocate(8 + 4 + buf.levels.length * 4 + total * 8)
@@ -191,7 +234,7 @@ case class KllCompactor(
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): KllCompactor.Buffer = {
+  def deserializeBuffer(bytes: Array[Byte]): Buffer = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getLong
     val nLevels = bb.getInt
@@ -205,18 +248,79 @@ case class KllCompactor(
       levels += lvl
       h += 1
     }
-    new KllCompactor.Buffer(levels, n)
+    new Buffer(levels, n)
   }
-
-  override def withNewMutableAggBufferOffset(offset: Int): KllCompactor =
-    copy(mutableAggBufferOffset = offset)
-  override def withNewInputAggBufferOffset(offset: Int): KllCompactor =
-    copy(inputAggBufferOffset = offset)
-  override protected def withNewChildInternal(c: Expression): KllCompactor =
-    copy(child = c)
 }
 
-object KllCompactor {
-  /** levels(h) holds the raw values at weight 2^h; n = exact non-null count. */
-  final class Buffer(val levels: ArrayBuffer[ArrayBuffer[Long]], var n: Long)
+/** Merge aggregate over STORED KLL sketches — the epoch/shard rollup
+  * face of [[KllCompactor]]: input rows are evaluated sketch structs
+  * (`struct(entries array<struct<v,w>>, n)`), each rebuilt into its
+  * level ladder (w = 2^h is injective in the level) and folded through
+  * the same md5-seeded compaction. A pipeline that stores one sketch
+  * per (group, shard) or per (group, day) rolls history up WITHOUT
+  * re-scanning it — the property the sketch family exists for (x18
+  * CMS adds, x20/x71 min-k unions, x27 HLL maxes; this one's merge is
+  * error-BOUNDED rather than exact, the trade documented on
+  * [[KllCompactor]] and measured in KllCompactorSpec's sharded-merge
+  * property). Same O(k) buffer contract and ObjectHashAggregate
+  * fallback-threshold note as the base aggregate.
+  */
+case class KllMerge(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllCompactor.Buffer] with UnaryLike[Expression] {
+
+  require(k >= 8, "compactor width k must be at least 8")
+
+  private val entryType = StructType(Seq(
+    StructField("v", LongType, nullable = false),
+    StructField("w", LongType, nullable = false)))
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("entries", ArrayType(entryType, containsNull = false), nullable = false),
+    StructField("n", LongType, nullable = false)))
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): KllCompactor.Buffer = KllCompactor.emptyBuffer()
+
+  override def update(buf: KllCompactor.Buffer, input: InternalRow): KllCompactor.Buffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val row = v.asInstanceOf[InternalRow]
+      val entries = row.getArray(0)
+      val n = row.getLong(1)
+      val m = entries.numElements()
+      val vs = new Array[Long](m)
+      val ws = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val e = entries.getStruct(i, 2)
+        vs(i) = e.getLong(0)
+        ws(i) = e.getLong(1)
+        i += 1
+      }
+      KllCompactor.absorbEntries(buf, n, vs, ws, k)
+    }
+    buf
+  }
+
+  override def merge(buf: KllCompactor.Buffer, other: KllCompactor.Buffer): KllCompactor.Buffer =
+    KllCompactor.mergeBuffers(buf, other, k)
+
+  override def eval(buf: KllCompactor.Buffer): Any = KllCompactor.evalBuffer(buf)
+
+  override def serialize(buf: KllCompactor.Buffer): Array[Byte] =
+    KllCompactor.serializeBuffer(buf)
+
+  override def deserialize(bytes: Array[Byte]): KllCompactor.Buffer =
+    KllCompactor.deserializeBuffer(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): KllMerge =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllMerge =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): KllMerge =
+    copy(child = c)
 }

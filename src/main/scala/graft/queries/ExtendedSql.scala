@@ -381,6 +381,56 @@ object ExtendedSql {
           (CAST(99 AS BIGINT))) q(q_pct)
         GROUP BY event_type, q_pct ORDER BY event_type, q_pct""")),
 
+    // ── KLL shard rollup: stored sketches merged WITHOUT re-scan ───────
+    // The deployment shape the sketch family exists for: one sketch per
+    // (group, shard) — here shard = user_id % 8, standing in for a day
+    // / epoch / micro-batch — stored, then rolled up per group by
+    // [[graft.functions.expressions.KllMerge]] (ladder rebuilt from the
+    // (v, 2^h) entries, same md5-seeded compaction), with history never
+    // re-scanned. n stays EXACT through the rollup (Σ shard n), and the
+    // merged estimates must still honor the rank-error contract, which
+    // this query verifies in-plan exactly like x77 (same 5%·n bound —
+    // KLL's guarantee holds under ANY merge tree; the sharded-merge
+    // spec in KllCompactorSpec measures the envelope). Oracle pins the
+    // exact n and literal TRUE flags.
+    GraftQuery(
+      "x78_kll_shard_merge",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.{AggFunctions, QuantileSketch}
+        val ev = Tables.events(s, dir)
+          .select($"event_type", $"user_id",
+            (dec2($"value") * 100).cast("long").as("cents"))
+        val shards = ev
+          .groupBy($"event_type", ($"user_id" % 8).as("shard"))
+          .agg(AggFunctions.kllCompactor($"cents", 256).as("sk"))
+        val merged = shards.groupBy($"event_type")
+          .agg(AggFunctions.kllMerge($"sk", 256).as("sk"))
+        val est = merged.select($"event_type", $"sk.n".as("n"),
+          explode(array(
+            struct(lit(50L).as("q_pct"), QuantileSketch.kllQuantile($"sk", 0.5).as("est")),
+            struct(lit(90L).as("q_pct"), QuantileSketch.kllQuantile($"sk", 0.9).as("est")),
+            struct(lit(99L).as("q_pct"), QuantileSketch.kllQuantile($"sk", 0.99).as("est"))))
+            .as("e"))
+          .select($"event_type", $"n", $"e.q_pct", $"e.est")
+        est.join(ev.select($"event_type", $"cents"), "event_type")
+          .groupBy($"event_type", $"q_pct", $"n", $"est")
+          .agg(sum(when($"cents" < $"est", 1L).otherwise(0L)).as("lo"),
+            sum(when($"cents" <= $"est", 1L).otherwise(0L)).as("hi"))
+          .withColumn("t", (floor(($"n" - 1) * $"q_pct" / 100) + 1).cast("long"))
+          .withColumn("err",
+            when($"t".between($"lo" + 1, $"hi"), 0L)
+              .otherwise(least(abs($"t" - ($"lo" + 1)), abs($"t" - $"hi"))))
+          .select($"event_type", $"q_pct", $"n",
+            ($"err" * 20 <= $"n").as("within_bound"))
+          .orderBy($"event_type", $"q_pct")
+      },
+      Some("""
+        SELECT event_type, q_pct, COUNT(*) AS n, TRUE AS within_bound
+        FROM events CROSS JOIN (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)),
+          (CAST(99 AS BIGINT))) q(q_pct)
+        GROUP BY event_type, q_pct ORDER BY event_type, q_pct""")),
+
     // ── range join via bucketing (no cross/theta join) ─────────────────
     // "Events within ±5 min of each other per user" is a RANGE join —
     // naively a per-user theta join. The scale form: bucket time into

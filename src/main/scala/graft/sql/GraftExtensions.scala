@@ -178,6 +178,10 @@ object GraftFunctions {
       info("graft_kll", "graft_kll(value, k) - AGGREGATE: one-pass KLL-style quantile compactor, O(k) entries of state per group for ~1/k rank error, as struct(entries array<struct<v,w>>, n) (merge is error-bounded, not exact - the space-optimal sibling of graft_min_k's bottom-k sample)"),
       es => graft.functions.expressions.KllCompactor(es(0), litInt(es(1)))
         .toAggregateExpression()),
+    (FunctionIdentifier("graft_kll_merge"),
+      info("graft_kll_merge", "graft_kll_merge(sketch, k) - AGGREGATE: roll up stored graft_kll sketch structs (one per shard/epoch) into one sketch per group without re-scanning history; error-bounded merge"),
+      es => graft.functions.expressions.KllMerge(es(0), litInt(es(1)))
+        .toAggregateExpression()),
     (FunctionIdentifier("graft_nfc_normalize"),
       info("graft_nfc_normalize", "graft_nfc_normalize(text) - Unicode NFC normalization (UAX #15; allocation-free on ASCII) - encoding identity before byte-identity dedup"),
       es => graft.functions.expressions.NfcNormalizeExpr(es.head)),

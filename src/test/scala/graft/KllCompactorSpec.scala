@@ -129,6 +129,28 @@ class KllCompactorSpec extends AnyFunSuite {
     assert(got.getLong(0) == 510L && got.getLong(1) == 1000L)
   }
 
+  test("KllMerge rolls stored shard sketches up within the error bound") {
+    import spark.implicits._
+    val n = 48000
+    val rnd = new scala.util.Random(11)
+    val vals = Array.fill(n)(math.abs(rnd.nextLong() % 5000000L))
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (0L, i.toLong % 16, v) }.toSeq
+      .toDF("g", "shard", "v")
+    // store one sketch per shard, then merge WITHOUT touching the rows
+    val shards = df.groupBy($"g", $"shard")
+      .agg(AggFunctions.kllCompactor($"v", K).as("sk"))
+    val merged = shards.groupBy($"g")
+      .agg(AggFunctions.kllMerge($"sk", K).as("sk"))
+    val (cnt, vs, ws) = collectSketch(merged)(0L)
+    assert(cnt == n, "n must stay exact through the rollup")
+    assert(ws.sum == cnt, "weight conservation must survive the rollup")
+    assert(vs.length <= 4 * K, "merged state must stay O(k)")
+    val err = maxRankError(vs, ws, vals.sorted)
+    assert(err * 1000 <= 20L * n,
+      s"16-shard rollup rank error $err over n=$n exceeds 2%")
+  }
+
   test("serialization roundtrips the level ladder bit-for-bit") {
     val agg = KllCompactor(org.apache.spark.sql.catalyst.expressions.Literal(1L), 64)
     val buf = agg.createAggregationBuffer()
