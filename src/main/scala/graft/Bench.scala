@@ -33,8 +33,10 @@ object Bench {
       // collect) keep <= K entries per group, so the ObjectHashAggregate
       // 128-key sort fallback only costs (measured: d25 48 s -> 11.6 s
       // at sf1); on a cluster, set this in the job conf the same way
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_OBJHASH_FALLBACK", "2097152"))
+      // heap-derived (env-overridable): the 2M hard-code twice proved
+      // too small for sf10 bucket stages — see graft.core.Tuning
+      .config(graft.core.Tuning.ObjHashFallbackConfKey,
+        graft.core.Tuning.objHashFallback)
       .config("spark.sql.adaptive.enabled", "true")
       // Coalesce small shuffle stages by SIZE, not parallelism (the
       // Spark-docs-recommended setting): iterative/bucket stages over

@@ -320,6 +320,8 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config(graft.core.Tuning.ObjHashFallbackConfKey,
+        graft.core.Tuning.objHashFallback)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

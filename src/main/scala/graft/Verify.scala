@@ -19,8 +19,10 @@ object Verify {
       // collect) keep <= K entries per group, so the ObjectHashAggregate
       // 128-key sort fallback only costs (measured: d25 48 s -> 11.6 s
       // at sf1); on a cluster, set this in the job conf the same way
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_OBJHASH_FALLBACK", "2097152"))
+      // heap-derived (env-overridable): the 2M hard-code twice proved
+      // too small for sf10 bucket stages — see graft.core.Tuning
+      .config(graft.core.Tuning.ObjHashFallbackConfKey,
+        graft.core.Tuning.objHashFallback)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -36,10 +36,20 @@ object Guards {
 
   /** Pass `input` through unchanged after asserting it is under the
     * configured bound; the count is one column-pruned aggregation —
-    * trivial next to the corpus-wide sort it protects against. */
-  def exactAudit(input: DataFrame, twinQuery: String): DataFrame = {
+    * trivial next to the corpus-wide sort it protects against.
+    *
+    * `defaultMaxRows` is the bound used when the session conf is NOT
+    * set — callers whose blow-up is super-linear in the input (d20's
+    * per-cell COUNT(DISTINCT) over an output-linear pair enumeration:
+    * fine at 6×10⁴ corpus rows, DNF at 1800 s by 6×10⁵ — the r10 sf1
+    * vs sf10 sweep) pass a bound measured where THEY stop finishing,
+    * not the 10⁸ that fits corpus-wide sorts. An explicitly-set conf
+    * still overrides every per-call default (one escape hatch, not
+    * one per query), including -1 to disable. */
+  def exactAudit(input: DataFrame, twinQuery: String,
+      defaultMaxRows: Long = DefaultMaxRows): DataFrame = {
     val bound = input.sparkSession.conf
-      .get(ConfKey, DefaultMaxRows.toString).toLong
+      .getOption(ConfKey).map(_.toLong).getOrElse(defaultMaxRows)
     if (bound >= 0L) {
       val n = input.count()
       if (n > bound) throw new IllegalStateException(

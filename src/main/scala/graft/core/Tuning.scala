@@ -1,0 +1,52 @@
+package graft.core
+
+/** Session-build-time sizing for the knobs whose stock defaults are
+  * wrong for this engine's workload shapes.
+  *
+  * == ObjectHashAggregate sort-based fallback ==
+  *
+  * Every TypedImperativeAggregate in the repo (MinKByKey, KllCompactor,
+  * HLL/CMS/KMV sketches) plans as ObjectHashAggregate, which abandons
+  * its hash map for a SORT-based pass once a task's map exceeds
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` ENTRIES
+  * (Spark's stock default: 128). For bucket-formation stages the
+  * fallback is a cliff, not a safety net: the mihPairs bucket stage at
+  * a 6×10⁵-row corpus has ~10⁷ distinct (doc, block, key) partials per
+  * task, and with the repo's old hard-coded 2M threshold BOTH matrix
+  * forms (d20, d27) sat in sort-based fallback and DNF'd at 900 s —
+  * until a hand env override raised it to 16M, after which d27
+  * finished in 589 s (scale/REPORT_r10.md §5). Twice the knowledge
+  * lived in a report instead of the code; this helper moves it here.
+  *
+  * Sizing: the hazard class is MANY-GROUP aggregates with SMALL
+  * fixed-size states (bucket keys + a count/max/min-k handful of
+  * longs) — amortized ≈128 bytes per map entry including the UnsafeRow
+  * key, state object headers, and the open-addressing map's slack.
+  * Large-state aggregates (a k=256 KLL ladder is ~4 KB) have FEW
+  * groups by construction (per event-type, per window), so they never
+  * approach the threshold. Giving each core's heap share to its map at
+  * 128 B/entry reproduces both empirically-proven operating points:
+  * 96 GiB heap / 32 cores → 23.4M (≥ the 16M the sf10 sweep needed),
+  * and the 8 GiB test JVM → 1.95M (≈ the 2M the suite has always run
+  * with). Clamped to [2²⁰, 2²⁶] so a tiny driver JVM still gets a
+  * usable map and a huge one doesn't promise an unbounded map.
+  *
+  * Precedence: `SPARK_GRAFT_OBJHASH_FALLBACK` env (sweep escape hatch)
+  * beats the derivation.
+  */
+object Tuning {
+  val ObjHashFallbackConfKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+
+  /** Entries-per-task-map threshold derived from this JVM's heap. */
+  def objHashFallbackThreshold(
+      heapBytes: Long = Runtime.getRuntime.maxMemory(),
+      cores: Int = Runtime.getRuntime.availableProcessors()): Long = {
+    val derived = heapBytes / math.max(cores, 1) / 128L
+    math.min(math.max(derived, 1L << 20), 1L << 26)
+  }
+
+  /** The value session builders should set: env override or derived. */
+  def objHashFallback: String =
+    sys.env.getOrElse("SPARK_GRAFT_OBJHASH_FALLBACK",
+      objHashFallbackThreshold().toString)
+}

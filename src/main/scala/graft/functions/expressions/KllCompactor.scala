@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -74,9 +74,17 @@ case class KllCompactor(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[KllCompactor.Buffer] with UnaryLike[Expression] {
+    extends TypedImperativeAggregate[KllCompactor.Buffer]
+    with UnaryLike[Expression] with ExpectsInputTypes {
 
   require(k >= 8, "compactor width k must be at least 8")
+
+  // Analysis-time contract: the buffer stores raw longs, so a double/
+  // int/decimal column must be rejected (or cast) BEFORE execution —
+  // without this, eval's asInstanceOf[Long] threw ClassCastException
+  // mid-job instead of a clean AnalysisException (round-10 ADVICE).
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.GraftBridge.AbstractType] =
+    Seq(LongType)
 
   private val entryType = StructType(Seq(
     StructField("v", LongType, nullable = false),
@@ -270,13 +278,23 @@ case class KllMerge(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[KllCompactor.Buffer] with UnaryLike[Expression] {
+    extends TypedImperativeAggregate[KllCompactor.Buffer]
+    with UnaryLike[Expression] with ExpectsInputTypes {
 
   require(k >= 8, "compactor width k must be at least 8")
 
   private val entryType = StructType(Seq(
     StructField("v", LongType, nullable = false),
     StructField("w", LongType, nullable = false)))
+
+  // Same analysis-time discipline as [[KllCompactor]]: reject anything
+  // that is not a stored sketch struct before execution. acceptsType is
+  // nullability-insensitive (sameType), so parquet round-trips whose
+  // readers mark fields nullable still pass.
+  override def inputTypes: Seq[org.apache.spark.sql.graftbridge.GraftBridge.AbstractType] =
+    Seq(StructType(Seq(
+      StructField("entries", ArrayType(entryType, containsNull = false), nullable = false),
+      StructField("n", LongType, nullable = false))))
 
   override def dataType: DataType = StructType(Seq(
     StructField("entries", ArrayType(entryType, containsNull = false), nullable = false),

@@ -1295,10 +1295,23 @@ object DedupQueries {
         // buckets, and densePairs' distinct-sig compare is O(D²) (the
         // sf1 sweep measured it at 56-69 s, 30-45x at 10x data).
         // Multi-index probing is exact by pigeonhole and output-bound.
+        //
+        // EXACT-AUDIT GATED: the per-cell COUNT(DISTINCT oa) below pays
+        // a partial-distinct shuffle of the whole (cell, doc) pair
+        // stream — doc-linear distinct state over an output-linear
+        // enumeration. Measured cliff (scale/REPORT_r10.md §5): 4-13 s
+        // at a 6×10⁴-row corpus, DNF at 1800 s at 6×10⁵ — so the gate
+        // binds at 2×10⁵ corpus rows, an order of magnitude under the
+        // test SFs' headroom but right where the exact form stops
+        // finishing. At scale run d27, which keeps n_pairs exact and
+        // sketches the distinct count in 64 constant-state registers.
         val pairs = graft.dedup.SimHash.mihPairs(
           // pinned for the same reason as d5: the kernel form has no
           // reusable exchange, so each mihPairs branch re-runs it
-          graft.dedup.SimHash.signatures(corpusWithNearDups(s, dir), "doc_id", "text")
+          graft.dedup.SimHash.signatures(
+            graft.core.Guards.exactAudit(corpusWithNearDups(s, dir),
+              "d27_neardup_matrix_sketched", defaultMaxRows = 200000L),
+            "doc_id", "text")
             .localCheckpoint(true),
           maxHamming = 8)
         val src = Tables.documents(s, dir).select($"doc_id", $"source")

@@ -294,7 +294,11 @@ object ExtendedSql {
         // keep-odds coin keeps ⌈c/2⌉) — extra passes are per-group
         // identities, so the fixed-18-round oracle unroll agrees as
         // long as rounds ≤ 18 (holds through sf10: 2·10⁶ ≤ 64·2¹⁸).
-        val maxCnt = nDf.agg(max($"n")).head().getLong(0)
+        // max(n) over zero groups is SQL null — an empty events table
+        // must fall out as rounds = 0 (and an empty result), not as a
+        // getLong NPE (round-10 ADVICE).
+        val maxRow = nDf.agg(max($"n")).head()
+        val maxCnt = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
         var rounds = 0
         var c = maxCnt
         while (c > k) { c = (c + 1) / 2; rounds += 1 }

@@ -175,11 +175,11 @@ object GraftFunctions {
       es => graft.functions.expressions.MinKByKey(es(0), es(1), litInt(es(2)))
         .toAggregateExpression()),
     (FunctionIdentifier("graft_kll"),
-      info("graft_kll", "graft_kll(value, k) - AGGREGATE: one-pass KLL-style quantile compactor, O(k) entries of state per group for ~1/k rank error, as struct(entries array<struct<v,w>>, n) (merge is error-bounded, not exact - the space-optimal sibling of graft_min_k's bottom-k sample)"),
+      info("graft_kll", "graft_kll(value, k) - AGGREGATE: one-pass KLL-style quantile compactor over long values (bigint - cast first, like graft_min_k's long keys), O(k) entries of state per group for ~1/k rank error, as struct(entries array<struct<v,w>>, n) (merge is error-bounded, not exact - the space-optimal sibling of graft_min_k's bottom-k sample)"),
       es => graft.functions.expressions.KllCompactor(es(0), litInt(es(1)))
         .toAggregateExpression()),
     (FunctionIdentifier("graft_kll_merge"),
-      info("graft_kll_merge", "graft_kll_merge(sketch, k) - AGGREGATE: roll up stored graft_kll sketch structs (one per shard/epoch) into one sketch per group without re-scanning history; error-bounded merge"),
+      info("graft_kll_merge", "graft_kll_merge(sketch, k) - AGGREGATE: roll up stored graft_kll sketch structs (struct(entries array<struct<v bigint, w bigint>>, n bigint), one per shard/epoch) into one sketch per group without re-scanning history; error-bounded merge"),
       es => graft.functions.expressions.KllMerge(es(0), litInt(es(1)))
         .toAggregateExpression()),
     (FunctionIdentifier("graft_nfc_normalize"),

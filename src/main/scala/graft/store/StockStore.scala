@@ -243,7 +243,13 @@ object StockStore {
     // the prune can never hide a matching row. One extra tiny agg on
     // the cached batch buys a scan bounded by the batch's time span
     // instead of the partition's history.
-    val tsWindow: Option[Column] = {
+    // Skipped when the partition prune itself degraded to None (a
+    // >4096-partition bulk backfill): such a batch spans the table's
+    // whole history, the between-predicate would prune nothing, and
+    // the min/max agg is one whole Spark action per upsert — the prune
+    // pays only on the streaming path it was built for (round-10
+    // ADVICE).
+    val tsWindow: Option[Column] = partitionPrune.flatMap { _ =>
       val r = deduped.agg(min(col(dt.tsCol)), max(col(dt.tsCol))).head()
       if (r.isNullAt(0)) None
       else Some(col(dt.tsCol).between(lit(r.get(0)), lit(r.get(1))))

@@ -24,7 +24,8 @@ object LabKll {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
+      .config(graft.core.Tuning.ObjHashFallbackConfKey,
+        graft.core.Tuning.objHashFallback)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

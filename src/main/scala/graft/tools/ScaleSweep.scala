@@ -31,8 +31,10 @@ object ScaleSweep {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_OBJHASH_FALLBACK", "2097152"))
+      // heap-derived (env-overridable): the 2M hard-code twice proved
+      // too small for sf10 bucket stages — see graft.core.Tuning
+      .config(graft.core.Tuning.ObjHashFallbackConfKey,
+        graft.core.Tuning.objHashFallback)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -39,6 +39,8 @@ object StreamBisect {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config(graft.core.Tuning.ObjHashFallbackConfKey,
+        graft.core.Tuning.objHashFallback)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -69,13 +71,16 @@ object StreamBisect {
       val lats = r.perBatch.map(_._1)
       val rows = r.perBatch.map(_._2)
       val half = lats.length / 2
-      def mean(xs: Seq[Double]): Double =
-        if (xs.isEmpty) Double.NaN else xs.sum / xs.length
-      val firstHalf = mean(lats.take(half))
-      val secondHalf = mean(lats.drop(half))
+      // an empty half-series (0 or 1 committed batches) must print as
+      // JSON null, not a bare NaN that breaks jq over the jsonl
+      // (round-10 ADVICE)
+      def meanJson(xs: Seq[Double]): String =
+        if (xs.isEmpty) "null" else f"${xs.sum / xs.length}%.3f"
+      val firstHalf = meanJson(lats.take(half))
+      val secondHalf = meanJson(lats.drop(half))
       println(s"""{"run":$i,"cap":$cap,"rows":${r.rows},"batches":${r.batches},""" +
         f""""p50_s":${r.p50S}%.3f,"p95_s":${r.p95S}%.3f,""" +
-        f""""first_half_mean_s":$firstHalf%.3f,"second_half_mean_s":$secondHalf%.3f,""" +
+        s""""first_half_mean_s":$firstHalf,"second_half_mean_s":$secondHalf,""" +
         s""""per_batch_lat_s":[${lats.map(l => f"$l%.3f").mkString(",")}],""" +
         s""""per_batch_rows":[${rows.mkString(",")}]}""")
     }

@@ -51,6 +51,38 @@ class GuardsSpec extends AnyFunSuite {
     withBound("-1")(Guards.exactAudit(poison, "twin")) // no scan, no throw
   }
 
+  test("per-call default bound applies when conf unset; set conf overrides it") {
+    import spark.implicits._
+    val df = (1 to 100).toDF("x")
+    // conf unset → the caller's own default binds
+    spark.conf.unset(Guards.ConfKey)
+    val e = intercept[IllegalStateException](
+      Guards.exactAudit(df, "d27_neardup_matrix_sketched", defaultMaxRows = 10L))
+    assert(e.getMessage.contains("d27_neardup_matrix_sketched"))
+    // an explicitly-set conf wins over the per-call default — one
+    // escape hatch for every gated query, not one per query
+    val out = withBound("1000")(
+      Guards.exactAudit(df, "twin", defaultMaxRows = 10L))
+    assert(out.count() == 100)
+    // ...including -1 full-disable
+    val off = withBound("-1")(
+      Guards.exactAudit(df, "twin", defaultMaxRows = 10L))
+    assert(off.count() == 100)
+  }
+
+  test("d20 is gated: 2e5-row default never binds at test SFs, names d27") {
+    val d20 = graft.core.Registry.allQueries
+      .find(_.name == "d20_neardup_source_matrix").get
+    // sf0.001 corpus (500 docs + 20% variants) is far under 2e5 — the
+    // oracle path is untouched
+    assert(d20.build(spark, "/root/testdata/sf0.001").count() > 0)
+    // a tight conf bound trips the gate inside the real query body,
+    // naming the sketched twin
+    val e = intercept[IllegalStateException](
+      withBound("10")(d20.build(spark, "/root/testdata/sf0.001")))
+    assert(e.getMessage.contains("d27_neardup_matrix_sketched"))
+  }
+
   test("default bound does not bind at test SFs; registry wiring names q8") {
     // default (1e8) leaves the sf0.001 oracle run untouched...
     val q43 = graft.core.Registry.allQueries

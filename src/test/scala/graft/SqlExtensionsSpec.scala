@@ -185,6 +185,22 @@ class SqlExtensionsSpec extends AnyFunSuite {
     assert(viaSql == viaApi)
   }
 
+  test("graft_kll over a non-bigint column is a clean analysis error") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    Seq(1.5, 2.5).toDF("d").createOrReplaceTempView("kll_bad_in")
+    // used to be a mid-job ClassCastException on asInstanceOf[Long];
+    // ExpectsInputTypes(LongType) now rejects (or implicit-casts) at
+    // analysis — either way, no executor-side cast blow-up
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_kll(d, 64) FROM kll_bad_in").collect())
+    assert(e.getMessage.toLowerCase.contains("bigint") ||
+      e.getMessage.toLowerCase.contains("long"))
+    // and graft_kll_merge rejects a non-sketch struct the same way
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_kll_merge(d, 64) FROM kll_bad_in").collect())
+  }
+
   test("graft_sign_word + graft_hamming match the TopK binary-quant words") {
     val row = spark.sql(
       """SELECT
