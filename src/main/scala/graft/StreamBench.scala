@@ -38,10 +38,10 @@ import scala.collection.mutable.ArrayBuffer
   */
 object StreamBench {
   /** `perBatch` is the per-micro-batch (latencyS, rows) series in COMMIT
-    * order — empty for the gate mode; the bisect tooling
-    * ([[graft.tools.StreamBisect]]) reads it to separate within-run
-    * growth (per-batch state/merge cost rising batch over batch) from
-    * across-run level shifts (host window). */
+    * order (for gate mode, rows = decisions routed that trigger); the
+    * bisect tooling ([[graft.tools.StreamBisect]]) reads it to separate
+    * within-run growth (per-batch state/merge cost rising batch over
+    * batch) from across-run level shifts (host window). */
   final case class Result(rows: Long, wallS: Double, rowsPerS: Double,
       p50S: Double, p95S: Double, maxS: Double, batches: Int,
       perBatch: Seq[(Double, Long)] = Nil)
@@ -75,7 +75,7 @@ object StreamBench {
       // Warm at the FULL rate so the measured run's batch sizes (and
       // their codegen/state-store shapes) are exactly what got JIT'd —
       // a 2k/s warm-up leaves the 5k-row batch path cold.
-      if (mode == "gate") runGateOnce(spark, rate, 3, trigger)
+      if (mode == "gate") runGateOnce(spark, rate, 3, trigger, capFrames)
       else runOnce(spark, rate, 3, mode, trigger, capFrames)
       // Host state trails heavy runs (see verify skill): give the JVM a
       // GC + settle window so the warm-up's churn doesn't bleed into the
@@ -83,7 +83,7 @@ object StreamBench {
       System.gc()
       Thread.sleep(2000)
     }
-    if (mode == "gate") runGateOnce(spark, rate, durationS, trigger)
+    if (mode == "gate") runGateOnce(spark, rate, durationS, trigger, capFrames)
     else runOnce(spark, rate, durationS, mode, trigger, capFrames)
   }
 
@@ -98,7 +98,7 @@ object StreamBench {
         pmod(seq * 7 + j * j, lit(400)).cast("string"))))
 
   private def runGateOnce(spark: SparkSession, rate: Int, durationS: Int,
-      trigger: Trigger): Result = {
+      trigger: Trigger, capFrames: Option[Int] = None): Result = {
     val tmp = Files.createTempDirectory("graft-streamgate")
     val total = rate.toLong * durationS
     // frozen model: trained once, count tables pinned + broadcast — the
@@ -109,19 +109,55 @@ object StreamBench {
       graft.lm.KnBigramLm.bigrams(trusted, "doc_id", "text"))
 
     val latencies = ArrayBuffer.empty[Double]
+    val batchRecs = ArrayBuffer.empty[(Double, Long)]
     @volatile var routedRows = 0L
     @volatile var admittedRows = 0L
     @volatile var firstFrameMs = 0L
     @volatile var lastCommitMs = 0L
 
-    // doc_id encodes the generation wall-clock: (epoch ms << 20) | seq —
-    // the gate's outputs only carry doc_id, so the latency rides in it
-    val docs = spark.readStream.format("rate")
-      .option("rowsPerSecond", rate.toString).load()
+    // The doc feed rides the SAME WAL pump as the tick modes (not
+    // Spark's unbounded rate source): gate per-batch cost is scoring-
+    // join volume-proportional, so an uncapped catch-up batch carrying
+    // a contended host's whole backlog doubles the tail — p95 read
+    // 3.56/3.84/7.10 s across three same-round r10 runs purely on
+    // batch shape. `maxFramesPerBatch` (S7 admission, default 2×rate
+    // like the stateful mode) bounds every batch's volume, so latency
+    // measures the gate, not the host's trigger jitter.
+    val feedName = "streamgate-" + java.util.UUID.randomUUID()
+    WsFeeds.register(feedName, () => new FrameFeed {
+      private var produced = 0L
+      private var startMs = 0L
+      override def connect(): Unit = { startMs = System.currentTimeMillis() }
+      override def poll(): Seq[String] = {
+        val now = System.currentTimeMillis()
+        val due = math.min((now - startMs) * rate / 1000, total)
+        val out = (produced until due).map { i =>
+          // doc_id encodes the generation wall-clock: (epoch ms << 20)
+          // | seq — the gate's outputs only carry doc_id, so the
+          // latency rides in it. Text replicates docText's formula
+          // (12 tokens, vocab residue (i*7 + j²) mod 400, every 10th
+          // doc junk-vocab) so in-domain docs land only on bigrams the
+          // trusted corpus contains.
+          val junk = i % 10 == 9
+          val text = (0 until 12).map(j =>
+            (if (junk) "zq" else "w") + ((i * 7 + j.toLong * j) % 400))
+            .mkString(" ")
+          s"""{"d": ${(now << 20) + (i % 1048576)}, "x": "$text"}"""
+        }
+        produced = due
+        out
+      }
+      override def close(): Unit = ()
+    })
+    val docs = spark.readStream
+      .format("graft.sources.ws.WsSourceProvider")
+      .option("walDir", tmp.resolve("wal").toString)
+      .option("feed", feedName)
+      .option("maxFramesPerBatch", capFrames.getOrElse(2 * rate).toString)
+      .load()
       .select(
-        (shiftleft(unix_millis(col("timestamp")), 20) +
-          pmod(col("value"), lit(1048576L))).as("doc_id"),
-        docText(col("value"), col("value") % 10 === 9).as("text"))
+        get_json_object(col("raw"), "$.d").cast("long").as("doc_id"),
+        get_json_object(col("raw"), "$.x").as("text"))
 
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -139,7 +175,10 @@ object StreamBench {
         if (na + nr > 0) {
           val now = System.currentTimeMillis()
           val oldest = Seq(oa, or_).flatten.min
-          latencies.synchronized { latencies += (now - oldest) / 1000.0 }
+          latencies.synchronized {
+            latencies += (now - oldest) / 1000.0
+            batchRecs += (((now - oldest) / 1000.0, na + nr))
+          }
           routedRows += na + nr
           admittedRows += na
           if (firstFrameMs == 0L) firstFrameMs = oldest
@@ -165,7 +204,7 @@ object StreamBench {
       if (lastCommitMs == 0L || firstFrameMs == 0L) Double.NaN
       else (lastCommitMs - firstFrameMs) / 1000.0
     Result(routedRows, wallS, routedRows / wallS, pct(0.50), pct(0.95),
-      if (lat.isEmpty) Double.NaN else lat.last, lat.length)
+      if (lat.isEmpty) Double.NaN else lat.last, lat.length, batchRecs.toSeq)
   }
 
   private def runOnce(spark: SparkSession, rate: Int, durationS: Int,

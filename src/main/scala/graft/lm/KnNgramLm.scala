@@ -175,6 +175,62 @@ object KnNgramLm {
       spark.read.parquet(s"$root/tc.parquet"),
       spark.read.parquet(s"$root/scal.parquet"))
 
+  /** What a [[pickTheta]] call is sizing for. */
+  sealed trait ThetaTarget
+  object ThetaTarget {
+    /** Storage budget: retained top-level table must hold ≤ this many
+      * grams (the model's one corpus-linear term — x72 measured it at
+      * 34× per 100× data; everything else derives from it). */
+    final case class MaxGrams(maxGrams: Long) extends ThetaTarget
+    /** Quality floor: retained train-token mass must stay ≥ this many
+      * ppm of the unpruned mass (θ=1 is 10⁶ ppm by definition). */
+    final case class MinMassPpm(minMassPpm: Long) extends ThetaTarget
+  }
+
+  /** Sizes the count cutoff FROM DATA: given a prune curve (x75's
+    * one-pass sweep — one row per candidate θ with the retained table
+    * size `n_kept` and retained mass `mass_keep_ppm`), returns the θ
+    * to pass as [[train]]'s `minTopCount`:
+    *
+    *   - [[ThetaTarget.MaxGrams]]: the SMALLEST candidate θ whose
+    *     retained table fits the budget — the least aggressive cutoff
+    *     that meets the storage bound (n_kept is non-increasing in θ).
+    *     Fails fast if even the largest candidate doesn't fit, naming
+    *     the shortfall — extend the curve's candidate grid rather than
+    *     silently over-shooting the budget.
+    *   - [[ThetaTarget.MinMassPpm]]: the LARGEST candidate θ still
+    *     retaining the mass floor — the most aggressive cutoff that
+    *     meets the quality bar (mass_keep_ppm is non-increasing in θ).
+    *     Always satisfiable when θ=1 is a candidate.
+    *
+    * Driver-side by design: the curve is one row per candidate θ
+    * (x75 sweeps 5), not data-sized. A 100 TB job runs the curve once
+    * (1/7 the cost of one train — scale/REPORT_r10.md §4) and feeds
+    * the picked θ straight into the real train. */
+  def pickTheta(curve: DataFrame, target: ThetaTarget): Long = {
+    val rows = curve
+      .select(col("theta").cast("long"), col("n_kept").cast("long"),
+        col("mass_keep_ppm").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "empty prune curve — nothing to pick from")
+    target match {
+      case ThetaTarget.MaxGrams(budget) =>
+        rows.find(_._2 <= budget).map(_._1).getOrElse(
+          throw new IllegalStateException(
+            s"no candidate cutoff fits maxGrams=$budget (largest " +
+              s"θ=${rows.last._1} still keeps ${rows.last._2} grams); " +
+              "extend the curve's candidate grid"))
+      case ThetaTarget.MinMassPpm(floor) =>
+        rows.reverse.find(_._3 >= floor).map(_._1).getOrElse(
+          throw new IllegalStateException(
+            s"no candidate cutoff retains minMassPpm=$floor (θ=" +
+              s"${rows.head._1} keeps only ${rows.head._3} ppm); the " +
+              "floor is unreachable on this corpus/grid"))
+    }
+  }
+
   def perDoc(scored: DataFrame): DataFrame =
     scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),

@@ -546,6 +546,63 @@ object StreamingQueries {
           CAST(SUM(1 - admit) AS BIGINT) AS n_rejected,
           CAST(SUM(n_unseen) AS BIGINT) AS unseen_bigrams,
           (CAST(SUM(admit) AS BIGINT) * 1000) // COUNT(*) AS admit_x1000
-        FROM j GROUP BY source ORDER BY source"""))
+        FROM j GROUP BY source ORDER BY source""")),
+
+    // ── streaming windowed quantiles (KLL per window, KllMerge rollup) ─
+    // Batch projection of [[graft.streaming.StreamIngest
+    // .windowedQuantileSketch]] (the sketch family's streaming face):
+    // each (event_type, 1h event-time window) maintains ONE O(k)-entry
+    // KLL compactor — the state a streaming windowed agg would hold —
+    // and history rolls up per event_type via KllMerge (x78's
+    // aggregate) WITHOUT re-scanning the windows. Like x77/x78, the
+    // oracle face is the CONTRACT, not the sketch bits (compaction
+    // history follows the merge tree): `n` (exact — weight
+    // conservation survives the merge), `n_windows` (exact window
+    // count), and the p50/90/99 rank-error bound err ≤ 5%·n verified
+    // IN-PLAN against the exact value stream. The live watermarked
+    // form (append-mode emission of final window sketches, state-store
+    // serialized buffers) runs in StreamingSpec.
+    GraftQuery(
+      "s13_stream_window_quantiles",
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.{AggFunctions, QuantileSketch}
+        val ev = Tables.events(s, dir)
+          .select($"event_type", $"ts", (dec2($"value") * 100).cast("long").as("cents"))
+        val winSk = ev
+          .groupBy($"event_type", window($"ts", "1 hour"))
+          .agg(AggFunctions.kllCompactor($"cents", 256).as("sk"))
+        val rolled = winSk.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_windows"),
+            AggFunctions.kllMerge($"sk", 256).as("sk"))
+        val est = rolled.select($"event_type", $"n_windows", $"sk.n".as("n"),
+          explode(array(
+            struct(lit(50L).as("q_pct"), QuantileSketch.kllQuantile($"sk", 0.5).as("est")),
+            struct(lit(90L).as("q_pct"), QuantileSketch.kllQuantile($"sk", 0.9).as("est")),
+            struct(lit(99L).as("q_pct"), QuantileSketch.kllQuantile($"sk", 0.99).as("est"))))
+            .as("e"))
+          .select($"event_type", $"n_windows", $"n", $"e.q_pct", $"e.est")
+        est.join(ev.select($"event_type", $"cents"), "event_type")
+          .groupBy($"event_type", $"q_pct", $"n_windows", $"n", $"est")
+          .agg(sum(when($"cents" < $"est", 1L).otherwise(0L)).as("lo"),
+            sum(when($"cents" <= $"est", 1L).otherwise(0L)).as("hi"))
+          .withColumn("t", (floor(($"n" - 1) * $"q_pct" / 100) + 1).cast("long"))
+          .withColumn("err",
+            when($"t".between($"lo" + 1, $"hi"), 0L)
+              .otherwise(least(abs($"t" - ($"lo" + 1)), abs($"t" - $"hi"))))
+          .select($"event_type", $"q_pct", $"n_windows", $"n",
+            ($"err" * 20 <= $"n").as("within_bound"))
+          .orderBy($"event_type", $"q_pct")
+      },
+      Some("""
+        WITH w AS (
+          SELECT event_type,
+            COUNT(DISTINCT time_bucket(INTERVAL '1 hour', ts)) AS n_windows,
+            COUNT(*) AS n
+          FROM events GROUP BY event_type)
+        SELECT event_type, q_pct, n_windows, n, TRUE AS within_bound
+        FROM w CROSS JOIN (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)),
+          (CAST(99 AS BIGINT))) q(q_pct)
+        ORDER BY event_type, q_pct"""))
   )
 }

@@ -255,4 +255,33 @@ object StreamIngest {
         max_by(col("price"), col("timestamp")).as("close"),
         sum(col("volume")).as("volume"))
   }
+
+  /** Per-event-time-window quantile state on a stream — the sketch
+    * family's streaming face (s13). Each (key, window) group maintains
+    * one O(k)-entry KLL compactor ([[graft.functions.expressions
+    * .KllCompactor]]) in the state store: the aggregate's partial
+    * buffers ARE the streaming state (serialize/deserialize is the
+    * state-store codec), so per-window state is O(k) no matter how
+    * many rows the window sees — the property that lets a latency/
+    * value quantile live on a firehose. Append mode + the watermark
+    * emit each window's FINAL sketch once the watermark passes; the
+    * emitted `struct(entries, w)` rows are exactly what
+    * `graft_kll_merge` ([[graft.functions.expressions.KllMerge]], x78)
+    * rolls up — per day, per epoch, or across keys — without
+    * re-scanning the stream. `n` in every sketch stays the exact row
+    * count of its window.
+    *
+    * Output: key cols + `win_start`/`win_end` (timestamps) + `sk`. */
+  def windowedQuantileSketch(rows: DataFrame, tsCol: String,
+      valueCol: String, keyCols: Seq[String],
+      windowLen: String = "1 hour", watermark: String = "10 minutes",
+      k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.functions._
+    rows
+      .withWatermark(tsCol, watermark)
+      .groupBy(keyCols.map(col) :+ window(col(tsCol), windowLen): _*)
+      .agg(graft.functions.AggFunctions.kllCompactor(col(valueCol), k).as("sk"))
+      .select(keyCols.map(col) ++ Seq(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("sk")): _*)
+  }
 }

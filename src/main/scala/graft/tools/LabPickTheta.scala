@@ -1,0 +1,56 @@
+package graft.tools
+
+import graft.core.Tables
+import graft.lm.KnNgramLm
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Data-driven cutoff sizing, end to end at an arbitrary SF dir: run
+  * x75's one-pass prune curve, pick θ with [[KnNgramLm.pickTheta]]
+  * for a retained-mass floor, train the order-4 KN model at that θ,
+  * and print one JSON line with the curve/train wall costs and the
+  * retained table size — the "size the knob from data, then pay one
+  * train" loop a 100 TB job would run (curve ≈ 1/7 of one train,
+  * scale/REPORT_r10.md §4).
+  *
+  * Usage: `run_main.sh graft.tools.LabPickTheta <dir> [massFloorPpm]`
+  * (default floor 600000 = keep ≥60% of train-token mass).
+  */
+object LabPickTheta {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val floorPpm = if (args.length > 1) args(1).toLong else 600000L
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config(graft.core.Tuning.ObjHashFallbackConfKey,
+        graft.core.Tuning.objHashFallback)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val curveQ = graft.core.Registry.allQueries
+      .find(_.name == "x75_kn_prune_curve").get
+    val t0 = System.nanoTime()
+    // eager checkpoint materializes the curve inside the timed window;
+    // pickTheta's own collect then reads the 5 pinned rows
+    val curveDf = curveQ.build(spark, dir).localCheckpoint(true)
+    val curveSec = (System.nanoTime() - t0) / 1e9
+    val theta = KnNgramLm.pickTheta(curveDf,
+      KnNgramLm.ThetaTarget.MinMassPpm(floorPpm))
+
+    spark.catalog.clearCache(); System.gc()
+    val t1 = System.nanoTime()
+    val g4 = KnNgramLm.ngrams(Tables.documents(spark, dir), "doc_id", "text", 4)
+    val m = KnNgramLm.train(g4.filter(col("doc_id") % 10 < 8), 4, theta)
+    val kept = m.levels.head.gram.count()
+    val trainSec = (System.nanoTime() - t1) / 1e9
+
+    println(f"""{"metric":"pick_theta","dir":"$dir","mass_floor_ppm":$floorPpm,"curve_sec":$curveSec%.3f,"theta":$theta,"kept_grams":$kept,"train_sec":$trainSec%.3f}""")
+    spark.stop()
+  }
+}

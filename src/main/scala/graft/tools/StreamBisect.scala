@@ -26,7 +26,10 @@ import org.apache.spark.sql.SparkSession
   * (a) shows as level shifts BETWEEN runs/probes with flat within-run
   * series. Findings land in scale/REPORT_r10.md.
   *
-  * Usage: `run_main.sh graft.tools.StreamBisect [rate] [durationS] [cap] [reps]`.
+  * Usage: `run_main.sh graft.tools.StreamBisect [rate] [durationS] [cap] [reps] [mode]`
+  * (mode defaults to "upsert"; "gate" gives the admission gate the same
+  * fixed-volume, probe-stamped, N-rep treatment — the r10 gate p95
+  * spread was 2× across same-round runs on batch shape alone).
   */
 object StreamBisect {
   def main(args: Array[String]): Unit = {
@@ -34,6 +37,7 @@ object StreamBisect {
     val durationS = if (args.length > 1) args(1).toInt else 12
     val cap = if (args.length > 2) args(2).toInt else 7500
     val reps = if (args.length > 3) args(3).toInt else 3
+    val mode = if (args.length > 4) args(4) else "upsert"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -66,7 +70,7 @@ object StreamBisect {
 
     (1 to reps).foreach { i =>
       spark.catalog.clearCache(); System.gc(); Thread.sleep(3000)
-      val r = StreamBench.run(spark, rate, durationS, "upsert",
+      val r = StreamBench.run(spark, rate, durationS, mode,
         capFrames = Some(cap))
       val lats = r.perBatch.map(_._1)
       val rows = r.perBatch.map(_._2)
@@ -78,7 +82,7 @@ object StreamBisect {
         if (xs.isEmpty) "null" else f"${xs.sum / xs.length}%.3f"
       val firstHalf = meanJson(lats.take(half))
       val secondHalf = meanJson(lats.drop(half))
-      println(s"""{"run":$i,"cap":$cap,"rows":${r.rows},"batches":${r.batches},""" +
+      println(s"""{"run":$i,"mode":"$mode","cap":$cap,"rows":${r.rows},"batches":${r.batches},""" +
         f""""p50_s":${r.p50S}%.3f,"p95_s":${r.p95S}%.3f,""" +
         s""""first_half_mean_s":$firstHalf,"second_half_mean_s":$secondHalf,""" +
         s""""per_batch_lat_s":[${lats.map(l => f"$l%.3f").mkString(",")}],""" +

@@ -153,6 +153,51 @@ class KnNgramLmSpec extends AnyFunSuite {
     assert(scored.where(col("kn_bits_q").isNull).count() == 0)
   }
 
+  test("pickTheta sizes the cutoff from the curve, both targets") {
+    import spark.implicits._
+    import KnNgramLm.ThetaTarget
+    // a hand curve with x75's shape: n_kept / mass_keep_ppm both
+    // non-increasing in θ (rows deliberately unordered — the selector
+    // must sort, not trust input order)
+    val curve = Seq(
+      (4, 90L, 400000L), (1, 1000L, 1000000L),
+      (8, 30L, 250000L), (2, 400L, 800000L), (3, 180L, 600000L))
+      .toDF("theta", "n_kept", "mass_keep_ppm")
+    // size budget: smallest θ that fits
+    assert(KnNgramLm.pickTheta(curve, ThetaTarget.MaxGrams(400L)) == 2L)
+    assert(KnNgramLm.pickTheta(curve, ThetaTarget.MaxGrams(399L)) == 3L)
+    assert(KnNgramLm.pickTheta(curve, ThetaTarget.MaxGrams(1000000L)) == 1L)
+    // mass floor: largest θ that keeps it
+    assert(KnNgramLm.pickTheta(curve, ThetaTarget.MinMassPpm(600000L)) == 3L)
+    assert(KnNgramLm.pickTheta(curve, ThetaTarget.MinMassPpm(599999L)) == 3L)
+    assert(KnNgramLm.pickTheta(curve, ThetaTarget.MinMassPpm(1000000L)) == 1L)
+    assert(KnNgramLm.pickTheta(curve, ThetaTarget.MinMassPpm(200000L)) == 8L)
+    // unreachable targets fail fast with the shortfall named
+    val e1 = intercept[IllegalStateException](
+      KnNgramLm.pickTheta(curve, ThetaTarget.MaxGrams(10L)))
+    assert(e1.getMessage.contains("maxGrams=10"))
+    val e2 = intercept[IllegalStateException](
+      KnNgramLm.pickTheta(curve, ThetaTarget.MinMassPpm(1000001L)))
+    assert(e2.getMessage.contains("minMassPpm=1000001"))
+  }
+
+  test("pickTheta end-to-end: x75's real curve feeds train's cutoff") {
+    import KnNgramLm.ThetaTarget
+    val q = graft.core.Registry.allQueries.find(_.name == "x75_kn_prune_curve").get
+    val curve = q.build(spark, "/root/testdata/sf0.001")
+    // θ=1 always retains everything: MaxGrams at the unpruned size
+    // must pick 1, and the picked θ trains a model that scores non-null
+    val nAll = curve.where(col("theta") === 1).head().getAs[Long]("n_kept")
+    assert(KnNgramLm.pickTheta(curve, ThetaTarget.MaxGrams(nAll)) == 1L)
+    // a 40% storage budget forces a real cutoff; the model still trains
+    val theta = KnNgramLm.pickTheta(curve, ThetaTarget.MaxGrams(nAll * 2 / 5))
+    assert(theta > 1L)
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val g4 = KnNgramLm.ngrams(docs, "doc_id", "text", 4)
+    val m = KnNgramLm.train(g4.filter(col("doc_id") % 10 < 8), 4, theta)
+    assert(m.levels.head.gram.count() <= nAll * 2 / 5)
+  }
+
   test("a cutoff that empties the model fails loudly, never scores NULL") {
     // the all-singleton hand corpus: θ=2 retains nothing
     val g4 = KnNgramLm.ngrams(docs(), "doc_id", "text", 4)

@@ -515,5 +515,16 @@ class PushdownSpec extends AnyFunSuite {
     val p26 = planOf("d26_dedup_yield_sketched")
     assert(!p26.contains("Expand") && !p26.contains("Window"),
       s"d26 must not pay a distinct expand, plan:\n$p26")
+    // d27: same register discipline applied to d20's source matrix —
+    // the per-cell distinct must be MAX-merged HLL registers (a plain
+    // partial_max over the bucket groups), never a distinct expand or
+    // a partial-distinct shuffle of the (cell, doc) pair stream, and
+    // the (doc -> source) labels must come in broadcast
+    val p27 = planOf("d27_neardup_matrix_sketched")
+    assert(!p27.contains("Expand") && !p27.contains("Window") &&
+      !p27.contains("CartesianProduct"),
+      s"d27 must not pay a distinct expand, plan:\n$p27")
+    assert(p27.contains("partial_max") && p27.contains("BroadcastHashJoin"),
+      s"d27 must MAX-merge registers with broadcast source labels, plan:\n$p27")
   }
 }

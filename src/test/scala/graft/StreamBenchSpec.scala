@@ -21,16 +21,18 @@ class StreamBenchSpec extends AnyFunSuite {
 
   test("StreamBench drains and reports, mode=gate (LM admission split)") {
     // gate routes every doc (rows = all decisions) and must SPLIT the
-    // feed — runGateOnce itself asserts 0 < admitted < routed. Unlike
-    // upsert/stateful (whose WAL feed generates EXACTLY total frames),
-    // gate rides Spark's unbounded rate source: on a contended host a
-    // catch-up batch can route extra docs before the stop lands, so
-    // the bound is >=, not == (observed: 2000 routed under the full
-    // 32-thread suite when triggers fell behind).
+    // feed — runGateOnce itself asserts 0 < admitted < routed. Since
+    // r11 the gate rides the same WAL doc feed as the tick modes
+    // (generates EXACTLY total frames, maxFramesPerBatch-capped), so
+    // the old unbounded-rate-source overshoot tolerance is gone: the
+    // bound is == again, and the per-batch series must be populated
+    // for the bisect tooling.
     val r = StreamBench.run(spark, rate = 500, durationS = 2, mode = "gate")
-    assert(r.rows >= 1000L, s"every generated doc must be routed admit/reject, got ${r.rows}")
+    assert(r.rows == 1000L, s"every generated doc must be routed admit/reject, got ${r.rows}")
     assert(r.batches >= 1 && r.wallS > 0 && r.rowsPerS > 0)
     assert(!r.p95S.isNaN && r.p50S <= r.p95S && r.p95S <= r.maxS)
+    assert(r.perBatch.nonEmpty && r.perBatch.map(_._2).sum == 1000L,
+      s"gate must record its per-batch (latency, decisions) series: $r")
   }
 
   test("StreamBench rejects unknown modes") {

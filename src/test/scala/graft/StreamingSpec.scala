@@ -329,6 +329,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed KLL quantile state: append-mode final sketches, KllMerge rollup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val rows = source.toDF().toDF("event_type", "ts", "cents")
+    // small k so the state genuinely compacts (not just buffers raw
+    // values); 1-minute windows, 2-minute watermark
+    val sk = StreamIngest.windowedQuantileSketch(rows, "ts", "cents",
+      Seq("event_type"), windowLen = "1 minute", watermark = "2 minutes", k = 16)
+    val q = sk.writeStream.outputMode("append")
+      .format("memory").queryName("kllwin_out").start()
+    try {
+      def ts(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+      // window 0: 60 values 1..60; window 1: 60 values 1001..1060 —
+      // spread across TWO micro-batches so the state store must carry
+      // each window's compactor buffer across triggers
+      source.addData((0 until 30).map(i => ("click", ts(i * 2), (i + 1).toLong)): _*)
+      q.processAllAvailable()
+      source.addData((30 until 60).map(i =>
+        ("click", ts((i - 30) * 2 + 1), (i + 1).toLong)): _*)
+      source.addData((0 until 60).map(i => ("click", ts(60 + i), 1001L + i)): _*)
+      q.processAllAvailable()
+      // advance the watermark far past both windows so their FINAL
+      // sketches emit (append mode emits nothing until then)
+      source.addData(("click", ts(600), 9999L))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT * FROM kllwin_out ORDER BY win_start").collect()
+      assert(out.length == 2, s"two finalized windows must emit, got ${out.length}")
+      // n is EXACT per window (weight conservation), and with k=16 over
+      // 60 rows the state must be genuinely compacted: entries < n
+      out.foreach { r =>
+        val skRow = r.getStruct(r.fieldIndex("sk"))
+        assert(skRow.getAs[Long]("n") == 60L)
+        assert(skRow.getAs[Seq[Any]]("entries").length < 60)
+      }
+      // roll the two window sketches up per key via graft_kll_merge and
+      // check the merged median against the exact union (120 values:
+      // 1..60 ++ 1001..1060; exact p50 ranks sit at the 60/61 boundary)
+      graft.sql.GraftFunctions.registerAll(spark)
+      val merged = spark.sql(
+        """SELECT event_type, graft_kll_merge(sk, 16) AS sk
+          |FROM kllwin_out GROUP BY event_type""".stripMargin)
+      val m = merged.select($"sk.n",
+        graft.functions.QuantileSketch.kllQuantile($"sk", 0.5)).head()
+      assert(m.getLong(0) == 120L, "merged n must stay exact")
+      val p50 = m.getLong(1)
+      // 5%·n = 6 ranks of slack around the median boundary: the
+      // estimate must come from the data's two bands, near the boundary
+      assert((p50 >= 40L && p50 <= 60L) || (p50 >= 1001L && p50 <= 1020L),
+        s"merged median $p50 outside the rank-error envelope")
+    } finally q.stop()
+  }
+
   test("streaming near-dup: row-local LSH sigs probe a static index per micro-batch") {
     import spark.implicits._
     import graft.dedup.MinHashLsh
