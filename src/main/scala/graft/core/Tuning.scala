@@ -25,11 +25,17 @@ package graft.core
   * Large-state aggregates (a k=256 KLL ladder is ~4 KB) have FEW
   * groups by construction (per event-type, per window), so they never
   * approach the threshold. Giving each core's heap share to its map at
-  * 128 B/entry reproduces both empirically-proven operating points:
-  * 96 GiB heap / 32 cores → 23.4M (≥ the 16M the sf10 sweep needed),
-  * and the 8 GiB test JVM → 1.95M (≈ the 2M the suite has always run
-  * with). Clamped to [2²⁰, 2²⁶] so a tiny driver JVM still gets a
-  * usable map and a huge one doesn't promise an unbounded map.
+  * 128 B/entry reproduces the small proven point (8 GiB test JVM →
+  * 1.95M, ≈ the 2M the suite has always run with), and the UPPER clamp
+  * is pinned at 2²⁴ ≈ the 16M the sf10 sweeps proved out — NOT higher:
+  * the first r11 derivation let a 96 GiB / 32-core JVM promise 23.4M
+  * per task map, and the d25 sf10 bucket stage then drove the JVM into
+  * a stop-the-world GC spiral severe enough that job-group cancels
+  * took 5 minutes, driver RPC timed out, and the SparkContext died
+  * (scale/sweep_r11_sf10_autofallback_clean.jsonl's first attempt).
+  * Fallback-threshold memory is multiplied by concurrent task COUNT,
+  * and 32 × 16M entries is already the measured edge of a 96 GiB
+  * heap; the lower clamp 2²⁰ keeps a tiny driver JVM usable.
   *
   * Precedence: `SPARK_GRAFT_OBJHASH_FALLBACK` env (sweep escape hatch)
   * beats the derivation.
@@ -42,11 +48,55 @@ object Tuning {
       heapBytes: Long = Runtime.getRuntime.maxMemory(),
       cores: Int = Runtime.getRuntime.availableProcessors()): Long = {
     val derived = heapBytes / math.max(cores, 1) / 128L
-    math.min(math.max(derived, 1L << 20), 1L << 26)
+    math.min(math.max(derived, 1L << 20), 1L << 24)
   }
 
   /** The value session builders should set: env override or derived. */
   def objHashFallback: String =
     sys.env.getOrElse("SPARK_GRAFT_OBJHASH_FALLBACK",
       objHashFallbackThreshold().toString)
+
+  // == Shuffle-partition sizing ==
+  //
+  // The fallback threshold bounds one task's map ENTRIES; the partition
+  // count bounds how many GROUPS land on one task in the first place —
+  // and the second knob is the one that actually scales. The r11 sf10
+  // measurement: d25's bucket stage at 32 partitions filled 32
+  // concurrent ~16M-entry maps and drove the 96 GiB JVM into a fatal
+  // GC spiral (heartbeat RPC timeouts, cancel wedged 5 min, context
+  // death) at EVERY threshold tried; at 256 partitions the same query
+  // completed in 981 s with zero heartbeat warnings and the stock
+  // derived threshold. A real cluster gets this for free (thousands of
+  // shuffle partitions); local-mode sweeps must derive it from data.
+  //
+  // 8 MB of COMPRESSED parquet input per partition is deliberately far
+  // under Spark's usual 128 MB guidance: the dedup/text plane explodes
+  // input 25–50× (shingle fan-out, multi-index probes, gram streams),
+  // so 8 MB compressed ≈ 200–400 MB live per task. Derived values at
+  // the repo's dirs: sf0.1 (18 MB) → 32 = the Bench contract, sf1
+  // (194 MB) → 32, sf10 (2.2 GB) → 262 ≈ the 256 that fixed d25.
+
+  /** Recursive on-disk byte size of a data dir (0 if missing). */
+  def dirBytes(dir: String): Long = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) 0L
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+  }
+
+  /** Partition count for a given compressed input size: one partition
+    * per 8 MB, floored at `cores` (full width even on tiny inputs),
+    * capped at 1024 (beyond which local-mode task overhead dominates). */
+  def shufflePartitions(inputBytes: Long,
+      cores: Int = Runtime.getRuntime.availableProcessors()): Int =
+    math.min(math.max(inputBytes / (8L << 20), cores.toLong), 1024L).toInt
+
+  /** The value data-dir-driven tools should set: env override or derived. */
+  def shufflePartitionsFor(dir: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      shufflePartitions(dirBytes(dir)).toString)
 }

@@ -10,20 +10,31 @@ import org.apache.spark.sql.functions._
   * for a retained-mass floor, train the order-4 KN model at that θ,
   * and print one JSON line with the curve/train wall costs and the
   * retained table size — the "size the knob from data, then pay one
-  * train" loop a 100 TB job would run (curve ≈ 1/7 of one train,
-  * scale/REPORT_r10.md §4).
+  * train" loop a 100 TB job would run. The curve's one pass prices the
+  * WHOLE θ-grid (vs one re-train per setting); measured at sf10 it
+  * costs about 1.26× one unpruned train (curve 357.9 s vs train
+  * 284.8 s, scale/REPORT_r11.md) — the held-out coverage join is the
+  * extra term over r10's train-only comparison.
   *
-  * Usage: `run_main.sh graft.tools.LabPickTheta <dir> [massFloorPpm]`
-  * (default floor 600000 = keep ≥60% of train-token mass).
+  * Usage: `run_main.sh graft.tools.LabPickTheta <dir> [target]` where
+  * `target` is `mass:<ppm>` (MinMassPpm floor, default `mass:600000`)
+  * or `grams:<n>` (MaxGrams storage budget).
   */
 object LabPickTheta {
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val floorPpm = if (args.length > 1) args(1).toLong else 600000L
+    val targetSpec = if (args.length > 1) args(1) else "mass:600000"
+    val target: KnNgramLm.ThetaTarget = targetSpec.split(":") match {
+      case Array("mass", v) => KnNgramLm.ThetaTarget.MinMassPpm(v.toLong)
+      case Array("grams", v) => KnNgramLm.ThetaTarget.MaxGrams(v.toLong)
+      case _ => throw new IllegalArgumentException(
+        s"target must be mass:<ppm> or grams:<n>, got $targetSpec")
+    }
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.shuffle.partitions",
+        graft.core.Tuning.shufflePartitionsFor(dir))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -40,8 +51,7 @@ object LabPickTheta {
     // pickTheta's own collect then reads the 5 pinned rows
     val curveDf = curveQ.build(spark, dir).localCheckpoint(true)
     val curveSec = (System.nanoTime() - t0) / 1e9
-    val theta = KnNgramLm.pickTheta(curveDf,
-      KnNgramLm.ThetaTarget.MinMassPpm(floorPpm))
+    val theta = KnNgramLm.pickTheta(curveDf, target)
 
     spark.catalog.clearCache(); System.gc()
     val t1 = System.nanoTime()
@@ -50,7 +60,7 @@ object LabPickTheta {
     val kept = m.levels.head.gram.count()
     val trainSec = (System.nanoTime() - t1) / 1e9
 
-    println(f"""{"metric":"pick_theta","dir":"$dir","mass_floor_ppm":$floorPpm,"curve_sec":$curveSec%.3f,"theta":$theta,"kept_grams":$kept,"train_sec":$trainSec%.3f}""")
+    println(f"""{"metric":"pick_theta","dir":"$dir","target":"$targetSpec","curve_sec":$curveSec%.3f,"theta":$theta,"kept_grams":$kept,"train_sec":$trainSec%.3f}""")
     spark.stop()
   }
 }

@@ -25,7 +25,10 @@ object ScaleSweep {
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      // data-sized (env-overridable): 32 partitions at sf10 filled 32
+      // concurrent objhash maps and GC-killed the JVM — see Tuning
+      .config("spark.sql.shuffle.partitions",
+        graft.core.Tuning.shufflePartitionsFor(dir))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,48 @@
+package graft
+
+import graft.core.Tuning
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the ObjectHashAggregate fallback derivation to its two proven
+  * operating points and both clamps — the upper clamp is load-bearing:
+  * an uncapped heap share (23.4M at 96 GiB/32 cores) drove the d25
+  * sf10 bucket stage into a fatal GC spiral (ROUNDLOG §11). */
+class TuningSpec extends AnyFunSuite {
+  private val GiB = 1024L * 1024L * 1024L
+
+  test("8 GiB / 32 cores derives ~2M (the suite's long-proven value)") {
+    val t = Tuning.objHashFallbackThreshold(8 * GiB, 32)
+    assert(t == 8 * GiB / 32 / 128)
+    assert(t > 1900000L && t < 2200000L)
+  }
+
+  test("96 GiB / 32 cores clamps to 2^24 (~ the proven 16M), never the raw 23.4M") {
+    assert(Tuning.objHashFallbackThreshold(96 * GiB, 32) == (1L << 24))
+  }
+
+  test("tiny heap clamps up to 2^20; zero cores does not divide by zero") {
+    assert(Tuning.objHashFallbackThreshold(512L * 1024 * 1024, 32) == (1L << 20))
+    assert(Tuning.objHashFallbackThreshold(8 * GiB, 0) > 0L)
+  }
+
+  test("shuffle partitions: 8 MB/partition, floored at cores, capped at 1024") {
+    val MiB = 1024L * 1024L
+    assert(Tuning.shufflePartitions(18 * MiB, 32) == 32)   // sf0.1 → Bench contract
+    assert(Tuning.shufflePartitions(194 * MiB, 32) == 32)  // sf1
+    assert(Tuning.shufflePartitions(2196 * MiB, 32) == 274) // sf10 ≈ the 256 that fixed d25
+    assert(Tuning.shufflePartitions(100L * 1024 * MiB, 32) == 1024) // cap
+    assert(Tuning.shufflePartitions(0L, 32) == 32)
+  }
+
+  test("dirBytes sums a real dir and reads missing as 0") {
+    assert(Tuning.dirBytes("/root/testdata/sf0.001") > 0L)
+    assert(Tuning.dirBytes("/no/such/dir") == 0L)
+  }
+
+  test("env override wins over the derivation") {
+    // can't set env in-process; pin the precedence logic's fallback arm
+    assert(Tuning.objHashFallback ==
+      sys.env.getOrElse("SPARK_GRAFT_OBJHASH_FALLBACK",
+        Tuning.objHashFallbackThreshold().toString))
+  }
+}
