@@ -60,8 +60,9 @@ import scala.collection.mutable.ArrayBuffer
   * Scale shape: aggregate state is O(k) entries per group in every
   * partial buffer — map-side combine bounds what the shuffle carries
   * regardless of group size, the same contract as [[MinKByKey]] (and
-  * the same ObjectHashAggregate fallback-threshold deployment note:
-  * the repo's session builders raise it to 2M).
+  * the same ObjectHashAggregate deployment note: session builders
+  * derive the fallback threshold and partition count from the
+  * environment via [[graft.core.Tuning]]).
   *
   * Null convention: null inputs are skipped entirely (neither kept nor
   * counted in n) — count(x) semantics, like MinKByKey's null keys.

@@ -48,9 +48,13 @@ import java.nio.ByteBuffer
   * keys forces a sort-based fallback that SORTS the entire (unbounded)
   * input stream — exactly the cost this aggregate exists to avoid
   * (measured: d25 at sf1 took 48 s at the default vs 11.6 s at 2M).
-  * Because the buffer is bounded at K entries, a large threshold is
-  * memory-safe; the repo's session builders set 2M and a cluster job
-  * conf should do the same.
+  * Because the buffer is bounded at K entries a larger threshold is
+  * PER-ENTRY memory-safe — but the map memory multiplies by concurrent
+  * task count, so the threshold alone does not scale: the r11 sf10
+  * measurement GC-killed a 96 GiB JVM at 32 tasks × 16M-entry maps,
+  * and the durable fix is sizing the PARTITION COUNT to data so each
+  * task's map stays small ([[graft.core.Tuning]] derives both; a
+  * cluster job gets many partitions for free).
   */
 case class MinKByKey(
     left: Expression,
