@@ -132,7 +132,14 @@ object Bench {
         rate = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "5000").toInt,
         durationS = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "12").toInt,
         mode = mode)
-      f"""{"rows":${r.rows},"rows_per_s":${r.rowsPerS}%.0f,"p50_latency_s":${r.p50S}%.2f,"p95_latency_s":${r.p95S}%.2f,"max_latency_s":${r.maxS}%.2f,"batches":${r.batches}}"""
+      // per_batch = the (latency, rows) series in commit order. A
+      // window-inflated p95 is then self-evident in the artifact (one
+      // oversized catch-up batch vs a monotone within-run slope) — the
+      // r11 driver artifact read upsert p95 at 99% of the envelope and
+      // the series that would have proven it benign wasn't in the JSON.
+      val lats = r.perBatch.map(b => f"${b._1}%.3f").mkString("[", ",", "]")
+      val rows = r.perBatch.map(_._2).mkString("[", ",", "]")
+      f"""{"rows":${r.rows},"rows_per_s":${r.rowsPerS}%.0f,"p50_latency_s":${r.p50S}%.2f,"p95_latency_s":${r.p95S}%.2f,"max_latency_s":${r.maxS}%.2f,"batches":${r.batches},"per_batch_lat_s":$lats,"per_batch_rows":$rows}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench-stream] $mode: ${e.getMessage}"); "null"
     }

@@ -127,13 +127,22 @@ object StreamBench {
     WsFeeds.register(feedName, () => new FrameFeed {
       private var produced = 0L
       private var startMs = 0L
+      // per-millisecond sequence for the doc_id low bits: resets when
+      // the generation wall-clock advances, so ids stay unique as long
+      // as no single millisecond emits >= 2^20 frames (a >10^9/s feed —
+      // unreachable here). The old `i % 2^20` collided whenever one
+      // poll drained a backlog of more than 2^20 frames: i and
+      // i+1048576 shared the same `now` (r11 ADVICE).
+      private var lastNowMs = 0L
+      private var seqInMs = 0L
       override def connect(): Unit = { startMs = System.currentTimeMillis() }
       override def poll(): Seq[String] = {
         val now = System.currentTimeMillis()
         val due = math.min((now - startMs) * rate / 1000, total)
+        if (now != lastNowMs) { lastNowMs = now; seqInMs = 0L }
         val out = (produced until due).map { i =>
           // doc_id encodes the generation wall-clock: (epoch ms << 20)
-          // | seq — the gate's outputs only carry doc_id, so the
+          // | per-ms seq — the gate's outputs only carry doc_id, so the
           // latency rides in it. Text replicates docText's formula
           // (12 tokens, vocab residue (i*7 + j²) mod 400, every 10th
           // doc junk-vocab) so in-domain docs land only on bigrams the
@@ -142,7 +151,8 @@ object StreamBench {
           val text = (0 until 12).map(j =>
             (if (junk) "zq" else "w") + ((i * 7 + j.toLong * j) % 400))
             .mkString(" ")
-          s"""{"d": ${(now << 20) + (i % 1048576)}, "x": "$text"}"""
+          val seq = seqInMs; seqInMs += 1
+          s"""{"d": ${(now << 20) + seq}, "x": "$text"}"""
         }
         produced = due
         out

@@ -13,10 +13,13 @@ import org.apache.spark.sql.DataFrame
   * rows than `spark.graft.exactAuditMaxRows` fails fast, naming its
   * twin, instead of paying a corpus-wide sort at 100 TB.
   *
-  * The default bound (1e8 rows) never binds at the test SFs (sf0.1 is
-  * ~10⁶ rows), so oracle runs are unaffected; a corpus-scale run trips
-  * it immediately. Set the conf higher to run an exact audit anyway,
-  * or to -1 to disable the gate (and its count) entirely.
+  * The default bound is heap-derived ([[Tuning.exactAuditMaxRows]]:
+  * ~heap/2 KiB, clamped [2²⁰, 10⁸]) — at every test-JVM heap it sits
+  * far above the oracle SFs (sf0.1 is ~10⁶ rows), so oracle runs are
+  * unaffected, while a 96 GiB sweep JVM gets 48M and e21's sf10 audit
+  * (6×10⁷ rows, 13 min observed under the old flat 10⁸) fails fast
+  * naming e27. Set the conf higher to run an exact audit anyway, or
+  * to -1 to disable the gate (and its count) entirely.
   *
   * CONSTRUCTION IS AN ACTION for gated queries: the count() below runs
   * eagerly when the DataFrame is BUILT, so merely explaining a gated
@@ -32,7 +35,7 @@ import org.apache.spark.sql.DataFrame
   */
 object Guards {
   val ConfKey = "spark.graft.exactAuditMaxRows"
-  val DefaultMaxRows: Long = 100000000L
+  val DefaultMaxRows: Long = Tuning.exactAuditMaxRows()
 
   /** Pass `input` through unchanged after asserting it is under the
     * configured bound; the count is one column-pruned aggregation —

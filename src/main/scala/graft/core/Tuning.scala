@@ -32,7 +32,7 @@ package graft.core
   * per task map, and the d25 sf10 bucket stage then drove the JVM into
   * a stop-the-world GC spiral severe enough that job-group cancels
   * took 5 minutes, driver RPC timed out, and the SparkContext died
-  * (scale/sweep_r11_sf10_autofallback_clean.jsonl's first attempt).
+  * (scale/sweep_r11_sf10_autofallback.jsonl's first attempt).
   * Fallback-threshold memory is multiplied by concurrent task COUNT,
   * and 32 × 16M entries is already the measured edge of a 96 GiB
   * heap; the lower clamp 2²⁰ keeps a tiny driver JVM usable.
@@ -43,10 +43,21 @@ package graft.core
 object Tuning {
   val ObjHashFallbackConfKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
 
+  /** The session's actual task-slot width: every entry point builds
+    * `local[SPARK_GRAFT_CPUS]`, so when that env pins fewer (or more)
+    * threads than the host has, concurrent-task-derived sizing must
+    * follow the PIN, not `availableProcessors()` — a local[8] session
+    * on a 32-core host runs 8 concurrent maps, and flooring shuffle
+    * partitions at 32 would claim parallelism the session doesn't
+    * have (r11 ADVICE). Unparseable/absent env → host cores. */
+  def sessionCores: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).filter(_ > 0)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
   /** Entries-per-task-map threshold derived from this JVM's heap. */
   def objHashFallbackThreshold(
       heapBytes: Long = Runtime.getRuntime.maxMemory(),
-      cores: Int = Runtime.getRuntime.availableProcessors()): Long = {
+      cores: Int = sessionCores): Long = {
     val derived = heapBytes / math.max(cores, 1) / 128L
     math.min(math.max(derived, 1L << 20), 1L << 24)
   }
@@ -76,15 +87,24 @@ object Tuning {
   // the repo's dirs: sf0.1 (18 MB) → 32 = the Bench contract, sf1
   // (194 MB) → 32, sf10 (2.2 GB) → 262 ≈ the 256 that fixed d25.
 
-  /** Recursive on-disk byte size of a data dir (0 if missing). */
+  /** Recursive on-disk byte size of a data dir (0 if missing). A
+    * broken symlink or unreadable entry degrades to 0 for THAT entry
+    * (and an unwalkable tree to 0 overall → the cores floor), never an
+    * exception — Files.walk throws UncheckedIOException mid-stream and
+    * would otherwise abort session build before any query runs
+    * (r11 ADVICE). */
   def dirBytes(dir: String): Long = {
     val p = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(p)) 0L
-    else {
+    else try {
       val s = java.nio.file.Files.walk(p)
       try s.filter(java.nio.file.Files.isRegularFile(_))
-        .mapToLong(java.nio.file.Files.size(_)).sum()
+        .mapToLong { f =>
+          try java.nio.file.Files.size(f) catch { case _: java.io.IOException => 0L }
+        }.sum()
       finally s.close()
+    } catch {
+      case _: java.io.IOException | _: java.io.UncheckedIOException => 0L
     }
   }
 
@@ -92,11 +112,31 @@ object Tuning {
     * per 8 MB, floored at `cores` (full width even on tiny inputs),
     * capped at 1024 (beyond which local-mode task overhead dominates). */
   def shufflePartitions(inputBytes: Long,
-      cores: Int = Runtime.getRuntime.availableProcessors()): Int =
+      cores: Int = sessionCores): Int =
     math.min(math.max(inputBytes / (8L << 20), cores.toLong), 1024L).toInt
 
   /** The value data-dir-driven tools should set: env override or derived. */
   def shufflePartitionsFor(dir: String): String =
     sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
       shufflePartitions(dirBytes(dir)).toString)
+
+  // == Exact-audit row bound ==
+  //
+  // Guards.exactAudit's flat 1e8-row default never bound anywhere real:
+  // e21's corpus-wide winsorize sort over sf10 (~6×10⁷ lineitem rows)
+  // slid under it and ran 13 minutes in local mode while its sampled
+  // twin e27 finished in 38 s (scale/sweep26_sf10_r11.jsonl). The bound
+  // that means something is memory-shaped: a total-order sort pushes the
+  // WHOLE dataset through one range-partitioned shuffle, so "sane audit
+  // size" ≈ the dataset fitting in this JVM's heap once, at ~2 KiB per
+  // row of live footprint (UnsafeRow + sort pointers + shuffle
+  // double-buffering). 96 GiB sweep JVM → 48M rows: sf1's 6M-row audit
+  // (21 s, fine) passes, sf10's 60M fails fast naming the twin. Clamps:
+  // floor 2²⁰ keeps tiny test JVMs running the oracle SFs (sf0.01 is
+  // ~6×10⁴ rows); cap stays the historical 10⁸ so a huge heap never
+  // unlocks a sort no one should wait for. The session conf
+  // (`spark.graft.exactAuditMaxRows`) still overrides everything.
+  def exactAuditMaxRows(
+      heapBytes: Long = Runtime.getRuntime.maxMemory()): Long =
+    math.min(math.max(heapBytes / 2048L, 1L << 20), 100000000L)
 }

@@ -75,15 +75,17 @@ object StreamBisect {
       val lats = r.perBatch.map(_._1)
       val rows = r.perBatch.map(_._2)
       val half = lats.length / 2
-      // an empty half-series (0 or 1 committed batches) must print as
-      // JSON null, not a bare NaN that breaks jq over the jsonl
-      // (round-10 ADVICE)
+      // an empty series (zero committed batches) must print as JSON
+      // null, not a bare NaN that breaks jq over the jsonl — for the
+      // half-means (round-10 ADVICE) AND the percentiles (round-11
+      // ADVICE: p50/p95 are NaN on an empty run too)
+      def numJson(x: Double): String = if (x.isNaN) "null" else f"$x%.3f"
       def meanJson(xs: Seq[Double]): String =
-        if (xs.isEmpty) "null" else f"${xs.sum / xs.length}%.3f"
+        if (xs.isEmpty) "null" else numJson(xs.sum / xs.length)
       val firstHalf = meanJson(lats.take(half))
       val secondHalf = meanJson(lats.drop(half))
       println(s"""{"run":$i,"mode":"$mode","cap":$cap,"rows":${r.rows},"batches":${r.batches},""" +
-        f""""p50_s":${r.p50S}%.3f,"p95_s":${r.p95S}%.3f,""" +
+        s""""p50_s":${numJson(r.p50S)},"p95_s":${numJson(r.p95S)},""" +
         s""""first_half_mean_s":$firstHalf,"second_half_mean_s":$secondHalf,""" +
         s""""per_batch_lat_s":[${lats.map(l => f"$l%.3f").mkString(",")}],""" +
         s""""per_batch_rows":[${rows.mkString(",")}]}""")

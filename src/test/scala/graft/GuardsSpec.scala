@@ -83,8 +83,14 @@ class GuardsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("d27_neardup_matrix_sketched"))
   }
 
+  test("default bound is heap-derived (Tuning), floored above every oracle SF") {
+    assert(Guards.DefaultMaxRows == graft.core.Tuning.exactAuditMaxRows())
+    // whatever this JVM's heap, the floor keeps oracle SFs runnable
+    assert(Guards.DefaultMaxRows >= (1L << 20))
+  }
+
   test("default bound does not bind at test SFs; registry wiring names q8") {
-    // default (1e8) leaves the sf0.001 oracle run untouched...
+    // heap-derived default (≥2²⁰) leaves the sf0.001 oracle run untouched...
     val q43 = graft.core.Registry.allQueries
       .find(_.name == "q43_twap_window_audit").get
     assert(q43.build(spark, "/root/testdata/sf0.001").count() > 0)

@@ -39,6 +39,46 @@ class TuningSpec extends AnyFunSuite {
     assert(Tuning.dirBytes("/no/such/dir") == 0L)
   }
 
+  test("dirBytes survives a broken symlink (degrades, never throws)") {
+    // Files.walk throws UncheckedIOException mid-stream on unreadable
+    // entries — which used to crash session build before any query ran
+    // (r11 ADVICE). A dir with one real file + one dangling symlink
+    // must still count the real file.
+    val dir = java.nio.file.Files.createTempDirectory("tuning-dirbytes")
+    try {
+      java.nio.file.Files.write(dir.resolve("real.bin"), Array.fill[Byte](1024)(7))
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("dangling"), dir.resolve("no-such-target"))
+      assert(Tuning.dirBytes(dir.toString) == 1024L)
+    } finally {
+      java.nio.file.Files.deleteIfExists(dir.resolve("dangling"))
+      java.nio.file.Files.deleteIfExists(dir.resolve("real.bin"))
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
+  test("sessionCores follows SPARK_GRAFT_CPUS when set, host cores otherwise") {
+    // can't mutate env in-process; pin whichever arm this JVM is on
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).filter(_ > 0) match {
+      case Some(pinned) => assert(Tuning.sessionCores == pinned)
+      case None => assert(Tuning.sessionCores == Runtime.getRuntime.availableProcessors())
+    }
+  }
+
+  test("exactAuditMaxRows: heap/2KiB with both clamps; trips e21-at-sf10, passes sf1") {
+    // 96 GiB sweep JVM → 48M rows: sf1's ~6M-row exact audit passes
+    // (measured fine at 21 s), sf10's ~6×10⁷ fails fast naming the twin
+    // instead of the observed 13-minute local-mode sort
+    val at96 = Tuning.exactAuditMaxRows(96 * GiB)
+    assert(at96 == 96 * GiB / 2048)
+    assert(at96 > 6000000L)   // sf1 lineitem audit stays runnable
+    assert(at96 < 60000000L)  // sf10 lineitem audit fails fast
+    // floor: a tiny test JVM still runs every oracle SF (sf0.1 ~10⁶ rows)
+    assert(Tuning.exactAuditMaxRows(512L * 1024 * 1024) == (1L << 20))
+    // cap: a huge heap never re-opens the unbounded 1e8+ sort
+    assert(Tuning.exactAuditMaxRows(1024 * GiB) == 100000000L)
+  }
+
   test("env override wins over the derivation") {
     // can't set env in-process; pin the precedence logic's fallback arm
     assert(Tuning.objHashFallback ==
