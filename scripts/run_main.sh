@@ -4,7 +4,9 @@
 # Usage: scripts/run_main.sh graft.tools.ScaleUp [args...]
 set -e
 CLS="$1"; shift
-exec java -Xmx96g \
+# SPARK_GRAFT_JAVA_OPTS: optional extra JVM flags (e.g. -Xlog:gc for
+# diagnosing GC-shaped slowdowns without editing this script)
+exec java -Xmx96g ${SPARK_GRAFT_JAVA_OPTS:-} \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \

@@ -1,0 +1,76 @@
+package graft.tools
+
+import graft.core.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage-timing probe for x65_kn_perplexity's partition-count cliff
+  * (r12): at data/sf10 the query reads ~26 s at 32-192 shuffle
+  * partitions and 350-480 s at the derived 274 — no GC/heartbeat
+  * warnings, so NOT the d25 map-size spiral. This main times the
+  * query's stages in isolation under whatever SPARK_GRAFT_SHUFFLE is
+  * set, so the blowup can be attributed to a stage instead of argued.
+  *
+  * Usage: SPARK_GRAFT_SHUFFLE=274 scripts/run_main.sh graft.tools.LabX65 data/sf10
+  */
+object LabX65 {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "data/sf10"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        graft.core.Tuning.shufflePartitionsFor(dir))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config(graft.core.Tuning.ObjHashFallbackConfKey,
+        graft.core.Tuning.objHashFallback)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"""{"stage":"$label","sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+      r
+    }
+
+    println(s"""{"conf":"shuffle","value":${spark.conf.get("spark.sql.shuffle.partitions")}}""")
+
+    // stage 1: the bigram stream alone (tokenize + explode, no model)
+    val bg = graft.lm.KnBigramLm.bigrams(Tables.documents(spark, dir), "doc_id", "text")
+    timed("bigrams_count") { println(s"""{"bg_rows":${bg.count()}}""") }
+
+    // stage 2: train = c12 groupBy + eager localCheckpoint
+    val m = timed("train_c12_checkpoint") {
+      graft.lm.KnBigramLm.train(bg.filter($"doc_id" % 10 < 8))
+    }
+    timed("c12_count") { println(s"""{"c12_rows":${m.c12.count()}}""") }
+
+    // stage 3: the derived unigram tables (the broadcast sides)
+    timed("ctx_count") { println(s"""{"ctx_rows":${m.ctx.count()}}""") }
+    timed("cont_count") { println(s"""{"cont_rows":${m.cont.count()}}""") }
+    timed("scal") { m.scal.collect().foreach(r => println(s"""{"nt":${r.getLong(0)},"v":${r.getLong(1)}}""")) }
+
+    // stage 4a: score WITHOUT the rollup (isolates join vs agg cost)
+    val scored = graft.lm.KnBigramLm.score(bg, m)
+    timed("score_only") {
+      scored.write.format("noop").mode("overwrite").save()
+    }
+
+    // stage 4: score + per-doc rollup (the full remaining pipeline)
+    val full = graft.lm.KnBigramLm.perDoc(scored)
+    timed("score_perdoc") {
+      full.write.format("noop").mode("overwrite").save()
+    }
+    // final adaptive plan AFTER execution — shows the join strategies
+    // AQE actually picked at this partition count
+    println(full.queryExecution.executedPlan.toString.take(8000))
+
+    spark.stop()
+  }
+}

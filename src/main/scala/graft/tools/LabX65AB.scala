@@ -1,0 +1,47 @@
+package graft.tools
+
+import graft.core.Registry
+import org.apache.spark.sql.SparkSession
+
+/** Interleaved A/B for x65's partition-count question: run the full
+  * registry query alternating spark.sql.shuffle.partitions between two
+  * values INSIDE one JVM session, so host-window drift (which seesaws
+  * on multi-minute scales here) hits both arms equally. Cache cleared +
+  * GC between reps, ScaleSweep-style.
+  *
+  * Usage: scripts/run_main.sh graft.tools.LabX65AB <dir> <partsA> <partsB> [reps]
+  */
+object LabX65AB {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "data/sf10"
+    val a = if (args.length > 1) args(1) else "32"
+    val b = if (args.length > 2) args(2) else "274"
+    val reps = if (args.length > 3) args(3).toInt else 3
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", a)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config(graft.core.Tuning.ObjHashFallbackConfKey,
+        graft.core.Tuning.objHashFallback)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val q = Registry.allQueries.find(_.name == "x65_kn_perplexity").get
+    (1 to reps).foreach { rep =>
+      Seq(a, b).foreach { parts =>
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        val t0 = System.nanoTime()
+        q.build(spark, dir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"rep":$rep,"parts":$parts,"sec":$sec%.3f}""")
+        spark.catalog.clearCache(); System.gc()
+      }
+    }
+    spark.stop()
+  }
+}

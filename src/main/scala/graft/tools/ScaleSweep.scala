@@ -36,10 +36,13 @@ import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
 object ScaleSweep {
 
   /** Other JVMs on this host doing Spark/sbt-class work (the measured
-    * contention class): `ps` lines whose command is a java invocation
-    * mentioning sbt/spark/graft, excluding `selfPid`. Returns the pid
-    * plus a short main-class-ish tag per match. Pure parser — the spec
-    * feeds it canned ps output. */
+    * contention class): `ps` lines whose EXECUTABLE is java (first
+    * token is `java` or ends in `/java` — a shell wrapper whose
+    * COMMAND STRING merely mentions java must not match; the first
+    * r12 scans false-positived on the launcher shells watching the
+    * sweep) and whose args mention sbt/spark/graft, excluding
+    * `selfPid`. Returns the pid plus a short main-class-ish tag per
+    * match. Pure parser — the spec feeds it canned ps output. */
   def siblingJvms(psLines: Seq[String], selfPid: Long): Seq[String] =
     psLines.flatMap { line =>
       val t = line.trim
@@ -48,8 +51,9 @@ object ScaleSweep {
       else {
         val pid = t.take(sp).toLongOption
         val cmd = t.drop(sp + 1).trim
+        val exe = cmd.takeWhile(!_.isWhitespace)
         val lower = cmd.toLowerCase
-        val isJava = lower.contains("java")
+        val isJava = exe == "java" || exe.endsWith("/java")
         val isWork = lower.contains("sbt") || lower.contains("spark") ||
           lower.contains("graft") || lower.contains("pyspark")
         pid match {
@@ -74,16 +78,63 @@ object ScaleSweep {
     siblingJvms(lines.drop(1), ProcessHandle.current().pid())
   } catch { case _: Throwable => Nil }
 
+  /** Total stop-the-world GC milliseconds since JVM start, summed over
+    * collectors. The per-query delta is the honest churn diagnostic the
+    * host probes cannot provide: the r12 degraded window inflated
+    * GC-heavy queries 4-20x (young evacuations at ~0.9 GB/s, 13 s
+    * pauses) while the 1 s h2 probe — broadcast join, no heap churn —
+    * kept reading "good". A row whose gc_ms is a large fraction of its
+    * wall time is self-evidently churn-bound, not plan-bound. */
+  def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
+  /** Parallel memory-copy bandwidth in MiB/s — the probe for the
+    * degradation mode h2 is blind to. 8 threads copy disjoint 32 MiB
+    * halves of a 256 MiB long array back and forth (4 GiB moved
+    * total): a healthy window reads multi-GB/s; the r12 degraded
+    * window's ~0.9 GB/s GC evacuation rate corresponds to readings
+    * under ~1.5 GB/s here. Pure JVM — no Spark state touched. */
+  def memChurnMbPerS(): Double = {
+    val n = 32 << 20 // 32M longs = 256 MiB
+    val a = new Array[Long](n)
+    val b = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = i; i += 1 }
+    val threads = 8
+    val chunk = n / threads
+    def copyAll(src: Array[Long], dst: Array[Long]): Unit = {
+      val ts = (0 until threads).map { t =>
+        val th = new Thread(() =>
+          System.arraycopy(src, t * chunk, dst, t * chunk, chunk))
+        th.start(); th
+      }
+      ts.foreach(_.join())
+    }
+    copyAll(a, b) // warm: faults pages, JITs the path
+    val reps = 8
+    val t0 = System.nanoTime()
+    var r = 0
+    while (r < reps) { copyAll(a, b); copyAll(b, a); r += 1 }
+    val sec = (System.nanoTime() - t0) / 1e9
+    reps * 2.0 * 256.0 / sec
+  }
+
   /** One query, `passes` cold passes, min-of-N; Left(reason) on
-    * timeout/failure. Job-group cancel + cache clear between passes
-    * (see the inline comments — every pass must measure COLD). */
+    * timeout/failure. Right carries (seconds, stop-the-world gc ms of
+    * the winning pass) — see [[gcMillis]] for why the gc stamp exists.
+    * Job-group cancel + cache clear between passes (see the inline
+    * comments — every pass must measure COLD). */
   private def runQuery(spark: SparkSession, q: GraftQuery, dir: String,
       passes: Int, timeoutSec: Long,
-      pool: java.util.concurrent.ExecutorService): Either[String, Double] = {
-    var best: Option[Double] = None
+      pool: java.util.concurrent.ExecutorService): Either[String, (Double, Long)] = {
+    var best: Option[(Double, Long)] = None
     var failure: Option[String] = None
     var pass = 0
     while (pass < passes && failure.isEmpty) {
+      val gc0 = gcMillis()
       val fut = pool.submit(new java.util.concurrent.Callable[Double] {
         def call(): Double = {
           spark.sparkContext.setJobGroup(q.name, q.name, interruptOnCancel = true)
@@ -94,7 +145,8 @@ object ScaleSweep {
       })
       try {
         val sec = fut.get(timeoutSec, TimeUnit.SECONDS)
-        best = Some(best.fold(sec)(math.min(_, sec)))
+        val gc = gcMillis() - gc0
+        if (best.forall(_._1 > sec)) best = Some((sec, gc))
       } catch {
         case _: TimeoutException =>
           spark.sparkContext.cancelJobGroup(q.name)
@@ -139,12 +191,12 @@ object ScaleSweep {
     * live `sparkContext.isStopped`. */
   def sweep(spark: SparkSession, qs: Seq[GraftQuery], dir: String,
       passes: Int, timeoutSec: Long,
-      onResult: (String, Either[String, Double]) => Unit = (_, _) => (),
+      onResult: (String, Either[String, (Double, Long)]) => Unit = (_, _) => (),
       isStoppedOpt: Option[() => Boolean] = None)
-      : (Seq[(String, Either[String, Double])], Option[String]) = {
+      : (Seq[(String, Either[String, (Double, Long)])], Option[String]) = {
     val isStopped = isStoppedOpt.getOrElse(() => spark.sparkContext.isStopped)
     val pool = Executors.newSingleThreadExecutor()
-    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Either[String, Double])]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Either[String, (Double, Long)])]
     var aborted: Option[String] = None
     try {
       val it = qs.iterator
@@ -216,19 +268,25 @@ object ScaleSweep {
     }
     def hostState(sec: Option[Double]): String =
       sec.fold("unknown")(s => if (s < 3.0) "good" else "degraded")
+    // mem-churn decision bound: healthy windows on this host read
+    // 4-10 GB/s; the r12 degraded window's GC evacuated at ~0.9 GB/s.
+    def churnState(mbS: Double): String = if (mbS >= 1500.0) "good" else "degraded"
     def sibJson(sibs: Seq[String]): String =
       sibs.map(s => "\"" + s.replace("\"", "'") + "\"").mkString("[", ",", "]")
 
     val sibsStart = siblingJvmsNow()
     println(s"""{"siblings":"start","count":${sibsStart.size},"procs":${sibJson(sibsStart)}}""")
+    val churnStart = memChurnMbPerS()
+    println(f"""{"probe":"mem_churn_start","mb_per_s":$churnStart%.0f,"host":"${churnState(churnStart)}"}""")
     val probeStart = hostProbe()
     println(f"""{"probe":"h2_sf1_start","sec":${probeStart.getOrElse(-1.0)}%.3f,"host":"${hostState(probeStart)}"}""")
 
     val qs = Registry.allQueries.filter(q => names.isEmpty || names(q.name))
     val (results, abortReason) = sweep(spark, qs, dir, passes, timeoutSec,
       onResult = {
-        case (name, Right(sec)) => println(f"""{"query":"$name","sec":$sec%.3f}""")
-        case (name, Left(err))  => println(s"""{"query":"$name","error":"$err"}""")
+        case (name, Right((sec, gcMs))) =>
+          println(f"""{"query":"$name","sec":$sec%.3f,"gc_ms":$gcMs}""")
+        case (name, Left(err)) => println(s"""{"query":"$name","error":"$err"}""")
       })
     abortReason.foreach { r =>
       println(s"""{"abort":"${r.replace("\"", "'").take(200)}","skipped":${qs.size - results.size}}""")
@@ -237,13 +295,16 @@ object ScaleSweep {
     val alive = !spark.sparkContext.isStopped
     val probeEnd = if (alive) hostProbe() else None
     println(f"""{"probe":"h2_sf1_end","sec":${probeEnd.getOrElse(-1.0)}%.3f,"host":"${hostState(probeEnd)}"}""")
+    val churnEnd = memChurnMbPerS()
+    println(f"""{"probe":"mem_churn_end","mb_per_s":$churnEnd%.0f,"host":"${churnState(churnEnd)}"}""")
     val sibsEnd = siblingJvmsNow()
     println(s"""{"siblings":"end","count":${sibsEnd.size},"procs":${sibJson(sibsEnd)}}""")
 
-    val ok = results.collect { case (_, Right(s)) => s }
+    val ok = results.collect { case (_, Right((s, _))) => s }
+    val gcTotal = results.collect { case (_, Right((_, g))) => g }.sum
     val bad = results.collect { case (n, Left(e)) => s""""$n":"$e"""" }
     val abortJson = abortReason.fold("null")(r => "\"" + r.replace("\"", "'").take(200) + "\"")
-    println(f"""{"metric":"sweep_total","value":${ok.sum},"unit":"sec","queries_ok":${ok.size},"queries_failed":${bad.size},"failed":{${bad.mkString(",")}},"aborted":$abortJson,"skipped":${qs.size - results.size},"dir":"$dir","probe_start_sec":${probeStart.getOrElse(-1.0)}%.3f,"probe_end_sec":${probeEnd.getOrElse(-1.0)}%.3f,"host_start":"${hostState(probeStart)}","host_end":"${hostState(probeEnd)}","siblings_start":${sibsStart.size},"siblings_end":${sibsEnd.size}}""")
+    println(f"""{"metric":"sweep_total","value":${ok.sum},"unit":"sec","queries_ok":${ok.size},"queries_failed":${bad.size},"failed":{${bad.mkString(",")}},"aborted":$abortJson,"skipped":${qs.size - results.size},"gc_ms_total":$gcTotal,"dir":"$dir","probe_start_sec":${probeStart.getOrElse(-1.0)}%.3f,"probe_end_sec":${probeEnd.getOrElse(-1.0)}%.3f,"host_start":"${hostState(probeStart)}","host_end":"${hostState(probeEnd)}","churn_start_mb_s":$churnStart%.0f,"churn_end_mb_s":$churnEnd%.0f,"churn_start":"${churnState(churnStart)}","churn_end":"${churnState(churnEnd)}","siblings_start":${sibsStart.size},"siblings_end":${sibsEnd.size}}""")
     if (alive) spark.stop()
   }
 }

@@ -99,6 +99,25 @@ class ScaleSweepSpec extends AnyFunSuite {
     assert(ScaleSweep.siblingJvms(Seq("", "garbage", "notapid java sbt"), 1L).isEmpty)
   }
 
+  test("siblingJvms: a shell whose command STRING mentions java+graft is not a JVM") {
+    // the r12 false positive: the launcher shell watching a sweep has
+    // the whole `env SPARK_GRAFT_JAVA_OPTS=... run_main.sh graft.tools
+    // .ScaleSweep` text in its bash -c args — matching on substring
+    // 'java' flagged it as a sibling JVM on every run
+    val ps = Seq(
+      "  7001 /bin/bash -c env SPARK_GRAFT_JAVA_OPTS=-Xlog:gc scripts/run_main.sh graft.tools.ScaleSweep data/sf10",
+      "  7002 sh -c sleep 120; grep java /tmp/sweep.log # graft spark",
+      "  7003 /usr/lib/jvm/java-17/bin/java -cp classes graft.tools.ScaleSweep data/sf10")
+    val sibs = ScaleSweep.siblingJvms(ps, 1L)
+    assert(sibs.map(_.takeWhile(_ != ':')) == Seq("7003"))
+  }
+
+  test("gcMillis and memChurnMbPerS return sane live values") {
+    assert(ScaleSweep.gcMillis() >= 0L)
+    val mbS = ScaleSweep.memChurnMbPerS()
+    assert(mbS > 0.0 && mbS < 1e7) // a real bandwidth, not a unit slip
+  }
+
   test("siblingJvmsNow runs against the live host without throwing") {
     // under sbt test there is at least the sbt JVM itself (a sibling
     // from the perspective of any measurement JVM, but HERE we run
