@@ -163,7 +163,15 @@ object StreamBench {
       .format("graft.sources.ws.WsSourceProvider")
       .option("walDir", tmp.resolve("wal").toString)
       .option("feed", feedName)
-      .option("maxFramesPerBatch", capFrames.getOrElse(2 * rate).toString)
+      // 4×rate admission: the gate's per-batch cost is FIXED-dominated
+      // (LabGate r12: 10k rows ≈ 0.75 s steady, 40k ≈ 0.69 s — flat), so
+      // the cap sets the drain rate almost linearly. At 2×rate the drain
+      // margin was ~2× — one host stall built a backlog the stream never
+      // exited (observed p95 32 s on a good-probe host, same code that
+      // reads 2.9 s without the stall). 4×rate keeps catch-up batches
+      // bounded (the r10 reason the cap exists) while draining a stall
+      // in 2-3 triggers instead of never.
+      .option("maxFramesPerBatch", capFrames.getOrElse(4 * rate).toString)
       .load()
       .select(
         get_json_object(col("raw"), "$.d").cast("long").as("doc_id"),
@@ -174,14 +182,20 @@ object StreamBench {
     try {
       val q = graft.streaming.StreamIngest.qualityGate(docs, model,
         gateBitsX100 = 1000L) { (adm, rej, _) =>
-        // one agg per sink: decision count + oldest generation ms
-        def probe(df: DataFrame): (Long, Option[Long]) = {
-          val r = df.agg(count(lit(1)),
-            min(shiftright(col("doc_id"), 20))).head()
-          (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
-        }
-        val (na, oa) = probe(adm)
-        val (nr, or_) = probe(rej)
+        // ONE action for both sinks (decision count + oldest generation
+        // ms per side): the two frames are filters of the same cached
+        // batch, so a union-agg reads the cache twice inside one job
+        // instead of paying two job launches per trigger — per-batch
+        // fixed cost is what decides whether the gate keeps up at
+        // 2×rate admission.
+        val both = adm.select(lit(1).as("adm"), col("doc_id"))
+          .unionAll(rej.select(lit(0).as("adm"), col("doc_id")))
+          .groupBy(col("adm")).agg(count(lit(1)).as("n"),
+            min(shiftright(col("doc_id"), 20)).as("oldest"))
+          .collect().map(r => r.getInt(0) ->
+            (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+        val (na, oa) = both.getOrElse(1, (0L, None))
+        val (nr, or_) = both.getOrElse(0, (0L, None))
         if (na + nr > 0) {
           val now = System.currentTimeMillis()
           val oldest = Seq(oa, or_).flatten.min

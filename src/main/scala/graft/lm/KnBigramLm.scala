@@ -71,13 +71,25 @@ object KnBigramLm {
     val c12 = trainBigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
       .localCheckpoint(true)
+    // Pin the DERIVED tables too, not just c12: a frozen model is scored
+    // many times (every micro-batch of the admission gate re-plans the
+    // score query), and un-pinned derivations re-run their groupBy +
+    // Exchange under every per-batch BroadcastExchange — measured as 4
+    // Exchanges + 4 broadcast builds PER MICRO-BATCH in the gate's plan,
+    // the fixed cost that decided whether a 5k-row trigger kept up or
+    // entered a backlog spiral. All three are vocab-bounded (ctx/cont)
+    // or 1-row (scal), so pinning costs three tiny jobs at train time
+    // and makes every later broadcast a collect of materialized blocks.
     val ctx = c12.groupBy(col("w1"))
       .agg(sum(col("c12")).cast("long").as("c1"), count(lit(1)).as("n1p"))
+      .localCheckpoint(true)
     val cont = c12.groupBy(col("w2"))
       .agg(count(lit(1)).as("ncont"))
+      .localCheckpoint(true)
     // NT = Σ ncont = total bigram types; V = |vocab| = distinct continuations.
     val scal = cont.agg(sum(col("ncont")).cast("long").as("nt"),
       count(lit(1)).as("v"))
+      .localCheckpoint(true)
     Model(c12, ctx, cont, scal)
   }
 

@@ -225,8 +225,14 @@ object StreamIngest {
         // sinks read the one scored materialization instead of each
         // re-running the scoring joins (measured p95 4.6 s → the cached
         // batch serves the second sink for free).
+        // broadcast(scored): the right side is ≤ one micro-batch of
+        // per-doc rollups (admission-capped by maxFramesPerBatch), so
+        // the hash relation is bounded no matter the corpus; without
+        // the hint the planner SortMergeJoins two batch-sized sides —
+        // two sorts + an exchange per trigger for data that fits in one
+        // broadcast.
         val all = batch.select(col("doc_id")).dropDuplicates("doc_id")
-          .join(scored, Seq("doc_id"), "left")
+          .join(broadcast(scored), Seq("doc_id"), "left")
           .cache()
         try {
           val admitted = all.filter(

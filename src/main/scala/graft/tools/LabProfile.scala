@@ -1,0 +1,103 @@
+package graft.tools
+
+import graft.core.Registry
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+/** Dev-only per-query cost breakdown for the bench set (guide §1: decide
+  * whether time goes to scheduling, compute, GC or shuffle BEFORE touching
+  * a plan). Runs each query exactly like [[graft.Bench]] (same session
+  * conf, same warm-up, noop sink, min-of-N) and attributes Spark-internal
+  * metrics to the measured pass via a listener:
+  *
+  *   jobs / stages / tasks   — scheduling-floor proxies (a 0.5 s query
+  *                             spending 6 jobs is floor-bound, not
+  *                             compute-bound)
+  *   task_time_ms            — sum of executor task run time; divide by
+  *                             cores for the perfectly-parallel lower
+  *                             bound on wall
+  *   gc_ms                   — sum of per-task JVM GC time
+  *   shuf_r/w_mb             — shuffle bytes (what an Exchange costs)
+  *
+  * wall − task_time/cores ≈ driver overhead (planning + scheduling +
+  * stage barriers) — the part no plan change below the sink can fix.
+  *
+  * Usage: scripts/run_main.sh graft.tools.LabProfile [sfDir] [name...]
+  * Env: SPARK_GRAFT_CPUS (default 32), GRAFT_LAB_PASSES (default 4).
+  */
+object LabProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("GRAFT_LAB_PASSES", "4").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config(graft.core.Tuning.ObjHashFallbackConfKey,
+        graft.core.Tuning.objHashFallback)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val jobs = new AtomicInteger; val stages = new AtomicInteger
+    val tasks = new AtomicInteger; val taskMs = new AtomicLong
+    val gcMs = new AtomicLong; val shufR = new AtomicLong; val shufW = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = stages.incrementAndGet()
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        val m = t.taskMetrics
+        if (m != null) {
+          taskMs.addAndGet(m.executorRunTime)
+          gcMs.addAndGet(m.jvmGCTime)
+          shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+    def reset(): Unit = { jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0); gcMs.set(0); shufR.set(0); shufW.set(0) }
+    def snap(): Map[String, Long] = Map(
+      "jobs" -> jobs.get.toLong, "stages" -> stages.get.toLong, "tasks" -> tasks.get.toLong,
+      "task_ms" -> taskMs.get, "gc_ms" -> gcMs.get,
+      "shuf_r_kb" -> shufR.get / 1024, "shuf_w_kb" -> shufW.get / 1024)
+
+    val wanted = {
+      val all = Registry.allQueries
+      if (names.isEmpty) all.filter(_.bench) else all.filter(q => names(q.name))
+    }
+    // same two warm-up passes as Bench: JIT/codegen on the small SF, then
+    // one untimed pass at the measured SF (file listing, codegen cache)
+    def runOnce(dir: String): Unit = wanted.foreach { q =>
+      try q.build(spark, dir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[profile-warmup] ${q.name}: ${e.getMessage}") }
+    }
+    runOnce("/root/testdata/sf0.001")
+    runOnce(sfDir)
+
+    wanted.foreach { q =>
+      var best: Option[(Double, Map[String, Long])] = None
+      (1 to passes).foreach { _ =>
+        reset()
+        val t0 = System.nanoTime()
+        q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (best.forall(_._1 > sec)) best = Some((sec, snap()))
+      }
+      val (sec, m) = best.get
+      val ideal = m("task_ms") / 1000.0 / cpus.toInt
+      println(f"[profile] ${q.name}%-28s wall=${sec}%7.3f ideal=${ideal}%6.3f overhead=${sec - ideal}%6.3f " +
+        f"jobs=${m("jobs")}%2d stages=${m("stages")}%3d tasks=${m("tasks")}%4d task_s=${m("task_ms") / 1000.0}%7.2f " +
+        f"gc_ms=${m("gc_ms")}%4d shufR=${m("shuf_r_kb")}%6dKB shufW=${m("shuf_w_kb")}%6dKB")
+    }
+    spark.stop()
+  }
+}
