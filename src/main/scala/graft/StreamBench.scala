@@ -182,20 +182,29 @@ object StreamBench {
     try {
       val q = graft.streaming.StreamIngest.qualityGate(docs, model,
         gateBitsX100 = 1000L) { (adm, rej, _) =>
-        // ONE action for both sinks (decision count + oldest generation
-        // ms per side): the two frames are filters of the same cached
-        // batch, so a union-agg reads the cache twice inside one job
-        // instead of paying two job launches per trigger — per-batch
-        // fixed cost is what decides whether the gate keeps up at
-        // 2×rate admission.
-        val both = adm.select(lit(1).as("adm"), col("doc_id"))
-          .unionAll(rej.select(lit(0).as("adm"), col("doc_id")))
-          .groupBy(col("adm")).agg(count(lit(1)).as("n"),
-            min(shiftright(col("doc_id"), 20)).as("oldest"))
-          .collect().map(r => r.getInt(0) ->
-            (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
-        val (na, oa) = both.getOrElse(1, (0L, None))
-        val (nr, or_) = both.getOrElse(0, (0L, None))
+        // ONE action for both sinks, probe metrics as OBSERVATIONS: the
+        // per-side decision count + oldest generation ms ride
+        // CollectMetrics nodes on the two route frames, and a single
+        // noop write of their union materializes everything — no
+        // groupBy Exchange, no AQE re-plan, no collect round-trip. The
+        // probe then costs exactly one job per trigger, and per-batch
+        // fixed cost is what decides whether the gate keeps up under
+        // the admission cap.
+        val probe = Seq(
+          count(lit(1)).as("n"),
+          min(shiftright(col("doc_id"), 20)).as("oldest"))
+        val admObs = org.apache.spark.sql.Observation()
+        val rejObs = org.apache.spark.sql.Observation()
+        adm.observe(admObs, probe.head, probe(1))
+          .unionAll(rej.observe(rejObs, probe.head, probe(1)))
+          .write.format("noop").mode("overwrite").save()
+        def read(o: org.apache.spark.sql.Observation): (Long, Option[Long]) = {
+          val m = o.get
+          (m("n").asInstanceOf[Long],
+            Option(m("oldest")).map(_.asInstanceOf[Long]))
+        }
+        val (na, oa) = read(admObs)
+        val (nr, or_) = read(rejObs)
         if (na + nr > 0) {
           val now = System.currentTimeMillis()
           val oldest = Seq(oa, or_).flatten.min

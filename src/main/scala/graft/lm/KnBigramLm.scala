@@ -57,8 +57,19 @@ object KnBigramLm {
   }
 
   /** Count tables of the KN model, from a TRAINING bigram stream.
-    * All four frames derive from one map-side-combined groupBy. */
-  final case class Model(c12: DataFrame, ctx: DataFrame, cont: DataFrame, scal: DataFrame)
+    * All four frames derive from one map-side-combined groupBy.
+    *
+    * `ntv` = nt + v collected ONCE per model instance: scal is one row
+    * by construction at any corpus size, so the smoothing denominator
+    * rides [[score]] as a literal instead of a crossJoin(broadcast) —
+    * for a frozen model scored every micro-batch, that was one
+    * broadcast BUILD per trigger for a single number. */
+  final case class Model(c12: DataFrame, ctx: DataFrame, cont: DataFrame, scal: DataFrame) {
+    lazy val ntv: Long = {
+      val r = scal.select((col("nt") + col("v")).as("ntv")).head()
+      r.getLong(0)
+    }
+  }
 
   def train(trainBigrams: DataFrame): Model = {
     // Training IS an action: pin the bigram-count table eagerly so the
@@ -121,9 +132,8 @@ object KnBigramLm {
     bg.join(m.c12, Seq("w1", "w2"), "left")
       .join(broadcast(m.ctx), Seq("w1"), "left")
       .join(broadcast(m.cont), Seq("w2"), "left")
-      .crossJoin(broadcast(m.scal))
       .withColumn("pc_num", coalesce(col("ncont"), lit(0L)) + 1L)
-      .withColumn("ntv", col("nt") + col("v"))
+      .withColumn("ntv", lit(m.ntv))
       .withColumn("num",
         when(col("c12").isNotNull,
           (col("c12") * 4 - 3) * col("ntv") + lit(3L) * col("n1p") * col("pc_num"))
@@ -143,4 +153,38 @@ object KnBigramLm {
         sum(col("unseen")).cast("long").as("n_unseen"),
         sum(col("bits")).cast("long").as("kn_bits_q"))
       .withColumn("avg_bits_x100", expr("(kn_bits_q * 100) div n_bigrams"))
+
+  /** One-pass per-doc scoring that RETAINS unscorable docs (< 2 tokens):
+    * one row per DISTINCT doc_id with [[perDoc]]'s columns, all null for
+    * a doc with no bigrams — the exact frame the admission gate's old
+    * "left-join the scored rollup back onto deduped batch ids" produced,
+    * without the join. Short docs ride the SAME explode as scorable ones
+    * (`explode_outer` of a null array yields one null-gram row), so a
+    * gate trigger pays one aggregation over the scored gram stream
+    * instead of a dedup Exchange plus a per-trigger broadcast build of
+    * the scored side (guide §2.4: remove shuffles outright). Values are
+    * bit-identical to [[perDoc]]∘[[score]]∘[[bigrams]]: real gram rows
+    * see the same joins and the same integer arithmetic; the null-gram
+    * row is excluded from every aggregate by the `w1 IS NOT NULL`
+    * guards. */
+  def perDocAll(docs: DataFrame, idCol: String, textCol: String, m: Model): DataFrame = {
+    val t = graft.functions.TextFunctions.lowerTokens(col(textCol))
+    val grams = docs
+      .select(col(idCol).as("doc_id"), t.as("t"))
+      .select(col("doc_id"), explode_outer(when(size(col("t")) >= 2, transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2"))))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    score(grams, m)
+      .groupBy(col("doc_id"))
+      .agg(count(col("w1")).as("cnt"),
+        sum(when(col("w1").isNotNull, col("unseen"))).cast("long").as("u"),
+        sum(when(col("w1").isNotNull, col("bits"))).cast("long").as("b"))
+      .select(col("doc_id"),
+        when(col("cnt") > 0, col("cnt")).as("n_bigrams"),
+        col("u").as("n_unseen"),
+        col("b").as("kn_bits_q"),
+        when(col("cnt") > 0, expr("(b * 100) div cnt")).as("avg_bits_x100"))
+  }
 }

@@ -59,7 +59,13 @@ object KnNgramLm {
     * (tokens at k=n, continuation types below), `ctx` keyed by the
     * (k−1)-context with `csum{k}`/`ndist{k}`. */
   final case class Level(k: Int, gram: DataFrame, ctx: DataFrame)
-  final case class Model(n: Int, levels: Seq[Level], tc: DataFrame, scal: DataFrame)
+  /** `ttv` = tt + v collected once per model instance (scal is ONE row
+    * at any corpus size): the base-level smoothing denominator rides
+    * [[score]] as a literal, not a per-query crossJoin(broadcast) —
+    * see [[KnBigramLm.Model.ntv]]. */
+  final case class Model(n: Int, levels: Seq[Level], tc: DataFrame, scal: DataFrame) {
+    lazy val ttv: Long = scal.select((col("tt") + col("v")).as("ttv")).head().getLong(0)
+  }
 
   def train(grams: DataFrame, n: Int): Model = train(grams, n, 1L)
 
@@ -136,9 +142,8 @@ object KnNgramLm {
       df = df.join(ctxT, ctxCols(n, lvl.k), "left")
     }
     df = df.join(broadcast(m.tc), Seq(s"w$n"), "left")
-      .crossJoin(broadcast(m.scal))
       .withColumn("num1", expr("CAST(coalesce(tc, 0) + 1 AS DECIMAL(38,0))"))
-      .withColumn("den1", expr("CAST(tt + v AS DECIMAL(38,0))"))
+      .withColumn("den1", lit(m.ttv).cast("decimal(38,0)"))
     for (k <- 2 to n) {
       df = df
         .withColumn(s"num$k", expr(
@@ -237,4 +242,32 @@ object KnNgramLm {
         sum(col("unseen")).cast("long").as("n_unseen"),
         sum(col("bits")).cast("long").as("kn_bits_q"))
       .withColumn("avg_bits_x100", expr("(kn_bits_q * 100) div n_grams"))
+
+  /** One-pass per-doc scoring that RETAINS unscorable docs (< n tokens):
+    * the order-n sibling of [[KnBigramLm.perDocAll]] — one row per
+    * distinct doc_id, [[perDoc]] columns, all null when the doc has no
+    * order-n grams. See the bigram version for why (gate per-trigger
+    * plan: one aggregation, no dedup Exchange, no per-trigger broadcast
+    * build of the scored side). */
+  def perDocAll(docs: DataFrame, idCol: String, textCol: String, m: Model): DataFrame = {
+    val n = m.n
+    val t = graft.functions.TextFunctions.lowerTokens(col(textCol))
+    val grams = docs
+      .select(col(idCol).as("doc_id"), t.as("t"))
+      .select(col("doc_id"), explode_outer(when(size(col("t")) >= n, transform(
+        sequence(lit(1), size(col("t")) - (n - 1)),
+        i => struct((0 until n).map(j =>
+          element_at(col("t"), i + j).as(s"w${j + 1}")): _*)))).as("g"))
+      .select(col("doc_id") +: (1 to n).map(i => col(s"g.w$i").as(s"w$i")): _*)
+    score(grams, m)
+      .groupBy(col("doc_id"))
+      .agg(count(col("w1")).as("cnt"),
+        sum(when(col("w1").isNotNull, col("unseen"))).cast("long").as("u"),
+        sum(when(col("w1").isNotNull, col("bits"))).cast("long").as("b"))
+      .select(col("doc_id"),
+        when(col("cnt") > 0, col("cnt")).as("n_grams"),
+        col("u").as("n_unseen"),
+        col("b").as("kn_bits_q"),
+        when(col("cnt") > 0, expr("(b * 100) div cnt")).as("avg_bits_x100"))
+  }
 }

@@ -110,7 +110,8 @@ object Analytics {
             min($"value").as("low"),
             max(tev).getField("value").as("close"),
             count(lit(1)).as("n_ticks"))
-          .orderBy($"day")
+          // calendar-bounded: one row per day regardless of tick volume
+          .transform(Portable.sortSmall(_)($"day"))
       },
       Some("""
         SELECT strftime(ts, '%Y-%m-%d') AS day,

@@ -62,4 +62,19 @@ private[queries] object Portable {
     * DuckDB: SUM(units) / scale (HUGEINT sum, also exact). */
   def sumScaledUnits(units: Column, scale: Double): Column =
     graft.functions.AggFunctions.sumScaled128(units).cast(DoubleType) / scale
+
+  /** Total-order final sort for results whose cardinality is PROVABLY
+    * BOUNDED at any scale factor (a fixed group domain — return flags,
+    * priorities, nations — or a literal probe set): `coalesce(1)` +
+    * partition-local sort instead of `orderBy`. Identical rows in the
+    * identical global order, but the plan drops a whole
+    * `Exchange rangepartitioning` — and with it the boundary-sampling
+    * pass that range partitioning runs over its input (guide §2.4:
+    * remove shuffles outright). For a handful of result rows the
+    * single-task sort is the right plan at 100 TB exactly as at sf0.1;
+    * the range machinery only earns its cost when the RESULT is big.
+    * Never use this on a result that grows with the corpus (pair lists,
+    * per-doc tables) — those keep `orderBy`. */
+  def sortSmall(df: org.apache.spark.sql.DataFrame)(cols: Column*): org.apache.spark.sql.DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols: _*)
 }

@@ -47,7 +47,8 @@ object Relational {
             avgCents($"l_quantity").as("avg_qty"),
             avgCents($"l_extendedprice").as("avg_price"),
             count(lit(1)).as("count_order"))
-          .orderBy($"l_returnflag", $"l_linestatus")
+          // ≤ |returnflag|×|linestatus| = 6 groups at ANY scale
+          .transform(sortSmall(_)($"l_returnflag", $"l_linestatus"))
       },
       Some("""
         SELECT l_returnflag, l_linestatus,
@@ -74,7 +75,8 @@ object Relational {
           .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
           .groupBy($"r_name", $"n_name")
           .agg(count(lit(1)).as("n_customers"), sumCents($"c_acctbal").as("total_acctbal"))
-          .orderBy($"r_name", $"n_name")
+          // ≤ |region|×|nation| = 25 groups at ANY scale
+          .transform(sortSmall(_)($"r_name", $"n_name"))
       },
       Some("""
         SELECT r_name, n_name, COUNT(*) AS n_customers,
@@ -156,7 +158,8 @@ object Relational {
           .agg(sumScaledUnits(
             cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")), 10000.0)
             .as("revenue"), count(lit(1)).as("n_items"))
-          .orderBy($"revenue".desc, $"n_name")
+          // ≤ |nation| = 25 groups at ANY scale
+          .transform(sortSmall(_)($"revenue".desc, $"n_name"))
       },
       Some("""
         SELECT n_name,
@@ -191,7 +194,8 @@ object Relational {
           .filter($"l_shipdate" > lit("1996-01-01").cast("timestamp"))
         o.join(li, o("o_orderkey") === li("l_orderkey") && li("l_shipdate") > o("o_orderdate"), "left_semi")
           .groupBy($"o_orderpriority").agg(count(lit(1)).as("order_count"))
-          .orderBy($"o_orderpriority")
+          // ≤ 5 priority groups at ANY scale
+          .transform(sortSmall(_)($"o_orderpriority"))
       },
       Some("""
         SELECT o_orderpriority, COUNT(*) AS order_count

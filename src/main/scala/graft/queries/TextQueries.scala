@@ -622,7 +622,10 @@ object TextQueries {
           "30_exact_dedup" -> c3,
           "40_near_dedup" -> (c3 - nkCount))
         import s.implicits._
-        counts.toDF("stage", "n_docs").orderBy($"stage")
+        // 5 literal driver-side rows: emit them ALREADY in stage order
+        // (the Seq is sorted by construction) instead of paying a range
+        // Exchange + boundary-sampling job to sort 5 rows (guide §2.4)
+        counts.sortBy(_._1).toDF("stage", "n_docs").coalesce(1)
       },
       Some("""
         WITH RECURSIVE corpus AS (

@@ -26,7 +26,8 @@ object VectorQueries {
         val emb = Tables.embeddings(s, dir)
         graft.similarity.TopK.bruteForce(emb, emb.filter($"vec_id" < 10), 5)
           .select($"pid", $"nid", $"rank")
-          .orderBy($"pid", $"rank")
+          // ≤ 10 probes × k=5 = 50 rows at ANY corpus size
+          .transform(Portable.sortSmall(_)($"pid", $"rank"))
       },
       Some("""
         WITH c AS (

@@ -196,8 +196,7 @@ object StreamIngest {
       onBatch: (DataFrame, DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     gateWith(docs, gateBitsX100, onBatch)(batch =>
-      graft.lm.KnBigramLm.perDoc(graft.lm.KnBigramLm.score(
-        graft.lm.KnBigramLm.bigrams(batch, "doc_id", "text"), model)))
+      graft.lm.KnBigramLm.perDocAll(batch, "doc_id", "text", model))
 
   /** [[qualityGate]] scored by a frozen ORDER-N Kneser-Ney model
     * ([[graft.lm.KnNgramLm]]) — longer context, sharper admission;
@@ -207,11 +206,11 @@ object StreamIngest {
       onBatch: (DataFrame, DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     gateWith(docs, gateBitsX100, onBatch)(batch =>
-      graft.lm.KnNgramLm.perDoc(graft.lm.KnNgramLm.score(
-        graft.lm.KnNgramLm.ngrams(batch, "doc_id", "text", model.n), model)))
+      graft.lm.KnNgramLm.perDocAll(batch, "doc_id", "text", model))
 
-  /** Shared admission routing: `perDocScores` must key by doc_id and
-    * carry avg_bits_x100. */
+  /** Shared admission routing: `perDocScores` must return ONE row per
+    * DISTINCT batch doc_id — unscorable docs included, with a null
+    * avg_bits_x100 (they fail closed below). */
   private def gateWith(docs: DataFrame, gateBitsX100: Long,
       onBatch: (DataFrame, DataFrame, Long) => Unit)(
       perDocScores: DataFrame => DataFrame)
@@ -219,21 +218,16 @@ object StreamIngest {
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, id: Long) =>
         import org.apache.spark.sql.functions._
-        val scored = perDocScores(batch)
-        // route EVERY batch doc: unscorable (too short for one gram)
-        // docs carry a null score and fail closed below. Cached: both
-        // sinks read the one scored materialization instead of each
-        // re-running the scoring joins (measured p95 4.6 s → the cached
-        // batch serves the second sink for free).
-        // broadcast(scored): the right side is ≤ one micro-batch of
-        // per-doc rollups (admission-capped by maxFramesPerBatch), so
-        // the hash relation is bounded no matter the corpus; without
-        // the hint the planner SortMergeJoins two batch-sized sides —
-        // two sorts + an exchange per trigger for data that fits in one
-        // broadcast.
-        val all = batch.select(col("doc_id")).dropDuplicates("doc_id")
-          .join(broadcast(scored), Seq("doc_id"), "left")
-          .cache()
+        // ONE-pass routing frame: the scorer itself keeps unscorable
+        // docs (null score → fail closed) and keys by distinct doc_id,
+        // so a trigger pays a single scored-gram aggregation plus the
+        // frozen model's broadcast joins — the old shape additionally
+        // paid a dropDuplicates Exchange over the batch ids and a
+        // per-trigger broadcast BUILD of the scored rollup just to
+        // left-join the two (measured in LabGate as most of the ~0.75 s
+        // fixed per-batch cost that set the gate's drain rate). Cached:
+        // both routes filter the one materialization.
+        val all = perDocScores(batch).cache()
         try {
           val admitted = all.filter(
             col("avg_bits_x100").isNotNull && col("avg_bits_x100") <= gateBitsX100)

@@ -48,10 +48,9 @@ object LabGate {
       docText(col("id"), col("id") % 10 === 9).as("text"))
 
     def gateOnce(b: DataFrame, explain: Boolean, phase: Boolean = false): (Long, Long) = {
-      val scored = graft.lm.KnBigramLm.perDoc(graft.lm.KnBigramLm.score(
-        graft.lm.KnBigramLm.bigrams(b, "doc_id", "text"), model))
-      val all = b.select(col("doc_id")).dropDuplicates("doc_id")
-        .join(scored, Seq("doc_id"), "left")
+      // mirrors gateWith's CURRENT body: one-pass perDocAll (keeps
+      // unscorable docs), no dedup Exchange, no scored-side broadcast
+      val all = graft.lm.KnBigramLm.perDocAll(b, "doc_id", "text", model)
         .cache()
       try {
         if (explain) all.explain("formatted")
@@ -64,13 +63,14 @@ object LabGate {
           col("avg_bits_x100").isNotNull && col("avg_bits_x100") <= 1000L)
         val rejected = all.filter(
           col("avg_bits_x100").isNull || col("avg_bits_x100") > 1000L)
-        // same single union-agg probe as StreamBench's gate harness
-        val both = admitted.select(lit(1).as("adm"), col("doc_id"))
-          .unionAll(rejected.select(lit(0).as("adm"), col("doc_id")))
-          .groupBy(col("adm")).agg(count(lit(1)).as("n"),
-            min(shiftright(col("doc_id"), 20)).as("oldest"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        (both.getOrElse(1, 0L), both.getOrElse(0, 0L))
+        // same observe-on-noop probe as StreamBench's gate harness:
+        // metrics ride CollectMetrics nodes, ONE job, no agg Exchange
+        val admObs = org.apache.spark.sql.Observation()
+        val rejObs = org.apache.spark.sql.Observation()
+        admitted.observe(admObs, count(lit(1)).as("n"))
+          .unionAll(rejected.observe(rejObs, count(lit(1)).as("n")))
+          .write.format("noop").mode("overwrite").save()
+        (admObs.get("n").asInstanceOf[Long], rejObs.get("n").asInstanceOf[Long])
       } finally all.unpersist()
     }
 
