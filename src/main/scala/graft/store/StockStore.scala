@@ -216,7 +216,13 @@ object StockStore {
       case None => !markerFs.exists(new org.apache.hadoop.fs.Path(tablePath(root, dt)))
     }
     val pruneCols = if (tzConsistent) partCols else Seq("ticker")
+    // The event-time window bounds ride the SAME job as the tuple
+    // collect (CollectMetrics on the cached batch) — they used to be a
+    // second whole driver action per micro-batch.
+    val twObs = Observation()
     val touched = deduped
+      .observe(twObs,
+        min(col(dt.tsCol)).as("mn"), max(col(dt.tsCol)).as("mx"))
       .select(col("ticker"), py.as("y"), pmo.as("m"), pda.as("d"))
       .select(pruneCols.map(col): _*).distinct().limit(4097).collect()
     // concat_ws SKIPS nulls while the driver side renders "null", so
@@ -250,9 +256,12 @@ object StockStore {
     // pays only on the streaming path it was built for (round-10
     // ADVICE).
     val tsWindow: Option[Column] = partitionPrune.flatMap { _ =>
-      val r = deduped.agg(min(col(dt.tsCol)), max(col(dt.tsCol))).head()
-      if (r.isNullAt(0)) None
-      else Some(col(dt.tsCol).between(lit(r.get(0)), lit(r.get(1))))
+      val m = twObs.get
+      (Option(m.getOrElse("mn", null)), Option(m.getOrElse("mx", null))) match {
+        case (Some(lo), Some(hi)) =>
+          Some(col(dt.tsCol).between(lit(lo), lit(hi)))
+        case _ => None
+      }
     }
     val existingRaw0 = readOrEmpty(spark, root, dt,
       deduped.withColumn("version", lit(1)).schema)
@@ -306,18 +315,33 @@ object StockStore {
 
     // T7: exchange-local calendar partition columns from event time
     // (eventTs/partCols defined with the pruned read-back above)
-    val out = versioned.withColumn("y", py).withColumn("m", pmo).withColumn("d", pda)
+    val outLazy = versioned.withColumn("y", py).withColumn("m", pmo).withColumn("d", pda)
       .select((idxCols ++ payloadCols ++ Seq("version") ++ partCols.drop(1)).distinct.map(col): _*)
+    // Pin the merge output ONCE (eager localCheckpoint): every consumer
+    // below — counts, per-ticker stats, conflicts, and the data append
+    // itself — previously re-executed the whole merge pipeline
+    // (read-back scan + semi/anti joins + version window) from the
+    // deduped/existing caches: 2 full executions per streaming
+    // micro-batch, 4 on the full-counts path. A micro-batch's merge
+    // output is batch-bounded, so the pinned blocks are small at any
+    // store size; the pipeline now runs exactly once per upsert
+    // (guide §5: localCheckpoint to cut lineage / avoid recompute). In
+    // cheap mode the in-plan assert_true A6 guard fires HERE, still
+    // before anything is staged or committed. The blocks release via
+    // the context cleaner once the batch's frame is unreferenced.
+    val out = outLazy.localCheckpoint(true)
 
     // ALL stats counts must run before the data append below: the append
-    // invalidates the cached `existing` plan (recacheByPath), after which
-    // re-executing `versioned`/`fresh` anti-joins the batch against its
-    // own just-written output (fresh = empty, version-1 count = 0).
+    // invalidates the cached `existing` plan (recacheByPath) — with the
+    // merge output pinned above, downstream consumers read checkpoint
+    // blocks and can no longer be poisoned by that invalidation, but the
+    // counts stay ahead of the append anyway (they are part of the
+    // pre-commit stats row).
     val written = if (collectCounts) out.count() else -1L
     val dedupedN = if (collectCounts) deduped.count() else -1L
     val nullSkipped = if (collectCounts) input - nonNull.count() else -1L
     val conflicts =
-      if (collectCounts) written - versioned.filter(col("version") === 1).count()
+      if (collectCounts) written - out.filter(col("version") === 1).count()
       else -1L
 
     // A12 transactional batch commit (reference: sql_db.py:455,553-557 —

@@ -1,0 +1,75 @@
+package graft.tools
+
+import graft.model.Streaming
+import graft.store.StockStore
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import scala.collection.concurrent.TrieMap
+
+/** Dev-only micro-lab for the streaming upsert sink's PER-BATCH cost
+  * (the stream_upsert figure is merge-bound: every trigger pays the
+  * full versioned StockStore merge, so its fixed cost decides the
+  * latency envelope the same way LabGate's does for the gate).
+  *
+  * Replays the exact foreachBatch body of [[graft.streaming
+  * .StreamIngest.start]] — `StockStore.upsert(..., collectCounts =
+  * false)` — over static trade-tick batches of the transformed shape,
+  * against a fresh store, and prints per-upsert wall time plus every
+  * Spark job's wall span (a listener keyed by job id), so the
+  * dominant job of a ~N-second merge is visible without the stream
+  * around it.
+  *
+  * Usage: scripts/run_main.sh graft.tools.LabUpsert [batchRows] [reps]
+  */
+object LabUpsert {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(10000)
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(6)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val jobSpans = TrieMap.empty[Int, (Long, Long, String)] // id -> (t0, t1, desc)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobSpans(j.jobId) = (j.time, 0L,
+          Option(j.properties.getProperty("spark.job.description")).getOrElse(""))
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        jobSpans.updateWith(j.jobId)(_.map(v => (v._1, j.time, v._3)))
+    })
+
+    val root = java.nio.file.Files.createTempDirectory("graft-labupsert").toString
+    val tickers = Array("SPY", "VOO", "QQQ", "IWM")
+
+    def batch(rep: Int) = spark.range(n).select(
+      element_at(lit(tickers), (col("id") % 4 + 1).cast("int")).as("ticker"),
+      timestamp_millis(lit(1700000000000L) + rep * 1000L * n + col("id") * 5).as("timestamp"),
+      (col("id") % 997).cast("double").as("price"),
+      (col("id") % 89 + 1).cast("long").as("volume"),
+      lit(null).cast("double").as("ask_price"),
+      lit(null).cast("double").as("bid_price"),
+      lit(null).cast("long").as("ask_size"),
+      lit(null).cast("long").as("bid_size"))
+
+    (0 until reps).foreach { rep =>
+      jobSpans.clear()
+      val t0 = System.nanoTime()
+      StockStore.upsert(spark, root, Streaming, batch(rep), collectCounts = false)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val jobs = jobSpans.toSeq.sortBy(_._1)
+      val jobStr = jobs.map { case (id, (a, b, _)) =>
+        f"j$id=${if (b > 0) (b - a) / 1000.0 else -1.0}%.2f"
+      }.mkString(" ")
+      println(f"[upsert-lab] rep=$rep n=$n sec=$sec%.3f jobs=${jobs.size} $jobStr")
+    }
+    spark.stop()
+  }
+}
