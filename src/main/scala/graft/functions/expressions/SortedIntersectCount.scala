@@ -1,0 +1,94 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types._
+
+/** |A ∩ B| for two VALUE-SORTED `array<long>` columns as one
+  * allocation-free merge scan.
+  *
+  * The built-in `size(array_intersect(a, b))` materializes an
+  * `OpenHashSet[Any]` per ROW — every member of both arrays is boxed
+  * and hashed, and the intersection array itself is allocated just to
+  * be counted. On a similarity-verify join that evaluates millions of
+  * candidate pairs against ~10³-member sets, that per-row churn was the
+  * single largest GC source in the whole sweep (d15's verify stage at
+  * sf10: 392 s of stop-the-world in 2166 s of task time — the
+  * motivation for this kernel; guide §4: prefer fused codegen
+  * expressions on the hot path). This expression walks the two sorted
+  * arrays with two cursors inside whole-stage codegen: zero
+  * allocations, zero boxing, exact count.
+  *
+  * Inputs MUST be sorted ascending (callers use `sort_array`); both
+  * sides advance past equal runs, so duplicate values within one array
+  * are counted once per matching run — on set-valued arrays (every
+  * caller here) this is exactly `size(array_intersect)`, which
+  * SortedIntersectSpec pins by comparison on random inputs. Elements
+  * must be non-null (the dedup plane's md5-long members always are).
+  */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[GraftBridge.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        c += 1
+        val v = x
+        while (i < na && a.getLong(i) == v) i += 1
+        while (j < nb && b.getLong(j) == v) j += 1
+      }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val c = ctx.freshName("c")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val v = ctx.freshName("v")
+      s"""
+        int $na = $a.numElements(); int $nb = $b.numElements();
+        int $i = 0; int $j = 0; long $c = 0L;
+        while ($i < $na && $j < $nb) {
+          long $x = $a.getLong($i); long $y = $b.getLong($j);
+          if ($x < $y) { $i++; }
+          else if ($x > $y) { $j++; }
+          else {
+            $c++;
+            long $v = $x;
+            while ($i < $na && $a.getLong($i) == $v) $i++;
+            while ($j < $nb && $b.getLong($j) == $v) $j++;
+          }
+        }
+        ${ev.value} = $c;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SortedIntersectCount {
+  /** Codegen'd sorted-array intersection count (see
+    * [[SortedIntersectCountExpr]]). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectCountExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+}

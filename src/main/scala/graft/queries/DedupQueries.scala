@@ -878,11 +878,23 @@ object DedupQueries {
         // members are distinct per doc (shingleSets array_distincts
         // before exploding), so collect_list is set-valued and
         // size(array_intersect) below is an exact |∩|.
+        // TWO arrays per doc from ONE aggregation pass: `hs` holds the
+        // members VALUE-sorted (what the zero-allocation merge-scan
+        // verify below needs), `pfx` the rarest-first (f, h)-ordered
+        // prefix slice (what the AllPairs candidate index needs —
+        // n − ⌈0.8n⌉ + 1 ≈ 0.2n entries, so the checkpoint grows only
+        // ~20%). The old single struct-sorted array forced verification
+        // through size(array_intersect(..)), whose per-ROW OpenHashSet
+        // build was the sweep's largest GC source (392 s stop-the-world
+        // in the sf10 verify stage).
         val docsets = sets.join(freq, Seq("h"))
           .groupBy($"doc_id")
-          .agg(expr("transform(sort_array(collect_list(struct(f, h))), x -> x.h)")
-            .as("hs"))
+          .agg(sort_array(collect_list($"h")).as("hs"),
+            expr("transform(sort_array(collect_list(struct(f, h))), x -> x.h)")
+              .as("hs_pref"))
           .withColumn("n", size($"hs"))
+          .withColumn("pfx", expr("slice(hs_pref, 1, n - (8 * n + 9) div 10 + 1)"))
+          .drop("hs_pref")
           // localCheckpoint, NOT cache: three downstream branches
           // (prefix explode + both verify sides) reference this
           // intermediate, and cache() let eager broadcast subqueries
@@ -900,8 +912,7 @@ object DedupQueries {
         // (freq + the join both consumed it); lineage is truncated, so
         // releasing it cannot invalidate anything downstream.
         sets.unpersist(false)
-        val prefix = docsets.select($"doc_id",
-          explode(expr("slice(hs, 1, n - (8 * n + 9) div 10 + 1)")).as("h"))
+        val prefix = docsets.select($"doc_id", explode($"pfx").as("h"))
         val cand = prefix.as("p1").join(prefix.as("p2"), Seq("h"))
           .where($"p1.doc_id" < $"p2.doc_id")
           .select($"p1.doc_id".as("a"), $"p2.doc_id".as("b"))
@@ -911,8 +922,12 @@ object DedupQueries {
             $"n".as("n_a")), Seq("a"))
           .join(docsets.select($"doc_id".as("b"), $"hs".as("hs_b"),
             $"n".as("n_b")), Seq("b"))
+          // zero-allocation merge-scan |∩| on the value-sorted arrays
+          // (equals size(array_intersect) on set-valued inputs —
+          // SortedIntersectSpec pins the equivalence)
           .withColumn("n_inter",
-            size(array_intersect($"hs_a", $"hs_b")).cast("long"))
+            graft.functions.expressions.SortedIntersectCount
+              .sortedIntersectCount($"hs_a", $"hs_b"))
         inter
           .withColumn("jac_permille",
             expr("(n_inter * 1000) div (n_a + n_b - n_inter)"))

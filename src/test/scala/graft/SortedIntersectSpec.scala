@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.expressions.SortedIntersectCount.sortedIntersectCount
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the zero-allocation merge-scan intersection count (d15's verify
+  * kernel) to the engine's own `size(array_intersect)` on set-valued
+  * sorted inputs — the exact substitution the d15 plan makes. */
+class SortedIntersectSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def check(a: Seq[Long], b: Seq[Long]): Unit = {
+    import spark.implicits._
+    val df = Seq((a.sorted, b.sorted)).toDF("a", "b")
+    val got = df.select(sortedIntersectCount(col("a"), col("b"))).head().getLong(0)
+    val want = df.select(size(array_intersect(col("a"), col("b"))).cast("long"))
+      .head().getLong(0)
+    assert(got == want, s"a=$a b=$b got=$got want=$want")
+  }
+
+  test("matches size(array_intersect) on hand cases") {
+    check(Nil, Nil)
+    check(Seq(1L, 2L, 3L), Nil)
+    check(Nil, Seq(5L))
+    check(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))             // disjoint
+    check(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L))             // identical
+    check(Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MaxValue))
+    check(Seq(-5L, -1L, 7L), Seq(-1L, 0L, 7L, 9L))
+  }
+
+  test("matches size(array_intersect) on randomized set-valued inputs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 50).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct
+      check(a, b)
+    }
+  }
+
+  test("whole-stage codegen path agrees with interpreted eval on a wide batch") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      (Seq.fill(rnd.nextInt(30))(rnd.nextInt(50).toLong).distinct.sorted,
+        Seq.fill(rnd.nextInt(30))(rnd.nextInt(50).toLong).distinct.sorted)
+    }
+    val df = rows.toDF("a", "b")
+    val fused = df.select(sortedIntersectCount(col("a"), col("b")).as("c"))
+      .agg(sum("c")).head().getLong(0)
+    val ref = df.select(size(array_intersect(col("a"), col("b"))).cast("long").as("c"))
+      .agg(sum("c")).head().getLong(0)
+    assert(fused == ref)
+  }
+}
