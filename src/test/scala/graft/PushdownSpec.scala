@@ -526,17 +526,21 @@ class PushdownSpec extends AnyFunSuite {
       s"d27 must not pay a distinct expand, plan:\n$p27")
     assert(p27.contains("partial_max") && p27.contains("BroadcastHashJoin"),
       s"d27 must MAX-merge registers with broadcast source labels, plan:\n$p27")
-    // d15: candidates verify against the per-doc membership ARRAYS
-    // (one array_intersect per pair) — never by re-exploding members
-    // into a (cand x member) shuffle, and never a doc-keyed window
-    // (the r12 sf10 sweep measured the windowed/exploded form as the
-    // registry's only GC-bound query: 48 s stop-the-world of 210-250 s
-    // wall). The pre-checkpoint side is pinned by construction: the
-    // final plan reads the checkpointed doc-level rows (Scan
-    // ExistingRDD), so no member-level Window/sort can survive into it.
+    // d15: candidates verify against the per-doc membership ARRAYS —
+    // since r12 via the zero-allocation sorted-merge kernel
+    // (sortedintersectcountexpr), never size(array_intersect) (whose
+    // per-pair OpenHashSet build was the sweep's largest GC source:
+    // 392 s stop-the-world in the sf10 verify stage), never by
+    // re-exploding members into a (cand x member) shuffle, and never a
+    // doc-keyed window (the r12 sf10 sweep measured the
+    // windowed/exploded form as the registry's only GC-bound query).
+    // The pre-checkpoint side is pinned by construction: the final
+    // plan reads the checkpointed doc-level rows (Scan ExistingRDD),
+    // so no member-level Window/sort can survive into it.
     val p15 = planOf("d15_prefix_filter_join")
-    assert(p15.contains("array_intersect") && !p15.contains("Window") &&
+    assert(p15.contains("sortedintersectcountexpr") &&
+      !p15.contains("array_intersect") && !p15.contains("Window") &&
       !p15.contains("CartesianProduct"),
-      s"d15 must verify via per-pair array intersection, plan:\n$p15")
+      s"d15 must verify via the merge-scan intersect kernel, plan:\n$p15")
   }
 }
