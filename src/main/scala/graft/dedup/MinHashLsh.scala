@@ -273,7 +273,17 @@ object MinHashLsh {
     * bounds the rounds; dup graphs are near-cliques, so diameters beyond
     * a handful of hops are rare, and the loop exits early on
     * convergence. */
-  def memberLabels(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def memberLabels(pairs: DataFrame, maxIter: Int = 10): DataFrame =
+    memberLabelsWithNk(pairs, maxIter)._1
+
+  /** [[memberLabels]] plus the returned frame's NON-KEEPER count
+    * (rows with `label != id`), read from a metric that rides the last
+    * propagation batch's CollectMetrics — the count a dedup funnel
+    * needs to report near-dup survivors (x7) without paying one more
+    * job over the cached labels (guide §1.5/§2.4: metrics ride the
+    * action that already runs). The labels frame is identical to
+    * [[memberLabels]]'s in every way. */
+  def memberLabelsWithNk(pairs: DataFrame, maxIter: Int = 10): (DataFrame, Long) = {
     // Cache the symmetrized edge list: every propagation round joins
     // against it, and without the cache each round would re-execute the
     // whole upstream pair pipeline (shingle → minhash → band join). Edge
@@ -339,6 +349,7 @@ object MinHashLsh {
     val batch = 2
     var labels: DataFrame = null
     var lastSum: Option[java.math.BigDecimal] = None
+    var lastNk = 0L
     var round = 0
     var converged = false
     while (round < maxIter && !converged) {
@@ -348,11 +359,25 @@ object MinHashLsh {
       var cur = prev
       obs.foreach { o =>
         val stepped = if (cur == null) step1 else step(cur)
-        cur = stepped.observe(o, sum(col("label").cast("decimal(38,0)")).as("s"))
+        // `nk` = improved-label count of this round's frame: count() is
+        // total over zero rows (0, never null), so the last batch's nk is
+        // exactly |label != id| of the RETURNED labels — free with the
+        // batch job, where a caller-side count would pay one more job.
+        cur = stepped.observe(o,
+          sum(col("label").cast("decimal(38,0)")).as("s"),
+          count(when(col("label") =!= col("id"), lit(1))).as("nk"))
       }
       cur.cache()
       cur.count() // one job materializes the whole batch
-      val sums = obs.map(o => Option(o.get("s").asInstanceOf[java.math.BigDecimal]))
+      // Defensive metric reads: an EMPTY graph completes the observation
+      // with an empty map (AQE's empty-relation propagation prunes the
+      // CollectMetrics node itself — same mechanism StockStore's cheap
+      // mode documents), so the keys may be absent, not just null.
+      val maps = obs.map(_.get)
+      val sums = maps.map(m =>
+        Option(m.getOrElse("s", null)).map(_.asInstanceOf[java.math.BigDecimal]))
+      lastNk = Option(maps.last.getOrElse("nk", null))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       if (sums.exists(_.isEmpty)) converged = true // empty graph: sum over no rows
       else {
         val all = lastSum.toSeq ++ sums.flatten
@@ -368,8 +393,9 @@ object MinHashLsh {
     // hygiene (e.g. a benchmarked funnel) should unpersist the result
     // after consuming it.
     edges.unpersist(false)
-    if (labels == null) labels0.select(col("id"), col("label")).distinct() // maxIter == 0
-    else labels
+    if (labels == null) // maxIter == 0: id = label, so nk = 0 by construction
+      (labels0.select(col("id"), col("label")).distinct(), 0L)
+    else (labels, lastNk)
   }
 
   /** Collapse candidate pairs into duplicate clusters and pick one keeper

@@ -601,14 +601,14 @@ object TextQueries {
           .agg(min($"doc_id").as("doc_id"), min($"text").as("text"))
           .observe(obsExact, count(lit(1)).as("c3"))
           .select($"doc_id", $"text")
-        val labels = graft.dedup.MinHashLsh
-          .memberLabels(graft.dedup.MinHashLsh.rawCandidatePairs(e, "doc_id", "text"))
         // labels only contains ids that appeared in a candidate pair over
         // `e`, so nonKeepers ⊆ exact-survivors and the near-dedup count is
         // simply c3 − |nonKeepers| — no anti-join pass over the corpus.
-        // The non-keeper count is a one-partition count on the cached,
-        // already-materialized labels frame.
-        val nkCount = labels.filter($"label" =!= $"id").count()
+        // The non-keeper count RIDES the label-propagation batch job's
+        // CollectMetrics (memberLabelsWithNk), so it costs zero extra
+        // jobs where it used to be one more count over the cached labels.
+        val (labels, nkCount) = graft.dedup.MinHashLsh
+          .memberLabelsWithNk(graft.dedup.MinHashLsh.rawCandidatePairs(e, "doc_id", "text"))
         labels.unpersist(false)
         // Both observations were populated by the edge materialization
         // job (their plan nodes sit upstream of the pair graph), so these

@@ -50,8 +50,21 @@ object LabProfile {
     val jobs = new AtomicInteger; val stages = new AtomicInteger
     val tasks = new AtomicInteger; val taskMs = new AtomicLong
     val gcMs = new AtomicLong; val shufR = new AtomicLong; val shufW = new AtomicLong
+    // GRAFT_LAB_JOBS=1: per-job trace (start offset + description) so a
+    // jobs=N reading can be attributed to the exact waves a query pays.
+    val traceJobs = sys.env.get("GRAFT_LAB_JOBS").contains("1")
+    @volatile var traceT0 = 0L
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (traceJobs) {
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("")
+          val off = (System.nanoTime() - traceT0) / 1e9
+          println(f"[job] +$off%6.3fs id=${j.jobId}%3d stages=${j.stageIds.length} $desc")
+        }
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = stages.incrementAndGet()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
@@ -88,6 +101,7 @@ object LabProfile {
       (1 to passes).foreach { _ =>
         reset()
         val t0 = System.nanoTime()
+        traceT0 = t0
         q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         if (best.forall(_._1 > sec)) best = Some((sec, snap()))

@@ -20,6 +20,27 @@ class DedupLibSpec extends AnyFunSuite {
     assert(clusters == List((1L, Seq(1L, 2L, 3L), 1L), (7L, Seq(7L, 9L), 7L)))
   }
 
+  test("memberLabelsWithNk: riding nk == labels.filter(label != id).count") {
+    import spark.implicits._
+    // chain {1,2,3} + pair {7,9}: non-keepers = {2,3,9} -> nk = 3. The
+    // chain needs 2 propagation rounds (3 learns 1 via 2), so the nk
+    // metric is read from the SECOND step of the batch — the frame the
+    // caller gets — not the first.
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val (labels, nk) = MinHashLsh.memberLabelsWithNk(pairs)
+    assert(nk == labels.filter($"label" =!= $"id").count())
+    assert(nk == 3L)
+    labels.unpersist(false)
+    // empty pair set: empty labels, nk = 0 (count over no rows)
+    val (l0, nk0) = MinHashLsh.memberLabelsWithNk(
+      Seq.empty[(Long, Long)].toDF("a", "b"))
+    assert(nk0 == 0L && l0.count() == 0L)
+    l0.unpersist(false)
+    // maxIter = 0 short-circuit: id = label by construction, nk = 0
+    val (li, nki) = MinHashLsh.memberLabelsWithNk(pairs, maxIter = 0)
+    assert(nki == 0L && li.filter($"label" =!= $"id").count() == 0L)
+  }
+
   test("fused RowMinSigsExpr signatureMatrix == staged explode/groupBy form") {
     import spark.implicits._
     // Edge shapes on purpose: empty text, single token, exactly
