@@ -163,8 +163,21 @@ object StockStore {
     // A5: skip rows whose entire payload is null
     val nonNull = observedBatch.filter(keepCond)
 
-    // A3 (in-batch): identical (index, payload) rows collapse to one
-    val dedupedRaw = nonNull.dropDuplicates(idxCols ++ payloadCols)
+    // A3 (in-batch): identical (index, payload) rows collapse to one.
+    // ONE index-keyed exchange up front, shared by the whole merge
+    // (guide §2.4: operations keyed the same way share an exchange):
+    // dropDuplicates' grouping keys (idx ++ payload) are a SUPERSET of
+    // the idx partitioning (equal full keys ⇒ equal idx ⇒ same
+    // partition), and the A4 version window's partitionBy(idx) is
+    // satisfied by the same exchange. The old shape hashed the dedup agg
+    // on the full (idx, payload) key, which satisfies neither the window
+    // nor the idx joins — the merge paid 4 idx-family exchanges per
+    // micro-batch where the shuffled bytes (the whole batch, once) only
+    // ever justified one. Values are partition-independent: the dedup
+    // keeps one of N identical rows, and the window's xxhash64 order is
+    // a per-row function.
+    val dedupedRaw = nonNull.repartition(idxCols.map(col): _*)
+      .dropDuplicates(idxCols ++ payloadCols)
     val deduped = dedupObs.map(o => dedupedRaw.observe(o, count(lit(1)).as("n")))
       .getOrElse(dedupedRaw).cache()
 
@@ -280,8 +293,23 @@ object StockStore {
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(batch.schema(c).dataType))
     }
+    // Batch-bounded broadcast sides (streaming path): when the
+    // partition-tuple prune holds (≤4096 touched partitions) and the
+    // batch is admission-capped (cheap mode, input unknown = -1) or
+    // provably small, every merge frame derived from the batch —
+    // distinct probe keys, the pruned read-back, its per-key max
+    // version — is bounded by BATCH size, not store size, so they ride
+    // the joins as broadcasts and the big side keeps its one idx
+    // partitioning instead of re-exchanging per join (guide §3.1). A
+    // bulk backfill (prune degraded, or a large full-counts batch)
+    // keeps the shuffle joins: its read-back is store-sized and must
+    // never be collected to the driver.
+    val smallBatch = partitionPrune.isDefined && (input < 0L || input <= 1000000L)
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (smallBatch) broadcast(df) else df
     val existing = existingAll
-      .join(deduped.select(idxCols.map(col): _*).distinct(), idxCols, "left_semi")
+      .join(maybeBroadcast(deduped.select(idxCols.map(col): _*).distinct()),
+        idxCols, "left_semi")
       .select((idxCols ++ payloadCols :+ "version").map(col): _*)
       .cache()
 
@@ -293,7 +321,7 @@ object StockStore {
     // A3 (vs store): drop rows whose payload already exists for the key.
     // Null-safe equality: disjoint-null trade/quote payloads compare
     // correctly (reference: sql_db.py:485-492).
-    val fresh = deduped.join(existing,
+    val fresh = deduped.join(maybeBroadcast(existing),
       nullSafeEq(deduped, existing, idxCols ++ payloadCols), "left_anti")
 
     // A4: version = max(existing)+rank within key. Within-batch conflict
@@ -305,7 +333,7 @@ object StockStore {
     val w = Window.partitionBy(idxCols.map(col): _*)
       .orderBy(xxhash64(payloadCols.map(col): _*))
     val versionedRaw = fresh
-      .join(maxv, idxCols, "left")
+      .join(maybeBroadcast(maxv), idxCols, "left")
       .withColumn("version",
         (coalesce(col("__maxv"), lit(0L)) + row_number().over(w)).cast("int"))
       .drop("__maxv")
