@@ -847,26 +847,9 @@ object DedupQueries {
     // prefix token. Rarest-first ordering makes those prefixes the
     // LOW-frequency shingles, so the candidate join stays near-linear
     // instead of hub-exploding (the entire point of AllPairs at scale).
-    // Candidates then verify with an EXACT intersection — computed
-    // per candidate pair from the two docs' membership ARRAYS, never
-    // all-pairs and never a re-exploded member join.
+    // Candidates then verify with an EXACT intersection count — two
+    // equi-joins restricted to the candidate pairs, never all-pairs.
     // t = 0.8; ⌈0.8n⌉ = (8n+9) div 10 keeps everything integer.
-    //
-    // Representation: ONE row per doc holding its members as an array
-    // sorted rarest-first, not one row per (doc, member). The r12 sf10
-    // sweep measured the per-member form at 210–250 s with 48 s of
-    // stop-the-world GC (19% of wall — the sweep's only churn-bound
-    // query): the doc-keyed WindowExec sorted ~40M member rows, the
-    // checkpoint materialized all of them, and the verify join
-    // re-exploded candidates × members into the round's biggest
-    // shuffle. Folding members into per-doc arrays makes the
-    // checkpoint corpus-sized (one fat UnsafeRow per doc, array bytes
-    // contiguous), replaces the window sort with one hash aggregate,
-    // and turns verification into a per-row array_intersect — the
-    // member-level shuffle disappears entirely. The global order only
-    // needs to be CONSISTENT, not contiguous: sort_array on
-    // struct(f, h) gives the same rarest-first (freq, hash) order the
-    // window's ORDER BY f, h did, with no rank column needed.
     GraftQuery(
       "d15_prefix_filter_join",
       (s, dir) => {
@@ -875,59 +858,55 @@ object DedupQueries {
           .shingleSets(corpusWithNearDups(s, dir), "doc_id", "text")
           .cache()
         val freq = sets.groupBy($"h").agg(count(lit(1)).as("f"))
-        // members are distinct per doc (shingleSets array_distincts
-        // before exploding), so collect_list is set-valued and
-        // size(array_intersect) below is an exact |∩|.
-        // TWO arrays per doc from ONE aggregation pass: `hs` holds the
-        // members VALUE-sorted (what the zero-allocation merge-scan
-        // verify below needs), `pfx` the rarest-first (f, h)-ordered
-        // prefix slice (what the AllPairs candidate index needs —
-        // n − ⌈0.8n⌉ + 1 ≈ 0.2n entries, so the checkpoint grows only
-        // ~20%). The old single struct-sorted array forced verification
-        // through size(array_intersect(..)), whose per-ROW OpenHashSet
-        // build was the sweep's largest GC source (392 s stop-the-world
-        // in the sf10 verify stage).
+        // the global order only needs to be CONSISTENT, not contiguous —
+        // ordering each doc's members by the (freq, hash) tuple avoids
+        // the single-partition global-rank window an integer rank would
+        // cost (the doc-keyed window is the only sort). Both window
+        // columns share ONE spec (n = count over the full frame of the
+        // same ordered partition), so they ride one WindowExec and one
+        // sort; docsets is cached because prefix AND the verify join
+        // both consume it — uncached, the whole shingle+window pipeline
+        // ran twice, which the sf1 sweep measured as ~2x the query
+        // (45x ratio at 10x data; the cached shape re-scales linearly).
+        val wd = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"f", $"h")
         val docsets = sets.join(freq, Seq("h"))
-          .groupBy($"doc_id")
-          .agg(sort_array(collect_list($"h")).as("hs"),
-            expr("transform(sort_array(collect_list(struct(f, h))), x -> x.h)")
-              .as("hs_pref"))
-          .withColumn("n", size($"hs"))
-          .withColumn("pfx", expr("slice(hs_pref, 1, n - (8 * n + 9) div 10 + 1)"))
-          .drop("hs_pref")
-          // localCheckpoint, NOT cache: three downstream branches
-          // (prefix explode + both verify sides) reference this
-          // intermediate, and cache() let eager broadcast subqueries
-          // recompute the whole shingle pipeline instead of reading
+          .withColumn("n", count(lit(1)).over(wd.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+          .withColumn("pos", row_number().over(wd))
+          // localCheckpoint, NOT cache: four downstream branches
+          // (prefix self-join sides + both verify member sides)
+          // reference this intermediate, and two of them are EAGER
+          // broadcast subqueries. With cache(), those broadcast jobs
+          // recomputed the whole shingle pipeline instead of reading
           // the cached blocks (one cold run burned 701 s of executor
-          // time across 32 tasks; wall swung 19-49 s vs ~10 s honest).
-          // Truncating the lineage makes recompute IMPOSSIBLE: every
-          // consumer reads the materialized blocks or fails loudly.
-          // Cluster caveat: checkpoint blocks are not fault-tolerant
-          // to executor loss (a lost block fails the job rather than
-          // recomputing) — the right trade for a deterministic-cost
-          // batch operator.
+          // time across 32 tasks; wall swung 19-49 s vs ~10 s honest),
+          // and an eager pre-count did not stop it. Truncating the
+          // lineage makes recompute IMPOSSIBLE: every consumer reads
+          // the materialized blocks or fails loudly. Cluster caveat:
+          // checkpoint blocks are not fault-tolerant to executor loss
+          // (a lost block fails the job rather than recomputing) —
+          // the right trade for a deterministic-cost batch operator.
           .localCheckpoint(true)
         // sets' cache served its purpose inside the checkpoint job
         // (freq + the join both consumed it); lineage is truncated, so
         // releasing it cannot invalidate anything downstream.
         sets.unpersist(false)
-        val prefix = docsets.select($"doc_id", explode($"pfx").as("h"))
+        val prefix = docsets
+          .where($"pos" <= $"n" - expr("(8 * n + 9) div 10") + 1)
+          .select($"doc_id", $"h")
         val cand = prefix.as("p1").join(prefix.as("p2"), Seq("h"))
           .where($"p1.doc_id" < $"p2.doc_id")
           .select($"p1.doc_id".as("a"), $"p2.doc_id".as("b"))
           .distinct()
+        val members = docsets.select($"doc_id", $"h", $"n")
         val inter = cand
-          .join(docsets.select($"doc_id".as("a"), $"hs".as("hs_a"),
-            $"n".as("n_a")), Seq("a"))
-          .join(docsets.select($"doc_id".as("b"), $"hs".as("hs_b"),
-            $"n".as("n_b")), Seq("b"))
-          // zero-allocation merge-scan |∩| on the value-sorted arrays
-          // (equals size(array_intersect) on set-valued inputs —
-          // SortedIntersectSpec pins the equivalence)
-          .withColumn("n_inter",
-            graft.functions.expressions.SortedIntersectCount
-              .sortedIntersectCount($"hs_a", $"hs_b"))
+          .join(members.select($"doc_id".as("a"), $"h", $"n".as("n_a")), Seq("a"))
+          .join(members.select($"doc_id".as("b"), $"h", $"n".as("n_b")),
+            Seq("b", "h"))
+          .groupBy($"a", $"b", $"n_a", $"n_b")
+          .agg(count(lit(1)).as("n_inter"))
         inter
           .withColumn("jac_permille",
             expr("(n_inter * 1000) div (n_a + n_b - n_inter)"))

@@ -526,21 +526,26 @@ class PushdownSpec extends AnyFunSuite {
       s"d27 must not pay a distinct expand, plan:\n$p27")
     assert(p27.contains("partial_max") && p27.contains("BroadcastHashJoin"),
       s"d27 must MAX-merge registers with broadcast source labels, plan:\n$p27")
-    // d15: candidates verify against the per-doc membership ARRAYS —
-    // since r12 via the zero-allocation sorted-merge kernel
-    // (sortedintersectcountexpr), never size(array_intersect) (whose
-    // per-pair OpenHashSet build was the sweep's largest GC source:
-    // 392 s stop-the-world in the sf10 verify stage), never by
-    // re-exploding members into a (cand x member) shuffle, and never a
-    // doc-keyed window (the r12 sf10 sweep measured the
-    // windowed/exploded form as the registry's only GC-bound query).
-    // The pre-checkpoint side is pinned by construction: the final
-    // plan reads the checkpointed doc-level rows (Scan ExistingRDD),
-    // so no member-level Window/sort can survive into it.
+    // d15: candidates verify via the member-level equi-join + count —
+    // per-(doc, member) rows with ONE doc-keyed window for (n, pos),
+    // never per-doc ARRAY docsets. The r12 optimization round rewrote
+    // this onto per-doc arrays (+ a merge-scan intersect kernel) on
+    // the strength of a 32-partition lab A/B, then REVERTED both when
+    // the production-shaped harness (ScaleSweep, data-derived ~262
+    // partitions at sf10) measured the array form at 489 s / 177 s GC
+    // against the member-row form's 194 s / 12.5 s GC in the same
+    // window: shipping two ~8 KB member arrays per CANDIDATE PAIR
+    // through the verify joins allocates far more than the member-row
+    // shuffle it replaced. The pin asserts the member-row shape
+    // in the FINAL plan, which reads the checkpointed member rows
+    // (Scan ExistingRDD — the doc-keyed window ran inside the
+    // checkpoint job, so it cannot appear here) and verifies with
+    // plain equi-joins + count: no array verify, no cartesian.
     val p15 = planOf("d15_prefix_filter_join")
-    assert(p15.contains("sortedintersectcountexpr") &&
-      !p15.contains("array_intersect") && !p15.contains("Window") &&
+    assert(p15.contains("Scan ExistingRDD") &&
+      !p15.contains("array_intersect") &&
+      !p15.contains("sortedintersectcountexpr") &&
       !p15.contains("CartesianProduct"),
-      s"d15 must verify via the merge-scan intersect kernel, plan:\n$p15")
+      s"d15 must verify via the member equi-join form, plan:\n$p15")
   }
 }
