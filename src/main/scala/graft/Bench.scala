@@ -24,6 +24,13 @@ object Bench {
     // guidance; the knob exists so a drifting BENCH number can be
     // bisected into host-vs-plan in one run.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // Per-query executor task time, summed by a listener across the
+    // measured pass (same probe as tools/LabProfile): stamped into the
+    // JSON next to each wall figure so a reader can tell WAVE-bound
+    // (task_time ≪ wall × cores — adding cores cannot help; the flat
+    // 8-vs-32-core ratios at sf0.1 are this, not an ignored knob) from
+    // COMPUTE-bound. The scaling evidence the r12 verdict asked for.
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
@@ -48,6 +55,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) taskMs.addAndGet(t.taskMetrics.executorRunTime)
+    })
 
     // Host-health probe (same fixed workload as tools/ScaleSweep): time
     // h2 at the synthesized sf1 before and after the measured passes and
@@ -93,25 +104,29 @@ object Bench {
     // SF, and the host shows multi-x noise swings between passes). A
     // throwing query records None, not its (near-zero) elapsed time — a
     // broken query must fail the bench, never shrink the reported total.
-    def timed(): Seq[(String, Option[Double])] = benchQueries.map { q =>
+    def timed(): Seq[(String, Option[(Double, Double)])] = benchQueries.map { q =>
+      val tm0 = taskMs.get()
       val t0 = System.nanoTime()
       try {
         q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
-        q.name -> Some((System.nanoTime() - t0) / 1e9)
+        q.name -> Some(((System.nanoTime() - t0) / 1e9, (taskMs.get() - tm0) / 1000.0))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name}: ${e.getMessage}")
         q.name -> None
       }
     }
     val passes = Seq(timed(), timed(), timed(), timed())
+    // per-query minimum wall, with THAT pass's summed task time beside it
     val results = benchQueries.map(_.name).zipWithIndex.map { case (n, i) =>
       val ok = passes.flatMap(_(i)._2)
       if (ok.isEmpty) { System.err.println(s"[bench] $n failed all passes"); sys.exit(1) }
-      n -> ok.min
+      n -> ok.minBy(_._1)
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map { case (k, (w, _)) => "\"" + k + "\":" + w }.mkString("{", ",", "}")
+    val taskTimes = results.map { case (k, (_, ts)) =>
+      "\"" + k + "\":" + f"$ts%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
 
     // Streaming envelope figure (VERDICT r5 #5): the batch set says
     // nothing about the reference's actual operating mode — a streaming
@@ -152,7 +167,12 @@ object Bench {
 
     val probeEnd = hostProbe()
     val probes = f""","probe_start_sec":${probeStart.getOrElse(-1.0)}%.3f,"probe_end_sec":${probeEnd.getOrElse(-1.0)}%.3f,"host_start":"${hostState(probeStart)}","host_end":"${hostState(probeEnd)}""""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$stream$probes,"sf":"$sfDir"}""")
+    // additions-only fields: cpus echoes the honored $SPARK_GRAFT_CPUS;
+    // query_task_time_s is the min-pass executor task-time per query
+    // (wall is the existing `queries` map) — together they let the
+    // driver's scaling heuristic separate "knob ignored" from
+    // "wave-bound at this SF" without re-deriving anything.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpus":$cpus,"query_task_time_s":$taskTimes$stream$probes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -470,10 +470,35 @@ object CorpusQueries {
             (langId($"text") === $"lang").as("m"),
             graft.functions.HashFunctions.md5Long(
               concat(lit("cal:"), $"doc_id")).as("h"))
-        val wS = Window.orderBy($"q")
-        val bounds = scored.filter(pmod($"h", lit(8L)) === 0L)
-          .withColumn("rn", row_number().over(wS).cast("long"))
-          .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+        // Distributed exact rank over the sample (x32's two-pass offset
+        // pattern, adapted to a data-dependent sort key): range-partition
+        // the sample by q, count each partition, prefix-sum the per-
+        // partition counts into offsets (the offsets frame is bounded by
+        // the shuffle width — its windows are the bounded-small
+        // exception, like Ivf's centroid numbering), broadcast them back
+        // and rank WITHIN partitions. Replaces the former global
+        // row_number over Window.orderBy(q) — a single-partition
+        // WindowExec sorting the whole (corpus/8) sample on ONE task at
+        // 100 TB — with two distributed exchanges of the bare q column.
+        // rank→q is identical: row_number ties permute only equal q
+        // values, so the q at any global rank is the same either way.
+        // localCheckpoint (the d15/d18 pin discipline): the per-partition
+        // count branch and the rank branch below both consume the range-
+        // partitioned sample — unpinned, each would re-run the regex-
+        // heavy scoring scan over the whole corpus.
+        val samp = scored.filter(pmod($"h", lit(8L)) === 0L).select($"q")
+          .repartitionByRange($"q")
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint(true)
+        val offs = samp.groupBy($"pid").agg(count(lit(1)).as("c"))
+          .withColumn("off", coalesce(sum($"c").over(
+            Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .withColumn("cnt", sum($"c").over(Window.partitionBy()))
+          .select($"pid", $"off", $"cnt")
+        val bounds = samp.join(broadcast(offs), "pid")
+          .withColumn("rn", $"off" + row_number().over(
+            Window.partitionBy($"pid").orderBy($"q")))
           .groupBy()
           .agg(
             max(when($"rn" === expr("(cnt * 1) div 10"), $"q")).as("b1"),

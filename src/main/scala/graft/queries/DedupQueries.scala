@@ -1091,10 +1091,24 @@ object DedupQueries {
           .select($"doc_id", md5Long($"g_str").as("g"))
           .localCheckpoint(true)
         val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        // hot is pinned (a tiny frame — grams with df>1000): unpinned,
+        // the nondeterministic countingTap made the two anti-join sides
+        // of the pair self-join canonically UNEQUAL, so the full hot-list
+        // aggregation (a scan+groupBy over all of sh) ran once per side
+        // and no exchange/broadcast reuse could ever fire across it
+        // (guide §2.4). With the tap evaluated once inside the checkpoint
+        // job, both join sides are deterministic identical plans over
+        // LogicalRDDs — AQE reuses the broadcast build and the
+        // hashpartitioning(g) shuffle stage (one write, read twice).
+        // (Pinning `keep` itself was tried and measured WORSE at sf1 —
+        // 27.8 s vs 14.8 s solo: materializing the full posting frame
+        // costs more than the recompute it saves; the tiny hot list is
+        // the right pin point.)
         val hot = sh.groupBy($"g").agg(count(lit(1)).as("df"))
           .where($"df" > 1000L)
           .select(graft.functions.AggFunctions.countingTap($"g",
             graft.dedup.DedupMetrics.droppedBuckets(s)).as("g"))
+          .localCheckpoint(true)
         val keep = sh.join(broadcast(hot), Seq("g"), "left_anti")
         val shared = keep.select($"doc_id".as("a"), $"g")
           .join(keep.select($"doc_id".as("b"), $"g"), "g")

@@ -1437,10 +1437,18 @@ object TextQueries {
           .where($"nxt".isNotNull)
           .select(concat($"sym", lit(" "), $"nxt").as("pair"), $"f")
           .groupBy($"pair").agg(sum($"f").cast("long").as("cnt"))
+        // top-5 via orderBy+limit = TakeOrderedAndProject (partition-local
+        // top-5s, one tiny merge) — NOT rank-then-filter, whose global
+        // row_number window plans a single-partition WindowExec over the
+        // whole corpus-growing pair-count table (guide §2.4; the
+        // "WindowExec: No Partition Defined" class of scale bug). The
+        // 5-row rank window after the limit is the bounded-small
+        // exception (same as Ivf's centroid numbering); (cnt desc, pair)
+        // is a total order, so rows AND ranks are identical.
         def top5(cnt: org.apache.spark.sql.DataFrame, round: Int) = cnt
+          .orderBy($"cnt".desc, $"pair").limit(5)
           .withColumn("rank", row_number().over(
             Window.orderBy($"cnt".desc, $"pair")).cast("long"))
-          .where($"rank" <= 5)
           .select(lit(round.toLong).as("round"), $"rank", $"pair", $"cnt")
         val words = Tables.documents(s, dir)
           .select(explode(lowerTokens($"text")).as("w"))
@@ -2100,11 +2108,30 @@ object TextQueries {
           .select($"doc_id", $"n_chars", tokenCount($"text").cast("long").as("n_toks"),
             graft.functions.HashFunctions.md5Long(
               concat(lit("cur:"), $"doc_id")).as("h"))
-        val wS = org.apache.spark.sql.expressions.Window.orderBy($"n_chars")
-        val bounds = docs.filter(pmod($"h", lit(8L)) === 0L)
-          .withColumn("rn", row_number().over(wS).cast("long"))
-          .withColumn("cnt", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy()))
+        // Distributed exact rank over the sample (x32's two-pass offset
+        // pattern; see x59 for the full rationale): range-partition the
+        // sample by n_chars, prefix-sum per-partition counts into
+        // offsets (bounded-small frame), broadcast back, rank within
+        // partitions. Replaces the single-partition global row_number
+        // WindowExec over the corpus-growing sample; rank→value mapping
+        // is identical (ties permute only equal n_chars).
+        import org.apache.spark.sql.expressions.Window
+        // localCheckpoint (the d15/d18 pin discipline): offsets and rank
+        // branches both consume the range-partitioned sample — unpinned,
+        // each would re-scan the corpus for it.
+        val samp = docs.filter(pmod($"h", lit(8L)) === 0L).select($"n_chars")
+          .repartitionByRange($"n_chars")
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint(true)
+        val offs = samp.groupBy($"pid").agg(count(lit(1)).as("c"))
+          .withColumn("off", coalesce(sum($"c").over(
+            Window.orderBy($"pid").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .withColumn("cnt", sum($"c").over(Window.partitionBy()))
+          .select($"pid", $"off", $"cnt")
+        val bounds = samp.join(broadcast(offs), "pid")
+          .withColumn("rn", $"off" + row_number().over(
+            Window.partitionBy($"pid").orderBy($"n_chars")))
           .groupBy()
           .agg(
             max(when($"rn" === expr("(cnt * 1) div 4"), $"n_chars")).as("q1"),

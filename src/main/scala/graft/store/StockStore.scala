@@ -78,7 +78,10 @@ object StockStore {
     if (!fs.exists(p)) empty
     else committedState(fs, p) match {
       case Some((_, Nil)) => empty // commit log exists but nothing committed yet
-      case _ => table(spark, root, dt)
+      // reuse the state just read instead of a second commits() pass —
+      // the streaming sink calls this every micro-batch
+      case Some(st) => tableFromState(spark, p, st)
+      case None => table(spark, root, dt)
     }
   }
 
@@ -483,19 +486,24 @@ object StockStore {
     val tp = new org.apache.hadoop.fs.Path(tablePath(root, dt))
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     committedState(fs, tp) match {
-      case Some((lastId, files)) if files.nonEmpty =>
-        val key = tp.toString
-        val cached = tableSchemaCache.get(key)
-        if (cached != null && cached._1 == lastId)
-          spark.read.schema(cached._2).option("basePath", tp.toString).parquet(files: _*)
-        else {
-          val df = spark.read.option("mergeSchema", "true")
-            .option("basePath", tp.toString).parquet(files: _*)
-          tableSchemaCache.put(key, (lastId, df.schema))
-          df
-        }
+      case Some(st @ (_, files)) if files.nonEmpty => tableFromState(spark, tp, st)
       case _ =>
         spark.read.option("mergeSchema", "true").parquet(tablePath(root, dt))
+    }
+  }
+
+  private def tableFromState(spark: SparkSession, tp: org.apache.hadoop.fs.Path,
+      state: (Long, Seq[String])): DataFrame = {
+    val (lastId, files) = state
+    val key = tp.toString
+    val cached = tableSchemaCache.get(key)
+    if (cached != null && cached._1 == lastId)
+      spark.read.schema(cached._2).option("basePath", tp.toString).parquet(files: _*)
+    else {
+      val df = spark.read.option("mergeSchema", "true")
+        .option("basePath", tp.toString).parquet(files: _*)
+      tableSchemaCache.put(key, (lastId, df.schema))
+      df
     }
   }
 

@@ -64,7 +64,7 @@ object TableLog {
   /** None for a torn manifest (no `end` sentinel / bad header): either a
     * writer crashed mid-create or we are reading concurrently with one —
     * in both cases the commit has not happened. */
-  private def parse(fs: FileSystem, p: Path): Option[Commit] = {
+  private def parseUncached(fs: FileSystem, p: Path): Option[Commit] = {
     val body = new String(readAll(fs, p), StandardCharsets.UTF_8)
     val lines = body.linesIterator.toSeq
     if (!lines.headOption.contains("graft-commit-v1") ||
@@ -77,6 +77,32 @@ object TableLog {
       reset = kv.exists { case (k, v) => k == "reset" && v == "true" },
       dataFiles = kv.collect { case ("data", v) => v },
       statsFiles = kv.collect { case ("stats", v) => v }))
+  }
+
+  /** Published manifests are IMMUTABLE (created once at their final path,
+    * never modified), so a successful parse can be memoized by qualified
+    * path: [[commits]] then costs one directory listing instead of
+    * O(live manifests) file opens — which a streaming upsert sink pays
+    * several times per micro-batch (readOrEmpty, read-back, exists,
+    * maybeCheckpoint), ramping with commit count until the next squash.
+    * Only Some results are cached: a torn manifest may be a concurrent
+    * writer mid-create whose `end` sentinel lands later (exclusive-create
+    * seam), so None must be re-read. Vacuumed manifests simply stop being
+    * listed; the cap-clear bounds memory for very long-lived processes. */
+  private val parseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Commit]()
+  private def parse(fs: FileSystem, p: Path): Option[Commit] = {
+    val key = fs.makeQualified(p).toString
+    val hit = parseCache.get(key)
+    if (hit != null) Some(hit)
+    else {
+      val r = parseUncached(fs, p)
+      r.foreach { c =>
+        if (parseCache.size > 65536) parseCache.clear()
+        parseCache.put(key, c)
+      }
+      r
+    }
   }
 
   private def readAll(fs: FileSystem, p: Path): Array[Byte] = {
@@ -203,7 +229,13 @@ object TableLog {
       val all = commits(fs, tablePath)
       val lastReset = all.lastIndexWhere(_.reset)
       val liveManifests = if (lastReset < 0) all.length else all.length - lastReset
-      liveManifests >= every && checkpoint(fs, tablePath) >= 0
+      // squash from the commit list already in hand ([[checkpoint]] would
+      // re-list and re-read the log — the upsert loop pays this per batch)
+      if (liveManifests < every || liveManifests < 2) false
+      else {
+        val (data, stats) = effectiveFrom(all)
+        publish(fs, tablePath, data, stats, reset = true) >= 0
+      }
     }
 
   /** Move every file under `stagingDir` into `targetDir`, preserving the

@@ -34,10 +34,37 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_PLAN_EXEC=1: run each query through the noop sink first and
+    // dump the POST-execution plan — with AQE on, exchange/broadcast
+    // stage reuse and the final join strategies only exist at runtime
+    // (ReusedExchange / AQEShuffleRead nodes never appear in the
+    // pre-execution dump). Evidence mode for reuse claims.
+    val exec = sys.env.get("GRAFT_PLAN_EXEC").contains("1")
+    // the noop write runs its OWN QueryExecution — a listener is the only
+    // way to get at the plan that actually executed (with AQE's runtime
+    // reuse/strategy decisions materialized in it)
+    @volatile var lastExecuted: Option[String] = None
+    if (exec) spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          lastExecuted = Some(qe.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      })
     args.drop(1).foreach { name =>
       Registry.allQueries.find(_.name == name) match {
         case Some(q) =>
-          val plan = q.build(spark, sfDir).queryExecution.explainString(
+          val df = q.build(spark, sfDir)
+          val plan = if (exec) {
+            lastExecuted = None
+            df.write.format("noop").mode("overwrite").save()
+            // listener delivery is async; wait for the executed plan
+            var waited = 0
+            while (lastExecuted.isEmpty && waited < 100) { Thread.sleep(100); waited += 1 }
+            lastExecuted.getOrElse("<no executed plan captured>")
+          } else df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           java.nio.file.Files.write(outDir.resolve(s"$name.txt"),
             plan.getBytes("UTF-8"))
