@@ -398,7 +398,11 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val r = run(spark, rate, durationS, mode)
-    println(f"""{"metric":"stream_ingest","mode":"$mode","rows":${r.rows},"wall_s":${r.wallS}%.2f,"rows_per_s":${r.rowsPerS}%.0f,"p50_latency_s":${r.p50S}%.2f,"p95_latency_s":${r.p95S}%.2f,"max_latency_s":${r.maxS}%.2f,"batches":${r.batches}}""")
+    // per-batch series + commit wall-clock stamps so a GC/host log can be
+    // correlated batch-by-batch (r12 verdict item: stall forensics)
+    val lats = r.perBatch.map(b => f"${b._1}%.3f").mkString("[", ",", "]")
+    val rows = r.perBatch.map(_._2).mkString("[", ",", "]")
+    println(f"""{"metric":"stream_ingest","mode":"$mode","rows":${r.rows},"wall_s":${r.wallS}%.2f,"rows_per_s":${r.rowsPerS}%.0f,"p50_latency_s":${r.p50S}%.2f,"p95_latency_s":${r.p95S}%.2f,"max_latency_s":${r.maxS}%.2f,"batches":${r.batches},"per_batch_lat_s":$lats,"per_batch_rows":$rows,"epoch_ms_at_exit":${System.currentTimeMillis()}}""")
     spark.stop()
   }
 }

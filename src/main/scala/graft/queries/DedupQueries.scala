@@ -868,6 +868,14 @@ object DedupQueries {
         // both consume it — uncached, the whole shingle+window pipeline
         // ran twice, which the sf1 sweep measured as ~2x the query
         // (45x ratio at 10x data; the cached shape re-scales linearly).
+        // (r13 A/B, production-shaped sf10 harness: replacing this
+        // WindowExec with repartition+sortWithinPartitions+a mapPartitions
+        // streaming kernel — same exchange/sort, per-doc hash buffering,
+        // one pass for n+pos — measured 136.1 s / 20.2 s GC vs the window
+        // form's 129.5 s / 24.3 s GC in the same good-probe window: a
+        // wash inside host noise. The kernel was oracle-identical but
+        // buys nothing; the window form stays — the sort IS d15's
+        // irreducible cost, not the window machinery on top of it.)
         val wd = org.apache.spark.sql.expressions.Window
           .partitionBy($"doc_id").orderBy($"f", $"h")
         val docsets = sets.join(freq, Seq("h"))

@@ -179,6 +179,11 @@ object StockStore {
     // ever justified one. Values are partition-independent: the dedup
     // keeps one of N identical rows, and the window's xxhash64 order is
     // a per-row function.
+    // (r13 A/B: swapping this cache for an eager localCheckpoint — to
+    // truncate downstream plan analysis — was measured WORSE in LabUpsert,
+    // min 2.66 s/16 jobs vs 2.43 s/15 jobs same window: the extra eager
+    // materialization wave costs more than the analysis it saves. The
+    // cache stays.)
     val dedupedRaw = nonNull.repartition(idxCols.map(col): _*)
       .dropDuplicates(idxCols ++ payloadCols)
     val deduped = dedupObs.map(o => dedupedRaw.observe(o, count(lit(1)).as("n")))
@@ -440,8 +445,14 @@ object StockStore {
         // Pin the table's partitioning tz on first publish; later upserts
         // with a different tz fall back to ticker-only read-back pruning.
         writeTzMarkerIfAbsent(fs, tzMarkerPath(root, dt), exchangeTz)
-        out
-          .repartition(partCols.map(col): _*) // one file per touched partition
+        // One file per touched partition either way. A batch-bounded
+        // streaming merge takes coalesce(1) — a NARROW op on the pinned
+        // checkpoint blocks, so the write costs no exchange and no AQE
+        // wave (the dynamic writer still splits by partition dir); a
+        // bulk backfill keeps the hash repartition, whose width the
+        // store-sized batch actually needs.
+        (if (smallBatch) out.coalesce(1)
+         else out.repartition(partCols.map(col): _*))
           .write
           .partitionBy(partCols: _*)
           .parquet(stageData.toString)
@@ -631,14 +642,28 @@ object StockStore {
   private def tzMarkerPath(root: String, dt: StockDataType) =
     new org.apache.hadoop.fs.Path(s"$root/${dt.name}__tz")
 
+  // The marker is immutable once written (create-if-absent, never
+  // modified): memoize positive reads so the streaming sink pays the
+  // exists+open+read round-trip once per table, not once per micro-batch.
+  // Absence is NOT cached — the marker lands at this table's first
+  // publish.
+  private val tzMarkerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def readTzMarker(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Option[String] =
-    if (!fs.exists(p)) None
+      p: org.apache.hadoop.fs.Path): Option[String] = {
+    val key = fs.makeQualified(p).toString
+    val hit = tzMarkerCache.get(key)
+    if (hit != null) Some(hit)
+    else if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim)
-      finally in.close()
+      val tz =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      tzMarkerCache.put(key, tz)
+      Some(tz)
     }
+  }
 
   private def writeTzMarkerIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, tz: String): Unit =
