@@ -220,7 +220,17 @@ object Ivf {
       k: Int): DataFrame = {
     val p = assigned.where(probePred)
       .select(col("vec_id").as("pid"), col("embedding").as("pe"), col("cluster"))
+    // Explicit-width repartition (same reason as Pq.ivfAdcTopK): the
+    // assign agg's exchange gets AQE-coalesced by BYTES to 1-2
+    // partitions, and the probe-fan-out × cosine work downstream of this
+    // broadcast join then runs serially. The compound key prevents
+    // EnsureRequirements from eliding it against the agg's vec_id
+    // partitioning; the explicit count (cores in the bench, data-derived
+    // in sweeps) is not AQE-coalesced.
+    val shufP = assigned.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
     val c = assigned
+      .repartition(shufP, col("vec_id"), col("cluster"))
       .select(col("vec_id").as("nid"), col("embedding").as("ne"), col("cluster"))
     val w = Window.partitionBy(col("pid")).orderBy(col("cos").desc, col("nid"))
     broadcast(p).join(c, Seq("cluster")).where(col("pid") =!= col("nid"))

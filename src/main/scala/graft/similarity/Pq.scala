@@ -114,7 +114,25 @@ object Pq {
   def ivfAdcTopK(assigned: org.apache.spark.sql.DataFrame,
       probePred: Column, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val coded = assigned.select(col("vec_id"), col("cluster"),
+    // Explicit-width repartition BEFORE the encode (the shingleSets
+    // idiom): encodeCodes is ~512 interpreted ops per row (higher-order
+    // functions are CodegenFallback), so the work per byte is huge and
+    // AQE — which sizes post-shuffle partitions by BYTES — coalesces the
+    // upstream assign's groupBy output to one or two partitions and
+    // serializes the whole corpus encode (measured at sf10: wall 105 s
+    // vs 3.6 s ideal-parallel, 89 tasks). The explicit partition count
+    // (from spark.sql.shuffle.partitions — cores in the bench, data-
+    // derived in the sweeps, job conf on a cluster) is NOT AQE-coalesced,
+    // so the encode and the downstream ADC join keep the full width.
+    val shufP = assigned.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val coded = assigned
+      // compound key ON PURPOSE: repartition(vec_id) alone is elided by
+      // EnsureRequirements (assign's agg already hash-partitions by
+      // vec_id) and the agg's own exchange is then AQE-coalesced by
+      // bytes — the serialization this repartition exists to prevent
+      .repartition(shufP, col("vec_id"), col("cluster"))
+      .select(col("vec_id"), col("cluster"),
       quantize(col("embedding")).as("q"))
       .select(col("vec_id"), col("cluster"), col("q"),
         encodeCodes(col("q")).as("codes"))

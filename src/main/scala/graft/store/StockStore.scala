@@ -240,20 +240,64 @@ object StockStore {
     // The event-time window bounds ride the SAME job as the tuple
     // collect (CollectMetrics on the cached batch) — they used to be a
     // second whole driver action per micro-batch.
+    // job labels (guide §1.5): the merge's waves are attributable in the
+    // UI / LabUpsert without guessing; thread-local, reset at the end
+    def labeled[T](desc: String)(body: => T): T = {
+      spark.sparkContext.setJobDescription(s"upsert[${dt.name}]: $desc")
+      try body finally spark.sparkContext.setJobDescription(null)
+    }
     val twObs = Observation()
-    val touched = deduped
-      .observe(twObs,
-        min(col(dt.tsCol)).as("mn"), max(col(dt.tsCol)).as("mx"))
-      .select(col("ticker"), py.as("y"), pmo.as("m"), pda.as("d"))
-      .select(pruneCols.map(col): _*).distinct().limit(4097).collect()
+    // Touched-tuple discovery, two shapes (cheap mode saves 2 AQE waves):
+    //  - full mode: the r12 form — distinct().limit(4097).collect(), its
+    //    own exchange + collect on top of the cache-filling job. Correct
+    //    at ANY batch size (a billion-row backfill's tuple set never
+    //    funnels through driver metrics).
+    //  - cheap (streaming) mode: the distinct tuple set rides the SAME
+    //    CollectMetrics observation as the ts-window min/max, and ONE
+    //    noop write materializes batch pin + all observations — the
+    //    separate distinct exchange and its waves disappear (LabUpsert:
+    //    touched 4 jobs → 2). Sound because cheap mode is the
+    //    admission-capped streaming contract: per-task collect_set
+    //    state is bounded by the batch's distinct (ticker,
+    //    calendar-unit) tuples, which the cap bounds.
+    val tupleExprs = pruneCols.map {
+      case "ticker" => col("ticker"); case "y" => py
+      case "m" => pmo; case "d" => pda
+    }
+    val touched: Seq[Seq[String]] =
+      if (collectCounts) labeled("touched partition tuples + batch pin") {
+        deduped
+          .observe(twObs,
+            min(col(dt.tsCol)).as("mn"), max(col(dt.tsCol)).as("mx"))
+          .select(tupleExprs.zip(pruneCols).map { case (e, n) => e.as(n) }: _*)
+          .distinct().limit(4097).collect()
+          .toSeq.map(r => pruneCols.indices.map(i => String.valueOf(r.get(i))))
+      } else {
+        labeled("touched tuples + batch pin") {
+          deduped
+            .observe(twObs,
+              min(col(dt.tsCol)).as("mn"), max(col(dt.tsCol)).as("mx"),
+              collect_set(struct(tupleExprs: _*)).as("tuples"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        // defensive getOrElse: AQE's empty-relation propagation can prune
+        // the CollectMetrics node (empty merge input) and the observation
+        // completes with an empty map (the r12 x7 lesson)
+        twObs.get.getOrElse("tuples", null) match {
+          case rows: scala.collection.Seq[_] => rows.toSeq.map {
+            case r: org.apache.spark.sql.Row =>
+              pruneCols.indices.map(i => String.valueOf(r.get(i)))
+          }
+          case _ => Seq.empty
+        }
+      }
     // concat_ws SKIPS nulls while the driver side renders "null", so
     // null parts are rendered explicitly to keep the two sides aligned.
     val partitionPrune: Option[Column] =
       if (touched.length > 4096 || touched.isEmpty) None
       else Some(concat_ws("",
           pruneCols.map(c => coalesce(col(c).cast("string"), lit("null"))): _*)
-        .isin(touched.map(r => pruneCols.indices.map(i => String.valueOf(r.get(i)))
-          .mkString("")): _*))
+        .isin(touched.map(_.mkString("")): _*))
     // Event-time window prune on the read-back scan, ON TOP of the
     // partition-tuple prune: a streaming feed lands every micro-batch
     // in the SAME (ticker, day) partitions, so the tuple prune alone
@@ -365,7 +409,7 @@ object StockStore {
     // cheap mode the in-plan assert_true A6 guard fires HERE, still
     // before anything is staged or committed. The blocks release via
     // the context cleaner once the batch's frame is unreferenced.
-    val out = outLazy.localCheckpoint(true)
+    val out = labeled("merge + pin output")(outLazy.localCheckpoint(true))
 
     // ALL stats counts must run before the data append below: the append
     // invalidates the cached `existing` plan (recacheByPath) — with the
@@ -413,7 +457,7 @@ object StockStore {
         // same action fires the observations (and the assert_true A6
         // guard — a violating batch fails HERE, before anything is staged
         // or committed).
-        val statsRows = statsDf.collect()
+        val statsRows = labeled("stats rows")(statsDf.collect())
         writtenFinal = statsRows.map(_.getAs[Long]("row_count")).sum
         def metric(o: Option[Observation], key: String): Long =
           o.flatMap(_.get.get(key)).map(_.asInstanceOf[Long]).getOrElse(-1L)
@@ -451,11 +495,13 @@ object StockStore {
         // wave (the dynamic writer still splits by partition dir); a
         // bulk backfill keeps the hash repartition, whose width the
         // store-sized batch actually needs.
-        (if (smallBatch) out.coalesce(1)
-         else out.repartition(partCols.map(col): _*))
-          .write
-          .partitionBy(partCols: _*)
-          .parquet(stageData.toString)
+        labeled("stage data write") {
+          (if (smallBatch) out.coalesce(1)
+           else out.repartition(partCols.map(col): _*))
+            .write
+            .partitionBy(partCols: _*)
+            .parquet(stageData.toString)
+        }
         val dataRel = TableLog.promote(fs, stageData, tp)
         val statsRel = TableLog.promote(fs, stageStats, sp)
         TableLog.publish(fs, tp, dataRel, statsRel)

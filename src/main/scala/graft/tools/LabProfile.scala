@@ -65,7 +65,16 @@ object LabProfile {
           println(f"[job] +$off%6.3fs id=${j.jobId}%3d stages=${j.stageIds.length} $desc")
         }
       }
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = stages.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        if (traceJobs) {
+          val i = s.stageInfo
+          val rt = Option(i.taskMetrics).map(_.executorRunTime).getOrElse(0L)
+          val off = (System.nanoTime() - traceT0) / 1e9
+          println(f"[stage] +$off%8.3fs id=${i.stageId}%3d tasks=${i.numTasks}%4d " +
+            f"task_s=${rt / 1000.0}%8.2f ${i.name.take(60)}")
+        }
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         val m = t.taskMetrics

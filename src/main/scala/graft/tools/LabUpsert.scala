@@ -69,6 +69,10 @@ object LabUpsert {
         f"j$id=${if (b > 0) (b - a) / 1000.0 else -1.0}%.2f"
       }.mkString(" ")
       println(f"[upsert-lab] rep=$rep n=$n sec=$sec%.3f jobs=${jobs.size} $jobStr")
+      if (sys.env.get("GRAFT_LAB_JOBS").contains("1"))
+        jobs.foreach { case (id, (a, b, d)) =>
+          println(f"[upsert-lab]   j$id%-4d ${if (b > 0) (b - a) / 1000.0 else -1.0}%6.2fs ${d.take(110)}")
+        }
     }
     spark.stop()
   }
